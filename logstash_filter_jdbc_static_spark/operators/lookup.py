@@ -1,0 +1,548 @@
+"""The core enrichment operator: cached-dimension lookup as Spark joins.
+
+Reference semantics being reproduced (all cited file:line into
+/root/reference/lib/logstash/filters/jdbc/):
+
+- A5 point/pattern lookup: per event, bind fields into lookup SQL, run
+  against local Derby, collect all rows as array of hashes
+  (lookup.rb:83-104, 131-156, 158-183).
+- A6 named :param binding via Getfier (direct field) / Sprintfier
+  (%{...} template) (lookup.rb:9-35, 198-200).
+- A7 prepared ? positional binding (lookup.rb:106-115, 224-235).
+- A8 invalid parameters: sprintf found no field, or field is
+  nil/Hash/Array (lookup.rb:14-21, 28-35); SQL errors mark failed
+  (lookup.rb:148-152).
+- A9 tag_on_failure (lookup.rb:88-91, 119-123), A10 default_hash +
+  tag_on_default_use on valid-but-empty (lookup.rb:93-99, 125-129),
+  A11 target write as deep-cloned array-of-hashes (lookup.rb:144-147,
+  185-188), A12 sequential multi-lookup with all-valid => matched
+  (lookup_processor.rb:46-48, jdbc_static.rb:154-157).
+
+Spark-first physical design (NOT a port of the Derby execution path):
+
+- **Equi lookups** (``WHERE k = :p [AND k2 = :p2]``): the dimension is
+  pre-grouped by join key into one ``array<struct>`` row per key, then
+  LEFT-joined with an explicit ``F.broadcast`` hint.  The fact side never
+  shuffles, never fans out, and needs no regroup — this is the 100 TB
+  path.  The dim-side groupBy is bounded by ``max_rows`` (loader.rb:73).
+- **Pattern/theta lookups** (``WHERE k LIKE :p``, other non-equi ops):
+  if the dim is small (<= ``inline_threshold`` rows) the whole dimension
+  is inlined as a literal array-of-structs expression and the lookup
+  becomes ``F.filter(dim_array, r -> predicate)`` — a pure projection
+  inside whole-stage codegen, zero joins, zero shuffles.  Larger dims
+  fall back to a broadcast nested-loop LEFT join plus a regroup keyed by
+  a caller-supplied unique row key; the BNLJ cost is bounded by
+  ``max_rows`` exactly as the reference's Derby table scan is.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
+
+from logstash_filter_jdbc_static_spark.spec import (
+    LookupSpec,
+    ValidationError,
+    is_sprintf,
+)
+
+DEFAULT_INLINE_THRESHOLD = 1024
+
+_FIELD_REF_RE = re.compile(r"\[([^\]]+)\]")
+_SPRINTF_SPLIT_RE = re.compile(r"(%\{[^}]+\})")
+_NAMED_PARAM_RE = re.compile(r"(?<!:):([A-Za-z_][A-Za-z0-9_]*)")
+
+_EQ_OPS = {"="}
+_THETA_OPS = {"like", ">", "<", ">=", "<=", "<>", "!="}
+
+
+def _resolve_field_path(ref: str, schema: T.StructType) -> tuple[Column | None, bool]:
+    """Resolve a Logstash field reference (``[a][b]`` or plain ``a``) to a
+    Column against a fixed fact schema.
+
+    Returns (column, exists). Nested segments traverse structs
+    (``getField``) and maps (``getItem``) — the MapType column plays the
+    role of the event's dynamic fields (lookup.rb:29).
+    """
+    segments = _FIELD_REF_RE.findall(ref) or [ref]
+    head, rest = segments[0], segments[1:]
+    dtype: T.DataType | None = None
+    for f in schema.fields:
+        if f.name == head:
+            dtype = f.dataType
+            break
+    if dtype is None:
+        return None, False
+    col = F.col(head)
+    for seg in rest:
+        if isinstance(dtype, T.StructType):
+            names = {f.name: f.dataType for f in dtype.fields}
+            if seg not in names:
+                return None, False
+            col = col.getField(seg)
+            dtype = names[seg]
+        elif isinstance(dtype, T.MapType):
+            col = col.getItem(seg)
+            dtype = dtype.valueType
+        else:
+            return None, False
+    return col, True
+
+
+@dataclass
+class BoundParam:
+    """A lookup parameter bound to the event/fact schema.
+
+    ``value``: the derived key column; ``valid``: per-row validity
+    predicate (A8); ``static_invalid``: known-at-compile-time failure
+    (sprintf referencing a missing field, lookup.rb:14-21, or a
+    Hash/Array-typed field, lookup.rb:28-35).
+    """
+
+    name: str
+    value: Column
+    valid: Column
+    static_invalid: bool = False
+
+
+def bind_param(binding: str, schema: T.StructType, name: str) -> BoundParam:
+    """Getfier / Sprintfier dispatch (lookup.rb:198-200)."""
+    if is_sprintf(binding):
+        # Sprintfier: interleave literal text with field values
+        # (lookup.rb:9-21). Any missing/null field => param invalid.
+        parts = [p for p in _SPRINTF_SPLIT_RE.split(binding) if p != ""]
+        cols: list[Column] = []
+        valid = F.lit(True)
+        static_invalid = False
+        for part in parts:
+            if part.startswith("%{") and part.endswith("}"):
+                ref = part[2:-1]
+                col, exists = _resolve_field_path(ref, schema)
+                if not exists:
+                    static_invalid = True
+                    cols.append(F.lit(None).cast("string"))
+                else:
+                    cols.append(col.cast("string"))
+                    valid = valid & col.isNotNull()
+            else:
+                cols.append(F.lit(part))
+        value = F.concat(*cols) if len(cols) > 1 else cols[0]
+        if static_invalid:
+            valid = F.lit(False)
+        return BoundParam(name, value, valid, static_invalid)
+    # Getfier: direct event.get (lookup.rb:23-35). nil/Hash/Array invalid.
+    col, exists = _resolve_field_path(binding, schema)
+    if not exists:
+        return BoundParam(name, F.lit(None).cast("string"), F.lit(False), True)
+    dtype = None
+    segments = _FIELD_REF_RE.findall(binding) or [binding]
+    cur: T.DataType = schema
+    ok = True
+    for seg in segments:
+        if isinstance(cur, T.StructType):
+            match = [f.dataType for f in cur.fields if f.name == seg]
+            if not match:
+                ok = False
+                break
+            cur = match[0]
+        elif isinstance(cur, T.MapType):
+            cur = cur.valueType
+        else:
+            ok = False
+            break
+    dtype = cur if ok else None
+    if isinstance(dtype, (T.MapType, T.ArrayType, T.StructType)):
+        # "Field <x> is of unsupported type" — always invalid (lookup.rb:28-35)
+        return BoundParam(name, F.lit(None).cast("string"), F.lit(False), True)
+    return BoundParam(name, col, col.isNotNull(), False)
+
+
+@dataclass
+class _Predicate:
+    dim_column: str
+    op: str  # '=', 'like', '>', ...
+    param: str | None  # placeholder name; None when rhs is a literal
+    literal: str | None = None
+
+
+@dataclass
+class ParsedQuery:
+    projection: list[tuple[str, str]] | None  # (source, alias); None == SELECT *
+    table: str
+    predicates: list[_Predicate] = field(default_factory=list)
+
+    @property
+    def is_pure_equi(self) -> bool:
+        return all(p.op == "=" and p.param is not None for p in self.predicates)
+
+
+_QUERY_RE = re.compile(
+    r"^\s*select\s+(?P<proj>.+?)\s+from\s+(?P<table>[A-Za-z_][\w.]*)"
+    r"(?:\s+where\s+(?P<where>.+?))?\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_PRED_RE = re.compile(
+    r"^\s*(?P<col>[A-Za-z_][\w]*)\s*(?P<op>=|<>|!=|<=|>=|<|>|like)\s*(?P<rhs>.+?)\s*$",
+    re.IGNORECASE,
+)
+
+
+def parse_lookup_query(query: str) -> ParsedQuery:
+    """Parse the SQL shapes the reference's docs+specs exercise
+    (SURVEY 2B): projection with aliases or ``*``, single table, optional
+    conjunctive WHERE of ``col <op> (:name | ? | literal)``.
+    """
+    m = _QUERY_RE.match(query)
+    if not m:
+        raise ValidationError([f"unsupported lookup query shape: {query!r}"])
+    proj_raw = m.group("proj").strip()
+    projection: list[tuple[str, str]] | None
+    if proj_raw == "*":
+        projection = None
+    else:
+        projection = []
+        for item in proj_raw.split(","):
+            parts = re.split(r"\s+as\s+", item.strip(), flags=re.IGNORECASE)
+            if len(parts) == 2:
+                projection.append((parts[0].strip(), parts[1].strip()))
+            else:
+                projection.append((item.strip(), item.strip()))
+    predicates: list[_Predicate] = []
+    where = m.group("where")
+    positional = 0
+    if where:
+        for clause in re.split(r"\s+and\s+", where, flags=re.IGNORECASE):
+            pm = _PRED_RE.match(clause)
+            if not pm:
+                raise ValidationError([f"unsupported lookup predicate: {clause!r}"])
+            rhs = pm.group("rhs").strip()
+            op = pm.group("op").lower()
+            if rhs == "?":
+                predicates.append(_Predicate(pm.group("col"), op, f"p{positional}"))
+                positional += 1
+            elif rhs.startswith(":"):
+                predicates.append(_Predicate(pm.group("col"), op, rhs[1:]))
+            elif rhs.startswith("'") and rhs.endswith("'"):
+                predicates.append(
+                    _Predicate(pm.group("col"), op, None, rhs[1:-1].replace("''", "'"))
+                )
+            else:
+                raise ValidationError([f"unsupported lookup predicate rhs: {rhs!r}"])
+    return ParsedQuery(projection, m.group("table"), predicates)
+
+
+class CompiledLookup:
+    """One lookup compiled against a dimension DataFrame.
+
+    Produces, when applied to a fact DataFrame:
+      - ``<target>``: array<struct> payload column (A11) — null when the
+        lookup failed (target untouched in the reference), ``[]`` on
+        valid-but-empty without default (spec/filters/jdbc_static_spec.rb:98-105),
+        ``[default_hash]`` on miss with default (A10)
+      - ``__<id>_ok``: the boolean the lookup returns (A12's matched gate)
+      - ``__<id>_failed`` / ``__<id>_default_used``: tag drivers
+    """
+
+    def __init__(
+        self,
+        spec: LookupSpec,
+        dim_df: DataFrame,
+        inline_threshold: int = DEFAULT_INLINE_THRESHOLD,
+        row_key: list[str] = ("conv_id", "turn_idx"),
+    ):
+        spec.raise_if_invalid()
+        self.spec = spec
+        self.query = parse_lookup_query(spec.query)
+        self.dim_df = dim_df
+        self.inline_threshold = inline_threshold
+        self.row_key = list(row_key)
+        # Resolve projection against the dim schema.
+        dim_fields = {f.name: f.dataType for f in dim_df.schema.fields}
+        if self.query.projection is None:
+            self.out_fields = [(f.name, f.name) for f in dim_df.schema.fields]
+        else:
+            for src, _ in self.query.projection:
+                if src not in dim_fields:
+                    raise ValidationError(
+                        [f"lookup '{spec.id}': column '{src}' not in table '{self.query.table}'"]
+                    )
+            self.out_fields = list(self.query.projection)
+        for p in self.query.predicates:
+            if p.dim_column not in dim_fields:
+                raise ValidationError(
+                    [f"lookup '{spec.id}': predicate column '{p.dim_column}' "
+                     f"not in table '{self.query.table}'"]
+                )
+        # Map placeholder name -> event binding string.
+        if spec.prepared_parameters is not None:
+            self.bindings = {f"p{i}": v for i, v in enumerate(spec.prepared_parameters)}
+        else:
+            self.bindings = dict(spec.parameters or {})
+        needed = [p.param for p in self.query.predicates if p.param is not None]
+        missing = [n for n in needed if n not in self.bindings]
+        if missing:
+            raise ValidationError(
+                [f"lookup '{spec.id}': no binding for placeholder(s) {missing}"]
+            )
+        self._payload_struct = self._payload_struct_type()
+        self._default_array = self._build_default_array()
+
+    # ---- payload/result shapes -------------------------------------
+    def _payload_struct_type(self) -> T.StructType:
+        dim_fields = {f.name: f.dataType for f in self.dim_df.schema.fields}
+        return T.StructType(
+            [T.StructField(alias, dim_fields[src], True) for src, alias in self.out_fields]
+        )
+
+    def _build_default_array(self) -> Column | None:
+        """[default_hash] payload (lookup.rb:239-245, 93-99)."""
+        if not self.spec.use_default:
+            return None
+        dh = self.spec.default_hash or {}
+        aliases = [a for _, a in self.out_fields]
+        unknown = [k for k in dh if k not in aliases]
+        if unknown:
+            raise ValidationError(
+                [f"lookup '{self.spec.id}': default_hash keys {unknown} are not "
+                 f"in the lookup projection {aliases}"]
+            )
+        cols = []
+        for (src, alias), fld in zip(self.out_fields, self._payload_struct.fields):
+            if alias in dh:
+                cols.append(F.lit(dh[alias]).cast(fld.dataType).alias(alias))
+            else:
+                cols.append(F.lit(None).cast(fld.dataType).alias(alias))
+        return F.array(F.struct(*cols))
+
+    # ---- physical strategies ----------------------------------------
+    def _grouped_dim(self) -> tuple[DataFrame, list[str]]:
+        """Equi path: dim grouped by key -> one array<struct> per key."""
+        key_cols = []
+        dim = self.dim_df
+        for i, p in enumerate(self.query.predicates):
+            if p.param is not None:
+                key_cols.append((f"__k{i}", p.dim_column))
+            else:
+                dim = dim.filter(F.col(p.dim_column) == F.lit(p.literal))
+        payload = F.struct(
+            *[F.col(src).alias(alias) for src, alias in self.out_fields]
+        )
+        keys = [F.col(src).alias(k) for k, src in key_cols]
+        grouped = (
+            dim.groupBy(*keys)
+            .agg(F.sort_array(F.collect_list(payload)).alias("__payload"))
+        )
+        return grouped, [k for k, _ in key_cols]
+
+    def _param_cols(self, schema: T.StructType) -> dict[str, BoundParam]:
+        return {
+            name: bind_param(binding, schema, name)
+            for name, binding in self.bindings.items()
+        }
+
+    def _validity(self, params: dict[str, BoundParam]) -> Column:
+        if not params:
+            return F.lit(True)
+        valid = F.lit(True)
+        for bp in params.values():
+            valid = valid & bp.valid
+        return valid
+
+    def apply(self, fact: DataFrame) -> DataFrame:
+        """Enrich ``fact`` with this lookup's target + status columns."""
+        params = self._param_cols(fact.schema)
+        valid = self._validity(params)
+        sid = self.spec.id
+        ok_col, failed_col, default_col = (
+            f"__{sid}_ok", f"__{sid}_failed", f"__{sid}_default_used",
+        )
+        if self.query.is_pure_equi and self.query.predicates:
+            enriched = self._apply_equi(fact, params, valid)
+        elif self._dim_count() <= self.inline_threshold:
+            enriched = self._apply_inline(fact, params, valid)
+        else:
+            enriched = self._apply_bnlj(fact, params, valid)
+        # Outcome logic (lookup.rb:83-104): invalid => failed, target
+        # untouched; valid+empty+default => default payload + default tag;
+        # valid otherwise => payload ([] when empty, no default).
+        raw = F.col("__raw_payload")
+        empty = raw.isNull() | (F.size(raw) == 0)
+        target_expr = (
+            F.when(~valid, F.lit(None).cast(T.ArrayType(self._payload_struct)))
+            .when(
+                empty,
+                self._default_array
+                if self._default_array is not None
+                else F.array().cast(T.ArrayType(self._payload_struct)),
+            )
+            .otherwise(raw)
+        )
+        return (
+            enriched.withColumn(self.spec.target, target_expr)
+            .withColumn(failed_col, ~valid)
+            .withColumn(default_col, valid & empty & F.lit(self.spec.use_default))
+            .withColumn(ok_col, valid)
+            .drop("__raw_payload")
+        )
+
+    def _dim_count(self) -> int:
+        if not hasattr(self, "_dim_count_cache"):
+            self._dim_count_cache = self.dim_df.count()
+        return self._dim_count_cache
+
+    def _apply_equi(
+        self, fact: DataFrame, params: dict[str, BoundParam], valid: Column
+    ) -> DataFrame:
+        """Broadcast hash equi-join against the key-grouped dim — the
+        index-backed point lookup (db_object.rb:19) done set-at-a-time."""
+        grouped, key_names = self._grouped_dim()
+        with_keys = fact
+        conds = []
+        for i, p in enumerate(self.query.predicates):
+            if p.param is None:
+                continue
+            bp = params[p.param]
+            kc = f"__fk_{self.spec.id}_{i}"
+            with_keys = with_keys.withColumn(kc, bp.value)
+            conds.append(F.col(kc).eqNullSafe(grouped[f"__k{i}"]))
+        cond = conds[0]
+        for c in conds[1:]:
+            cond = cond & c
+        joined = with_keys.join(F.broadcast(grouped), cond, "left")
+        drop_cols = [f"__k{i}" for i in range(len(self.query.predicates))
+                     if self.query.predicates[i].param is not None]
+        drop_cols += [c for c in with_keys.columns if c.startswith(f"__fk_{self.spec.id}_")]
+        return joined.withColumnRenamed("__payload", "__raw_payload").drop(*drop_cols)
+
+    def _dim_literal_array(self) -> Column:
+        """Inline the (small) dim as a literal array<struct> expression."""
+        rows = self.dim_df.collect()
+        structs = []
+        dim_fields = [(f.name, f.dataType) for f in self.dim_df.schema.fields]
+        for r in rows:
+            structs.append(
+                F.struct(
+                    *[F.lit(r[n]).cast(dt).alias(n) for n, dt in dim_fields]
+                )
+            )
+        if not structs:
+            return F.array().cast(
+                T.ArrayType(T.StructType(
+                    [T.StructField(n, dt, True) for n, dt in dim_fields]
+                ))
+            )
+        return F.array(*structs)
+
+    def _row_predicate(self, row: Column, params: dict[str, BoundParam]) -> Column:
+        cond = F.lit(True)
+        for p in self.query.predicates:
+            lhs = row.getField(p.dim_column)
+            rhs = params[p.param].value if p.param is not None else F.lit(p.literal)
+            if p.op == "=":
+                c = lhs == rhs
+            elif p.op == "like":
+                c = _dynamic_like(lhs, rhs)
+            elif p.op in ("<>", "!="):
+                c = lhs != rhs
+            elif p.op == "<":
+                c = lhs < rhs
+            elif p.op == ">":
+                c = lhs > rhs
+            elif p.op == "<=":
+                c = lhs <= rhs
+            else:
+                c = lhs >= rhs
+            cond = cond & c
+        return cond
+
+    def _project_struct(self, row: Column) -> Column:
+        return F.struct(
+            *[row.getField(src).alias(alias) for src, alias in self.out_fields]
+        )
+
+    def _apply_inline(
+        self, fact: DataFrame, params: dict[str, BoundParam], valid: Column
+    ) -> DataFrame:
+        """Small-dim theta lookup as a pure projection: filter a literal
+        array-of-structs — no join, no shuffle, stays in codegen."""
+        arr = self._dim_literal_array()
+        matched = F.filter(arr, lambda r: self._row_predicate(r, params))
+        payload = F.sort_array(F.transform(matched, self._project_struct))
+        return fact.withColumn("__raw_payload", payload)
+
+    def _apply_bnlj(
+        self, fact: DataFrame, params: dict[str, BoundParam], valid: Column
+    ) -> DataFrame:
+        """Large-dim theta lookup: broadcast nested-loop LEFT join, then
+        regroup fan-out by the natural row key (conv_id, turn_idx) so one
+        input turn stays one output turn (SURVEY §4.3)."""
+        sid = self.spec.id
+        key_col = f"__bk_{sid}"
+        with_keys = fact
+        rhs_cols = {}
+        for i, p in enumerate(self.query.predicates):
+            if p.param is None:
+                continue
+            c = f"__fk_{sid}_{i}"
+            rhs_cols[i] = c
+            with_keys = with_keys.withColumn(c, params[p.param].value)
+        dim = self.dim_df
+        dim_alias = f"__dim_{sid}"
+        dim = dim.select(
+            F.struct(*[F.col(f.name) for f in dim.schema.fields]).alias(dim_alias)
+        )
+        cond = F.lit(True)
+        for i, p in enumerate(self.query.predicates):
+            lhs = F.col(dim_alias).getField(p.dim_column)
+            rhs = F.col(rhs_cols[i]) if p.param is not None else F.lit(p.literal)
+            if p.op == "like":
+                cond = cond & _dynamic_like(lhs, rhs)
+            elif p.op == "=":
+                cond = cond & (lhs == rhs)
+            elif p.op in ("<>", "!="):
+                cond = cond & (lhs != rhs)
+            elif p.op == "<":
+                cond = cond & (lhs < rhs)
+            elif p.op == ">":
+                cond = cond & (lhs > rhs)
+            elif p.op == "<=":
+                cond = cond & (lhs <= rhs)
+            else:
+                cond = cond & (lhs >= rhs)
+        joined = with_keys.join(F.broadcast(dim), cond, "left")
+        payload = F.when(
+            F.col(dim_alias).isNotNull(), self._project_struct(F.col(dim_alias))
+        )
+        joined = joined.withColumn("__one_payload", payload).drop(dim_alias)
+        fact_cols = [c for c in with_keys.columns if not c.startswith(f"__fk_{sid}_")]
+        # Regroup by the natural unique row key; all other fact columns are
+        # identical within a group (they came from one input row), so
+        # first() is deterministic here. Grouping by the key alone also
+        # permits MapType fact columns, which Spark cannot group by.
+        other = [c for c in fact_cols if c not in self.row_key]
+        regrouped = joined.groupBy(*self.row_key).agg(
+            *[F.first(c).alias(c) for c in other],
+            F.sort_array(
+                F.filter(F.collect_list("__one_payload"), lambda x: x.isNotNull())
+            ).alias("__raw_payload"),
+        )
+        return regrouped.select(*fact_cols, "__raw_payload")
+
+
+def _dynamic_like(lhs: Column, pattern: Column) -> Column:
+    """``lhs LIKE pattern`` with a per-row pattern column.
+
+    Column.like() requires a literal, so rewrite the SQL-LIKE pattern to a
+    regex anchored match: % -> .*, _ -> . (with regex-quoting of the rest).
+    This keeps the attested suffix/prefix shapes (`%X`, `X%`,
+    spec/filters/jdbc_static_spec.rb:21-22,85) inside codegen.
+    """
+    quoted = F.regexp_replace(pattern, r"([\\^$.|?*+()\[\]{}])", r"\\$1")
+    regex = F.concat(
+        F.lit("^"),
+        F.regexp_replace(F.regexp_replace(quoted, "%", ".*"), "_", "."),
+        F.lit("$"),
+    )
+    return F.rlike(lhs, regex)

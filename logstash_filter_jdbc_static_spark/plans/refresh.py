@@ -1,0 +1,102 @@
+"""Dimension load/refresh runners.
+
+Reference machinery being reproduced:
+- A1/A2 loader fetch with COUNT pre-check: empty set when 0 rows or
+  > max_rows (loader.rb:21-35, read_only_database.rb:7-25).
+- A3 local table build honoring preserve_existing (db_object.rb:12-26,
+  single_load_runner.rb:39-43).
+- A14 SingleLoadRunner.initial_load / RepeatingLoadRunner.repeated_load
+  with a reload counter (single_load_runner.rb:20-43,
+  repeating_load_runner.rb:8-12).
+- A16 atomic snapshot swap: lookups see old or new dimension, never a
+  partial load (read_write_database.rb:22-28, 37-54) — free here because
+  DataFrames are immutable; the swap is one dict assignment.
+
+The cron scheduler itself (A15, loader_schedule.rb) is a thin wall-clock
+wrapper; refresh() is invoked directly between batch runs (or from
+foreachBatch in streaming), as SURVEY §7.5 prescribes.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logstash_filter_jdbc_static_spark.spec import LoaderSpec, LocalDbObject
+
+
+def fetch_with_guard(fetch: Callable[[], DataFrame], loader: LoaderSpec,
+                     spark: SparkSession) -> DataFrame:
+    """Loader row-count guard (loader.rb:23-31): returns an EMPTY frame
+    with the fetched schema when the source has 0 rows or more than
+    max_rows. The count is bounded (limit(max_rows+1)) so a runaway
+    source can't stall the refresh."""
+    df = fetch()
+    n = df.limit(loader.max_rows + 1).count()
+    if n == 0 or n > loader.max_rows:
+        return spark.createDataFrame([], df.schema)
+    return df
+
+
+class DimensionStore:
+    """Holds the current dimension snapshots + reload bookkeeping.
+
+    ``loaders``: LoaderSpec -> fetch function (the remote query seam; in
+    production a ``spark.read.format("jdbc").option("query", ...)``, in
+    tests a deterministic synthesizer).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        db_objects: list[LocalDbObject],
+        loaders: list[tuple[LoaderSpec, Callable[[], DataFrame]]],
+    ):
+        self.spark = spark
+        self.db_objects = {o.name: o for o in db_objects}
+        self.loaders = loaders
+        self.snapshots: dict[str, DataFrame] = {}
+        self.reload_count = 0
+        self.last_load_ts: float | None = None
+
+    # SingleLoadRunner#initial_load (single_load_runner.rb:20-24)
+    def initial_load(self) -> None:
+        self._build_db_objects(preserving=True)
+        self._populate_all()
+        self.reload_count += 1
+        self.last_load_ts = time.time()
+
+    # RepeatingLoadRunner#repeated_load (repeating_load_runner.rb:8-12)
+    def refresh(self) -> None:
+        self._populate_all()
+        self.reload_count += 1
+        self.last_load_ts = time.time()
+
+    def _build_db_objects(self, preserving: bool) -> None:
+        """Empty frames with declared schema for tables no loader fills
+        (db_object.rb:12-26); preserve_existing keeps a prior snapshot."""
+        for name, obj in self.db_objects.items():
+            if obj.preserve_existing and name in self.snapshots:
+                continue
+            assert obj.schema is not None
+            self.snapshots[name] = self.spark.createDataFrame([], obj.schema)
+
+    def _populate_all(self) -> None:
+        """Fetch every loader then swap all snapshots at once — the
+        write-lock equivalent (read_write_database.rb:64-100): readers
+        holding the previous dict values keep a consistent old snapshot."""
+        staged: dict[str, DataFrame] = {}
+        for loader, fetch in self.loaders:
+            df = fetch_with_guard(fetch, loader, self.spark)
+            obj = self.db_objects.get(loader.table)
+            if obj is not None and obj.schema is not None:
+                # loader column order must match declared schema
+                # (docs/index.asciidoc:265-275): align by position.
+                df = df.toDF(*[f.name for f in obj.schema.fields])
+            staged[loader.table] = df
+        self.snapshots.update(staged)
+
+    def dims(self) -> dict[str, DataFrame]:
+        return dict(self.snapshots)
