@@ -1,0 +1,198 @@
+"""Deduplication operators: exact (hash-groupBy), MinHash+LSH,
+SimHash, and n-gram Jaccard verification.
+
+Engine-portability contract: every hash is built from md5 hex strings
+(identical in Spark and DuckDB), minima over hashes are lexicographic
+string minima, so an independent SQL engine reproduces signatures and
+candidate pairs exactly.
+
+Scale notes (the 100 TB shape):
+- exact dedup: one shuffle on the 16-hex fingerprint (well distributed);
+  map-side partial agg applies.
+- MinHash+LSH: signature computation is a pure projection (no shuffle);
+  banding explodes each doc into `n_bands` rows and shuffles on the band
+  key — the classic shingle->minhash->band->bucket-join. Bucket joins
+  are self-joins on band buckets, so skew comes only from giant buckets
+  (near-identical boilerplate); cap bucket size before pairing.
+- SimHash: pure projection; near-dup candidates group by the signature
+  (or rotated bands of it for hamming<=k).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from logstash_filter_jdbc_static_spark.operators.text import doc_fingerprint, tokens
+
+DEFAULT_N_PERM = 8
+DEFAULT_BAND_ROWS = 2  # 8 perms / 2 rows = 4 bands
+
+
+# ------------------------------------------------------------- exact
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-content fingerprint: canonical
+    doc = min id; emits only groups with >1 member."""
+    return (
+        df.select(F.col(id_col), doc_fingerprint(col).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ----------------------------------------------------------- minhash
+
+def word_shingles(col: str = "text", k: int = 3) -> Column:
+    """k-word shingles (array<string>); docs shorter than k words get one
+    whole-text shingle so they still dedup exactly."""
+    toks = tokens(col)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    # try_element_at: out-of-range tail positions (docs shorter than k)
+    # yield NULL, which concat_ws skips — same semantics as the oracle's
+    # concat_ws over out-of-range list indexes.
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.try_element_at(toks, (i + j).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def minhash_signature(shingle_col: Column, n_perm: int = DEFAULT_N_PERM) -> list[Column]:
+    """n_perm minhashes: permutation p = lexicographic min of
+    md5('<p>:' || shingle). Distinct docs with equal shingle sets get
+    equal signatures; Jaccard-similar sets collide per-band with the
+    standard LSH probability."""
+    def _perm_hash(p: int):
+        # closure factory (a `p=p` default would make the lambda 2-ary and
+        # pyspark would pass the array index as p)
+        return lambda s: F.md5(F.concat(F.lit(f"{p}:"), s))
+
+    return [
+        F.array_min(F.transform(shingle_col, _perm_hash(p))).alias(f"mh{p}")
+        for p in range(n_perm)
+    ]
+
+
+def minhash_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n_perm: int = DEFAULT_N_PERM,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, band_idx, band_key) — one row per doc per band."""
+    sig = df.select(
+        F.col(id_col),
+        *minhash_signature(word_shingles(col, shingle_k), n_perm),
+    )
+    n_bands = n_perm // band_rows
+    bands = []
+    for b in range(n_bands):
+        key = F.concat_ws(
+            "|", *[F.col(f"mh{b * band_rows + r}") for r in range(band_rows)]
+        )
+        bands.append(F.struct(F.lit(b).alias("band_idx"), key.alias("band_key")))
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, F.col("band.band_idx"), F.col("band.band_key"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    n_perm: int = DEFAULT_N_PERM,
+    band_rows: int = DEFAULT_BAND_ROWS,
+    shingle_k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band.
+    Buckets larger than max_bucket (boilerplate explosions — the skew
+    hazard at scale) are dropped, as production near-dup pipelines do."""
+    bands = minhash_bands(df, id_col, col, n_perm, band_rows, shingle_k)
+    sized = bands.withColumn(
+        "bucket_n",
+        F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_key")),
+    ).filter(F.col("bucket_n") <= max_bucket)
+    a = sized.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_key"
+    )
+    b = sized.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_key"
+    )
+    return (
+        a.join(b, ["band_idx", "band_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(shingles_a: Column, shingles_b: Column) -> Column:
+    sa, sb = F.array_distinct(shingles_a), F.array_distinct(shingles_b)
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return inter / F.greatest(union, F.lit(1))
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    col: str = "text",
+    threshold: float = 0.7,
+    **kwargs,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates verified by exact n-gram
+    Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
+    shingle_k = kwargs.get("shingle_k", 3)
+    pairs = lsh_candidate_pairs(df, id_col, col, **kwargs)
+    docs = df.select(
+        F.col(id_col), word_shingles(col, shingle_k).alias("shingles")
+    )
+    a = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# ----------------------------------------------------------- simhash
+
+SIMHASH_BITS = 16
+_ODD_NIBBLES = ["1", "3", "5", "7", "9", "b", "d", "f"]
+
+
+def simhash(col: str = "text", n_bits: int = SIMHASH_BITS) -> Column:
+    """Portable SimHash: bit j = sign of sum over tokens of +1/-1 taken
+    from the LSB of nibble j of md5(token) (odd hex digit => +1).
+    Emitted as a bit-string so both engines agree on representation.
+    DuckDB twin: sum(CASE WHEN substr(md5(t), j+1, 1) IN ('1','3',...)
+    THEN 1 ELSE -1 END) over unnested tokens."""
+    toks = tokens(col)
+
+    def _step(j: int):
+        # closure factory: a `j=j` default arg would make pyspark treat
+        # the lambda as 3-ary and reject it
+        def f(acc: Column, t: Column) -> Column:
+            return acc + F.when(
+                F.substring(F.md5(t), j + 1, 1).isin(_ODD_NIBBLES), F.lit(1)
+            ).otherwise(F.lit(-1))
+
+        return f
+
+    bits = []
+    for j in range(n_bits):
+        contrib = F.aggregate(toks, F.lit(0), _step(j))
+        bits.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)

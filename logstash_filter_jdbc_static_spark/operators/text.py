@@ -1,0 +1,119 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID (n-gram/stopword heuristic), quality scoring, token counting,
+document fingerprinting.
+
+All JVM-native column expressions (no Python in the hot path); every
+hash is md5-based so an independent engine (DuckDB) reproduces values
+bit-for-bit. At 100 TB these are embarrassingly parallel scans — no
+shuffle at all until a downstream aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Tiny marker-word lists per language (public stopwords).
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "y", "las"],
+    "zh": ["de5", "shi4", "le5", "zai4", "he2"],
+}
+
+STOPWORDS = LANG_MARKERS["en"] + ["a", "in", "it", "on", "for"]
+
+
+def tokens(col: str = "text") -> Column:
+    """Whitespace tokenization of trimmed text (empty text -> [])."""
+    return F.split(F.trim(F.col(col)), r"\s+")
+
+
+def token_count(col: str = "text") -> Column:
+    return F.when(F.trim(F.col(col)) == "", F.lit(0)).otherwise(
+        F.size(tokens(col))
+    ).cast("long")
+
+
+def bpe_ish_token_count(col: str = "text") -> Column:
+    """Sub-word-ish token count: word pieces + digits + punctuation as
+    separate tokens (a BPE-grained proxy by regex, no vocab needed)."""
+    return F.size(
+        F.regexp_extract_all(
+            F.col(col), F.lit(r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"), F.lit(0)
+        )
+    ).cast("long")
+
+
+def _count_matches(col: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(0)))
+
+
+def lang_scores(col: str = "text") -> dict[str, Column]:
+    return {lang: _count_matches(F.col(col), ws) for lang, ws in LANG_MARKERS.items()}
+
+
+def lang_id(col: str = "text") -> Column:
+    """argmax of marker-word hits; deterministic tiebreak by language code
+    order; 'und' (undetermined) when nothing matches."""
+    scores = lang_scores(col)
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in sorted(scores):  # later codes win only on strict >
+        sc = scores[lang]
+        take = sc > best_score
+        best = F.when(take, F.lit(lang)).otherwise(best)
+        best_score = F.when(take, sc).otherwise(best_score)
+    return best
+
+
+def punct_ratio(col: str = "text") -> Column:
+    n_punct = F.length(F.regexp_replace(F.col(col), r"[^.,;:!?'\"()-]", ""))
+    # No rounding: both engines compute the identical IEEE-754 division,
+    # while round() HALF_UP (Spark) vs HALF_EVEN (DuckDB) could diverge.
+    return n_punct / F.greatest(F.length(F.col(col)), F.lit(1))
+
+
+def stopword_ratio(col: str = "text") -> Column:
+    n_stop = _count_matches(F.col(col), STOPWORDS)
+    return n_stop / F.greatest(token_count(col), F.lit(1))
+
+
+def quality_score(col: str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation sanity
+    + stopword presence (Gopher-rule-flavored, deterministic)."""
+    n_tok = token_count(col)
+    len_ok = (n_tok >= 10) & (n_tok <= 10_000)
+    punct_ok = punct_ratio(col) <= 0.2
+    stop_ok = stopword_ratio(col) >= 0.01
+    mean_word_len = F.length(
+        F.regexp_replace(F.col(col), r"\s+", "")
+    ) / F.greatest(n_tok, F.lit(1))
+    word_len_ok = (mean_word_len >= 2.0) & (mean_word_len <= 12.0)
+    score = (
+        len_ok.cast("int") + punct_ok.cast("int")
+        + stop_ok.cast("int") + word_len_ok.cast("int")
+    )
+    return score / F.lit(4.0)
+
+
+def doc_fingerprint(col: str = "text", n_hex: int = 16) -> Column:
+    """Content fingerprint: md5 over whitespace-normalized lowercased text
+    (the deterministic stand-in for a rolling Rabin hash; same dedup
+    contract: equal normalized content <=> equal fingerprint)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(col)), r"\s+", " "))
+    return F.substring(F.md5(norm), 1, n_hex)
+
+
+def analyze(df: DataFrame, col: str = "text") -> DataFrame:
+    return df.select(
+        "*",
+        token_count(col).alias("n_tokens"),
+        bpe_ish_token_count(col).alias("n_subword_tokens"),
+        lang_id(col).alias("detected_lang"),
+        punct_ratio(col).alias("punct_ratio"),
+        stopword_ratio(col).alias("stopword_ratio"),
+        quality_score(col).alias("quality_score"),
+        doc_fingerprint(col).alias("fingerprint"),
+    )

@@ -383,8 +383,15 @@ def lookup_multirow_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, QueryFn]:
+    _load_plugins()
     return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
+    _load_plugins()
     return dict(ORACLES)
+
+
+def _load_plugins() -> None:
+    """Import sibling query modules so their @register calls run."""
+    import logstash_filter_jdbc_static_spark.queries_data  # noqa: F401

@@ -1,0 +1,324 @@
+"""Training-data operator queries (dedup / similarity / text analysis)
+over the driver's documents + embeddings tables, each with a DuckDB
+oracle generated from the same constants so both engines compute
+bit-identical hashes/ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from logstash_filter_jdbc_static_spark.operators import dedup as D
+from logstash_filter_jdbc_static_spark.operators import similarity as S
+from logstash_filter_jdbc_static_spark.operators import text as X
+from logstash_filter_jdbc_static_spark.queries import register
+
+# ------------------------------------------------------------ helpers
+
+_LANGS = sorted(X.LANG_MARKERS)
+
+
+def _sql_score(lang: str) -> str:
+    pat = r"\b(" + "|".join(X.LANG_MARKERS[lang]) + r")\b"
+    return f"len(regexp_extract_all(lower(text), '{pat}', 0))"
+
+
+def _sql_lang_case() -> str:
+    greatest = "greatest(" + ", ".join(f"s_{l}" for l in _LANGS) + ")"
+    whens = "\n".join(
+        f"WHEN s_{l} = {greatest} THEN '{l}'" for l in _LANGS
+    )
+    return f"CASE WHEN {greatest} = 0 THEN 'und' {whens} END"
+
+
+_STOP_PAT = r"\b(" + "|".join(X.STOPWORDS) + r")\b"
+_SUBWORD_PAT = r"[A-Za-z]{1,4}|\d|[^\sA-Za-z\d]"
+_PUNCT_CLASS = r"[^.,;:!?''\"()-]"  # '' = escaped quote inside SQL literal
+
+_TEXT_ANALYSIS_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         {", ".join(f"{_sql_score(l)} AS s_{l}" for l in _LANGS)}
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(len(regexp_extract_all(text, '{_SUBWORD_PAT}', 0)) AS BIGINT) AS n_subword_tokens,
+       {_sql_lang_case()} AS detected_lang,
+       length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g'))
+         / greatest(length(text), 1) AS punct_ratio,
+       len(regexp_extract_all(lower(text), '{_STOP_PAT}', 0))
+         / greatest(n_tok, 1) AS stopword_ratio,
+       ((CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1 ELSE 0 END)
+        + (CASE WHEN length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g'))
+                     / greatest(length(text), 1) <= 0.2 THEN 1 ELSE 0 END)
+        + (CASE WHEN len(regexp_extract_all(lower(text), '{_STOP_PAT}', 0))
+                     / greatest(n_tok, 1) >= 0.01 THEN 1 ELSE 0 END)
+        + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) / greatest(n_tok, 1)
+                     BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)) / 4.0 AS quality_score,
+       substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint
+FROM scored
+"""
+
+
+@register("text_analysis", _TEXT_ANALYSIS_SQL)
+def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return X.analyze(docs).select(
+        "doc_id", "n_tokens", "n_subword_tokens", "detected_lang",
+        "punct_ratio", "stopword_ratio", "quality_score", "fingerprint",
+    )
+
+
+# ------------------------------------------------------- dedup corpus
+#
+# The driver's documents table has no duplicates, so dedup queries run on
+# a derived corpus with deterministic injected duplicates:
+# - every 50th doc re-appended with extra whitespace (exact dup after
+#   normalization)
+# - every 25th doc re-appended with its last 5 tokens dropped (near dup,
+#   jaccard ~0.9)
+
+_CORPUS_CTE = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, ' ' || text || '  ' FROM documents WHERE doc_id % 50 = 0
+  UNION ALL
+  SELECT doc_id + 2000000,
+         array_to_string(string_split_regex(trim(text), '\\s+')[
+           1 : greatest(len(string_split_regex(trim(text), '\\s+')) - 5, 1)], ' ')
+  FROM documents WHERE doc_id % 25 = 0
+)
+"""
+
+
+def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    ws_dups = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.lit(" "), F.col("text"), F.lit("  ")).alias("text"),
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    near_dups = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1))), " "
+        ).alias("text"),
+    )
+    return docs.unionAll(ws_dups).unionAll(near_dups)
+
+
+# -------------------------------------------------------- exact dedup
+
+_DEDUP_EXACT_SQL = f"""
+WITH {_CORPUS_CTE}
+SELECT substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint,
+       min(doc_id) AS canonical_id,
+       count(*) AS n_docs
+FROM corpus
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+
+@register("dedup_exact", _DEDUP_EXACT_SQL)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dedup_exact(dedup_corpus(spark, sf_dir))
+
+
+# ------------------------------------------------------- minhash LSH
+
+_N_PERM, _BAND_ROWS, _SHINGLE_K, _THRESH = 8, 2, 3, 0.7
+
+
+def _shingles_cte(source: str) -> str:
+    return f"""
+toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM {source}
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(
+           range(1, greatest(len(tk) - {_SHINGLE_K - 1}, 1) + 1),
+           i -> concat_ws(' ', {", ".join(f"tk[i+{j}]" for j in range(_SHINGLE_K))})
+         ) AS shingles
+  FROM toks
+)
+"""
+
+
+_SHINGLES_CTE = _shingles_cte("documents")
+
+_SIG_COLS = ", ".join(
+    f"list_aggregate(list_transform(shingles, s -> md5('{p}:' || s)), 'min') AS mh{p}"
+    for p in range(_N_PERM)
+)
+_N_BANDS = _N_PERM // _BAND_ROWS
+_BAND_STRUCTS = ", ".join(
+    "{'band_idx': %d, 'band_key': %s}"
+    % (b, " || '|' || ".join(f"mh{b * _BAND_ROWS + r}" for r in range(_BAND_ROWS)))
+    for b in range(_N_BANDS)
+)
+
+_MINHASH_LSH_SQL = f"""
+WITH {_CORPUS_CTE},
+{_shingles_cte("corpus")},
+sig AS (SELECT doc_id, {_SIG_COLS} FROM sh),
+bands AS (
+  SELECT doc_id, b.band_idx AS band_idx, b.band_key AS band_key
+  FROM sig, unnest([{_BAND_STRUCTS}]) AS t(b)
+),
+capped AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 1000
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       len(list_distinct(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))))
+         / greatest(len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))), 1)
+         AS jaccard
+FROM pairs
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE len(list_distinct(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))))
+        / greatest(len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))), 1)
+      >= {_THRESH}
+"""
+
+
+@register("dedup_minhash_lsh", _MINHASH_LSH_SQL)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_dedup(
+        dedup_corpus(spark, sf_dir), threshold=_THRESH, n_perm=_N_PERM,
+        band_rows=_BAND_ROWS, shingle_k=_SHINGLE_K,
+    )
+
+
+# ----------------------------------------------------------- simhash
+
+_SIM_BITS = D.SIMHASH_BITS
+_SIMHASH_BIT_SQL = " || ".join(
+    "(CASE WHEN list_sum(list_transform(tk, t -> CASE WHEN substr(md5(t), %d, 1) IN (%s) "
+    "THEN 1 ELSE -1 END)) > 0 THEN '1' ELSE '0' END)"
+    % (j + 1, ", ".join(f"'{c}'" for c in D._ODD_NIBBLES))
+    for j in range(_SIM_BITS)
+)
+
+_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS tk FROM documents
+)
+SELECT doc_id, {_SIMHASH_BIT_SQL} AS simhash
+FROM toks
+"""
+
+
+@register("dedup_simhash", _SIMHASH_SQL)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", D.simhash("text").alias("simhash"))
+
+
+# ------------------------------------------------- n-gram jaccard
+
+_NGRAM_JACCARD_SQL = f"""
+WITH {_SHINGLES_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       len(list_distinct(list_intersect(list_distinct(a.shingles), list_distinct(b.shingles))))
+         / greatest(len(list_distinct(list_concat(list_distinct(a.shingles), list_distinct(b.shingles)))), 1)
+         AS jaccard
+FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+"""
+
+
+@register("ngram_jaccard_adjacent", _NGRAM_JACCARD_SQL)
+def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise n-gram Jaccard on a deterministic pair set (adjacent ids):
+    exercises the verification operator independently of LSH recall."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select(
+        "doc_id", D.word_shingles("text", _SHINGLE_K).alias("shingles")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    return (
+        a.join(b, F.col("id_b") == F.col("id_a") + 1)
+        .select("id_a", "id_b", D.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+    )
+
+
+# ------------------------------------------------- cosine top-k ANN
+
+_TOPK_K, _N_QUERIES = 5, 8
+
+_COSINE_TOPK_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+q AS (SELECT vec_id AS query_id, vec AS q_vec FROM v WHERE vec_id < {_N_QUERIES}),
+scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_dot_product(q.q_vec, c.vec)
+           / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.vec, c.vec)))
+           AS cos_sim
+  FROM q JOIN v c ON c.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank,
+       cos_sim
+FROM scored
+QUALIFY rank <= {_TOPK_K}
+"""
+
+
+@register("ann_cosine_topk", _COSINE_TOPK_SQL)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < _N_QUERIES)
+    return S.cosine_topk(emb, queries, k=_TOPK_K).withColumn(
+        "rank", F.col("rank").cast("int")
+    )
+
+
+# ------------------------------------- embedding near-dup (LSH + cos)
+
+_ND_PLANES, _ND_DIMS, _ND_THRESH = 4, 64, 0.35
+
+
+def _plane_list_sql(p: int) -> str:
+    coeffs = ", ".join(
+        str(S.hyperplane_component(p, d)) for d in range(_ND_DIMS)
+    )
+    return f"[{coeffs}]::DOUBLE[]"
+
+
+_ND_BUCKET_SQL = " || ".join(
+    f"(CASE WHEN list_dot_product(vec, {_plane_list_sql(p)}) > 0 THEN '1' ELSE '0' END)"
+    for p in range(_ND_PLANES)
+)
+
+_NEAR_DUP_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+bk AS (SELECT vec_id, vec, {_ND_BUCKET_SQL} AS bucket FROM v)
+SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+       list_dot_product(a.vec, b.vec)
+         / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+         AS cos_sim
+FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.vec, b.vec)
+        / (sqrt(list_dot_product(a.vec, a.vec)) * sqrt(list_dot_product(b.vec, b.vec)))
+      >= {_ND_THRESH}
+"""
+
+
+@register("embedding_near_dup", _NEAR_DUP_SQL)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return S.embedding_near_dup_pairs(
+        emb, threshold=_ND_THRESH, n_planes=_ND_PLANES, n_dims=_ND_DIMS
+    )

@@ -45,6 +45,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # ParallelGC: measured 6-8x faster than G1 on this allocation-heavy
+        # string pipeline at 32 threads (G1's concurrent phases thrash when
+        # all cores are busy mutating); young-gen-heavy workload fits the
+        # throughput collector. Large heaps (>12g) measured pathological on
+        # this VM — keep the default 8g.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,130 @@
+"""Training-data operator tests: dedup, similarity, text analysis."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F, types as T
+
+from logstash_filter_jdbc_static_spark.operators import dedup as D
+from logstash_filter_jdbc_static_spark.operators import similarity as S
+from logstash_filter_jdbc_static_spark.operators import text as X
+
+DOC_SCHEMA = "doc_id long, text string"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog in the park"),
+        (2, "the  quick brown fox jumps over the lazy dog in the park "),  # ws dup of 1
+        (3, "the quick brown fox jumps over the lazy dog in the"),  # near dup of 1
+        (4, "completely different content about spark and data engines here"),
+        (5, "der hund und die katze und der vogel und nicht das haus"),
+    ]
+    return spark.createDataFrame(rows, DOC_SCHEMA)
+
+
+class TestText:
+    def test_token_count(self, spark, docs):
+        got = {r["doc_id"]: r["n"] for r in docs.select("doc_id", X.token_count().alias("n")).collect()}
+        assert got[1] == 12
+        assert got[3] == 11
+
+    def test_lang_id(self, spark, docs):
+        got = {r["doc_id"]: r["l"] for r in docs.select("doc_id", X.lang_id().alias("l")).collect()}
+        assert got[1] == "en"
+        assert got[5] == "de"
+
+    def test_fingerprint_normalizes_whitespace(self, spark, docs):
+        got = {r["doc_id"]: r["f"] for r in docs.select("doc_id", X.doc_fingerprint().alias("f")).collect()}
+        assert got[1] == got[2]
+        assert got[1] != got[3]
+
+    def test_quality_score_range(self, spark, docs):
+        for r in docs.select(X.quality_score().alias("q")).collect():
+            assert 0.0 <= r["q"] <= 1.0
+
+
+class TestDedup:
+    def test_exact(self, spark, docs):
+        groups = D.dedup_exact(docs).collect()
+        assert len(groups) == 1
+        assert groups[0]["canonical_id"] == 1
+        assert groups[0]["n_docs"] == 2
+
+    def test_minhash_lsh_finds_near_dups(self, spark, docs):
+        pairs = {
+            (r["id_a"], r["id_b"]): r["jaccard"]
+            for r in D.minhash_lsh_dedup(docs, threshold=0.5).collect()
+        }
+        assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical shingles
+        assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+        assert all(4 not in p and 5 not in p for p in pairs)
+
+    def test_simhash_similar_docs_close(self, spark, docs):
+        sh = {r["doc_id"]: r["s"] for r in docs.select("doc_id", D.simhash().alias("s")).collect()}
+        def ham(a, b):
+            return sum(x != y for x, y in zip(a, b))
+        assert sh[1] == sh[2]
+        assert ham(sh[1], sh[3]) <= ham(sh[1], sh[4])
+
+    def test_jaccard_bounds(self, spark, docs):
+        sh = docs.select("doc_id", D.word_shingles().alias("s"))
+        a = sh.select(F.col("doc_id").alias("ia"), F.col("s").alias("sa"))
+        b = sh.select(F.col("doc_id").alias("ib"), F.col("s").alias("sb"))
+        out = a.crossJoin(b).select(D.jaccard(F.col("sa"), F.col("sb")).alias("j")).collect()
+        assert all(0.0 <= r["j"] <= 1.0 for r in out)
+
+
+VEC_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0, 0.0]),   # orthogonal to 1
+        (4, [-1.0, 0.0, 0.0, 0.0]),  # opposite of 1
+    ]
+    return spark.createDataFrame(rows, VEC_SCHEMA)
+
+
+class TestSimilarity:
+    def test_cosine_values(self, spark, vectors):
+        a = vectors.filter("vec_id = 1").select(F.col("embedding").alias("a"))
+        out = (
+            a.crossJoin(vectors.select("vec_id", F.col("embedding").alias("b")))
+            .select("vec_id", S.cosine(F.col("a"), F.col("b")).alias("c"))
+            .collect()
+        )
+        got = {r["vec_id"]: r["c"] for r in out}
+        assert got[1] == pytest.approx(1.0)
+        assert got[3] == pytest.approx(0.0, abs=1e-12)
+        assert got[4] == pytest.approx(-1.0)
+
+    def test_topk_order_and_exclusion(self, spark, vectors):
+        out = S.cosine_topk(vectors, vectors.filter("vec_id = 1"), k=2).collect()
+        by_rank = sorted(out, key=lambda r: r["rank"])
+        assert [r["neighbor_id"] for r in by_rank] == [2, 3]
+        assert all(r["query_id"] == 1 for r in out)
+
+    def test_lsh_bucket_deterministic(self, spark, vectors):
+        b1 = {r["vec_id"]: r["bucket"] for r in S.ann_lsh_buckets(vectors, n_dims=4).collect()}
+        b2 = {r["vec_id"]: r["bucket"] for r in S.ann_lsh_buckets(vectors, n_dims=4).collect()}
+        assert b1 == b2
+        assert len(b1[1]) == 8
+        # opposite vectors land in complementary buckets
+        assert all(x != y for x, y in zip(b1[1], b1[4]))
+
+    def test_near_dup_pairs(self, spark, vectors):
+        pairs = S.embedding_near_dup_pairs(vectors, threshold=0.9, n_dims=4).collect()
+        assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+        assert pairs[0]["cos_sim"] > 0.99
