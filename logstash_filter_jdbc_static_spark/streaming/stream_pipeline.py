@@ -1,0 +1,82 @@
+"""Streaming flavor of parse -> enrich -> route.
+
+The reference is a pull-based per-event filter (jdbc_static.rb:154-157),
+so batch is the honest default; this module is the Structured Streaming
+wrapper for continuous ingestion:
+
+- file/rate source -> the SAME stateless enrichment transformation (one
+  shared code path with batch: `enrich_and_route`) -> foreachBatch sink
+  fan-out (per-route parquet/Iceberg appends).
+- Dimension refresh (A14/A15) happens naturally per micro-batch inside
+  foreachBatch: re-resolving the broadcast dim each batch is the
+  streaming equivalent of the cron reload, with the same atomic-swap
+  semantics (each batch sees one consistent snapshot).
+- Watermarked per-sink counts show the event-time aggregation path
+  (the reference has no event-time semantics — SURVEY 2B "not present" —
+  so this is additive, not parity-bound).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from logstash_filter_jdbc_static_spark.operators.route import ROUTE_COL
+from logstash_filter_jdbc_static_spark.plans.pipeline import (
+    build_enricher,
+    enrich_and_route,
+)
+from logstash_filter_jdbc_static_spark.schema import TRANSCRIPT_SCHEMA
+
+
+def read_transcript_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int = 8
+) -> DataFrame:
+    return (
+        spark.readStream.schema(TRANSCRIPT_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def start_pipeline_stream(
+    spark: SparkSession,
+    source_path: str,
+    sink_path: str,
+    checkpoint_path: str,
+    refresh_dims=None,
+) -> StreamingQuery:
+    """foreachBatch: enrich with the current dim snapshot, fan out by
+    route partition. ``refresh_dims``: optional () -> LookupEnricher,
+    called per batch (the scheduled-reload seam, A14/A15)."""
+    stream = read_transcript_stream(spark, source_path)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        enricher = refresh_dims() if refresh_dims else build_enricher(spark)
+        routed = enrich_and_route(batch_df, enricher)
+        (
+            routed.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy(ROUTE_COL)
+            .parquet(sink_path)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_route_counts(
+    routed_stream: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed per-sink counts with late-data handling."""
+    return (
+        routed_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col(ROUTE_COL), F.col("role"))
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )

@@ -1,0 +1,82 @@
+"""Multimodal plumbing + Structured Streaming pipeline tests."""
+
+from __future__ import annotations
+
+from logstash_filter_jdbc_static_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    frame_sample_plan,
+    synth_media,
+)
+from logstash_filter_jdbc_static_spark.sources.transcripts import load_transcripts
+from logstash_filter_jdbc_static_spark.streaming.stream_pipeline import (
+    start_pipeline_stream,
+)
+
+
+class TestMultimodal:
+    def test_feature_extraction_shapes(self, spark):
+        media = synth_media(spark, 30)
+        feats = extract_features(media).collect()
+        assert len(feats) == 30
+        for r in feats:
+            assert r["n_bytes"] >= 64
+            assert len(r["sha_prefix"]) == 12
+            assert len(r["feature"]) == FEATURE_DIM
+            if r["kind"] == "image":
+                assert 16 <= r["width"] <= 255 and 16 <= r["height"] <= 255
+            else:
+                assert r["width"] is None
+
+    def test_feature_extraction_deterministic(self, spark):
+        media = synth_media(spark, 10)
+        a = {r["media_id"]: r["sha_prefix"] for r in extract_features(media).collect()}
+        b = {r["media_id"]: r["sha_prefix"] for r in extract_features(media).collect()}
+        assert a == b
+
+    def test_frame_sampling(self, spark):
+        media = synth_media(spark, 30)
+        frames = frame_sample_plan(media, every_n=10).collect()
+        assert frames, "videos should produce sampled frames"
+        by_media = {}
+        for r in frames:
+            by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+        for idxs in by_media.values():
+            assert idxs == sorted(idxs)
+            assert all(i % 10 == 0 for i in idxs)
+
+
+class TestStreaming:
+    def test_stream_matches_batch(self, spark, sf_dir, tmp_path):
+        """The streaming pipeline over the same input produces the same
+        per-route totals as batch (shared transformation code path)."""
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        t = load_transcripts(spark, sf_dir)
+        t.write.mode("overwrite").parquet(src)
+
+        q = start_pipeline_stream(spark, src, sink, ckpt)
+        q.awaitTermination(120)
+
+        got = {
+            r["route"]: r["count"]
+            for r in spark.read.parquet(sink).groupBy("route").count().collect()
+        }
+        assert got == {"hit": 650, "miss": 300, "malformed": 50}
+
+    def test_stream_resume_is_incremental(self, spark, sf_dir, tmp_path):
+        """Restarting from the same checkpoint does not reprocess files."""
+        src = str(tmp_path / "src")
+        sink = str(tmp_path / "sink")
+        ckpt = str(tmp_path / "ckpt")
+        t = load_transcripts(spark, sf_dir)
+        t.write.mode("overwrite").parquet(src)
+
+        q = start_pipeline_stream(spark, src, sink, ckpt)
+        q.awaitTermination(120)
+        n1 = spark.read.parquet(sink).count()
+        # second start, same checkpoint: nothing new to process
+        q2 = start_pipeline_stream(spark, src, sink, ckpt)
+        q2.awaitTermination(120)
+        assert spark.read.parquet(sink).count() == n1 == 1000
