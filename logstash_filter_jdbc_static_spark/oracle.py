@@ -1,0 +1,136 @@
+"""Row-at-a-time pure-Python reference implementation of the lookup
+semantics (lookup.rb:83-104) — the third, independent oracle used by
+property-based tests: Spark (set-oriented) vs this (per-event, like the
+JRuby original) must agree row-for-row.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any
+
+from logstash_filter_jdbc_static_spark.operators.lookup import parse_lookup_query
+from logstash_filter_jdbc_static_spark.spec import (
+    LookupSpec,
+    PipelineSpec,
+    is_sprintf,
+)
+
+_SPRINTF_SPLIT = re.compile(r"(%\{[^}]+\})")
+_FIELD_REF = re.compile(r"\[([^\]]+)\]")
+
+
+def _get_field(event: dict, ref: str) -> Any:
+    segments = _FIELD_REF.findall(ref) or [ref]
+    cur: Any = event
+    for seg in segments:
+        if not isinstance(cur, dict) or seg not in cur:
+            return None
+        cur = cur[seg]
+    return cur
+
+
+def _bind(event: dict, binding: str) -> tuple[Any, bool]:
+    """Returns (value, valid) per Getfier/Sprintfier semantics."""
+    if is_sprintf(binding):
+        out = []
+        for part in _SPRINTF_SPLIT.split(binding):
+            if part.startswith("%{") and part.endswith("}"):
+                v = _get_field(event, part[2:-1])
+                if v is None:
+                    return None, False  # sprintf found no field
+                out.append(str(v))
+            else:
+                out.append(part)
+        return "".join(out), True
+    v = _get_field(event, binding)
+    if v is None or isinstance(v, (dict, list)):
+        return None, False  # nil/Hash/Array invalid (lookup.rb:28-35)
+    return v, True
+
+
+def _like(value: str, pattern: str) -> bool:
+    rx = "^"
+    for ch in pattern:
+        if ch == "%":
+            rx += ".*"
+        elif ch == "_":
+            rx += "."
+        else:
+            rx += re.escape(ch)
+    rx += "$"
+    return re.match(rx, value) is not None
+
+
+def run_lookup(
+    event: dict, spec: LookupSpec, table: list[dict]
+) -> tuple[bool, list[str]]:
+    """Executes one lookup against `event` in place (sets spec.target).
+    Returns (ok, tags_appended)."""
+    q = parse_lookup_query(spec.query)
+    bindings = (
+        {f"p{i}": v for i, v in enumerate(spec.prepared_parameters)}
+        if spec.prepared_parameters is not None
+        else dict(spec.parameters or {})
+    )
+    params: dict[str, Any] = {}
+    valid = True
+    for name, binding in bindings.items():
+        v, ok = _bind(event, binding)
+        params[name] = v
+        valid = valid and ok
+    tags: list[str] = []
+    if not valid:
+        tags.extend(spec.tag_on_failure)
+        return False, tags
+    rows = []
+    for row in table:
+        match = True
+        for p in q.predicates:
+            lhs = row.get(p.dim_column)
+            rhs = params[p.param] if p.param is not None else p.literal
+            if p.op == "=":
+                match = match and lhs == rhs
+            elif p.op == "like":
+                match = match and lhs is not None and _like(str(lhs), str(rhs))
+            elif p.op in ("<>", "!="):
+                match = match and lhs != rhs
+            elif p.op == "<":
+                match = match and lhs < rhs
+            elif p.op == ">":
+                match = match and lhs > rhs
+            elif p.op == "<=":
+                match = match and lhs <= rhs
+            else:
+                match = match and lhs >= rhs
+        if match:
+            fields = (
+                [(f, f) for f in row.keys()]
+                if q.projection is None
+                else q.projection
+            )
+            rows.append({alias: row.get(src) for src, alias in fields})
+    if not rows and spec.use_default:
+        event[spec.target] = [dict(spec.default_hash)]
+        tags.extend(spec.tag_on_default_use)
+        return True, tags
+    # deterministic ordering to mirror sort_array(collect_list(...))
+    rows.sort(key=lambda r: [(v is None, v) for v in r.values()])
+    event[spec.target] = rows
+    return True, tags
+
+
+def enhance(event: dict, spec: PipelineSpec, tables: dict[str, list[dict]]) -> dict:
+    """LookupProcessor#enhance + matched gate, one event at a time."""
+    tags: list[str] = list(event.get("tags", []))
+    matched = True
+    for lk in spec.lookups:
+        table = tables[parse_lookup_query(lk.query).table]
+        ok, new_tags = run_lookup(event, lk, table)
+        for t in new_tags:
+            if t not in tags:
+                tags.append(t)
+        matched = matched and ok
+    event["tags"] = tags
+    event["matched"] = matched
+    return event
