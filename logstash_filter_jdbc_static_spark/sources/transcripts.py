@@ -165,9 +165,21 @@ def derive_transcripts(events: DataFrame) -> DataFrame:
     )
 
 
+_TRANSCRIPT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return derive_transcripts(events)
+    """Derived fact table, memoized per (session, sf_dir): the turn-order
+    window + parquet scan is shared staging for every downstream query
+    (one cached InMemoryRelation instead of a re-shuffle per query)."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _TRANSCRIPT_CACHE:
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        _TRANSCRIPT_CACHE[key] = derive_transcripts(events).cache()
+        if len(_TRANSCRIPT_CACHE) > 4:  # bound: tests hop across sf dirs
+            old = next(iter(_TRANSCRIPT_CACHE))
+            _TRANSCRIPT_CACHE.pop(old).unpersist()
+    return _TRANSCRIPT_CACHE[key]
 
 
 def with_ctes(*ctes: str, body: str) -> str:

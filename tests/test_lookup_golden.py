@@ -288,3 +288,53 @@ class TestMultiRowFanIn:
         assert rows[1]["server"] == [Row(name="a-server"), Row(name="b-server")]
         assert rows[2]["server"] == []
         assert out.count() == 2
+
+
+class TestConjunctiveLike:
+    """lookup_spec.rb:191-192: WHERE ip LIKE ? AND os LIKE ? (theta
+    conjunction) — exercised on both physical paths: inline filtered
+    literal array and broadcast-NLJ + regroup (inline_threshold=0)."""
+
+    def _spec(self):
+        return PipelineSpec(
+            lookups=[
+                {
+                    "id": "server",
+                    "query": "SELECT name FROM servers WHERE ip LIKE ? AND location LIKE ?",
+                    "prepared_parameters": ["ip", "tool"],
+                }
+            ]
+        )
+
+    def _dim(self, spark):
+        return spark.createDataFrame(
+            [("10.1.1.1", "ldn-server-1", "LDN-2-3-4"),
+             ("10.1.1.2", "ldn-server-2", "NYC-9-9-9"),
+             ("10.2.1.1", "nyc-server-1", "LDN-5-5-5")],
+            SERVERS_SCHEMA,
+        )
+
+    def test_inline_path(self, spark):
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher as LE,
+        )
+
+        enricher = LE(self._spec(), {"servers": self._dim(spark)})
+        row = one_row(enricher.apply(fact(spark, [("c1", 1, "10.1.%", "LDN%")])))
+        assert row["server"] == [Row(name="ldn-server-1")]
+
+    def test_bnlj_regroup_path(self, spark):
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher as LE,
+        )
+
+        enricher = LE(
+            self._spec(), {"servers": self._dim(spark)}, inline_threshold=0
+        )
+        out = enricher.apply(
+            fact(spark, [("c1", 1, "10.%", "LDN%"), ("c1", 2, "9.%", "X%")])
+        )
+        rows = {r["turn_idx"]: r for r in out.collect()}
+        assert rows[1]["server"] == [Row(name="ldn-server-1"), Row(name="nyc-server-1")]
+        assert rows[2]["server"] == []
+        assert out.count() == 2  # fan-out regrouped to one row per turn
