@@ -34,6 +34,13 @@ HEADLINE = [
     "lookup_default_miss",
     "lookup_prepared_positional",
     "lookup_multirow_fanin",
+    "conv_turn_stats",
+    "text_analysis",
+    "dedup_minhash_lsh",
+    "ann_cosine_topk",
+    "relational_agg_pricing",
+    "relational_join_nation_region",
+    "events_rollup",
 ]
 
 

@@ -47,10 +47,12 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", col: str = "text") -> Dat
 
 # ----------------------------------------------------------- minhash
 
-def word_shingles(col: str = "text", k: int = 3) -> Column:
-    """k-word shingles (array<string>); docs shorter than k words get one
-    whole-text shingle so they still dedup exactly."""
-    toks = tokens(col)
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """k-word shingles from a token ARRAY COLUMN. The tokens must be a
+    bound attribute (not the split() expression itself): non-lambda
+    subexpressions inside higher-order-function lambdas are re-evaluated
+    per element, so inlining split() here costs 3*k regex tokenizations
+    per shingle (measured 19x slower end-to-end)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
     # try_element_at: out-of-range tail positions (docs shorter than k)
@@ -61,6 +63,24 @@ def word_shingles(col: str = "text", k: int = 3) -> Column:
         lambda i: F.concat_ws(
             " ", *[F.try_element_at(toks, (i + j).cast("int")) for j in range(k)]
         ),
+    )
+
+
+def word_shingles(col: str = "text", k: int = 3) -> Column:
+    """k-word shingles directly from a text column — convenience form for
+    single-use expressions; multi-use plans should stage tokens/shingles
+    through projections (see shingled())."""
+    return shingles_from_tokens(tokens(col), k)
+
+
+def shingled(df: DataFrame, id_col: str = "doc_id", col: str = "text",
+             k: int = 3) -> DataFrame:
+    """(id, shingles) staged through two projections so Catalyst keeps
+    tokenization and shingle construction evaluated once per row
+    (CollapseProject won't re-inline multi-referenced non-cheap exprs)."""
+    toksdf = df.select(F.col(id_col), tokens(col).alias("__toks"))
+    return toksdf.select(
+        F.col(id_col), shingles_from_tokens(F.col("__toks"), k).alias("shingles")
     )
 
 
@@ -89,9 +109,9 @@ def minhash_bands(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, band_idx, band_key) — one row per doc per band."""
-    sig = df.select(
+    sig = shingled(df, id_col, col, shingle_k).select(
         F.col(id_col),
-        *minhash_signature(word_shingles(col, shingle_k), n_perm),
+        *minhash_signature(F.col("shingles"), n_perm),
     )
     n_bands = n_perm // band_rows
     bands = []
@@ -122,6 +142,11 @@ def lsh_candidate_pairs(
         "bucket_n",
         F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_key")),
     ).filter(F.col("bucket_n") <= max_bucket)
+    # Materialize before the self-join: otherwise Catalyst inlines the
+    # full signature expression tree into BOTH join sides (measured 20x
+    # slower from codegen blowup + double evaluation). At warehouse scale
+    # this is the "write signatures to a table" step of any LSH pipeline.
+    sized = sized.cache()
     a = sized.select(
         F.col(id_col).alias("id_a"), "band_idx", "band_key"
     )
@@ -154,9 +179,8 @@ def minhash_lsh_dedup(
     Jaccard >= threshold. Returns (id_a, id_b, jaccard)."""
     shingle_k = kwargs.get("shingle_k", 3)
     pairs = lsh_candidate_pairs(df, id_col, col, **kwargs)
-    docs = df.select(
-        F.col(id_col), word_shingles(col, shingle_k).alias("shingles")
-    )
+    # cache: the shingle array feeds both sides of the verification join
+    docs = shingled(df, id_col, col, shingle_k).cache()
     a = docs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     b = docs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
@@ -173,13 +197,19 @@ SIMHASH_BITS = 16
 _ODD_NIBBLES = ["1", "3", "5", "7", "9", "b", "d", "f"]
 
 
-def simhash(col: str = "text", n_bits: int = SIMHASH_BITS) -> Column:
+def simhash(
+    col: str = "text",
+    n_bits: int = SIMHASH_BITS,
+    tokens_col: Column | None = None,
+) -> Column:
     """Portable SimHash: bit j = sign of sum over tokens of +1/-1 taken
     from the LSB of nibble j of md5(token) (odd hex digit => +1).
     Emitted as a bit-string so both engines agree on representation.
     DuckDB twin: sum(CASE WHEN substr(md5(t), j+1, 1) IN ('1','3',...)
     THEN 1 ELSE -1 END) over unnested tokens."""
-    toks = tokens(col)
+    # pass a staged token attribute for multi-use plans: each of the
+    # n_bits aggregates re-evaluates its array argument otherwise
+    toks = tokens_col if tokens_col is not None else tokens(col)
 
     def _step(j: int):
         # closure factory: a `j=j` default arg would make pyspark treat

