@@ -107,13 +107,39 @@ def doc_fingerprint(col: str = "text", n_hex: int = 16) -> Column:
 
 
 def analyze(df: DataFrame, col: str = "text") -> DataFrame:
-    return df.select(
+    """Staged evaluation: the expensive scans (tokenize, stopword regex,
+    punct strip) are computed once in a first projection and the derived
+    ratios/scores reference those attributes — the naive all-in-one
+    select re-runs each regex per consuming column (token_count alone is
+    referenced 4x across the outputs)."""
+    staged = df.select(
         "*",
         token_count(col).alias("n_tokens"),
+        _count_matches(F.col(col), STOPWORDS).alias("__n_stop"),
+        F.length(F.regexp_replace(F.col(col), r"[^.,;:!?'\"()-]", "")).alias("__n_punct"),
+        F.length(F.regexp_replace(F.col(col), r"\s+", "")).alias("__n_nonspace"),
+        F.length(F.col(col)).alias("__n_chars"),
         bpe_ish_token_count(col).alias("n_subword_tokens"),
         lang_id(col).alias("detected_lang"),
-        punct_ratio(col).alias("punct_ratio"),
-        stopword_ratio(col).alias("stopword_ratio"),
-        quality_score(col).alias("quality_score"),
         doc_fingerprint(col).alias("fingerprint"),
+    )
+    n_tok1 = F.greatest(F.col("n_tokens"), F.lit(1))
+    p_ratio = F.col("__n_punct") / F.greatest(F.col("__n_chars"), F.lit(1))
+    s_ratio = F.col("__n_stop") / n_tok1
+    mean_word_len = F.col("__n_nonspace") / n_tok1
+    score = (
+        ((F.col("n_tokens") >= 10) & (F.col("n_tokens") <= 10_000)).cast("int")
+        + (p_ratio <= 0.2).cast("int")
+        + (s_ratio >= 0.01).cast("int")
+        + ((mean_word_len >= 2.0) & (mean_word_len <= 12.0)).cast("int")
+    )
+    return staged.select(
+        *[c for c in df.columns],
+        "n_tokens",
+        "n_subword_tokens",
+        "detected_lang",
+        p_ratio.alias("punct_ratio"),
+        s_ratio.alias("stopword_ratio"),
+        (score / F.lit(4.0)).alias("quality_score"),
+        "fingerprint",
     )

@@ -1,0 +1,66 @@
+"""Plan-quality regression tests: the physical plans we designed for —
+broadcast joins on lookups, pruned scans, bounded shuffles — asserted on
+the actual Catalyst output so regressions fail loudly."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from logstash_filter_jdbc_static_spark.plans.pipeline import run_pipeline
+from logstash_filter_jdbc_static_spark.sources.transcripts import load_transcripts
+
+
+def _plan(df, mode="formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module")
+def counts_plan(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    _, counts = run_pipeline(t, spark)
+    # simple mode: each node appears once (formatted repeats nodes in the
+    # detail section)
+    return _plan(counts, "simple")
+
+
+@pytest.fixture(scope="module")
+def counts_plan_formatted(spark, sf_dir):
+    t = load_transcripts(spark, sf_dir)
+    _, counts = run_pipeline(t, spark)
+    return _plan(counts, "formatted")
+
+
+class TestFlagshipPlan:
+    def test_lookups_are_broadcast_hash_joins(self, counts_plan):
+        assert counts_plan.count("BroadcastHashJoin") == 2
+        assert "SortMergeJoin" not in counts_plan
+        assert "BroadcastNestedLoopJoin" not in counts_plan
+
+    def test_fact_side_exchanges_bounded(self, counts_plan):
+        # Exchanges (excluding BroadcastExchange): 2 tiny dim-side
+        # groupings + 1 final count shuffle + 1 turn-order window inside
+        # the cached derivation (staging, paid once per session). The
+        # enrich chain itself (parse -> joins -> route) must not shuffle.
+        n_exchange = len(re.findall(r"(?<!Broadcast)Exchange\b", counts_plan))
+        assert n_exchange <= 4, counts_plan
+
+    def test_scan_is_column_pruned(self, counts_plan_formatted):
+        m = re.search(r"ReadSchema: struct<([^>]*)>", counts_plan_formatted)
+        assert m, "no parquet scan found"
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        # value/props are never referenced: pruning must reach the scan
+        # even through the cached derivation
+        assert "value" not in cols and "props" not in cols, cols
+        assert {"event_id", "user_id", "event_type"} <= cols, cols
+
+
+class TestRoutedRowsPlan:
+    def test_no_python_udfs_in_hot_path(self, spark, sf_dir):
+        t = load_transcripts(spark, sf_dir)
+        routed, _ = run_pipeline(t, spark)
+        plan = _plan(routed)
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
