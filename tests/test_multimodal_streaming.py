@@ -80,3 +80,48 @@ class TestStreaming:
         q2 = start_pipeline_stream(spark, src, sink, ckpt)
         q2.awaitTermination(120)
         assert spark.read.parquet(sink).count() == n1 == 1000
+
+
+class TestStatefulSessionize:
+    def test_session_summaries(self, spark, sf_dir, tmp_path):
+        from logstash_filter_jdbc_static_spark.streaming.stateful import sessionize
+
+        src = str(tmp_path / "src2")
+        out = str(tmp_path / "sessions")
+        ckpt = str(tmp_path / "ckpt2")
+        from pyspark.sql import functions as F
+
+        t = load_transcripts(spark, sf_dir).filter(
+            F.col("conv_id") < "conv-0003"  # small slice: state op spins
+        )                                    # a python worker per partition
+        t.write.mode("overwrite").parquet(src)
+
+        from logstash_filter_jdbc_static_spark.schema import TRANSCRIPT_SCHEMA
+
+        stream = (
+            spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+        )
+        def save(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            sessionize(stream)
+            .writeStream.foreachBatch(save)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        # ProcessingTimeTimeout keeps the query alive to fire expirations;
+        # wait for the data batch then stop explicitly.
+        q.awaitTermination(30)
+        q.stop()
+        got = spark.read.parquet(out)
+        rows = {r["conv_id"]: r for r in got.collect()}
+        # one summary per conversation; totals match the batch input
+        batch = {
+            r["conv_id"]: r["count"]
+            for r in t.groupBy("conv_id").count().collect()
+        }
+        assert {k: v["n_turns"] for k, v in rows.items()} == batch
+        assert all(v["first_ts"] <= v["last_ts"] for v in rows.values())
