@@ -110,6 +110,70 @@ def ann_lsh_buckets(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantization: assign every vector to its nearest
+    centroid (broadcast the centroid list; argmax cosine, deterministic
+    tiebreak by centroid id). At scale this is the partitioning step —
+    the corpus is then clustered/bucketed by cell and queries probe only
+    their own cell(s)."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = df.select(F.col(id_col), F.col(vec_col)).join(F.broadcast(c))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("c_sim", cosine(F.col(vec_col), F.col("c_vec")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "centroid_id", vec_col)
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: queries only score corpus vectors in their own cell
+    (single-probe). Returns (query_id, neighbor_id, rank, cos_sim) —
+    approximate: recall depends on the cell structure, exactly as a
+    production IVF index."""
+    cells = ivf_assign(corpus, centroids, id_col, vec_col)
+    q_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("centroid_id"),
+        F.col(vec_col).alias("q_vec"),
+    )
+    c_cells = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col("centroid_id"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = (
+        c_cells.join(F.broadcast(q_cells), "centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos_sim", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.col("rank").cast("int").alias("rank"), "cos_sim")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

@@ -299,6 +299,53 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- IVF top-k (scale ANN)
+
+_IVF_CENTROID_MOD, _IVF_K, _IVF_N_QUERIES = 97, 5, 8
+
+_IVF_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cen AS (SELECT vec_id AS centroid_id, vec AS c_vec FROM v WHERE vec_id % {_IVF_CENTROID_MOD} = 0),
+assigned AS (
+  SELECT vec_id, centroid_id, vec FROM (
+    SELECT v.vec_id, cen.centroid_id, v.vec,
+           row_number() OVER (
+             PARTITION BY v.vec_id
+             ORDER BY list_dot_product(v.vec, cen.c_vec)
+                      / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(cen.c_vec, cen.c_vec)))
+                      DESC, cen.centroid_id) AS rn
+    FROM v CROSS JOIN cen) t
+  WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, centroid_id, vec AS q_vec FROM assigned WHERE vec_id < {_IVF_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, centroid_id, vec AS c_vec FROM assigned),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.q_vec, c.c_vec)
+           / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.c_vec, c.c_vec)))
+           AS cos_sim
+  FROM c JOIN q ON c.centroid_id = q.centroid_id AND c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank,
+       cos_sim
+FROM scored
+QUALIFY rank <= {_IVF_K}
+"""
+
+
+@register("ann_ivf_topk", _IVF_SQL)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF single-probe ANN: deterministic centroid subset, cell
+    assignment by argmax cosine, search within the query's cell."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") < _IVF_N_QUERIES)
+    return S.ivf_topk(emb, queries, centroids, k=_IVF_K)
+
+
 # ------------------------------------- embedding near-dup (LSH + cos)
 
 _ND_PLANES, _ND_DIMS, _ND_THRESH = 4, 64, 0.35

@@ -66,3 +66,17 @@ class TestOracleParity:
             for r in exp_rows
         }
         assert got == exp
+
+
+class TestFanOutWrite:
+    def test_single_pass_partitioned_sinks(self, spark, routed_and_counts, tmp_path):
+        from logstash_filter_jdbc_static_spark.operators.route import write_fanout
+
+        routed, _ = routed_and_counts
+        sinks = write_fanout(routed.drop("server", "toolinfo", "tags"),
+                             str(tmp_path / "sinks"))
+        assert set(sinks) == {"hit", "miss", "malformed"}
+        hit = spark.read.parquet(sinks["hit"])
+        assert hit.count() == 650
+        total = spark.read.parquet(str(tmp_path / "sinks")).count()
+        assert total == 1000
