@@ -19,7 +19,12 @@ from logstash_filter_jdbc_static_spark.sources.transcripts import load_transcrip
 def routed_and_counts(spark, sf_dir):
     t = load_transcripts(spark, sf_dir)
     routed, counts = run_pipeline(t, spark)
-    return routed.cache(), counts
+    routed = routed.cache()
+    yield routed, counts
+    # Unpersist so later tests that explain fresh plans don't get this
+    # cached subtree substituted in (cache manager matches analyzed plans
+    # session-wide, which perturbs plan-shape assertions).
+    routed.unpersist()
 
 
 class TestRouting:
