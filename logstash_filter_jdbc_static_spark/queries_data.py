@@ -12,6 +12,7 @@ from logstash_filter_jdbc_static_spark.operators import dedup as D
 from logstash_filter_jdbc_static_spark.operators import similarity as S
 from logstash_filter_jdbc_static_spark.operators import text as X
 from logstash_filter_jdbc_static_spark.queries import register
+from logstash_filter_jdbc_static_spark.sources.registry import load_table_split
 
 # ------------------------------------------------------------ helpers
 
@@ -65,7 +66,7 @@ FROM scored
 
 @register("text_analysis", _TEXT_ANALYSIS_SQL)
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table_split(spark, sf_dir, "documents")
     return X.analyze(docs).select(
         "doc_id", "n_tokens", "n_subword_tokens", "detected_lang",
         "punct_ratio", "stopword_ratio", "quality_score", "fingerprint",
@@ -107,7 +108,7 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark.sparkContext), sf_dir)
     if key in _CORPUS_CACHE:
         return _CORPUS_CACHE[key]
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = load_table_split(spark, sf_dir, "documents").select("doc_id", "text")
     ws_dups = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.lit(" "), F.col("text"), F.lit("  ")).alias("text"),
@@ -235,7 +236,7 @@ FROM toks
 
 @register("dedup_simhash", _SIMHASH_SQL)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table_split(spark, sf_dir, "documents")
     staged = docs.select("doc_id", X.tokens("text").alias("__toks"))
     return staged.select(
         "doc_id", D.simhash(tokens_col=F.col("__toks")).alias("simhash")
@@ -258,7 +259,7 @@ FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
 def ngram_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise n-gram Jaccard on a deterministic pair set (adjacent ids):
     exercises the verification operator independently of LSH recall."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table_split(spark, sf_dir, "documents")
     sh = D.shingled(docs, "doc_id", "text", _SHINGLE_K)
     a = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -292,7 +293,7 @@ QUALIFY rank <= {_TOPK_K}
 
 @register("ann_cosine_topk", _COSINE_TOPK_SQL)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table_split(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _N_QUERIES)
     return S.cosine_topk(emb, queries, k=_TOPK_K).withColumn(
         "rank", F.col("rank").cast("int")
@@ -338,7 +339,7 @@ QUALIFY rank <= {_IVF_K}
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF single-probe ANN: deterministic centroid subset, cell
     assignment by argmax cosine, search within the query's cell."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+    emb = load_table_split(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
     centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0)
@@ -379,7 +380,7 @@ WHERE list_dot_product(a.vec, b.vec)
 
 @register("embedding_near_dup", _NEAR_DUP_SQL)
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = load_table_split(spark, sf_dir, "embeddings")
     return S.embedding_near_dup_pairs(
         emb, threshold=_ND_THRESH, n_planes=_ND_PLANES, n_dims=_ND_DIMS
     )

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 from logstash_filter_jdbc_static_spark.operators.multimodal import extract_features
 from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
 from logstash_filter_jdbc_static_spark.queries import _PARSED_CTE, register
+from logstash_filter_jdbc_static_spark.sources.registry import load_table_split
 from logstash_filter_jdbc_static_spark.sources.transcripts import (
     TRANSCRIPTS_CTE,
     load_transcripts,
@@ -190,7 +191,7 @@ _MEDIA_SQL = f"""
 
 @register("multimodal_features", _MEDIA_SQL)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = load_table_split(spark, sf_dir, "documents")
     media = docs.select(
         F.col("doc_id").alias("media_id"),
         F.element_at(

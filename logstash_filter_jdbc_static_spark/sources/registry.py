@@ -29,5 +29,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_table_split(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table, restoring scan parallelism when the local file yields
+    fewer input splits than cores.
+
+    At warehouse scale parquet/Iceberg scans split by file and row group,
+    so compute-heavy stages (regex scans, per-shingle hashing, vector
+    math) parallelize for free. The driver's small sf files are a single
+    row group => one task, serializing those stages on local[N]. The
+    round-robin repartition is a one-time narrow cost that restores the
+    multi-split shape a real table has; it is a no-op (no exchange) when
+    the scan already has enough splits.
+    """
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
