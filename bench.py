@@ -65,8 +65,17 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
     registry = q.queries()
     timings: dict[str, float] = {}
     total_rows = 0
-    # one warm-up pass on the smallest query to exclude JVM/codegen warmup
-    force(registry[HEADLINE[0]](spark, sf_dir))
+    # Warm each query's PLAN at the smallest scale first: whole-stage
+    # codegen compiles per generated-code shape (identical across sf
+    # dirs), so this excludes Janino/JIT compile from the timings — the
+    # steady-state number is what amortizes over a 100 TB run. A single
+    # generic warm-up query does NOT compile the other plans.
+    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+    for name in HEADLINE:
+        if name in registry:
+            force(registry[name](spark, warm_dir))
     for name in HEADLINE:
         if name not in registry:
             continue
