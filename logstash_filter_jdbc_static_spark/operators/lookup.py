@@ -435,15 +435,17 @@ class CompiledLookup:
             )
         return F.array(*structs)
 
-    def _row_predicate(self, row: Column, params: dict[str, BoundParam]) -> Column:
+    def _row_predicate(self, row: Column, rhs_cols: list[Column]) -> Column:
+        """Predicate over one inlined dim row; ``rhs_cols`` holds one
+        pre-staged rhs per predicate (LIKE patterns already compiled to
+        anchored regexes — see _apply_inline)."""
         cond = F.lit(True)
-        for p in self.query.predicates:
+        for p, rhs in zip(self.query.predicates, rhs_cols):
             lhs = row.getField(p.dim_column)
-            rhs = params[p.param].value if p.param is not None else F.lit(p.literal)
             if p.op == "=":
                 c = lhs == rhs
             elif p.op == "like":
-                c = _dynamic_like(lhs, rhs)
+                c = F.rlike(lhs, rhs)
             elif p.op in ("<>", "!="):
                 c = lhs != rhs
             elif p.op == "<":
@@ -466,11 +468,36 @@ class CompiledLookup:
         self, fact: DataFrame, params: dict[str, BoundParam], valid: Column
     ) -> DataFrame:
         """Small-dim theta lookup as a pure projection: filter a literal
-        array-of-structs — no join, no shuffle, stays in codegen."""
+        array-of-structs — no join, no shuffle, stays in codegen.
+
+        Every predicate rhs is staged into a column FIRST: non-lambda
+        subtrees inside higher-order-function lambdas are re-evaluated
+        per array element, so an inlined Sprintfier/LIKE-regex derivation
+        would otherwise run dim_count times per row (the same trap as the
+        19x shingle slowdown fixed in dedup.py). LIKE patterns are
+        compiled to their anchored regex once per row here, leaving only
+        the rlike probe per dim element."""
+        sid = self.spec.id
+        staged = fact
+        rhs_cols: list[Column] = []
+        tmp: list[str] = []
+        for i, p in enumerate(self.query.predicates):
+            if p.param is None:
+                lit = F.lit(p.literal)
+                # literal LIKE patterns compile here (constant-folded)
+                rhs_cols.append(_like_regex(lit) if p.op == "like" else lit)
+                continue
+            val = params[p.param].value
+            if p.op == "like":
+                val = _like_regex(val)
+            c = f"__pv_{sid}_{i}"
+            staged = staged.withColumn(c, val)
+            tmp.append(c)
+            rhs_cols.append(F.col(c))
         arr = self._dim_literal_array()
-        matched = F.filter(arr, lambda r: self._row_predicate(r, params))
+        matched = F.filter(arr, lambda r: self._row_predicate(r, rhs_cols))
         payload = F.sort_array(F.transform(matched, self._project_struct))
-        return fact.withColumn("__raw_payload", payload)
+        return staged.withColumn("__raw_payload", payload).drop(*tmp)
 
     def _apply_bnlj(
         self, fact: DataFrame, params: dict[str, BoundParam], valid: Column
@@ -487,7 +514,14 @@ class CompiledLookup:
                 continue
             c = f"__fk_{sid}_{i}"
             rhs_cols[i] = c
-            with_keys = with_keys.withColumn(c, params[p.param].value)
+            val = params[p.param].value
+            if p.op == "like":
+                # stage the compiled regex, not the raw pattern: the join
+                # condition is evaluated once per (fact, dim) pair, so an
+                # inline pattern->regex rewrite would run dim_count times
+                # per fact row
+                val = _like_regex(val)
+            with_keys = with_keys.withColumn(c, val)
         dim = self.dim_df
         dim_alias = f"__dim_{sid}"
         dim = dim.select(
@@ -496,9 +530,15 @@ class CompiledLookup:
         cond = F.lit(True)
         for i, p in enumerate(self.query.predicates):
             lhs = F.col(dim_alias).getField(p.dim_column)
-            rhs = F.col(rhs_cols[i]) if p.param is not None else F.lit(p.literal)
+            if p.param is not None:
+                rhs = F.col(rhs_cols[i])
+            elif p.op == "like":
+                # literal pattern: compile here; Catalyst constant-folds it
+                rhs = _like_regex(F.lit(p.literal))
+            else:
+                rhs = F.lit(p.literal)
             if p.op == "like":
-                cond = cond & _dynamic_like(lhs, rhs)
+                cond = cond & F.rlike(lhs, rhs)  # rhs pre-compiled
             elif p.op == "=":
                 cond = cond & (lhs == rhs)
             elif p.op in ("<>", "!="):
@@ -531,18 +571,20 @@ class CompiledLookup:
         return regrouped.select(*fact_cols, "__raw_payload")
 
 
-def _dynamic_like(lhs: Column, pattern: Column) -> Column:
-    """``lhs LIKE pattern`` with a per-row pattern column.
-
-    Column.like() requires a literal, so rewrite the SQL-LIKE pattern to a
-    regex anchored match: % -> .*, _ -> . (with regex-quoting of the rest).
-    This keeps the attested suffix/prefix shapes (`%X`, `X%`,
-    spec/filters/jdbc_static_spec.rb:21-22,85) inside codegen.
-    """
+def _like_regex(pattern: Column) -> Column:
+    """Compile a SQL-LIKE pattern column to an anchored regex: % -> .*,
+    _ -> . (with regex-quoting of the rest). Column.like() requires a
+    literal pattern, so dynamic patterns go through rlike; the attested
+    suffix/prefix shapes (`%X`, `X%`, spec/filters/jdbc_static_spec.rb:
+    21-22,85) stay inside codegen."""
     quoted = F.regexp_replace(pattern, r"([\\^$.|?*+()\[\]{}])", r"\\$1")
-    regex = F.concat(
+    return F.concat(
         F.lit("^"),
         F.regexp_replace(F.regexp_replace(quoted, "%", ".*"), "_", "."),
         F.lit("$"),
     )
-    return F.rlike(lhs, regex)
+
+
+def _dynamic_like(lhs: Column, pattern: Column) -> Column:
+    """``lhs LIKE pattern`` with a per-row pattern column."""
+    return F.rlike(lhs, _like_regex(pattern))
