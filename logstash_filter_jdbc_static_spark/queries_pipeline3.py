@@ -214,3 +214,119 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("feat0_byte"),
     )
+
+
+# ------------------------------------------------------------------
+# 4. Prefix-LIKE lookup: Sprintfier "%{[x]}%" (the other attested
+#    wildcard shape, jdbc_static.rb:58-59) — inline no-join path with
+#    the pattern compiled once per row.
+# ------------------------------------------------------------------
+
+_PREFIXED_CTE = r"""
+prefixed AS (
+  SELECT p.*, nullif(regexp_extract(text, 'from_ip=(\d+\.\d+)', 1), '') AS ip_prefix
+  FROM parsed p
+)
+"""
+
+
+@register(
+    "lookup_like_prefix",
+    with_ctes(
+        "servers(ip, name, location) AS (SELECT * FROM (VALUES "
+        "('10.1.1.1', 'ldn-server-1', 'LDN-2-3-4'), "
+        "('10.2.1.1', 'nyc-server-1', 'NYC-5-2-8'), "
+        "('10.3.1.1', 'mv-serv''r-1', 'MV-9-6-4')) AS t(ip, name, location))",
+        TRANSCRIPTS_CTE,
+        _PARSED_CTE,
+        _PREFIXED_CTE,
+        body="""
+        SELECT x.conv_id, x.turn_idx, x.ip_prefix,
+               CASE WHEN x.ip_prefix IS NULL THEN NULL ELSE coalesce(s.name, '') END AS server_name
+        FROM prefixed x
+        LEFT JOIN servers s ON s.ip LIKE x.ip_prefix || '%'
+        """,
+    ),
+)
+def lookup_like_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_filter_jdbc_static_spark.sources.transcripts import servers_df
+
+    t = load_transcripts(spark, sf_dir)
+    parsed = t.withColumn(
+        "ip_prefix",
+        F.nullif(F.regexp_extract(F.col("text"), r"from_ip=(\d+\.\d+)", 1), F.lit("")),
+    )
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "server",
+                "query": "SELECT name FROM servers WHERE ip LIKE :ip",
+                "parameters": {"ip": "%{[ip_prefix]}%"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(spec, {"servers": servers_df(spark)})
+    out = enricher.apply(parsed)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ip_prefix",
+        F.coalesce(
+            F.get(F.col("server"), 0).getField("name"),
+            F.when(F.col("server").isNotNull(), F.lit("")),
+        ).alias("server_name"),
+    )
+
+
+# ------------------------------------------------------------------
+# 5. Gap-based batch sessionization over events — the batch twin of the
+#    stateful streaming sessionizer (streaming/stateful.py): a new
+#    session starts after a >30 min silence per user. Two stacked
+#    windows over the same (user_id | ts, event_id) partitioning =>
+#    ONE shuffle; the aggregate reuses the partitioning.
+# ------------------------------------------------------------------
+
+
+@register(
+    "events_sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    s AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_idx
+      FROM g
+    )
+    SELECT user_id, CAST(sess_idx AS BIGINT) AS sess_idx,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s
+    GROUP BY 1, 2
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.when(
+            F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTES"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess")
+    )
+    g = ev.select("user_id", "ts", "event_id", new_sess)
+    s = g.select(
+        "user_id", "ts", F.sum("new_sess").over(w).alias("sess_idx")
+    )
+    return s.groupBy("user_id", "sess_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )

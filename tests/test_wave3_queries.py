@@ -76,3 +76,35 @@ class TestMultimodalFeatures:
             assert out.filter(~F.col("feat0_byte").between(0, 255)).count() == 0
         finally:
             out.unpersist()
+
+
+class TestSessionize:
+    def test_single_shuffle_plan(self, spark, sf_dir):
+        # Both windows and the (user_id, sess_idx) aggregate must share the
+        # single user_id exchange: hashpartitioning(user_id) satisfies
+        # clustering on (user_id, sess_idx), so no second shuffle.
+        from logstash_filter_jdbc_static_spark.queries_pipeline3 import (
+            events_sessionize,
+        )
+
+        df = events_sessionize(spark, sf_dir)
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        import re
+
+        assert len(re.findall(r"(?<!Broadcast)Exchange\b", plan)) == 1, plan
+        assert plan.count("Sort ") == 1, plan
+
+    def test_sessions_partition_events(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.queries_pipeline3 import (
+            events_sessionize,
+        )
+
+        out = events_sessionize(spark, sf_dir)
+        total = out.agg(F.sum("n_events")).collect()[0][0]
+        assert total == spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        assert out.filter(F.col("session_start") > F.col("session_end")).count() == 0
