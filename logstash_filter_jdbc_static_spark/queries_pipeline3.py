@@ -330,3 +330,48 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
     )
+
+
+# ------------------------------------------------------------------
+# 6. Deterministic stratified sampling — per-source sampling rates, the
+#    mixture-weighting step of a training-data pipeline. Keep decision is
+#    a pure projection (zero shuffle): uniform draw = 4-hex-char md5
+#    prefix of the doc id compared lexicographically against the
+#    stratum's threshold, so an independent engine reproduces the exact
+#    sample (no RNG, no seed plumbing).
+# ------------------------------------------------------------------
+
+# stratum = source index % 4 -> keep rate 1.0 / 0.5 / 0.25 / ~0.1
+_STRATA_THRESHOLDS = ["zzzz", "8000", "4000", "1999"]
+_THRESH_SQL = (
+    "CASE CAST(substr(source, 4) AS INTEGER) % 4 "
+    + " ".join(f"WHEN {i} THEN '{t}'" for i, t in enumerate(_STRATA_THRESHOLDS))
+    + " END"
+)
+
+
+@register(
+    "documents_stratified_sample",
+    f"""
+    WITH drawn AS (
+      SELECT doc_id, source,
+             substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS u,
+             {_THRESH_SQL} AS threshold
+      FROM documents)
+    SELECT doc_id, source, u
+    FROM drawn
+    WHERE u < threshold
+    """,
+)
+def documents_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stratum = F.substring(F.col("source"), 4, 10).cast("int") % 4
+    threshold = F.element_at(
+        F.array(*[F.lit(t) for t in _STRATA_THRESHOLDS]), stratum.cast("int") + 1
+    )
+    u = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4)
+    return (
+        docs.select("doc_id", "source", u.alias("u"), threshold.alias("__t"))
+        .filter(F.col("u") < F.col("__t"))
+        .drop("__t")
+    )
