@@ -69,3 +69,36 @@ class TestRoutedRowsPlan:
         plan = _plan(routed)
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+class TestRelationalPushdown:
+    """Filters and projections must reach the parquet scan: at 100 TB the
+    difference between scanning 3 columns with a pushed range filter and
+    scanning the whole table IS the query time."""
+
+    def _formatted(self, spark, name, sf_dir):
+        from logstash_filter_jdbc_static_spark.queries import queries
+
+        df = queries()[name](spark, sf_dir)
+        return _plan(df, "formatted")
+
+    def test_pricing_filter_pushed_and_pruned(self, spark, sf_dir):
+        plan = self._formatted(spark, "relational_agg_pricing", sf_dir)
+        assert "LessThanOrEqual(l_shipdate" in plan, plan
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert "l_comment" not in cols and "l_orderkey" not in cols, cols
+
+    def test_join_filter_pushed_and_dims_broadcast(self, spark, sf_dir):
+        from logstash_filter_jdbc_static_spark.queries import queries
+
+        plan = self._formatted(spark, "relational_join_nation_region", sf_dir)
+        assert "Not(EqualTo(o_orderstatus,F))" in plan, plan
+        # count joins in simple mode (formatted prints each node twice:
+        # once in the tree, once as a detail-section header)
+        simple = _plan(
+            queries()["relational_join_nation_region"](spark, sf_dir), "simple"
+        )
+        # all three dims broadcast; the orders fact side never shuffles
+        assert simple.count("BroadcastHashJoin") == 3, simple
+        assert "SortMergeJoin" not in simple
