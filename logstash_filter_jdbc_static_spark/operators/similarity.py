@@ -115,12 +115,14 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF coarse quantization: assign every vector to its nearest
-    centroid (broadcast the centroid list; argmax cosine, deterministic
-    tiebreak by centroid id). At scale this is the partitioning step —
-    the corpus is then clustered/bucketed by cell and queries probe only
-    their own cell(s)."""
+    """IVF coarse quantization: assign every vector to its ``n_probe``
+    nearest centroids (broadcast the centroid list; top-P cosine,
+    deterministic tiebreak by centroid id). At scale this is the
+    partitioning step — the corpus is clustered by its single nearest
+    cell (n_probe=1) and queries probe their top-P cells (n_probe=P),
+    the standard recall/latency knob of a production IVF index."""
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
     )
@@ -131,7 +133,7 @@ def ivf_assign(
     return (
         scored.withColumn("c_sim", cosine(F.col(vec_col), F.col("c_vec")))
         .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        .filter(F.col("__rn") <= n_probe)
         .select(id_col, "centroid_id", vec_col)
     )
 
@@ -143,13 +145,15 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_probe: int = 1,
 ) -> DataFrame:
-    """IVF search: queries only score corpus vectors in their own cell
-    (single-probe). Returns (query_id, neighbor_id, rank, cos_sim) —
-    approximate: recall depends on the cell structure, exactly as a
-    production IVF index."""
+    """IVF search: queries score corpus vectors in their ``n_probe``
+    nearest cells. Returns (query_id, neighbor_id, rank, cos_sim) —
+    approximate: recall rises with n_probe, exactly as a production IVF
+    index. Each corpus vector lives in exactly one cell and probed cells
+    are distinct, so no pair dedup is needed."""
     cells = ivf_assign(corpus, centroids, id_col, vec_col)
-    q_cells = ivf_assign(queries, centroids, id_col, vec_col).select(
+    q_cells = ivf_assign(queries, centroids, id_col, vec_col, n_probe).select(
         F.col(id_col).alias("query_id"),
         F.col("centroid_id"),
         F.col(vec_col).alias("q_vec"),

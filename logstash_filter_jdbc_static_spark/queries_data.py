@@ -384,3 +384,51 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(
         emb, threshold=_ND_THRESH, n_planes=_ND_PLANES, n_dims=_ND_DIMS
     )
+
+
+# ----------------------------------- IVF multi-probe (recall knob)
+
+_IVF_N_PROBE = 3
+
+_IVF_MULTIPROBE_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cen AS (SELECT vec_id AS centroid_id, vec AS c_vec FROM v WHERE vec_id % {_IVF_CENTROID_MOD} = 0),
+ranked AS (
+  SELECT v.vec_id, cen.centroid_id, v.vec,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.vec, cen.c_vec)
+                    / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(cen.c_vec, cen.c_vec)))
+                    DESC, cen.centroid_id) AS rn
+  FROM v CROSS JOIN cen
+),
+assigned AS (SELECT vec_id, centroid_id, vec FROM ranked WHERE rn = 1),
+q AS (SELECT vec_id AS query_id, centroid_id, vec AS q_vec
+      FROM ranked WHERE rn <= {_IVF_N_PROBE} AND vec_id < {_IVF_N_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, centroid_id, vec AS c_vec FROM assigned),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.q_vec, c.c_vec)
+           / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.c_vec, c.c_vec)))
+           AS cos_sim
+  FROM c JOIN q ON c.centroid_id = q.centroid_id AND c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank,
+       cos_sim
+FROM scored
+QUALIFY rank <= {_IVF_K}
+"""
+
+
+@register("ann_ivf_multiprobe", _IVF_MULTIPROBE_SQL)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe ANN: queries search their 3 nearest cells — the
+    standard recall/latency knob (recall rises vs single-probe at 3x the
+    probed fraction of the corpus)."""
+    emb = load_table_split(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0)
+    queries = emb.filter(F.col("vec_id") < _IVF_N_QUERIES)
+    return S.ivf_topk(emb, queries, centroids, k=_IVF_K, n_probe=_IVF_N_PROBE)

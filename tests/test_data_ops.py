@@ -128,3 +128,20 @@ class TestSimilarity:
         pairs = S.embedding_near_dup_pairs(vectors, threshold=0.9, n_dims=4).collect()
         assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
         assert pairs[0]["cos_sim"] > 0.99
+
+
+class TestIvfRecall:
+    def test_multiprobe_beats_single_probe(self, spark):
+        """The recall/latency knob must actually buy recall: probing 3
+        cells recovers strictly more of the brute-force top-k than one."""
+        from logstash_filter_jdbc_static_spark.queries import queries
+
+        sf = "/root/testdata/sf0.001"
+        qs = queries()
+        bf = {(r.query_id, r.neighbor_id) for r in qs["ann_cosine_topk"](spark, sf).collect()}
+        one = {(r.query_id, r.neighbor_id) for r in qs["ann_ivf_topk"](spark, sf).collect()}
+        multi = {(r.query_id, r.neighbor_id) for r in qs["ann_ivf_multiprobe"](spark, sf).collect()}
+        r1 = len(bf & one) / len(bf)
+        r3 = len(bf & multi) / len(bf)
+        assert r3 > r1, (r1, r3)
+        assert r3 >= 0.5, (r1, r3)
