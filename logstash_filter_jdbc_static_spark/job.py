@@ -1,0 +1,259 @@
+"""spark-submit entry point: the full parse -> enrich -> route -> aggregate
+job with checkpoint/resume and per-partition lineage metrics (north_rule).
+
+Run on a cluster (or local[N] here) with the package shipped via
+``--py-files``::
+
+    python -m zipfile -c /tmp/pkg.zip logstash_filter_jdbc_static_spark
+    spark-submit --master local[8] --py-files /tmp/pkg.zip \
+        logstash_filter_jdbc_static_spark/job.py \
+        --input /root/testdata/sf0.01 --output /tmp/enrich_out --batches 8
+
+Input is either a directory containing ``events.parquet`` (the driver's
+testdata layout; transcripts are derived deterministically) or a parquet
+directory already in the transcript shape (input_hint:
+``conv_id, turn_idx, role, text, tool, ts``), or ``synth:N`` for N
+generated turns.
+
+The job splits work into ``--batches`` resumable units by
+``hash(conv_id) % batches`` — every turn of a conversation lands in the
+same batch, so per-conversation turn ordering never crosses a resume
+boundary. Each batch is written with an idempotent dynamic-partition
+overwrite and logged to the lineage table; a re-run after a crash
+processes only the batches missing from the lineage log (the
+reference's reload counter generalized, single_load_runner.rb:13,23).
+
+Sinks land under ``<output>/routed/route=<hit|miss|malformed>/batch=<k>``
+plus an aggregate table ``<output>/sink_counts`` — the per-sink
+``groupBy(route, role, tool, conv_bucket).count()`` correctness oracle.
+
+Table format is a seam: ``--table-format parquet`` (default) or
+``iceberg`` (requires the Iceberg runtime jar on the cluster via
+``--packages org.apache.iceberg:iceberg-spark-runtime-...``; this
+sandbox has no jar, so iceberg mode fails fast with a clear message
+rather than silently degrading).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# Under spark-submit --py-files the zip is on sys.path already; when run
+# as a plain script from the repo, add the repo root.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from logstash_filter_jdbc_static_spark.operators.aggregate import sink_counts  # noqa: E402
+from logstash_filter_jdbc_static_spark.plans.checkpoint import LineageLog  # noqa: E402
+from logstash_filter_jdbc_static_spark.plans.pipeline import (  # noqa: E402
+    build_enricher,
+    enrich_and_route,
+    routed_projection,
+)
+
+TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def submit_session(app_name: str = "jdbc-static-enrich") -> SparkSession:
+    """Session for spark-submit context: NEVER overrides --master/--conf
+    from the submit command line; only fills in tuning defaults that the
+    submitter did not set."""
+    builder = SparkSession.builder.appName(app_name)
+    defaults = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.session.timeZone": "UTC",
+        "spark.sql.sources.partitionOverwriteMode": "dynamic",
+    }
+    spark = builder.getOrCreate()
+    for k, v in defaults.items():
+        try:
+            if spark.conf.get(k, None) is None:
+                spark.conf.set(k, v)
+            # partitionOverwriteMode is runtime-settable and required for
+            # idempotent resume — always enforce it.
+            if k == "spark.sql.sources.partitionOverwriteMode":
+                spark.conf.set(k, v)
+        except Exception:
+            pass
+    return spark
+
+
+def load_input(spark: SparkSession, input_arg: str) -> DataFrame:
+    """Resolve --input to a transcript DataFrame (see module docstring)."""
+    if input_arg.startswith("synth:"):
+        n = int(input_arg.split(":", 1)[1])
+        return _synth(spark, n)
+    events_path = os.path.join(input_arg, "events.parquet")
+    if os.path.exists(events_path):
+        from logstash_filter_jdbc_static_spark.sources.transcripts import (
+            derive_transcripts,
+        )
+
+        return derive_transcripts(spark.read.parquet(events_path))
+    df = spark.read.parquet(input_arg)
+    missing = [c for c in TRANSCRIPT_COLS if c not in df.columns]
+    if missing:
+        raise SystemExit(
+            f"--input parquet is missing transcript columns {missing}; "
+            f"expected {TRANSCRIPT_COLS} (BASELINE.json input_hint)"
+        )
+    return df.select(*TRANSCRIPT_COLS)
+
+
+def _synth(spark: SparkSession, n_turns: int) -> DataFrame:
+    """Deterministic generated transcripts (same shape as bench.py)."""
+    n_parts = 4 * int(spark.sparkContext.defaultParallelism)
+    turns_per_conv = 200
+    df = spark.range(0, n_turns, numPartitions=n_parts)
+    return df.select(
+        F.concat(
+            F.lit("conv-"),
+            F.lpad((F.col("id") / turns_per_conv).cast("long").cast("string"), 7, "0"),
+        ).alias("conv_id"),
+        (F.col("id") % turns_per_conv).cast("int").alias("turn_idx"),
+        F.element_at(
+            F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"), F.lit("system")),
+            (F.col("id") % 4 + 1).cast("int"),
+        ).alias("role"),
+        F.when(F.col("id") % 20 == 7, F.lit("status=degraded detail=none"))
+        .otherwise(
+            F.concat(
+                F.lit("call tool="),
+                F.when(F.col("id") % 7 == 3, F.lit("tool_ghost")).otherwise(
+                    F.concat(F.lit("tool_"), (F.col("id") % 6).cast("string"))
+                ),
+                F.lit(" from_ip=10."),
+                (F.col("id") % 4 + 1).cast("string"),
+                F.lit(".1.1 type=batch"),
+            )
+        )
+        .alias("text"),
+        F.when(F.col("id") % 7 == 3, F.lit("tool_ghost"))
+        .otherwise(F.concat(F.lit("tool_"), (F.col("id") % 6).cast("string")))
+        .alias("tool"),
+        F.timestamp_seconds(F.lit(1704067200) + F.col("id") % 86400).alias("ts"),
+    )
+
+
+def configure_format(spark: SparkSession, table_format: str) -> str:
+    if table_format == "parquet":
+        return "parquet"
+    if table_format == "iceberg":
+        # Fail fast if the runtime jar is absent (this sandbox): a silent
+        # parquet fallback would misreport what was tested.
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.SparkCatalog"
+            )
+        except Exception:
+            raise SystemExit(
+                "--table-format iceberg requires the Iceberg Spark runtime "
+                "jar (submit with --packages org.apache.iceberg:"
+                "iceberg-spark-runtime-4.0_2.13:<version>); not found on "
+                "this classpath. Use --table-format parquet here — the "
+                "partitioning/overwrite semantics are identical."
+            )
+        return "iceberg"
+    raise SystemExit(f"unknown --table-format {table_format!r}")
+
+
+def run_job(
+    spark: SparkSession,
+    input_arg: str,
+    output: str,
+    batches: int,
+    table_format: str = "parquet",
+    run_id: str | None = None,
+) -> dict:
+    """Execute the resumable job; returns a metrics summary dict."""
+    fmt = configure_format(spark, table_format)
+    # Required for idempotent per-batch overwrite (resume contract).
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    t0 = time.time()
+    transcripts = load_input(spark, input_arg)
+    enricher = build_enricher(spark)
+
+    lineage = LineageLog(os.path.join(output, "_lineage.jsonl"))
+    if run_id:
+        lineage.run_id = run_id
+    done = lineage.completed_partitions()
+
+    # Batch = hash(conv_id) % batches: conversation-atomic resume units.
+    batch_col = F.pmod(F.xxhash64("conv_id"), F.lit(batches)).cast("int")
+    with_batch = transcripts.withColumn("batch", batch_col)
+
+    routed_path = os.path.join(output, "routed")
+    processed: list[str] = []
+    for b in range(batches):
+        part = f"batch={b}"
+        if part in done:
+            continue
+        rows = with_batch.filter(F.col("batch") == b)
+        routed = enrich_and_route(rows, enricher)
+        out = routed_projection(routed).withColumn("batch", F.lit(b))
+        # Idempotent: dynamic partition overwrite replaces exactly this
+        # batch's files under each route on re-run after a crash.
+        (
+            out.repartition(max(spark.sparkContext.defaultParallelism, 1))
+            .write.mode("overwrite")
+            .partitionBy("batch", "route")
+            .format(fmt)
+            .save(routed_path)
+        )
+        n = spark.read.format(fmt).load(routed_path).filter(F.col("batch") == b).count()
+        lineage.mark_done(part, n, metrics={"elapsed_s": round(time.time() - t0, 3)})
+        processed.append(part)
+
+    # Per-sink aggregate (the correctness oracle) over the full routed
+    # output — recomputed from the sinks themselves so the numbers always
+    # describe what is on disk.
+    routed_all = spark.read.format(fmt).load(routed_path)
+    counts = sink_counts(routed_all)
+    counts.coalesce(1).write.mode("overwrite").format(fmt).save(
+        os.path.join(output, "sink_counts")
+    )
+    n_rows = routed_all.count()
+    route_totals = {
+        r["route"]: r["n"]
+        for r in routed_all.groupBy("route").agg(F.count("*").alias("n")).collect()
+    }
+    return {
+        "input": input_arg,
+        "output": output,
+        "format": fmt,
+        "batches_total": batches,
+        "batches_processed": len(processed),
+        "batches_skipped": batches - len(processed),
+        "rows_routed": n_rows,
+        "route_totals": route_totals,
+        "elapsed_s": round(time.time() - t0, 3),
+        "run_id": lineage.run_id,
+    }
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--input", required=True,
+                    help="events dir | transcript parquet dir | synth:N")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--batches", type=int, default=8)
+    ap.add_argument("--table-format", default="parquet",
+                    choices=["parquet", "iceberg"])
+    ap.add_argument("--run-id", default=None)
+    args = ap.parse_args(argv)
+    spark = submit_session()
+    summary = run_job(
+        spark, args.input, args.output, args.batches, args.table_format, args.run_id
+    )
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
