@@ -188,15 +188,92 @@ def run_scaling(
     }
 
 
+def run_scaling_submit(
+    n_turns: int, parallelisms: tuple[int, ...] = (8, 32), repeats: int = 3
+) -> dict:
+    """North_rule literal path: the SAME job, via ``spark-submit
+    --py-files pkg.zip job.py``, at two parallelism levels (the sandbox
+    stand-in for N vs 4N executors). Throughput uses the job's own
+    elapsed_s (excludes JVM/py4j startup, a fixed per-submit cost that a
+    real cluster pays once per application). Includes the routed-sink
+    parquet WRITE — this is end-to-end parse+enrich+route+aggregate+sink.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+    import zipfile
+
+    submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+    repo = os.path.dirname(os.path.abspath(__file__))
+    work = tempfile.mkdtemp(prefix="scaling_submit_")
+    zip_path = os.path.join(work, "pkg.zip")
+    pkg = os.path.join(repo, "logstash_filter_jdbc_static_spark")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _d, filenames in os.walk(pkg):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, repo))
+    results = {}
+    for cpus in parallelisms:
+        best = None
+        for _ in range(repeats):
+            out_dir = os.path.join(work, f"out_{cpus}")
+            shutil.rmtree(out_dir, ignore_errors=True)
+            proc = subprocess.run(
+                [
+                    submit,
+                    "--master", f"local[{cpus}]",
+                    "--conf", f"spark.sql.shuffle.partitions={cpus}",
+                    "--conf", "spark.ui.enabled=false",
+                    "--conf", "spark.driver.memory=8g",
+                    "--conf",
+                    "spark.driver.extraJavaOptions=-XX:+UseParallelGC",
+                    "--py-files", zip_path,
+                    os.path.join(pkg, "job.py"),
+                    "--input", f"synth:{n_turns}",
+                    "--output", out_dir,
+                    "--batches", "1",
+                    "--warm",
+                ],
+                capture_output=True, text=True, check=True, cwd=work,
+            )
+            summary = json.loads(
+                [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+            )
+            sec = summary["elapsed_s"]
+            best = sec if best is None else min(best, sec)
+        results[cpus] = {
+            "seconds": round(best, 3),
+            "turns_per_sec": round(n_turns / best),
+        }
+    shutil.rmtree(work, ignore_errors=True)
+    lo, hi = parallelisms[0], parallelisms[-1]
+    speedup = results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]
+    return {
+        "mode": "spark-submit --py-files (job.py, sinks written)",
+        "n_turns": n_turns,
+        "parallelism": {str(k): v for k, v in results.items()},
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(speedup / (hi / lo), 3),
+    }
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--scaling-submit", action="store_true")
     ap.add_argument("--scale-one", nargs=2, metavar=("CPUS", "TURNS"))
     ap.add_argument("--turns", type=int, default=20_000_000)
     ap.add_argument("--levels", type=str, default="8,32")
+    ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
     if args.scale_one:
         print(scale_one(int(args.scale_one[0]), int(args.scale_one[1])))
+        return
+    if args.scaling_submit:
+        levels = tuple(int(x) for x in args.levels.split(","))
+        print(json.dumps(run_scaling_submit(args.turns, levels, args.repeats)))
         return
     if args.scaling:
         levels = tuple(int(x) for x in args.levels.split(","))

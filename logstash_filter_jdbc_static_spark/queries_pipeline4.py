@@ -1,0 +1,187 @@
+"""Fourth wave of gated queries.
+
+1. ``documents_curation_pipeline`` — the end-to-end training-data
+   curation chain (analyze -> quality/language filter -> exact dedup by
+   fingerprint): the composition a 100 TB corpus actually runs, as one
+   Catalyst plan with a single shuffle (the fingerprint dedup window).
+2. ``token_digit_histogram`` — corpus token-length distribution with a
+   fully engine-portable binning (decimal-digit bins, no float log).
+3. ``events_asof_last_error`` — an as-of join (most recent prior error
+   per user at each purchase), the canonical "operator Spark lacks"
+   expressed as a composition of existing DataFrame ops: a running
+   ``last(..., ignorenulls)`` over a rows-window — no join at all, one
+   shuffle on the partition key, O(n) per partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.window import Window
+
+from logstash_filter_jdbc_static_spark.operators import text as X
+from logstash_filter_jdbc_static_spark.queries import register
+from logstash_filter_jdbc_static_spark.queries_data import (
+    _PUNCT_CLASS,
+    _STOP_PAT,
+    _sql_lang_case,
+    _sql_score,
+    _LANGS,
+)
+from logstash_filter_jdbc_static_spark.sources.registry import load_table_split
+
+# ------------------------------------------------------------------
+# 1. Curation pipeline: analyze -> filter(quality, lang, token band) ->
+#    exact-dedup (first doc_id per fingerprint wins). The kept rows are
+#    returned (row-level oracle compare, stronger than counts).
+# ------------------------------------------------------------------
+
+_CURATION_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, source, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         {", ".join(f"{_sql_score(l)} AS s_{l}" for l in _LANGS)}
+  FROM documents
+),
+analyzed AS (
+  SELECT doc_id, source,
+         CAST(n_tok AS BIGINT) AS n_tokens,
+         {_sql_lang_case()} AS detected_lang,
+         ((CASE WHEN n_tok BETWEEN 10 AND 10000 THEN 1 ELSE 0 END)
+          + (CASE WHEN length(regexp_replace(text, '{_PUNCT_CLASS}', '', 'g'))
+                       / greatest(length(text), 1) <= 0.2 THEN 1 ELSE 0 END)
+          + (CASE WHEN len(regexp_extract_all(lower(text), '{_STOP_PAT}', 0))
+                       / greatest(n_tok, 1) >= 0.01 THEN 1 ELSE 0 END)
+          + (CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) / greatest(n_tok, 1)
+                       BETWEEN 2.0 AND 12.0 THEN 1 ELSE 0 END)) / 4.0 AS quality_score,
+         substr(md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))), 1, 16) AS fingerprint
+  FROM scored
+),
+filtered AS (
+  SELECT * FROM analyzed
+  WHERE quality_score >= 0.5 AND detected_lang <> 'und' AND n_tokens >= 5
+)
+SELECT doc_id, source, n_tokens, detected_lang, quality_score, fingerprint
+FROM filtered
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+"""
+
+
+@register("documents_curation_pipeline", _CURATION_SQL)
+def documents_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_split(spark, sf_dir, "documents")
+    analyzed = X.analyze(docs).select(
+        "doc_id", "source", "n_tokens", "detected_lang", "quality_score",
+        "fingerprint",
+    )
+    kept = analyzed.filter(
+        (F.col("quality_score") >= 0.5)
+        & (F.col("detected_lang") != "und")
+        & (F.col("n_tokens") >= 5)
+    )
+    # Exact dedup: the ONLY shuffle in the whole pipeline (hash on
+    # fingerprint). At 100 TB this is the canonical dedup shuffle; the
+    # analyze/filter stages above it are shuffle-free scans, so filter
+    # selectivity shrinks the shuffle input before it happens.
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ------------------------------------------------------------------
+# 2. Token-length histogram, decimal-digit bins: bin = number of digits
+#    of n_tokens (1 -> 1..9 tokens, 2 -> 10..99, ...). length(cast) is
+#    bit-portable across engines; float log2 binning is not guaranteed
+#    to round identically at bin edges.
+# ------------------------------------------------------------------
+
+_HISTOGRAM_SQL = """
+WITH t AS (
+  SELECT CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+)
+SELECT CAST(length(CAST(n_tok AS VARCHAR)) AS INTEGER) AS digits_bin,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens_total,
+       CAST(min(n_tok) AS BIGINT) AS min_tokens,
+       CAST(max(n_tok) AS BIGINT) AS max_tokens
+FROM t
+GROUP BY 1
+"""
+
+
+@register("token_digit_histogram", _HISTOGRAM_SQL)
+def token_digit_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_split(spark, sf_dir, "documents")
+    n_tok = X.token_count("text")
+    return (
+        docs.select(n_tok.alias("n_tok"))
+        .groupBy(
+            F.length(F.col("n_tok").cast("string")).cast("int").alias("digits_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens_total"),
+            F.min("n_tok").alias("min_tokens"),
+            F.max("n_tok").alias("max_tokens"),
+        )
+    )
+
+
+# ------------------------------------------------------------------
+# 3. As-of join: for every purchase event, the most recent PRIOR error
+#    event of the same user (ts and value), plus the gap in seconds.
+#    Composition form (SURVEY task: custom operator as existing-op
+#    composition): running last(when(error), ignorenulls) over
+#    rows-between(unbounded, -1) — strictly prior, same-row excluded.
+# ------------------------------------------------------------------
+
+_ASOF_SQL = """
+WITH marked AS (
+  SELECT user_id, event_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'error' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_ts,
+         last_value(CASE WHEN event_type = 'error' THEN value END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_error_value
+  FROM events
+)
+SELECT user_id, event_id, ts, last_error_ts,
+       round(last_error_value, 4) AS last_error_value,
+       CAST(date_diff('second', last_error_ts, ts) AS BIGINT) AS secs_since_error
+FROM marked
+WHERE event_type = 'purchase'
+"""
+
+
+@register("events_asof_last_error", _ASOF_SQL)
+def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    err_ts = F.last(
+        F.when(F.col("event_type") == "error", F.col("ts")), ignorenulls=True
+    ).over(w)
+    err_val = F.last(
+        F.when(F.col("event_type") == "error", F.col("value")), ignorenulls=True
+    ).over(w)
+    marked = ev.select(
+        "user_id", "event_id", "ts", "event_type",
+        err_ts.alias("last_error_ts"),
+        err_val.alias("last_error_value"),
+    )
+    return marked.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "last_error_ts",
+        F.round("last_error_value", 4).alias("last_error_value"),
+        (
+            F.unix_timestamp("ts") - F.unix_timestamp("last_error_ts")
+        ).alias("secs_since_error"),
+    )

@@ -1,0 +1,86 @@
+"""Wave-4 queries: behavior + plan-shape regression tests.
+
+Correctness vs DuckDB is owned by the parity gate (tools/check_parity.py
+runs every registered oracle); these tests pin the physical properties
+the queries were designed around — shuffle counts and operator choice —
+plus the semantic edge cases the oracle's row-hash can't localize.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_jdbc_static_spark.queries_pipeline4 import (
+    documents_curation_pipeline,
+    events_asof_last_error,
+    token_digit_histogram,
+)
+
+
+def _plan(df, mode="simple") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+class TestCurationPipeline:
+    def test_dedup_keeps_first_doc_id_per_fingerprint(self, spark, sf_dir):
+        kept = documents_curation_pipeline(spark, sf_dir)
+        per_fp = kept.groupBy("fingerprint").count()
+        assert per_fp.filter(F.col("count") > 1).count() == 0
+
+    def test_single_shuffle(self, spark, sf_dir):
+        """analyze + filter are scan-local; only the dedup window
+        shuffles (hash on fingerprint)."""
+        plan = _plan(documents_curation_pipeline(spark, sf_dir))
+        sigs = set(
+            re.findall(r"(?<!Broadcast)Exchange (hashpartitioning\([^)]*\))", plan)
+        )
+        assert len(sigs) == 1, sigs
+        assert "fingerprint" in next(iter(sigs))
+        assert "Join" not in plan  # dedup is a window, never a self-join
+
+    def test_filter_is_selective_not_empty(self, spark, sf_dir):
+        kept = documents_curation_pipeline(spark, sf_dir)
+        n_kept = kept.count()
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert 0 < n_kept < n_docs
+
+
+class TestAsofJoin:
+    def test_no_join_single_shuffle(self, spark, sf_dir):
+        """The as-of is a running window, not a join: one exchange on
+        user_id, zero join operators — O(n) per partition at 100 TB."""
+        plan = _plan(events_asof_last_error(spark, sf_dir))
+        assert "Join" not in plan
+        sigs = set(
+            re.findall(r"(?<!Broadcast)Exchange (hashpartitioning\([^)]*\))", plan)
+        )
+        assert len(sigs) == 1, sigs
+        assert "user_id" in next(iter(sigs))
+
+    def test_strictly_prior_semantics(self, spark, sf_dir):
+        """last_error_ts is strictly before the purchase ts (rows window
+        ends at -1, so a same-row error can never match itself)."""
+        out = events_asof_last_error(spark, sf_dir)
+        bad = out.filter(F.col("last_error_ts") > F.col("ts")).count()
+        assert bad == 0
+        # And gap is non-negative whenever an error exists.
+        assert out.filter(F.col("secs_since_error") < 0).count() == 0
+
+    def test_purchases_without_prior_error_are_null(self, spark, sf_dir):
+        out = events_asof_last_error(spark, sf_dir)
+        nulls = out.filter(F.col("last_error_ts").isNull())
+        assert nulls.filter(F.col("secs_since_error").isNotNull()).count() == 0
+
+
+class TestTokenHistogram:
+    def test_bins_partition_the_corpus(self, spark, sf_dir):
+        hist = token_digit_histogram(spark, sf_dir).collect()
+        n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+        assert sum(r["n_docs"] for r in hist) == n_docs
+        for r in hist:
+            assert len(str(r["min_tokens"])) == r["digits_bin"]
+            assert len(str(r["max_tokens"])) == r["digits_bin"]
