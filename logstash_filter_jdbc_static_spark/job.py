@@ -209,28 +209,59 @@ def run_job(
     with_batch = transcripts.withColumn("batch", batch_col)
 
     routed_path = os.path.join(output, "routed")
+    pending = [b for b in range(batches) if f"batch={b}" not in done]
     processed: list[str] = []
-    for b in range(batches):
-        part = f"batch={b}"
-        if part in done:
-            continue
-        rows = with_batch.filter(F.col("batch") == b)
-        routed = enrich_and_route(rows, enricher)
-        out = routed_projection(routed).withColumn("batch", F.lit(b))
-        # Idempotent: dynamic partition overwrite replaces exactly this
-        # batch's files under each route on re-run after a crash. No
-        # repartition — the scan's partitioning is already parallel and a
-        # pre-write shuffle of the full fact table would be the single
-        # most expensive operation in the job at 100 TB.
+
+    def _mark(batch_ids: list[int]) -> None:
+        """Per-batch row counts from the written sinks + lineage records."""
+        by_batch = {
+            r["batch"]: r["n"]
+            for r in spark.read.format(fmt)
+            .load(routed_path)
+            .groupBy("batch")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for b in batch_ids:
+            lineage.mark_done(
+                f"batch={b}",
+                by_batch.get(b, 0),
+                metrics={"elapsed_s": round(time.time() - t0, 3)},
+            )
+            processed.append(f"batch={b}")
+
+    if len(pending) == batches:
+        # Fresh run: ONE pass over the input writes every batch at once
+        # (dynamic partitioning fans the rows out) — per-batch scans here
+        # would read the full 100 TB input once PER batch. A crash before
+        # the write commits leaves nothing marked done; the rerun takes
+        # this same path and the overwrite is idempotent. No repartition:
+        # a pre-write shuffle of the full fact table would be the single
+        # most expensive operation in the job at scale.
+        routed = enrich_and_route(with_batch.drop("batch"), enricher)
+        out = routed_projection(routed).withColumn("batch", batch_col)
         (
             out.write.mode("overwrite")
             .partitionBy("batch", "route")
             .format(fmt)
             .save(routed_path)
         )
-        n = spark.read.format(fmt).load(routed_path).filter(F.col("batch") == b).count()
-        lineage.mark_done(part, n, metrics={"elapsed_s": round(time.time() - t0, 3)})
-        processed.append(part)
+        _mark(pending)
+    else:
+        # Resume: scan only the missing batches (partition-pruned by the
+        # batch filter before parse/enrich), idempotent per-batch
+        # dynamic-partition overwrite.
+        for b in pending:
+            rows = with_batch.filter(F.col("batch") == b)
+            routed = enrich_and_route(rows, enricher)
+            out = routed_projection(routed).withColumn("batch", F.lit(b))
+            (
+                out.write.mode("overwrite")
+                .partitionBy("batch", "route")
+                .format(fmt)
+                .save(routed_path)
+            )
+            _mark([b])
 
     # Per-sink aggregate (the correctness oracle) over the full routed
     # output — recomputed from the sinks themselves so the numbers always

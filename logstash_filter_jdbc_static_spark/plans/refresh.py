@@ -95,7 +95,18 @@ class DimensionStore:
                 # loader column order must match declared schema
                 # (docs/index.asciidoc:265-275): align by position.
                 df = df.toDF(*[f.name for f in obj.schema.fields])
-            staged[loader.table] = df
+            # PIN the snapshot: a lazy frame over a remote source (JDBC)
+            # would re-query the remote on every downstream action —
+            # both a per-query re-fetch (defeating the local-cache
+            # premise, docs/index.asciidoc:40-45) and a violation of the
+            # old-or-new-never-partial swap contract
+            # (read_write_database.rb:22-28,64-100). collect + local
+            # relation IS the reference's "import into the local db",
+            # bounded by max_rows (loader.rb:65-74), and makes the
+            # broadcast build side a driver-local relation (no scan job).
+            staged[loader.table] = self.spark.createDataFrame(
+                df.collect(), df.schema
+            )
         self.snapshots.update(staged)
 
     def dims(self) -> dict[str, DataFrame]:

@@ -1,0 +1,200 @@
+"""A1/A17 against a REAL embedded Apache Derby database — the exact
+engine the reference embeds (basic_database.rb:9-10: EmbeddedDriver,
+``jdbc:derby:memory:...;create=true``). The Derby jars ship in
+/opt/spark/jars, so the genuine ``spark.read.format("jdbc")`` loader
+path is exercised end-to-end: seed Derby via Spark's JDBC writer, fetch
+with a loader SELECT, guard with max_rows, broadcast-join the snapshot,
+and reload after the remote table changes (rspec parity:
+spec/filters/jdbc_static_spec.rb:59-125, 141-158).
+
+Unique in-memory db name per session mirrors read_write_database.rb:56-60.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
+from logstash_filter_jdbc_static_spark.plans.refresh import (
+    DimensionStore,
+    fetch_with_guard,
+)
+from logstash_filter_jdbc_static_spark.sources.jdbc import jdbc_fetch, make_fetcher
+from logstash_filter_jdbc_static_spark.sources.transcripts import (
+    SERVERS_ROWS,
+    SERVERS_SCHEMA,
+)
+from logstash_filter_jdbc_static_spark.spec import LoaderSpec, PipelineSpec
+
+DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+DB_NAME = f"refdb_{uuid.uuid4().hex[:8]}"
+URL = f"jdbc:derby:memory:{DB_NAME};create=true"
+
+
+def _loader(query: str, table: str = "servers", **kw) -> LoaderSpec:
+    spec = LoaderSpec(
+        {
+            "id": table,
+            "local_table": table,
+            "query": query,
+            "jdbc_driver_class": DRIVER,
+            "jdbc_connection_string": URL,
+            **kw,
+        }
+    )
+    assert not spec.option_errors, spec.option_errors
+    return spec
+
+
+@pytest.fixture(scope="module")
+def derby_servers(spark):
+    """Seed the canonical 3-row servers table (rspec fixture, embedded
+    quote included) into in-memory Derby through Spark's JDBC writer."""
+    (
+        spark.createDataFrame(SERVERS_ROWS, SERVERS_SCHEMA)
+        .write.format("jdbc")
+        .option("url", URL)
+        .option("driver", DRIVER)
+        .option("dbtable", "servers")
+        # VARCHAR, not Derby's default CLOB: the reference declares
+        # varchar columns (spec/filters/jdbc_static_spec.rb:28) and CLOB
+        # would reject WHERE comparisons.
+        .option(
+            "createTableColumnTypes",
+            "ip VARCHAR(64), name VARCHAR(64), location VARCHAR(64)",
+        )
+        .mode("overwrite")
+        .save()
+    )
+    return URL
+
+
+class TestDerbyLoader:
+    def test_fetch_returns_canonical_rows(self, spark, derby_servers):
+        df = jdbc_fetch(
+            spark, _loader('SELECT "ip", "name", "location" FROM servers ORDER BY "ip"')
+        )
+        rows = [(r.ip, r.name, r.location) for r in df.collect()]
+        assert rows == sorted(SERVERS_ROWS)
+        # The embedded quote survived the real JDBC round-trip
+        # (rspec asserts mv-serv'r-1, jdbc_static_spec.rb:94).
+        assert rows[2][1] == "mv-serv'r-1"
+
+    def test_projection_alias_pushed_to_remote(self, spark, derby_servers):
+        """Loader queries use SQL aliases so remote columns match the
+        local schema (docs/index.asciidoc:455-458) — executed by the
+        remote engine, not rewritten by us."""
+        df = jdbc_fetch(
+            spark, _loader('SELECT "ip", "name" AS "server_name" FROM servers')
+        )
+        assert df.columns == ["ip", "server_name"]
+
+    def test_max_rows_guard_on_real_source(self, spark, derby_servers):
+        loader = _loader('SELECT "ip", "name", "location" FROM servers', max_rows=2)
+        guarded = fetch_with_guard(make_fetcher(spark, loader), loader, spark)
+        assert guarded.count() == 0
+        assert guarded.columns == ["ip", "name", "location"]
+
+    def test_enrichment_through_real_derby_dim(self, spark, derby_servers):
+        """The canonical hit case end-to-end with the dim actually loaded
+        from Derby over JDBC (rspec jdbc_static_spec.rb:90-96)."""
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        assert store.reload_count == 1
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "server",
+                    "query": "SELECT * FROM servers WHERE ip = :ip",
+                    "parameters": {"ip": "from_ip"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame(
+            [("e1", "10.3.1.1"), ("e2", "10.9.9.9")], ["event", "from_ip"]
+        )
+        out = LookupEnricher(spec, store.dims()).apply(fact).orderBy("event")
+        hit, miss = out.collect()
+        assert [r.asDict() for r in hit.server] == [
+            {"ip": "10.3.1.1", "name": "mv-serv'r-1", "location": "MV-9-6-4"}
+        ]
+        assert list(miss.server) == []  # valid-but-empty => [] (rspec :98-105)
+
+    def test_reload_sees_remote_changes(self, spark, derby_servers):
+        """Scheduled-reload semantics (rspec :141-158): a row added to the
+        remote table is visible after refresh(), not before."""
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        before = store.dims()["servers"]
+        spark.createDataFrame(
+            [("10.7.1.1", "sfo-server-1", "SFO-1-1-1")], SERVERS_SCHEMA
+        ).write.format("jdbc").option("url", URL).option("driver", DRIVER).option(
+            "dbtable", "servers"
+        ).mode("append").save()
+        assert before.filter(F.col("ip") == "10.7.1.1").count() == 0
+        store.refresh()
+        assert store.reload_count == 2
+        assert store.dims()["servers"].filter(F.col("ip") == "10.7.1.1").count() == 1
+        # The pre-reload snapshot is PINNED (old-or-new, never drifting:
+        # read_write_database.rb:22-28): it still answers from the old
+        # state even though Derby has already changed underneath it.
+        assert before.filter(F.col("ip") == "10.7.1.1").count() == 0
+        assert before.count() == 3
+
+
+class TestDerbyLargeRecordset:
+    def test_65536_row_dim_last_row_lookup(self, spark):
+        """rspec 'large recordset' case (jdbc_static_spec.rb:107-125):
+        256x256 = 65,536 rows loaded through real JDBC, exact-match
+        lookup of the last row."""
+        url = f"jdbc:derby:memory:big_{uuid.uuid4().hex[:8]};create=true"
+        big = spark.range(0, 65536).select(
+            F.concat(
+                F.lit("192.168."),
+                (F.col("id") / 256).cast("int").cast("string"),
+                F.lit("."),
+                (F.col("id") % 256).cast("string"),
+            ).alias("ip"),
+            F.concat(F.lit("server-"), F.col("id").cast("string")).alias("name"),
+        )
+        (
+            big.coalesce(1)
+            .write.format("jdbc")
+            .option("url", url)
+            .option("driver", DRIVER)
+            .option("dbtable", "big_servers")
+            .option("createTableColumnTypes", "ip VARCHAR(64), name VARCHAR(64)")
+            .option("batchsize", "10000")
+            .mode("overwrite")
+            .save()
+        )
+        loader = LoaderSpec(
+            {
+                "id": "big",
+                "local_table": "big_servers",
+                "query": 'SELECT "ip", "name" FROM big_servers',
+                "jdbc_driver_class": DRIVER,
+                "jdbc_connection_string": url,
+            }
+        )
+        dim = fetch_with_guard(make_fetcher(spark, loader), loader, spark)
+        assert dim.count() == 65536  # default max_rows=1M admits it
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "server",
+                    "query": "SELECT name FROM big_servers WHERE ip = :ip",
+                    "parameters": {"ip": "from_ip"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("192.168.255.255",)], ["from_ip"])
+        out = LookupEnricher(spec, {"big_servers": dim}).apply(fact)
+        assert [r.asDict() for r in out.collect()[0].server] == [
+            {"name": "server-65535"}
+        ]
