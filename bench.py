@@ -41,6 +41,8 @@ HEADLINE = [
     "relational_agg_pricing",
     "relational_join_nation_region",
     "events_rollup",
+    "documents_curation_pipeline",
+    "events_asof_last_error",
 ]
 
 

@@ -185,3 +185,77 @@ def events_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_timestamp("ts") - F.unix_timestamp("last_error_ts")
         ).alias("secs_since_error"),
     )
+
+
+# ------------------------------------------------------------------
+# 4. Typed (non-string) parameter binding: an INTEGER param derived from
+#    the event's TIMESTAMP (the reference unwraps Logstash Timestamps to
+#    raw time before binding, lookup.rb:190-196; params keep their value
+#    type through the bind). Dim covers hours 6..21 only, so night turns
+#    take the default_hash path — type fidelity on both hit and miss.
+# ------------------------------------------------------------------
+
+SHIFT_ROWS = [
+    (h, "early" if h < 10 else ("core" if h < 18 else "late"))
+    for h in range(6, 22)
+]
+_SHIFTS_CTE = (
+    "oncall_shifts(hour_start, shift) AS (SELECT CAST(hour_start AS INTEGER), shift "
+    "FROM (VALUES "
+    + ", ".join(f"({h}, '{s}')" for h, s in SHIFT_ROWS)
+    + ") AS t(hour_start, shift))"
+)
+
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher  # noqa: E402
+from logstash_filter_jdbc_static_spark.sources.transcripts import (  # noqa: E402
+    TRANSCRIPTS_CTE,
+    load_transcripts,
+    with_ctes,
+)
+from logstash_filter_jdbc_static_spark.spec import PipelineSpec  # noqa: E402
+from pyspark.sql import types as T  # noqa: E402
+
+
+@register(
+    "lookup_int_ts_param",
+    with_ctes(
+        _SHIFTS_CTE,
+        TRANSCRIPTS_CTE,
+        body="""
+        SELECT t.conv_id, t.turn_idx,
+               CAST(hour(t.ts) AS INTEGER) AS ts_hour,
+               coalesce(s.shift, 'night-skeleton') AS shift
+        FROM transcripts t
+        LEFT JOIN oncall_shifts s ON s.hour_start = CAST(hour(t.ts) AS INTEGER)
+        """,
+    ),
+)
+def lookup_int_ts_param(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    parsed = t.withColumn("ts_hour", F.hour("ts").cast("int"))
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "oncall",
+                "query": "SELECT shift FROM oncall_shifts WHERE hour_start = :h",
+                "parameters": {"h": "ts_hour"},
+                "default_hash": {"shift": "night-skeleton"},
+            }
+        ]
+    )
+    dim = spark.createDataFrame(
+        SHIFT_ROWS,
+        T.StructType(
+            [
+                T.StructField("hour_start", T.IntegerType(), False),
+                T.StructField("shift", T.StringType(), False),
+            ]
+        ),
+    )
+    out = LookupEnricher(spec, {"oncall_shifts": dim}).apply(parsed)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ts_hour",
+        F.get(F.col("oncall"), 0).getField("shift").alias("shift"),
+    )
