@@ -60,17 +60,25 @@ class DimensionStore:
         self.snapshots: dict[str, DataFrame] = {}
         self.reload_count = 0
         self.last_load_ts: float | None = None
+        self.last_errors: dict[str, str] = {}
 
-    # SingleLoadRunner#initial_load (single_load_runner.rb:20-24)
+    # SingleLoadRunner#initial_load (single_load_runner.rb:20-24).
+    # Connection failures here RAISE: the reference verifies the remote
+    # connection eagerly at register (loader.rb:17-19,
+    # basic_database.rb:85-115) — a pipeline that never loaded has no old
+    # snapshot to fall back on.
     def initial_load(self) -> None:
         self._build_db_objects(preserving=True)
-        self._populate_all()
+        self._populate_all(strict=True)
         self.reload_count += 1
         self.last_load_ts = time.time()
 
-    # RepeatingLoadRunner#repeated_load (repeating_load_runner.rb:8-12)
+    # RepeatingLoadRunner#repeated_load (repeating_load_runner.rb:8-12).
+    # Connection failures on RELOAD are swallowed and the previous
+    # snapshot keeps serving ("hope it works next time",
+    # read_write_database.rb:88-90); the error is kept for observability.
     def refresh(self) -> None:
-        self._populate_all()
+        self._populate_all(strict=False)
         self.reload_count += 1
         self.last_load_ts = time.time()
 
@@ -83,13 +91,26 @@ class DimensionStore:
             assert obj.schema is not None
             self.snapshots[name] = self.spark.createDataFrame([], obj.schema)
 
-    def _populate_all(self) -> None:
+    def _populate_all(self, strict: bool = True) -> None:
         """Fetch every loader then swap all snapshots at once — the
         write-lock equivalent (read_write_database.rb:64-100): readers
-        holding the previous dict values keep a consistent old snapshot."""
+        holding the previous dict values keep a consistent old snapshot.
+
+        ``strict=False`` (reload path): a loader whose fetch fails with a
+        connection error is skipped — its previous snapshot stays live —
+        instead of failing the whole refresh."""
+        from logstash_filter_jdbc_static_spark.sources.jdbc import ConnectionError_
+
         staged: dict[str, DataFrame] = {}
+        self.last_errors: dict[str, str] = {}
         for loader, fetch in self.loaders:
-            df = fetch_with_guard(fetch, loader, self.spark)
+            try:
+                df = fetch_with_guard(fetch, loader, self.spark)
+            except ConnectionError_ as e:
+                if strict:
+                    raise
+                self.last_errors[loader.table] = str(e)
+                continue
             obj = self.db_objects.get(loader.table)
             if obj is not None and obj.schema is not None:
                 # loader column order must match declared schema

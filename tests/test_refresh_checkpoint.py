@@ -121,3 +121,46 @@ class TestCheckpointResume:
         df = spark.read.parquet(out)
         assert df.count() == 9  # 3 rows x 3 partitions, no duplicates
         assert os.path.exists(lineage.path)
+
+
+class TestReloadErrorSwallow:
+    """A17 reload semantics: connection errors at initial load are fatal
+    (eager verification, loader.rb:17-19); the SAME error during a
+    scheduled reload is swallowed and the previous snapshot keeps
+    serving ("hope it works next time", read_write_database.rb:88-90)."""
+
+    def _store(self, spark, state):
+        from logstash_filter_jdbc_static_spark.sources.jdbc import ConnectionError_
+
+        def fetch():
+            if state["fail"]:
+                raise ConnectionError_("remote is down")
+            return spark.createDataFrame(
+                [("10.1.1.1", "srv", "L1")], SERVERS_SCHEMA
+            )
+
+        loader = LoaderSpec({"local_table": "servers", "query": "select 1"})
+        return DimensionStore(spark, [], [(loader, fetch)])
+
+    def test_initial_load_raises(self, spark):
+        import pytest as _pytest
+
+        from logstash_filter_jdbc_static_spark.sources.jdbc import ConnectionError_
+
+        store = self._store(spark, {"fail": True})
+        with _pytest.raises(ConnectionError_):
+            store.initial_load()
+
+    def test_reload_keeps_old_snapshot(self, spark):
+        state = {"fail": False}
+        store = self._store(spark, state)
+        store.initial_load()
+        assert store.dims()["servers"].count() == 1
+        state["fail"] = True
+        store.refresh()  # must NOT raise
+        assert store.reload_count == 2
+        assert store.dims()["servers"].count() == 1  # old snapshot lives
+        assert "servers" in store.last_errors
+        state["fail"] = False
+        store.refresh()
+        assert store.last_errors == {}
