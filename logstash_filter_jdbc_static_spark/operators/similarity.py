@@ -204,3 +204,71 @@ def embedding_near_dup_pairs(
         .select("id_a", "id_b", "cos_sim")
         .distinct()
     )
+
+
+def kmeans_lloyd(
+    df: DataFrame,
+    k: int = 8,
+    n_iters: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[tuple[int, list[float]]], list[float]]:
+    """Spherical k-means (Lloyd) — the training step that turns the IVF
+    index from a fixed-subset quantizer into a learned one. Iterative
+    algorithm done Spark-shaped: the driver holds ONLY the k centroids
+    (k * n_dims floats); each iteration is one broadcast-join assignment
+    over the corpus (``ivf_assign``) plus a per-dimension mean
+    (posexplode -> avg -> regroup) — no corpus data ever reaches the
+    driver, so iterations cost O(corpus) cluster work and O(k*d) driver
+    memory regardless of scale.
+
+    Deterministic: init = the k lowest-id vectors; ties in assignment
+    break by centroid id (ivf_assign); empty clusters keep their
+    previous centroid.
+
+    Returns (final assignment df, centroids, mean-similarity history).
+    """
+    spark = df.sparkSession
+    schema = f"{id_col} bigint, {vec_col} array<double>"
+    init = df.orderBy(id_col).limit(k).select(vec_col).collect()
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r[vec_col]]) for i, r in enumerate(init)
+    ]
+    history: list[float] = []
+    for _ in range(n_iters):
+        c_df = spark.createDataFrame(cents, schema)
+        assigned = ivf_assign(df, c_df, id_col, vec_col)
+        with_sim = assigned.join(
+            F.broadcast(
+                c_df.select(
+                    F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+                )
+            ),
+            "centroid_id",
+        ).withColumn("sim", cosine(F.col(vec_col), F.col("c_vec")))
+        # ONE job computes both the quality metric and the new means.
+        upd = (
+            with_sim.select(
+                "centroid_id", "sim", F.posexplode(F.col(vec_col))
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("col").alias("m"), F.avg("sim").alias("s"), F.count("*").alias("n"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s.getField("m"),
+                ).alias("vec"),
+                F.first("s").alias("mean_sim"),
+                F.first("n").alias("n_members"),
+            )
+            .collect()
+        )
+        by_id = {r["centroid_id"]: [float(x) for x in r["vec"]] for r in upd}
+        total = sum(r["n_members"] for r in upd)
+        history.append(
+            float(sum(r["mean_sim"] * r["n_members"] for r in upd) / max(total, 1))
+        )
+        cents = [(cid, by_id.get(cid, vec)) for cid, vec in cents]
+    final = ivf_assign(df, spark.createDataFrame(cents, schema), id_col, vec_col)
+    return final.select(id_col, "centroid_id"), cents, history

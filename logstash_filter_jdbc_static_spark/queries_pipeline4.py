@@ -259,3 +259,21 @@ def lookup_int_ts_param(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_hour",
         F.get(F.col("oncall"), 0).getField("shift").alias("shift"),
     )
+
+
+# ------------------------------------------------------------------
+# 5. Trained vector quantization: Lloyd k-means over the embeddings
+#    table (spherical, deterministic init/tiebreaks). Genuinely
+#    iterative => no single SQL oracle (driver records the rows-only
+#    check); the invariants are pinned in tests/test_wave4_queries.py
+#    (determinism, monotone quality vs init, exactly-one-cell-per-vec).
+# ------------------------------------------------------------------
+
+from logstash_filter_jdbc_static_spark.operators import similarity as S  # noqa: E402
+
+
+@register("embeddings_kmeans")
+def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assigned, _cents, _hist = S.kmeans_lloyd(emb, k=8, n_iters=3)
+    return assigned

@@ -84,3 +84,43 @@ class TestTokenHistogram:
         for r in hist:
             assert len(str(r["min_tokens"])) == r["digits_bin"]
             assert len(str(r["max_tokens"])) == r["digits_bin"]
+
+
+class TestKmeansLloyd:
+    @pytest.fixture(scope="class")
+    def trained(self, spark, sf_dir):
+        from logstash_filter_jdbc_static_spark.operators.similarity import (
+            kmeans_lloyd,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        assigned, cents, hist = kmeans_lloyd(emb, k=8, n_iters=3)
+        return emb, assigned.cache(), cents, hist
+
+    def test_every_vector_in_exactly_one_cell(self, trained):
+        emb, assigned, _c, _h = trained
+        assert assigned.count() == emb.count()
+        assert assigned.select("vec_id").distinct().count() == emb.count()
+
+    def test_k_centroids_survive(self, trained):
+        _e, assigned, cents, _h = trained
+        assert len(cents) == 8
+        assert assigned.select("centroid_id").distinct().count() <= 8
+
+    def test_training_improves_quality(self, trained):
+        """Mean cosine-to-centroid after training beats the untrained
+        (iteration-0) assignment — the point of running Lloyd at all."""
+        _e, _a, _c, hist = trained
+        assert len(hist) == 3
+        assert hist[-1] >= hist[0]
+
+    def test_deterministic(self, spark, sf_dir, trained):
+        from logstash_filter_jdbc_static_spark.operators.similarity import (
+            kmeans_lloyd,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        again, cents2, _ = kmeans_lloyd(emb, k=8, n_iters=3)
+        _e, assigned, cents, _h = trained
+        assert assigned.exceptAll(again).count() == 0
+        assert again.exceptAll(assigned).count() == 0
