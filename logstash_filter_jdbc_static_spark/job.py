@@ -51,10 +51,55 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from logstash_filter_jdbc_static_spark.operators.aggregate import sink_counts  # noqa: E402
 from logstash_filter_jdbc_static_spark.plans.checkpoint import LineageLog  # noqa: E402
 from logstash_filter_jdbc_static_spark.plans.pipeline import (  # noqa: E402
+    TRANSCRIPT_GROK,
     build_enricher,
     enrich_and_route,
     routed_projection,
 )
+
+
+def build_configured_pipeline(spark: SparkSession, pipeline):
+    """--pipeline mode: a JSON config carrying the plugin's own surface
+    (local_lookups / local_db_objects / loaders / tag_* — see
+    PipelineSpec.from_json) plus ``grok``/``grok_required`` for the parse
+    stage. Loaders fetch through the real JDBC source and snapshots pin
+    via DimensionStore (initial load fails fast, reference
+    loader.rb:17-19). Returns (enricher, parser, projection_fn)."""
+    import json as _json
+
+    from logstash_filter_jdbc_static_spark.operators.parse import GrokParser
+    from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
+    from logstash_filter_jdbc_static_spark.plans.refresh import DimensionStore
+    from logstash_filter_jdbc_static_spark.sources.jdbc import make_fetcher
+    from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+    cfg = pipeline if isinstance(pipeline, dict) else _json.load(open(pipeline))
+    spec = PipelineSpec.from_json(cfg)
+    store = DimensionStore(
+        spark,
+        spec.db_objects,
+        [(ld, make_fetcher(spark, ld)) for ld in spec.loaders],
+    )
+    store.initial_load()
+    enricher = LookupEnricher(spec, store.dims())
+    parser = GrokParser(
+        cfg.get("grok", TRANSCRIPT_GROK),
+        required=cfg.get("grok_required", ["from_ip"]),
+    )
+    targets = [lk.target for lk in spec.lookups]
+
+    def projection(routed: DataFrame) -> DataFrame:
+        """Generic sink projection: scalar transcript columns + route
+        bookkeeping + each lookup target JSON-encoded (schema-stable in
+        parquet regardless of the configured lookups)."""
+        return routed.select(
+            "conv_id", "turn_idx", "role", "tool", "text", "route",
+            F.array_join(F.col("tags"), ",").alias("tags_str"),
+            F.col("matched"),
+            *[F.to_json(F.col(t)).alias(f"{t}_json") for t in targets],
+        )
+
+    return enricher, parser, projection
 
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
@@ -171,6 +216,7 @@ def run_job(
     table_format: str = "parquet",
     run_id: str | None = None,
     warm: bool = False,
+    pipeline: str | dict | None = None,
 ) -> dict:
     """Execute the resumable job; returns a metrics summary dict.
 
@@ -187,12 +233,15 @@ def run_job(
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     t0 = time.time()
     transcripts = load_input(spark, input_arg)
-    enricher = build_enricher(spark)
+    if pipeline is not None:
+        enricher, parser, project = build_configured_pipeline(spark, pipeline)
+    else:
+        enricher, parser, project = build_enricher(spark), None, routed_projection
     if warm:
         warm_dir = os.path.join(output, "_warm")
-        warm_routed = enrich_and_route(transcripts.limit(50_000), enricher)
+        warm_routed = enrich_and_route(transcripts.limit(50_000), enricher, parser)
         sink_counts(warm_routed).count()
-        routed_projection(warm_routed).withColumn("batch", F.lit(0)).write.mode(
+        project(warm_routed).withColumn("batch", F.lit(0)).write.mode(
             "overwrite"
         ).partitionBy("batch", "route").format(fmt).save(warm_dir)
         spark.read.format(fmt).load(warm_dir).count()
@@ -238,8 +287,8 @@ def run_job(
         # this same path and the overwrite is idempotent. No repartition:
         # a pre-write shuffle of the full fact table would be the single
         # most expensive operation in the job at scale.
-        routed = enrich_and_route(with_batch.drop("batch"), enricher)
-        out = routed_projection(routed).withColumn("batch", batch_col)
+        routed = enrich_and_route(with_batch.drop("batch"), enricher, parser)
+        out = project(routed).withColumn("batch", batch_col)
         (
             out.write.mode("overwrite")
             .partitionBy("batch", "route")
@@ -253,8 +302,8 @@ def run_job(
         # dynamic-partition overwrite.
         for b in pending:
             rows = with_batch.filter(F.col("batch") == b)
-            routed = enrich_and_route(rows, enricher)
-            out = routed_projection(routed).withColumn("batch", F.lit(b))
+            routed = enrich_and_route(rows, enricher, parser)
+            out = project(routed).withColumn("batch", F.lit(b))
             (
                 out.write.mode("overwrite")
                 .partitionBy("batch", "route")
@@ -302,11 +351,15 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--warm", action="store_true",
                     help="bench mode: exclude one-time JIT/codegen compile "
                          "from elapsed_s by pre-running the plan shape")
+    ap.add_argument("--pipeline", default=None,
+                    help="JSON pipeline config (local_lookups / "
+                         "local_db_objects / loaders / tag_* / grok); "
+                         "default: the flagship two-lookup pipeline")
     args = ap.parse_args(argv)
     spark = submit_session()
     summary = run_job(
         spark, args.input, args.output, args.batches, args.table_format,
-        args.run_id, warm=args.warm,
+        args.run_id, warm=args.warm, pipeline=args.pipeline,
     )
     print(json.dumps(summary))
     spark.stop()

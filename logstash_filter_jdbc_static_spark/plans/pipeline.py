@@ -55,9 +55,13 @@ def build_enricher(spark: SparkSession, spec: PipelineSpec | None = None) -> Loo
     return LookupEnricher(spec or flagship_spec(), dims)
 
 
-def enrich_and_route(transcripts: DataFrame, enricher: LookupEnricher) -> DataFrame:
+def enrich_and_route(
+    transcripts: DataFrame,
+    enricher: LookupEnricher,
+    parser: GrokParser | None = None,
+) -> DataFrame:
     """parse -> enrich -> tags -> route, no aggregation."""
-    parser = GrokParser(TRANSCRIPT_GROK, required=["from_ip"])
+    parser = parser or GrokParser(TRANSCRIPT_GROK, required=["from_ip"])
     parsed = parser.apply(transcripts)
     enriched = enricher.apply(parsed)
     return with_route(enriched)

@@ -264,6 +264,25 @@ class PipelineSpec:
         if errors:
             raise ValidationError(errors)
 
+    @classmethod
+    def from_json(cls, source: str | dict) -> "PipelineSpec":
+        """Build from a JSON config file (or pre-parsed dict) carrying the
+        plugin's config surface 1:1: ``local_lookups``,
+        ``local_db_objects``, ``loaders``, ``tag_on_failure``,
+        ``tag_on_default_use`` (jdbc_static.rb:19-96), plus the
+        pipeline-level parse keys ``grok`` / ``grok_required`` consumed
+        by job.py."""
+        import json as _json
+
+        cfg = source if isinstance(source, dict) else _json.load(open(source))
+        return cls(
+            lookups=cfg.get("local_lookups", cfg.get("lookups", [])),
+            db_objects=cfg.get("local_db_objects"),
+            loaders=cfg.get("loaders"),
+            tag_on_failure=cfg.get("tag_on_failure"),
+            tag_on_default_use=cfg.get("tag_on_default_use"),
+        )
+
     def _validate_lookups(self) -> list[str]:
         """Uniqueness rules, messages verbatim (lookup_processor.rb:73-98)."""
         errors: list[str] = []

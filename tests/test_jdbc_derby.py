@@ -198,3 +198,67 @@ class TestDerbyLargeRecordset:
         assert [r.asDict() for r in out.collect()[0].server] == [
             {"name": "server-65535"}
         ]
+
+
+class TestConfiguredPipelineJob:
+    """The reference's full workflow as a user would configure it —
+    loaders (real Derby over JDBC) + local_db_objects + local_lookups in
+    one JSON config — run through the batch job entry (job.py
+    --pipeline): config -> loader fetch -> snapshot -> broadcast enrich
+    -> tag/route -> fan-out sinks."""
+
+    def test_job_with_json_pipeline_config(self, spark, derby_servers, tmp_path):
+        import json
+
+        from logstash_filter_jdbc_static_spark.job import run_job
+
+        cfg = {
+            "loaders": [
+                {
+                    "id": "servers",
+                    "local_table": "servers",
+                    "query": 'SELECT "ip", "name", "location" FROM servers',
+                    "jdbc_driver_class": DRIVER,
+                    "jdbc_connection_string": URL,
+                }
+            ],
+            "local_db_objects": [
+                {
+                    "name": "servers",
+                    "columns": [
+                        ["ip", "varchar(64)"],
+                        ["name", "varchar(64)"],
+                        ["location", "varchar(64)"],
+                    ],
+                    "index_columns": ["ip"],
+                }
+            ],
+            "local_lookups": [
+                {
+                    "id": "server",
+                    "query": "SELECT name, location FROM servers WHERE ip = :ip",
+                    "parameters": {"ip": "from_ip"},
+                    "default_hash": {"name": "unknown", "location": "NOWHERE"},
+                }
+            ],
+        }
+        cfg_path = tmp_path / "pipeline.json"
+        cfg_path.write_text(json.dumps(cfg))
+        out_dir = str(tmp_path / "out")
+        summary = run_job(
+            spark, "/root/testdata/sf0.001", out_dir, batches=2,
+            pipeline=str(cfg_path),
+        )
+        assert summary["rows_routed"] == 1000
+        routed = spark.read.parquet(f"{out_dir}/routed")
+        assert routed.filter(F.col("route") == "malformed").count() == 50
+        # Hits carry the Derby-loaded payload as JSON.
+        hits = routed.filter(
+            (F.col("route") == "hit") & F.col("text").contains("10.3.1.1")
+        )
+        assert hits.count() > 0
+        sample = hits.select("server_json").first()["server_json"]
+        assert '"name":"mv-serv\'r-1"' in sample
+        # Misses took the default_hash (10.4.* ips are not in the dim).
+        miss = routed.filter(F.col("route") == "miss").select("server_json").first()
+        assert '"name":"unknown"' in miss["server_json"]
