@@ -262,3 +262,94 @@ class TestConfiguredPipelineJob:
         # Misses took the default_hash (10.4.* ips are not in the dim).
         miss = routed.filter(F.col("route") == "miss").select("server_json").first()
         assert '"name":"unknown"' in miss["server_json"]
+
+
+class TestStreamingDerbyReload:
+    """A15 under Structured Streaming: the refresh_dims seam re-resolves
+    the dimension from REAL Derby per micro-batch run, so rows ingested
+    after the remote changed are enriched with the new snapshot while
+    already-written rows keep the old payload (append sink = the
+    streaming analog of rspec's reload case, jdbc_static_spec.rb:141-158)."""
+
+    def test_dim_refresh_between_stream_runs(self, spark, tmp_path):
+        import datetime
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+        from logstash_filter_jdbc_static_spark.plans.pipeline import flagship_spec
+        from logstash_filter_jdbc_static_spark.schema import TRANSCRIPT_SCHEMA
+        from logstash_filter_jdbc_static_spark.sources.transcripts import (
+            tool_catalog_df,
+        )
+        from logstash_filter_jdbc_static_spark.streaming.stream_pipeline import (
+            start_pipeline_stream,
+        )
+
+        url = f"jdbc:derby:memory:stream_{uuid.uuid4().hex[:8]};create=true"
+
+        def seed(name: str) -> None:
+            (
+                spark.createDataFrame(
+                    [("10.1.1.1", name, "LDN-2-3-4")], SERVERS_SCHEMA
+                )
+                .write.format("jdbc")
+                .option("url", url)
+                .option("driver", DRIVER)
+                .option("dbtable", "servers")
+                .option(
+                    "createTableColumnTypes",
+                    "ip VARCHAR(64), name VARCHAR(64), location VARCHAR(64)",
+                )
+                .mode("overwrite")
+                .save()
+            )
+
+        loader = LoaderSpec(
+            {
+                "id": "servers",
+                "local_table": "servers",
+                "query": 'SELECT "ip", "name", "location" FROM servers',
+                "jdbc_driver_class": DRIVER,
+                "jdbc_connection_string": url,
+            }
+        )
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        seed("ldn-server-v1")
+        store.initial_load()
+
+        def refresh_dims() -> LookupEnricher:
+            store.refresh()  # per-micro-batch reload (A14/A15)
+            return LookupEnricher(
+                flagship_spec(),
+                {**store.dims(), "tool_catalog": tool_catalog_df(spark)},
+            )
+
+        def turns(offset: int):
+            ts = datetime.datetime(2024, 1, 1)
+            return [
+                (f"conv-{offset}", i, "user",
+                 "call tool=tool_0 from_ip=10.1.1.1 type=x", "tool_0", ts)
+                for i in range(5)
+            ]
+
+        src, sink, ckpt = (
+            str(tmp_path / d) for d in ("src", "sink", "ckpt")
+        )
+        spark.createDataFrame(turns(0), TRANSCRIPT_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        start_pipeline_stream(spark, src, sink, ckpt, refresh_dims).awaitTermination(120)
+
+        seed("ldn-server-v2")  # remote changes AFTER the first run
+        spark.createDataFrame(turns(1), TRANSCRIPT_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        start_pipeline_stream(spark, src, sink, ckpt, refresh_dims).awaitTermination(120)
+
+        out = spark.read.parquet(sink).select(
+            "conv_id", F.get(F.col("server"), 0).getField("name").alias("srv")
+        )
+        got = {r["conv_id"]: r["srv"] for r in out.distinct().collect()}
+        assert got == {"conv-0": "ldn-server-v1", "conv-1": "ldn-server-v2"}
+        assert store.reload_count >= 3  # initial + one per stream run
