@@ -114,11 +114,19 @@ def submit_session(app_name: str = "jdbc-static-enrich") -> SparkSession:
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.session.timeZone": "UTC",
         "spark.sql.sources.partitionOverwriteMode": "dynamic",
+        # Sink codec: measured 40% smaller routed sinks than snappy at
+        # equal wall-time on the 20M-turn bench — at 100 TB that is
+        # storage + every downstream scan. Overridable via --conf.
+        "spark.sql.parquet.compression.codec": "zstd",
     }
     spark = builder.getOrCreate()
+    # "did the submitter set it" = present in the SparkConf built from
+    # the spark-submit command line (spark.conf.get can't tell a
+    # user-set value from a Spark built-in default).
+    submitted = spark.sparkContext.getConf()
     for k, v in defaults.items():
         try:
-            if spark.conf.get(k, None) is None:
+            if not submitted.contains(k):
                 spark.conf.set(k, v)
             # partitionOverwriteMode is runtime-settable and required for
             # idempotent resume — always enforce it.
