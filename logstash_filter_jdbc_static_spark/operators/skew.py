@@ -53,3 +53,50 @@ def replicate_broadcast_join(
     ).withColumn("__salt", F.col("__salt").cast("long"))
     joined = salted_fact.join(replicated, [key, "__salt"], "left")
     return joined.drop("__salt")
+
+def skew_robust_row_number(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    bucket_width: int = 100_000,
+    out_col: str = "rn",
+) -> DataFrame:
+    """``row_number() over (partition by part_col order by order_col)``
+    that survives a hot partition key.
+
+    The naive window hash-partitions by ``part_col``: a conversation
+    holding 3% of a 10^12-turn table becomes ONE task sorting 3x10^10
+    rows. Here the window runs over ``(part_col, bucket)`` where
+    ``bucket = order_col / bucket_width`` — a RANGE bucket, so bucket
+    order == order_col order across buckets and per-bucket local ranks
+    compose exactly: rank = local_rank + sum(counts of earlier buckets).
+    The offset table is tiny (one row per non-empty bucket) and its
+    running sum is the only per-key serial work.
+
+    Requires a numeric, unique ``order_col`` (ties within a bucket are
+    broken by the local sort exactly as the naive window would).
+    Result is bit-identical to the naive row_number.
+    """
+    from pyspark.sql.window import Window
+
+    bucket = (F.col(order_col) / F.lit(bucket_width)).cast("long")
+    b = df.withColumn("__bucket", bucket)
+    w_local = Window.partitionBy(part_col, "__bucket").orderBy(order_col)
+    local = b.withColumn("__local_rn", F.row_number().over(w_local))
+    # Offsets: rows per (key, bucket), then exclusive running sum per key
+    # over the bucket order — a window over a table with one row per
+    # occupied bucket, thousands of times smaller than the fact table.
+    counts = b.groupBy(part_col, "__bucket").agg(F.count(F.lit(1)).alias("__n"))
+    w_off = (
+        Window.partitionBy(part_col)
+        .orderBy("__bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__offset", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select(part_col, "__bucket", "__offset")
+    return (
+        local.join(offsets, [part_col, "__bucket"])
+        .withColumn(out_col, (F.col("__offset") + F.col("__local_rn")).cast("long"))
+        .drop("__bucket", "__local_rn", "__offset")
+    )

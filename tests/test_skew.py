@@ -49,3 +49,45 @@ class TestReplicatedJoin:
         assert {(r["category"], r["count"]) for r in naive} == {
             (r["category"], r["count"]) for r in salted
         }
+
+
+class TestSkewRobustRowNumber:
+    def test_identical_to_naive_window(self, spark):
+        from pyspark.sql.window import Window
+
+        from logstash_filter_jdbc_static_spark.operators.skew import (
+            skew_robust_row_number,
+        )
+
+        # 1 hot key with 80% of rows + a uniform tail; order col has
+        # gaps + interleaved assignment so buckets are non-trivial.
+        n = 50_000
+        df = spark.range(n).select(
+            F.when(F.col("id") % 5 < 4, F.lit("conv-hot"))
+            .otherwise(F.concat(F.lit("conv-"), (F.col("id") % 97).cast("string")))
+            .alias("conv_id"),
+            (F.col("id") * 7 + 3).alias("event_id"),
+        )
+        naive = df.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("conv_id").orderBy("event_id")
+            ).cast("long"),
+        )
+        robust = skew_robust_row_number(
+            df, "conv_id", "event_id", bucket_width=10_000
+        )
+        assert naive.exceptAll(robust.select(*naive.columns)).count() == 0
+        assert robust.select(*naive.columns).exceptAll(naive).count() == 0
+
+    def test_single_bucket_degenerates_gracefully(self, spark):
+        from logstash_filter_jdbc_static_spark.operators.skew import (
+            skew_robust_row_number,
+        )
+
+        df = spark.range(100).select(
+            F.lit("c").alias("conv_id"), F.col("id").alias("event_id")
+        )
+        out = skew_robust_row_number(df, "conv_id", "event_id", bucket_width=10**9)
+        rows = sorted(r["rn"] for r in out.collect())
+        assert rows == list(range(1, 101))
