@@ -277,3 +277,33 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     assigned, _cents, _hist = S.kmeans_lloyd(emb, k=8, n_iters=3)
     return assigned
+
+
+# ------------------------------------------------------------------
+# 6. Skew-robust turn ordering, oracle-checked: the two-phase
+#    range-bucketed row_number (operators/skew.py) vs the oracle's plain
+#    window — bit-identical ranks by construction (BENCH.md measures the
+#    2.9x win once the hot key outgrows one task's sort).
+# ------------------------------------------------------------------
+
+
+@register(
+    "conv_turn_order_robust",
+    """
+    SELECT user_id, event_id,
+           CAST(row_number() OVER (PARTITION BY user_id ORDER BY event_id)
+                AS BIGINT) AS rn
+    FROM events
+    """,
+)
+def conv_turn_order_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_filter_jdbc_static_spark.operators.skew import (
+        skew_robust_row_number,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_id"
+    )
+    return skew_robust_row_number(
+        ev, "user_id", "event_id", bucket_width=2_000
+    ).select("user_id", "event_id", "rn")
