@@ -203,19 +203,14 @@ def run_scaling_submit(
     import shutil
     import subprocess
     import tempfile
-    import zipfile
+
+    from logstash_filter_jdbc_static_spark.job import build_py_files_zip
 
     submit = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
     repo = os.path.dirname(os.path.abspath(__file__))
     work = tempfile.mkdtemp(prefix="scaling_submit_")
-    zip_path = os.path.join(work, "pkg.zip")
+    zip_path = build_py_files_zip(work)
     pkg = os.path.join(repo, "logstash_filter_jdbc_static_spark")
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for dirpath, _d, filenames in os.walk(pkg):
-            for fn in filenames:
-                if fn.endswith(".py"):
-                    full = os.path.join(dirpath, fn)
-                    zf.write(full, os.path.relpath(full, repo))
     results = {}
     for cpus in parallelisms:
         best = None

@@ -44,9 +44,14 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# Under spark-submit --py-files the zip is on sys.path already; when run
-# as a plain script from the repo, add the repo root.
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+# Under spark-submit --py-files the zip is on sys.path already and MUST
+# win (the test asserts the package comes from the zip); only when the
+# package is not importable (plain `python job.py` from a checkout) does
+# the repo root get added.
+try:
+    import logstash_filter_jdbc_static_spark  # noqa: F401
+except ImportError:
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from logstash_filter_jdbc_static_spark.operators.aggregate import sink_counts  # noqa: E402
 from logstash_filter_jdbc_static_spark.plans.checkpoint import LineageLog  # noqa: E402
@@ -104,6 +109,24 @@ def build_configured_pipeline(spark: SparkSession, pipeline):
 TRANSCRIPT_COLS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
+def build_py_files_zip(dest_dir: str) -> str:
+    """Zip the package for ``--py-files`` — the ONE packaging definition,
+    shared by bench.py --scaling-submit and the submit tests (two copies
+    of the walk would drift)."""
+    import zipfile
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pkg = os.path.join(repo, "logstash_filter_jdbc_static_spark")
+    zip_path = os.path.join(dest_dir, "pkg.zip")
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for dirpath, _dirnames, filenames in os.walk(pkg):
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    zf.write(full, os.path.relpath(full, repo))
+    return zip_path
+
+
 def submit_session(app_name: str = "jdbc-static-enrich") -> SparkSession:
     """Session for spark-submit context: NEVER overrides --master/--conf
     from the submit command line; only fills in tuning defaults that the
@@ -142,8 +165,13 @@ def load_input(spark: SparkSession, input_arg: str) -> DataFrame:
     if input_arg.startswith("synth:"):
         n = int(input_arg.split(":", 1)[1])
         return _synth(spark, n)
-    events_path = os.path.join(input_arg, "events.parquet")
-    if os.path.exists(events_path):
+    events_path = input_arg.rstrip("/") + "/events.parquet"
+    # Hadoop FS existence check: works for local paths AND cluster URIs
+    # (hdfs://, s3a://) — os.path.exists would only see the driver's
+    # local filesystem.
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(events_path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(jpath):
         from logstash_filter_jdbc_static_spark.sources.transcripts import (
             derive_transcripts,
         )
@@ -261,6 +289,23 @@ def run_job(
         lineage.run_id = run_id
     done = lineage.completed_partitions()
 
+    # Resume config guard: batch membership is pmod(hash, batches), so
+    # resuming with a DIFFERENT batch count than the run that wrote the
+    # lineage would mix two bucketings in one output (duplicate + stale
+    # rows) and report wrong counts with exit code 0. Refuse instead.
+    cfg_path = os.path.join(output, "_job_config.json")
+    if done and os.path.exists(cfg_path):
+        prior = json.load(open(cfg_path))
+        if prior.get("batches") != batches:
+            raise SystemExit(
+                f"resume with --batches {batches} but {cfg_path} records "
+                f"batches={prior.get('batches')}; re-run with the original "
+                "value or delete the output directory to start fresh"
+            )
+    os.makedirs(output, exist_ok=True)
+    with open(cfg_path, "w") as fh:
+        json.dump({"batches": batches}, fh)
+
     # Batch = hash(conv_id) % batches: conversation-atomic resume units.
     batch_col = F.pmod(F.xxhash64("conv_id"), F.lit(batches)).cast("int")
     with_batch = transcripts.withColumn("batch", batch_col)
@@ -269,8 +314,9 @@ def run_job(
     pending = [b for b in range(batches) if f"batch={b}" not in done]
     processed: list[str] = []
 
-    def _mark(batch_ids: list[int]) -> None:
-        """Per-batch row counts from the written sinks + lineage records."""
+    def _mark_all(batch_ids: list[int], elapsed_s: float) -> None:
+        """Fresh-path marking: ONE scan of the written sinks yields every
+        batch's row count."""
         by_batch = {
             r["batch"]: r["n"]
             for r in spark.read.format(fmt)
@@ -281,11 +327,24 @@ def run_job(
         }
         for b in batch_ids:
             lineage.mark_done(
-                f"batch={b}",
-                by_batch.get(b, 0),
-                metrics={"elapsed_s": round(time.time() - t0, 3)},
+                f"batch={b}", by_batch.get(b, 0),
+                metrics={"elapsed_s": round(elapsed_s, 3)},
             )
             processed.append(f"batch={b}")
+
+    def _mark_one(b: int, elapsed_s: float) -> None:
+        """Resume-path marking: a partition-pruned count of exactly the
+        batch just written (not a rescan of the whole output)."""
+        n = (
+            spark.read.format(fmt)
+            .load(routed_path)
+            .filter(F.col("batch") == b)
+            .count()
+        )
+        lineage.mark_done(
+            f"batch={b}", n, metrics={"elapsed_s": round(elapsed_s, 3)}
+        )
+        processed.append(f"batch={b}")
 
     if len(pending) == batches:
         # Fresh run: ONE pass over the input writes every batch at once
@@ -303,12 +362,13 @@ def run_job(
             .format(fmt)
             .save(routed_path)
         )
-        _mark(pending)
+        _mark_all(pending, time.time() - t0)
     else:
         # Resume: scan only the missing batches (partition-pruned by the
         # batch filter before parse/enrich), idempotent per-batch
         # dynamic-partition overwrite.
         for b in pending:
+            t_batch = time.time()
             rows = with_batch.filter(F.col("batch") == b)
             routed = enrich_and_route(rows, enricher, parser)
             out = project(routed).withColumn("batch", F.lit(b))
@@ -318,7 +378,7 @@ def run_job(
                 .format(fmt)
                 .save(routed_path)
             )
-            _mark([b])
+            _mark_one(b, time.time() - t_batch)
 
     # Per-sink aggregate (the correctness oracle) over the full routed
     # output — recomputed from the sinks themselves so the numbers always

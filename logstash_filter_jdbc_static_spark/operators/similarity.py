@@ -222,9 +222,14 @@ def kmeans_lloyd(
     driver, so iterations cost O(corpus) cluster work and O(k*d) driver
     memory regardless of scale.
 
-    Deterministic: init = the k lowest-id vectors; ties in assignment
-    break by centroid id (ivf_assign); empty clusters keep their
-    previous centroid.
+    Deterministic up to floating-point aggregation order: init = the k
+    lowest-id vectors; assignment ties break by centroid id
+    (ivf_assign); empty clusters keep their previous centroid. The mean
+    update uses F.avg, whose partial-merge order is partition-dependent,
+    so centroid coordinates are reproducible only for a fixed
+    partitioning (same session/parallelism — what the tests pin); a
+    vector lying within an ulp of two centroids could flip across
+    differently-partitioned runs.
 
     Returns (final assignment df, centroids, mean-similarity history).
     """

@@ -75,7 +75,10 @@ def skew_robust_row_number(
 
     Requires a numeric, unique ``order_col`` (ties within a bucket are
     broken by the local sort exactly as the naive window would).
-    Result is bit-identical to the naive row_number.
+    Result is bit-identical to the naive row_number, including NULL
+    handling: NULL part_col forms its own partition and NULL order_col
+    sorts first (Spark ASC NULLS FIRST), via a NULL bucket that precedes
+    every numeric bucket and null-safe join keys.
     """
     from pyspark.sql.window import Window
 
@@ -94,9 +97,19 @@ def skew_robust_row_number(
     )
     offsets = counts.withColumn(
         "__offset", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
-    ).select(part_col, "__bucket", "__offset")
+    ).select(
+        F.col(part_col).alias("__o_part"),
+        F.col("__bucket").alias("__o_bucket"),
+        "__offset",
+    )
+    # eqNullSafe: NULL part/order keys must match their offset row, not
+    # silently drop (inner join on NULL would lose those rows; the naive
+    # window keeps them).
+    cond = local[part_col].eqNullSafe(offsets["__o_part"]) & local[
+        "__bucket"
+    ].eqNullSafe(offsets["__o_bucket"])
     return (
-        local.join(offsets, [part_col, "__bucket"])
+        local.join(offsets, cond)
         .withColumn(out_col, (F.col("__offset") + F.col("__local_rn")).cast("long"))
-        .drop("__bucket", "__local_rn", "__offset")
+        .drop("__bucket", "__local_rn", "__offset", "__o_part", "__o_bucket")
     )

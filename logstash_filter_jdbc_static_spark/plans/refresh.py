@@ -29,15 +29,25 @@ from logstash_filter_jdbc_static_spark.spec import LoaderSpec, LocalDbObject
 
 def fetch_with_guard(fetch: Callable[[], DataFrame], loader: LoaderSpec,
                      spark: SparkSession) -> DataFrame:
-    """Loader row-count guard (loader.rb:23-31): returns an EMPTY frame
-    with the fetched schema when the source has 0 rows or more than
-    max_rows. The count is bounded (limit(max_rows+1)) so a runaway
-    source can't stall the refresh."""
-    df = fetch()
-    n = df.limit(loader.max_rows + 1).count()
+    """Loader fetch + row-count guard (loader.rb:23-31): returns an EMPTY
+    frame with the fetched schema when the source has 0 rows or more than
+    max_rows, otherwise the fetched rows PINNED as a snapshot.
+
+    One remote query total: the bounded fetch (limit(max_rows+1)) is
+    materialized JVM-side via ``localCheckpoint(eager=True)`` — a lazy
+    frame over a remote source would re-run the remote query on every
+    downstream action (defeating the local-cache premise,
+    docs/index.asciidoc:40-45, and drifting mid-swap against
+    read_write_database.rb:22-28) — and the guard count then runs on the
+    pinned copy, so guard and snapshot can't race a concurrent remote
+    write. On a multi-executor cluster with dynamic allocation, swap
+    localCheckpoint for a reliable ``spark.checkpoint`` dir; the
+    semantics here are identical."""
+    pinned = fetch().limit(loader.max_rows + 1).localCheckpoint(eager=True)
+    n = pinned.count()
     if n == 0 or n > loader.max_rows:
-        return spark.createDataFrame([], df.schema)
-    return df
+        return spark.createDataFrame([], pinned.schema)
+    return pinned
 
 
 class DimensionStore:
@@ -96,17 +106,19 @@ class DimensionStore:
         write-lock equivalent (read_write_database.rb:64-100): readers
         holding the previous dict values keep a consistent old snapshot.
 
-        ``strict=False`` (reload path): a loader whose fetch fails with a
-        connection error is skipped — its previous snapshot stays live —
-        instead of failing the whole refresh."""
-        from logstash_filter_jdbc_static_spark.sources.jdbc import ConnectionError_
-
+        ``strict=False`` (reload path): a loader whose fetch OR snapshot
+        materialization fails is skipped — its previous snapshot stays
+        live — instead of failing the whole refresh ("hope it works next
+        time", read_write_database.rb:88-90). The remote can die either
+        at connect (wrapped ConnectionError_) or mid-materialize (raw
+        JVM error from the checkpoint action), so the reload path
+        swallows both."""
         staged: dict[str, DataFrame] = {}
         self.last_errors: dict[str, str] = {}
         for loader, fetch in self.loaders:
             try:
                 df = fetch_with_guard(fetch, loader, self.spark)
-            except ConnectionError_ as e:
+            except Exception as e:
                 if strict:
                     raise
                 self.last_errors[loader.table] = str(e)
@@ -116,18 +128,11 @@ class DimensionStore:
                 # loader column order must match declared schema
                 # (docs/index.asciidoc:265-275): align by position.
                 df = df.toDF(*[f.name for f in obj.schema.fields])
-            # PIN the snapshot: a lazy frame over a remote source (JDBC)
-            # would re-query the remote on every downstream action —
-            # both a per-query re-fetch (defeating the local-cache
-            # premise, docs/index.asciidoc:40-45) and a violation of the
-            # old-or-new-never-partial swap contract
-            # (read_write_database.rb:22-28,64-100). collect + local
-            # relation IS the reference's "import into the local db",
-            # bounded by max_rows (loader.rb:65-74), and makes the
-            # broadcast build side a driver-local relation (no scan job).
-            staged[loader.table] = self.spark.createDataFrame(
-                df.collect(), df.schema
-            )
+            # df is already PINNED by fetch_with_guard (JVM-side
+            # localCheckpoint — no driver round-trip, bounded by
+            # max_rows, loader.rb:65-74), so the staged swap hands out
+            # immutable old-or-new snapshots (read_write_database.rb:22-28).
+            staged[loader.table] = df
         self.snapshots.update(staged)
 
     def dims(self) -> dict[str, DataFrame]:

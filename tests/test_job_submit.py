@@ -15,8 +15,6 @@ import os
 import shutil
 import subprocess
 import sys
-import zipfile
-
 import pytest
 from pyspark.sql import functions as F
 
@@ -27,15 +25,9 @@ SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
 
 def _build_pkg_zip(dest: str) -> str:
-    pkg_root = os.path.join(REPO, "logstash_filter_jdbc_static_spark")
-    zip_path = os.path.join(dest, "pkg.zip")
-    with zipfile.ZipFile(zip_path, "w") as zf:
-        for dirpath, _dirnames, filenames in os.walk(pkg_root):
-            for fn in filenames:
-                if fn.endswith(".py"):
-                    full = os.path.join(dirpath, fn)
-                    zf.write(full, os.path.relpath(full, REPO))
-    return zip_path
+    from logstash_filter_jdbc_static_spark.job import build_py_files_zip
+
+    return build_py_files_zip(dest)
 
 
 @pytest.fixture(scope="module")
@@ -134,3 +126,8 @@ class TestSparkSubmit:
         # Idempotent overwrite: totals unchanged after the partial re-run.
         assert summary["rows_routed"] == 1000
         assert summary["route_totals"] == {"hit": 650, "miss": 300, "malformed": 50}
+
+    def test_resume_with_different_batches_refuses(self, job_out, spark):
+        out_dir, _ = job_out
+        with pytest.raises(SystemExit, match="batches"):
+            run_job(spark, "/root/testdata/sf0.001", out_dir, batches=5)

@@ -91,3 +91,27 @@ class TestSkewRobustRowNumber:
         out = skew_robust_row_number(df, "conv_id", "event_id", bucket_width=10**9)
         rows = sorted(r["rn"] for r in out.collect())
         assert rows == list(range(1, 101))
+
+    def test_null_keys_are_kept_like_the_naive_window(self, spark):
+        """NULL part_col / order_col rows must survive (naive window
+        keeps them: NULL partition, NULLS FIRST ordering)."""
+        from pyspark.sql.window import Window
+
+        from logstash_filter_jdbc_static_spark.operators.skew import (
+            skew_robust_row_number,
+        )
+
+        df = spark.createDataFrame(
+            [("a", 5), ("a", None), ("a", 1), (None, 3), (None, 7), ("b", 2)],
+            "conv_id string, event_id int",
+        )
+        naive = df.withColumn(
+            "rn",
+            F.row_number()
+            .over(Window.partitionBy("conv_id").orderBy("event_id"))
+            .cast("long"),
+        )
+        robust = skew_robust_row_number(df, "conv_id", "event_id", bucket_width=2)
+        assert robust.count() == 6
+        assert naive.exceptAll(robust.select(*naive.columns)).count() == 0
+        assert robust.select(*naive.columns).exceptAll(naive).count() == 0
