@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from logstash_filter_jdbc_static_spark.operators import text as X
-from logstash_filter_jdbc_static_spark.queries import register
+from logstash_filter_jdbc_static_spark.queries import _PARSED_CTE, register
 from logstash_filter_jdbc_static_spark.queries_data import (
     _PUNCT_CLASS,
     _STOP_PAT,
@@ -307,3 +307,109 @@ def conv_turn_order_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skew_robust_row_number(
         ev, "user_id", "event_id", bucket_width=2_000
     ).select("user_id", "event_id", "rn")
+
+
+# ------------------------------------------------------------------
+# 7. Multi-field grok extraction: one pattern, three named captures
+#    (WORD/IPV4/WORD), aggregated — the dynamic-event-field production
+#    path with more than one field per pattern (2C grok; parse.py
+#    compiles named captures to positional groups of ONE regex).
+# ------------------------------------------------------------------
+
+
+@register(
+    "parse_multi_field_grok",
+    with_ctes(
+        TRANSCRIPTS_CTE,
+        body=r"""
+        SELECT nullif(regexp_extract(text, 'call tool=(\w+) from_ip=((?:\d{1,3}\.){3}\d{1,3}) type=(\w+)', 1), '') AS g_tool,
+               nullif(regexp_extract(text, 'call tool=(\w+) from_ip=((?:\d{1,3}\.){3}\d{1,3}) type=(\w+)', 2), '') AS g_ip,
+               nullif(regexp_extract(text, 'call tool=(\w+) from_ip=((?:\d{1,3}\.){3}\d{1,3}) type=(\w+)', 3), '') AS g_type,
+               count(*) AS n_turns
+        FROM transcripts
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def parse_multi_field_grok(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_filter_jdbc_static_spark.operators.parse import GrokParser
+
+    t = load_transcripts(spark, sf_dir)
+    parser = GrokParser(
+        "call tool=%{WORD:g_tool} from_ip=%{IPV4:g_ip} type=%{WORD:g_type}"
+    )
+    return (
+        parser.apply(t)
+        .groupBy("g_tool", "g_ip", "g_type")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+    )
+
+
+# ------------------------------------------------------------------
+# 8. Contains-LIKE lookup ("%x%"): the third wildcard shape after the
+#    attested suffix/prefix ones — matches any server whose ip contains
+#    the parsed second octet fragment.
+# ------------------------------------------------------------------
+
+_OCTET_CTE = r"""
+octeted AS (
+  SELECT p.*, nullif(regexp_extract(text, 'from_ip=\d+\.(\d+)\.', 1), '') AS octet
+  FROM parsed p
+)
+"""
+
+
+@register(
+    "lookup_like_contains",
+    with_ctes(
+        "servers(ip, name, location) AS (SELECT * FROM (VALUES "
+        "('10.1.1.1', 'ldn-server-1', 'LDN-2-3-4'), "
+        "('10.2.1.1', 'nyc-server-1', 'NYC-5-2-8'), "
+        "('10.3.1.1', 'mv-serv''r-1', 'MV-9-6-4')) AS t(ip, name, location))",
+        TRANSCRIPTS_CTE,
+        _PARSED_CTE,
+        _OCTET_CTE,
+        body="""
+        SELECT x.conv_id, x.turn_idx, x.octet,
+               CASE WHEN x.octet IS NULL THEN NULL ELSE count(s.name) END AS n_servers,
+               CASE WHEN x.octet IS NULL THEN NULL
+                    ELSE coalesce(array_to_string(list_sort(list(s.name) FILTER (WHERE s.name IS NOT NULL)), ','), '')
+               END AS names_str
+        FROM octeted x
+        LEFT JOIN servers s ON s.ip LIKE '%' || x.octet || '%'
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_like_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_filter_jdbc_static_spark.sources.transcripts import servers_df
+
+    t = load_transcripts(spark, sf_dir)
+    parsed = t.withColumn(
+        "octet",
+        F.nullif(F.regexp_extract(F.col("text"), r"from_ip=\d+\.(\d+)\.", 1), F.lit("")),
+    )
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "server",
+                "query": "SELECT name FROM servers WHERE ip LIKE :ip",
+                "parameters": {"ip": "%%{[octet]}%"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(spec, {"servers": servers_df(spark)})
+    out = enricher.apply(parsed)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "octet",
+        F.size("server").cast("long").alias("n_servers"),
+        F.when(
+            F.col("server").isNotNull(),
+            F.array_join(
+                F.array_sort(F.transform(F.col("server"), lambda r: r.getField("name"))),
+                ",",
+            ),
+        ).alias("names_str"),
+    )
