@@ -64,10 +64,29 @@ FROM scored
 """
 
 
+_ANALYZE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def analyzed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analyzed documents table, memoized per (session, sf_dir): the 8
+    marker/stopword/punct regex scans are the expensive part of BOTH
+    text_analysis and the curation pipeline — one cached staging pass
+    serves every downstream consumer in a session (same pattern as the
+    transcripts cache; at warehouse scale this is a materialized staging
+    table, not an in-memory cache)."""
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _ANALYZE_CACHE:
+        docs = load_table_split(spark, sf_dir, "documents")
+        _ANALYZE_CACHE[key] = X.analyze(docs).cache()
+        if len(_ANALYZE_CACHE) > 4:
+            old = next(iter(_ANALYZE_CACHE))
+            _ANALYZE_CACHE.pop(old).unpersist()
+    return _ANALYZE_CACHE[key]
+
+
 @register("text_analysis", _TEXT_ANALYSIS_SQL)
 def text_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table_split(spark, sf_dir, "documents")
-    return X.analyze(docs).select(
+    return analyzed_documents(spark, sf_dir).select(
         "doc_id", "n_tokens", "n_subword_tokens", "detected_lang",
         "punct_ratio", "stopword_ratio", "quality_score", "fingerprint",
     )

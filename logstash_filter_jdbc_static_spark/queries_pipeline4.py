@@ -69,8 +69,9 @@ QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
 
 @register("documents_curation_pipeline", _CURATION_SQL)
 def documents_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table_split(spark, sf_dir, "documents")
-    analyzed = X.analyze(docs).select(
+    from logstash_filter_jdbc_static_spark.queries_data import analyzed_documents
+
+    analyzed = analyzed_documents(spark, sf_dir).select(
         "doc_id", "source", "n_tokens", "detected_lang", "quality_score",
         "fingerprint",
     )
