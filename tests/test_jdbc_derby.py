@@ -353,3 +353,32 @@ class TestStreamingDerbyReload:
         got = {r["conv_id"]: r["srv"] for r in out.distinct().collect()}
         assert got == {"conv-0": "ldn-server-v1", "conv-1": "ldn-server-v2"}
         assert store.reload_count >= 3  # initial + one per stream run
+
+
+class TestConnectionErrors:
+    def test_bad_url_wrapped_as_connection_error(self, spark):
+        """A17: connect failures surface as the wrapped error type
+        (basic_database.rb:20-24), raised eagerly at fetch."""
+        from logstash_filter_jdbc_static_spark.sources.jdbc import (
+            ConnectionError_,
+            make_fetcher,
+        )
+
+        loader = LoaderSpec(
+            {
+                "id": "bad",
+                "local_table": "bad",
+                "query": "SELECT 1",
+                "jdbc_driver_class": DRIVER,
+                "jdbc_connection_string": "jdbc:derby:memory:nonexistent_db_no_create",
+            }
+        )
+        with pytest.raises(ConnectionError_, match="bad"):
+            make_fetcher(spark, loader)()
+
+    def test_iceberg_mode_fails_fast_without_runtime_jar(self, spark):
+        from logstash_filter_jdbc_static_spark.job import configure_format
+
+        with pytest.raises(SystemExit, match="iceberg-spark-runtime"):
+            configure_format(spark, "iceberg")
+        assert configure_format(spark, "parquet") == "parquet"

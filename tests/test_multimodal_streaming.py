@@ -125,3 +125,81 @@ class TestStatefulSessionize:
         }
         assert {k: v["n_turns"] for k, v in rows.items()} == batch
         assert all(v["first_ts"] <= v["last_ts"] for v in rows.values())
+
+
+class TestWatermarkLateData:
+    """Event-time watermark semantics of windowed_route_counts: a row
+    arriving AFTER the watermark passed its window is dropped; the
+    watermark survives a checkpoint restart (two availableNow runs)."""
+
+    @staticmethod
+    def _turns(ts_list, conv="conv-w"):
+        import datetime
+
+        base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+        return [
+            (
+                conv,
+                i,
+                "user",
+                "call tool=tool_0 from_ip=10.1.1.1 type=x",
+                "tool_0",
+                base + datetime.timedelta(minutes=m),
+            )
+            for i, m in enumerate(ts_list)
+        ]
+
+    def _start(self, spark, src, sink, ckpt):
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.operators.route import with_route
+        from logstash_filter_jdbc_static_spark.streaming.stream_pipeline import (
+            read_transcript_stream,
+            windowed_route_counts,
+        )
+
+        stream = read_transcript_stream(spark, src)
+        # Stateless route labeling on the stream (hit: tags empty).
+        routed = with_route(stream.withColumn("tags", F.array().cast("array<string>")))
+        counts = windowed_route_counts(routed, window="10 minutes", watermark="30 minutes")
+        return (
+            counts.select(
+                F.col("window.start").alias("w_start"), "route", "role", "n_turns"
+            )
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .format("parquet")
+            .option("path", sink)
+            .start()
+        )
+
+    def test_late_row_beyond_watermark_is_dropped(self, spark, tmp_path):
+        from logstash_filter_jdbc_static_spark.schema import TRANSCRIPT_SCHEMA
+
+        src, sink, ckpt = (str(tmp_path / d) for d in ("src", "sink", "ckpt"))
+        # Run 1: 3 rows in window 10:00-10:10, then a row at 11:00 that
+        # advances the watermark to 10:30 (> window end) => the 10:00
+        # window becomes final and is emitted.
+        spark.createDataFrame(
+            self._turns([0, 3, 7, 60]), TRANSCRIPT_SCHEMA
+        ).write.mode("append").parquet(src)
+        self._start(spark, src, sink, ckpt).awaitTermination(120)
+        got = {
+            r["w_start"].minute: r["n_turns"]
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert got.get(0) == 3  # the finalized 10:00 window
+
+        # Run 2 (same checkpoint): a LATE row at 10:05 — its window's
+        # end (10:10) is behind the persisted watermark (10:30) => must
+        # be dropped, not double-counted.
+        spark.createDataFrame(self._turns([5]), TRANSCRIPT_SCHEMA).write.mode(
+            "append"
+        ).parquet(src)
+        self._start(spark, src, sink, ckpt).awaitTermination(120)
+        got2 = {
+            r["w_start"].minute: r["n_turns"]
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert got2.get(0) == 3  # unchanged: late row dropped
