@@ -126,3 +126,68 @@ def synth_media(spark, n: int = 64) -> DataFrame:
         meta = {"n_frames": str(30 + i)} if kind == "video" else {}
         rows.append((i, kind, f"x/{kind}", payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("src_width", T.IntegerType(), True),
+        T.StructField("src_height", T.IntegerType(), True),
+        T.StructField("dst_width", T.IntegerType(), False),
+        T.StructField("dst_height", T.IntegerType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def _resize_image(payload: bytes, w: int, h: int) -> bytes:
+    """Codec stub: real resize needs PIL/opencv (absent here). The
+    deterministic fake keeps the contract honest — output is a function
+    of (content, target dims) only:
+        PIL: Image.open(io.BytesIO(p)).resize((w, h)).tobytes()."""
+    import hashlib
+
+    seed = hashlib.sha256(payload + f"{w}x{h}".encode()).digest()
+    # pretend-pixel buffer, size-proportional to the target (capped).
+    n = min(w * h, 4096)
+    return (seed * (n // len(seed) + 1))[:n]
+
+
+def resize_images(
+    media: DataFrame, width: int = 64, height: int = 64, batch_hint: int = 256
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads (mapInPandas):
+    rows stream through Python in Arrow record batches — no per-row
+    Python UDF calls, no driver involvement; non-image rows pass through
+    with a null payload. The pixel work is the codec stub above; the
+    Spark-side contract (binary in/out, typed dims, batch shape,
+    partition-parallel) is real and tested."""
+    import pandas as pd  # noqa: F811
+
+    def gen(batches):
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "src_width": [],
+                "src_height": [],
+                "dst_width": [width] * len(pdf),
+                "dst_height": [height] * len(pdf),
+                "payload": [],
+            }
+            for kind, payload in zip(pdf["kind"], pdf["payload"]):
+                if kind == "image" and payload is not None:
+                    sw, sh = _decode_image(bytes(payload))
+                    out["src_width"].append(sw)
+                    out["src_height"].append(sh)
+                    out["payload"].append(_resize_image(bytes(payload), width, height))
+                else:
+                    out["src_width"].append(None)
+                    out["src_height"].append(None)
+                    out["payload"].append(None)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "kind", "payload").mapInPandas(
+        gen, schema=RESIZED_SCHEMA
+    )

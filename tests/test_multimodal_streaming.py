@@ -203,3 +203,33 @@ class TestWatermarkLateData:
             for r in spark.read.parquet(sink).collect()
         }
         assert got2.get(0) == 3  # unchanged: late row dropped
+
+
+class TestResize:
+    def test_resize_contract(self, spark):
+        from logstash_filter_jdbc_static_spark.operators.multimodal import (
+            resize_images,
+            synth_media,
+        )
+
+        media = synth_media(spark, 30)
+        out = resize_images(media, width=32, height=16)
+        rows = {r["media_id"]: r for r in out.collect()}
+        assert len(rows) == 30
+        for r in rows.values():
+            if r["kind"] == "image":
+                assert r["dst_width"] == 32 and r["dst_height"] == 16
+                assert r["payload"] is not None and len(r["payload"]) == 32 * 16
+                assert 16 <= r["src_width"] <= 255
+            else:
+                assert r["payload"] is None and r["src_width"] is None
+
+    def test_resize_deterministic(self, spark):
+        from logstash_filter_jdbc_static_spark.operators.multimodal import (
+            resize_images,
+            synth_media,
+        )
+
+        a = resize_images(synth_media(spark, 10), 8, 8)
+        b = resize_images(synth_media(spark, 10), 8, 8)
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
