@@ -53,7 +53,10 @@ try:
 except ImportError:
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from logstash_filter_jdbc_static_spark.operators.aggregate import sink_counts  # noqa: E402
+from logstash_filter_jdbc_static_spark.operators.aggregate import (  # noqa: E402
+    conv_bucket,
+    sink_counts,
+)
 from logstash_filter_jdbc_static_spark.plans.checkpoint import LineageLog  # noqa: E402
 from logstash_filter_jdbc_static_spark.plans.pipeline import (  # noqa: E402
     TRANSCRIPT_GROK,
@@ -314,17 +317,9 @@ def run_job(
     pending = [b for b in range(batches) if f"batch={b}" not in done]
     processed: list[str] = []
 
-    def _mark_all(batch_ids: list[int], elapsed_s: float) -> None:
-        """Fresh-path marking: ONE scan of the written sinks yields every
-        batch's row count."""
-        by_batch = {
-            r["batch"]: r["n"]
-            for r in spark.read.format(fmt)
-            .load(routed_path)
-            .groupBy("batch")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+    def _mark_all(batch_ids: list[int], elapsed_s: float,
+                  by_batch: dict[int, int]) -> None:
+        """Fresh-path marking from the shared stats pass (no extra scan)."""
         for b in batch_ids:
             lineage.mark_done(
                 f"batch={b}", by_batch.get(b, 0),
@@ -362,7 +357,7 @@ def run_job(
             .format(fmt)
             .save(routed_path)
         )
-        _mark_all(pending, time.time() - t0)
+        fresh_elapsed = time.time() - t0
     else:
         # Resume: scan only the missing batches (partition-pruned by the
         # batch filter before parse/enrich), idempotent per-batch
@@ -380,19 +375,38 @@ def run_job(
             )
             _mark_one(b, time.time() - t_batch)
 
-    # Per-sink aggregate (the correctness oracle) over the full routed
-    # output — recomputed from the sinks themselves so the numbers always
-    # describe what is on disk.
+    # ONE stats pass over the written sinks covers every downstream
+    # number: per-(batch, route, role, tool, conv_bucket) counts collapse
+    # (bounded cardinality) to per-batch lineage counts, route totals,
+    # the total row count, AND the per-sink aggregate table — previously
+    # four separate jobs over the same data; the numbers still describe
+    # exactly what is on disk.
     routed_all = spark.read.format(fmt).load(routed_path)
-    counts = sink_counts(routed_all)
+    stats = (
+        routed_all.groupBy("batch", "route", "role", "tool", conv_bucket())
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .collect()
+    )
+    if len(pending) == batches:
+        by_batch: dict[int, int] = {}
+        for r in stats:
+            by_batch[r["batch"]] = by_batch.get(r["batch"], 0) + r["n_turns"]
+        _mark_all(pending, fresh_elapsed, by_batch)
+    agg: dict[tuple, int] = {}
+    route_totals: dict[str, int] = {}
+    n_rows = 0
+    for r in stats:
+        key = (r["route"], r["role"], r["tool"], r["conv_bucket"])
+        agg[key] = agg.get(key, 0) + r["n_turns"]
+        route_totals[r["route"]] = route_totals.get(r["route"], 0) + r["n_turns"]
+        n_rows += r["n_turns"]
+    counts = spark.createDataFrame(
+        [(*k, v) for k, v in agg.items()],
+        sink_counts(routed_all.limit(0)).schema,
+    )
     counts.coalesce(1).write.mode("overwrite").format(fmt).save(
         os.path.join(output, "sink_counts")
     )
-    n_rows = routed_all.count()
-    route_totals = {
-        r["route"]: r["n"]
-        for r in routed_all.groupBy("route").agg(F.count("*").alias("n")).collect()
-    }
     return {
         "input": input_arg,
         "output": output,
