@@ -256,6 +256,7 @@ def run_job(
     run_id: str | None = None,
     warm: bool = False,
     pipeline: str | dict | None = None,
+    compact: bool = False,
 ) -> dict:
     """Execute the resumable job; returns a metrics summary dict.
 
@@ -407,6 +408,11 @@ def run_job(
     counts.coalesce(1).write.mode("overwrite").format(fmt).save(
         os.path.join(output, "sink_counts")
     )
+    compacted = {}
+    if compact:
+        from logstash_filter_jdbc_static_spark.plans.compact import compact_sinks
+
+        compacted = compact_sinks(spark, routed_path, fmt)
     return {
         "input": input_arg,
         "output": output,
@@ -418,6 +424,7 @@ def run_job(
         "route_totals": route_totals,
         "elapsed_s": round(time.time() - t0, 3),
         "run_id": lineage.run_id,
+        "partitions_compacted": len(compacted),
     }
 
 
@@ -433,6 +440,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--warm", action="store_true",
                     help="bench mode: exclude one-time JIT/codegen compile "
                          "from elapsed_s by pre-running the plan shape")
+    ap.add_argument("--compact", action="store_true",
+                    help="compact routed sink partitions to target-sized "
+                         "files after all batches complete")
     ap.add_argument("--pipeline", default=None,
                     help="JSON pipeline config (local_lookups / "
                          "local_db_objects / loaders / tag_* / grok); "
@@ -442,6 +452,7 @@ def main(argv: list[str] | None = None) -> None:
     summary = run_job(
         spark, args.input, args.output, args.batches, args.table_format,
         args.run_id, warm=args.warm, pipeline=args.pipeline,
+        compact=args.compact,
     )
     print(json.dumps(summary))
     spark.stop()

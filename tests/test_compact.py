@@ -74,3 +74,28 @@ class TestCompaction:
         assert recover_partition(spark, part) is True
         assert spark.read.parquet(part).count() == n
         assert not os.path.exists(part + "._old")
+
+
+class TestJobCompactFlag:
+    def test_job_compacts_after_completion(self, spark, tmp_path):
+        from logstash_filter_jdbc_static_spark.job import run_job
+
+        out = str(tmp_path / "jobout")
+        summary = run_job(
+            spark, "/root/testdata/sf0.001", out, batches=4, compact=True
+        )
+        # sf0.001 partitions are already single-file, so the pass is a
+        # correct no-op; the flag plumbing and row preservation are what
+        # this asserts (fragmented-input mechanics: TestCompaction).
+        assert summary["partitions_compacted"] >= 0
+        assert summary["rows_routed"] == 1000
+        routed = spark.read.parquet(os.path.join(out, "routed"))
+        assert routed.count() == 1000
+        # Force a real compaction over the job's fan-out layout.
+        from logstash_filter_jdbc_static_spark.plans.compact import compact_sinks
+
+        forced = compact_sinks(
+            spark, os.path.join(out, "routed"), min_files=0
+        )
+        assert spark.read.parquet(os.path.join(out, "routed")).count() == 1000
+        assert all(after == 1 for (_b, after) in forced.values())
