@@ -12,7 +12,11 @@ Unique in-memory db name per session mirrors read_write_database.rb:56-60.
 
 from __future__ import annotations
 
+import os
+import sys
 import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import pytest
 from pyspark.sql import functions as F
@@ -382,3 +386,33 @@ class TestConnectionErrors:
         with pytest.raises(SystemExit, match="iceberg-spark-runtime"):
             configure_format(spark, "iceberg")
         assert configure_format(spark, "parquet") == "parquet"
+
+
+class TestFileBasedDerbyExample:
+    """File-backed Derby (the reference's jdbc_static_file_local_spec.rb
+    variant): the db persists across sessions, so the shipped example —
+    seed script + examples/pipeline_servers.json — runs end-to-end."""
+
+    def test_seed_then_run_example_config(self, spark, tmp_path):
+        import json
+
+        from examples.seed_derby import seed
+        from logstash_filter_jdbc_static_spark.job import run_job
+
+        db_path = str(tmp_path / "filedb")
+        seed(db_path)
+        cfg = json.load(
+            open(os.path.join(os.path.dirname(__file__), "..",
+                              "examples", "pipeline_servers.json"))
+        )
+        cfg["loaders"][0]["jdbc_connection_string"] = f"jdbc:derby:{db_path}"
+        out = str(tmp_path / "out")
+        summary = run_job(
+            spark, "/root/testdata/sf0.001", out, batches=2, pipeline=cfg
+        )
+        assert summary["rows_routed"] == 1000
+        routed = spark.read.parquet(f"{out}/routed")
+        hit = routed.filter(
+            (F.col("route") == "hit") & F.col("text").contains("10.1.1.1")
+        ).first()
+        assert '"name":"ldn-server-1"' in hit["server_json"]
