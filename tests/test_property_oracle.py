@@ -90,3 +90,113 @@ def test_spark_matches_row_at_a_time_oracle(spark, facts, dims, default, prepare
         exp[turn_idx] = (event.get("server"), event["tags"], event["matched"])
 
     assert got == exp
+
+
+DIM2_SCHEMA = T.StructType(
+    [
+        T.StructField("tool", T.StringType(), False),
+        T.StructField("owner", T.StringType(), False),
+    ]
+)
+
+suffixes = st.lists(
+    st.sampled_from(["1", "2", "3", "x", None]), min_size=1, max_size=10
+)
+dim_ips = st.lists(
+    st.tuples(st.sampled_from(["a1", "b2", "a3", "c1", "d22"]),
+              st.sampled_from(VALS)),
+    min_size=0, max_size=6,
+)
+dim_tools = st.lists(
+    st.tuples(st.sampled_from(["t1", "t2"]), st.sampled_from(["o1", "o2"])),
+    min_size=0, max_size=4,
+)
+tools = st.lists(st.sampled_from(["t1", "t2", "t9", None]), min_size=1, max_size=10)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(sufs=suffixes, dims=dim_ips, dtools=dim_tools, ftools=tools)
+def test_multilookup_sprintf_wildcards_match_oracle(spark, sufs, dims, dtools, ftools):
+    """Two chained lookups — a Sprintfier suffix-LIKE ("%%{[ip]}") and a
+    plain equi on a second dim — against the row-at-a-time oracle:
+    wildcard matching, fan-out payloads, per-lookup tags and the
+    all-lookups matched gate on arbitrary inputs."""
+    spec_dict = [
+        {
+            "id": "server",
+            "query": "SELECT name FROM servers WHERE ip LIKE :ip",
+            "parameters": {"ip": "%%{[ip]}"},
+        },
+        {
+            "id": "toolinfo",
+            "query": "SELECT owner FROM tools WHERE tool = :tool",
+            "parameters": {"tool": "tool"},
+            "default_hash": {"owner": "nobody"},
+        },
+    ]
+    spec = PipelineSpec(lookups=[dict(d) for d in spec_dict])
+    spec2 = PipelineSpec(lookups=[dict(d) for d in spec_dict])
+
+    n = max(len(sufs), len(ftools))
+    fact_data = [
+        (f"c{i}", i, sufs[i % len(sufs)], ftools[i % len(ftools)])
+        for i in range(n)
+    ]
+    fact_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("ip", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+        ]
+    )
+    fact_df = spark.createDataFrame(fact_data, fact_schema)
+    enricher = LookupEnricher(
+        spec,
+        {
+            "servers": spark.createDataFrame(dims, DIM_SCHEMA),
+            "tools": spark.createDataFrame(dtools, DIM2_SCHEMA),
+        },
+    )
+    got = {
+        r["turn_idx"]: (
+            None if r["server"] is None else sorted(
+                d.asDict()["name"] for d in r["server"]
+            ),
+            None if r["toolinfo"] is None else sorted(
+                d.asDict()["owner"] for d in r["toolinfo"]
+            ),
+            sorted(r["tags"]),
+            r["matched"],
+        )
+        for r in enricher.apply(fact_df).collect()
+    }
+
+    tables = {
+        "servers": [{"ip": ip, "name": nm} for ip, nm in dims],
+        "tools": [{"tool": t, "owner": o} for t, o in dtools],
+    }
+    exp = {}
+    for conv_id, turn_idx, ip, tool in fact_data:
+        event = {"conv_id": conv_id, "turn_idx": turn_idx}
+        if ip is not None:
+            event["ip"] = ip
+        if tool is not None:
+            event["tool"] = tool
+        oracle.enhance(event, spec2, tables)
+        exp[turn_idx] = (
+            None if event.get("server") is None else sorted(
+                d["name"] for d in event["server"]
+            ),
+            None if event.get("toolinfo") is None else sorted(
+                d["owner"] for d in event["toolinfo"]
+            ),
+            sorted(event["tags"]),
+            event["matched"],
+        )
+    assert got == exp
