@@ -226,3 +226,80 @@ def simhash(
         contrib = F.aggregate(toks, F.lit(0), _step(j))
         bits.append(F.when(contrib > 0, F.lit("1")).otherwise(F.lit("0")))
     return F.concat(*bits)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD'03 —
+    the standard partial-overlap / decontamination primitive): hash
+    every k-word gram (rolling hash stand-in: md5 prefix, engine-
+    portable), then keep the minimum hash of every ``window`` of
+    consecutive gram hashes. Guarantees any shared run of >= k+window-1
+    words contributes a shared fingerprint. Returns exploded
+    (id, fingerprint) rows — all native column ops, zero shuffles.
+
+    Docs shorter than k words yield no fingerprints; docs with fewer
+    than ``window`` grams yield the single global-min fingerprint.
+    """
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    n = F.size(toks)
+    # guard: F.sequence(1, stop) DESCENDS when stop < 1 — never build it
+    grams = F.when(
+        n >= F.lit(k),
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.substring(
+                F.md5(F.array_join(F.slice(toks, i, k), " ")), 1, 8
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    staged = df.select(F.col(id_col), grams.alias("__grams"))
+    m = F.size(F.col("__grams"))
+    fps = (
+        F.when(m == 0, F.array().cast("array<string>"))
+        .when(m < F.lit(window), F.array(F.array_min(F.col("__grams"))))
+        .otherwise(
+            F.transform(
+                F.sequence(F.lit(1), m - F.lit(window - 1)),
+                lambda j: F.array_min(F.slice(F.col("__grams"), j, window)),
+            )
+        )
+    )
+    return staged.select(
+        id_col, F.explode(F.array_distinct(fps)).alias("fingerprint")
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    window: int = 4,
+    min_shared: int = 3,
+    df_cap: int = 20,
+) -> DataFrame:
+    """Document pairs sharing >= min_shared winnow fingerprints.
+    ONE shuffle (hash on fingerprint); fingerprints occurring in more
+    than ``df_cap`` docs are dropped before pairing (the standard
+    document-frequency cut — a boilerplate k-gram shared by thousands of
+    docs would otherwise fan out quadratically at corpus scale)."""
+    fps = winnow_fingerprints(df, id_col, text_col, k, window)
+    w = Window.partitionBy("fingerprint")
+    rare = fps.withColumn("__df", F.count(F.lit(1)).over(w)).filter(
+        F.col("__df") <= df_cap
+    )
+    a = rare.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = rare.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

@@ -414,3 +414,60 @@ def lookup_like_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("names_str"),
     )
+
+
+# ------------------------------------------------------------------
+# 9. Winnowing overlap pairs (Schleimer et al.) over the dedup corpus —
+#    partial-overlap / decontamination detection: the injected
+#    truncated near-dups share long word runs with their originals and
+#    must surface as high-n_shared pairs. One shuffle; df-capped.
+# ------------------------------------------------------------------
+
+from logstash_filter_jdbc_static_spark.operators.dedup import winnow_overlap_pairs  # noqa: E402
+from logstash_filter_jdbc_static_spark.queries_data import _CORPUS_CTE, dedup_corpus  # noqa: E402
+
+_WINNOW_SQL = (
+    "WITH "
+    + _CORPUS_CTE.strip().rstrip()
+    + r""",
+tok AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM corpus
+),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5 THEN
+           list_transform(generate_series(1, len(toks) - 4),
+             i -> substr(md5(array_to_string(toks[i:i+4], ' ')), 1, 8))
+         ELSE CAST([] AS VARCHAR[]) END AS grams
+  FROM tok
+),
+f AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(grams) < 4 THEN [list_aggregate(grams, 'min')]
+              ELSE list_transform(generate_series(1, len(grams) - 3),
+                     j -> list_aggregate(grams[j:j+3], 'min'))
+         END AS fps
+  FROM g
+),
+e AS (SELECT doc_id, unnest(list_distinct(fps)) AS fingerprint FROM f),
+rare AS (
+  SELECT doc_id, fingerprint FROM (
+    SELECT doc_id, fingerprint,
+           count(*) OVER (PARTITION BY fingerprint) AS dfc
+    FROM e) WHERE dfc <= 20
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+FROM rare a JOIN rare b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING count(*) >= 3
+"""
+)
+
+
+@register("documents_winnow_overlap", _WINNOW_SQL)
+def documents_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = dedup_corpus(spark, sf_dir)
+    return winnow_overlap_pairs(
+        corpus, k=5, window=4, min_shared=3, df_cap=20
+    )

@@ -124,3 +124,25 @@ class TestKmeansLloyd:
         _e, assigned, cents, _h = trained
         assert assigned.exceptAll(again).count() == 0
         assert again.exceptAll(assigned).count() == 0
+
+
+class TestWinnowOverlap:
+    def test_finds_injected_truncated_near_dups(self, spark, sf_dir):
+        """The dedup corpus appends every 25th doc with its last 5 tokens
+        dropped (id + 2_000_000): winnowing must pair them with their
+        originals — long shared word runs => many shared fingerprints."""
+        from logstash_filter_jdbc_static_spark.queries_pipeline4 import (
+            documents_winnow_overlap,
+        )
+
+        pairs = {
+            (r["id_a"], r["id_b"]): r["n_shared"]
+            for r in documents_winnow_overlap(spark, sf_dir).collect()
+        }
+        assert pairs, "no overlap pairs found"
+        truncated_hits = [
+            (a, b) for (a, b) in pairs if b == a + 2_000_000
+        ]
+        assert len(truncated_hits) >= 10  # most of the 40 injected pairs
+        # Overlap is substantial for a doc sharing all-but-5 tokens.
+        assert max(pairs[p] for p in truncated_hits) >= 5
