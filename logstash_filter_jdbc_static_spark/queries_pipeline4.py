@@ -471,3 +471,21 @@ def documents_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_overlap_pairs(
         corpus, k=5, window=4, min_shared=3, df_cap=20
     )
+
+
+# ------------------------------------------------------------------
+# 10. Sequence packing (applyInPandas): greedy token-budget bins per
+#     deterministic shard. Sequential-within-shard => no single SQL
+#     oracle (rows-only check); the budget/determinism/coverage
+#     invariants are pinned in tests.
+# ------------------------------------------------------------------
+
+
+@register("documents_pack_sequences")
+def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_filter_jdbc_static_spark.operators.pack import pack_documents
+
+    docs = load_table_split(spark, sf_dir, "documents").select(
+        "doc_id", X.token_count("text").alias("n_tokens")
+    )
+    return pack_documents(docs, budget=512, n_shards=16)

@@ -146,3 +146,50 @@ class TestWinnowOverlap:
         assert len(truncated_hits) >= 10  # most of the 40 injected pairs
         # Overlap is substantial for a doc sharing all-but-5 tokens.
         assert max(pairs[p] for p in truncated_hits) >= 5
+
+
+class TestSequencePacking:
+    @pytest.fixture(scope="class")
+    def packed(self, spark, sf_dir):
+        from logstash_filter_jdbc_static_spark.operators import text as X
+        from logstash_filter_jdbc_static_spark.operators.pack import pack_documents
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", X.token_count("text").alias("n_tokens")
+        )
+        return docs, pack_documents(docs, budget=512, n_shards=16).cache()
+
+    def test_every_doc_packed_exactly_once(self, spark, packed):
+        docs, out = packed
+        assert out.count() == docs.count()
+        assert out.select("doc_id").distinct().count() == docs.count()
+
+    def test_budget_respected(self, packed):
+        from logstash_filter_jdbc_static_spark.operators.pack import pack_stats
+
+        _docs, out = packed
+        stats = pack_stats(out, budget=512)
+        over = stats.filter(F.col("n_tokens_capped") > 512)
+        assert over.count() == 0
+
+    def test_packs_are_filled_not_singletons(self, packed):
+        """Greedy fill must actually combine docs (mean docs/pack > 1)
+        unless every doc is near the budget."""
+        from logstash_filter_jdbc_static_spark.operators.pack import pack_stats
+
+        _docs, out = packed
+        stats = pack_stats(out, budget=512).collect()
+        mean_docs = sum(r["n_docs"] for r in stats) / len(stats)
+        assert mean_docs > 1.0
+
+    def test_deterministic(self, spark, sf_dir, packed):
+        from logstash_filter_jdbc_static_spark.operators import text as X
+        from logstash_filter_jdbc_static_spark.operators.pack import pack_documents
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", X.token_count("text").alias("n_tokens")
+        )
+        again = pack_documents(docs, budget=512, n_shards=16)
+        _d, out = packed
+        assert out.exceptAll(again).count() == 0
+        assert again.exceptAll(out).count() == 0
