@@ -383,33 +383,44 @@ def run_job(
     # four separate jobs over the same data; the numbers still describe
     # exactly what is on disk.
     routed_all = spark.read.format(fmt).load(routed_path)
-    stats = (
+    # ONE scan of the written sinks feeds every downstream number via a
+    # persisted per-(batch, sink-key) aggregate: the sink_counts table is
+    # written DISTRIBUTED (its cardinality is unbounded in distinct tool
+    # values, so it must never be collected), while only the bounded
+    # summaries — per-batch totals (<= batches rows) and per-route totals
+    # (3 rows) — come to the driver.
+    stats_df = (
         routed_all.groupBy("batch", "route", "role", "tool", conv_bucket())
         .agg(F.count(F.lit(1)).alias("n_turns"))
-        .collect()
+        .persist()
     )
-    if len(pending) == batches:
-        by_batch: dict[int, int] = {}
-        for r in stats:
-            by_batch[r["batch"]] = by_batch.get(r["batch"], 0) + r["n_turns"]
-        _mark_all(pending, fresh_elapsed, by_batch)
-    agg: dict[tuple, int] = {}
-    route_totals: dict[str, int] = {}
-    n_rows = 0
-    for r in stats:
-        key = (r["route"], r["role"], r["tool"], r["conv_bucket"])
-        agg[key] = agg.get(key, 0) + r["n_turns"]
-        route_totals[r["route"]] = route_totals.get(r["route"], 0) + r["n_turns"]
-        n_rows += r["n_turns"]
-    counts = spark.createDataFrame(
-        [(*k, v) for k, v in agg.items()],
-        sink_counts(routed_all.limit(0)).schema,
+    counts = stats_df.groupBy("route", "role", "tool", "conv_bucket").agg(
+        F.sum("n_turns").alias("n_turns")
     )
-    counts.coalesce(1).write.mode("overwrite").format(fmt).save(
+    counts.write.mode("overwrite").format(fmt).save(
         os.path.join(output, "sink_counts")
     )
+    if len(pending) == batches:
+        by_batch = {
+            r["batch"]: r["n"]
+            for r in stats_df.groupBy("batch")
+            .agg(F.sum("n_turns").alias("n"))
+            .collect()
+        }
+        _mark_all(pending, fresh_elapsed, by_batch)
+    route_totals = {
+        r["route"]: r["n"]
+        for r in stats_df.groupBy("route").agg(F.sum("n_turns").alias("n")).collect()
+    }
+    n_rows = sum(route_totals.values())
+    stats_df.unpersist()
     compacted = {}
     if compact:
+        if fmt != "parquet":
+            raise SystemExit(
+                "--compact only supports parquet sinks; iceberg tables "
+                "compact via RewriteDataFiles (see plans/compact.py)"
+            )
         from logstash_filter_jdbc_static_spark.plans.compact import compact_sinks
 
         compacted = compact_sinks(spark, routed_path, fmt)

@@ -9,18 +9,39 @@ files, idempotently, preserving the partition layout and every row.
 Spark-first shape: per-partition byte size comes from the Hadoop
 FileSystem (works for local, hdfs://, s3a://), the rewrite is a
 coalesce to ceil(bytes/target) — a NARROW dependency, no shuffle — and
-the swap is the same dynamic-partition overwrite the pipeline already
-uses for resume, so a crash mid-compaction leaves a valid (just
-uncompacted or freshly-compacted) partition, never a partial one.
+the swap uses a hidden staging area at ``<root>/_compaction`` (the
+``_`` prefix keeps Spark's partition discovery and the stats walk away
+from in-flight data, so readers NEVER see swap directories as bogus
+partition values).
+
+Crash-safety protocol per partition (raw filesystems have no atomic
+dir swap; Iceberg's RewriteDataFiles makes this a metadata commit —
+that is the upgrade path this seam maps to):
+
+1. write compacted copy to   _compaction/tmp/<relpath>
+2. rename live partition to  _compaction/old/<relpath>   (backup)
+3. rename tmp into place
+4. delete the backup
+
+Every rename's boolean return is CHECKED (Hadoop reports failure by
+returning false, not raising); a failed step 3 rolls the backup
+straight back. ``recover_sinks`` — run automatically at the start of
+``compact_sinks`` — restores any partition left at step 2/3 by a crash
+and clears stale tmp dirs, so a crashed compaction is always healed by
+the next run.
+
+NOT valid for Iceberg table directories (renames under the manifests
+would corrupt the table) — job.py gates --compact to parquet.
 """
 
 from __future__ import annotations
 
 import math
 
-from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import SparkSession
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+_STAGING = "_compaction"
 
 
 def _fs(spark: SparkSession, path: str):
@@ -28,9 +49,16 @@ def _fs(spark: SparkSession, path: str):
     return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
 
+def _rename(fs, src, dst, what: str) -> None:
+    if not fs.rename(src, dst):
+        raise IOError(f"compaction rename failed ({what}): {src} -> {dst}")
+
+
 def partition_stats(spark: SparkSession, root: str) -> list[dict]:
     """(partition_path, n_files, n_bytes) for every leaf partition dir
-    under root (recursive; a leaf = dir containing data files)."""
+    under root (recursive; a leaf = dir containing data files). Hidden
+    dirs (``_``/``.`` prefix — including the _compaction staging area)
+    are skipped, matching Spark's own partition discovery."""
     fs, jroot = _fs(spark, root)
     out: list[dict] = []
 
@@ -39,7 +67,7 @@ def partition_stats(spark: SparkSession, root: str) -> list[dict]:
         for st in fs.listStatus(jdir):
             name = st.getPath().getName()
             if st.isDirectory():
-                if not name.endswith(("._compacting", "._old")):
+                if not name.startswith(("_", ".")):
                     dirs.append(st.getPath())
             elif not name.startswith(("_", ".")):
                 files.append(st)
@@ -58,53 +86,84 @@ def partition_stats(spark: SparkSession, root: str) -> list[dict]:
     return out
 
 
+def _staging_paths(spark: SparkSession, root: str, partition_path: str):
+    """(tmp, old) staging paths for a partition, keyed by its path
+    relative to root so the layout nests cleanly for any partition depth."""
+    root_str = root.rstrip("/")
+    rel = partition_path.rstrip("/")
+    if rel.startswith(root_str):
+        rel = rel[len(root_str):].lstrip("/")
+    else:  # absolute-URI mismatch: fall back to the leaf name chain
+        rel = rel.rsplit("/", 1)[-1]
+    return (
+        f"{root_str}/{_STAGING}/tmp/{rel}",
+        f"{root_str}/{_STAGING}/old/{rel}",
+    )
+
+
 def compact_partition(
     spark: SparkSession,
+    root: str,
     partition_path: str,
     file_format: str = "parquet",
     target_bytes: int = DEFAULT_TARGET_BYTES,
 ) -> int:
-    """Rewrite ONE leaf partition into ceil(bytes/target) files.
-    Returns the new file count. Row-preserving by construction
-    (read -> coalesce -> overwrite of the same directory)."""
-    recover_partition(spark, partition_path)
+    """Rewrite ONE leaf partition into ceil(bytes/target) files via the
+    staged swap (module docstring). Returns the new file count."""
     stats = partition_stats(spark, partition_path)
     n_bytes = sum(s["n_bytes"] for s in stats)
     n_out = max(1, math.ceil(n_bytes / target_bytes))
+    tmp, old = _staging_paths(spark, root, partition_path)
     df = spark.read.format(file_format).load(partition_path)
-    # coalesce = narrow repartition (no shuffle). Swap protocol: write to
-    # a temp sibling, move the original aside, move the temp in, drop
-    # the original — a crash between the renames leaves the data intact
-    # at `._old`, and recover_partition() (run at the start of every
-    # compaction) restores it. Raw filesystems have no atomic dir swap;
-    # a table format (Iceberg RewriteDataFiles) makes this a metadata
-    # commit — that is the upgrade path this seam maps to.
-    tmp = partition_path.rstrip("/") + "._compacting"
-    old = partition_path.rstrip("/") + "._old"
     df.coalesce(n_out).write.mode("overwrite").format(file_format).save(tmp)
-    fs, jsrc = _fs(spark, tmp)
-    _fs_d, jdst = _fs(spark, partition_path)
-    _fs_o, jold = _fs(spark, old)
+    fs, jtmp = _fs(spark, tmp)
+    _f1, jdst = _fs(spark, partition_path)
+    _f2, jold = _fs(spark, old)
     fs.delete(jold, True)
-    fs.rename(jdst, jold)
-    fs.rename(jsrc, jdst)
+    fs.mkdirs(jold.getParent())
+    _rename(fs, jdst, jold, "backup")
+    try:
+        _rename(fs, jtmp, jdst, "swap-in")
+    except IOError:
+        _rename(fs, jold, jdst, "rollback")  # restore, then re-raise
+        raise
     fs.delete(jold, True)
     return n_out
 
 
-def recover_partition(spark: SparkSession, partition_path: str) -> bool:
-    """Repair a partition left mid-swap by a crashed compaction: if the
-    data dir is missing but `._old` exists, restore it. Returns True if
-    a restore happened."""
-    fs, jdst = _fs(spark, partition_path)
-    _fs_o, jold = _fs(spark, partition_path.rstrip("/") + "._old")
-    _fs_t, jtmp = _fs(spark, partition_path.rstrip("/") + "._compacting")
-    if not fs.exists(jdst) and fs.exists(jold):
-        fs.rename(jold, jdst)
-        fs.delete(jtmp, True)
-        return True
-    fs.delete(jtmp, True)
-    return False
+def recover_sinks(spark: SparkSession, root: str) -> list[str]:
+    """Heal partitions left mid-swap by a crashed compaction: for every
+    backup under ``_compaction/old`` whose live partition is missing,
+    rename the backup into place; then clear all staging state.
+    Returns the restored partition paths."""
+    root_str = root.rstrip("/")
+    fs, jstage = _fs(spark, f"{root_str}/{_STAGING}/old")
+    restored: list[str] = []
+
+    def walk(jdir, rel: str):
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
+            sub = f"{rel}/{name}" if rel else name
+            if not st.isDirectory():
+                continue
+            _f, jlive = _fs(spark, f"{root_str}/{sub}")
+            # a backup dir containing files = a parked partition
+            has_files = any(
+                not s.isDirectory() for s in fs.listStatus(st.getPath())
+            )
+            if has_files:
+                if not fs.exists(jlive):
+                    fs.mkdirs(jlive.getParent())
+                    _rename(fs, st.getPath(), jlive, "recover")
+                    restored.append(f"{root_str}/{sub}")
+            else:
+                walk(st.getPath(), sub)
+
+    if fs.exists(jstage):
+        walk(jstage, "")
+    _f, jall = _fs(spark, f"{root_str}/{_STAGING}")
+    fs.delete(jall, True)
+    return restored
 
 
 def compact_sinks(
@@ -114,16 +173,23 @@ def compact_sinks(
     target_bytes: int = DEFAULT_TARGET_BYTES,
     min_files: int = 2,
 ) -> dict:
-    """Compact every leaf partition under root that has more than
-    ``min_files`` files AND would shrink (file count above the target
-    layout). A single small file has nothing to merge — skip it.
-    Returns a summary {partition: (files_before, files_after)}."""
+    """Recover any crashed prior compaction, then compact every leaf
+    partition under root that has more than ``min_files`` files AND more
+    files than the target layout needs. A single small file has nothing
+    to merge — skip it. Returns {partition: (files_before, files_after)}."""
+    if file_format != "parquet":
+        raise ValueError(
+            "compact_sinks only supports raw parquet layouts; table "
+            "formats (iceberg) compact via their own metadata-commit "
+            "rewrite (RewriteDataFiles)"
+        )
+    recover_sinks(spark, root)
     summary: dict[str, tuple[int, int]] = {}
     for s in partition_stats(spark, root):
         if s["n_files"] <= min_files:
             continue
         if s["n_files"] <= math.ceil(s["n_bytes"] / target_bytes):
             continue  # already at (or below) the target file count
-        after = compact_partition(spark, s["path"], file_format, target_bytes)
+        after = compact_partition(spark, root, s["path"], file_format, target_bytes)
         summary[s["path"]] = (s["n_files"], after)
     return summary

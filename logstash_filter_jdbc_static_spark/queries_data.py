@@ -77,7 +77,14 @@ def analyzed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark.sparkContext), sf_dir)
     if key not in _ANALYZE_CACHE:
         docs = load_table_split(spark, sf_dir, "documents")
-        _ANALYZE_CACHE[key] = X.analyze(docs).cache()
+        # prune BEFORE caching: raw `text` dominates row size and no
+        # consumer reads it — keeping it would make the cache mostly
+        # dead weight and evict far earlier at larger corpora
+        _ANALYZE_CACHE[key] = X.analyze(docs).select(
+            "doc_id", "source", "n_tokens", "n_subword_tokens",
+            "detected_lang", "punct_ratio", "stopword_ratio",
+            "quality_score", "fingerprint",
+        ).cache()
         if len(_ANALYZE_CACHE) > 4:
             old = next(iter(_ANALYZE_CACHE))
             _ANALYZE_CACHE.pop(old).unpersist()

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from logstash_filter_jdbc_static_spark.plans.compact import (
     compact_sinks,
     partition_stats,
-    recover_partition,
+    recover_sinks,
 )
 
 
@@ -69,11 +69,35 @@ class TestCompaction:
         _fragmented_sink(spark, path)
         part = os.path.join(path, "route=hit")
         n = spark.read.parquet(part).count()
-        # Simulate a crash between the two renames: data dir moved aside.
-        os.rename(part, part + "._old")
-        assert recover_partition(spark, part) is True
+        # Simulate a crash between backup and swap-in: the live dir is
+        # gone, the rows are parked in the hidden staging area.
+        os.makedirs(os.path.join(path, "_compaction", "old"))
+        os.rename(part, os.path.join(path, "_compaction", "old", "route=hit"))
+        restored = recover_sinks(spark, path)
+        assert restored == [part]
         assert spark.read.parquet(part).count() == n
-        assert not os.path.exists(part + "._old")
+        assert not os.path.exists(os.path.join(path, "_compaction"))
+
+    def test_crashed_state_is_invisible_to_readers_and_healed_by_next_run(
+        self, spark, tmp_path
+    ):
+        """The staging area is `_`-prefixed: Spark partition discovery
+        never surfaces swap dirs as bogus route values, and the next
+        compact_sinks heals the crash before compacting."""
+        path = str(tmp_path / "sink4")
+        full = _fragmented_sink(spark, path).count()
+        part = os.path.join(path, "route=miss")
+        os.makedirs(os.path.join(path, "_compaction", "old"))
+        os.rename(part, os.path.join(path, "_compaction", "old", "route=miss"))
+        # Readers of the crashed sink see no phantom partitions...
+        routes = sorted(
+            r["route"]
+            for r in spark.read.parquet(path).select("route").distinct().collect()
+        )
+        assert routes == ["hit", "malformed"]
+        # ...and the next maintenance run restores, then compacts, all.
+        compact_sinks(spark, path, target_bytes=64 * 1024 * 1024)
+        assert spark.read.parquet(path).count() == full
 
 
 class TestJobCompactFlag:
@@ -89,13 +113,35 @@ class TestJobCompactFlag:
         # this asserts (fragmented-input mechanics: TestCompaction).
         assert summary["partitions_compacted"] >= 0
         assert summary["rows_routed"] == 1000
-        routed = spark.read.parquet(os.path.join(out, "routed"))
+        routed_path = os.path.join(out, "routed")
+        routed = spark.read.parquet(routed_path)
         assert routed.count() == 1000
-        # Force a real compaction over the job's fan-out layout.
-        from logstash_filter_jdbc_static_spark.plans.compact import compact_sinks
+        # Fragment one partition like later micro-batch appends would,
+        # then verify compaction actually merges it on the job layout.
+        part_dirs = [
+            os.path.join(routed_path, b, r)
+            for b in os.listdir(routed_path) if b.startswith("batch=")
+            for r in os.listdir(os.path.join(routed_path, b))
+            if r.startswith("route=hit")
+        ]
+        target = part_dirs[0]
+        frag = spark.read.parquet(target)
+        for _ in range(3):
+            frag.coalesce(1).write.mode("append").parquet(target)
+        n_after_appends = spark.read.parquet(routed_path).count()
+        forced = compact_sinks(spark, routed_path)
+        # keys are Hadoop URIs (file:/...); match by suffix
+        hit = [k for k in forced if k.endswith(target)]
+        assert hit and forced[hit[0]][1] < forced[hit[0]][0]
+        assert spark.read.parquet(routed_path).count() == n_after_appends
 
-        forced = compact_sinks(
-            spark, os.path.join(out, "routed"), min_files=0
-        )
-        assert spark.read.parquet(os.path.join(out, "routed")).count() == 1000
-        assert all(after == 1 for (_b, after) in forced.values())
+    def test_job_compact_rejected_for_iceberg(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from logstash_filter_jdbc_static_spark.job import run_job
+
+        with _pytest.raises(SystemExit, match="compact|iceberg"):
+            run_job(
+                spark, "/root/testdata/sf0.001", str(tmp_path / "x"),
+                batches=2, table_format="iceberg", compact=True,
+            )
