@@ -50,3 +50,25 @@ def load_table_split(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def save_bucketed(
+    df,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (+ optionally sort-within-bucket) table —
+    the co-location technique for repeated wide ops on one key: every
+    downstream groupBy/window/join on ``bucket_col`` reads the bucketed
+    layout's hash distribution straight from the scan and SKIPS its
+    exchange. At 100 TB, bucketing the transcript store by conv_id turns
+    the per-conversation turn-ordering window from a full shuffle into a
+    scan-local sort (or no sort, if sortBy matches)."""
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(
+        n_buckets, bucket_col
+    )
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
