@@ -4,7 +4,9 @@ WITHOUT an exchange (the 100 TB answer to the turn-ordering shuffle)."""
 from __future__ import annotations
 
 import re
+import shutil
 
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -14,6 +16,21 @@ from logstash_filter_jdbc_static_spark.sources.registry import save_bucketed
 def _plan(df, mode="simple") -> str:
     jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
     return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean_table(spark):
+    """Drop any catalog entry AND orphaned warehouse location from a
+    previous JVM (a leftover dir without a catalog row makes saveAsTable
+    fail with LOCATION_ALREADY_EXISTS)."""
+    def clean():
+        spark.sql("DROP TABLE IF EXISTS events_bucketed")
+        wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        shutil.rmtree(f"{wh}/events_bucketed", ignore_errors=True)
+
+    clean()
+    yield
+    clean()
 
 
 class TestBucketedCoLocation:
