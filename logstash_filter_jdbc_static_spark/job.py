@@ -306,6 +306,17 @@ def run_job(
                 f"batches={prior.get('batches')}; re-run with the original "
                 "value or delete the output directory to start fresh"
             )
+    elif done:
+        # Lineage says work completed but the config that pins the batch
+        # count is gone (deleted, partial copy). Proceeding would trust
+        # the CLI --batches to match the unknown original bucketing — a
+        # mismatch silently mixes two hash-bucketings in one output.
+        raise SystemExit(
+            f"{len(done)} completed lineage entr{'y' if len(done) == 1 else 'ies'} "
+            f"found but {cfg_path} is missing; cannot verify --batches "
+            f"{batches} matches the original run. Restore _job_config.json "
+            "or delete the output directory to start fresh"
+        )
     os.makedirs(output, exist_ok=True)
     with open(cfg_path, "w") as fh:
         json.dump({"batches": batches}, fh)

@@ -86,18 +86,39 @@ def partition_stats(spark: SparkSession, root: str) -> list[dict]:
     return out
 
 
+def _qualified_path(spark: SparkSession, path: str) -> str:
+    """Scheme-independent comparable form of a path: let the owning
+    FileSystem qualify it (adds scheme/authority, resolves relative
+    paths), then take the URI path component. ``/root/x``,
+    ``file:/root/x`` and ``file:///root/x`` all normalize identically —
+    partition_stats hands back fully-qualified URIs while callers pass
+    plain roots, and the two MUST compare equal for the relpath math."""
+    fs, jpath = _fs(spark, path)
+    return fs.makeQualified(jpath).toUri().getPath().rstrip("/")
+
+
 def _staging_paths(spark: SparkSession, root: str, partition_path: str):
-    """(tmp, old) staging paths for a partition, keyed by its path
-    relative to root so the layout nests cleanly for any partition depth."""
+    """(tmp, old) staging paths for a partition, keyed by its FULL path
+    relative to root so the layout nests cleanly for any partition depth
+    (``batch=0/route=hit`` parks at ``_compaction/old/batch=0/route=hit``,
+    never at a leaf-only name that recovery would restore to the wrong
+    level)."""
     root_str = root.rstrip("/")
-    rel = partition_path.rstrip("/")
-    if rel.startswith(root_str):
-        rel = rel[len(root_str):].lstrip("/")
-    else:  # absolute-URI mismatch: fall back to the leaf name chain
-        rel = rel.rsplit("/", 1)[-1]
+    root_norm = _qualified_path(spark, root)
+    part_norm = _qualified_path(spark, partition_path)
+    if part_norm == root_norm:
+        rel = ""
+    elif part_norm.startswith(root_norm + "/"):
+        rel = part_norm[len(root_norm) + 1:]
+    else:
+        raise ValueError(
+            f"partition {partition_path!r} is not under sink root {root!r}; "
+            "refusing to stage it (a misplaced backup corrupts recovery)"
+        )
+    suffix = f"/{rel}" if rel else ""
     return (
-        f"{root_str}/{_STAGING}/tmp/{rel}",
-        f"{root_str}/{_STAGING}/old/{rel}",
+        f"{root_str}/{_STAGING}/tmp{suffix}",
+        f"{root_str}/{_STAGING}/old{suffix}",
     )
 
 
@@ -192,4 +213,8 @@ def compact_sinks(
             continue  # already at (or below) the target file count
         after = compact_partition(spark, root, s["path"], file_format, target_bytes)
         summary[s["path"]] = (s["n_files"], after)
+    # Clear the (now-empty) staging skeleton so a healthy sink carries
+    # no hidden dirs between maintenance runs.
+    fs, jstage = _fs(spark, f"{root.rstrip('/')}/{_STAGING}")
+    fs.delete(jstage, True)
     return summary

@@ -64,7 +64,7 @@ FROM scored
 """
 
 
-_ANALYZE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_ANALYZE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def analyzed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -74,7 +74,11 @@ def analyzed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves every downstream consumer in a session (same pattern as the
     transcripts cache; at warehouse scale this is a materialized staging
     table, not an in-memory cache)."""
-    key = (id(spark.sparkContext), sf_dir)
+    # applicationId is unique per context (id() can be reused by CPython
+    # after GC, resurrecting a frame bound to a dead session); eviction
+    # just drops the reference — earlier callers may still hold the
+    # frame, so the ContextCleaner, not us, decides when to unpersist.
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ANALYZE_CACHE:
         docs = load_table_split(spark, sf_dir, "documents")
         # prune BEFORE caching: raw `text` dominates row size and no
@@ -86,8 +90,7 @@ def analyzed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score", "fingerprint",
         ).cache()
         if len(_ANALYZE_CACHE) > 4:
-            old = next(iter(_ANALYZE_CACHE))
-            _ANALYZE_CACHE.pop(old).unpersist()
+            _ANALYZE_CACHE.pop(next(iter(_ANALYZE_CACHE)))
     return _ANALYZE_CACHE[key]
 
 
@@ -122,7 +125,7 @@ corpus AS (
 """
 
 
-_CORPUS_CACHE: dict[tuple[int, str], DataFrame] = {}
+_CORPUS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -131,7 +134,7 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     generated code past the codegen limit (interpreted fallback measured
     ~30x slower); materializing the corpus keeps every downstream stage
     in whole-stage codegen."""
-    key = (id(spark.sparkContext), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key in _CORPUS_CACHE:
         return _CORPUS_CACHE[key]
     docs = load_table_split(spark, sf_dir, "documents").select("doc_id", "text")

@@ -103,7 +103,7 @@ def pipeline_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_turns,
                min(turn_idx) AS first_turn,
                max(turn_idx) AS last_turn,
-               sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS n_assistant,
+               CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
                max(length(text)) AS max_text_len,
                {conv_bucket_sql('conv_id')} AS conv_bucket
         FROM transcripts

@@ -165,20 +165,23 @@ def derive_transcripts(events: DataFrame) -> DataFrame:
     )
 
 
-_TRANSCRIPT_CACHE: dict[tuple[int, str], DataFrame] = {}
+_TRANSCRIPT_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derived fact table, memoized per (session, sf_dir): the turn-order
     window + parquet scan is shared staging for every downstream query
-    (one cached InMemoryRelation instead of a re-shuffle per query)."""
-    key = (id(spark.sparkContext), sf_dir)
+    (one cached InMemoryRelation instead of a re-shuffle per query).
+    Keyed on applicationId (stable, unique per context — id() is
+    reusable after GC); eviction drops the reference and lets the
+    ContextCleaner reclaim the block, since earlier callers may still
+    hold the evicted frame."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TRANSCRIPT_CACHE:
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         _TRANSCRIPT_CACHE[key] = derive_transcripts(events).cache()
         if len(_TRANSCRIPT_CACHE) > 4:  # bound: tests hop across sf dirs
-            old = next(iter(_TRANSCRIPT_CACHE))
-            _TRANSCRIPT_CACHE.pop(old).unpersist()
+            _TRANSCRIPT_CACHE.pop(next(iter(_TRANSCRIPT_CACHE)))
     return _TRANSCRIPT_CACHE[key]
 
 

@@ -100,6 +100,92 @@ class TestCompaction:
         assert spark.read.parquet(path).count() == full
 
 
+class TestNestedLayoutCrashRecovery:
+    """Regression: partition_stats hands back file:-qualified URIs while
+    callers pass plain roots. The staging relpath must survive that
+    mismatch, or nested batch=/route= partitions park under a leaf-only
+    name and crash recovery restores them one level too high —
+    corrupting the sink (CONFLICTING_PARTITION_COLUMN_NAMES)."""
+
+    def _nested_sink(self, spark, path: str):
+        for b in range(2):
+            df = spark.range(b * 300, (b + 1) * 300, numPartitions=3).select(
+                F.col("id"),
+                F.lit(b).alias("batch"),
+                F.element_at(
+                    F.array(F.lit("hit"), F.lit("miss")),
+                    (F.col("id") % 2 + 1).cast("int"),
+                ).alias("route"),
+            )
+            df.write.mode("append").partitionBy("batch", "route").parquet(path)
+        return spark.read.parquet(path)
+
+    def test_staging_paths_keep_full_relpath_across_uri_mismatch(
+        self, spark, tmp_path
+    ):
+        from logstash_filter_jdbc_static_spark.plans.compact import (
+            _staging_paths,
+        )
+
+        path = str(tmp_path / "nested")
+        self._nested_sink(spark, path)
+        # partition_stats yields qualified URIs (file:/...); root is plain.
+        part_uris = [s["path"] for s in partition_stats(spark, path)]
+        assert any(u.startswith("file:") for u in part_uris)
+        target = next(u for u in part_uris if u.endswith("batch=0/route=hit"))
+        tmp, old = _staging_paths(spark, path, target)
+        assert tmp == f"{path}/_compaction/tmp/batch=0/route=hit"
+        assert old == f"{path}/_compaction/old/batch=0/route=hit"
+
+    def test_staging_rejects_partition_outside_root(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from logstash_filter_jdbc_static_spark.plans.compact import (
+            _staging_paths,
+        )
+
+        with _pytest.raises(ValueError, match="not under sink root"):
+            _staging_paths(
+                spark, str(tmp_path / "a"), str(tmp_path / "elsewhere/route=x")
+            )
+
+    def test_crash_mid_swap_on_nested_layout_recovers_in_place(
+        self, spark, tmp_path
+    ):
+        from logstash_filter_jdbc_static_spark.plans.compact import (
+            _staging_paths,
+        )
+
+        path = str(tmp_path / "nested2")
+        full = self._nested_sink(spark, path).count()
+        part = os.path.join(path, "batch=1", "route=miss")
+        n_part = spark.read.parquet(part).count()
+        # Park the partition exactly where step 2 of the swap protocol
+        # does (backup rename), then "crash" before step 3.
+        part_uri = next(
+            s["path"]
+            for s in partition_stats(spark, path)
+            if s["path"].endswith("batch=1/route=miss")
+        )
+        _tmp, old = _staging_paths(spark, path, part_uri)
+        os.makedirs(os.path.dirname(old))
+        os.rename(part, old)
+        restored = recover_sinks(spark, path)
+        assert restored == [part]
+        assert spark.read.parquet(part).count() == n_part
+        # The whole sink is readable again with the nested layout intact.
+        assert spark.read.parquet(path).count() == full
+        assert not os.path.exists(os.path.join(path, "_compaction"))
+
+    def test_compact_sinks_end_to_end_on_nested_layout(self, spark, tmp_path):
+        path = str(tmp_path / "nested3")
+        full = self._nested_sink(spark, path).count()
+        summary = compact_sinks(spark, path, target_bytes=64 * 1024 * 1024)
+        assert len(summary) == 4  # 2 batches x 2 routes, all fragmented
+        assert spark.read.parquet(path).count() == full
+        assert not os.path.exists(os.path.join(path, "_compaction"))
+
+
 class TestJobCompactFlag:
     def test_job_compacts_after_completion(self, spark, tmp_path):
         from logstash_filter_jdbc_static_spark.job import run_job

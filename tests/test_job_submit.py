@@ -131,3 +131,12 @@ class TestSparkSubmit:
         out_dir, _ = job_out
         with pytest.raises(SystemExit, match="batches"):
             run_job(spark, "/root/testdata/sf0.001", out_dir, batches=5)
+
+    def test_resume_with_missing_config_refuses(self, job_out, spark):
+        """Lineage present but _job_config.json gone: the original batch
+        count is unknowable, so a resume could mix two hash-bucketings
+        in one output — refuse rather than guess."""
+        out_dir, _ = job_out
+        os.remove(os.path.join(out_dir, "_job_config.json"))
+        with pytest.raises(SystemExit, match="_job_config.json is missing"):
+            run_job(spark, "/root/testdata/sf0.001", out_dir, batches=3)
