@@ -89,7 +89,7 @@ def build_configured_pipeline(spark: SparkSession, pipeline):
         [(ld, make_fetcher(spark, ld)) for ld in spec.loaders],
     )
     store.initial_load()
-    enricher = LookupEnricher(spec, store.dims())
+    enricher = LookupEnricher(spec, store.dims(), dim_rows=store.dim_rows())
     parser = GrokParser(
         cfg.get("grok", TRANSCRIPT_GROK),
         required=cfg.get("grok_required", ["from_ip"]),

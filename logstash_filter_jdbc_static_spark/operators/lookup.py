@@ -30,9 +30,18 @@ Spark-first physical design (NOT a port of the Derby execution path):
   is inlined as a literal array-of-structs expression and the lookup
   becomes ``F.filter(dim_array, r -> predicate)`` — a pure projection
   inside whole-stage codegen, zero joins, zero shuffles.  Larger dims
-  fall back to a broadcast nested-loop LEFT join plus a regroup keyed by
-  a caller-supplied unique row key; the BNLJ cost is bounded by
-  ``max_rows`` exactly as the reference's Derby table scan is.
+  are probed per DISTINCT parameter tuple: the slim tuple projection is
+  ``distinct()``-ed (the only shuffle, a few small columns), theta-joined
+  once against the broadcast dim, aggregated into a tuple->payload map,
+  and the map is broadcast back onto the untouched fact with a null-safe
+  hash join.  The fact side never shuffles and never fans out, and the
+  theta probe runs |distinct tuples| x |dim| times instead of
+  |fact| x |dim| — the decisive ratio at 10^12 turns, where parameter
+  tuples come from low-cardinality fields (tool/server names).  The BNLJ
+  cost stays bounded by ``max_rows`` exactly as the reference's Derby
+  table scan is; ``pattern_strategy="shuffle_map"`` covers the
+  adversarial near-unique-tuple case (map too big to broadcast) by
+  joining the map back on its shuffle keys instead.
 """
 
 from __future__ import annotations
@@ -251,6 +260,8 @@ class CompiledLookup:
         dim_df: DataFrame,
         inline_threshold: int = DEFAULT_INLINE_THRESHOLD,
         row_key: list[str] = ("conv_id", "turn_idx"),
+        dim_rows: int | None = None,
+        pattern_strategy: str = "broadcast_map",
     ):
         spec.raise_if_invalid()
         self.spec = spec
@@ -258,6 +269,17 @@ class CompiledLookup:
         self.dim_df = dim_df
         self.inline_threshold = inline_threshold
         self.row_key = list(row_key)
+        if pattern_strategy not in ("broadcast_map", "shuffle_map"):
+            raise ValidationError(
+                [f"lookup '{spec.id}': unknown pattern_strategy "
+                 f"{pattern_strategy!r} (broadcast_map | shuffle_map)"]
+            )
+        self.pattern_strategy = pattern_strategy
+        if dim_rows is not None:
+            # The A2 guard (fetch_with_guard) already counted the pinned
+            # snapshot; reuse it instead of re-firing an eager count()
+            # during plan construction.
+            self._dim_count_cache = dim_rows
         # Resolve projection against the dim schema.
         dim_fields = {f.name: f.dataType for f in dim_df.schema.fields}
         if self.query.projection is None:
@@ -359,11 +381,11 @@ class CompiledLookup:
             f"__{sid}_ok", f"__{sid}_failed", f"__{sid}_default_used",
         )
         if self.query.is_pure_equi and self.query.predicates:
-            enriched = self._apply_equi(fact, params, valid)
+            enriched = self._apply_equi(fact, params)
         elif self._dim_count() <= self.inline_threshold:
-            enriched = self._apply_inline(fact, params, valid)
+            enriched = self._apply_inline(fact, params)
         else:
-            enriched = self._apply_bnlj(fact, params, valid)
+            enriched = self._apply_bnlj(fact, params)
         # Outcome logic (lookup.rb:83-104): invalid => failed, target
         # untouched; valid+empty+default => default payload + default tag;
         # valid otherwise => payload ([] when empty, no default).
@@ -392,9 +414,7 @@ class CompiledLookup:
             self._dim_count_cache = self.dim_df.count()
         return self._dim_count_cache
 
-    def _apply_equi(
-        self, fact: DataFrame, params: dict[str, BoundParam], valid: Column
-    ) -> DataFrame:
+    def _apply_equi(self, fact: DataFrame, params: dict[str, BoundParam]) -> DataFrame:
         """Broadcast hash equi-join against the key-grouped dim — the
         index-backed point lookup (db_object.rb:19) done set-at-a-time."""
         grouped, key_names = self._grouped_dim()
@@ -464,9 +484,7 @@ class CompiledLookup:
             *[row.getField(src).alias(alias) for src, alias in self.out_fields]
         )
 
-    def _apply_inline(
-        self, fact: DataFrame, params: dict[str, BoundParam], valid: Column
-    ) -> DataFrame:
+    def _apply_inline(self, fact: DataFrame, params: dict[str, BoundParam]) -> DataFrame:
         """Small-dim theta lookup as a pure projection: filter a literal
         array-of-structs — no join, no shuffle, stays in codegen.
 
@@ -499,76 +517,120 @@ class CompiledLookup:
         payload = F.sort_array(F.transform(matched, self._project_struct))
         return staged.withColumn("__raw_payload", payload).drop(*tmp)
 
-    def _apply_bnlj(
-        self, fact: DataFrame, params: dict[str, BoundParam], valid: Column
-    ) -> DataFrame:
-        """Large-dim theta lookup: broadcast nested-loop LEFT join, then
-        regroup fan-out by the natural row key (conv_id, turn_idx) so one
-        input turn stays one output turn (SURVEY §4.3)."""
+    def _apply_bnlj(self, fact: DataFrame, params: dict[str, BoundParam]) -> DataFrame:
+        """Large-dim theta lookup, probed per DISTINCT parameter tuple.
+
+        The naive shape — BNLJ every fact row against the dim, then
+        regroup the fan-out — shuffles the whole fact (every column) on
+        the hot path; at 10^12 turns that regroup is the single most
+        expensive operation in the job. Instead:
+
+        1. derive the parameter tuple per fact row (narrow projection);
+        2. ``distinct()`` the slim tuple projection — the only shuffle,
+           and it carries just the few key columns;
+        3. theta-join the distinct tuples against the broadcast dim and
+           aggregate matches into one sorted payload array per tuple
+           (probe cost |tuples| x |dim| instead of |fact| x |dim|);
+        4. map the tuple->payload table back onto the untouched fact with
+           a null-safe broadcast hash join — no fact shuffle, no fan-out
+           (the map has exactly one row per tuple, including the
+           all-null tuple from invalid params).
+
+        ``pattern_strategy="shuffle_map"`` swaps step 4's broadcast for a
+        plain shuffle join — for the adversarial case where tuples are
+        near-unique per row and the map outgrows broadcast; the regroup
+        still only ever shuffles (tuple, payload), never fact columns."""
         sid = self.spec.id
-        key_col = f"__bk_{sid}"
         with_keys = fact
-        rhs_cols = {}
+        fk_names: list[str] = []   # staged tuple cols on the fact
+        mk_names: list[str] = []   # same tuple cols on the map side
         for i, p in enumerate(self.query.predicates):
             if p.param is None:
                 continue
-            c = f"__fk_{sid}_{i}"
-            rhs_cols[i] = c
+            fk = f"__fk_{sid}_{i}"
             val = params[p.param].value
             if p.op == "like":
                 # stage the compiled regex, not the raw pattern: the join
-                # condition is evaluated once per (fact, dim) pair, so an
-                # inline pattern->regex rewrite would run dim_count times
-                # per fact row
+                # condition is evaluated once per (tuple, dim) pair, so an
+                # inline pattern->regex rewrite would re-run per pair
                 val = _like_regex(val)
-            with_keys = with_keys.withColumn(c, val)
-        dim = self.dim_df
+            with_keys = with_keys.withColumn(fk, val)
+            fk_names.append(fk)
+            mk_names.append(f"__mk_{sid}_{i}")
+
         dim_alias = f"__dim_{sid}"
-        dim = dim.select(
-            F.struct(*[F.col(f.name) for f in dim.schema.fields]).alias(dim_alias)
+        dim = self.dim_df.select(
+            F.struct(*[F.col(f.name) for f in self.dim_df.schema.fields]).alias(
+                dim_alias
+            )
         )
-        cond = F.lit(True)
-        for i, p in enumerate(self.query.predicates):
-            lhs = F.col(dim_alias).getField(p.dim_column)
-            if p.param is not None:
-                rhs = F.col(rhs_cols[i])
-            elif p.op == "like":
-                # literal pattern: compile here; Catalyst constant-folds it
-                rhs = _like_regex(F.lit(p.literal))
-            else:
-                rhs = F.lit(p.literal)
-            if p.op == "like":
-                cond = cond & F.rlike(lhs, rhs)  # rhs pre-compiled
-            elif p.op == "=":
-                cond = cond & (lhs == rhs)
-            elif p.op in ("<>", "!="):
-                cond = cond & (lhs != rhs)
-            elif p.op == "<":
-                cond = cond & (lhs < rhs)
-            elif p.op == ">":
-                cond = cond & (lhs > rhs)
-            elif p.op == "<=":
-                cond = cond & (lhs <= rhs)
-            else:
-                cond = cond & (lhs >= rhs)
-        joined = with_keys.join(F.broadcast(dim), cond, "left")
-        payload = F.when(
-            F.col(dim_alias).isNotNull(), self._project_struct(F.col(dim_alias))
+
+        def probe_cond(rhs_for) -> Column:
+            cond = F.lit(True)
+            for i, p in enumerate(self.query.predicates):
+                lhs = F.col(dim_alias).getField(p.dim_column)
+                if p.param is not None:
+                    rhs = rhs_for(i)
+                elif p.op == "like":
+                    # literal pattern: compile here; Catalyst constant-folds
+                    rhs = _like_regex(F.lit(p.literal))
+                else:
+                    rhs = F.lit(p.literal)
+                if p.op == "like":
+                    c = F.rlike(lhs, rhs)  # rhs pre-compiled
+                elif p.op == "=":
+                    c = lhs == rhs
+                elif p.op in ("<>", "!="):
+                    c = lhs != rhs
+                elif p.op == "<":
+                    c = lhs < rhs
+                elif p.op == ">":
+                    c = lhs > rhs
+                elif p.op == "<=":
+                    c = lhs <= rhs
+                else:
+                    c = lhs >= rhs
+                cond = cond & c
+            return cond
+
+        payload_arr = F.sort_array(
+            F.filter(
+                F.collect_list(
+                    F.when(
+                        F.col(dim_alias).isNotNull(),
+                        self._project_struct(F.col(dim_alias)),
+                    )
+                ),
+                lambda x: x.isNotNull(),
+            )
         )
-        joined = joined.withColumn("__one_payload", payload).drop(dim_alias)
-        fact_cols = [c for c in with_keys.columns if not c.startswith(f"__fk_{sid}_")]
-        # Regroup by the natural unique row key; all other fact columns are
-        # identical within a group (they came from one input row), so
-        # first() is deterministic here. Grouping by the key alone also
-        # permits MapType fact columns, which Spark cannot group by.
-        other = [c for c in fact_cols if c not in self.row_key]
-        regrouped = joined.groupBy(*self.row_key).agg(
-            *[F.first(c).alias(c) for c in other],
-            F.sort_array(
-                F.filter(F.collect_list("__one_payload"), lambda x: x.isNotNull())
-            ).alias("__raw_payload"),
+        if fk_names:
+            tuples = with_keys.select(
+                *[F.col(f).alias(m) for f, m in zip(fk_names, mk_names)]
+            ).distinct()
+            probed = tuples.join(
+                F.broadcast(dim),
+                probe_cond(lambda i: F.col(f"__mk_{sid}_{i}")),
+                "left",
+            )
+            key_payload = probed.groupBy(*mk_names).agg(
+                payload_arr.alias("__raw_payload")
+            )
+            back = F.lit(True)
+            for f, m in zip(fk_names, mk_names):
+                back = back & F.col(f).eqNullSafe(F.col(m))
+            if self.pattern_strategy == "broadcast_map":
+                key_payload = F.broadcast(key_payload)
+            joined = with_keys.join(key_payload, back, "left")
+            return joined.drop(*fk_names, *mk_names)
+        # No bound parameters: every fact row shares ONE payload (the dim
+        # filtered by the literal predicates) — aggregate it to a single
+        # row and broadcast-cross-join it on.
+        single = (
+            dim.filter(probe_cond(lambda i: None))
+            .agg(payload_arr.alias("__raw_payload"))
         )
-        return regrouped.select(*fact_cols, "__raw_payload")
+        return with_keys.crossJoin(F.broadcast(single))
 
 
 def _like_regex(pattern: Column) -> Column:
@@ -584,7 +646,3 @@ def _like_regex(pattern: Column) -> Column:
         F.lit("$"),
     )
 
-
-def _dynamic_like(lhs: Column, pattern: Column) -> Column:
-    """``lhs LIKE pattern`` with a per-row pattern column."""
-    return F.rlike(lhs, _like_regex(pattern))

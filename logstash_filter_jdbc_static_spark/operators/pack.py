@@ -33,18 +33,29 @@ def pack_documents(
     id_col: str = "doc_id",
     token_col: str = "n_tokens",
     n_shards: int = 64,
+    shard_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, n_tokens, shard, pack_id): greedy first-fit packing of
     each shard's docs (doc_id order) into packs of <= ``budget`` tokens.
-    pack_id is globally unique: shard * 2^32 + local pack index."""
+    pack_id is globally unique: shard * 2^32 + local pack index.
+
+    ``shard_col``: use an existing int column as the shard instead of
+    the default xxhash64 shard — any deterministic bounded-cardinality
+    expression works (the packing is per-shard greedy either way); a
+    portable shard (e.g. ``doc_id % n``) makes the whole operator
+    cross-engine checkable, since greedy first-fit is expressible as a
+    recursive CTE over the same shard/fill order."""
     import pandas as pd
 
+    shard_expr = (
+        F.col(shard_col).cast("int")
+        if shard_col is not None
+        else F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards)).cast("int")
+    )
     sharded = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(token_col).cast("long").alias("n_tokens"),
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
-        .cast("int")
-        .alias("shard"),
+        shard_expr.alias("shard"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:

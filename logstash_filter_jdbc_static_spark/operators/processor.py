@@ -11,6 +11,8 @@ default-use tags (lookup.rb:119-129).
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, functions as F, types as T
 
 from logstash_filter_jdbc_static_spark.operators.lookup import (
@@ -21,6 +23,34 @@ from logstash_filter_jdbc_static_spark.spec import PipelineSpec, ValidationError
 
 MATCHED_COL = "matched"
 TAGS_COL = "tags"
+
+logger = logging.getLogger("logstash_filter_jdbc_static_spark")
+
+
+def _check_index_coverage(spec: PipelineSpec, compiled: "list[CompiledLookup]") -> None:
+    """Verify each lookup's predicate columns against the table's
+    declared ``index_columns`` (db_object.rb index declaration). In this
+    engine the declaration maps to the broadcast-join key: an equi
+    lookup whose key column IS declared confirms the physical plan the
+    user asked for; a predicate column missing from a non-empty
+    declaration earns the reference's no-index-on-lookup-column
+    performance warning (read_write_database.rb:41-43 adapted per
+    lookup)."""
+    declared = {o.name: o.index_columns for o in spec.db_objects}
+    for cl in compiled:
+        table = cl.query.table
+        idx = declared.get(table)
+        if not idx:
+            continue  # empty declaration already warned at dim build
+        pred_cols = [p.dim_column for p in cl.query.predicates]
+        uncovered = [c for c in pred_cols if c not in idx]
+        if uncovered:
+            logger.warning(
+                "lookup '%s': no index on lookup column(s) %s of table "
+                "'%s' (declared index_columns: %s) — on larger datasets "
+                "the lookup key should be the indexed column",
+                cl.spec.id, uncovered, table, idx,
+            )
 
 
 class LookupEnricher:
@@ -33,6 +63,8 @@ class LookupEnricher:
         dims: dict[str, DataFrame],
         inline_threshold: int = DEFAULT_INLINE_THRESHOLD,
         row_key: tuple[str, ...] = ("conv_id", "turn_idx"),
+        dim_rows: dict[str, int] | None = None,
+        pattern_strategy: str = "broadcast_map",
     ):
         self.spec = spec
         self.compiled: list[CompiledLookup] = []
@@ -47,8 +79,16 @@ class LookupEnricher:
                     [f"lookup '{lk.id}' references unknown local table '{table}'"]
                 )
             self.compiled.append(
-                CompiledLookup(lk, dims[table], inline_threshold, row_key)
+                CompiledLookup(
+                    lk,
+                    dims[table],
+                    inline_threshold,
+                    row_key,
+                    dim_rows=(dim_rows or {}).get(table),
+                    pattern_strategy=pattern_strategy,
+                )
             )
+        _check_index_coverage(spec, self.compiled)
 
     def apply(self, fact: DataFrame, drop_status: bool = True) -> DataFrame:
         df = fact

@@ -19,12 +19,15 @@ foreachBatch in streaming), as SURVEY §7.5 prescribes.
 
 from __future__ import annotations
 
+import logging
 import time
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 from logstash_filter_jdbc_static_spark.spec import LoaderSpec, LocalDbObject
+
+logger = logging.getLogger("logstash_filter_jdbc_static_spark")
 
 
 def fetch_with_guard(fetch: Callable[[], DataFrame], loader: LoaderSpec,
@@ -50,6 +53,19 @@ def fetch_with_guard(fetch: Callable[[], DataFrame], loader: LoaderSpec,
     return pinned
 
 
+def fetch_with_guard_counted(
+    fetch: Callable[[], DataFrame], loader: LoaderSpec, spark: SparkSession
+) -> tuple[DataFrame, int]:
+    """fetch_with_guard plus the guard's own row count, so downstream
+    plan choices (inline vs map-probe lookup strategy) can reuse it
+    instead of re-firing an eager count() at compile time."""
+    pinned = fetch().limit(loader.max_rows + 1).localCheckpoint(eager=True)
+    n = pinned.count()
+    if n == 0 or n > loader.max_rows:
+        return spark.createDataFrame([], pinned.schema), 0
+    return pinned, n
+
+
 class DimensionStore:
     """Holds the current dimension snapshots + reload bookkeeping.
 
@@ -68,6 +84,7 @@ class DimensionStore:
         self.db_objects = {o.name: o for o in db_objects}
         self.loaders = loaders
         self.snapshots: dict[str, DataFrame] = {}
+        self.row_counts: dict[str, int] = {}
         self.reload_count = 0
         self.last_load_ts: float | None = None
         self.last_errors: dict[str, str] = {}
@@ -96,10 +113,21 @@ class DimensionStore:
         """Empty frames with declared schema for tables no loader fills
         (db_object.rb:12-26); preserve_existing keeps a prior snapshot."""
         for name, obj in self.db_objects.items():
+            if not obj.index_columns:
+                # verbatim advisory from the reference's local-db build
+                # (read_write_database.rb:41-43); in this engine the
+                # "index" is the broadcast-join key declaration that
+                # lookup compilation verifies (processor.py).
+                logger.warning(
+                    "local_db_object '%s': `index_columns` is optional but "
+                    "on larger datasets consider adding an index on the "
+                    "lookup column, it will improve performance", name,
+                )
             if obj.preserve_existing and name in self.snapshots:
                 continue
             assert obj.schema is not None
             self.snapshots[name] = self.spark.createDataFrame([], obj.schema)
+            self.row_counts[name] = 0
 
     def _populate_all(self, strict: bool = True) -> None:
         """Fetch every loader then swap all snapshots at once — the
@@ -114,10 +142,11 @@ class DimensionStore:
         JVM error from the checkpoint action), so the reload path
         swallows both."""
         staged: dict[str, DataFrame] = {}
+        staged_counts: dict[str, int] = {}
         self.last_errors: dict[str, str] = {}
         for loader, fetch in self.loaders:
             try:
-                df = fetch_with_guard(fetch, loader, self.spark)
+                df, n = fetch_with_guard_counted(fetch, loader, self.spark)
             except Exception as e:
                 if strict:
                     raise
@@ -133,7 +162,14 @@ class DimensionStore:
             # max_rows, loader.rb:65-74), so the staged swap hands out
             # immutable old-or-new snapshots (read_write_database.rb:22-28).
             staged[loader.table] = df
+            staged_counts[loader.table] = n
         self.snapshots.update(staged)
+        self.row_counts.update(staged_counts)
 
     def dims(self) -> dict[str, DataFrame]:
         return dict(self.snapshots)
+
+    def dim_rows(self) -> dict[str, int]:
+        """Snapshot row counts from the A2 guard — free plan-choice input
+        for LookupEnricher(dim_rows=...)."""
+        return dict(self.row_counts)

@@ -1,12 +1,16 @@
 """Scheduled dimension reload (A15, loader_schedule.rb + the Rufus cron
 wiring in jdbc_static.rb:189-204).
 
-The reference runs one worker thread on a cron line with second
+The reference runs one worker thread on a Rufus cron line with second
 resolution (scan frequency 0.3 s for seconds-cron, else 2.5 s). Here the
-scheduler is a thin interval thread around DimensionStore.refresh() —
-the semantics that matter (reload counter increments, lookups keep
-serving a consistent snapshot during reload, new snapshot visible after
-swap) live in refresh.py and are what the reload spec asserts
+schedule is either a plain interval (``<n>s|m|h``, a convenience the
+reference lacks) or any 5/6-field cron line parsed by
+:mod:`logstash_filter_jdbc_static_spark.plans.cron` — ranges, lists,
+steps, names, optional leading seconds field and trailing timezone —
+with next-fire-time computation replacing Rufus' polling matcher. The
+semantics that matter (reload counter increments, lookups keep serving a
+consistent snapshot during reload, new snapshot visible after swap) live
+in refresh.py and are what the reload spec asserts
 (spec/filters/jdbc_static_spec.rb:141-158).
 """
 
@@ -14,42 +18,61 @@ from __future__ import annotations
 
 import re
 import threading
+from datetime import datetime, timezone
 
+from logstash_filter_jdbc_static_spark.plans.cron import CronLine
 from logstash_filter_jdbc_static_spark.plans.refresh import DimensionStore
 
 _EVERY_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(s|sec|m|min|h)\s*$", re.IGNORECASE)
-_CRON_SECONDS_RE = re.compile(r"^\*/(\d+)(\s+\*){4,5}$")
 
 
-def parse_schedule(expr: str) -> float:
-    """Accepts '<n>s|m|h' or the seconds-resolution cron shape the
-    reference's specs use ('*/10 * * * * *', loader_schedule 6-field) and
-    returns the interval in seconds."""
+def parse_schedule(expr: str) -> float | CronLine:
+    """``<n>s|m|h`` -> interval seconds; anything else must be a valid
+    5/6-field cron line -> CronLine (loader_schedule.rb:24-46)."""
     m = _EVERY_RE.match(expr)
     if m:
         mult = {"s": 1, "sec": 1, "m": 60, "min": 60, "h": 3600}[m.group(2).lower()]
         return float(m.group(1)) * mult
-    m = _CRON_SECONDS_RE.match(expr.strip())
-    if m:
-        return float(m.group(1))
-    raise ValueError(f"unsupported schedule expression: {expr!r}")
+    return CronLine.parse(expr.strip())
 
 
 class RepeatingLoadRunner:
     """== RepeatingLoadRunner + scheduler thread: initial_load now, then
-    repeated_load per tick until stop()."""
+    repeated_load per schedule tick until stop().
+
+    For cron schedules the thread sleeps until the computed next fire
+    time, waking at most every ``frequency_hint()`` seconds so stop()
+    stays responsive (the same bound Rufus' scan loop gives the
+    reference, loader_schedule.rb:30-37)."""
 
     def __init__(self, store: DimensionStore, schedule: str):
         self.store = store
-        self.interval = parse_schedule(schedule)
+        self.schedule = parse_schedule(schedule)
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
+
+    def _next_wait(self) -> float:
+        if isinstance(self.schedule, CronLine):
+            now = datetime.now(timezone.utc)
+            return (self.schedule.next_fire(now) - now).total_seconds()
+        return self.schedule
 
     def start(self) -> None:
         self.store.initial_load()
 
         def loop() -> None:
-            while not self._stop.wait(self.interval):
+            while True:
+                remaining = self._next_wait()
+                # sleep in small slices so stop() interrupts promptly
+                slice_s = (
+                    self.schedule.frequency_hint()
+                    if isinstance(self.schedule, CronLine)
+                    else remaining
+                )
+                while remaining > 0:
+                    if self._stop.wait(min(remaining, slice_s)):
+                        return
+                    remaining -= slice_s
                 self.store.refresh()
 
         self._thread = threading.Thread(target=loop, daemon=True)

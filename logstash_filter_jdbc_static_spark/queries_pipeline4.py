@@ -280,6 +280,36 @@ def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned
 
 
+# The assignment step given FIXED centroids is one ivf_assign pass —
+# pure relational argmax-cosine, oracle-checkable exactly like
+# ann_ivf_topk. Gating it shrinks the no-oracle surface of k-means to
+# just the float-mean iteration (which stays under invariant tests).
+_KM_ASSIGN_MOD = 61  # deterministic centroid subset: vec_id % 61 == 0
+
+_KM_ASSIGN_SQL = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+cen AS (SELECT vec_id AS centroid_id, vec AS c_vec FROM v WHERE vec_id % {_KM_ASSIGN_MOD} = 0)
+SELECT vec_id, centroid_id FROM (
+  SELECT v.vec_id, cen.centroid_id,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.vec, cen.c_vec)
+                    / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(cen.c_vec, cen.c_vec)))
+                    DESC, cen.centroid_id) AS rn
+  FROM v CROSS JOIN cen) t
+WHERE rn = 1
+"""
+
+
+@register("embeddings_kmeans_assign", _KM_ASSIGN_SQL)
+def embeddings_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table_split(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    centroids = emb.filter(F.col("vec_id") % _KM_ASSIGN_MOD == 0)
+    return S.ivf_assign(emb, centroids).select("vec_id", "centroid_id")
+
+
 # ------------------------------------------------------------------
 # 6. Skew-robust turn ordering, oracle-checked: the two-phase
 #    range-bucketed row_number (operators/skew.py) vs the oracle's plain
@@ -475,17 +505,62 @@ def documents_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------
 # 10. Sequence packing (applyInPandas): greedy token-budget bins per
-#     deterministic shard. Sequential-within-shard => no single SQL
-#     oracle (rows-only check); the budget/determinism/coverage
-#     invariants are pinned in tests.
+#     deterministic shard. Sequential-within-shard — but greedy
+#     first-fit over a fixed (shard, doc_id) order IS expressible as a
+#     recursive CTE carrying (fill, pack) state row by row, so the
+#     operator is fully oracle-gated: the query uses a portable shard
+#     (doc_id % 16) and the DuckDB oracle recurses per shard in the
+#     identical fill order. (A plain cumulative-sum/floor bin is NOT
+#     first-fit — it splits a doc across the boundary greedy closes —
+#     hence the recursion.) Budget/determinism/coverage invariants stay
+#     pinned in tests for the xxhash64-shard production default.
 # ------------------------------------------------------------------
 
+_PACK_BUDGET, _PACK_SHARDS = 512, 16
 
-@register("documents_pack_sequences")
+_PACK_SQL = f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+         CAST(doc_id % {_PACK_SHARDS} AS INT) AS shard
+  FROM documents
+),
+ordered AS (
+  SELECT doc_id, n_tokens, shard,
+         row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn,
+         least(n_tokens, {_PACK_BUDGET}) AS tok
+  FROM toks
+),
+packed AS (
+  SELECT shard, doc_id, n_tokens, rn, tok,
+         CAST(0 AS BIGINT) AS pack_local, tok AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.doc_id, o.n_tokens, o.rn, o.tok,
+         CASE WHEN p.fill + o.tok > {_PACK_BUDGET}
+              THEN p.pack_local + 1 ELSE p.pack_local END,
+         CASE WHEN p.fill + o.tok > {_PACK_BUDGET}
+              THEN o.tok ELSE p.fill + o.tok END
+  FROM ordered o JOIN packed p ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       shard,
+       CAST(shard * 4294967296 + pack_local AS BIGINT) AS pack_id
+FROM packed
+"""
+
+
+@register("documents_pack_sequences", _PACK_SQL)
 def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from logstash_filter_jdbc_static_spark.operators.pack import pack_documents
 
     docs = load_table_split(spark, sf_dir, "documents").select(
-        "doc_id", X.token_count("text").alias("n_tokens")
+        "doc_id",
+        X.token_count("text").alias("n_tokens"),
+        (F.col("doc_id") % _PACK_SHARDS).cast("int").alias("shard"),
     )
-    return pack_documents(docs, budget=512, n_shards=16)
+    return pack_documents(
+        docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS, shard_col="shard"
+    )

@@ -136,7 +136,16 @@ class LoaderSpec(_Validatable):
                     f"The 'max_rows' option for '{self.table}' must be an integer"
                 )
                 self.max_rows = DEFAULT_MAX_ROWS
-        for key in ("jdbc_driver_class", "jdbc_connection_string", "jdbc_user", "jdbc_password"):
+        # jdbc_driver_library is accepted for config parity
+        # (loader.rb:76-81) but carries no classloader behavior here:
+        # on Spark the driver jar ships via --jars/--packages, so the
+        # value is recorded for operator visibility only.
+        # staging_directory is accepted and ignored (A4 bulk-CSV staging
+        # is obsolete in this engine — dims load directly; COVERAGE.md).
+        for key in (
+            "jdbc_driver_class", "jdbc_connection_string", "jdbc_user",
+            "jdbc_password", "jdbc_driver_library", "staging_directory",
+        ):
             val = options.get(key)
             if val is not None and not isinstance(val, str):
                 self.option_errors.append(
@@ -242,6 +251,15 @@ class PipelineSpec:
     (lookup_processor.rb:73-98).
     """
 
+    # Plugin-level JDBC settings that merge into every loader
+    # (add_plugin_configs, jdbc_static.rb:220-239): set once at plugin
+    # level, inherited by all loaders; a set plugin value OVERRIDES the
+    # per-loader one, exactly as the reference's unconditional assigns do.
+    PLUGIN_JDBC_KEYS = (
+        "jdbc_driver_library", "jdbc_driver_class", "jdbc_connection_string",
+        "jdbc_user", "jdbc_password", "staging_directory",
+    )
+
     def __init__(
         self,
         lookups: list[dict],
@@ -249,14 +267,23 @@ class PipelineSpec:
         loaders: list[dict] | None = None,
         tag_on_failure: list[str] | None = None,
         tag_on_default_use: list[str] | None = None,
+        plugin_jdbc: dict | None = None,
     ):
         globals_ = {
             "tag_on_failure": tag_on_failure,
             "tag_on_default_use": tag_on_default_use,
         }
         errors: list[str] = []
+        plugin_jdbc = {
+            k: v
+            for k, v in (plugin_jdbc or {}).items()
+            if k in self.PLUGIN_JDBC_KEYS and v is not None
+        }
         self.db_objects = [LocalDbObject(o) for o in (db_objects or [])]
-        self.loaders = [LoaderSpec(o) for o in (loaders or [])]
+        self.loaders = [
+            LoaderSpec({**o, **plugin_jdbc} if isinstance(o, dict) else o)
+            for o in (loaders or [])
+        ]
         self.lookups = [LookupSpec(o, globals_, i) for i, o in enumerate(lookups)]
         for obj in [*self.db_objects, *self.loaders, *self.lookups]:
             errors.extend(obj.option_errors)
@@ -269,9 +296,12 @@ class PipelineSpec:
         """Build from a JSON config file (or pre-parsed dict) carrying the
         plugin's config surface 1:1: ``local_lookups``,
         ``local_db_objects``, ``loaders``, ``tag_on_failure``,
-        ``tag_on_default_use`` (jdbc_static.rb:19-96), plus the
-        pipeline-level parse keys ``grok`` / ``grok_required`` consumed
-        by job.py."""
+        ``tag_on_default_use`` (jdbc_static.rb:19-96), the plugin-level
+        ``jdbc_*`` connection settings that every loader inherits
+        (add_plugin_configs, jdbc_static.rb:220-239 — the docs' own
+        one-remote-DB-many-loaders shape, docs/index.asciidoc:85-131),
+        plus the pipeline-level parse keys ``grok`` / ``grok_required``
+        consumed by job.py."""
         import json as _json
 
         cfg = source if isinstance(source, dict) else _json.load(open(source))
@@ -281,6 +311,7 @@ class PipelineSpec:
             loaders=cfg.get("loaders"),
             tag_on_failure=cfg.get("tag_on_failure"),
             tag_on_default_use=cfg.get("tag_on_default_use"),
+            plugin_jdbc={k: cfg.get(k) for k in cls.PLUGIN_JDBC_KEYS},
         )
 
     def _validate_lookups(self) -> list[str]:

@@ -405,7 +405,9 @@ class TestFileBasedDerbyExample:
             open(os.path.join(os.path.dirname(__file__), "..",
                               "examples", "pipeline_servers.json"))
         )
-        cfg["loaders"][0]["jdbc_connection_string"] = f"jdbc:derby:{db_path}"
+        # plugin-level setting: inherited by the loader via the
+        # add_plugin_configs merge (jdbc_static.rb:220-239)
+        cfg["jdbc_connection_string"] = f"jdbc:derby:{db_path}"
         out = str(tmp_path / "out")
         summary = run_job(
             spark, "/root/testdata/sf0.001", out, batches=2, pipeline=cfg

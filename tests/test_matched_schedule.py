@@ -73,9 +73,84 @@ class TestMatchedOptions:
 
 class TestSchedule:
     def test_parse(self):
+        from logstash_filter_jdbc_static_spark.plans.cron import CronLine
+
         assert parse_schedule("2s") == 2.0
         assert parse_schedule("5 min") == 300.0
-        assert parse_schedule("*/10 * * * * *") == 10.0
+        cl = parse_schedule("*/10 * * * * *")
+        assert isinstance(cl, CronLine)
+        assert cl.seconds == frozenset(range(0, 60, 10))
+
+
+class TestCronLine:
+    """General cron parsing (loader_schedule.rb:24-46 accepts any Rufus
+    cron line): 5/6-field, ranges, lists, steps, names, timezone."""
+
+    def _next(self, expr, after_iso):
+        from datetime import datetime
+
+        from logstash_filter_jdbc_static_spark.plans.cron import CronLine
+
+        return CronLine.parse(expr).next_fire(
+            datetime.fromisoformat(after_iso)
+        ).isoformat()
+
+    def test_nightly_at_2am(self):
+        # "reload nightly at 2am" — the shape round 1 rejected
+        assert self._next("0 2 * * *", "2026-08-17T01:00:00") == "2026-08-17T02:00:00"
+        assert self._next("0 2 * * *", "2026-08-17T03:00:00") == "2026-08-18T02:00:00"
+        # strictly-after: a fire AT 02:00 schedules the next day
+        assert self._next("0 2 * * *", "2026-08-17T02:00:00") == "2026-08-18T02:00:00"
+
+    def test_lists_ranges_steps_names(self):
+        assert self._next("0 0 1,15 * *", "2026-08-17T00:00:00") == "2026-09-01T00:00:00"
+        # business hours every 2h starting 9, weekdays only
+        assert self._next("30 9-17/2 * * mon-fri", "2026-08-14T17:00:00") == (
+            "2026-08-14T17:30:00"  # friday 17:30 still fires
+        )
+        assert self._next("30 9-17/2 * * mon-fri", "2026-08-14T17:31:00") == (
+            "2026-08-17T09:30:00"  # next is monday 09:30
+        )
+        assert self._next("0 0 * * sun", "2026-08-17T00:00:00") == "2026-08-23T00:00:00"
+        assert self._next("0 0 1 jan *", "2026-08-17T00:00:00") == "2027-01-01T00:00:00"
+
+    def test_dom_dow_or_rule(self):
+        # both restricted => OR (crontab(5)): fires on the 13th AND on fridays
+        nxt = self._next("0 0 13 * fri", "2026-09-09T00:00:00")
+        assert nxt == "2026-09-11T00:00:00"  # friday the 11th, before the 13th
+        nxt2 = self._next("0 0 13 * fri", "2026-09-11T00:00:00")
+        assert nxt2 == "2026-09-13T00:00:00"  # then the 13th (a sunday)
+
+    def test_six_field_seconds(self):
+        assert self._next("*/10 * * * * *", "2026-08-17T00:00:04") == (
+            "2026-08-17T00:00:10"
+        )
+        assert self._next("*/10 * * * * *", "2026-08-17T00:00:55") == (
+            "2026-08-17T00:01:00"
+        )
+
+    def test_timezone_token(self):
+        from datetime import datetime, timezone
+
+        from logstash_filter_jdbc_static_spark.plans.cron import CronLine
+
+        cl = CronLine.parse("0 2 * * * Europe/Berlin")
+        # 2am Berlin in August (CEST, UTC+2) == midnight UTC
+        nxt = cl.next_fire(datetime(2026, 8, 17, 22, 0, tzinfo=timezone.utc))
+        assert nxt.utcoffset().total_seconds() == 7200
+        assert nxt.hour == 2
+        assert nxt.astimezone(timezone.utc).hour == 0
+
+    def test_invalid_lines_raise_reference_message(self):
+        import pytest as _pytest
+
+        from logstash_filter_jdbc_static_spark.plans.cron import CronLine
+
+        for bad in ("99 * * * *", "* * *", "0 2 * * * * *", "a b c d e"):
+            with _pytest.raises(ValueError, match="loader_schedule option is invalid"):
+                CronLine.parse(bad)
+        with _pytest.raises(ValueError, match="must be a string"):
+            CronLine.parse(None)
 
     def test_repeating_runner_reloads(self, spark):
         # ≅ jdbc_static_spec.rb:141-158 without wall-clock cron precision
@@ -106,3 +181,34 @@ class TestSchedule:
         assert runner.reload_count >= 3
         names = [r["name"] for r in store.dims()["servers"].collect()]
         assert names == [f"v{calls['n']}"]  # lookups see the newest snapshot
+
+    def test_cron_runner_reloads(self, spark):
+        """A real cron line drives the refresh (jdbc_static_spec.rb:141-158
+        reload contract; every-second cron keeps the test fast)."""
+        calls = {"n": 0}
+
+        def fetch():
+            calls["n"] += 1
+            return spark.createDataFrame(
+                [("10.1.1.1", f"v{calls['n']}", "L")], SERVERS_SCHEMA
+            )
+
+        store = DimensionStore(
+            spark,
+            [LocalDbObject({"name": "servers",
+                            "columns": [["ip", "varchar(64)"],
+                                        ["name", "varchar(64)"],
+                                        ["location", "varchar(64)"]]})],
+            [(LoaderSpec({"local_table": "servers", "query": "q"}), fetch)],
+        )
+        runner = RepeatingLoadRunner(store, "* * * * * *")
+        runner.start()
+        try:
+            deadline = time.time() + 20
+            while runner.reload_count < 2 and time.time() < deadline:
+                time.sleep(0.1)
+        finally:
+            runner.stop()
+        assert runner.reload_count >= 2  # initial load + >=1 cron reload
+        names = [r["name"] for r in store.dims()["servers"].collect()]
+        assert names == [f"v{calls['n']}"]

@@ -71,6 +71,94 @@ class TestRoutedRowsPlan:
         assert "ArrowEvalPython" not in plan
 
 
+class TestThetaLookupMapProbe:
+    """Large-dim LIKE/theta lookups must not shuffle the fact: the only
+    Exchange allowed is the distinct() over the slim parameter-tuple
+    projection (``__mk_*`` columns), the theta probe runs per distinct
+    tuple against the broadcast dim, and the tuple->payload map comes
+    back via a broadcast hash join. A regroup that shuffles every fact
+    column here was the one scale-killer flagged in round 1."""
+
+    def _enriched(self, spark, pattern_strategy="broadcast_map"):
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+        from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+        dim = spark.range(3000).select(
+            F.concat(
+                F.lit("10.1."),
+                (F.col("id") % 50).cast("string"),
+                F.lit("."),
+                F.col("id").cast("string"),
+            ).alias("ip"),
+            F.concat(F.lit("srv-"), F.col("id").cast("string")).alias("name"),
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "server",
+                    "query": "SELECT name FROM servers WHERE ip LIKE :pat",
+                    "parameters": {"pat": "%{tool}%"},
+                }
+            ]
+        )
+        fact = spark.range(10000).select(
+            F.concat(F.lit("c"), (F.col("id") % 100).cast("string")).alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.lit("text").alias("text"),
+            F.concat(F.lit("10.1."), (F.col("id") % 50).cast("string")).alias("tool"),
+            F.current_timestamp().alias("ts"),
+        )
+        enr = LookupEnricher(
+            spec,
+            {"servers": dim},
+            dim_rows={"servers": 3000},
+            pattern_strategy=pattern_strategy,
+        )
+        return enr.apply(fact)
+
+    def test_fact_never_shuffles_only_slim_tuple_exchange(self, spark):
+        plan = _plan(self._enriched(spark), "simple")
+        sigs = re.findall(
+            r"(?<!Broadcast)Exchange hashpartitioning\(([^)]*)\)", plan
+        )
+        assert len(set(sigs)) == 1, (sigs, plan)
+        # the one shuffle carries ONLY the derived tuple column
+        assert sigs[0].startswith("__mk_server_"), sigs
+        for fact_col in ("conv_id", "turn_idx", "text", "ts"):
+            assert fact_col not in sigs[0], sigs
+        # map-back is a broadcast hash join; fan-out-regroup artifacts gone
+        assert "BroadcastHashJoin" in plan
+        assert plan.count("BroadcastNestedLoopJoin") == 1  # tuple-probe only
+        assert "first(" not in plan
+
+    def test_no_eager_count_with_known_dim_rows(self, spark):
+        """Plan construction with dim_rows supplied must not trigger jobs
+        (round-1 flagged _dim_count() firing during compilation)."""
+        sc = spark.sparkContext
+        tracker = sc.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        self._enriched(spark)  # build plan only — no action
+        after = tracker.getJobIdsForGroup(None)
+        assert len(after) == len(before), "lookup compilation ran a Spark job"
+
+    def test_shuffle_map_strategy_still_correct(self, spark):
+        out_b = {
+            (r["conv_id"], r["turn_idx"]): r["server"]
+            for r in self._enriched(spark, "broadcast_map").collect()
+        }
+        out_s = {
+            (r["conv_id"], r["turn_idx"]): r["server"]
+            for r in self._enriched(spark, "shuffle_map").collect()
+        }
+        assert len(out_b) == 10000
+        assert out_b == out_s
+
+
 class TestRelationalPushdown:
     """Filters and projections must reach the parquet scan: at 100 TB the
     difference between scanning 3 columns with a pushed range filter and

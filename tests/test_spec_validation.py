@@ -179,6 +179,163 @@ class TestLoaderSpec:
         assert "The options for 'None' must include a 'query' string" in ld.option_errors
 
 
+class TestPluginLevelJdbcMerge:
+    """add_plugin_configs (jdbc_static.rb:220-239): plugin-level jdbc_*
+    settings merge into every loader, with a set plugin value OVERRIDING
+    the per-loader one (the reference assigns unconditionally). This is
+    the docs' own one-remote-DB-many-loaders shape
+    (docs/index.asciidoc:85-131)."""
+
+    _LOADERS = [
+        {"local_table": "servers", "query": "select * from s"},
+        {
+            "local_table": "tools",
+            "query": "select * from t",
+            "jdbc_user": "loader_user",
+        },
+    ]
+
+    def _spec(self, **plugin):
+        return PipelineSpec(
+            lookups=[
+                {
+                    "id": "l1",
+                    "query": "SELECT name FROM servers WHERE ip = :ip",
+                    "parameters": {"ip": "from_ip"},
+                }
+            ],
+            loaders=[dict(o) for o in self._LOADERS],
+            plugin_jdbc=plugin,
+        )
+
+    def test_loaders_inherit_plugin_settings(self):
+        spec = self._spec(
+            jdbc_connection_string="jdbc:derby:memory:x",
+            jdbc_driver_class="org.apache.derby.jdbc.EmbeddedDriver",
+            jdbc_user="admin",
+            jdbc_password="pw",
+        )
+        for ld in spec.loaders:
+            assert ld.jdbc_connection_string == "jdbc:derby:memory:x"
+            assert ld.jdbc_driver_class == "org.apache.derby.jdbc.EmbeddedDriver"
+            assert ld.jdbc_password == "pw"
+        # plugin value wins over the per-loader one (unconditional assign)
+        assert spec.loaders[1].jdbc_user == "admin"
+
+    def test_per_loader_value_survives_when_plugin_unset(self):
+        spec = self._spec(jdbc_connection_string="jdbc:derby:memory:x")
+        assert spec.loaders[0].jdbc_user is None
+        assert spec.loaders[1].jdbc_user == "loader_user"
+
+    def test_from_json_reads_top_level_keys(self):
+        spec = PipelineSpec.from_json(
+            {
+                "jdbc_driver_class": "org.apache.derby.jdbc.EmbeddedDriver",
+                "jdbc_connection_string": "jdbc:derby:memory:y",
+                "jdbc_driver_library": "/opt/jars/derby.jar",
+                "loaders": [dict(o) for o in self._LOADERS],
+                "local_lookups": [
+                    {
+                        "id": "l1",
+                        "query": "SELECT name FROM servers WHERE ip = :ip",
+                        "parameters": {"ip": "from_ip"},
+                    }
+                ],
+            }
+        )
+        for ld in spec.loaders:
+            assert ld.jdbc_connection_string == "jdbc:derby:memory:y"
+            # accepted for config parity; jars ship via --jars on Spark
+            assert ld.jdbc_driver_library == "/opt/jars/derby.jar"
+
+    def test_non_string_plugin_value_is_an_error(self):
+        with pytest.raises(ValidationError, match="jdbc_user.*must be a string"):
+            self._spec(jdbc_user=42)
+
+
+class TestIndexColumnWarnings:
+    """index_columns informs the physical lookup key: an empty
+    declaration warns at dim build (read_write_database.rb:41-43,
+    message verbatim), and a lookup probing a non-indexed column warns
+    at compile."""
+
+    def test_uncovered_lookup_column_warns(self, caplog, spark):
+        import logging
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "srv",
+                    "query": "SELECT name FROM servers WHERE name = :n",
+                    "parameters": {"n": "tool"},
+                }
+            ],
+            db_objects=[
+                {
+                    "name": "servers",
+                    "columns": [["ip", "varchar(64)"], ["name", "varchar(64)"]],
+                    "index_columns": ["ip"],
+                }
+            ],
+        )
+        dim = spark.createDataFrame([("1.1.1.1", "a")], "ip string, name string")
+        with caplog.at_level(logging.WARNING, "logstash_filter_jdbc_static_spark"):
+            LookupEnricher(spec, {"servers": dim})
+        assert any(
+            "no index on lookup column" in r.message and "'srv'" in r.message
+            for r in caplog.records
+        )
+
+    def test_indexed_lookup_column_is_silent(self, caplog, spark):
+        import logging
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "srv",
+                    "query": "SELECT name FROM servers WHERE ip = :ip",
+                    "parameters": {"ip": "tool"},
+                }
+            ],
+            db_objects=[
+                {
+                    "name": "servers",
+                    "columns": [["ip", "varchar(64)"], ["name", "varchar(64)"]],
+                    "index_columns": ["ip"],
+                }
+            ],
+        )
+        dim = spark.createDataFrame([("1.1.1.1", "a")], "ip string, name string")
+        with caplog.at_level(logging.WARNING, "logstash_filter_jdbc_static_spark"):
+            LookupEnricher(spec, {"servers": dim})
+        assert not any("no index" in r.message for r in caplog.records)
+
+    def test_empty_index_columns_warns_at_build(self, caplog, spark):
+        import logging
+
+        from logstash_filter_jdbc_static_spark.plans.refresh import (
+            DimensionStore,
+        )
+        store = DimensionStore(
+            spark,
+            [LocalDbObject({"name": "servers",
+                            "columns": [["ip", "varchar(64)"]]})],
+            [],
+        )
+        with caplog.at_level(logging.WARNING, "logstash_filter_jdbc_static_spark"):
+            store.initial_load()
+        assert any(
+            "`index_columns` is optional but on larger datasets" in r.message
+            for r in caplog.records
+        )
+
+
 class TestDerbyTypes:
     @pytest.mark.parametrize(
         "derby,expected",
