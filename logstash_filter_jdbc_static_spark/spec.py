@@ -268,12 +268,29 @@ class PipelineSpec:
         tag_on_failure: list[str] | None = None,
         tag_on_default_use: list[str] | None = None,
         plugin_jdbc: dict | None = None,
+        loader_schedule: str | None = None,
     ):
         globals_ = {
             "tag_on_failure": tag_on_failure,
             "tag_on_default_use": tag_on_default_use,
         }
         errors: list[str] = []
+        # loader_schedule validates eagerly like every other option
+        # (loader_schedule.rb:48-62 wraps cron-parse failures into the
+        # aggregated error list); the parsed value drives
+        # RepeatingLoadRunner for long-running/streaming pipelines, while
+        # a one-shot batch run is a SingleLoadRunner by construction
+        # (jdbc_static.rb:189-204's runner choice).
+        self.loader_schedule = loader_schedule
+        if loader_schedule is not None:
+            from logstash_filter_jdbc_static_spark.plans.schedule import (
+                parse_schedule,
+            )
+
+            try:
+                parse_schedule(loader_schedule)
+            except ValueError as e:
+                errors.append(str(e))
         plugin_jdbc = {
             k: v
             for k, v in (plugin_jdbc or {}).items()
@@ -312,6 +329,7 @@ class PipelineSpec:
             tag_on_failure=cfg.get("tag_on_failure"),
             tag_on_default_use=cfg.get("tag_on_default_use"),
             plugin_jdbc={k: cfg.get(k) for k in cls.PLUGIN_JDBC_KEYS},
+            loader_schedule=cfg.get("loader_schedule"),
         )
 
     def _validate_lookups(self) -> list[str]:

@@ -69,6 +69,34 @@ def start_pipeline_stream(
     )
 
 
+def scheduled_refresh_seam(store, spec):
+    """Compose a DimensionStore with the spec's ``loader_schedule`` into
+    the ``refresh_dims`` seam: a RepeatingLoadRunner ticks the store on
+    the cron line in the background (A15), and every micro-batch
+    compiles its enricher against the store's latest snapshot — the
+    streaming equivalent of the reference's scheduler-driven
+    RepeatingLoadRunner (jdbc_static.rb:189-204). Returns
+    (refresh_dims, runner); call runner.stop() on shutdown.
+
+    The runner's start() performs the strict initial load, so a dead
+    remote fails fast here, before the stream starts (loader.rb:17-19);
+    later reload failures keep the previous snapshot serving."""
+    from logstash_filter_jdbc_static_spark.operators.processor import (
+        LookupEnricher,
+    )
+    from logstash_filter_jdbc_static_spark.plans.schedule import (
+        RepeatingLoadRunner,
+    )
+
+    runner = RepeatingLoadRunner(store, spec.loader_schedule)
+    runner.start()
+
+    def refresh_dims() -> LookupEnricher:
+        return LookupEnricher(spec, store.dims(), dim_rows=store.dim_rows())
+
+    return refresh_dims, runner
+
+
 def windowed_route_counts(
     routed_stream: DataFrame,
     window: str = "10 minutes",

@@ -81,6 +81,89 @@ class TestStreaming:
         q2.awaitTermination(120)
         assert spark.read.parquet(sink).count() == n1 == 1000
 
+    def test_scheduled_refresh_seam_sees_reloaded_dim(self, spark, sf_dir, tmp_path):
+        """loader_schedule drives a background reload between micro-batch
+        runs; the second stream run enriches with the RELOADED snapshot
+        (the streaming analogue of jdbc_static_spec.rb:141-158)."""
+        import time as _time
+
+        from logstash_filter_jdbc_static_spark.plans.refresh import DimensionStore
+        from logstash_filter_jdbc_static_spark.spec import (
+            LoaderSpec,
+            LocalDbObject,
+            PipelineSpec,
+        )
+        from logstash_filter_jdbc_static_spark.streaming.stream_pipeline import (
+            scheduled_refresh_seam,
+        )
+
+        state = {"v": "before"}
+
+        def fetch():
+            return spark.createDataFrame(
+                [("10.1.1.1", state["v"], "LDN")],
+                "ip string, name string, location string",
+            )
+
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "server",
+                    "query": "SELECT name FROM servers WHERE ip = :ip",
+                    "parameters": {"ip": "from_ip"},
+                    "default_hash": {"name": "unknown"},
+                }
+            ],
+            db_objects=[
+                {"name": "servers",
+                 "columns": [["ip", "varchar(64)"], ["name", "varchar(64)"],
+                             ["location", "varchar(64)"]],
+                 "index_columns": ["ip"]}
+            ],
+            loaders=[{"local_table": "servers", "query": "q"}],
+            loader_schedule="* * * * * *",  # every second
+        )
+        store = DimensionStore(
+            spark, spec.db_objects,
+            [(spec.loaders[0], fetch)],
+        )
+        refresh_dims, runner = scheduled_refresh_seam(store, spec)
+        try:
+            src = str(tmp_path / "src3")
+            sink = str(tmp_path / "sink3")
+            ckpt = str(tmp_path / "ckpt3")
+            t = load_transcripts(spark, sf_dir)
+            t.write.mode("overwrite").parquet(src)
+            q = start_pipeline_stream(spark, src, sink, ckpt,
+                                      refresh_dims=refresh_dims)
+            q.awaitTermination(120)
+            # remote changes; the cron runner reloads in the background
+            state["v"] = "after"
+            n0 = runner.reload_count
+            deadline = _time.time() + 20
+            while runner.reload_count <= n0 and _time.time() < deadline:
+                _time.sleep(0.2)
+            assert runner.reload_count > n0
+            # new files arrive; the next run's batches see the new snapshot
+            t.write.mode("append").parquet(src)
+            q2 = start_pipeline_stream(spark, src, sink, ckpt,
+                                       refresh_dims=refresh_dims)
+            q2.awaitTermination(120)
+        finally:
+            runner.stop()
+        from pyspark.sql import functions as F
+
+        names = {
+            r["name"]
+            for r in spark.read.parquet(sink)
+            .filter(F.col("route") == "hit")
+            .select(F.explode("server").alias("s"))
+            .select(F.col("s.name").alias("name"))
+            .distinct()
+            .collect()
+        }
+        assert "before" in names and "after" in names
+
 
 class TestStatefulSessionize:
     def test_session_summaries(self, spark, sf_dir, tmp_path):

@@ -253,6 +253,34 @@ class TestPluginLevelJdbcMerge:
             self._spec(jdbc_user=42)
 
 
+class TestLoaderScheduleOption:
+    """loader_schedule is a first-class plugin option
+    (jdbc_static.rb:80-85) validated eagerly like the rest
+    (loader_schedule.rb:48-62)."""
+
+    _LOOKUPS = [
+        {
+            "id": "l1",
+            "query": "SELECT name FROM servers WHERE ip = :ip",
+            "parameters": {"ip": "from_ip"},
+        }
+    ]
+
+    def test_valid_cron_accepted(self):
+        spec = PipelineSpec(lookups=self._LOOKUPS, loader_schedule="0 2 * * *")
+        assert spec.loader_schedule == "0 2 * * *"
+
+    def test_invalid_cron_is_aggregated_error(self):
+        with pytest.raises(ValidationError, match="loader_schedule option is invalid"):
+            PipelineSpec(lookups=self._LOOKUPS, loader_schedule="not a cron")
+
+    def test_from_json_reads_key(self):
+        spec = PipelineSpec.from_json(
+            {"local_lookups": self._LOOKUPS, "loader_schedule": "*/30 * * * * *"}
+        )
+        assert spec.loader_schedule == "*/30 * * * * *"
+
+
 class TestIndexColumnWarnings:
     """index_columns informs the physical lookup key: an empty
     declaration warns at dim build (read_write_database.rb:41-43,
