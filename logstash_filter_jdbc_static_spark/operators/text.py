@@ -166,3 +166,102 @@ def analyze(df: DataFrame, col: str = "text") -> DataFrame:
         (score / F.lit(4.0)).alias("quality_score"),
         "fingerprint",
     )
+
+
+# ----------------------------------------------------------- redaction
+#
+# PII-ish scrubbing for training corpora: regex redaction of emails,
+# IPv4 addresses, and long digit runs (phone/account numbers). Pure
+# regexp_replace chain — JVM codegen, no shuffle, and bit-identical in
+# any engine with POSIX-ish regex (the DuckDB oracle runs the same
+# patterns). Order matters: emails first (their domains would otherwise
+# partially match the digit-run pattern), then IPs, then digit runs.
+
+REDACTION_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("digits", r"\b\d{7,}\b", "<NUM>"),
+]
+
+
+def redact_pii(col: str = "text") -> Column:
+    """Redacted text column: each pattern class replaced by its tag."""
+    out = F.col(col)
+    for _name, pat, tag in REDACTION_PATTERNS:
+        out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def redaction_counts(col: str = "text") -> dict[str, Column]:
+    """Per-class redaction counts (how many spans each pattern hit),
+    computed on the PRE-redaction text so classes don't steal each
+    other's matches; emails are excluded from the digit-run count the
+    same way the sequential replace excludes them."""
+    counts: dict[str, Column] = {}
+    stripped = F.col(col)
+    for name, pat, _tag in REDACTION_PATTERNS:
+        counts[name] = F.size(
+            F.regexp_extract_all(stripped, F.lit(pat), F.lit(0))
+        ).cast("long")
+        stripped = F.regexp_replace(stripped, pat, " ")
+    return counts
+
+
+# ------------------------------------------------------ repetition stats
+#
+# Gopher-style repetition filters: documents dominated by repeated lines
+# or by one token are low-quality. Both ratios are computed with array
+# expressions (no explode, no shuffle) and are exactly reproducible in
+# SQL (list functions in DuckDB).
+
+
+def lines(col: str = "text") -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(
+        F.transform(F.split(F.col(col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+
+def dup_line_fraction(col: str = "text") -> Column:
+    """1 - distinct/total over non-empty lines (0.0 for <=1 line)."""
+    ls = lines(col)
+    n = F.size(ls)
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(ls)) / n
+    )
+
+
+def top_token_share(col: str = "text") -> Column:
+    """Share of the most frequent whitespace token (0.0 for empty).
+
+    Computed as the longest equal-run over the SORTED token list with a
+    single aggregate() fold carrying (prev, run, best) — O(n log n) per
+    row, all inside one row's expressions: no explode, no groupBy, no
+    shuffle. (The naive count-per-distinct-token shape is O(n^2) per
+    row — ruinous on 10k-token documents.)"""
+    toks = F.array_sort(tokens(col))
+    n = token_count(col)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).alias("best"),
+    )
+    folded = F.aggregate(
+        toks,
+        init,
+        lambda acc, t: F.struct(
+            t.alias("prev"),
+            F.when(acc.getField("prev").eqNullSafe(t), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(
+                    acc.getField("prev").eqNullSafe(t), acc.getField("run") + 1
+                ).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
+    )
+    return F.when(n == 0, F.lit(0.0)).otherwise(folded / n)

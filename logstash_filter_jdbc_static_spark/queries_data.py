@@ -461,3 +461,95 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.filter(F.col("vec_id") % _IVF_CENTROID_MOD == 0)
     queries = emb.filter(F.col("vec_id") < _IVF_N_QUERIES)
     return S.ivf_topk(emb, queries, centroids, k=_IVF_K, n_probe=_IVF_N_PROBE)
+
+
+# ---------------------------------------------------- PII redaction
+#
+# Regex scrub of emails / IPv4s / long digit runs — the pre-training
+# privacy pass. Pure regexp_replace chain (JVM codegen, zero shuffle);
+# the oracle runs the identical patterns through DuckDB's RE2 with the
+# same sequential order (emails first so their domains can't leak into
+# the digit-run class).
+
+_REDACT_SQL = """
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         '\\b\\d{7,}\\b', '<NUM>', 'g') AS redacted,
+       CAST(len(regexp_extract_all(text,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(
+         regexp_replace(
+           regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', ' ', 'g'),
+         '\\b\\d{7,}\\b')) AS BIGINT) AS n_digits
+FROM documents
+"""
+
+
+@register("documents_redact_pii", _REDACT_SQL)
+def documents_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_split(spark, sf_dir, "documents").select("doc_id", "text")
+    counts = X.redaction_counts("text")
+    return docs.select(
+        "doc_id",
+        X.redact_pii("text").alias("redacted"),
+        counts["email"].alias("n_email"),
+        counts["ipv4"].alias("n_ipv4"),
+        counts["digits"].alias("n_digits"),
+    )
+
+
+# ------------------------------------------------- repetition quality
+#
+# Gopher-style repetition filters: duplicate-line fraction and the most
+# frequent token's share. Spark computes both inside one row's array
+# expressions (sorted-run fold, no explode/shuffle); the oracle is free
+# to unnest + group since it only runs at test scale.
+
+_REPETITION_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                     l -> l <> '') AS ls
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS tk
+  FROM documents
+),
+top AS (
+  SELECT doc_id, max(c) AS max_c FROM (
+    SELECT doc_id, t, count(*) AS c
+    FROM (SELECT doc_id, unnest(tk) AS t FROM toks) GROUP BY doc_id, t
+  ) GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(len(l.ls) AS BIGINT) AS n_lines,
+       CASE WHEN len(l.ls) <= 1 THEN 0.0
+            ELSE 1.0 - len(list_distinct(l.ls)) / len(l.ls) END AS dup_line_frac,
+       CASE WHEN len(t.tk) = 0 THEN 0.0
+            ELSE coalesce(top.max_c, 0) / len(t.tk) END AS top_token_share
+FROM lines l
+JOIN toks t USING (doc_id)
+LEFT JOIN top USING (doc_id)
+"""
+
+
+@register("documents_repetition_stats", _REPETITION_SQL)
+def documents_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table_split(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        F.size(X.lines("text")).cast("long").alias("n_lines"),
+        X.dup_line_fraction("text").alias("dup_line_frac"),
+        X.top_token_share("text").alias("top_token_share"),
+    )

@@ -145,3 +145,66 @@ class TestIvfRecall:
         r3 = len(bf & multi) / len(bf)
         assert r3 > r1, (r1, r3)
         assert r3 >= 0.5, (r1, r3)
+
+
+class TestRedaction:
+    def test_patterns_and_ordering(self, spark):
+        from logstash_filter_jdbc_static_spark.operators import text as X
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "mail a.user+tag@example.co.uk now"),
+            (2, "from 10.1.2.3 to 255.255.255.255"),
+            (3, "acct 12345678 ref 999999"),  # only the 8-digit run redacts
+            (4, "user99@host123.example.com and 192.168.0.1 and 87654321"),
+            (5, "clean text, nothing to scrub"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        counts = X.redaction_counts("text")
+        out = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id",
+                X.redact_pii("text").alias("red"),
+                counts["email"].alias("e"),
+                counts["ipv4"].alias("i"),
+                counts["digits"].alias("d"),
+            ).collect()
+        }
+        assert out[1]["red"] == "mail <EMAIL> now" and out[1]["e"] == 1
+        assert out[2]["red"] == "from <IP> to <IP>" and out[2]["i"] == 2
+        assert out[3]["red"] == "acct <NUM> ref 999999"
+        assert (out[3]["e"], out[3]["i"], out[3]["d"]) == (0, 0, 1)
+        # email digits/domains must NOT leak into the ip/digit classes
+        assert out[4]["red"] == "<EMAIL> and <IP> and <NUM>"
+        assert (out[4]["e"], out[4]["i"], out[4]["d"]) == (1, 1, 1)
+        assert out[5]["red"] == rows[4][1]
+
+
+class TestRepetition:
+    def test_dup_lines_and_top_token(self, spark):
+        from logstash_filter_jdbc_static_spark.operators import text as X
+        from pyspark.sql import functions as F
+
+        rows = [
+            (1, "a b c\na b c\nx y z"),      # 3 lines, 1 dup
+            (2, "one line only"),            # single line -> 0.0
+            (3, ""),                         # empty -> 0.0 / 0.0
+            (4, "go go go stop"),            # top token 'go' 3/4
+            (5, "l\n\n  \nl"),               # blank lines ignored, dup 'l'
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        out = {
+            r["doc_id"]: r
+            for r in df.select(
+                "doc_id",
+                F.size(X.lines("text")).alias("n"),
+                X.dup_line_fraction("text").alias("dl"),
+                X.top_token_share("text").alias("tt"),
+            ).collect()
+        }
+        assert out[1]["n"] == 3 and abs(out[1]["dl"] - (1 - 2 / 3)) < 1e-9
+        assert out[2]["dl"] == 0.0
+        assert out[3]["dl"] == 0.0 and out[3]["tt"] == 0.0
+        assert abs(out[4]["tt"] - 0.75) < 1e-9
+        assert out[5]["n"] == 2 and abs(out[5]["dl"] - 0.5) < 1e-9

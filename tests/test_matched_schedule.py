@@ -141,6 +141,62 @@ class TestCronLine:
         assert nxt.hour == 2
         assert nxt.astimezone(timezone.utc).hour == 0
 
+    def test_next_fire_agrees_with_matches_scan(self):
+        """Property: next_fire(after) returns the FIRST instant t > after
+        with matches(t), verified against a brute-force second-by-second
+        scan for a spread of cron shapes and start instants."""
+        from datetime import datetime, timedelta
+
+        from logstash_filter_jdbc_static_spark.plans.cron import CronLine
+
+        lines = [
+            "*/10 * * * * *",
+            "0,30 */5 * * * *",
+            "0 2 * * *",
+            "30 9-17/2 * * mon-fri",
+            "0 0 13 * fri",
+            "15 3 1,15 jan,jul *",
+            "*/7 * * 29 2 *",  # leap-day seconds cron
+        ]
+        starts = [
+            datetime(2026, 8, 17, 1, 59, 58),
+            datetime(2026, 12, 31, 23, 59, 59),
+            datetime(2028, 2, 28, 23, 0, 0),  # leap year boundary
+        ]
+        def day_ok(cl, d):
+            # independent reimplementation of the crontab(5) dom/dow rule
+            dom = cl.days is None or d.day in cl.days
+            dow = cl.weekdays is None or (d.isoweekday() % 7) in cl.weekdays
+            if cl.days is not None and cl.weekdays is not None:
+                return dom or dow
+            return dom and dow
+
+        def brute(cl, start):
+            t0 = (start + timedelta(seconds=1)).replace(microsecond=0)
+            day = t0.date()
+            step = 1 if cl.seconds != frozenset({0}) else 60
+            for _ in range(366 * 4 + 2):
+                d = datetime(day.year, day.month, day.day)
+                if (cl.months is None or d.month in cl.months) and day_ok(cl, d):
+                    t = t0 if day == t0.date() else d
+                    if step == 60 and t.second != 0:
+                        t = t.replace(second=0) + timedelta(minutes=1)
+                    end = d + timedelta(days=1)
+                    while t < end:
+                        if cl.matches(t):
+                            return t
+                        t += timedelta(seconds=step)
+                day += timedelta(days=1)
+            return None
+
+        for expr in lines:
+            cl = CronLine.parse(expr)
+            for start in starts:
+                got = cl.next_fire(start)
+                scanned = brute(cl, start)
+                assert scanned is not None, (expr, start)
+                assert got == scanned, (expr, start, got, scanned)
+
     def test_invalid_lines_raise_reference_message(self):
         import pytest as _pytest
 

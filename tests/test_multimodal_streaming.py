@@ -137,13 +137,16 @@ class TestStreaming:
             q = start_pipeline_stream(spark, src, sink, ckpt,
                                       refresh_dims=refresh_dims)
             q.awaitTermination(120)
-            # remote changes; the cron runner reloads in the background
+            # remote changes; the cron runner reloads in the background.
+            # Wait for TWO increments: a refresh already in flight at the
+            # flip may have fetched the old value and bump the counter
+            # after it — only the second tick is guaranteed post-flip.
             state["v"] = "after"
             n0 = runner.reload_count
-            deadline = _time.time() + 20
-            while runner.reload_count <= n0 and _time.time() < deadline:
+            deadline = _time.time() + 30
+            while runner.reload_count < n0 + 2 and _time.time() < deadline:
                 _time.sleep(0.2)
-            assert runner.reload_count > n0
+            assert runner.reload_count >= n0 + 2
             # new files arrive; the next run's batches see the new snapshot
             t.write.mode("append").parquet(src)
             q2 = start_pipeline_stream(spark, src, sink, ckpt,
