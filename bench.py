@@ -34,6 +34,7 @@ HEADLINE = [
     "lookup_default_miss",
     "lookup_prepared_positional",
     "lookup_multirow_fanin",
+    "lookup_like_large_dim",
     "conv_turn_stats",
     "text_analysis",
     "dedup_minhash_lsh",

@@ -61,11 +61,6 @@ DEFAULT_INLINE_THRESHOLD = 1024
 
 _FIELD_REF_RE = re.compile(r"\[([^\]]+)\]")
 _SPRINTF_SPLIT_RE = re.compile(r"(%\{[^}]+\})")
-_NAMED_PARAM_RE = re.compile(r"(?<!:):([A-Za-z_][A-Za-z0-9_]*)")
-
-_EQ_OPS = {"="}
-_THETA_OPS = {"like", ">", "<", ">=", "<=", "<>", "!="}
-
 
 def _resolve_field_path(ref: str, schema: T.StructType) -> tuple[Column | None, bool]:
     """Resolve a Logstash field reference (``[a][b]`` or plain ``a``) to a
@@ -544,17 +539,19 @@ class CompiledLookup:
         with_keys = fact
         fk_names: list[str] = []   # staged tuple cols on the fact
         mk_names: list[str] = []   # same tuple cols on the map side
+        like_idx: set[int] = set()
         for i, p in enumerate(self.query.predicates):
             if p.param is None:
                 continue
             fk = f"__fk_{sid}_{i}"
-            val = params[p.param].value
+            # Stage the RAW parameter value: the fact side only needs the
+            # tuple for distinct() + the equality map-back, so the
+            # LIKE->regex rewrite runs once per DISTINCT tuple on the map
+            # side (a few rows) instead of per fact row, and the join key
+            # stays the short raw value rather than the expanded regex.
             if p.op == "like":
-                # stage the compiled regex, not the raw pattern: the join
-                # condition is evaluated once per (tuple, dim) pair, so an
-                # inline pattern->regex rewrite would re-run per pair
-                val = _like_regex(val)
-            with_keys = with_keys.withColumn(fk, val)
+                like_idx.add(i)
+            with_keys = with_keys.withColumn(fk, params[p.param].value)
             fk_names.append(fk)
             mk_names.append(f"__mk_{sid}_{i}")
 
@@ -608,9 +605,23 @@ class CompiledLookup:
             tuples = with_keys.select(
                 *[F.col(f).alias(m) for f, m in zip(fk_names, mk_names)]
             ).distinct()
+            # Materialize the compiled regex as a COLUMN on the tuple
+            # frame (once per distinct tuple) — an inline rewrite in the
+            # join condition would re-run per (tuple, dim) pair.
+            tuples = tuples.select(
+                "*",
+                *[
+                    _like_regex(F.col(f"__mk_{sid}_{i}")).alias(f"__rx_{sid}_{i}")
+                    for i in sorted(like_idx)
+                ],
+            )
             probed = tuples.join(
                 F.broadcast(dim),
-                probe_cond(lambda i: F.col(f"__mk_{sid}_{i}")),
+                probe_cond(
+                    lambda i: F.col(f"__rx_{sid}_{i}")
+                    if i in like_idx
+                    else F.col(f"__mk_{sid}_{i}")
+                ),
                 "left",
             )
             key_payload = probed.groupBy(*mk_names).agg(

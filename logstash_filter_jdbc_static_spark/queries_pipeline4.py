@@ -564,3 +564,56 @@ def documents_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_documents(
         docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS, shard_col="shard"
     )
+
+
+# ------------------------------------------------------------------
+# 12. Large-dim theta lookup, oracle-gated: the per-distinct-tuple
+#     map-probe path (_apply_bnlj) against a >1024-row dimension (the
+#     customer table; inline_threshold=0 pins the physical path at any
+#     sf). The other gated LIKE lookups use small dims and take the
+#     inline literal-array path — this closes the driver-gate gap on
+#     the remaining physical strategy.
+# ------------------------------------------------------------------
+
+
+@register(
+    "lookup_like_large_dim",
+    with_ctes(
+        TRANSCRIPTS_CTE,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.digit2,
+               CAST(count(c.c_custkey) AS BIGINT) AS n_matches,
+               coalesce(string_agg(c.c_name, ',' ORDER BY c.c_custkey), '') AS names
+        FROM (SELECT conv_id, turn_idx,
+                     lpad(CAST(turn_idx % 100 AS VARCHAR), 2, '0') AS digit2
+              FROM transcripts) t
+        LEFT JOIN customer c ON c.c_name LIKE '%0' || t.digit2
+        GROUP BY t.conv_id, t.turn_idx, t.digit2
+        """,
+    ),
+)
+def lookup_like_large_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir).withColumn(
+        "digit2", F.lpad((F.col("turn_idx") % 100).cast("string"), 2, "0")
+    )
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "cust",
+                "query": "SELECT c_custkey, c_name FROM customer WHERE c_name LIKE :pat",
+                "parameters": {"pat": "%0%{digit2}"},
+            }
+        ]
+    )
+    dim = load_table_split(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    enricher = LookupEnricher(spec, {"customer": dim}, inline_threshold=0)
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "digit2",
+        F.size("cust").cast("long").alias("n_matches"),
+        F.array_join(
+            F.transform(F.col("cust"), lambda x: x.getField("c_name")), ","
+        ).alias("names"),
+    )
