@@ -89,7 +89,8 @@ def build_configured_pipeline(spark: SparkSession, pipeline):
         [(ld, make_fetcher(spark, ld)) for ld in spec.loaders],
     )
     store.initial_load()
-    enricher = LookupEnricher(spec, store.dims(), dim_rows=store.dim_rows())
+    dims, dim_rows = store.dims_and_rows()
+    enricher = LookupEnricher(spec, dims, dim_rows=dim_rows)
     parser = GrokParser(
         cfg.get("grok", TRANSCRIPT_GROK),
         required=cfg.get("grok_required", ["from_ip"]),

@@ -533,8 +533,12 @@ class CompiledLookup:
 
         ``pattern_strategy="shuffle_map"`` swaps step 4's broadcast for a
         plain shuffle join — for the adversarial case where tuples are
-        near-unique per row and the map outgrows broadcast; the regroup
-        still only ever shuffles (tuple, payload), never fact columns."""
+        near-unique per row and the map outgrows broadcast. That path
+        DOES shuffle the fact once, hashpartitioned on the tuple keys
+        (both join sides exchange); what it still avoids vs the old
+        regroup is the fan-out (one map row per tuple, so no
+        first()-per-column re-aggregation) and the |fact| x |dim| probe.
+        Only broadcast_map keeps the fact fully shuffle-free."""
         sid = self.spec.id
         with_keys = fact
         fk_names: list[str] = []   # staged tuple cols on the fact

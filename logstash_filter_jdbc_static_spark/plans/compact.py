@@ -87,14 +87,19 @@ def partition_stats(spark: SparkSession, root: str) -> list[dict]:
 
 
 def _qualified_path(spark: SparkSession, path: str) -> str:
-    """Scheme-independent comparable form of a path: let the owning
-    FileSystem qualify it (adds scheme/authority, resolves relative
-    paths), then take the URI path component. ``/root/x``,
-    ``file:/root/x`` and ``file:///root/x`` all normalize identically —
-    partition_stats hands back fully-qualified URIs while callers pass
-    plain roots, and the two MUST compare equal for the relpath math."""
+    """Comparable fully-qualified form of a path: the owning FileSystem
+    adds scheme/authority and resolves relative paths, then the URI is
+    rebuilt as scheme://authority/path. ``/root/x``, ``file:/root/x``
+    and ``file:///root/x`` normalize identically — partition_stats hands
+    back qualified URIs while callers pass plain roots — but paths on
+    DIFFERENT filesystems/buckets stay distinct (dropping the scheme
+    would let s3a://bucket-b/sink pass a bucket-a root check and park a
+    backup across filesystems)."""
     fs, jpath = _fs(spark, path)
-    return fs.makeQualified(jpath).toUri().getPath().rstrip("/")
+    uri = fs.makeQualified(jpath).toUri()
+    scheme = uri.getScheme() or ""
+    authority = uri.getAuthority() or ""
+    return f"{scheme}://{authority}{uri.getPath()}".rstrip("/")
 
 
 def _staging_paths(spark: SparkSession, root: str, partition_path: str):

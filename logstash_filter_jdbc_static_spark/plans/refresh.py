@@ -46,11 +46,7 @@ def fetch_with_guard(fetch: Callable[[], DataFrame], loader: LoaderSpec,
     write. On a multi-executor cluster with dynamic allocation, swap
     localCheckpoint for a reliable ``spark.checkpoint`` dir; the
     semantics here are identical."""
-    pinned = fetch().limit(loader.max_rows + 1).localCheckpoint(eager=True)
-    n = pinned.count()
-    if n == 0 or n > loader.max_rows:
-        return spark.createDataFrame([], pinned.schema)
-    return pinned
+    return fetch_with_guard_counted(fetch, loader, spark)[0]
 
 
 def fetch_with_guard_counted(
@@ -83,8 +79,12 @@ class DimensionStore:
         self.spark = spark
         self.db_objects = {o.name: o for o in db_objects}
         self.loaders = loaders
-        self.snapshots: dict[str, DataFrame] = {}
-        self.row_counts: dict[str, int] = {}
+        # One attribute holds (snapshots, row_counts); readers take BOTH
+        # from a single GIL-atomic read via dims_and_rows(), so a
+        # background refresh can never pair a new snapshot with a stale
+        # count (which could flip a large dim onto the inline-collect
+        # lookup path). Writers build new dicts and swap once.
+        self._state: tuple[dict[str, DataFrame], dict[str, int]] = ({}, {})
         self.reload_count = 0
         self.last_load_ts: float | None = None
         self.last_errors: dict[str, str] = {}
@@ -109,9 +109,18 @@ class DimensionStore:
         self.reload_count += 1
         self.last_load_ts = time.time()
 
+    @property
+    def snapshots(self) -> dict[str, DataFrame]:
+        return self._state[0]
+
+    @property
+    def row_counts(self) -> dict[str, int]:
+        return self._state[1]
+
     def _build_db_objects(self, preserving: bool) -> None:
         """Empty frames with declared schema for tables no loader fills
         (db_object.rb:12-26); preserve_existing keeps a prior snapshot."""
+        snaps, counts = dict(self._state[0]), dict(self._state[1])
         for name, obj in self.db_objects.items():
             if not obj.index_columns:
                 # verbatim advisory from the reference's local-db build
@@ -123,11 +132,12 @@ class DimensionStore:
                     "on larger datasets consider adding an index on the "
                     "lookup column, it will improve performance", name,
                 )
-            if obj.preserve_existing and name in self.snapshots:
+            if obj.preserve_existing and name in snaps:
                 continue
             assert obj.schema is not None
-            self.snapshots[name] = self.spark.createDataFrame([], obj.schema)
-            self.row_counts[name] = 0
+            snaps[name] = self.spark.createDataFrame([], obj.schema)
+            counts[name] = 0
+        self._state = (snaps, counts)
 
     def _populate_all(self, strict: bool = True) -> None:
         """Fetch every loader then swap all snapshots at once — the
@@ -163,13 +173,22 @@ class DimensionStore:
             # immutable old-or-new snapshots (read_write_database.rb:22-28).
             staged[loader.table] = df
             staged_counts[loader.table] = n
-        self.snapshots.update(staged)
-        self.row_counts.update(staged_counts)
+        self._state = (
+            {**self._state[0], **staged},
+            {**self._state[1], **staged_counts},
+        )
+
+    def dims_and_rows(self) -> tuple[dict[str, DataFrame], dict[str, int]]:
+        """(snapshots, guard row counts) from ONE atomic state read —
+        the accessor concurrent readers (per-micro-batch enricher
+        builds) must use so counts always describe the same snapshots."""
+        snaps, counts = self._state
+        return dict(snaps), dict(counts)
 
     def dims(self) -> dict[str, DataFrame]:
-        return dict(self.snapshots)
+        return self.dims_and_rows()[0]
 
     def dim_rows(self) -> dict[str, int]:
         """Snapshot row counts from the A2 guard — free plan-choice input
         for LookupEnricher(dim_rows=...)."""
-        return dict(self.row_counts)
+        return self.dims_and_rows()[1]

@@ -28,12 +28,32 @@ _EVERY_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(s|sec|m|min|h)\s*$", re.IGNORECA
 
 def parse_schedule(expr: str) -> float | CronLine:
     """``<n>s|m|h`` -> interval seconds; anything else must be a valid
-    5/6-field cron line -> CronLine (loader_schedule.rb:24-46)."""
+    5/6-field cron line -> CronLine (loader_schedule.rb:24-46).
+
+    Satisfiability is proven at parse time: a line that parses but can
+    never fire ("0 0 31 2 *", Feb 31) raises HERE, in validation, not
+    later inside the reload thread where the failure would silently
+    stop all refreshes."""
     m = _EVERY_RE.match(expr)
     if m:
         mult = {"s": 1, "sec": 1, "m": 60, "min": 60, "h": 3600}[m.group(2).lower()]
         return float(m.group(1)) * mult
-    return CronLine.parse(expr.strip())
+    cl = CronLine.parse(expr.strip())
+    try:
+        cl.next_fire(_now(cl))
+    except ValueError as e:
+        raise ValueError(f"The loader_schedule option is invalid: {e}") from e
+    return cl
+
+
+def _now(cl: CronLine) -> datetime:
+    """Rufus evaluates timezone-less cron lines in the scheduler's LOCAL
+    zone; only a line with an explicit zone token is evaluated there.
+    datetime.now() (naive local) matches CronLine's naive arithmetic;
+    a tz-carrying line gets an aware instant it converts itself."""
+    if cl.tz is not None:
+        return datetime.now(timezone.utc)
+    return datetime.now()
 
 
 class RepeatingLoadRunner:
@@ -53,7 +73,7 @@ class RepeatingLoadRunner:
 
     def _next_wait(self) -> float:
         if isinstance(self.schedule, CronLine):
-            now = datetime.now(timezone.utc)
+            now = _now(self.schedule)
             return (self.schedule.next_fire(now) - now).total_seconds()
         return self.schedule
 
@@ -62,7 +82,14 @@ class RepeatingLoadRunner:
 
         def loop() -> None:
             while True:
-                remaining = self._next_wait()
+                try:
+                    remaining = self._next_wait()
+                except Exception as e:  # pragma: no cover - guarded at parse
+                    # Surface a scheduler failure instead of dying with a
+                    # stderr-only traceback while the pipeline silently
+                    # serves an ever-staler snapshot.
+                    self.store.last_errors["__scheduler__"] = str(e)
+                    return
                 # sleep in small slices so stop() interrupts promptly
                 slice_s = (
                     self.schedule.frequency_hint()

@@ -75,9 +75,12 @@ def analyzed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcripts cache; at warehouse scale this is a materialized staging
     table, not an in-memory cache)."""
     # applicationId is unique per context (id() can be reused by CPython
-    # after GC, resurrecting a frame bound to a dead session); eviction
-    # just drops the reference — earlier callers may still hold the
-    # frame, so the ContextCleaner, not us, decides when to unpersist.
+    # after GC, resurrecting a frame bound to a dead session). Eviction
+    # unpersists (non-blocking): Spark's CacheManager holds a strong
+    # reference to every .cache()d plan, so a dropped Python reference
+    # alone leaks the cached blocks for the session's lifetime; an
+    # earlier caller still holding the evicted frame stays CORRECT and
+    # merely recomputes.
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _ANALYZE_CACHE:
         docs = load_table_split(spark, sf_dir, "documents")
@@ -90,7 +93,7 @@ def analyzed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score", "fingerprint",
         ).cache()
         if len(_ANALYZE_CACHE) > 4:
-            _ANALYZE_CACHE.pop(next(iter(_ANALYZE_CACHE)))
+            _ANALYZE_CACHE.pop(next(iter(_ANALYZE_CACHE))).unpersist(False)
     return _ANALYZE_CACHE[key]
 
 
@@ -151,6 +154,8 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = docs.unionAll(ws_dups).unionAll(near_dups).cache()
     _CORPUS_CACHE[key] = corpus
+    if len(_CORPUS_CACHE) > 4:
+        _CORPUS_CACHE.pop(next(iter(_CORPUS_CACHE))).unpersist(False)
     return corpus
 
 

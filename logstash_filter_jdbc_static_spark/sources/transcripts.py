@@ -173,15 +173,16 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     window + parquet scan is shared staging for every downstream query
     (one cached InMemoryRelation instead of a re-shuffle per query).
     Keyed on applicationId (stable, unique per context — id() is
-    reusable after GC); eviction drops the reference and lets the
-    ContextCleaner reclaim the block, since earlier callers may still
-    hold the evicted frame."""
+    reusable after GC). Eviction unpersists (non-blocking): the JVM
+    CacheManager pins every .cache()d plan, so dropping the Python
+    reference alone leaks the blocks; a caller still holding the
+    evicted frame stays correct and recomputes."""
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TRANSCRIPT_CACHE:
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         _TRANSCRIPT_CACHE[key] = derive_transcripts(events).cache()
         if len(_TRANSCRIPT_CACHE) > 4:  # bound: tests hop across sf dirs
-            _TRANSCRIPT_CACHE.pop(next(iter(_TRANSCRIPT_CACHE)))
+            _TRANSCRIPT_CACHE.pop(next(iter(_TRANSCRIPT_CACHE))).unpersist(False)
     return _TRANSCRIPT_CACHE[key]
 
 

@@ -92,7 +92,11 @@ def scheduled_refresh_seam(store, spec):
     runner.start()
 
     def refresh_dims() -> LookupEnricher:
-        return LookupEnricher(spec, store.dims(), dim_rows=store.dim_rows())
+        # ONE atomic state read: dims() + dim_rows() separately could
+        # pair a new snapshot with a stale count across a background
+        # swap and mis-pick the inline-collect path for a large dim.
+        dims, rows = store.dims_and_rows()
+        return LookupEnricher(spec, dims, dim_rows=rows)
 
     return refresh_dims, runner
 

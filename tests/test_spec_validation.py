@@ -274,6 +274,12 @@ class TestLoaderScheduleOption:
         with pytest.raises(ValidationError, match="loader_schedule option is invalid"):
             PipelineSpec(lookups=self._LOOKUPS, loader_schedule="not a cron")
 
+    def test_unsatisfiable_cron_rejected_at_validation(self):
+        """'0 0 31 2 *' (Feb 31) parses but never fires; it must fail HERE,
+        not kill the reload thread on its first tick."""
+        with pytest.raises(ValidationError, match="never fires"):
+            PipelineSpec(lookups=self._LOOKUPS, loader_schedule="0 0 31 2 *")
+
     def test_from_json_reads_key(self):
         spec = PipelineSpec.from_json(
             {"local_lookups": self._LOOKUPS, "loader_schedule": "*/30 * * * * *"}
@@ -340,6 +346,40 @@ class TestIndexColumnWarnings:
             ],
         )
         dim = spark.createDataFrame([("1.1.1.1", "a")], "ip string, name string")
+        with caplog.at_level(logging.WARNING, "logstash_filter_jdbc_static_spark"):
+            LookupEnricher(spec, {"servers": dim})
+        assert not any("no index" in r.message for r in caplog.records)
+
+    def test_literal_predicate_column_does_not_warn(self, caplog, spark):
+        """A constant filter (status = 'active') is a dim-side predicate,
+        not a lookup key — it must not trigger the no-index warning."""
+        import logging
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "srv",
+                    "query": "SELECT name FROM servers "
+                             "WHERE ip = :ip AND status = 'active'",
+                    "parameters": {"ip": "tool"},
+                }
+            ],
+            db_objects=[
+                {
+                    "name": "servers",
+                    "columns": [["ip", "varchar(64)"], ["name", "varchar(64)"],
+                                ["status", "varchar(16)"]],
+                    "index_columns": ["ip"],
+                }
+            ],
+        )
+        dim = spark.createDataFrame(
+            [("1.1.1.1", "a", "active")], "ip string, name string, status string"
+        )
         with caplog.at_level(logging.WARNING, "logstash_filter_jdbc_static_spark"):
             LookupEnricher(spec, {"servers": dim})
         assert not any("no index" in r.message for r in caplog.records)
