@@ -269,6 +269,7 @@ class PipelineSpec:
         tag_on_default_use: list[str] | None = None,
         plugin_jdbc: dict | None = None,
         loader_schedule: str | None = None,
+        engine: dict | None = None,
     ):
         globals_ = {
             "tag_on_failure": tag_on_failure,
@@ -281,6 +282,34 @@ class PipelineSpec:
         # RepeatingLoadRunner for long-running/streaming pipelines, while
         # a one-shot batch run is a SingleLoadRunner by construction
         # (jdbc_static.rb:189-204's runner choice).
+        # Engine tuning surface (Spark-side knobs with no reference
+        # counterpart — the reference's Derby engine has no equivalent
+        # choices): inline_threshold (inline literal-array vs map-probe
+        # crossover for theta lookups) and pattern_strategy
+        # (broadcast_map | shuffle_map map-back). Validated here so a
+        # bad --pipeline config fails at register time like everything
+        # else.
+        engine = dict(engine or {})
+        self.inline_threshold = engine.pop("inline_threshold", None)
+        if self.inline_threshold is not None and (
+            not isinstance(self.inline_threshold, int) or self.inline_threshold < 0
+        ):
+            errors.append(
+                "The 'engine.inline_threshold' option must be a non-negative integer"
+            )
+        self.pattern_strategy = engine.pop("pattern_strategy", None)
+        if self.pattern_strategy is not None and self.pattern_strategy not in (
+            "broadcast_map", "shuffle_map",
+        ):
+            errors.append(
+                "The 'engine.pattern_strategy' option must be one of "
+                "'broadcast_map', 'shuffle_map'"
+            )
+        if engine:
+            errors.append(
+                f"Unknown engine option(s): {sorted(engine)} "
+                "(supported: inline_threshold, pattern_strategy)"
+            )
         self.loader_schedule = loader_schedule
         if loader_schedule is not None:
             from logstash_filter_jdbc_static_spark.plans.schedule import (
@@ -330,6 +359,7 @@ class PipelineSpec:
             tag_on_default_use=cfg.get("tag_on_default_use"),
             plugin_jdbc={k: cfg.get(k) for k in cls.PLUGIN_JDBC_KEYS},
             loader_schedule=cfg.get("loader_schedule"),
+            engine=cfg.get("engine"),
         )
 
     def _validate_lookups(self) -> list[str]:

@@ -287,6 +287,42 @@ class TestLoaderScheduleOption:
         assert spec.loader_schedule == "*/30 * * * * *"
 
 
+class TestEngineOptions:
+    """Spark-side tuning knobs (no reference counterpart) exposed through
+    the pipeline config under an ``engine`` key, validated eagerly."""
+
+    _LOOKUPS = [
+        {
+            "id": "l1",
+            "query": "SELECT name FROM servers WHERE ip = :ip",
+            "parameters": {"ip": "from_ip"},
+        }
+    ]
+
+    def test_defaults_are_none(self):
+        spec = PipelineSpec(lookups=self._LOOKUPS)
+        assert spec.inline_threshold is None
+        assert spec.pattern_strategy is None
+
+    def test_from_json_engine_block(self):
+        spec = PipelineSpec.from_json(
+            {
+                "local_lookups": self._LOOKUPS,
+                "engine": {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+            }
+        )
+        assert spec.inline_threshold == 0
+        assert spec.pattern_strategy == "shuffle_map"
+
+    def test_bad_values_rejected(self):
+        with pytest.raises(ValidationError, match="inline_threshold"):
+            PipelineSpec(lookups=self._LOOKUPS, engine={"inline_threshold": -1})
+        with pytest.raises(ValidationError, match="pattern_strategy"):
+            PipelineSpec(lookups=self._LOOKUPS, engine={"pattern_strategy": "nope"})
+        with pytest.raises(ValidationError, match="Unknown engine option"):
+            PipelineSpec(lookups=self._LOOKUPS, engine={"warp_speed": True})
+
+
 class TestIndexColumnWarnings:
     """index_columns informs the physical lookup key: an empty
     declaration warns at dim build (read_write_database.rb:41-43,
