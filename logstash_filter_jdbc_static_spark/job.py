@@ -90,12 +90,9 @@ def build_configured_pipeline(spark: SparkSession, pipeline):
     )
     store.initial_load()
     dims, dim_rows = store.dims_and_rows()
-    engine_kw = {}
-    if spec.inline_threshold is not None:
-        engine_kw["inline_threshold"] = spec.inline_threshold
-    if spec.pattern_strategy is not None:
-        engine_kw["pattern_strategy"] = spec.pattern_strategy
-    enricher = LookupEnricher(spec, dims, dim_rows=dim_rows, **engine_kw)
+    # engine knobs (spec.inline_threshold / spec.pattern_strategy) are
+    # inherited by LookupEnricher from the spec itself
+    enricher = LookupEnricher(spec, dims, dim_rows=dim_rows)
     parser = GrokParser(
         cfg.get("grok", TRANSCRIPT_GROK),
         required=cfg.get("grok_required", ["from_ip"]),

@@ -377,7 +377,9 @@ class CompiledLookup:
         )
         if self.query.is_pure_equi and self.query.predicates:
             enriched = self._apply_equi(fact, params)
-        elif self._dim_count() <= self.inline_threshold:
+        elif self.inline_threshold > 0 and self._dim_count() <= self.inline_threshold:
+            # threshold 0 pins the map-probe path WITHOUT paying the
+            # eager dim count the comparison would otherwise need
             enriched = self._apply_inline(fact, params)
         else:
             enriched = self._apply_bnlj(fact, params)

@@ -66,11 +66,23 @@ class LookupEnricher:
         self,
         spec: PipelineSpec,
         dims: dict[str, DataFrame],
-        inline_threshold: int = DEFAULT_INLINE_THRESHOLD,
+        inline_threshold: int | None = None,
         row_key: tuple[str, ...] = ("conv_id", "turn_idx"),
         dim_rows: dict[str, int] | None = None,
-        pattern_strategy: str = "broadcast_map",
+        pattern_strategy: str | None = None,
     ):
+        # Engine knobs resolve: explicit argument > spec's engine config
+        # > built-in default — so EVERY construction site (batch job,
+        # streaming refresh seam, direct Python callers) inherits a
+        # config's engine block without each caller re-plumbing it.
+        if inline_threshold is None:
+            inline_threshold = getattr(spec, "inline_threshold", None)
+        if inline_threshold is None:
+            inline_threshold = DEFAULT_INLINE_THRESHOLD
+        if pattern_strategy is None:
+            pattern_strategy = getattr(spec, "pattern_strategy", None)
+        if pattern_strategy is None:
+            pattern_strategy = "broadcast_map"
         self.spec = spec
         self.compiled: list[CompiledLookup] = []
         for lk in spec.lookups:

@@ -100,7 +100,14 @@ class RepeatingLoadRunner:
                     if self._stop.wait(min(remaining, slice_s)):
                         return
                     remaining -= slice_s
-                self.store.refresh()
+                try:
+                    self.store.refresh()
+                except Exception as e:
+                    # refresh() swallows per-loader failures itself; an
+                    # unexpected error here must not kill the scheduler
+                    # — record it and hope the next tick works
+                    # (read_write_database.rb:88-90's contract).
+                    self.store.last_errors["__scheduler__"] = str(e)
 
         self._thread = threading.Thread(target=loop, daemon=True)
         self._thread.start()

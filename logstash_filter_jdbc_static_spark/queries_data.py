@@ -67,6 +67,17 @@ FROM scored
 _ANALYZE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
+def _safe_unpersist(df: DataFrame) -> None:
+    """Evicted entries can belong to an already-stopped session (the
+    module dict spans applicationIds); unpersisting through a dead
+    context raises — swallow it, the stopped context freed the blocks
+    anyway."""
+    try:
+        df.unpersist(False)
+    except Exception:
+        pass
+
+
 def analyzed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analyzed documents table, memoized per (session, sf_dir): the 8
     marker/stopword/punct regex scans are the expensive part of BOTH
@@ -93,7 +104,7 @@ def analyzed_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score", "fingerprint",
         ).cache()
         if len(_ANALYZE_CACHE) > 4:
-            _ANALYZE_CACHE.pop(next(iter(_ANALYZE_CACHE))).unpersist(False)
+            _safe_unpersist(_ANALYZE_CACHE.pop(next(iter(_ANALYZE_CACHE))))
     return _ANALYZE_CACHE[key]
 
 
@@ -155,7 +166,7 @@ def dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionAll(ws_dups).unionAll(near_dups).cache()
     _CORPUS_CACHE[key] = corpus
     if len(_CORPUS_CACHE) > 4:
-        _CORPUS_CACHE.pop(next(iter(_CORPUS_CACHE))).unpersist(False)
+        _safe_unpersist(_CORPUS_CACHE.pop(next(iter(_CORPUS_CACHE))))
     return corpus
 
 

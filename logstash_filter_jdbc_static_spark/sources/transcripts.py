@@ -182,7 +182,11 @@ def load_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         events = spark.read.parquet(f"{sf_dir}/events.parquet")
         _TRANSCRIPT_CACHE[key] = derive_transcripts(events).cache()
         if len(_TRANSCRIPT_CACHE) > 4:  # bound: tests hop across sf dirs
-            _TRANSCRIPT_CACHE.pop(next(iter(_TRANSCRIPT_CACHE))).unpersist(False)
+            evicted = _TRANSCRIPT_CACHE.pop(next(iter(_TRANSCRIPT_CACHE)))
+            try:  # the entry may belong to an already-stopped session
+                evicted.unpersist(False)
+            except Exception:
+                pass
     return _TRANSCRIPT_CACHE[key]
 
 

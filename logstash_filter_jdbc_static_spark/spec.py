@@ -289,10 +289,15 @@ class PipelineSpec:
         # (broadcast_map | shuffle_map map-back). Validated here so a
         # bad --pipeline config fails at register time like everything
         # else.
+        if engine is not None and not isinstance(engine, dict):
+            errors.append("The 'engine' option must be a Hash")
+            engine = {}
         engine = dict(engine or {})
         self.inline_threshold = engine.pop("inline_threshold", None)
         if self.inline_threshold is not None and (
-            not isinstance(self.inline_threshold, int) or self.inline_threshold < 0
+            isinstance(self.inline_threshold, bool)
+            or not isinstance(self.inline_threshold, int)
+            or self.inline_threshold < 0
         ):
             errors.append(
                 "The 'engine.inline_threshold' option must be a non-negative integer"

@@ -146,6 +146,43 @@ class TestThetaLookupMapProbe:
         after = tracker.getJobIdsForGroup(None)
         assert len(after) == len(before), "lookup compilation ran a Spark job"
 
+    def test_threshold_zero_skips_count_without_dim_rows(self, spark):
+        """inline_threshold=0 pins the map-probe path; the threshold
+        comparison must short-circuit so no eager dim count() fires even
+        when no dim_rows hint is supplied (lookup_like_large_dim's
+        shape, which runs per bench invocation)."""
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+        from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+        dim = spark.range(50).select(
+            F.col("id").cast("string").alias("ip"),
+            F.concat(F.lit("s"), F.col("id").cast("string")).alias("name"),
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "server",
+                    "query": "SELECT name FROM servers WHERE ip LIKE :pat",
+                    "parameters": {"pat": "%{tool}%"},
+                }
+            ]
+        )
+        fact = spark.range(100).select(
+            F.lit("c").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.col("id").cast("string").alias("tool"),
+        )
+        tracker = spark.sparkContext.statusTracker()
+        before = tracker.getJobIdsForGroup(None)
+        enr = LookupEnricher(spec, {"servers": dim}, inline_threshold=0)
+        enr.apply(fact)  # plan construction only
+        after = tracker.getJobIdsForGroup(None)
+        assert len(after) == len(before), "threshold-0 lookup ran a Spark job"
+
     def test_shuffle_map_strategy_still_correct(self, spark):
         out_b = {
             (r["conv_id"], r["turn_idx"]): r["server"]
