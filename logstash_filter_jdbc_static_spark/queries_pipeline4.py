@@ -617,3 +617,80 @@ def lookup_like_large_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("cust"), lambda x: x.getField("c_name")), ","
         ).alias("names"),
     )
+
+
+# ------------------------------------------------------------------
+# 13. Conversation-level exact dedup: the transcript-domain counterpart
+#     of document dedup — at 10^12 turns, re-ingested or mirrored
+#     conversations are the dominant duplication mode. A conversation's
+#     identity is the md5 over its turn texts in turn order; dedup is
+#     two bounded-cardinality shuffles (conv_id, then fingerprint).
+#     The driver data has no duplicate conversations, so (same
+#     convention as the documents dedup corpus) every 10th conversation
+#     is re-appended under a 'dup-' id — the oracle injects identically.
+# ------------------------------------------------------------------
+
+_CONV_DEDUP_SQL_BODY = """
+SELECT conv_fp,
+       min(conv_id) AS canonical_conv,
+       CAST(count(*) AS BIGINT) AS n_convs,
+       CAST(min(n_turns) AS BIGINT) AS n_turns
+FROM conv_docs
+GROUP BY conv_fp
+HAVING count(*) > 1
+"""
+
+_CONV_CORPUS_CTE = """
+conv_corpus AS (
+  SELECT conv_id, turn_idx, text FROM transcripts
+  UNION ALL
+  SELECT 'dup-' || conv_id, turn_idx, text FROM transcripts
+  WHERE CAST(substr(conv_id, 6) AS INTEGER) % 10 = 0
+)
+"""
+
+_CONV_DOCS_CTE = """
+conv_docs AS (
+  SELECT conv_id,
+         md5(string_agg(text, chr(10) ORDER BY turn_idx)) AS conv_fp,
+         count(*) AS n_turns
+  FROM conv_corpus
+  GROUP BY conv_id
+)
+"""
+
+
+@register(
+    "conv_exact_dedup",
+    with_ctes(
+        TRANSCRIPTS_CTE, _CONV_CORPUS_CTE, _CONV_DOCS_CTE,
+        body=_CONV_DEDUP_SQL_BODY,
+    ),
+)
+def conv_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    dups = t.filter(
+        F.substring("conv_id", 6, 10).cast("int") % 10 == 0
+    ).withColumn("conv_id", F.concat(F.lit("dup-"), F.col("conv_id")))
+    corpus = t.unionAll(dups)
+    conv_docs = corpus.groupBy("conv_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                    lambda s: s.getField("text"),
+                ),
+                "\n",
+            )
+        ).alias("conv_fp"),
+        F.count(F.lit(1)).alias("n_turns"),
+    )
+    return (
+        conv_docs.groupBy("conv_fp")
+        .agg(
+            F.min("conv_id").alias("canonical_conv"),
+            F.count(F.lit(1)).alias("n_convs"),
+            F.min("n_turns").alias("n_turns"),
+        )
+        .filter(F.col("n_convs") > 1)
+    )
