@@ -42,6 +42,12 @@ dim_rows = st.lists(
 use_default = st.booleans()
 use_prepared = st.booleans()
 use_like = st.booleans()
+# inline_threshold=0 pins non-equi lookups onto the map-probe path
+# (otherwise the tiny dims always take the inline literal-array path),
+# and both map-back strategies must agree with the oracle.
+engine_cfg = st.sampled_from(
+    [None, (0, "broadcast_map"), (0, "shuffle_map")]
+)
 
 
 @pytest.mark.slow
@@ -51,8 +57,10 @@ use_like = st.booleans()
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
 @given(facts=fact_rows, dims=dim_rows, default=use_default,
-       prepared=use_prepared, like=use_like)
-def test_spark_matches_row_at_a_time_oracle(spark, facts, dims, default, prepared, like):
+       prepared=use_prepared, like=use_like, engine=engine_cfg)
+def test_spark_matches_row_at_a_time_oracle(
+    spark, facts, dims, default, prepared, like, engine
+):
     op = "LIKE" if like else "="
     lookup: dict = {"id": "server"}
     if prepared:
@@ -70,7 +78,10 @@ def test_spark_matches_row_at_a_time_oracle(spark, facts, dims, default, prepare
     fact_df = spark.createDataFrame(fact_data, FACT_SCHEMA)
     dim_df = spark.createDataFrame(dims, DIM_SCHEMA)
 
-    enricher = LookupEnricher(spec, {"servers": dim_df})
+    kw = {}
+    if engine is not None:
+        kw = {"inline_threshold": engine[0], "pattern_strategy": engine[1]}
+    enricher = LookupEnricher(spec, {"servers": dim_df}, **kw)
     got = {
         r["turn_idx"]: (
             None if r["server"] is None else [d.asDict() for d in r["server"]],
