@@ -163,23 +163,80 @@ def bind_param(binding: str, schema: T.StructType, name: str) -> BoundParam:
     return BoundParam(name, col, col.isNotNull(), False)
 
 
+@dataclass(frozen=True)
+class _Term:
+    """One rhs operand of a predicate: a bound placeholder or a literal."""
+
+    kind: str  # 'param' | 'literal'
+    value: object  # placeholder name, or Python literal (str | int | float)
+
+
 @dataclass
 class _Predicate:
+    """``col <op> terms``. Binary ops carry one term, BETWEEN two, IN one
+    or more, IS [NOT] NULL zero."""
+
     dim_column: str
-    op: str  # '=', 'like', '>', ...
-    param: str | None  # placeholder name; None when rhs is a literal
-    literal: str | None = None
+    op: str  # '=', '<>', '<', ..., 'like', 'not like', 'in', 'not in',
+    #          'between', 'not between', 'is null', 'is not null'
+    terms: list[_Term] = field(default_factory=list)
+
+    @property
+    def param_names(self) -> list[str]:
+        return [t.value for t in self.terms if t.kind == "param"]
+
+    # legacy single-operand accessors (index-coverage check, logging)
+    @property
+    def param(self) -> str | None:
+        names = self.param_names
+        return names[0] if names else None
+
+    @property
+    def literal(self):
+        lits = [t.value for t in self.terms if t.kind == "literal"]
+        return lits[0] if lits else None
+
+    @property
+    def is_static(self) -> bool:
+        """True when no placeholder participates — evaluable against the
+        dimension alone (a dim-side constant filter)."""
+        return not self.param_names
+
+
+_MAX_DISJUNCTS = 64
+
+_LIKE_OPS = ("like", "not like")
 
 
 @dataclass
 class ParsedQuery:
     projection: list[tuple[str, str]] | None  # (source, alias); None == SELECT *
     table: str
-    predicates: list[_Predicate] = field(default_factory=list)
+    # WHERE in disjunctive normal form: OR over conjunctions. [] == no WHERE.
+    disjuncts: list[list[_Predicate]] = field(default_factory=list)
+
+    @property
+    def predicates(self) -> list[_Predicate]:
+        """All predicates, flattened across disjuncts (validation/advisory)."""
+        return [p for d in self.disjuncts for p in d]
 
     @property
     def is_pure_equi(self) -> bool:
-        return all(p.op == "=" and p.param is not None for p in self.predicates)
+        """True when the broadcast-hash path applies: a single
+        conjunction whose parameter-bound predicates are all simple
+        equalities (static predicates of ANY op ride along as dim-side
+        filters), with at least one bound key to join on."""
+        if len(self.disjuncts) != 1:
+            return False
+        has_key = False
+        for p in self.disjuncts[0]:
+            if p.is_static:
+                continue
+            if p.op == "=" and len(p.terms) == 1:
+                has_key = True
+            else:
+                return False
+        return has_key
 
 
 _QUERY_RE = re.compile(
@@ -187,17 +244,227 @@ _QUERY_RE = re.compile(
     r"(?:\s+where\s+(?P<where>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
-_PRED_RE = re.compile(
-    r"^\s*(?P<col>[A-Za-z_][\w]*)\s*(?P<op>=|<>|!=|<=|>=|<|>|like)\s*(?P<rhs>.+?)\s*$",
-    re.IGNORECASE,
+
+_TOKEN_RE = re.compile(
+    r"""(?:
+        (?P<string>'(?:[^']|'')*')
+      | (?P<number>\d+(?:\.\d+)?)
+      | (?P<param>:[A-Za-z_][A-Za-z0-9_]*)
+      | (?P<qmark>\?)
+      | (?P<op><>|!=|<=|>=|=|<|>)
+      | (?P<lparen>\()
+      | (?P<rparen>\))
+      | (?P<comma>,)
+      | (?P<word>[A-Za-z_][\w]*)
+    )""",
+    re.VERBOSE,
 )
 
 
+def _tokenize_where(text: str) -> list[tuple[str, str]]:
+    out: list[tuple[str, str]] = []
+    pos, n = 0, len(text)
+    while pos < n:
+        if text[pos].isspace():
+            pos += 1
+            continue
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise ValidationError(
+                [f"unsupported lookup predicate syntax at: {text[pos:pos + 40]!r}"]
+            )
+        out.append((m.lastgroup, m.group()))
+        pos = m.end()
+    return out
+
+
+class _WhereParser:
+    """Recursive-descent parser for the lookup WHERE surface:
+
+        or_expr  := and_expr (OR and_expr)*
+        and_expr := primary (AND primary)*
+        primary  := '(' or_expr ')' | predicate
+        predicate:= col (=|<>|!=|<|>|<=|>=) term
+                  | col [NOT] LIKE term
+                  | col [NOT] IN '(' term (',' term)* ')'
+                  | col [NOT] BETWEEN term AND term
+                  | col IS [NOT] NULL
+        term     := :name | ? | 'string' | number
+
+    The reference hands lookup SQL verbatim to Derby (lookup.rb:131-147),
+    so any of these shapes is a legal config there; this parser covers
+    the full conjunctive/disjunctive predicate surface over one table.
+    ``BETWEEN``'s inner AND binds inside the predicate, which is why this
+    is a real parser and not a split-on-AND."""
+
+    def __init__(self, tokens: list[tuple[str, str]]):
+        self.tokens = tokens
+        self.i = 0
+        self.positional = 0
+
+    def _peek(self) -> tuple[str, str] | None:
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def _next(self) -> tuple[str, str]:
+        tok = self._peek()
+        if tok is None:
+            raise ValidationError(["unsupported lookup predicate: unexpected end of WHERE"])
+        self.i += 1
+        return tok
+
+    def _peek_word(self) -> str | None:
+        tok = self._peek()
+        return tok[1].lower() if tok and tok[0] == "word" else None
+
+    def _expect_word(self, *words: str) -> str:
+        tok = self._next()
+        if tok[0] != "word" or tok[1].lower() not in words:
+            raise ValidationError(
+                [f"unsupported lookup predicate: expected {'/'.join(words).upper()}, got {tok[1]!r}"]
+            )
+        return tok[1].lower()
+
+    def parse(self) -> list[list[_Predicate]]:
+        node = self._or_expr()
+        if self._peek() is not None:
+            raise ValidationError(
+                [f"unsupported lookup predicate: trailing tokens at {self._peek()[1]!r}"]
+            )
+        return _to_dnf(node)
+
+    def _or_expr(self):
+        parts = [self._and_expr()]
+        while self._peek_word() == "or":
+            self._next()
+            parts.append(self._and_expr())
+        return parts[0] if len(parts) == 1 else ("or", parts)
+
+    def _and_expr(self):
+        parts = [self._primary()]
+        while self._peek_word() == "and":
+            self._next()
+            parts.append(self._primary())
+        return parts[0] if len(parts) == 1 else ("and", parts)
+
+    def _primary(self):
+        tok = self._peek()
+        if tok and tok[0] == "lparen":
+            self._next()
+            node = self._or_expr()
+            if self._next()[0] != "rparen":
+                raise ValidationError(["unsupported lookup predicate: unbalanced parentheses"])
+            return node
+        return ("pred", self._predicate())
+
+    def _term(self) -> _Term:
+        kind, text = self._next()
+        if kind == "param":
+            return _Term("param", text[1:])
+        if kind == "qmark":
+            name = f"p{self.positional}"
+            self.positional += 1
+            return _Term("param", name)
+        if kind == "string":
+            return _Term("literal", text[1:-1].replace("''", "'"))
+        if kind == "number":
+            return _Term("literal", float(text) if "." in text else int(text))
+        raise ValidationError(
+            [f"unsupported lookup predicate rhs: {text!r} "
+             "(expected :name, ?, 'string' or number)"]
+        )
+
+    def _predicate(self) -> _Predicate:
+        kind, col = self._next()
+        if kind != "word" or col.lower() in ("and", "or", "not", "null"):
+            raise ValidationError(
+                [f"unsupported lookup predicate: expected column name, got {col!r}"]
+            )
+        tok = self._peek()
+        if tok is None:
+            raise ValidationError(
+                [f"unsupported lookup predicate: dangling column {col!r}"]
+            )
+        if tok[0] == "op":
+            self._next()
+            op = "<>" if tok[1] == "!=" else tok[1]
+            return _Predicate(col, op, [self._term()])
+        word = self._peek_word()
+        negate = False
+        if word == "not":
+            self._next()
+            negate = True
+            word = self._peek_word()
+        if word == "like":
+            self._next()
+            return _Predicate(col, "not like" if negate else "like", [self._term()])
+        if word == "between":
+            self._next()
+            lo = self._term()
+            self._expect_word("and")
+            hi = self._term()
+            return _Predicate(col, "not between" if negate else "between", [lo, hi])
+        if word == "in":
+            self._next()
+            if self._next()[0] != "lparen":
+                raise ValidationError(
+                    [f"unsupported lookup predicate: IN on {col!r} requires a parenthesized list"]
+                )
+            terms = [self._term()]
+            while True:
+                tok = self._next()
+                if tok[0] == "rparen":
+                    break
+                if tok[0] != "comma":
+                    raise ValidationError(
+                        [f"unsupported lookup predicate: bad IN list near {tok[1]!r}"]
+                    )
+                terms.append(self._term())
+            return _Predicate(col, "not in" if negate else "in", terms)
+        if word == "is" and not negate:
+            self._next()
+            if self._peek_word() == "not":
+                self._next()
+                self._expect_word("null")
+                return _Predicate(col, "is not null", [])
+            self._expect_word("null")
+            return _Predicate(col, "is null", [])
+        raise ValidationError(
+            [f"unsupported lookup predicate: unexpected token after column {col!r}"]
+        )
+
+
+def _to_dnf(node) -> list[list[_Predicate]]:
+    """Distribute AND over OR. Bounded: a pathological nesting that
+    explodes past _MAX_DISJUNCTS raises instead of building a huge plan."""
+    if node[0] == "pred":
+        return [[node[1]]]
+    if node[0] == "or":
+        out: list[list[_Predicate]] = []
+        for child in node[1]:
+            out.extend(_to_dnf(child))
+            if len(out) > _MAX_DISJUNCTS:
+                raise ValidationError(
+                    [f"lookup WHERE expands to more than {_MAX_DISJUNCTS} OR-branches"]
+                )
+        return out
+    result: list[list[_Predicate]] = [[]]
+    for child in node[1]:
+        child_dnf = _to_dnf(child)
+        result = [a + b for a in result for b in child_dnf]
+        if len(result) > _MAX_DISJUNCTS:
+            raise ValidationError(
+                [f"lookup WHERE expands to more than {_MAX_DISJUNCTS} OR-branches"]
+            )
+    return result
+
+
 def parse_lookup_query(query: str) -> ParsedQuery:
-    """Parse the SQL shapes the reference's docs+specs exercise
-    (SURVEY 2B): projection with aliases or ``*``, single table, optional
-    conjunctive WHERE of ``col <op> (:name | ? | literal)``.
-    """
+    """Parse the lookup SQL surface (SURVEY 2B, widened per round-2
+    verdict #1): projection with aliases or ``*``, single table, optional
+    WHERE combining ``=``/``<>``/ranges/``[NOT] LIKE``/``[NOT] IN``/
+    ``[NOT] BETWEEN``/``IS [NOT] NULL`` predicates with AND/OR and
+    parentheses; rhs operands are ``:name``/``?`` placeholders, quoted
+    strings, or numbers. Normalized to OR-of-conjunctions."""
     m = _QUERY_RE.match(query)
     if not m:
         raise ValidationError([f"unsupported lookup query shape: {query!r}"])
@@ -213,28 +480,11 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 projection.append((parts[0].strip(), parts[1].strip()))
             else:
                 projection.append((item.strip(), item.strip()))
-    predicates: list[_Predicate] = []
+    disjuncts: list[list[_Predicate]] = []
     where = m.group("where")
-    positional = 0
     if where:
-        for clause in re.split(r"\s+and\s+", where, flags=re.IGNORECASE):
-            pm = _PRED_RE.match(clause)
-            if not pm:
-                raise ValidationError([f"unsupported lookup predicate: {clause!r}"])
-            rhs = pm.group("rhs").strip()
-            op = pm.group("op").lower()
-            if rhs == "?":
-                predicates.append(_Predicate(pm.group("col"), op, f"p{positional}"))
-                positional += 1
-            elif rhs.startswith(":"):
-                predicates.append(_Predicate(pm.group("col"), op, rhs[1:]))
-            elif rhs.startswith("'") and rhs.endswith("'"):
-                predicates.append(
-                    _Predicate(pm.group("col"), op, None, rhs[1:-1].replace("''", "'"))
-                )
-            else:
-                raise ValidationError([f"unsupported lookup predicate rhs: {rhs!r}"])
-    return ParsedQuery(projection, m.group("table"), predicates)
+        disjuncts = _WhereParser(_tokenize_where(where)).parse()
+    return ParsedQuery(projection, m.group("table"), disjuncts)
 
 
 class CompiledLookup:
@@ -264,10 +514,10 @@ class CompiledLookup:
         self.dim_df = dim_df
         self.inline_threshold = inline_threshold
         self.row_key = list(row_key)
-        if pattern_strategy not in ("broadcast_map", "shuffle_map"):
+        if pattern_strategy not in ("broadcast_map", "shuffle_map", "auto"):
             raise ValidationError(
                 [f"lookup '{spec.id}': unknown pattern_strategy "
-                 f"{pattern_strategy!r} (broadcast_map | shuffle_map)"]
+                 f"{pattern_strategy!r} (broadcast_map | shuffle_map | auto)"]
             )
         self.pattern_strategy = pattern_strategy
         if dim_rows is not None:
@@ -297,12 +547,17 @@ class CompiledLookup:
             self.bindings = {f"p{i}": v for i, v in enumerate(spec.prepared_parameters)}
         else:
             self.bindings = dict(spec.parameters or {})
-        needed = [p.param for p in self.query.predicates if p.param is not None]
+        needed: list[str] = []
+        for p in self.query.predicates:
+            for n in p.param_names:
+                if n not in needed:
+                    needed.append(n)
         missing = [n for n in needed if n not in self.bindings]
         if missing:
             raise ValidationError(
                 [f"lookup '{spec.id}': no binding for placeholder(s) {missing}"]
             )
+        self._needed_params = needed
         self._payload_struct = self._payload_struct_type()
         self._default_array = self._build_default_array()
 
@@ -333,16 +588,98 @@ class CompiledLookup:
                 cols.append(F.lit(None).cast(fld.dataType).alias(alias))
         return F.array(F.struct(*cols))
 
+    # ---- predicate evaluation (shared by all physical paths) --------
+    def _pred_condition(self, p: _Predicate, lhs: Column, rhs: list[Column]) -> Column:
+        """One predicate as a Column expression; ``rhs`` holds one
+        pre-staged Column per term (LIKE patterns already compiled to
+        anchored regexes). Three-valued SQL semantics fall out of Spark's
+        null propagation — a null that reaches a filter drops the row,
+        matching Derby/DuckDB."""
+        op = p.op
+        if op == "=":
+            return lhs == rhs[0]
+        if op == "<>":
+            return lhs != rhs[0]
+        if op == "<":
+            return lhs < rhs[0]
+        if op == ">":
+            return lhs > rhs[0]
+        if op == "<=":
+            return lhs <= rhs[0]
+        if op == ">=":
+            return lhs >= rhs[0]
+        if op == "like":
+            return F.rlike(lhs, rhs[0])
+        if op == "not like":
+            return ~F.rlike(lhs, rhs[0])
+        if op in ("in", "not in"):
+            cond = lhs == rhs[0]
+            for r in rhs[1:]:
+                cond = cond | (lhs == r)
+            return ~cond if op == "not in" else cond
+        if op == "between":
+            return (lhs >= rhs[0]) & (lhs <= rhs[1])
+        if op == "not between":
+            return ~((lhs >= rhs[0]) & (lhs <= rhs[1]))
+        if op == "is null":
+            return lhs.isNull()
+        # "is not null"
+        return lhs.isNotNull()
+
+    def _static_rhs(self, p: _Predicate) -> list[Column]:
+        """rhs Columns for a parameter-free predicate (all literals);
+        literal LIKE patterns compile here and constant-fold."""
+        return [
+            _like_regex(F.lit(t.value)) if p.op in _LIKE_OPS else F.lit(t.value)
+            for t in p.terms
+        ]
+
+    def _indexed_disjuncts(self) -> list[list[tuple[int, _Predicate]]]:
+        """Disjuncts with a stable flat index per predicate, used to key
+        staged rhs/regex columns consistently across paths."""
+        out: list[list[tuple[int, _Predicate]]] = []
+        f = 0
+        for d in self.query.disjuncts:
+            row = []
+            for p in d:
+                row.append((f, p))
+                f += 1
+            out.append(row)
+        return out
+
+    def _dnf_condition(self, lhs_for, rhs_for) -> Column:
+        """OR over disjuncts of AND over predicates. ``lhs_for(p)`` and
+        ``rhs_for(flat_idx, p) -> list[Column]`` supply the operands, so
+        the same normalized WHERE drives the dim filter, the inline
+        array filter, and the map-probe join condition."""
+        parts: list[Column] = []
+        for d in self._indexed_disjuncts():
+            c: Column | None = None
+            for f, p in d:
+                pc = self._pred_condition(p, lhs_for(p), rhs_for(f, p))
+                c = pc if c is None else c & pc
+            parts.append(c if c is not None else F.lit(True))
+        if not parts:
+            return F.lit(True)
+        out = parts[0]
+        for c in parts[1:]:
+            out = out | c
+        return out
+
     # ---- physical strategies ----------------------------------------
     def _grouped_dim(self) -> tuple[DataFrame, list[str]]:
-        """Equi path: dim grouped by key -> one array<struct> per key."""
+        """Equi path: dim grouped by key -> one array<struct> per key.
+        Static predicates of any op pre-filter the dim (the single
+        conjunction guaranteed by is_pure_equi)."""
         key_cols = []
         dim = self.dim_df
-        for i, p in enumerate(self.query.predicates):
-            if p.param is not None:
-                key_cols.append((f"__k{i}", p.dim_column))
+        for i, p in enumerate(self.query.disjuncts[0]):
+            if p.is_static:
+                dim = dim.filter(
+                    self._pred_condition(p, F.col(p.dim_column), self._static_rhs(p))
+                )
             else:
-                dim = dim.filter(F.col(p.dim_column) == F.lit(p.literal))
+                key_cols.append((f"__k{i}", p.dim_column))
         payload = F.struct(
             *[F.col(src).alias(alias) for src, alias in self.out_fields]
         )
@@ -375,7 +712,7 @@ class CompiledLookup:
         ok_col, failed_col, default_col = (
             f"__{sid}_ok", f"__{sid}_failed", f"__{sid}_default_used",
         )
-        if self.query.is_pure_equi and self.query.predicates:
+        if self.query.is_pure_equi:
             enriched = self._apply_equi(fact, params)
         elif self.inline_threshold > 0 and self._dim_count() <= self.inline_threshold:
             # threshold 0 pins the map-probe path WITHOUT paying the
@@ -417,8 +754,9 @@ class CompiledLookup:
         grouped, key_names = self._grouped_dim()
         with_keys = fact
         conds = []
-        for i, p in enumerate(self.query.predicates):
-            if p.param is None:
+        preds = self.query.disjuncts[0]
+        for i, p in enumerate(preds):
+            if p.is_static:
                 continue
             bp = params[p.param]
             kc = f"__fk_{self.spec.id}_{i}"
@@ -428,8 +766,7 @@ class CompiledLookup:
         for c in conds[1:]:
             cond = cond & c
         joined = with_keys.join(F.broadcast(grouped), cond, "left")
-        drop_cols = [f"__k{i}" for i in range(len(self.query.predicates))
-                     if self.query.predicates[i].param is not None]
+        drop_cols = [f"__k{i}" for i, p in enumerate(preds) if not p.is_static]
         drop_cols += [c for c in with_keys.columns if c.startswith(f"__fk_{self.spec.id}_")]
         return joined.withColumnRenamed("__payload", "__raw_payload").drop(*drop_cols)
 
@@ -452,30 +789,6 @@ class CompiledLookup:
             )
         return F.array(*structs)
 
-    def _row_predicate(self, row: Column, rhs_cols: list[Column]) -> Column:
-        """Predicate over one inlined dim row; ``rhs_cols`` holds one
-        pre-staged rhs per predicate (LIKE patterns already compiled to
-        anchored regexes — see _apply_inline)."""
-        cond = F.lit(True)
-        for p, rhs in zip(self.query.predicates, rhs_cols):
-            lhs = row.getField(p.dim_column)
-            if p.op == "=":
-                c = lhs == rhs
-            elif p.op == "like":
-                c = F.rlike(lhs, rhs)
-            elif p.op in ("<>", "!="):
-                c = lhs != rhs
-            elif p.op == "<":
-                c = lhs < rhs
-            elif p.op == ">":
-                c = lhs > rhs
-            elif p.op == "<=":
-                c = lhs <= rhs
-            else:
-                c = lhs >= rhs
-            cond = cond & c
-        return cond
-
     def _project_struct(self, row: Column) -> Column:
         return F.struct(
             *[row.getField(src).alias(alias) for src, alias in self.out_fields]
@@ -494,23 +807,32 @@ class CompiledLookup:
         the rlike probe per dim element."""
         sid = self.spec.id
         staged = fact
-        rhs_cols: list[Column] = []
         tmp: list[str] = []
-        for i, p in enumerate(self.query.predicates):
-            if p.param is None:
-                lit = F.lit(p.literal)
-                # literal LIKE patterns compile here (constant-folded)
-                rhs_cols.append(_like_regex(lit) if p.op == "like" else lit)
-                continue
-            val = params[p.param].value
-            if p.op == "like":
-                val = _like_regex(val)
-            c = f"__pv_{sid}_{i}"
-            staged = staged.withColumn(c, val)
-            tmp.append(c)
-            rhs_cols.append(F.col(c))
+        rhs_map: dict[int, list[Column]] = {}
+        for d in self._indexed_disjuncts():
+            for f, p in d:
+                rhs: list[Column] = []
+                for t_i, t in enumerate(p.terms):
+                    if t.kind == "literal":
+                        lit = F.lit(t.value)
+                        # literal LIKE patterns compile here (constant-folded)
+                        rhs.append(_like_regex(lit) if p.op in _LIKE_OPS else lit)
+                    else:
+                        val = params[t.value].value
+                        if p.op in _LIKE_OPS:
+                            val = _like_regex(val)
+                        c = f"__pv_{sid}_{f}_{t_i}"
+                        staged = staged.withColumn(c, val)
+                        tmp.append(c)
+                        rhs.append(F.col(c))
+                rhs_map[f] = rhs
         arr = self._dim_literal_array()
-        matched = F.filter(arr, lambda r: self._row_predicate(r, rhs_cols))
+        matched = F.filter(
+            arr,
+            lambda r: self._dnf_condition(
+                lambda p: r.getField(p.dim_column), lambda f, p: rhs_map[f]
+            ),
+        )
         payload = F.sort_array(F.transform(matched, self._project_struct))
         return staged.withColumn("__raw_payload", payload).drop(*tmp)
 
@@ -540,26 +862,25 @@ class CompiledLookup:
         (both join sides exchange); what it still avoids vs the old
         regroup is the fan-out (one map row per tuple, so no
         first()-per-column re-aggregation) and the |fact| x |dim| probe.
-        Only broadcast_map keeps the fact fully shuffle-free."""
+        Only broadcast_map keeps the fact fully shuffle-free.
+
+        ``pattern_strategy="auto"`` resolves between the two at plan
+        build with one narrow approx-distinct pre-flight over the tuple
+        projection (the cardinality guard for sprintf-over-free-text
+        configs whose near-unique tuples would outgrow the broadcast)."""
         sid = self.spec.id
         with_keys = fact
-        fk_names: list[str] = []   # staged tuple cols on the fact
-        mk_names: list[str] = []   # same tuple cols on the map side
-        like_idx: set[int] = set()
-        for i, p in enumerate(self.query.predicates):
-            if p.param is None:
-                continue
-            fk = f"__fk_{sid}_{i}"
-            # Stage the RAW parameter value: the fact side only needs the
-            # tuple for distinct() + the equality map-back, so the
-            # LIKE->regex rewrite runs once per DISTINCT tuple on the map
-            # side (a few rows) instead of per fact row, and the join key
-            # stays the short raw value rather than the expanded regex.
-            if p.op == "like":
-                like_idx.add(i)
-            with_keys = with_keys.withColumn(fk, params[p.param].value)
-            fk_names.append(fk)
-            mk_names.append(f"__mk_{sid}_{i}")
+        # One staged column per DISTINCT placeholder (ordered by first
+        # use in the WHERE): the tuple carries the RAW parameter values —
+        # the LIKE->regex rewrite runs once per distinct tuple on the map
+        # side, and the map-back join key stays the short raw value.
+        param_order = list(self._needed_params)
+        fk = {n: f"__fk_{sid}_{j}" for j, n in enumerate(param_order)}
+        mk = {n: f"__mk_{sid}_{j}" for j, n in enumerate(param_order)}
+        for n in param_order:
+            with_keys = with_keys.withColumn(fk[n], params[n].value)
+        fk_names = [fk[n] for n in param_order]
+        mk_names = [mk[n] for n in param_order]
 
         dim_alias = f"__dim_{sid}"
         dim = self.dim_df.select(
@@ -568,33 +889,33 @@ class CompiledLookup:
             )
         )
 
-        def probe_cond(rhs_for) -> Column:
-            cond = F.lit(True)
-            for i, p in enumerate(self.query.predicates):
-                lhs = F.col(dim_alias).getField(p.dim_column)
-                if p.param is not None:
-                    rhs = rhs_for(i)
-                elif p.op == "like":
-                    # literal pattern: compile here; Catalyst constant-folds
-                    rhs = _like_regex(F.lit(p.literal))
+        # LIKE predicates bound to a placeholder get their regex staged
+        # as a COLUMN on the tuple frame (once per distinct tuple) — an
+        # inline rewrite in the join condition would re-run per
+        # (tuple, dim) pair. Keyed by flat predicate index: the same
+        # placeholder may feed both a LIKE and an equality.
+        rx_specs: list[tuple[int, str]] = []
+        for d in self._indexed_disjuncts():
+            for f, p in d:
+                if p.op in _LIKE_OPS and p.terms and p.terms[0].kind == "param":
+                    rx_specs.append((f, p.terms[0].value))
+
+        def rhs_for_probe(f: int, p: _Predicate) -> list[Column]:
+            rhs: list[Column] = []
+            for t in p.terms:
+                if t.kind == "literal":
+                    lit = F.lit(t.value)
+                    # literal pattern compiles here; Catalyst constant-folds
+                    rhs.append(_like_regex(lit) if p.op in _LIKE_OPS else lit)
+                elif p.op in _LIKE_OPS:
+                    rhs.append(F.col(f"__rx_{sid}_{f}"))
                 else:
-                    rhs = F.lit(p.literal)
-                if p.op == "like":
-                    c = F.rlike(lhs, rhs)  # rhs pre-compiled
-                elif p.op == "=":
-                    c = lhs == rhs
-                elif p.op in ("<>", "!="):
-                    c = lhs != rhs
-                elif p.op == "<":
-                    c = lhs < rhs
-                elif p.op == ">":
-                    c = lhs > rhs
-                elif p.op == "<=":
-                    c = lhs <= rhs
-                else:
-                    c = lhs >= rhs
-                cond = cond & c
-            return cond
+                    rhs.append(F.col(mk[t.value]))
+            return rhs
+
+        probe_cond = self._dnf_condition(
+            lambda p: F.col(dim_alias).getField(p.dim_column), rhs_for_probe
+        )
 
         payload_arr = F.sort_array(
             F.filter(
@@ -611,43 +932,60 @@ class CompiledLookup:
             tuples = with_keys.select(
                 *[F.col(f).alias(m) for f, m in zip(fk_names, mk_names)]
             ).distinct()
-            # Materialize the compiled regex as a COLUMN on the tuple
-            # frame (once per distinct tuple) — an inline rewrite in the
-            # join condition would re-run per (tuple, dim) pair.
             tuples = tuples.select(
                 "*",
                 *[
-                    _like_regex(F.col(f"__mk_{sid}_{i}")).alias(f"__rx_{sid}_{i}")
-                    for i in sorted(like_idx)
+                    _like_regex(F.col(mk[pname])).alias(f"__rx_{sid}_{f}")
+                    for f, pname in rx_specs
                 ],
             )
-            probed = tuples.join(
-                F.broadcast(dim),
-                probe_cond(
-                    lambda i: F.col(f"__rx_{sid}_{i}")
-                    if i in like_idx
-                    else F.col(f"__mk_{sid}_{i}")
-                ),
-                "left",
-            )
+            probed = tuples.join(F.broadcast(dim), probe_cond, "left")
             key_payload = probed.groupBy(*mk_names).agg(
                 payload_arr.alias("__raw_payload")
             )
             back = F.lit(True)
-            for f, m in zip(fk_names, mk_names):
-                back = back & F.col(f).eqNullSafe(F.col(m))
-            if self.pattern_strategy == "broadcast_map":
+            for fn, mn in zip(fk_names, mk_names):
+                back = back & F.col(fn).eqNullSafe(F.col(mn))
+            if self._resolve_pattern_strategy(with_keys, fk_names) == "broadcast_map":
                 key_payload = F.broadcast(key_payload)
             joined = with_keys.join(key_payload, back, "left")
             return joined.drop(*fk_names, *mk_names)
         # No bound parameters: every fact row shares ONE payload (the dim
         # filtered by the literal predicates) — aggregate it to a single
         # row and broadcast-cross-join it on.
-        single = (
-            dim.filter(probe_cond(lambda i: None))
-            .agg(payload_arr.alias("__raw_payload"))
-        )
+        single = dim.filter(probe_cond).agg(payload_arr.alias("__raw_payload"))
         return with_keys.crossJoin(F.broadcast(single))
+
+    # Above this estimated distinct-tuple count, the tuple->payload map
+    # is too big to broadcast safely (driver heap + 8 GB broadcast cap);
+    # "auto" falls back to the shuffle join.
+    AUTO_TUPLE_BROADCAST_LIMIT = 1_000_000
+
+    def _resolve_pattern_strategy(self, with_keys: DataFrame, fk_names: list[str]) -> str:
+        """broadcast_map/shuffle_map pass through; "auto" pays one
+        approx_count_distinct action over the slim tuple projection
+        (column-pruned scan, no shuffle) to bound the map size before
+        committing to a broadcast — the cardinality guard for
+        near-unique parameter tuples."""
+        if self.pattern_strategy != "auto":
+            return self.pattern_strategy
+        n = (
+            with_keys.select(
+                F.approx_count_distinct(
+                    F.concat_ws("\x1f", *[F.col(c) for c in fk_names])
+                ).alias("n")
+            ).collect()[0]["n"]
+        )
+        if n > self.AUTO_TUPLE_BROADCAST_LIMIT:
+            import logging
+
+            logging.getLogger("logstash_filter_jdbc_static_spark").warning(
+                "lookup '%s': ~%d distinct parameter tuples exceed the "
+                "broadcast map limit (%d) — using shuffle_map",
+                self.spec.id, n, self.AUTO_TUPLE_BROADCAST_LIMIT,
+            )
+            return "shuffle_map"
+        return "broadcast_map"
 
 
 def _like_regex(pattern: Column) -> Column:

@@ -42,11 +42,11 @@ def _check_index_coverage(spec: PipelineSpec, compiled: "list[CompiledLookup]") 
         idx = declared.get(table)
         if not idx:
             continue  # empty declaration already warned at dim build
-        # literal predicates (p.param None) are dim-side constant
-        # filters, never lookup keys — only parameter-bound columns
-        # drive the per-row probe the index declaration is about
+        # literal-only predicates are dim-side constant filters, never
+        # lookup keys — only parameter-bound columns drive the per-row
+        # probe the index declaration is about
         pred_cols = [
-            p.dim_column for p in cl.query.predicates if p.param is not None
+            p.dim_column for p in cl.query.predicates if p.param_names
         ]
         uncovered = [c for c in pred_cols if c not in idx]
         if uncovered:

@@ -62,6 +62,50 @@ def _like(value: str, pattern: str) -> bool:
     return re.match(rx, value) is not None
 
 
+def _pred_match(p, row: dict, params: dict) -> bool:
+    """One predicate under SQL three-valued semantics collapsed to a
+    filter boolean (NULL comparisons -> row dropped), mirroring what
+    Derby/Spark/DuckDB filters all do."""
+    lhs = row.get(p.dim_column)
+    if p.op == "is null":
+        return lhs is None
+    if p.op == "is not null":
+        return lhs is not None
+    vals = [params[t.value] if t.kind == "param" else t.value for t in p.terms]
+    if lhs is None:
+        return False
+    if p.op == "=":
+        return vals[0] is not None and lhs == vals[0]
+    if p.op == "<>":
+        return vals[0] is not None and lhs != vals[0]
+    if p.op == "like":
+        return vals[0] is not None and _like(str(lhs), str(vals[0]))
+    if p.op == "not like":
+        return vals[0] is not None and not _like(str(lhs), str(vals[0]))
+    if p.op == "in":
+        return any(v is not None and lhs == v for v in vals)
+    if p.op == "not in":
+        # x NOT IN (.., NULL, ..) is never TRUE in SQL
+        if any(v is None for v in vals):
+            return False
+        return lhs not in vals
+    if p.op in ("between", "not between"):
+        lo, hi = vals
+        if lo is None or hi is None:
+            return False
+        hit = lo <= lhs <= hi
+        return not hit if p.op == "not between" else hit
+    if vals[0] is None:
+        return False
+    if p.op == "<":
+        return lhs < vals[0]
+    if p.op == ">":
+        return lhs > vals[0]
+    if p.op == "<=":
+        return lhs <= vals[0]
+    return lhs >= vals[0]
+
+
 def run_lookup(
     event: dict, spec: LookupSpec, table: list[dict]
 ) -> tuple[bool, list[str]]:
@@ -85,24 +129,12 @@ def run_lookup(
         return False, tags
     rows = []
     for row in table:
-        match = True
-        for p in q.predicates:
-            lhs = row.get(p.dim_column)
-            rhs = params[p.param] if p.param is not None else p.literal
-            if p.op == "=":
-                match = match and lhs == rhs
-            elif p.op == "like":
-                match = match and lhs is not None and _like(str(lhs), str(rhs))
-            elif p.op in ("<>", "!="):
-                match = match and lhs != rhs
-            elif p.op == "<":
-                match = match and lhs < rhs
-            elif p.op == ">":
-                match = match and lhs > rhs
-            elif p.op == "<=":
-                match = match and lhs <= rhs
-            else:
-                match = match and lhs >= rhs
+        # DNF: any disjunct fully matching admits the row ([] == no WHERE)
+        match = not q.disjuncts
+        for disjunct in q.disjuncts:
+            if all(_pred_match(p, row, params) for p in disjunct):
+                match = True
+                break
         if match:
             fields = (
                 [(f, f) for f in row.keys()]

@@ -304,11 +304,11 @@ class PipelineSpec:
             )
         self.pattern_strategy = engine.pop("pattern_strategy", None)
         if self.pattern_strategy is not None and self.pattern_strategy not in (
-            "broadcast_map", "shuffle_map",
+            "broadcast_map", "shuffle_map", "auto",
         ):
             errors.append(
                 "The 'engine.pattern_strategy' option must be one of "
-                "'broadcast_map', 'shuffle_map'"
+                "'broadcast_map', 'shuffle_map', 'auto'"
             )
         if engine:
             errors.append(

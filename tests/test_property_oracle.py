@@ -103,6 +103,82 @@ def test_spark_matches_row_at_a_time_oracle(
     assert got == exp
 
 
+# Widened WHERE surface (round-2 verdict #1): randomized facts/dims
+# against each new shape, on every physical path (inline, map-probe
+# broadcast, map-probe shuffle) — Spark vs the row-at-a-time oracle.
+WIDE_TEMPLATES = [
+    "ip = :ip OR name = 'v1'",
+    "ip IN (:ip, 'k2')",
+    "ip NOT IN (:ip, 'k9')",
+    "ip BETWEEN :ip AND 'k3'",
+    "ip NOT BETWEEN 'k2' AND :ip",
+    "ip IS NOT NULL AND name NOT LIKE :ip",
+    "(ip = :ip OR name LIKE :ip) AND ip IS NOT NULL",
+]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=fact_rows,
+    dims=dim_rows,
+    default=use_default,
+    template=st.sampled_from(WIDE_TEMPLATES),
+    engine=engine_cfg,
+)
+def test_widened_where_matches_row_at_a_time_oracle(
+    spark, facts, dims, default, template, engine
+):
+    lookup: dict = {
+        "id": "server",
+        "query": f"SELECT name FROM servers WHERE {template}",
+        "parameters": {"ip": "ip"},
+    }
+    if default:
+        lookup["default_hash"] = {"name": "dflt"}
+    spec = PipelineSpec(lookups=[lookup])
+    spec2 = PipelineSpec(lookups=[dict(lookup)])
+
+    fact_data = [(f"c{i}", i, k[0]) for i, k in enumerate(facts)]
+    fact_df = spark.createDataFrame(fact_data, FACT_SCHEMA)
+    dim_df = spark.createDataFrame(dims, DIM_SCHEMA)
+
+    kw = {}
+    if engine is not None:
+        kw = {"inline_threshold": engine[0], "pattern_strategy": engine[1]}
+    enricher = LookupEnricher(spec, {"servers": dim_df}, **kw)
+    got = {
+        r["turn_idx"]: (
+            None if r["server"] is None else sorted(
+                d["name"] for d in r["server"]
+            ),
+            list(r["tags"]),
+            r["matched"],
+        )
+        for r in enricher.apply(fact_df).collect()
+    }
+
+    tables = {"servers": [{"ip": ip, "name": nm} for ip, nm in dims]}
+    exp = {}
+    for conv_id, turn_idx, ip in fact_data:
+        event = {"conv_id": conv_id, "turn_idx": turn_idx}
+        if ip is not None:
+            event["ip"] = ip
+        oracle.enhance(event, spec2, tables)
+        exp[turn_idx] = (
+            None if event.get("server") is None else sorted(
+                d["name"] for d in event["server"]
+            ),
+            event["tags"],
+            event["matched"],
+        )
+    assert got == exp
+
+
 DIM2_SCHEMA = T.StructType(
     [
         T.StructField("tool", T.StringType(), False),
