@@ -127,6 +127,98 @@ def _staging_paths(spark: SparkSession, root: str, partition_path: str):
     )
 
 
+def _list_data_files(fs, jdir):
+    return [
+        st.getPath()
+        for st in fs.listStatus(jdir)
+        if not st.isDirectory() and not st.getPath().getName().startswith(("_", "."))
+    ]
+
+
+def _compact_root(
+    spark: SparkSession,
+    root: str,
+    file_format: str,
+    target_bytes: int,
+) -> int:
+    """Unpartitioned layout: the data files sit directly at the sink
+    root, which cannot be dir-renamed into its own ``_compaction``
+    subtree (the round-2 advisor's finding — Hadoop rename returns false
+    and the pass aborted). Same four-step protocol at FILE granularity,
+    made crash-recoverable by a manifest:
+
+    1. write the compacted copy to   _compaction/tmp
+    2. write _compaction/old/_MANIFEST naming the tmp data files (the
+       only way recovery can tell a swapped-in file from an original —
+       tmp part-file names are fresh UUIDs, disjoint from the originals)
+    3. move each original root file to _compaction/old/
+    4. move each tmp file into the root; delete old (originals +
+       manifest) FIRST, then tmp
+
+    ``_recover_root`` undoes any prefix of steps 2-4: delete root files
+    named in the manifest, restore the parked originals. A crash after
+    old/ is deleted leaves the completed compaction live."""
+    root_str = root.rstrip("/")
+    stats = partition_stats(spark, root_str)
+    n_bytes = sum(s["n_bytes"] for s in stats)
+    n_out = max(1, math.ceil(n_bytes / target_bytes))
+    tmp, old = f"{root_str}/{_STAGING}/tmp", f"{root_str}/{_STAGING}/old"
+    df = spark.read.format(file_format).load(root_str)
+    df.coalesce(n_out).write.mode("overwrite").format(file_format).save(tmp)
+    fs, jroot = _fs(spark, root_str)
+    _f1, jtmp = _fs(spark, tmp)
+    _f2, jold = _fs(spark, old)
+    jvm = spark._jvm
+    tmp_files = _list_data_files(fs, jtmp)
+    fs.mkdirs(jold)
+    jman = jvm.org.apache.hadoop.fs.Path(f"{old}/_MANIFEST")
+    out = fs.create(jman, True)
+    out.write(bytearray("\n".join(p.getName() for p in tmp_files).encode()))
+    out.close()
+    for p in _list_data_files(fs, jroot):
+        _rename(fs, p, jvm.org.apache.hadoop.fs.Path(f"{old}/{p.getName()}"),
+                "backup-file")
+    for p in tmp_files:
+        _rename(fs, p, jvm.org.apache.hadoop.fs.Path(f"{root_str}/{p.getName()}"),
+                "swap-in-file")
+    fs.delete(jold, True)
+    fs.delete(jtmp, True)
+    return n_out
+
+
+def _recover_root(spark: SparkSession, root_str: str) -> bool:
+    """Heal a crashed root-level compaction (see _compact_root). Returns
+    True when originals were restored."""
+    fs, jold = _fs(spark, f"{root_str}/{_STAGING}/old")
+    if not fs.exists(jold):
+        return False
+    jvm = spark._jvm
+    jman = jvm.org.apache.hadoop.fs.Path(f"{root_str}/{_STAGING}/old/_MANIFEST")
+    parked = [
+        st.getPath()
+        for st in fs.listStatus(jold)
+        if not st.isDirectory() and st.getPath().getName() != "_MANIFEST"
+    ]
+    if not parked and not fs.exists(jman):
+        return False
+    if fs.exists(jman):
+        stream = fs.open(jman)
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        stream.close()
+        for name in [n for n in text.split("\n") if n]:
+            jf = jvm.org.apache.hadoop.fs.Path(f"{root_str}/{name}")
+            if fs.exists(jf):
+                fs.delete(jf, False)
+    restored = False
+    for p in parked:
+        dst = jvm.org.apache.hadoop.fs.Path(f"{root_str}/{p.getName()}")
+        if fs.exists(dst):
+            fs.delete(dst, False)
+        _rename(fs, p, dst, "recover-file")
+        restored = True
+    return restored
+
+
 def compact_partition(
     spark: SparkSession,
     root: str,
@@ -135,7 +227,11 @@ def compact_partition(
     target_bytes: int = DEFAULT_TARGET_BYTES,
 ) -> int:
     """Rewrite ONE leaf partition into ceil(bytes/target) files via the
-    staged swap (module docstring). Returns the new file count."""
+    staged swap (module docstring); a partition that IS the sink root
+    (unpartitioned layout) takes the file-granular protocol instead.
+    Returns the new file count."""
+    if _qualified_path(spark, partition_path) == _qualified_path(spark, root):
+        return _compact_root(spark, root, file_format, target_bytes)
     stats = partition_stats(spark, partition_path)
     n_bytes = sum(s["n_bytes"] for s in stats)
     n_out = max(1, math.ceil(n_bytes / target_bytes))
@@ -165,6 +261,8 @@ def recover_sinks(spark: SparkSession, root: str) -> list[str]:
     root_str = root.rstrip("/")
     fs, jstage = _fs(spark, f"{root_str}/{_STAGING}/old")
     restored: list[str] = []
+    if _recover_root(spark, root_str):
+        restored.append(root_str)
 
     def walk(jdir, rel: str):
         for st in fs.listStatus(jdir):

@@ -174,14 +174,11 @@ class CronLine:
         )
 
     # -- next fire -----------------------------------------------------
-    def next_fire(self, after: datetime) -> datetime:
-        """Earliest matching instant strictly after ``after``. Walks
-        day-by-day on the date fields, then picks the smallest allowed
-        (hour, minute, second) — bounded (4 years covers any reachable
-        month/dom/dow combo; unreachable combos raise)."""
-        if self.tz is not None and after.tzinfo is not None:
-            after = after.astimezone(self.tz)
-        t = (after + timedelta(seconds=1)).replace(microsecond=0)
+    def _candidates(self, t: datetime):
+        """Wall-clock instants matching the fields, ascending, starting
+        at ``t``. Walks day-by-day on the date fields, then the allowed
+        (hour, minute, second) grid — bounded (4 years covers any
+        reachable month/dom/dow combo)."""
         secs = sorted(self.seconds) if self.seconds is not None else range(60)
         mins = sorted(self.minutes) if self.minutes is not None else range(60)
         hrs = sorted(self.hours) if self.hours is not None else range(24)
@@ -203,8 +200,78 @@ class CronLine:
                                 and s < floor.second
                             ):
                                 continue
-                            return d.replace(hour=h, minute=m, second=s)
+                            yield d.replace(hour=h, minute=m, second=s)
             day = day + timedelta(days=1)
+
+    def next_fire(self, after: datetime) -> datetime:
+        """Earliest matching instant strictly after ``after``.
+
+        Timezone-qualified lines get real DST normalization (the Rufus
+        behavior the round-2 advisor flagged): each wall-clock candidate
+        is validated on the UTC axis, because naive field replacement is
+        wrong in both DST transitions —
+
+        - fall-back repeated hour: the fold=0 reading of a wall time can
+          be up to 1h EARLIER than ``after`` in UTC (which would drive
+          the scheduler's wait negative and busy-loop refreshes); the
+          fold=1 reading is tried before discarding the candidate.
+        - spring-forward gap: a nonexistent wall time (detected by the
+          astimezone round-trip changing the wall clock) is skipped —
+          the job fires at the line's next real occurrence.
+        """
+        aware = self.tz is not None and after.tzinfo is not None
+        if aware:
+            after = after.astimezone(self.tz)
+        t = (after + timedelta(seconds=1)).replace(microsecond=0)
+        from datetime import timezone as _tzmod
+
+        utc = _tzmod.utc
+        after_utc = after.astimezone(utc) if aware else None
+        found: datetime | None = None
+        for cand in self._candidates(t):
+            if not aware:
+                return cand
+            for fold in (0, 1):
+                c = cand.replace(fold=fold)
+                c_utc = c.astimezone(utc)
+                # nonexistent wall time: converting back changes the clock
+                back = c_utc.astimezone(self.tz)
+                if back.replace(tzinfo=None, fold=0) != c.replace(tzinfo=None, fold=0):
+                    break  # spring-forward gap — skip this candidate
+                if c_utc > after_utc:
+                    found = c
+                    break
+                if c_utc == cand.replace(fold=1).astimezone(utc):
+                    break  # unambiguous time: fold=1 adds nothing
+            if found is not None:
+                break
+        if not aware:
+            raise ValueError(
+                f"cron line {self.source!r} never fires (unsatisfiable fields)"
+            )
+        # Second pass of a fall-back repeated hour: when ``after`` sits in
+        # the FIRST (fold=0) reading, wall-clock times already behind it
+        # recur — their fold=1 instants may precede the forward scan's
+        # result on the UTC axis.
+        delta = abs(
+            after.replace(fold=1).utcoffset() - after.replace(fold=0).utcoffset()
+        )
+        if after.fold == 0 and delta:
+            start = (after - delta).replace(microsecond=0)
+            for cand in self._candidates(start):
+                if cand.replace(tzinfo=None) > t.replace(tzinfo=None):
+                    break  # forward scan already covered from t on
+                c = cand.replace(fold=1)
+                c_utc = c.astimezone(utc)
+                if c_utc == cand.replace(fold=0).astimezone(utc):
+                    continue  # unambiguous — not in the repeated window
+                if c_utc > after_utc and (
+                    found is None or c_utc < found.astimezone(utc)
+                ):
+                    found = c
+                    break  # candidates ascend: the first hit is minimal
+        if found is not None:
+            return found
         raise ValueError(
             f"cron line {self.source!r} never fires (unsatisfiable fields)"
         )

@@ -16,14 +16,24 @@ in refresh.py and are what the reload spec asserts
 
 from __future__ import annotations
 
+import logging
 import re
 import threading
+import time
 from datetime import datetime, timezone
+
+logger = logging.getLogger("logstash_filter_jdbc_static_spark")
 
 from logstash_filter_jdbc_static_spark.plans.cron import CronLine
 from logstash_filter_jdbc_static_spark.plans.refresh import DimensionStore
 
 _EVERY_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(s|sec|m|min|h)\s*$", re.IGNORECASE)
+
+
+def _exc_text() -> str:
+    import traceback
+
+    return traceback.format_exc(limit=1).strip().splitlines()[-1]
 
 
 def parse_schedule(expr: str) -> float | CronLine:
@@ -71,11 +81,17 @@ class RepeatingLoadRunner:
         self._stop = threading.Event()
         self._thread: threading.Thread | None = None
 
+    # Floor between ticks: a wait that computes as <= 0 (clock skew, a
+    # DST edge the cron normalization missed) must NEVER busy-loop
+    # refresh() against the remote DB.
+    MIN_WAIT_S = 0.05
+
     def _next_wait(self) -> float:
         if isinstance(self.schedule, CronLine):
             now = _now(self.schedule)
-            return (self.schedule.next_fire(now) - now).total_seconds()
-        return self.schedule
+            wait = (self.schedule.next_fire(now) - now).total_seconds()
+            return max(wait, self.MIN_WAIT_S)
+        return max(float(self.schedule), self.MIN_WAIT_S)
 
     def start(self) -> None:
         self.store.initial_load()
@@ -83,23 +99,30 @@ class RepeatingLoadRunner:
         def loop() -> None:
             while True:
                 try:
-                    remaining = self._next_wait()
-                except Exception as e:  # pragma: no cover - guarded at parse
+                    wait = self._next_wait()
+                except Exception:  # pragma: no cover - guarded at parse
                     # Surface a scheduler failure instead of dying with a
                     # stderr-only traceback while the pipeline silently
                     # serves an ever-staler snapshot.
-                    self.store.last_errors["__scheduler__"] = str(e)
+                    logger.exception("reload scheduler died computing next fire")
+                    self.store.last_errors["__scheduler__"] = (
+                        "scheduler stopped: " + _exc_text()
+                    )
                     return
-                # sleep in small slices so stop() interrupts promptly
+                # Sleep in small slices so stop() interrupts promptly.
+                # The deadline is recomputed from the monotonic clock each
+                # wake-up — decrementing by the nominal slice would
+                # accumulate timer error over a long wait (a nightly fire
+                # waits through ~34k slices).
                 slice_s = (
                     self.schedule.frequency_hint()
                     if isinstance(self.schedule, CronLine)
-                    else remaining
+                    else wait
                 )
-                while remaining > 0:
+                deadline = time.monotonic() + wait
+                while (remaining := deadline - time.monotonic()) > 0:
                     if self._stop.wait(min(remaining, slice_s)):
                         return
-                    remaining -= slice_s
                 try:
                     self.store.refresh()
                 except Exception as e:
@@ -107,6 +130,7 @@ class RepeatingLoadRunner:
                     # unexpected error here must not kill the scheduler
                     # — record it and hope the next tick works
                     # (read_write_database.rb:88-90's contract).
+                    logger.exception("scheduled reload failed; keeping snapshot")
                     self.store.last_errors["__scheduler__"] = str(e)
 
         self._thread = threading.Thread(target=loop, daemon=True)

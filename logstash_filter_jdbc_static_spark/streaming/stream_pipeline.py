@@ -45,10 +45,13 @@ def start_pipeline_stream(
     sink_path: str,
     checkpoint_path: str,
     refresh_dims=None,
+    trigger: dict | None = None,
 ) -> StreamingQuery:
     """foreachBatch: enrich with the current dim snapshot, fan out by
     route partition. ``refresh_dims``: optional () -> LookupEnricher,
-    called per batch (the scheduled-reload seam, A14/A15)."""
+    called per batch (the scheduled-reload seam, A14/A15).
+    ``trigger``: writeStream.trigger kwargs — default drains available
+    data and stops; pass {"processingTime": "..."} for a live stream."""
     stream = read_transcript_stream(spark, source_path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -64,7 +67,7 @@ def start_pipeline_stream(
     return (
         stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )
 
@@ -87,16 +90,35 @@ def scheduled_refresh_seam(store, spec):
     from logstash_filter_jdbc_static_spark.plans.schedule import (
         RepeatingLoadRunner,
     )
+    from logstash_filter_jdbc_static_spark.spec import ValidationError
 
+    if getattr(spec, "loader_schedule", None) is None:
+        raise ValidationError(
+            ["scheduled_refresh_seam requires a spec with 'loader_schedule' "
+             "set; for a static dimension build the enricher once with "
+             "LookupEnricher and pass refresh_dims=None"]
+        )
     runner = RepeatingLoadRunner(store, spec.loader_schedule)
     runner.start()
+
+    # Rebuild the enricher only when a reload actually swapped the
+    # snapshot: recompiling per micro-batch re-ran index-coverage
+    # warnings (log spam at streaming cadence) and rebuilt identical
+    # plans for nothing. reload_count is the snapshot generation.
+    state: dict = {"gen": None, "enricher": None}
 
     def refresh_dims() -> LookupEnricher:
         # ONE atomic state read: dims() + dim_rows() separately could
         # pair a new snapshot with a stale count across a background
         # swap and mis-pick the inline-collect path for a large dim.
-        dims, rows = store.dims_and_rows()
-        return LookupEnricher(spec, dims, dim_rows=rows)
+        gen = store.reload_count
+        if state["enricher"] is None or gen != state["gen"]:
+            dims, rows = store.dims_and_rows()
+            state["enricher"] = LookupEnricher(spec, dims, dim_rows=rows)
+            # re-read: a swap may have landed between the gen read and
+            # the snapshot read — next batch rebuilds against it
+            state["gen"] = gen
+        return state["enricher"]
 
     return refresh_dims, runner
 

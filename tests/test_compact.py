@@ -231,3 +231,85 @@ class TestJobCompactFlag:
                 spark, "/root/testdata/sf0.001", str(tmp_path / "x"),
                 batches=2, table_format="iceberg", compact=True,
             )
+
+
+class TestRootLevelCompaction:
+    """Unpartitioned sinks (data files directly at the root) — the
+    round-2 ADVICE finding: the dir-rename protocol cannot stage the
+    root into its own subtree, so root-level partitions use the
+    file-granular manifest protocol (_compact_root)."""
+
+    def _flat_sink(self, spark, path: str):
+        for i in range(5):
+            spark.range(i * 100, (i + 1) * 100, numPartitions=4).write.mode(
+                "append"
+            ).parquet(path)
+        return spark.read.parquet(path)
+
+    def test_root_level_compacts_same_rows(self, spark, tmp_path):
+        root = str(tmp_path / "flat")
+        before_df = self._flat_sink(spark, root)
+        before_sum = before_df.groupBy().sum("id").collect()[0][0]
+        (stat,) = partition_stats(spark, root)
+        assert stat["n_files"] >= 20
+        summary = compact_sinks(spark, root)
+        assert summary, "root-level partition was skipped"
+        ((files_before, files_after),) = summary.values()
+        assert files_after < files_before
+        after_df = spark.read.parquet(root)
+        assert after_df.count() == 500
+        assert after_df.groupBy().sum("id").collect()[0][0] == before_sum
+        # staging fully cleared
+        assert not os.path.exists(os.path.join(root, "_compaction"))
+        # idempotent: second run has nothing to do
+        assert compact_sinks(spark, root) == {}
+
+    def test_root_level_crash_mid_swap_recovers(self, spark, tmp_path):
+        """Simulate the worst crash point: originals parked in old/, a
+        PARTIAL set of compacted files swapped into the root. Recovery
+        must delete the manifest-named files and restore the originals —
+        no duplicates, no loss."""
+        import shutil
+
+        root = str(tmp_path / "flat2")
+        self._flat_sink(spark, root)
+        before = sorted(
+            r["id"] for r in spark.read.parquet(root).collect()
+        )
+        # build the crashed state by hand: compacted copy in tmp
+        tmp_dir = os.path.join(root, "_compaction", "tmp")
+        spark.read.parquet(root).coalesce(1).write.parquet(tmp_dir)
+        tmp_files = [
+            f for f in os.listdir(tmp_dir)
+            if not f.startswith(("_", "."))
+        ]
+        old_dir = os.path.join(root, "_compaction", "old")
+        os.makedirs(old_dir)
+        with open(os.path.join(old_dir, "_MANIFEST"), "w") as fh:
+            fh.write("\n".join(tmp_files))
+        # park ALL originals, then "crash" after swapping ONE tmp file in
+        for f in os.listdir(root):
+            if f.startswith(("_", ".")):
+                continue
+            shutil.move(os.path.join(root, f), os.path.join(old_dir, f))
+        shutil.move(
+            os.path.join(tmp_dir, tmp_files[0]), os.path.join(root, tmp_files[0])
+        )
+        restored = recover_sinks(spark, root)
+        assert root.rstrip("/") in [p.rstrip("/") for p in restored]
+        after = sorted(r["id"] for r in spark.read.parquet(root).collect())
+        assert after == before
+        assert not os.path.exists(os.path.join(root, "_compaction"))
+
+    def test_mixed_layout_roots_and_partitions(self, spark, tmp_path):
+        """A sink with BOTH root-level files and partition dirs (messy
+        real-world layout) compacts each leaf with its own protocol."""
+        root = str(tmp_path / "mixed")
+        for i in range(4):
+            spark.range(i * 50, (i + 1) * 50, numPartitions=3).write.mode(
+                "append"
+            ).parquet(os.path.join(root, "route=hit"))
+        total = spark.read.parquet(os.path.join(root, "route=hit")).count()
+        summary = compact_sinks(spark, root)
+        assert summary
+        assert spark.read.parquet(os.path.join(root, "route=hit")).count() == total

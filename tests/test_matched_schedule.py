@@ -268,3 +268,65 @@ class TestCronLine:
         assert runner.reload_count >= 2  # initial load + >=1 cron reload
         names = [r["name"] for r in store.dims()["servers"].collect()]
         assert names == [f"v{calls['n']}"]
+
+
+class TestCronDst:
+    """DST normalization on timezone-qualified lines (round-2 ADVICE
+    item 1): candidates are validated on the UTC axis, so the fall-back
+    repeated hour can never return an instant EARLIER than 'now' (the
+    negative-wait busy-loop), and spring-forward gaps skip to the next
+    real occurrence. Europe/Berlin 2026: spring-forward 2026-03-29
+    02:00->03:00, fall-back 2026-10-25 03:00->02:00."""
+
+    def _fire_utc(self, expr, after_utc_iso):
+        from datetime import datetime, timezone
+
+        from logstash_filter_jdbc_static_spark.plans.cron import CronLine
+
+        after = datetime.fromisoformat(after_utc_iso).replace(
+            tzinfo=timezone.utc
+        )
+        return (
+            CronLine.parse(expr)
+            .next_fire(after)
+            .astimezone(timezone.utc)
+            .isoformat()
+        )
+
+    def test_fallback_second_pass_never_before_now(self):
+        # now = 02:10 CET (second pass of the repeated hour, 01:10Z).
+        # Naive field replacement returns 02:30 fold=0 (CEST) = 00:30Z —
+        # 40 minutes in the PAST. Must fire at 02:30 fold=1 = 01:30Z.
+        assert self._fire_utc("30 2 * * * Europe/Berlin", "2026-10-25T01:10:00") == (
+            "2026-10-25T01:30:00+00:00"
+        )
+
+    def test_fallback_first_pass_finds_repeated_hour(self):
+        # now = 02:50 CEST (first pass, 00:50Z). The next quarter-hour on
+        # the UTC axis is wall 02:00 CET (second pass) = 01:00Z, NOT
+        # wall 03:00 (= 02:00Z).
+        assert self._fire_utc("*/15 * * * * Europe/Berlin", "2026-10-25T00:50:00") == (
+            "2026-10-25T01:00:00+00:00"
+        )
+
+    def test_spring_forward_gap_skips_to_next_real_occurrence(self):
+        # 02:30 Berlin does not exist on 2026-03-29; fire at the next
+        # real 02:30 (CEST, -2h offset) the following day.
+        assert self._fire_utc("30 2 * * * Europe/Berlin", "2026-03-29T00:00:00") == (
+            "2026-03-30T00:30:00+00:00"
+        )
+
+    def test_plain_days_unaffected(self):
+        assert self._fire_utc("30 2 * * * Europe/Berlin", "2026-08-17T22:00:00") == (
+            "2026-08-18T00:30:00+00:00"
+        )
+
+    def test_next_wait_is_clamped_non_negative(self):
+        from logstash_filter_jdbc_static_spark.plans.schedule import (
+            RepeatingLoadRunner,
+        )
+
+        r = RepeatingLoadRunner(store=None, schedule="0.001s")
+        assert r._next_wait() >= r.MIN_WAIT_S
+        r2 = RepeatingLoadRunner(store=None, schedule="0 2 * * * Europe/Berlin")
+        assert r2._next_wait() >= r2.MIN_WAIT_S

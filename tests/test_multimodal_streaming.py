@@ -319,3 +319,140 @@ class TestResize:
         a = resize_images(synth_media(spark, 10), 8, 8)
         b = resize_images(synth_media(spark, 10), 8, 8)
         assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+class TestLiveCronRefreshStream:
+    def _spec_store(self, spark, state, schedule="* * * * * *"):
+        from logstash_filter_jdbc_static_spark.plans.refresh import DimensionStore
+        from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+        def fetch():
+            return spark.createDataFrame(
+                [("10.1.1.1", state["v"], "LDN")],
+                "ip string, name string, location string",
+            )
+
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "server",
+                    "query": "SELECT name FROM servers WHERE ip = :ip",
+                    "parameters": {"ip": "from_ip"},
+                    "default_hash": {"name": "unknown"},
+                }
+            ],
+            db_objects=[
+                {"name": "servers",
+                 "columns": [["ip", "varchar(64)"], ["name", "varchar(64)"],
+                             ["location", "varchar(64)"]],
+                 "index_columns": ["ip"]}
+            ],
+            loaders=[{"local_table": "servers", "query": "q"}],
+            loader_schedule=schedule,
+        )
+        store = DimensionStore(spark, spec.db_objects, [(spec.loaders[0], fetch)])
+        return spec, store
+
+    def test_live_stream_observes_cron_reload_mid_stream(
+        self, spark, sf_dir, tmp_path
+    ):
+        """Verdict #7: ONE live foreachBatch stream (processingTime
+        trigger, never restarted) observes a dim change driven by the
+        cron runner while it runs — post-reload batches carry the new
+        dim values and reload_count > 1 (the rspec :141-158 contract,
+        live)."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.streaming.stream_pipeline import (
+            scheduled_refresh_seam,
+            start_pipeline_stream,
+        )
+
+        state = {"v": "before"}
+        spec, store = self._spec_store(spark, state)
+        refresh_dims, runner = scheduled_refresh_seam(store, spec)
+        src = str(tmp_path / "live_src")
+        sink = str(tmp_path / "live_sink")
+        ckpt = str(tmp_path / "live_ckpt")
+        t = load_transcripts(spark, sf_dir)
+        t.write.mode("overwrite").parquet(src)
+        q = start_pipeline_stream(
+            spark, src, sink, ckpt, refresh_dims=refresh_dims,
+            trigger={"processingTime": "500 milliseconds"},
+        )
+
+        def hit_names() -> set:
+            import glob as _glob
+
+            if not _glob.glob(f"{sink}/route=hit/*.parquet"):
+                return set()
+            return {
+                r["name"]
+                for r in spark.read.parquet(sink)
+                .filter(F.col("route") == "hit")
+                .select(F.explode("server").alias("s"))
+                .select(F.col("s.name").alias("name"))
+                .distinct()
+                .collect()
+            }
+
+        try:
+            deadline = _time.time() + 60
+            while "before" not in hit_names() and _time.time() < deadline:
+                _time.sleep(0.5)
+            assert "before" in hit_names()
+            # flip the remote; wait two full reload ticks (one may have
+            # been mid-flight at the flip)
+            state["v"] = "after"
+            n0 = runner.reload_count
+            deadline = _time.time() + 30
+            while runner.reload_count < n0 + 2 and _time.time() < deadline:
+                _time.sleep(0.2)
+            assert runner.reload_count > 1
+            # new files arrive on the SAME running stream
+            t.write.mode("append").parquet(src)
+            deadline = _time.time() + 60
+            while "after" not in hit_names() and _time.time() < deadline:
+                _time.sleep(0.5)
+            assert "after" in hit_names()
+        finally:
+            q.stop()
+            runner.stop()
+
+    def test_seam_requires_loader_schedule(self, spark):
+        import pytest
+
+        from logstash_filter_jdbc_static_spark.spec import ValidationError
+        from logstash_filter_jdbc_static_spark.streaming.stream_pipeline import (
+            scheduled_refresh_seam,
+        )
+
+        state = {"v": "x"}
+        spec, store = self._spec_store(spark, state)
+        spec.loader_schedule = None
+        with pytest.raises(ValidationError, match="loader_schedule"):
+            scheduled_refresh_seam(store, spec)
+
+    def test_seam_caches_enricher_until_reload(self, spark):
+        """Round-2 ADVICE item 4: the enricher (and its index-coverage
+        warning pass) must not be rebuilt per micro-batch — only when a
+        reload swapped the snapshot."""
+        from logstash_filter_jdbc_static_spark.streaming.stream_pipeline import (
+            scheduled_refresh_seam,
+        )
+
+        state = {"v": "x"}
+        spec, store = self._spec_store(spark, state, schedule="1h")
+        refresh_dims, runner = scheduled_refresh_seam(store, spec)
+        try:
+            e1 = refresh_dims()
+            e2 = refresh_dims()
+            assert e1 is e2  # same generation -> same compiled enricher
+            store.refresh()
+            e3 = refresh_dims()
+            assert e3 is not e1
+            assert refresh_dims() is e3
+        finally:
+            runner.stop()
