@@ -95,6 +95,51 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "sf": sf,
         "cpus": cpus,
         "rows_materialized": total_rows,
+        "flagship_scale": flagship_at_scale(spark),
+    }
+
+
+def flagship_at_scale(spark, n_turns: int = 20_000_000, repeats: int = 3) -> dict:
+    """A driver-comparable LARGE-scale figure (round-2 verdict #3): the
+    sf0.1 headline timings are fixed-cost dominated (~0.5 s floor per
+    query) so VM noise swamps round-over-round deltas. This runs the
+    full flagship pipeline (parse -> 2x enrich -> route -> aggregate)
+    over 20M synthesized turns, in-process, back-to-back: one warm-up
+    plus `repeats` timed runs, reporting the median and the spread so
+    the recorded BENCH_rNN.json carries its own noise bound."""
+    from logstash_filter_jdbc_static_spark.operators.aggregate import sink_counts
+    from logstash_filter_jdbc_static_spark.plans.pipeline import (
+        build_enricher,
+        enrich_and_route,
+    )
+
+    t = synth_transcripts(spark, n_turns, n_convs=max(n_turns // 200, 1))
+    enricher = build_enricher(spark)
+    # Steady-state protocol: JIT tiering / GC heap ramp makes each of the
+    # first few full-scale runs faster than the last (measured ~25%
+    # first-run skew even after a small-slice warm-up), so keep running
+    # until the last `repeats` runs agree within the spread target, then
+    # report THOSE. All runs are recorded for transparency.
+    all_runs: list[float] = []
+    max_runs, target_spread = repeats + 4, 15.0
+    window: list[float] = []
+    for _ in range(max_runs):
+        t0 = time.perf_counter()
+        force(sink_counts(enrich_and_route(t, enricher)))
+        all_runs.append(round(time.perf_counter() - t0, 3))
+        window = all_runs[-repeats:]
+        if len(all_runs) >= repeats + 1:  # >=1 discarded warm-up run
+            med = sorted(window)[len(window) // 2]
+            if 100.0 * (max(window) - min(window)) / med <= target_spread:
+                break
+    med = sorted(window)[len(window) // 2]
+    return {
+        "n_turns": n_turns,
+        "all_runs_s": all_runs,
+        "steady_runs_s": window,
+        "median_s": med,
+        "turns_per_sec": round(n_turns / med),
+        "spread_pct": round(100.0 * (max(window) - min(window)) / med, 1),
     }
 
 

@@ -264,19 +264,70 @@ def lookup_int_ts_param(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------------------------
 # 5. Trained vector quantization: Lloyd k-means over the embeddings
-#    table (spherical, deterministic init/tiebreaks). Genuinely
-#    iterative => no single SQL oracle (driver records the rows-only
-#    check); the invariants are pinned in tests/test_wave4_queries.py
-#    (determinism, monotone quality vs init, exactly-one-cell-per-vec).
+#    table (spherical, deterministic init/tiebreaks). Round 3 closes the
+#    last no-oracle cell (round-2 verdict #2): with seeds, tiebreaks and
+#    the iteration count pinned, a FIXED number of Lloyd iterations is
+#    expressible as chained SQL CTEs — assign_i (argmax cosine, ties by
+#    centroid id) -> update_i (per-dimension mean; empty clusters keep
+#    the previous centroid via the LEFT JOIN coalesce) -> final assign.
+#    The compared output is the integer ASSIGNMENT, so float means only
+#    matter at decision boundaries; both engines average the identical
+#    float32-widened-to-double values (order-dependent error ~1e-16
+#    relative). The partition-order determinism caveat stays documented
+#    in kmeans_lloyd; invariants remain in tests/test_wave4_queries.py.
 # ------------------------------------------------------------------
 
 from logstash_filter_jdbc_static_spark.operators import similarity as S  # noqa: E402
 
+_KM_K, _KM_ITERS, _KM_DIM = 8, 3, 64
 
-@register("embeddings_kmeans")
+
+def _kmeans_oracle_sql(k: int = _KM_K, iters: int = _KM_ITERS,
+                       dim: int = _KM_DIM) -> str:
+    """DuckDB twin of kmeans_lloyd(emb, k, n_iters): one CTE pair per
+    pinned iteration, generated (not hand-unrolled) so k/iters stay in
+    one place with the Spark call."""
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    parts = [
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)",
+        f"cen0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec "
+        f"FROM (SELECT vec_id, vec FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, cid, vec FROM ("
+            f"SELECT v.vec_id, c.cid, v.vec, row_number() OVER (PARTITION BY v.vec_id "
+            f"ORDER BY {cos('v.vec', 'c.vec')} DESC, c.cid) AS rn "
+            f"FROM v CROSS JOIN cen{i - 1} c) WHERE rn = 1)"
+        )
+        parts.append(
+            f"u{i} AS (SELECT cid, list(m ORDER BY pos) AS vec FROM ("
+            f"SELECT a.cid, t.i AS pos, avg(a.vec[t.i]) AS m "
+            f"FROM a{i} a CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS i) t "
+            f"GROUP BY 1, 2) GROUP BY cid)"
+        )
+        parts.append(
+            f"cen{i} AS (SELECT c.cid, coalesce(u.vec, c.vec) AS vec "
+            f"FROM cen{i - 1} c LEFT JOIN u{i} u ON u.cid = c.cid)"
+        )
+    parts.append(
+        f"final AS (SELECT vec_id, cid FROM ("
+        f"SELECT v.vec_id, c.cid, row_number() OVER (PARTITION BY v.vec_id "
+        f"ORDER BY {cos('v.vec', 'c.vec')} DESC, c.cid) AS rn "
+        f"FROM v CROSS JOIN cen{iters} c) WHERE rn = 1)"
+    )
+    return ",\n".join(parts) + "\nSELECT vec_id, cid AS centroid_id FROM final"
+
+
+@register("embeddings_kmeans", _kmeans_oracle_sql())
 def embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    assigned, _cents, _hist = S.kmeans_lloyd(emb, k=8, n_iters=3)
+    assigned, _cents, _hist = S.kmeans_lloyd(emb, k=_KM_K, n_iters=_KM_ITERS)
     return assigned
 
 

@@ -281,3 +281,123 @@ def lookup_shuffle_map(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("cust"), lambda x: x.getField("c_name")), ","
         ).alias("names"),
     )
+
+
+# ------------------------------------------------------------------
+# 5. Conversation-level NEAR-dup (round-2 verdict #6): re-ingested
+#    conversations with minor edits — the realistic transcript dup mode
+#    that exact conv fingerprints (conv_exact_dedup) miss. A
+#    conversation document = its turn texts concatenated in turn order;
+#    near-dup = the documents MinHash+LSH pipeline (operators/dedup.py)
+#    over those documents, verified by shingle Jaccard. The injected
+#    edit drops each mirrored conversation's final turn, so the pair
+#    (conv, dup-conv) survives the 0.7 Jaccard gate while staying
+#    inexact. Scale shape: one bounded groupBy to form conv docs, then
+#    the standard signature->band->bucket-join (no all-pairs).
+# ------------------------------------------------------------------
+
+from pyspark.sql.window import Window  # noqa: E402
+
+from logstash_filter_jdbc_static_spark.operators import dedup as D  # noqa: E402
+from logstash_filter_jdbc_static_spark.queries_data import (  # noqa: E402
+    _BAND_STRUCTS,
+    _SIG_COLS,
+    _shingles_cte,
+)
+
+_CONV_ND_THRESH = 0.7
+
+
+def _conv_near_dup_sql() -> str:
+    corpus_cte = """
+conv_corpus AS (
+  SELECT conv_id, turn_idx, text FROM transcripts
+  UNION ALL
+  SELECT 'dup-' || conv_id AS conv_id, turn_idx, text FROM (
+    SELECT conv_id, turn_idx, text,
+           max(turn_idx) OVER (PARTITION BY conv_id) AS mx
+    FROM transcripts
+    WHERE CAST(substr(conv_id, 6) AS INTEGER) % 10 = 0)
+  WHERE turn_idx < mx
+)
+""", """
+conv_docs AS (
+  SELECT conv_id AS doc_id,
+         string_agg(text, chr(10) ORDER BY turn_idx) AS text
+  FROM conv_corpus
+  GROUP BY conv_id
+)
+"""
+    lsh_ctes = [
+        f"sig AS (SELECT doc_id, {_SIG_COLS} FROM sh)",
+        f"""bands AS (
+  SELECT doc_id, b.band_idx AS band_idx, b.band_key AS band_key
+  FROM sig, unnest([{_BAND_STRUCTS}]) AS t(b)
+)""",
+        """capped AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 1000
+)""",
+        """pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM capped a JOIN capped b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)""",
+    ]
+    body = f"""
+SELECT id_a AS conv_a, id_b AS conv_b,
+       len(list_distinct(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))))
+         / greatest(len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))), 1)
+         AS jaccard
+FROM pairs
+JOIN sh sa ON sa.doc_id = id_a
+JOIN sh sb ON sb.doc_id = id_b
+WHERE len(list_distinct(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))))
+        / greatest(len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))), 1)
+      >= {_CONV_ND_THRESH}
+"""
+    return with_ctes(
+        TRANSCRIPTS_CTE, corpus_cte[0], corpus_cte[1],
+        _shingles_cte("conv_docs"), *lsh_ctes, body=body,
+    )
+
+
+def conv_near_dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text): one document per conversation (turn texts joined
+    in turn order), plus every 10th conversation mirrored under a
+    'dup-' id with its final turn dropped."""
+    t = load_transcripts(spark, sf_dir).select("conv_id", "turn_idx", "text")
+    w = Window.partitionBy("conv_id")
+    dups = (
+        t.filter(F.substring("conv_id", 6, 10).cast("int") % 10 == 0)
+        .withColumn("__mx", F.max("turn_idx").over(w))
+        .filter(F.col("turn_idx") < F.col("__mx"))
+        .select(
+            F.concat(F.lit("dup-"), F.col("conv_id")).alias("conv_id"),
+            "turn_idx",
+            "text",
+        )
+    )
+    corpus = t.unionAll(dups)
+    return corpus.groupBy("conv_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("turn_idx", "text"))),
+                lambda s: s.getField("text"),
+            ),
+            "\n",
+        ).alias("text")
+    ).select(F.col("conv_id").alias("doc_id"), "text")
+
+
+@register("conv_minhash_dedup", _conv_near_dup_sql())
+def conv_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = conv_near_dup_corpus(spark, sf_dir)
+    out = D.minhash_lsh_dedup(
+        docs, threshold=_CONV_ND_THRESH, n_perm=8, band_rows=2, shingle_k=3
+    )
+    return out.select(
+        F.col("id_a").alias("conv_a"),
+        F.col("id_b").alias("conv_b"),
+        "jaccard",
+    )

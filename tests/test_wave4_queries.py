@@ -193,3 +193,38 @@ class TestSequencePacking:
         _d, out = packed
         assert out.exceptAll(again).count() == 0
         assert again.exceptAll(out).count() == 0
+
+
+class TestConvMinhashDedup:
+    """Round-3: conversation-level NEAR-dup (verdict #6). The injected
+    mirrors (every 10th conv, final turn dropped) are inexact copies —
+    exact conv fingerprinting cannot pair them; MinHash must."""
+
+    def test_every_injected_mirror_is_caught(self, spark, sf_dir):
+        from logstash_filter_jdbc_static_spark.queries_pipeline5 import (
+            conv_minhash_dedup,
+            conv_near_dup_corpus,
+        )
+
+        pairs = conv_minhash_dedup(spark, sf_dir).collect()
+        got = {(r["conv_a"], r["conv_b"]) for r in pairs}
+        injected = [
+            r["doc_id"]
+            for r in conv_near_dup_corpus(spark, sf_dir)
+            .filter(F.col("doc_id").startswith("dup-"))
+            .select("doc_id")
+            .collect()
+        ]
+        assert injected, "corpus has no injected mirrors"
+        missing = [
+            d for d in injected if (d[4:], d) not in got and (d, d[4:]) not in got
+        ]
+        assert missing == []
+        # and the mirrors are NOT exact duplicates (jaccard < 1 for the
+        # injected pairs — the near-dup mode exact dedup misses)
+        inexact = [
+            r["jaccard"]
+            for r in pairs
+            if r["conv_b"] == "dup-" + r["conv_a"] or r["conv_a"] == "dup-" + r["conv_b"]
+        ]
+        assert inexact and all(j >= 0.7 for j in inexact)
