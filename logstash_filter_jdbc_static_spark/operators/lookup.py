@@ -41,7 +41,15 @@ Spark-first physical design (NOT a port of the Derby execution path):
   cost stays bounded by ``max_rows`` exactly as the reference's Derby
   table scan is; ``pattern_strategy="shuffle_map"`` covers the
   adversarial near-unique-tuple case (map too big to broadcast) by
-  joining the map back on its shuffle keys instead.
+  joining the map back on its shuffle keys instead, and ``"auto"``
+  chooses via an approx-distinct pre-flight over the tuple projection.
+- **WHERE surface** (round 3): the reference hands lookup SQL verbatim
+  to Derby (lookup.rb:131-147), so ``parse_lookup_query`` accepts the
+  full single-table predicate grammar — comparison ops, ``[NOT] LIKE``
+  / ``IN`` / ``BETWEEN``, ``IS [NOT] NULL``, AND/OR/parens, optional
+  ``func(col)`` lhs wrappers and table-qualified columns — normalized
+  to OR-of-conjunctions and compiled onto the same three paths (exact
+  grammar + physical mapping: COVERAGE.md §2B).
 """
 
 from __future__ import annotations
@@ -173,13 +181,15 @@ class _Term:
 
 @dataclass
 class _Predicate:
-    """``col <op> terms``. Binary ops carry one term, BETWEEN two, IN one
-    or more, IS [NOT] NULL zero."""
+    """``[func(]col[)] <op> terms``. Binary ops carry one term, BETWEEN
+    two, IN one or more, IS [NOT] NULL zero. ``func`` optionally wraps
+    the dim column (``lower(ip) = :ip`` — _LHS_FUNCS)."""
 
     dim_column: str
     op: str  # '=', '<>', '<', ..., 'like', 'not like', 'in', 'not in',
     #          'between', 'not between', 'is null', 'is not null'
     terms: list[_Term] = field(default_factory=list)
+    func: str | None = None
 
     @property
     def param_names(self) -> list[str]:
@@ -206,6 +216,22 @@ class _Predicate:
 _MAX_DISJUNCTS = 64
 
 _LIKE_OPS = ("like", "not like")
+
+# Scalar functions accepted around the lhs column (the shapes real
+# configs wrap lookup keys in — case folds, whitespace trims, lengths).
+_LHS_FUNCS = {
+    "lower": F.lower,
+    "upper": F.upper,
+    "trim": F.trim,
+    "ltrim": F.ltrim,
+    "rtrim": F.rtrim,
+    "length": F.length,
+    "abs": F.abs,
+}
+
+
+def _apply_lhs_func(p: _Predicate, col: Column) -> Column:
+    return _LHS_FUNCS[p.func](col) if p.func else col
 
 
 @dataclass
@@ -255,7 +281,7 @@ _TOKEN_RE = re.compile(
       | (?P<lparen>\()
       | (?P<rparen>\))
       | (?P<comma>,)
-      | (?P<word>[A-Za-z_][\w]*)
+      | (?P<word>[A-Za-z_][\w]*(?:\.[A-Za-z_][\w]*)?)
     )""",
     re.VERBOSE,
 )
@@ -297,10 +323,24 @@ class _WhereParser:
     ``BETWEEN``'s inner AND binds inside the predicate, which is why this
     is a real parser and not a split-on-AND."""
 
-    def __init__(self, tokens: list[tuple[str, str]]):
+    def __init__(self, tokens: list[tuple[str, str]], table: str = ""):
         self.tokens = tokens
+        self.table = table
         self.i = 0
         self.positional = 0
+
+    def _strip_qualifier(self, name: str) -> str:
+        """``table.col`` -> ``col`` when the qualifier IS the FROM table
+        (the only relation in scope); any other qualifier is an error."""
+        if "." not in name:
+            return name
+        prefix, col = name.split(".", 1)
+        if self.table and prefix.lower() == self.table.lower():
+            return col
+        raise ValidationError(
+            [f"unsupported lookup predicate: unknown table qualifier "
+             f"{prefix!r} in {name!r} (FROM table is {self.table!r})"]
+        )
 
     def _peek(self) -> tuple[str, str] | None:
         return self.tokens[self.i] if self.i < len(self.tokens) else None
@@ -379,7 +419,30 @@ class _WhereParser:
             raise ValidationError(
                 [f"unsupported lookup predicate: expected column name, got {col!r}"]
             )
+        func: str | None = None
+        col = self._strip_qualifier(col)
         tok = self._peek()
+        if tok and tok[0] == "lparen":
+            fname = col.lower()
+            if fname not in _LHS_FUNCS:
+                raise ValidationError(
+                    [f"unsupported lookup predicate: unknown function {col!r} "
+                     f"(supported: {', '.join(sorted(_LHS_FUNCS))})"]
+                )
+            self._next()  # (
+            kind, col = self._next()
+            if kind != "word":
+                raise ValidationError(
+                    [f"unsupported lookup predicate: expected column inside "
+                     f"{fname}(), got {col!r}"]
+                )
+            col = self._strip_qualifier(col)
+            if self._next()[0] != "rparen":
+                raise ValidationError(
+                    [f"unsupported lookup predicate: unclosed {fname}(...)"]
+                )
+            func = fname
+            tok = self._peek()
         if tok is None:
             raise ValidationError(
                 [f"unsupported lookup predicate: dangling column {col!r}"]
@@ -387,7 +450,7 @@ class _WhereParser:
         if tok[0] == "op":
             self._next()
             op = "<>" if tok[1] == "!=" else tok[1]
-            return _Predicate(col, op, [self._term()])
+            return _Predicate(col, op, [self._term()], func=func)
         word = self._peek_word()
         negate = False
         if word == "not":
@@ -396,13 +459,13 @@ class _WhereParser:
             word = self._peek_word()
         if word == "like":
             self._next()
-            return _Predicate(col, "not like" if negate else "like", [self._term()])
+            return _Predicate(col, "not like" if negate else "like", [self._term()], func=func)
         if word == "between":
             self._next()
             lo = self._term()
             self._expect_word("and")
             hi = self._term()
-            return _Predicate(col, "not between" if negate else "between", [lo, hi])
+            return _Predicate(col, "not between" if negate else "between", [lo, hi], func=func)
         if word == "in":
             self._next()
             if self._next()[0] != "lparen":
@@ -419,15 +482,15 @@ class _WhereParser:
                         [f"unsupported lookup predicate: bad IN list near {tok[1]!r}"]
                     )
                 terms.append(self._term())
-            return _Predicate(col, "not in" if negate else "in", terms)
+            return _Predicate(col, "not in" if negate else "in", terms, func=func)
         if word == "is" and not negate:
             self._next()
             if self._peek_word() == "not":
                 self._next()
                 self._expect_word("null")
-                return _Predicate(col, "is not null", [])
+                return _Predicate(col, "is not null", [], func=func)
             self._expect_word("null")
-            return _Predicate(col, "is null", [])
+            return _Predicate(col, "is null", [], func=func)
         raise ValidationError(
             [f"unsupported lookup predicate: unexpected token after column {col!r}"]
         )
@@ -480,11 +543,22 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 projection.append((parts[0].strip(), parts[1].strip()))
             else:
                 projection.append((item.strip(), item.strip()))
+    table = m.group("table")
+    if projection is not None:
+        qual = table.lower() + "."
+        projection = [
+            (src[len(qual):] if src.lower().startswith(qual) else src, alias)
+            for src, alias in projection
+        ]
+        projection = [
+            (src, alias[len(qual):] if alias.lower().startswith(qual) else alias)
+            for src, alias in projection
+        ]
     disjuncts: list[list[_Predicate]] = []
     where = m.group("where")
     if where:
-        disjuncts = _WhereParser(_tokenize_where(where)).parse()
-    return ParsedQuery(projection, m.group("table"), disjuncts)
+        disjuncts = _WhereParser(_tokenize_where(where), table).parse()
+    return ParsedQuery(projection, table, disjuncts)
 
 
 class CompiledLookup:
@@ -676,14 +750,18 @@ class CompiledLookup:
         for i, p in enumerate(self.query.disjuncts[0]):
             if p.is_static:
                 dim = dim.filter(
-                    self._pred_condition(p, F.col(p.dim_column), self._static_rhs(p))
+                    self._pred_condition(
+                        p, _apply_lhs_func(p, F.col(p.dim_column)), self._static_rhs(p)
+                    )
                 )
             else:
-                key_cols.append((f"__k{i}", p.dim_column))
+                key_cols.append((f"__k{i}", p))
         payload = F.struct(
             *[F.col(src).alias(alias) for src, alias in self.out_fields]
         )
-        keys = [F.col(src).alias(k) for k, src in key_cols]
+        keys = [
+            _apply_lhs_func(p, F.col(p.dim_column)).alias(k) for k, p in key_cols
+        ]
         grouped = (
             dim.groupBy(*keys)
             .agg(F.sort_array(F.collect_list(payload)).alias("__payload"))
@@ -830,7 +908,8 @@ class CompiledLookup:
         matched = F.filter(
             arr,
             lambda r: self._dnf_condition(
-                lambda p: r.getField(p.dim_column), lambda f, p: rhs_map[f]
+                lambda p: _apply_lhs_func(p, r.getField(p.dim_column)),
+                lambda f, p: rhs_map[f],
             ),
         )
         payload = F.sort_array(F.transform(matched, self._project_struct))
@@ -914,7 +993,8 @@ class CompiledLookup:
             return rhs
 
         probe_cond = self._dnf_condition(
-            lambda p: F.col(dim_alias).getField(p.dim_column), rhs_for_probe
+            lambda p: _apply_lhs_func(p, F.col(dim_alias).getField(p.dim_column)),
+            rhs_for_probe,
         )
 
         payload_arr = F.sort_array(

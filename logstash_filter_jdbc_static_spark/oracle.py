@@ -62,11 +62,24 @@ def _like(value: str, pattern: str) -> bool:
     return re.match(rx, value) is not None
 
 
+_LHS_FUNCS = {
+    "lower": lambda v: v.lower(),
+    "upper": lambda v: v.upper(),
+    "trim": lambda v: v.strip(),
+    "ltrim": lambda v: v.lstrip(),
+    "rtrim": lambda v: v.rstrip(),
+    "length": lambda v: len(v),
+    "abs": abs,
+}
+
+
 def _pred_match(p, row: dict, params: dict) -> bool:
     """One predicate under SQL three-valued semantics collapsed to a
     filter boolean (NULL comparisons -> row dropped), mirroring what
     Derby/Spark/DuckDB filters all do."""
     lhs = row.get(p.dim_column)
+    if lhs is not None and p.func:
+        lhs = _LHS_FUNCS[p.func](lhs)
     if p.op == "is null":
         return lhs is None
     if p.op == "is not null":

@@ -13,6 +13,11 @@ three physical paths. Each query below pins one new shape end-to-end:
 4. ``lookup_shuffle_map``   — the shuffle_map map-back strategy under the
                               driver gate (round-2 verdict #4), with a
                               conversation-derived high-cardinality tuple
+5. ``conv_minhash_dedup``   — conversation-level NEAR-dup via MinHash+LSH
+                              over per-conversation documents (verdict #6)
+6. ``lookup_func_column``   — function-wrapped lookup key
+                              (``upper(tool) = :t``) on the broadcast-hash
+                              path
 """
 
 from __future__ import annotations
@@ -400,4 +405,48 @@ def conv_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("conv_a"),
         F.col("id_b").alias("conv_b"),
         "jaccard",
+    )
+
+
+# ------------------------------------------------------------------
+# 6. Function-wrapped lookup column (round-2 verdict "what's missing"
+#    #1 tail): `upper(tool) = :t` — the case-fold shape real configs
+#    wrap lookup keys in. The computed key still compiles to the
+#    key-grouped BROADCAST HASH join (the dim is grouped by the
+#    function result), plan-asserted in test_plan_quality.
+# ------------------------------------------------------------------
+
+
+@register(
+    "lookup_func_column",
+    with_ctes(
+        TOOL_CATALOG_CTE,
+        TRANSCRIPTS_CTE,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CASE WHEN tc.tool IS NULL THEN 0 ELSE 1 END AS n_matches,
+               tc.category AS category
+        FROM transcripts t
+        LEFT JOIN tool_catalog tc ON upper(tc.tool) = upper(t.tool)
+        """,
+    ),
+)
+def lookup_func_column(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir).withColumn("tool_uc", F.upper("tool"))
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "toolinfo",
+                "query": "SELECT category FROM tool_catalog WHERE upper(tool) = :t",
+                "parameters": {"t": "tool_uc"},
+            }
+        ]
+    )
+    out = LookupEnricher(spec, {"tool_catalog": tool_catalog_df(spark)}).apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("toolinfo").cast("int").alias("n_matches"),
+        F.get(F.col("toolinfo"), 0).getField("category").alias("category"),
     )

@@ -337,3 +337,87 @@ class TestAutoPatternStrategy:
         # and end-to-end results stay correct on the fallback path
         out = enr.apply(self._facts(spark, 50))
         assert out.count() == 50
+
+
+class TestFuncWrappedColumns:
+    def test_parse_func_lhs(self):
+        q = parse_lookup_query(
+            "SELECT x FROM t WHERE lower(ip) = :ip AND length(name) > 3"
+        )
+        p1, p2 = q.disjuncts[0]
+        assert (p1.func, p1.dim_column, p1.op) == ("lower", "ip", "=")
+        assert (p2.func, p2.dim_column, p2.op) == ("length", "name", ">")
+        assert q.is_pure_equi  # computed key still hash-joinable
+
+    def test_unknown_function_raises(self):
+        with pytest.raises(ValidationError, match="unknown function"):
+            parse_lookup_query("SELECT x FROM t WHERE soundex(ip) = :ip")
+        with pytest.raises(ValidationError, match="unclosed"):
+            parse_lookup_query("SELECT x FROM t WHERE lower(ip = :ip")
+
+    def test_golden_case_fold_equi_stays_broadcast_hash(self, spark):
+        dim = spark.createDataFrame(
+            [("Alpha", "a-payload"), ("BETA", "b-payload")],
+            T.StructType(
+                [
+                    T.StructField("key", T.StringType(), False),
+                    T.StructField("name", T.StringType(), False),
+                ]
+            ),
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": "SELECT name FROM dim WHERE lower(key) = :k",
+                    "parameters": {"k": "k"},
+                }
+            ]
+        )
+        out = LookupEnricher(spec, {"dim": dim}).apply(
+            spark.createDataFrame(
+                [("c", 1, "alpha", None, None), ("c", 2, "beta", None, None),
+                 ("c", 3, "Alpha", None, None)],
+                FACT_SCHEMA,
+            )
+        )
+        plan = out._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+        )
+        assert "BroadcastHashJoin" in plan
+        assert "NestedLoop" not in plan
+        got = {
+            r["turn_idx"]: [x["name"] for x in r["hit"]] for r in out.collect()
+        }
+        # the fact side binds the RAW field; only the dim column is folded
+        assert got == {1: ["a-payload"], 2: ["b-payload"], 3: []}
+
+    @pytest.mark.parametrize("kw", PATH_KWARGS)
+    def test_func_on_theta_paths(self, spark, kw):
+        # all bound params must be valid (A8), so every row carries lo/hi
+        facts = [("c", 1, "ROW-A1", 100, 200), ("c", 2, "x", 2, 7)]
+        got = _enrich(
+            spark,
+            "SELECT name FROM dim WHERE upper(name) = :k OR abs(num) BETWEEN :lo AND :hi",
+            facts,
+            **kw,
+        )
+        assert got == {1: ["row-a1"], 2: ["row-b2", "row-null7"]}
+
+
+class TestQualifiedColumns:
+    def test_table_qualifier_accepted_and_stripped(self):
+        q = parse_lookup_query(
+            "SELECT servers.name, servers.ip AS addr FROM servers "
+            "WHERE servers.ip = :ip AND lower(servers.name) LIKE :pat"
+        )
+        assert q.projection == [("name", "name"), ("ip", "addr")]
+        p1, p2 = q.disjuncts[0]
+        assert p1.dim_column == "ip"
+        assert (p2.func, p2.dim_column) == ("lower", "name")
+
+    def test_wrong_qualifier_raises(self):
+        with pytest.raises(ValidationError, match="unknown table qualifier"):
+            parse_lookup_query(
+                "SELECT name FROM servers WHERE other.ip = :ip"
+            )

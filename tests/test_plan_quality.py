@@ -227,3 +227,65 @@ class TestRelationalPushdown:
         # all three dims broadcast; the orders fact side never shuffles
         assert simple.count("BroadcastHashJoin") == 3, simple
         assert "SortMergeJoin" not in simple
+
+
+class TestWidenedLookupPlans:
+    """Round-3 widened WHERE shapes must not degrade the physical story:
+    IN/OR against small dims stay a pure inline projection (ZERO joins,
+    no fact exchange beyond the shared transcript staging), and a
+    param-bound BETWEEN on the map-probe path keeps the fact
+    exchange-free (only the slim tuple distinct() shuffles)."""
+
+    def test_in_and_or_shapes_compile_to_inline_zero_join(self, spark, sf_dir):
+        from logstash_filter_jdbc_static_spark.queries import queries
+
+        reg = queries()
+        for name in ("lookup_in_list", "lookup_or_disjunction"):
+            plan = _plan(reg[name](spark, sf_dir), "simple")
+            assert plan.count("BroadcastHashJoin") == 0, (name, plan)
+            assert "SortMergeJoin" not in plan, name
+            assert "NestedLoop" not in plan, name
+            assert "EvalPython" not in plan, name
+
+    def test_between_map_probe_keeps_fact_exchange_free(self, spark):
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+        from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+        dim = spark.range(5000).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("n"), F.col("id").cast("string")).alias("name"),
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "rng",
+                    "query": "SELECT name FROM dim WHERE k BETWEEN :lo AND :hi "
+                             "AND name IS NOT NULL",
+                    "parameters": {"lo": "lo", "hi": "hi"},
+                }
+            ]
+        )
+        fact = spark.range(20000).select(
+            F.lit("c").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            (F.col("id") % 40 * 100).alias("lo"),
+            (F.col("id") % 40 * 100 + 3).alias("hi"),
+        )
+        enr = LookupEnricher(
+            spec, {"dim": dim}, inline_threshold=0, dim_rows={"dim": 5000}
+        )
+        plan = _plan(enr.apply(fact), "simple")
+        sigs = set(
+            re.findall(r"(?<!Broadcast)Exchange hashpartitioning\(([^)]*)\)", plan)
+        )
+        assert len(sigs) == 1, (sigs, plan)
+        (sig,) = sigs
+        assert sig.startswith("__mk_rng_"), sig
+        for fact_col in ("conv_id", "turn_idx"):
+            assert fact_col not in sig
+        assert "BroadcastHashJoin" in plan  # map-back
+        assert plan.count("BroadcastNestedLoopJoin") == 1  # tuple probe only

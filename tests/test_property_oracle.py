@@ -114,6 +114,7 @@ WIDE_TEMPLATES = [
     "ip NOT BETWEEN 'k2' AND :ip",
     "ip IS NOT NULL AND name NOT LIKE :ip",
     "(ip = :ip OR name LIKE :ip) AND ip IS NOT NULL",
+    "trim(ip) = :ip OR lower(name) = 'v1'",
 ]
 
 
