@@ -18,6 +18,8 @@ three physical paths. Each query below pins one new shape end-to-end:
 6. ``lookup_func_column``   — function-wrapped lookup key
                               (``upper(tool) = :t``) on the broadcast-hash
                               path
+7. ``documents_unigram_logprob`` — CCNet-style corpus-frequency
+                              surprisal scoring (quality-filter pass)
 """
 
 from __future__ import annotations
@@ -449,4 +451,62 @@ def lookup_func_column(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tool",
         F.size("toolinfo").cast("int").alias("n_matches"),
         F.get(F.col("toolinfo"), 0).getField("category").alias("category"),
+    )
+
+
+# ------------------------------------------------------------------
+# 7. Unigram log-probability scoring (the CCNet-style quality filter):
+#    build a corpus frequency model (min_count floor), score each doc
+#    by its mean token surprisal. Scale shape: one shuffle for the
+#    frequency aggregation, the (min_count-pruned) model broadcast onto
+#    the exploded tokens, one partial-aggregated shuffle for the
+#    per-doc mean — the standard two-pass corpus-scoring pipeline. At
+#    100 TB raise min_count (or swap the model broadcast for a shuffle
+#    join) to bound the model size.
+# ------------------------------------------------------------------
+
+_LP_MIN_COUNT = 2
+
+_UNIGRAM_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, t FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents) WHERE t <> ''
+),
+freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM freq),
+model AS (SELECT t, c FROM freq WHERE c >= {_LP_MIN_COUNT})
+SELECT tok.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN m.c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       avg(ln(coalesce(m.c, 1) / tot.n)) AS avg_logprob
+FROM tok LEFT JOIN model m ON m.t = tok.t CROSS JOIN tot
+GROUP BY tok.doc_id
+"""
+
+
+@register("documents_unigram_logprob", _UNIGRAM_SQL)
+def documents_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logstash_filter_jdbc_static_spark.operators.text import tokens
+
+    docs = load_table_split(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("t")
+    ).filter(F.col("t") != "")
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    total = freq.agg(F.sum("c").cast("double").alias("n"))
+    model = freq.filter(F.col("c") >= _LP_MIN_COUNT)
+    scored = (
+        tok.join(F.broadcast(model), "t", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.log(F.coalesce(F.col("c"), F.lit(1)) / F.col("n")).alias("lp"),
+            F.col("c").isNull().cast("int").alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("oov").cast("long").alias("n_oov"),
+        F.avg("lp").alias("avg_logprob"),
     )
