@@ -274,7 +274,7 @@ _QUERY_RE = re.compile(
 _TOKEN_RE = re.compile(
     r"""(?:
         (?P<string>'(?:[^']|'')*')
-      | (?P<number>\d+(?:\.\d+)?)
+      | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<param>:[A-Za-z_][A-Za-z0-9_]*)
       | (?P<qmark>\?)
       | (?P<op><>|!=|<=|>=|=|<|>)
@@ -407,7 +407,8 @@ class _WhereParser:
         if kind == "string":
             return _Term("literal", text[1:-1].replace("''", "'"))
         if kind == "number":
-            return _Term("literal", float(text) if "." in text else int(text))
+            is_float = "." in text or "e" in text or "E" in text
+            return _Term("literal", float(text) if is_float else int(text))
         raise ValidationError(
             [f"unsupported lookup predicate rhs: {text!r} "
              "(expected :name, ?, 'string' or number)"]
@@ -1052,7 +1053,7 @@ class CompiledLookup:
         n = (
             with_keys.select(
                 F.approx_count_distinct(
-                    F.concat_ws("\x1f", *[F.col(c) for c in fk_names])
+                    F.struct(*[F.col(c) for c in fk_names])
                 ).alias("n")
             ).collect()[0]["n"]
         )

@@ -63,14 +63,33 @@ def _like(value: str, pattern: str) -> bool:
 
 
 _LHS_FUNCS = {
-    "lower": lambda v: v.lower(),
-    "upper": lambda v: v.upper(),
-    "trim": lambda v: v.strip(),
-    "ltrim": lambda v: v.lstrip(),
-    "rtrim": lambda v: v.rstrip(),
-    "length": lambda v: len(v),
+    # the string funcs cast-through like Spark's implicit cast-to-string
+    "lower": lambda v: str(v).lower(),
+    "upper": lambda v: str(v).upper(),
+    "trim": lambda v: str(v).strip(),
+    "ltrim": lambda v: str(v).lstrip(),
+    "rtrim": lambda v: str(v).rstrip(),
+    "length": lambda v: len(str(v)),
     "abs": abs,
 }
+
+
+def _coerce_pair(lhs, rhs):
+    """Mirror Spark's implicit numeric<->string comparison coercion: a
+    str compared against an int/float is cast numerically; a failed
+    cast compares as no-match (null semantics). Approximate — exotic
+    cross-type pairs should not appear in lookup configs."""
+    if isinstance(lhs, str) and isinstance(rhs, (int, float)) and not isinstance(rhs, bool):
+        try:
+            return float(lhs), float(rhs)
+        except ValueError:
+            return None, rhs
+    if isinstance(rhs, str) and isinstance(lhs, (int, float)) and not isinstance(lhs, bool):
+        try:
+            return float(lhs), float(rhs)
+        except ValueError:
+            return lhs, None
+    return lhs, rhs
 
 
 def _pred_match(p, row: dict, params: dict) -> bool:
@@ -87,36 +106,45 @@ def _pred_match(p, row: dict, params: dict) -> bool:
     vals = [params[t.value] if t.kind == "param" else t.value for t in p.terms]
     if lhs is None:
         return False
+
+    def eq(v) -> bool:
+        left, right = _coerce_pair(lhs, v)
+        return left is not None and right is not None and left == right
+
+    def ordered(v, op_fn) -> bool:
+        left, right = _coerce_pair(lhs, v)
+        return left is not None and right is not None and op_fn(left, right)
+
     if p.op == "=":
-        return vals[0] is not None and lhs == vals[0]
+        return vals[0] is not None and eq(vals[0])
     if p.op == "<>":
-        return vals[0] is not None and lhs != vals[0]
+        return vals[0] is not None and not eq(vals[0])
     if p.op == "like":
         return vals[0] is not None and _like(str(lhs), str(vals[0]))
     if p.op == "not like":
         return vals[0] is not None and not _like(str(lhs), str(vals[0]))
     if p.op == "in":
-        return any(v is not None and lhs == v for v in vals)
+        return any(v is not None and eq(v) for v in vals)
     if p.op == "not in":
         # x NOT IN (.., NULL, ..) is never TRUE in SQL
         if any(v is None for v in vals):
             return False
-        return lhs not in vals
+        return not any(eq(v) for v in vals)
     if p.op in ("between", "not between"):
         lo, hi = vals
         if lo is None or hi is None:
             return False
-        hit = lo <= lhs <= hi
+        hit = ordered(lo, lambda a, b: a >= b) and ordered(hi, lambda a, b: a <= b)
         return not hit if p.op == "not between" else hit
     if vals[0] is None:
         return False
     if p.op == "<":
-        return lhs < vals[0]
+        return ordered(vals[0], lambda a, b: a < b)
     if p.op == ">":
-        return lhs > vals[0]
+        return ordered(vals[0], lambda a, b: a > b)
     if p.op == "<=":
-        return lhs <= vals[0]
-    return lhs >= vals[0]
+        return ordered(vals[0], lambda a, b: a <= b)
+    return ordered(vals[0], lambda a, b: a >= b)
 
 
 def run_lookup(

@@ -159,13 +159,21 @@ def _compact_root(
     named in the manifest, restore the parked originals. A crash after
     old/ is deleted leaves the completed compaction live."""
     root_str = root.rstrip("/")
-    stats = partition_stats(spark, root_str)
-    n_bytes = sum(s["n_bytes"] for s in stats)
+    fs, jroot = _fs(spark, root_str)
+    # ONLY the files sitting directly at the root: a mixed layout (root
+    # files + partition subdirs) compacts each leaf with its own
+    # protocol, and a recursive read here would either fail on
+    # conflicting directory depths or fold subdir bytes into n_out.
+    root_files = [st for st in fs.listStatus(jroot)
+                  if not st.isDirectory()
+                  and not st.getPath().getName().startswith(("_", "."))]
+    n_bytes = sum(st.getLen() for st in root_files)
     n_out = max(1, math.ceil(n_bytes / target_bytes))
     tmp, old = f"{root_str}/{_STAGING}/tmp", f"{root_str}/{_STAGING}/old"
-    df = spark.read.format(file_format).load(root_str)
+    df = spark.read.format(file_format).load(
+        [st.getPath().toString() for st in root_files]
+    )
     df.coalesce(n_out).write.mode("overwrite").format(file_format).save(tmp)
-    fs, jroot = _fs(spark, root_str)
     _f1, jtmp = _fs(spark, tmp)
     _f2, jold = _fs(spark, old)
     jvm = spark._jvm

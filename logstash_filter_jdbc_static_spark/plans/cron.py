@@ -211,10 +211,13 @@ class CronLine:
         is validated on the UTC axis, because naive field replacement is
         wrong in both DST transitions —
 
-        - fall-back repeated hour: the fold=0 reading of a wall time can
-          be up to 1h EARLIER than ``after`` in UTC (which would drive
-          the scheduler's wait negative and busy-loop refreshes); the
-          fold=1 reading is tried before discarding the candidate.
+        - fall-back repeated hour: vixie-cron semantics (crontab(5)) —
+          a line firing at most once per hour runs ONCE in the repeated
+          hour (only the first, fold=0, occurrence of each wall time
+          counts; the fold=1 recurrence is never returned, so it cannot
+          re-fire and the computed wait stays positive). A line firing
+          more than once per hour follows the wall clock and so runs
+          through BOTH passes of the repeated hour.
         - spring-forward gap: a nonexistent wall time (detected by the
           astimezone round-trip changing the wall clock) is skipped —
           the job fires at the line's next real occurrence.
@@ -227,6 +230,11 @@ class CronLine:
 
         utc = _tzmod.utc
         after_utc = after.astimezone(utc) if aware else None
+        # crontab(5) DST rule: only lines firing >1x/hour follow the
+        # wall clock through a repeated hour; others fire once per match.
+        n_min = len(self.minutes) if self.minutes is not None else 60
+        n_sec = len(self.seconds) if self.seconds is not None else 60
+        multi_per_hour = n_min * n_sec > 1
         found: datetime | None = None
         for cand in self._candidates(t):
             if not aware:
@@ -241,6 +249,8 @@ class CronLine:
                 if c_utc > after_utc:
                     found = c
                     break
+                if not multi_per_hour:
+                    break  # run-once line: the fold=1 recurrence never fires
                 if c_utc == cand.replace(fold=1).astimezone(utc):
                     break  # unambiguous time: fold=1 adds nothing
             if found is not None:
@@ -249,14 +259,14 @@ class CronLine:
             raise ValueError(
                 f"cron line {self.source!r} never fires (unsatisfiable fields)"
             )
-        # Second pass of a fall-back repeated hour: when ``after`` sits in
-        # the FIRST (fold=0) reading, wall-clock times already behind it
-        # recur — their fold=1 instants may precede the forward scan's
-        # result on the UTC axis.
+        # Second pass of a fall-back repeated hour (wall-clock lines
+        # only): when ``after`` sits in the FIRST (fold=0) reading,
+        # wall-clock times already behind it recur — their fold=1
+        # instants may precede the forward scan's result on the UTC axis.
         delta = abs(
             after.replace(fold=1).utcoffset() - after.replace(fold=0).utcoffset()
         )
-        if after.fold == 0 and delta:
+        if multi_per_hour and after.fold == 0 and delta:
             start = (after - delta).replace(microsecond=0)
             for cand in self._candidates(start):
                 if cand.replace(tzinfo=None) > t.replace(tzinfo=None):

@@ -222,34 +222,53 @@ _BAND_STRUCTS = ", ".join(
     for b in range(_N_BANDS)
 )
 
-_MINHASH_LSH_SQL = f"""
-WITH {_CORPUS_CTE},
-{_shingles_cte("corpus")},
-sig AS (SELECT doc_id, {_SIG_COLS} FROM sh),
-bands AS (
+def _lsh_pair_ctes(max_bucket: int = 1000) -> list[str]:
+    """The LSH candidate-pair CTE chain over an ``sh(doc_id, shingles)``
+    CTE: signature -> band explode -> bucket cap -> distinct pairs.
+    Shared by the documents and conversation near-dup oracles so the
+    banding parameters cannot silently diverge between them."""
+    return [
+        f"sig AS (SELECT doc_id, {_SIG_COLS} FROM sh)",
+        f"""bands AS (
   SELECT doc_id, b.band_idx AS band_idx, b.band_key AS band_key
   FROM sig, unnest([{_BAND_STRUCTS}]) AS t(b)
-),
-capped AS (
+)""",
+        f"""capped AS (
   SELECT * FROM bands
-  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 1000
-),
-pairs AS (
+  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= {max_bucket}
+)""",
+        """pairs AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM capped a JOIN capped b
     ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)
-SELECT id_a, id_b,
-       len(list_distinct(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))))
-         / greatest(len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))), 1)
+)""",
+    ]
+
+
+def _jaccard_pair_select(a_alias: str = "id_a", b_alias: str = "id_b") -> str:
+    """Jaccard verification over the ``pairs`` CTE (DuckDB restates the
+    expression in WHERE; no alias reuse there)."""
+    j = (
+        "len(list_distinct(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))))"
+        "\n         / greatest(len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))), 1)"
+    )
+    return f"""
+SELECT id_a AS {a_alias}, id_b AS {b_alias},
+       {j}
          AS jaccard
 FROM pairs
 JOIN sh sa ON sa.doc_id = id_a
 JOIN sh sb ON sb.doc_id = id_b
-WHERE len(list_distinct(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))))
-        / greatest(len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))), 1)
+WHERE {j}
       >= {_THRESH}
 """
+
+
+_MINHASH_LSH_SQL = (
+    f"WITH {_CORPUS_CTE},\n{_shingles_cte('corpus')},\n"
+    + ",\n".join(_lsh_pair_ctes())
+    + _jaccard_pair_select()
+)
 
 
 @register("dedup_minhash_lsh", _MINHASH_LSH_SQL)

@@ -307,8 +307,6 @@ from pyspark.sql.window import Window  # noqa: E402
 
 from logstash_filter_jdbc_static_spark.operators import dedup as D  # noqa: E402
 from logstash_filter_jdbc_static_spark.queries_data import (  # noqa: E402
-    _BAND_STRUCTS,
-    _SIG_COLS,
     _shingles_cte,
 )
 
@@ -335,37 +333,15 @@ conv_docs AS (
   GROUP BY conv_id
 )
 """
-    lsh_ctes = [
-        f"sig AS (SELECT doc_id, {_SIG_COLS} FROM sh)",
-        f"""bands AS (
-  SELECT doc_id, b.band_idx AS band_idx, b.band_key AS band_key
-  FROM sig, unnest([{_BAND_STRUCTS}]) AS t(b)
-)""",
-        """capped AS (
-  SELECT * FROM bands
-  QUALIFY count(*) OVER (PARTITION BY band_idx, band_key) <= 1000
-)""",
-        """pairs AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM capped a JOIN capped b
-    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-)""",
-    ]
-    body = f"""
-SELECT id_a AS conv_a, id_b AS conv_b,
-       len(list_distinct(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))))
-         / greatest(len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))), 1)
-         AS jaccard
-FROM pairs
-JOIN sh sa ON sa.doc_id = id_a
-JOIN sh sb ON sb.doc_id = id_b
-WHERE len(list_distinct(list_intersect(list_distinct(sa.shingles), list_distinct(sb.shingles))))
-        / greatest(len(list_distinct(list_concat(list_distinct(sa.shingles), list_distinct(sb.shingles)))), 1)
-      >= {_CONV_ND_THRESH}
-"""
+    from logstash_filter_jdbc_static_spark.queries_data import (
+        _jaccard_pair_select,
+        _lsh_pair_ctes,
+    )
+
     return with_ctes(
         TRANSCRIPTS_CTE, corpus_cte[0], corpus_cte[1],
-        _shingles_cte("conv_docs"), *lsh_ctes, body=body,
+        _shingles_cte("conv_docs"), *_lsh_pair_ctes(),
+        body=_jaccard_pair_select("conv_a", "conv_b"),
     )
 
 

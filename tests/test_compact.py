@@ -303,13 +303,42 @@ class TestRootLevelCompaction:
 
     def test_mixed_layout_roots_and_partitions(self, spark, tmp_path):
         """A sink with BOTH root-level files and partition dirs (messy
-        real-world layout) compacts each leaf with its own protocol."""
+        real-world layout) compacts each leaf with its own protocol —
+        the root pass must touch ONLY the root-level files, never
+        recursing into the subdirs (round-3 review finding)."""
         root = str(tmp_path / "mixed")
         for i in range(4):
             spark.range(i * 50, (i + 1) * 50, numPartitions=3).write.mode(
                 "append"
             ).parquet(os.path.join(root, "route=hit"))
-        total = spark.read.parquet(os.path.join(root, "route=hit")).count()
+        for i in range(4):
+            spark.range(1000 + i * 50, 1000 + (i + 1) * 50, numPartitions=3).write.mode(
+                "append"
+            ).parquet(root)
+        sub_total = spark.read.parquet(os.path.join(root, "route=hit")).count()
+        root_files = [
+            f for f in os.listdir(root)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(root, f))
+        ]
+        root_ids = sorted(
+            r["id"]
+            for r in spark.read.parquet(
+                *[os.path.join(root, f) for f in root_files]
+            ).collect()
+        )
         summary = compact_sinks(spark, root)
-        assert summary
-        assert spark.read.parquet(os.path.join(root, "route=hit")).count() == total
+        # both leaves compacted (root entry + partition entry)
+        assert len(summary) == 2, summary
+        assert spark.read.parquet(os.path.join(root, "route=hit")).count() == sub_total
+        root_files_after = [
+            f for f in os.listdir(root)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(root, f))
+        ]
+        assert len(root_files_after) < len(root_files)
+        ids_after = sorted(
+            r["id"]
+            for r in spark.read.parquet(
+                *[os.path.join(root, f) for f in root_files_after]
+            ).collect()
+        )
+        assert ids_after == root_ids

@@ -89,6 +89,16 @@ class TestWhereParser:
         assert p1.literal == 5 and isinstance(p1.literal, int)
         assert p2.literal == 2.5 and isinstance(p2.literal, float)
 
+    def test_negative_and_exponent_literals(self):
+        # legal Derby SQL the round-3 review found rejected
+        q = parse_lookup_query(
+            "SELECT x FROM t WHERE a > -5 AND b < 1e3 AND c <> -2.5e-1"
+        )
+        p1, p2, p3 = q.disjuncts[0]
+        assert p1.literal == -5 and isinstance(p1.literal, int)
+        assert p2.literal == 1000.0 and isinstance(p2.literal, float)
+        assert p3.literal == -0.25
+
     def test_pure_equi_with_static_riders(self):
         q = parse_lookup_query(
             "SELECT x FROM t WHERE k = :k AND status IS NOT NULL AND n > 3"

@@ -296,10 +296,53 @@ class TestCronDst:
     def test_fallback_second_pass_never_before_now(self):
         # now = 02:10 CET (second pass of the repeated hour, 01:10Z).
         # Naive field replacement returns 02:30 fold=0 (CEST) = 00:30Z —
-        # 40 minutes in the PAST. Must fire at 02:30 fold=1 = 01:30Z.
+        # 40 minutes in the PAST (the busy-loop bug). A run-once daily
+        # line already fired wall 02:30 on the first pass (00:30Z), so
+        # the next fire is TOMORROW's 02:30 CET (vixie run-once rule).
         assert self._fire_utc("30 2 * * * Europe/Berlin", "2026-10-25T01:10:00") == (
-            "2026-10-25T01:30:00+00:00"
+            "2026-10-26T01:30:00+00:00"
         )
+
+    def test_fallback_run_once_line_fires_once_not_twice(self):
+        """Chaining next_fire across the fall-back day: a daily
+        fixed-time line fires exactly once on 2026-10-25 (at the FIRST
+        occurrence of wall 02:30), never again inside the repeated hour
+        (the round-3 review's double-fire finding)."""
+        from datetime import datetime, timezone
+
+        from logstash_filter_jdbc_static_spark.plans.cron import CronLine
+
+        cl = CronLine.parse("30 2 * * * Europe/Berlin")
+        fires = []
+        cur = datetime(2026, 10, 24, 12, 0, tzinfo=timezone.utc)
+        for _ in range(3):
+            cur = cl.next_fire(cur).astimezone(timezone.utc)
+            fires.append(cur.isoformat())
+        assert fires == [
+            "2026-10-25T00:30:00+00:00",  # wall 02:30 CEST (first pass)
+            "2026-10-26T01:30:00+00:00",  # next day, 02:30 CET
+            "2026-10-27T01:30:00+00:00",
+        ]
+
+    def test_fallback_subhourly_line_follows_wall_clock(self):
+        """crontab(5): a line firing >1x/hour runs through BOTH passes
+        of the repeated hour — chaining across the transition visits
+        wall 02:45 CEST, 02:00 CET (second pass), 02:15 CET."""
+        from datetime import datetime, timezone
+
+        from logstash_filter_jdbc_static_spark.plans.cron import CronLine
+
+        cl = CronLine.parse("*/15 * * * * Europe/Berlin")
+        fires = []
+        cur = datetime(2026, 10, 25, 0, 40, tzinfo=timezone.utc)  # 02:40 CEST
+        for _ in range(3):
+            cur = cl.next_fire(cur).astimezone(timezone.utc)
+            fires.append(cur.isoformat())
+        assert fires == [
+            "2026-10-25T00:45:00+00:00",  # 02:45 CEST
+            "2026-10-25T01:00:00+00:00",  # 02:00 CET (second pass)
+            "2026-10-25T01:15:00+00:00",  # 02:15 CET
+        ]
 
     def test_fallback_first_pass_finds_repeated_hour(self):
         # now = 02:50 CEST (first pass, 00:50Z). The next quarter-hour on

@@ -220,11 +220,22 @@ class TestConvMinhashDedup:
             d for d in injected if (d[4:], d) not in got and (d, d[4:]) not in got
         ]
         assert missing == []
-        # and the mirrors are NOT exact duplicates (jaccard < 1 for the
-        # injected pairs — the near-dup mode exact dedup misses)
+        # The mirrors are NOT exact duplicates at the DOCUMENT level —
+        # the concatenated text differs (dropped final turn), so exact
+        # conv fingerprinting misses every one of them...
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in conv_near_dup_corpus(spark, sf_dir).collect()
+        }
+        assert all(texts[d] != texts[d[4:]] for d in injected)
+        # ...while MinHash pairs them all; jaccard over DISTINCT shingle
+        # sets may legitimately reach 1.0 when the dropped turn's
+        # shingles recur elsewhere in the conversation, but at least one
+        # mirror must be set-inexact too (the mode exact dedup misses).
         inexact = [
             r["jaccard"]
             for r in pairs
             if r["conv_b"] == "dup-" + r["conv_a"] or r["conv_a"] == "dup-" + r["conv_b"]
         ]
         assert inexact and all(j >= 0.7 for j in inexact)
+        assert any(j < 1.0 for j in inexact)
