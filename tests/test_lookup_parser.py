@@ -431,3 +431,103 @@ class TestQualifiedColumns:
             parse_lookup_query(
                 "SELECT name FROM servers WHERE other.ip = :ip"
             )
+
+
+class TestWidenedConfigEndToEnd:
+    """A user-facing JSON config using every round-3 WHERE widening
+    (examples/pipeline_widened.json) compiles through
+    PipelineSpec.from_json and enriches correctly — validated against
+    the row-at-a-time oracle, not hand-written expectations."""
+
+    def test_example_config_runs_and_matches_oracle(self, spark):
+        import os
+
+        from logstash_filter_jdbc_static_spark import oracle
+        from logstash_filter_jdbc_static_spark.sources.transcripts import (
+            SERVERS_ROWS,
+            TOOL_CATALOG_ROWS,
+        )
+
+        cfg = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples", "pipeline_widened.json",
+        )
+        spec = PipelineSpec.from_json(cfg)
+        spec2 = PipelineSpec.from_json(cfg)
+        assert spec.pattern_strategy == "auto"
+
+        fact_schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("turn_idx", T.IntegerType(), False),
+                T.StructField("from_ip", T.StringType(), True),
+                T.StructField("octet", T.StringType(), True),
+                T.StructField("tool_uc", T.StringType(), True),
+            ]
+        )
+        facts = [
+            ("c", 1, "10.3.1.1", "3", "TOOL_2"),   # both lookups hit
+            ("c", 2, "10.9.9.9", "2", "TOOL_5"),   # OR via location LIKE %2%
+            ("c", 3, "10.9.9.9", "7", "TOOL_9"),   # server default; tool_0 only
+            ("c", 4, None, None, "TOOL_1"),        # server params invalid
+        ]
+        dims = {
+            "servers": spark.createDataFrame(
+                SERVERS_ROWS, "ip string, name string, location string"
+            ),
+            "tool_catalog": spark.createDataFrame(
+                TOOL_CATALOG_ROWS,
+                "tool string, category string, owner string, risk_level int",
+            ),
+        }
+        out = LookupEnricher(spec, dims).apply(
+            spark.createDataFrame(facts, fact_schema)
+        )
+        got = {
+            r["turn_idx"]: (
+                None if r["server"] is None else sorted(
+                    (x["name"], x["location"]) for x in r["server"]
+                ),
+                None if r["toolinfo"] is None else sorted(
+                    (x["category"], x["owner"]) for x in r["toolinfo"]
+                ),
+                sorted(r["tags"]),
+                r["matched"],
+            )
+            for r in out.collect()
+        }
+
+        tables = {
+            "servers": [
+                {"ip": i, "name": n, "location": l} for i, n, l in SERVERS_ROWS
+            ],
+            "tool_catalog": [
+                {"tool": t, "category": c, "owner": o, "risk_level": rl}
+                for t, c, o, rl in TOOL_CATALOG_ROWS
+            ],
+        }
+        exp = {}
+        for conv_id, turn_idx, from_ip, octet, tool_uc in facts:
+            event = {"conv_id": conv_id, "turn_idx": turn_idx}
+            for k, v in (("from_ip", from_ip), ("octet", octet), ("tool_uc", tool_uc)):
+                if v is not None:
+                    event[k] = v
+            oracle.enhance(event, spec2, tables)
+            exp[turn_idx] = (
+                None if event.get("server") is None else sorted(
+                    (d["name"], d["location"]) for d in event["server"]
+                ),
+                None if event.get("toolinfo") is None else sorted(
+                    (d["category"], d["owner"]) for d in event["toolinfo"]
+                ),
+                sorted(event["tags"]),
+                event["matched"],
+            )
+        assert got == exp
+        # sanity on the interesting rows, beyond oracle agreement:
+        # octet '3' also matches LDN-2-3-4 via the OR's LIKE branch
+        assert got[1][0] == [
+            ("ldn-server-1", "LDN-2-3-4"), ("mv-serv'r-1", "MV-9-6-4"),
+        ]
+        assert got[3][0] == [("unknown", "NOWHERE")]  # default path
+        assert got[4][0] is None and got[4][3] is False
