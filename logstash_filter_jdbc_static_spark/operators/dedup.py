@@ -303,3 +303,68 @@ def winnow_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve duplicate PAIRS into duplicate CLUSTERS: (id, cluster_id)
+    for every id appearing in ``pairs``, where cluster_id is the minimum
+    id in the id's connected component. Completes the dedup pipeline —
+    near-dup pairs alone don't say which docs to keep; the per-cluster
+    canonical (min id) does.
+
+    Hash-min label propagation: every node starts labeled with its own
+    id; each round a node takes the minimum label among itself and its
+    neighbors; fixpoint when no label changes. Rounds needed = graph
+    diameter, which for dup clusters is small (most are pairs/triangles).
+
+    Scale shape: the component membership is never materialized on the
+    driver — each round is one edge-list join + min-aggregation (two
+    bounded shuffles on the edge partitioning); labels are
+    localCheckpoint'd per round to truncate the iterative lineage.
+    Convergence is detected from a 1-row label-sum aggregate (labels
+    only ever decrease, so an unchanged sum IS the fixpoint; summed as
+    decimal(38,0) so planet-scale id sums cannot overflow). ``max_iter``
+    bounds pathological chain graphs; real dup clusters converge in
+    2-4 rounds.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    ).localCheckpoint(eager=True)
+    checksum = labels.agg(
+        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+    ).collect()[0]["s"]
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(F.col("nmin"), labels["label"])
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+        ).collect()[0]["s"]
+        labels = new_labels
+        if new_sum == checksum:
+            break
+        checksum = new_sum
+    return labels.select("id", F.col("label").alias("cluster_id"))

@@ -217,6 +217,27 @@ _MAX_DISJUNCTS = 64
 
 _LIKE_OPS = ("like", "not like")
 
+# op -> its SQL complement, for pushing a leading NOT down to the leaves
+# (De Morgan; valid under SQL 3-valued logic because every mapped pair
+# agrees on NULL: both sides yield NULL/falsy for NULL operands).
+_NEG_OPS = {
+    "=": "<>", "<>": "=",
+    "<": ">=", ">=": "<", ">": "<=", "<=": ">",
+    "like": "not like", "not like": "like",
+    "in": "not in", "not in": "in",
+    "between": "not between", "not between": "between",
+    "is null": "is not null", "is not null": "is null",
+}
+
+
+def _negate(node):
+    """NOT over a parsed boolean tree: flip AND/OR, complement leaf ops."""
+    if node[0] == "pred":
+        p = node[1]
+        return ("pred", _Predicate(p.dim_column, _NEG_OPS[p.op], p.terms, func=p.func))
+    kind = "and" if node[0] == "or" else "or"
+    return (kind, [_negate(c) for c in node[1]])
+
 # Scalar functions accepted around the lhs column (the shapes real
 # configs wrap lookup keys in — case folds, whitespace trims, lengths).
 _LHS_FUNCS = {
@@ -309,7 +330,7 @@ class _WhereParser:
 
         or_expr  := and_expr (OR and_expr)*
         and_expr := primary (AND primary)*
-        primary  := '(' or_expr ')' | predicate
+        primary  := NOT primary | '(' or_expr ')' | predicate
         predicate:= col (=|<>|!=|<|>|<=|>=) term
                   | col [NOT] LIKE term
                   | col [NOT] IN '(' term (',' term)* ')'
@@ -387,6 +408,12 @@ class _WhereParser:
         return parts[0] if len(parts) == 1 else ("and", parts)
 
     def _primary(self):
+        # leading NOT: `NOT <primary>` — covers NOT (a OR b) and NOT a = 1.
+        # (Postfix forms — col NOT LIKE/IN/BETWEEN — are handled in
+        # _predicate; a column named "not" is already rejected there.)
+        if self._peek_word() == "not":
+            self._next()
+            return _negate(self._primary())
         tok = self._peek()
         if tok and tok[0] == "lparen":
             self._next()

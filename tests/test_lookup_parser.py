@@ -76,6 +76,37 @@ class TestWhereParser:
         assert q.disjuncts[0][0].is_static  # no params anywhere
         assert q.predicates[3].literal == 1
 
+    def test_not_parenthesized_demorgan(self):
+        # NOT (a = :a OR b LIKE :b) -> one conjunction [a <> :a, b NOT LIKE :b]
+        q = parse_lookup_query(
+            "SELECT x FROM t WHERE NOT (a = :a OR b LIKE :b)"
+        )
+        assert len(q.disjuncts) == 1
+        p1, p2 = q.disjuncts[0]
+        assert (p1.dim_column, p1.op) == ("a", "<>")
+        assert (p2.dim_column, p2.op) == ("b", "not like")
+
+    def test_not_conjunction_becomes_disjunction(self):
+        # NOT (a = 1 AND b IS NULL) -> a <> 1 | b IS NOT NULL
+        q = parse_lookup_query(
+            "SELECT x FROM t WHERE NOT (a = 1 AND b IS NULL)"
+        )
+        assert [[(p.dim_column, p.op) for p in d] for d in q.disjuncts] == [
+            [("a", "<>")], [("b", "is not null")],
+        ]
+
+    def test_not_single_predicate_and_double_not(self):
+        (p,) = preds("SELECT x FROM t WHERE NOT a < :a")
+        assert (p.dim_column, p.op) == ("a", ">=")
+        (p,) = preds("SELECT x FROM t WHERE NOT NOT a = :a")
+        assert (p.dim_column, p.op) == ("a", "=")
+
+    def test_not_over_in_and_between(self):
+        (p,) = preds("SELECT x FROM t WHERE NOT k IN (:a, 7)")
+        assert p.op == "not in"
+        (p,) = preds("SELECT x FROM t WHERE NOT k NOT BETWEEN :lo AND :hi")
+        assert p.op == "between"
+
     def test_positional_numbering_in_textual_order(self):
         q = parse_lookup_query(
             "SELECT x FROM t WHERE a = ? OR b IN (?, ?) OR c BETWEEN ? AND ?"
