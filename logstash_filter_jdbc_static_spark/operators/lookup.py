@@ -255,12 +255,30 @@ def _apply_lhs_func(p: _Predicate, col: Column) -> Column:
     return _LHS_FUNCS[p.func](col) if p.func else col
 
 
+@dataclass(frozen=True)
+class _JoinPart:
+    """One JOIN clause of a multi-table lookup query. ``alias`` is the
+    lowercase qualifier this relation is referenced by (explicit alias,
+    else the table name); ``on`` is a conjunction of alias-qualified
+    equi-conditions (l_qual, l_col, r_qual, r_col)."""
+
+    table: str
+    alias: str
+    how: str  # 'inner' | 'left'
+    on: tuple[tuple[str, str, str, str], ...]
+
+
 @dataclass
 class ParsedQuery:
     projection: list[tuple[str, str]] | None  # (source, alias); None == SELECT *
     table: str
     # WHERE in disjunctive normal form: OR over conjunctions. [] == no WHERE.
     disjuncts: list[list[_Predicate]] = field(default_factory=list)
+    # multi-table surface: qualifier of the FROM table + JOIN clauses.
+    # Kept on the flat-rewritten query too (build_join_dim) so callers
+    # can tell a derived-dim lookup from a plain one.
+    base_alias: str = ""
+    joins: tuple[_JoinPart, ...] = ()
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -287,10 +305,12 @@ class ParsedQuery:
 
 
 _QUERY_RE = re.compile(
-    r"^\s*select\s+(?P<proj>.+?)\s+from\s+(?P<table>[A-Za-z_][\w.]*)"
+    r"^\s*select\s+(?P<proj>.+?)\s+from\s+(?P<from>.+?)"
     r"(?:\s+where\s+(?P<where>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+
+_SIMPLE_TABLE_RE = re.compile(r"^[A-Za-z_][\w.]*$")
 
 _TOKEN_RE = re.compile(
     r"""(?:
@@ -325,6 +345,114 @@ def _tokenize_where(text: str) -> list[tuple[str, str]]:
     return out
 
 
+_FROM_KEYWORDS = {"join", "inner", "left", "outer", "on", "as", "and"}
+
+
+def _parse_from(text: str) -> tuple[str, str, tuple[_JoinPart, ...]]:
+    """Parse the FROM clause: ``table [alias] (JOIN table [alias] ON
+    qual.col = qual.col [AND ...])*`` with INNER (default) and LEFT
+    [OUTER] join types. Single-table FROMs (possibly schema-dotted)
+    short-circuit to the legacy shape. The reference executes arbitrary
+    Derby SQL (lookup.rb:131-147), where joins of local db_objects are
+    legal lookup configs."""
+    text = text.strip()
+    if _SIMPLE_TABLE_RE.match(text) and text.lower() not in _FROM_KEYWORDS:
+        return text, text.lower(), ()
+    toks = _tokenize_where(text)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = peek()
+        if t is None:
+            raise ValidationError(
+                ["unsupported lookup FROM: unexpected end of clause"]
+            )
+        pos += 1
+        return t
+
+    def word_of(t):
+        return t[1].lower() if t and t[0] == "word" else None
+
+    def relation() -> tuple[str, str]:
+        kind, name = take()
+        if kind != "word" or "." in name or name.lower() in _FROM_KEYWORDS:
+            raise ValidationError(
+                [f"unsupported lookup FROM: expected table name, got {name!r}"]
+            )
+        alias = name.lower()
+        t = peek()
+        if word_of(t) == "as":
+            take()
+            t = peek()
+            if word_of(t) is None or "." in t[1] or t[1].lower() in _FROM_KEYWORDS:
+                raise ValidationError(
+                    [f"unsupported lookup FROM: bad alias after {name!r} AS"]
+                )
+            alias = take()[1].lower()
+        elif word_of(t) is not None and word_of(t) not in _FROM_KEYWORDS and "." not in t[1]:
+            alias = take()[1].lower()
+        return name, alias
+
+    def qualified_col(side: str) -> tuple[str, str]:
+        kind, name = take()
+        if kind != "word" or "." not in name:
+            raise ValidationError(
+                [f"unsupported lookup FROM: ON {side} side must be a "
+                 f"qualified column (alias.col), got {name!r}"]
+            )
+        q, c = name.split(".", 1)
+        return q.lower(), c
+
+    base_table, base_alias = relation()
+    joins: list[_JoinPart] = []
+    while peek() is not None:
+        w = word_of(peek())
+        how = "inner"
+        if w == "inner":
+            take()
+        elif w == "left":
+            take()
+            if word_of(peek()) == "outer":
+                take()
+            how = "left"
+        elif w != "join":
+            raise ValidationError(
+                [f"unsupported lookup FROM near {peek()[1]!r}"]
+            )
+        t = take()
+        if word_of(t) != "join":
+            raise ValidationError(
+                [f"unsupported lookup FROM: expected JOIN, got {t[1]!r}"]
+            )
+        tbl, alias = relation()
+        t = take()
+        if word_of(t) != "on":
+            raise ValidationError(
+                [f"unsupported lookup FROM: expected ON after {tbl!r}"]
+            )
+        on: list[tuple[str, str, str, str]] = []
+        while True:
+            lq, lc = qualified_col("left")
+            opk, opv = take()
+            if opk != "op" or opv != "=":
+                raise ValidationError(
+                    ["unsupported lookup FROM: ON supports only "
+                     "equi-conditions (alias.col = alias.col)"]
+                )
+            rq, rc = qualified_col("right")
+            on.append((lq, lc, rq, rc))
+            if word_of(peek()) == "and":
+                take()
+                continue
+            break
+        joins.append(_JoinPart(tbl, alias, how, tuple(on)))
+    return base_table, base_alias, tuple(joins)
+
+
 class _WhereParser:
     """Recursive-descent parser for the lookup WHERE surface:
 
@@ -344,18 +472,38 @@ class _WhereParser:
     ``BETWEEN``'s inner AND binds inside the predicate, which is why this
     is a real parser and not a split-on-AND."""
 
-    def __init__(self, tokens: list[tuple[str, str]], table: str = ""):
+    def __init__(
+        self,
+        tokens: list[tuple[str, str]],
+        table: str = "",
+        quals: set[str] | None = None,
+    ):
         self.tokens = tokens
         self.table = table
+        # Multi-table mode: the set of in-scope relation aliases.
+        # Qualified references are KEPT as "alias.col" (lowercased
+        # alias) for build_join_dim to resolve; single-table mode
+        # (quals=None) strips the FROM table's qualifier as before.
+        self.quals = quals
         self.i = 0
         self.positional = 0
 
     def _strip_qualifier(self, name: str) -> str:
         """``table.col`` -> ``col`` when the qualifier IS the FROM table
-        (the only relation in scope); any other qualifier is an error."""
+        (the only relation in scope); any other qualifier is an error.
+        In join mode, in-scope qualifiers are preserved as
+        ``alias.col``."""
         if "." not in name:
             return name
         prefix, col = name.split(".", 1)
+        if self.quals is not None:
+            if prefix.lower() in self.quals:
+                return f"{prefix.lower()}.{col}"
+            raise ValidationError(
+                [f"unsupported lookup predicate: unknown relation "
+                 f"qualifier {prefix!r} in {name!r} (in scope: "
+                 f"{sorted(self.quals)})"]
+            )
         if self.table and prefix.lower() == self.table.lower():
             return col
         raise ValidationError(
@@ -559,9 +707,22 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     m = _QUERY_RE.match(query)
     if not m:
         raise ValidationError([f"unsupported lookup query shape: {query!r}"])
+    table, base_alias, joins = _parse_from(m.group("from"))
+    quals: set[str] | None = None
+    if joins:
+        quals = {base_alias} | {j.alias for j in joins}
+        if len(quals) != 1 + len(joins):
+            raise ValidationError(
+                [f"lookup FROM: duplicate relation alias in {m.group('from')!r}"]
+            )
     proj_raw = m.group("proj").strip()
     projection: list[tuple[str, str]] | None
     if proj_raw == "*":
+        if joins:
+            raise ValidationError(
+                ["lookup queries joining tables require an explicit "
+                 "projection (SELECT * is ambiguous across relations)"]
+            )
         projection = None
     else:
         projection = []
@@ -571,8 +732,24 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 projection.append((parts[0].strip(), parts[1].strip()))
             else:
                 projection.append((item.strip(), item.strip()))
-    table = m.group("table")
-    if projection is not None:
+    if projection is not None and joins:
+        # keep in-scope qualifiers on sources (lowercased alias);
+        # output aliases always flatten to the bare column name.
+        norm: list[tuple[str, str]] = []
+        for src, alias in projection:
+            if "." in src:
+                q, c = src.split(".", 1)
+                if q.lower() not in quals:
+                    raise ValidationError(
+                        [f"lookup projection: unknown relation qualifier "
+                         f"{q!r} in {src!r} (in scope: {sorted(quals)})"]
+                    )
+                src = f"{q.lower()}.{c}"
+            if "." in alias:
+                alias = alias.split(".", 1)[1]
+            norm.append((src, alias))
+        projection = norm
+    elif projection is not None:
         qual = table.lower() + "."
         projection = [
             (src[len(qual):] if src.lower().startswith(qual) else src, alias)
@@ -585,8 +762,114 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     disjuncts: list[list[_Predicate]] = []
     where = m.group("where")
     if where:
-        disjuncts = _WhereParser(_tokenize_where(where), table).parse()
-    return ParsedQuery(projection, table, disjuncts)
+        disjuncts = _WhereParser(_tokenize_where(where), table, quals).parse()
+    return ParsedQuery(projection, table, disjuncts, base_alias, joins)
+
+
+def build_join_dim(
+    parsed: ParsedQuery, dims: dict[str, DataFrame]
+) -> tuple[DataFrame, ParsedQuery]:
+    """Pre-join a multi-table lookup's dimension tables into ONE derived
+    dimension DataFrame and rewrite the query onto flat column names, so
+    the single-table compile machinery (broadcast-hash / inline literal
+    / map-probe) applies unchanged.
+
+    Scale shape: the join runs once per refresh snapshot over dim-sized
+    inputs — the per-event cost model is identical to a single dim
+    table, and the derived dim broadcasts exactly like a plain one. The
+    reference reaches the same semantics by letting Derby execute the
+    join per event (lookup.rb:131-147); hoisting it to load time is the
+    Spark-first equivalent.
+
+    Column references resolve standard-SQL style: qualified (alias.col)
+    against that relation, bare names against the single relation that
+    has the column (ambiguous bare names are errors). When two
+    referenced columns share a bare name, flat names are disambiguated
+    as ``<alias>_<col>``.
+    """
+    alias_map: dict[str, str] = {parsed.base_alias: parsed.table}
+    for j in parsed.joins:
+        alias_map[j.alias] = j.table
+    missing = sorted({t for t in alias_map.values() if t not in dims})
+    if missing:
+        raise ValidationError(
+            [f"lookup references unknown local table(s) {missing}"]
+        )
+    frames = {a: dims[t].alias(a) for a, t in alias_map.items()}
+
+    joined = frames[parsed.base_alias]
+    in_scope = {parsed.base_alias}
+    for j in parsed.joins:
+        cond: Column | None = None
+        for lq, lc, rq, rc in j.on:
+            for q, c in ((lq, lc), (rq, rc)):
+                if q not in in_scope and q != j.alias:
+                    raise ValidationError(
+                        [f"lookup FROM: ON references {q}.{c} but "
+                         f"{q!r} is not in scope yet"]
+                    )
+                if c not in dims[alias_map[q]].columns:
+                    raise ValidationError(
+                        [f"lookup FROM: column '{c}' not in table "
+                         f"'{alias_map[q]}' (alias {q!r})"]
+                    )
+            piece = F.col(f"{lq}.{lc}") == F.col(f"{rq}.{rc}")
+            cond = piece if cond is None else (cond & piece)
+        joined = joined.join(frames[j.alias], cond, j.how)
+        in_scope.add(j.alias)
+
+    def resolve(ref: str) -> tuple[str, str]:
+        if "." in ref:
+            q, c = ref.split(".", 1)
+            if q not in alias_map:
+                raise ValidationError(
+                    [f"lookup: unknown relation qualifier {q!r} in {ref!r}"]
+                )
+            if c not in dims[alias_map[q]].columns:
+                raise ValidationError(
+                    [f"lookup: column '{c}' not in table "
+                     f"'{alias_map[q]}' (alias {q!r})"]
+                )
+            return q, c
+        owners = [a for a, t in alias_map.items() if ref in dims[t].columns]
+        if not owners:
+            raise ValidationError(
+                [f"lookup: column '{ref}' not found in any joined table"]
+            )
+        if len(owners) > 1:
+            raise ValidationError(
+                [f"lookup: column '{ref}' is ambiguous across relations "
+                 f"{sorted(owners)} — qualify it"]
+            )
+        return owners[0], ref
+
+    refs: list[tuple[str, str]] = []
+    srcs = [s for s, _ in (parsed.projection or [])]
+    pred_cols = [p.dim_column for p in parsed.predicates]
+    for ref in srcs + pred_cols:
+        pair = resolve(ref)
+        if pair not in refs:
+            refs.append(pair)
+    bare_owner_count: dict[str, set[str]] = {}
+    for a, c in refs:
+        bare_owner_count.setdefault(c, set()).add(a)
+    flat = {
+        (a, c): (c if len(bare_owner_count[c]) == 1 else f"{a}_{c}")
+        for a, c in refs
+    }
+    dim = joined.select(*[F.col(f"{a}.{c}").alias(flat[(a, c)]) for a, c in refs])
+    new_proj = [(flat[resolve(src)], alias) for src, alias in (parsed.projection or [])]
+    new_disjuncts = [
+        [
+            _Predicate(flat[resolve(p.dim_column)], p.op, p.terms, func=p.func)
+            for p in d
+        ]
+        for d in parsed.disjuncts
+    ]
+    rewritten = ParsedQuery(
+        new_proj, parsed.table, new_disjuncts, parsed.base_alias, parsed.joins
+    )
+    return dim, rewritten
 
 
 class CompiledLookup:
@@ -609,10 +892,16 @@ class CompiledLookup:
         row_key: list[str] = ("conv_id", "turn_idx"),
         dim_rows: int | None = None,
         pattern_strategy: str = "broadcast_map",
+        parsed_query: ParsedQuery | None = None,
     ):
         spec.raise_if_invalid()
         self.spec = spec
-        self.query = parse_lookup_query(spec.query)
+        # Join lookups hand in a pre-parsed flat-rewritten query whose
+        # columns exist only in the derived dim (build_join_dim).
+        self.query = (
+            parsed_query if parsed_query is not None
+            else parse_lookup_query(spec.query)
+        )
         self.dim_df = dim_df
         self.inline_threshold = inline_threshold
         self.row_key = list(row_key)

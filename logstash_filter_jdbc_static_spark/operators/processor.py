@@ -38,6 +38,10 @@ def _check_index_coverage(spec: PipelineSpec, compiled: "list[CompiledLookup]") 
     lookup)."""
     declared = {o.name: o.index_columns for o in spec.db_objects}
     for cl in compiled:
+        if cl.query.joins:
+            # derived-dim lookup: flat column names no longer correspond
+            # to any single table's index declaration
+            continue
         table = cl.query.table
         idx = declared.get(table)
         if not idx:
@@ -87,22 +91,34 @@ class LookupEnricher:
         self.compiled: list[CompiledLookup] = []
         for lk in spec.lookups:
             from logstash_filter_jdbc_static_spark.operators.lookup import (
+                build_join_dim,
                 parse_lookup_query,
             )
 
-            table = parse_lookup_query(lk.query).table
-            if table not in dims:
-                raise ValidationError(
-                    [f"lookup '{lk.id}' references unknown local table '{table}'"]
-                )
+            parsed = parse_lookup_query(lk.query)
+            if parsed.joins:
+                # Multi-table lookup: pre-join the dims into one derived
+                # dimension at compile/refresh time (dim-sized work, once
+                # per snapshot) and compile against the flat rewrite.
+                dim_df, parsed = build_join_dim(parsed, dims)
+                lk_dim_rows = None  # derived dim: A2 count not applicable
+            else:
+                if parsed.table not in dims:
+                    raise ValidationError(
+                        [f"lookup '{lk.id}' references unknown local table "
+                         f"'{parsed.table}'"]
+                    )
+                dim_df = dims[parsed.table]
+                lk_dim_rows = (dim_rows or {}).get(parsed.table)
             self.compiled.append(
                 CompiledLookup(
                     lk,
-                    dims[table],
+                    dim_df,
                     inline_threshold,
                     row_key,
-                    dim_rows=(dim_rows or {}).get(table),
+                    dim_rows=lk_dim_rows,
                     pattern_strategy=pattern_strategy,
+                    parsed_query=parsed,
                 )
             )
         _check_index_coverage(spec, self.compiled)

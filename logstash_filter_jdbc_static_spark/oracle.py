@@ -193,12 +193,58 @@ def run_lookup(
     return True, tags
 
 
+def _join_rows(q, tables: dict[str, list[dict]]) -> list[dict]:
+    """Materialize a multi-table lookup's joined relation row-at-a-time
+    (nested loops — tables are property-test sized), independent of the
+    Spark build_join_dim implementation. Rows carry every column under
+    its qualified name (``alias.col``) plus the bare name when exactly
+    one relation owns it, so run_lookup's src/predicate resolution works
+    unchanged on either reference style."""
+    alias_map = {q.base_alias: q.table, **{j.alias: j.table for j in q.joins}}
+    cols: dict[str, set] = {}
+    for a, t in alias_map.items():
+        colsets = [set(r) for r in tables[t]]
+        cols[a] = set().union(*colsets) if colsets else set()
+    rows = [{(q.base_alias, k): v for k, v in r.items()} for r in tables[q.table]]
+    for j in q.joins:
+        right_rows = [{(j.alias, k): v for k, v in r.items()} for r in tables[j.table]]
+        nxt: list[dict] = []
+        for lr in rows:
+            matched = False
+            for rr in right_rows:
+                def val(qual, col):
+                    return rr.get((qual, col)) if qual == j.alias else lr.get((qual, col))
+                if all(
+                    val(lq, lc) is not None and val(lq, lc) == val(rq, rc)
+                    for lq, lc, rq, rc in j.on
+                ):
+                    nxt.append({**lr, **rr})
+                    matched = True
+            if not matched and j.how == "left":
+                nxt.append({**lr, **{(j.alias, c): None for c in cols[j.alias]}})
+        rows = nxt
+    owners: dict[str, set] = {}
+    for a, cs in cols.items():
+        for c in cs:
+            owners.setdefault(c, set()).add(a)
+    out = []
+    for r in rows:
+        d: dict = {}
+        for (a, c), v in r.items():
+            d[f"{a}.{c}"] = v
+            if len(owners[c]) == 1:
+                d[c] = v
+        out.append(d)
+    return out
+
+
 def enhance(event: dict, spec: PipelineSpec, tables: dict[str, list[dict]]) -> dict:
     """LookupProcessor#enhance + matched gate, one event at a time."""
     tags: list[str] = list(event.get("tags", []))
     matched = True
     for lk in spec.lookups:
-        table = tables[parse_lookup_query(lk.query).table]
+        q = parse_lookup_query(lk.query)
+        table = _join_rows(q, tables) if q.joins else tables[q.table]
         ok, new_tags = run_lookup(event, lk, table)
         for t in new_tags:
             if t not in tags:

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.window import Window
 
 from logstash_filter_jdbc_static_spark.operators import dedup as D
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
 from logstash_filter_jdbc_static_spark.queries import register
 from logstash_filter_jdbc_static_spark.queries_data import (
     _BAND_ROWS,
@@ -35,6 +36,12 @@ from logstash_filter_jdbc_static_spark.queries_data import (
     dedup_corpus,
 )
 from logstash_filter_jdbc_static_spark.sources.registry import load_table_split
+from logstash_filter_jdbc_static_spark.sources.transcripts import (
+    TRANSCRIPTS_CTE,
+    load_transcripts,
+    with_ctes,
+)
+from logstash_filter_jdbc_static_spark.spec import PipelineSpec
 
 # ------------------------------------------------------------------
 # 1. Near-dup cluster resolution: pairs -> components -> keep/drop.
@@ -104,6 +111,66 @@ def dedup_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #    per shard; n_shards is the output-file-count knob (raise it so
 #    each shard fits an executor's sort buffer at 100 TB).
 # ------------------------------------------------------------------
+
+# ------------------------------------------------------------------
+# 3. Multi-table lookup SQL: the dims are pre-joined once per snapshot
+#    (build_join_dim) and the event-side probe stays on the key-grouped
+#    broadcast-hash path — reference parity for lookup configs that
+#    join local db_objects (Derby executes them verbatim,
+#    lookup.rb:131-147). nkey spans 0..29 against 25 nations so misses
+#    (empty payload) are exercised too.
+# ------------------------------------------------------------------
+
+
+@register(
+    "lookup_join_dims",
+    with_ctes(
+        TRANSCRIPTS_CTE,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.nkey,
+               CASE WHEN g.n_nationkey IS NULL THEN 0 ELSE 1 END AS n_matches,
+               g.nation AS nation, g.region AS region
+        FROM (SELECT conv_id, turn_idx, CAST(turn_idx % 30 AS BIGINT) AS nkey
+              FROM transcripts) t
+        LEFT JOIN (SELECT n.n_nationkey, n.n_name AS nation, r.r_name AS region
+                   FROM nation n JOIN region r
+                     ON n.n_regionkey = r.r_regionkey) g
+          ON g.n_nationkey = t.nkey
+        """,
+    ),
+)
+def lookup_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir).withColumn(
+        "nkey", (F.col("turn_idx") % 30).cast("long")
+    )
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "geo",
+                "query": (
+                    "SELECT n.n_name AS nation, r.r_name AS region "
+                    "FROM nation n JOIN region r "
+                    "ON n.n_regionkey = r.r_regionkey "
+                    "WHERE n.n_nationkey = :k"
+                ),
+                "parameters": {"k": "nkey"},
+            }
+        ]
+    )
+    dims = {
+        "nation": load_table_split(spark, sf_dir, "nation"),
+        "region": load_table_split(spark, sf_dir, "region"),
+    }
+    out = LookupEnricher(spec, dims).apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "nkey",
+        F.size("geo").cast("int").alias("n_matches"),
+        F.get(F.col("geo"), 0).getField("nation").alias("nation"),
+        F.get(F.col("geo"), 0).getField("region").alias("region"),
+    )
+
 
 _SHUFFLE_SEED = "42"
 _N_SHARDS = 16
