@@ -326,11 +326,11 @@ def connected_components(
     driver — each round is one edge-list join + min-aggregation (two
     bounded shuffles on the edge partitioning); labels are
     localCheckpoint'd per round to truncate the iterative lineage.
-    Convergence is detected from a 1-row label-sum aggregate (labels
-    only ever decrease, so an unchanged sum IS the fixpoint; summed as
-    decimal(38,0) so planet-scale id sums cannot overflow). ``max_iter``
-    bounds pathological chain graphs; real dup clusters converge in
-    2-4 rounds.
+    Convergence is detected from a 1-row changed-label count computed
+    in the same pass (exact for ANY orderable id type — numeric, string
+    — unlike a numeric label checksum, which is NULL-blind for
+    non-numeric ids). ``max_iter`` bounds pathological chain graphs;
+    real dup clusters converge in 2-4 rounds.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -341,30 +341,27 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint(eager=True)
-    checksum = labels.agg(
-        F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-    ).collect()[0]["s"]
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        new_label = F.least(
+            labels["label"], F.coalesce(F.col("nmin"), labels["label"])
+        )
         new_labels = (
             labels.join(neighbor_min, labels["id"] == neighbor_min["src"], "left")
             .select(
                 labels["id"],
-                F.least(
-                    labels["label"], F.coalesce(F.col("nmin"), labels["label"])
-                ).alias("label"),
+                new_label.alias("label"),
+                # labels only ever decrease, so < is "changed"
+                (new_label < labels["label"]).cast("int").alias("_chg"),
             )
             .localCheckpoint(eager=True)
         )
-        new_sum = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-        ).collect()[0]["s"]
-        labels = new_labels
-        if new_sum == checksum:
+        n_changed = new_labels.agg(F.sum("_chg").alias("n")).collect()[0]["n"]
+        labels = new_labels.drop("_chg")
+        if not n_changed:
             break
-        checksum = new_sum
     return labels.select("id", F.col("label").alias("cluster_id"))

@@ -477,6 +477,7 @@ class _WhereParser:
         tokens: list[tuple[str, str]],
         table: str = "",
         quals: set[str] | None = None,
+        alias: str = "",
     ):
         self.tokens = tokens
         self.table = table
@@ -485,6 +486,9 @@ class _WhereParser:
         # alias) for build_join_dim to resolve; single-table mode
         # (quals=None) strips the FROM table's qualifier as before.
         self.quals = quals
+        # Single-table alias (``FROM servers s``): strips like the
+        # table name itself.
+        self.alias = alias
         self.i = 0
         self.positional = 0
 
@@ -504,7 +508,10 @@ class _WhereParser:
                  f"qualifier {prefix!r} in {name!r} (in scope: "
                  f"{sorted(self.quals)})"]
             )
-        if self.table and prefix.lower() == self.table.lower():
+        if self.table and (
+            prefix.lower() == self.table.lower()
+            or (self.alias and prefix.lower() == self.alias)
+        ):
             return col
         raise ValidationError(
             [f"unsupported lookup predicate: unknown table qualifier "
@@ -750,19 +757,35 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             norm.append((src, alias))
         projection = norm
     elif projection is not None:
-        qual = table.lower() + "."
+        # strip the FROM table's qualifier, or its alias ("FROM servers s")
+        strip = [table.lower() + "."]
+        if base_alias != table.lower():
+            strip.append(base_alias + ".")
+
+        def _unqual(name: str, is_src: bool = False) -> str:
+            for q in strip:
+                if name.lower().startswith(q):
+                    return name[len(q):]
+            if is_src and "." in name:
+                raise ValidationError(
+                    [f"lookup projection: unknown table qualifier in "
+                     f"{name!r} (FROM table is {table!r})"]
+                )
+            return name
+
         projection = [
-            (src[len(qual):] if src.lower().startswith(qual) else src, alias)
-            for src, alias in projection
-        ]
-        projection = [
-            (src, alias[len(qual):] if alias.lower().startswith(qual) else alias)
+            (_unqual(src, is_src=True), _unqual(alias))
             for src, alias in projection
         ]
     disjuncts: list[list[_Predicate]] = []
     where = m.group("where")
     if where:
-        disjuncts = _WhereParser(_tokenize_where(where), table, quals).parse()
+        single_alias = "" if joins else (
+            base_alias if base_alias != table.lower() else ""
+        )
+        disjuncts = _WhereParser(
+            _tokenize_where(where), table, quals, alias=single_alias
+        ).parse()
     return ParsedQuery(projection, table, disjuncts, base_alias, joins)
 
 
@@ -853,10 +876,21 @@ def build_join_dim(
     bare_owner_count: dict[str, set[str]] = {}
     for a, c in refs:
         bare_owner_count.setdefault(c, set()).add(a)
-    flat = {
-        (a, c): (c if len(bare_owner_count[c]) == 1 else f"{a}_{c}")
-        for a, c in refs
-    }
+    # Flat names must be globally unique — the <alias>_<col>
+    # disambiguation can itself collide with a referenced column whose
+    # bare name IS "<alias>_<col>" (e.g. a.x with b.a_x), which would
+    # put duplicate column names in the derived dim. Deterministic in
+    # refs order, so projection and predicates rewrite identically.
+    flat: dict[tuple[str, str], str] = {}
+    used: set[str] = set()
+    for a, c in refs:
+        cand = c if len(bare_owner_count[c]) == 1 else f"{a}_{c}"
+        n = 2
+        while cand in used:
+            cand = f"{a}_{c}_{n}"
+            n += 1
+        flat[(a, c)] = cand
+        used.add(cand)
     dim = joined.select(*[F.col(f"{a}.{c}").alias(flat[(a, c)]) for a, c in refs])
     new_proj = [(flat[resolve(src)], alias) for src, alias in (parsed.projection or [])]
     new_disjuncts = [
@@ -1203,22 +1237,32 @@ class CompiledLookup:
         sid = self.spec.id
         staged = fact
         tmp: list[str] = []
+        # Staged columns are keyed by (placeholder, needs-LIKE-regex), NOT
+        # by flat predicate index: DNF normalization duplicates a
+        # conjoined predicate into every disjunct, and staging per
+        # occurrence would evaluate the sprintf/regex derivation once per
+        # duplicate instead of once per placeholder.
+        stage_cache: dict[tuple[str, bool], str] = {}
         rhs_map: dict[int, list[Column]] = {}
         for d in self._indexed_disjuncts():
             for f, p in d:
                 rhs: list[Column] = []
-                for t_i, t in enumerate(p.terms):
+                for t in p.terms:
                     if t.kind == "literal":
                         lit = F.lit(t.value)
                         # literal LIKE patterns compile here (constant-folded)
                         rhs.append(_like_regex(lit) if p.op in _LIKE_OPS else lit)
                     else:
-                        val = params[t.value].value
-                        if p.op in _LIKE_OPS:
-                            val = _like_regex(val)
-                        c = f"__pv_{sid}_{f}_{t_i}"
-                        staged = staged.withColumn(c, val)
-                        tmp.append(c)
+                        key = (t.value, p.op in _LIKE_OPS)
+                        c = stage_cache.get(key)
+                        if c is None:
+                            val = params[t.value].value
+                            if p.op in _LIKE_OPS:
+                                val = _like_regex(val)
+                            c = f"__pv_{sid}_{len(stage_cache)}"
+                            staged = staged.withColumn(c, val)
+                            stage_cache[key] = c
+                            tmp.append(c)
                         rhs.append(F.col(c))
                 rhs_map[f] = rhs
         arr = self._dim_literal_array()

@@ -107,44 +107,64 @@ def _pred_match(p, row: dict, params: dict) -> bool:
     if lhs is None:
         return False
 
-    def eq(v) -> bool:
+    # Three-valued comparison helpers: None == SQL NULL (failed numeric
+    # coercion, mirroring Spark's NULL-yielding cast). NULL must stay
+    # NULL through negated ops — 'abc' <> 5 is NULL (row dropped), NOT
+    # "abc didn't equal 5". Collapsing to False before the negation
+    # would flip dropped rows into matches.
+    def eq3(v) -> bool | None:
         left, right = _coerce_pair(lhs, v)
-        return left is not None and right is not None and left == right
+        if left is None or right is None:
+            return None
+        return left == right
 
-    def ordered(v, op_fn) -> bool:
+    def ordered3(v, op_fn) -> bool | None:
         left, right = _coerce_pair(lhs, v)
-        return left is not None and right is not None and op_fn(left, right)
+        if left is None or right is None:
+            return None
+        return op_fn(left, right)
 
     if p.op == "=":
-        return vals[0] is not None and eq(vals[0])
+        return vals[0] is not None and eq3(vals[0]) is True
     if p.op == "<>":
-        return vals[0] is not None and not eq(vals[0])
+        return vals[0] is not None and eq3(vals[0]) is False
     if p.op == "like":
         return vals[0] is not None and _like(str(lhs), str(vals[0]))
     if p.op == "not like":
         return vals[0] is not None and not _like(str(lhs), str(vals[0]))
     if p.op == "in":
-        return any(v is not None and eq(v) for v in vals)
+        return any(v is not None and eq3(v) is True for v in vals)
     if p.op == "not in":
-        # x NOT IN (.., NULL, ..) is never TRUE in SQL
+        # x NOT IN (..) is a conjunction of <>; any NULL comparison
+        # (NULL term or failed coercion) makes it NULL -> no match
         if any(v is None for v in vals):
             return False
-        return not any(eq(v) for v in vals)
+        cmps = [eq3(v) for v in vals]
+        return all(c is False for c in cmps)
     if p.op in ("between", "not between"):
         lo, hi = vals
         if lo is None or hi is None:
             return False
-        hit = ordered(lo, lambda a, b: a >= b) and ordered(hi, lambda a, b: a <= b)
-        return not hit if p.op == "not between" else hit
+        ge_lo = ordered3(lo, lambda a, b: a >= b)
+        le_hi = ordered3(hi, lambda a, b: a <= b)
+        if p.op == "between":
+            return ge_lo is True and le_hi is True
+        # NOT BETWEEN under 3VL: NULL comparand -> NULL unless the
+        # other bound already decides TRUE (x < lo OR x > hi)
+        if ge_lo is False or le_hi is False:
+            return True
+        if ge_lo is None or le_hi is None:
+            return False
+        return False
     if vals[0] is None:
         return False
     if p.op == "<":
-        return ordered(vals[0], lambda a, b: a < b)
+        return ordered3(vals[0], lambda a, b: a < b) is True
     if p.op == ">":
-        return ordered(vals[0], lambda a, b: a > b)
+        return ordered3(vals[0], lambda a, b: a > b) is True
     if p.op == "<=":
-        return ordered(vals[0], lambda a, b: a <= b)
-    return ordered(vals[0], lambda a, b: a >= b)
+        return ordered3(vals[0], lambda a, b: a <= b) is True
+    return ordered3(vals[0], lambda a, b: a >= b) is True
 
 
 def run_lookup(

@@ -155,9 +155,13 @@ def _compact_root(
     4. move each tmp file into the root; delete old (originals +
        manifest) FIRST, then tmp
 
-    ``_recover_root`` undoes any prefix of steps 2-4: delete root files
-    named in the manifest, restore the parked originals. A crash after
-    old/ is deleted leaves the completed compaction live."""
+    ``_recover_root`` heals any crash point: a crash before the swap-in
+    completes rolls BACK (delete manifest-named root files, restore the
+    parked originals); a crash during step 4's old/ cleanup — detected
+    by every manifest-named file being live at the root, or by parked
+    files surviving the manifest — rolls FORWARD (finish deleting
+    old/), since by then some originals may already be gone and a
+    rollback would lose or duplicate rows."""
     root_str = root.rstrip("/")
     fs, jroot = _fs(spark, root_str)
     # ONLY the files sitting directly at the root: a mixed layout (root
@@ -196,7 +200,24 @@ def _compact_root(
 
 def _recover_root(spark: SparkSession, root_str: str) -> bool:
     """Heal a crashed root-level compaction (see _compact_root). Returns
-    True when originals were restored."""
+    True when originals were restored (rollback); False when there was
+    nothing to do or the compaction had already completed (roll-forward).
+
+    The direction is decided by whether step 4's swap-in finished:
+
+    - manifest present and EVERY named file live at the root: the swap
+      completed and the crash hit the old/ cleanup (which may have
+      already deleted some parked originals — rolling back here would
+      lose the rows that existed only in those originals, or duplicate
+      rows if the manifest died first). Roll FORWARD: finish deleting
+      old/.
+    - manifest missing but parked files remain: the cleanup's recursive
+      delete removed the manifest before the originals. The manifest is
+      written before any original is parked, so this state is only
+      reachable after a completed swap — roll forward too.
+    - manifest present with named files missing from the root: the
+      crash interrupted the swap-in. Roll back: delete the swapped-in
+      files, restore the parked originals."""
     fs, jold = _fs(spark, f"{root_str}/{_STAGING}/old")
     if not fs.exists(jold):
         return False
@@ -207,16 +228,23 @@ def _recover_root(spark: SparkSession, root_str: str) -> bool:
         for st in fs.listStatus(jold)
         if not st.isDirectory() and st.getPath().getName() != "_MANIFEST"
     ]
-    if not parked and not fs.exists(jman):
+    if not fs.exists(jman):
+        if parked:  # completed swap, manifest deleted first: roll forward
+            fs.delete(jold, True)
         return False
-    if fs.exists(jman):
-        stream = fs.open(jman)
-        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-        stream.close()
-        for name in [n for n in text.split("\n") if n]:
-            jf = jvm.org.apache.hadoop.fs.Path(f"{root_str}/{name}")
-            if fs.exists(jf):
-                fs.delete(jf, False)
+    stream = fs.open(jman)
+    text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    stream.close()
+    names = [n for n in text.split("\n") if n]
+    live = [
+        jvm.org.apache.hadoop.fs.Path(f"{root_str}/{name}") for name in names
+    ]
+    if names and all(fs.exists(jf) for jf in live):
+        fs.delete(jold, True)  # completed swap: roll forward
+        return False
+    for jf in live:
+        if fs.exists(jf):
+            fs.delete(jf, False)
     restored = False
     for p in parked:
         dst = jvm.org.apache.hadoop.fs.Path(f"{root_str}/{p.getName()}")
@@ -224,6 +252,7 @@ def _recover_root(spark: SparkSession, root_str: str) -> bool:
             fs.delete(dst, False)
         _rename(fs, p, dst, "recover-file")
         restored = True
+    fs.delete(jold, True)  # consumed: originals restored, manifest stale
     return restored
 
 

@@ -266,9 +266,10 @@ class TestRootLevelCompaction:
 
     def test_root_level_crash_mid_swap_recovers(self, spark, tmp_path):
         """Simulate the worst crash point: originals parked in old/, a
-        PARTIAL set of compacted files swapped into the root. Recovery
-        must delete the manifest-named files and restore the originals —
-        no duplicates, no loss."""
+        PARTIAL set of compacted files swapped into the root (one of
+        two — a complete set would correctly roll forward instead).
+        Recovery must delete the manifest-named files and restore the
+        originals — no duplicates, no loss."""
         import shutil
 
         root = str(tmp_path / "flat2")
@@ -278,7 +279,7 @@ class TestRootLevelCompaction:
         )
         # build the crashed state by hand: compacted copy in tmp
         tmp_dir = os.path.join(root, "_compaction", "tmp")
-        spark.read.parquet(root).coalesce(1).write.parquet(tmp_dir)
+        spark.read.parquet(root).repartition(2).write.parquet(tmp_dir)
         tmp_files = [
             f for f in os.listdir(tmp_dir)
             if not f.startswith(("_", "."))
@@ -297,6 +298,78 @@ class TestRootLevelCompaction:
         )
         restored = recover_sinks(spark, root)
         assert root.rstrip("/") in [p.rstrip("/") for p in restored]
+        after = sorted(r["id"] for r in spark.read.parquet(root).collect())
+        assert after == before
+        assert not os.path.exists(os.path.join(root, "_compaction"))
+
+    def test_root_level_crash_mid_cleanup_rolls_forward(self, spark, tmp_path):
+        """Crash AFTER the swap-in completed, partway through deleting
+        old/ (some parked originals already gone, manifest survives).
+        Rolling back here would lose the rows that existed only in the
+        already-deleted originals — recovery must roll FORWARD: keep the
+        compacted files, finish deleting old/ (round-3 review finding)."""
+        import shutil
+
+        root = str(tmp_path / "flat3")
+        self._flat_sink(spark, root)
+        before = sorted(r["id"] for r in spark.read.parquet(root).collect())
+        tmp_dir = os.path.join(root, "_compaction", "tmp")
+        spark.read.parquet(root).coalesce(1).write.parquet(tmp_dir)
+        tmp_files = [
+            f for f in os.listdir(tmp_dir) if not f.startswith(("_", "."))
+        ]
+        old_dir = os.path.join(root, "_compaction", "old")
+        os.makedirs(old_dir)
+        with open(os.path.join(old_dir, "_MANIFEST"), "w") as fh:
+            fh.write("\n".join(tmp_files))
+        originals = [
+            f for f in os.listdir(root)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(root, f))
+        ]
+        for f in originals:
+            shutil.move(os.path.join(root, f), os.path.join(old_dir, f))
+        # swap-in COMPLETES...
+        for f in tmp_files:
+            shutil.move(os.path.join(tmp_dir, f), os.path.join(root, f))
+        # ...then the old/ cleanup crashes after deleting SOME originals
+        os.remove(os.path.join(old_dir, originals[0]))
+        restored = recover_sinks(spark, root)
+        assert root.rstrip("/") not in [p.rstrip("/") for p in restored]
+        after = sorted(r["id"] for r in spark.read.parquet(root).collect())
+        assert after == before
+        assert not os.path.exists(os.path.join(root, "_compaction"))
+
+    def test_root_level_manifest_deleted_first_rolls_forward(
+        self, spark, tmp_path
+    ):
+        """The recursive old/ delete can remove _MANIFEST before the
+        parked originals. The manifest is written before anything is
+        parked, so manifest-missing + parked-present is only reachable
+        after a completed swap: recovery must finish the cleanup, not
+        resurrect the originals next to the compacted files."""
+        import shutil
+
+        root = str(tmp_path / "flat4")
+        self._flat_sink(spark, root)
+        before = sorted(r["id"] for r in spark.read.parquet(root).collect())
+        tmp_dir = os.path.join(root, "_compaction", "tmp")
+        spark.read.parquet(root).coalesce(1).write.parquet(tmp_dir)
+        tmp_files = [
+            f for f in os.listdir(tmp_dir) if not f.startswith(("_", "."))
+        ]
+        old_dir = os.path.join(root, "_compaction", "old")
+        os.makedirs(old_dir)
+        originals = [
+            f for f in os.listdir(root)
+            if not f.startswith(("_", ".")) and os.path.isfile(os.path.join(root, f))
+        ]
+        for f in originals:
+            shutil.move(os.path.join(root, f), os.path.join(old_dir, f))
+        for f in tmp_files:
+            shutil.move(os.path.join(tmp_dir, f), os.path.join(root, f))
+        # crash state: manifest already deleted, originals still parked
+        restored = recover_sinks(spark, root)
+        assert root.rstrip("/") not in [p.rstrip("/") for p in restored]
         after = sorted(r["id"] for r in spark.read.parquet(root).collect())
         assert after == before
         assert not os.path.exists(os.path.join(root, "_compaction"))

@@ -109,6 +109,29 @@ class TestBuildJoinDim:
         assert rw.projection == [("a_name", "lname"), ("b_name", "rname")]
         assert rw.predicates[0].dim_column == "k"
 
+    def test_flat_name_collision_with_bare_column(self, spark):
+        """The <alias>_<col> disambiguation can itself collide with a
+        referenced column whose bare name IS '<alias>_<col>' (a.x vs
+        b.a_x) — flat names must be globally unique or the derived dim
+        carries duplicate column names (round-3 review finding)."""
+        t1 = spark.createDataFrame(
+            [(1, "ax1", 10)], "k: long, x: string, fk: long"
+        )
+        t2 = spark.createDataFrame(
+            [(10, "bx10", "bax10")], "pk: long, x: string, a_x: string"
+        )
+        q = parse_lookup_query(
+            "SELECT a.x AS p, b.x AS q, b.a_x AS r FROM t1 a "
+            "JOIN t2 b ON a.fk = b.pk WHERE a.k = :k"
+        )
+        dim, rw = build_join_dim(q, {"t1": t1, "t2": t2})
+        assert len(set(dim.columns)) == len(dim.columns), dim.columns
+        (row,) = dim.collect()
+        got = {
+            alias: row[src] for src, alias in rw.projection
+        }
+        assert got == {"p": "ax1", "q": "bx10", "r": "bax10"}
+
     def test_ambiguous_bare_column_raises(self, spark):
         q = parse_lookup_query(
             "SELECT name AS nm FROM t1 a JOIN t2 b ON a.fk = b.pk WHERE a.k = :k"

@@ -463,6 +463,80 @@ class TestQualifiedColumns:
                 "SELECT name FROM servers WHERE other.ip = :ip"
             )
 
+    def test_wrong_projection_qualifier_raises(self):
+        with pytest.raises(ValidationError, match="unknown table qualifier"):
+            parse_lookup_query("SELECT other.name FROM servers WHERE ip = :ip")
+
+
+class TestSingleTableAlias:
+    """``FROM servers s`` with no join: Derby scopes the alias like the
+    table name, and the round-3 review found we accepted the alias in
+    FROM but rejected every ``s.``-qualified reference after it."""
+
+    def test_alias_qualified_refs_accepted_and_stripped(self):
+        q = parse_lookup_query(
+            "SELECT s.name, s.ip AS addr FROM servers s "
+            "WHERE s.ip = :ip AND lower(s.name) LIKE :pat"
+        )
+        assert q.projection == [("name", "name"), ("ip", "addr")]
+        p1, p2 = q.disjuncts[0]
+        assert p1.dim_column == "ip"
+        assert (p2.func, p2.dim_column) == ("lower", "name")
+
+    def test_as_alias_and_table_name_both_in_scope(self):
+        q = parse_lookup_query(
+            "SELECT servers.name FROM servers AS s WHERE s.ip = :ip"
+        )
+        assert q.projection == [("name", "name")]
+        assert q.disjuncts[0][0].dim_column == "ip"
+
+    def test_unknown_qualifier_still_raises_with_alias(self):
+        with pytest.raises(ValidationError, match="unknown table qualifier"):
+            parse_lookup_query(
+                "SELECT s.name FROM servers s WHERE z.ip = :ip"
+            )
+
+    def test_aliased_single_table_enriches(self, spark):
+        got = _enrich(
+            spark,
+            "SELECT d.name FROM dim d WHERE d.key = :k",
+            [("c", 1, "a", 1, 2), ("c", 2, "zz", 1, 2)],
+        )
+        assert got == {1: ["row-a1"], 2: []}
+
+
+class TestInlineStagingDedup:
+    def test_repeated_param_staged_once(self, spark):
+        """DNF normalization duplicates conjoined predicates into every
+        disjunct; the staged __pv derivation columns must be keyed by
+        (placeholder, derivation), not per occurrence (round-3 review)."""
+        import re as _re
+
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": (
+                        "SELECT name FROM dim "
+                        "WHERE (key = :k OR name = :k) AND name LIKE :k"
+                    ),
+                    "parameters": {"k": "k"},
+                }
+            ]
+        )
+        dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+        fact = spark.createDataFrame(
+            [("c", 1, "row-a1", None, None)], FACT_SCHEMA
+        )
+        out = LookupEnricher(spec, {"dim": dim}).apply(fact)
+        plan = out._jdf.queryExecution().analyzed().toString()
+        staged = set(_re.findall(r"__pv_hit_\d+", plan))
+        # one per distinct (param, derivation): (k, raw) + (k, LIKE-regex)
+        # — NOT one per flat predicate occurrence (which would be 4 here)
+        assert len(staged) == 2, staged
+        (row,) = out.collect()
+        assert [x["name"] for x in row["hit"]] == ["row-a1"]
+
 
 class TestWidenedConfigEndToEnd:
     """A user-facing JSON config using every round-3 WHERE widening

@@ -288,3 +288,51 @@ def test_multilookup_sprintf_wildcards_match_oracle(spark, sufs, dims, dtools, f
             event["matched"],
         )
     assert got == exp
+
+
+class TestOracleNegatedCoercion:
+    """Failed numeric-string coercion must stay NULL through negated ops
+    (<>, NOT IN, NOT BETWEEN) — Spark's failed cast yields NULL, the
+    comparison is NULL, and the dim row is dropped. The old oracle
+    collapsed the failed coercion to False and then negated it into a
+    spurious match (round-3 review finding)."""
+
+    def _run(self, where, event_fields, dim_rows):
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "x",
+                    "query": f"SELECT name FROM servers WHERE {where}",
+                    "parameters": {k: k for k in event_fields},
+                }
+            ]
+        )
+        event = {"conv_id": "c", "turn_idx": 1, **event_fields}
+        oracle.enhance(event, spec, {"servers": dim_rows})
+        return sorted(r["name"] for r in (event.get("x") or []))
+
+    DIM = [{"ip": "abc", "name": "n1"}, {"ip": "7", "name": "n7"}]
+
+    def test_neq_failed_coercion_is_no_match(self):
+        # 'abc' <> 5 is NULL in SQL (cast fails), not TRUE
+        assert self._run("ip <> :p", {"p": 5}, self.DIM) == ["n7"]
+
+    def test_neq_real_difference_still_matches(self):
+        assert self._run("ip <> :p", {"p": "zzz"}, self.DIM) == ["n1", "n7"]
+
+    def test_not_in_failed_coercion_is_no_match(self):
+        assert self._run("ip NOT IN (:p, 99)", {"p": 5}, self.DIM) == ["n7"]
+
+    def test_not_between_failed_coercion_is_no_match(self):
+        # both bound comparisons NULL for 'abc' -> predicate NULL -> drop
+        assert self._run(
+            "ip NOT BETWEEN :lo AND :hi", {"lo": 1, "hi": 9}, self.DIM
+        ) == []
+
+    def test_not_between_decided_by_one_bound(self):
+        # 'abc' >= 'x' is FALSE (string compare), so NOT BETWEEN is TRUE
+        # regardless of the numeric hi comparison being NULL; '7' < 'x'
+        # lexically too, so both rows match
+        assert self._run(
+            "ip NOT BETWEEN :lo AND :hi", {"lo": "x", "hi": 9}, self.DIM
+        ) == ["n1", "n7"]

@@ -52,6 +52,23 @@ class TestConnectedComponents:
         )
         assert {r["cluster_id"] for r in comp.collect()} == {7}
 
+    def test_string_ids_chain(self, spark):
+        """String-keyed graphs (e.g. conv_minhash_dedup's conv ids) must
+        converge exactly like numeric ones — the round-3 review found the
+        old decimal-checksum fixpoint was NULL-blind for non-numeric ids
+        and silently stopped after one round."""
+        edges = [
+            ("conv-b", "conv-c"), ("conv-c", "conv-d"), ("conv-a", "conv-b"),
+            ("zz-1", "zz-2"),
+        ]
+        pairs = spark.createDataFrame(edges, "id_a: string, id_b: string")
+        comp = D.connected_components(pairs)
+        got = {r["id"]: r["cluster_id"] for r in comp.collect()}
+        assert got == {
+            "conv-a": "conv-a", "conv-b": "conv-a", "conv-c": "conv-a",
+            "conv-d": "conv-a", "zz-1": "zz-1", "zz-2": "zz-1",
+        }
+
 
 class TestGlobalShuffle:
     def test_shard_and_pos_contract(self, spark, sf_dir):
