@@ -49,7 +49,10 @@ Spark-first physical design (NOT a port of the Derby execution path):
   / ``IN`` / ``BETWEEN``, ``IS [NOT] NULL``, AND/OR/parens, optional
   ``func(col)`` lhs wrappers and table-qualified columns — normalized
   to OR-of-conjunctions and compiled onto the same three paths (exact
-  grammar + physical mapping: COVERAGE.md §2B).
+  grammar + physical mapping: COVERAGE.md §2B), plus ``ORDER BY`` /
+  ``LIMIT`` / ``FETCH FIRST n ROWS ONLY`` result order: the payload
+  array is comparator-sorted (Derby null-largest semantics, sort keys
+  need not be projected) and sliced dim-side on every path.
 """
 
 from __future__ import annotations
@@ -279,6 +282,10 @@ class ParsedQuery:
     # can tell a derived-dim lookup from a plain one.
     base_alias: str = ""
     joins: tuple[_JoinPart, ...] = ()
+    # ORDER BY (col, ascending) keys — payload array order — and the
+    # LIMIT / FETCH FIRST n ROWS ONLY row cap, applied after ordering.
+    order_by: tuple[tuple[str, bool], ...] = ()
+    limit: int | None = None
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -704,6 +711,130 @@ def _to_dnf(node) -> list[list[_Predicate]]:
     return result
 
 
+_WORD_RE = re.compile(r"[A-Za-z_]\w*")
+
+
+def _find_tail(text: str) -> int | None:
+    """Index where a top-level ``ORDER BY`` / ``LIMIT`` / ``FETCH``
+    clause starts in ``text``, or None. Scans outside string literals
+    and parentheses only, so a pattern like ``'%order by%'`` inside a
+    LIKE literal can never split the query."""
+    i, n, depth = 0, len(text), 0
+    while i < n:
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 2  # '' escape
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            m = _WORD_RE.match(text, i)
+            w = m.group().lower()
+            boundary = i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_.:")
+            if boundary:
+                if w == "order" and re.match(
+                    r"\s+by\b", text[m.end():], re.IGNORECASE
+                ):
+                    return i
+                if w in ("limit", "fetch"):
+                    return i
+            i = m.end()
+            continue
+        i += 1
+    return None
+
+
+def _parse_tail(text: str) -> tuple[tuple[tuple[str, bool], ...], int | None]:
+    """Parse a trailing ``[ORDER BY col [ASC|DESC], ...]`` ``[LIMIT n |
+    FETCH FIRST|NEXT [n] ROW[S] ONLY]`` clause (Derby's result-order
+    surface; LIMIT accepted as the common dialect spelling)."""
+    toks = _tokenize_where(text)
+    pos = 0
+
+    def peek():
+        return toks[pos] if pos < len(toks) else None
+
+    def take():
+        nonlocal pos
+        t = peek()
+        if t is None:
+            raise ValidationError(
+                ["unsupported lookup query: unexpected end of ORDER BY/LIMIT clause"]
+            )
+        pos += 1
+        return t
+
+    def word_of(t):
+        return t[1].lower() if t and t[0] == "word" else None
+
+    order: list[tuple[str, bool]] = []
+    if word_of(peek()) == "order":
+        take()
+        if word_of(take()) != "by":
+            raise ValidationError(["unsupported lookup query: ORDER not followed by BY"])
+        while True:
+            kind, name = take()
+            if kind != "word" or name.lower() in ("asc", "desc", "limit", "fetch"):
+                raise ValidationError(
+                    [f"unsupported lookup ORDER BY: expected column, got {name!r}"]
+                )
+            asc = True
+            w = word_of(peek())
+            if w in ("asc", "desc"):
+                asc = take()[1].lower() == "asc"
+            order.append((name, asc))
+            if peek() is not None and peek()[0] == "comma":
+                take()
+                continue
+            break
+    limit: int | None = None
+    w = word_of(peek())
+    if w == "limit":
+        take()
+        kind, num = take()
+        if kind != "number" or not re.fullmatch(r"\d+", num):
+            raise ValidationError(
+                [f"unsupported lookup LIMIT: expected a row count, got {num!r}"]
+            )
+        limit = int(num)
+    elif w == "fetch":
+        take()
+        if word_of(take()) not in ("first", "next"):
+            raise ValidationError(
+                ["unsupported lookup FETCH: expected FIRST or NEXT"]
+            )
+        limit = 1
+        if peek() is not None and peek()[0] == "number":
+            num = take()[1]
+            if not re.fullmatch(r"\d+", num):
+                raise ValidationError(
+                    [f"unsupported lookup FETCH: expected a row count, got {num!r}"]
+                )
+            limit = int(num)
+        if word_of(take()) not in ("row", "rows"):
+            raise ValidationError(["unsupported lookup FETCH: expected ROW[S]"])
+        if word_of(take()) != "only":
+            raise ValidationError(["unsupported lookup FETCH: expected ONLY"])
+    if peek() is not None:
+        raise ValidationError(
+            [f"unsupported lookup query: trailing tokens after "
+             f"ORDER BY/LIMIT near {peek()[1]!r}"]
+        )
+    if limit is not None and limit < 1:
+        raise ValidationError(["unsupported lookup LIMIT: row count must be >= 1"])
+    return tuple(order), limit
+
+
 def parse_lookup_query(query: str) -> ParsedQuery:
     """Parse the lookup SQL surface (SURVEY 2B, widened per round-2
     verdict #1): projection with aliases or ``*``, single table, optional
@@ -714,7 +845,22 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     m = _QUERY_RE.match(query)
     if not m:
         raise ValidationError([f"unsupported lookup query shape: {query!r}"])
-    table, base_alias, joins = _parse_from(m.group("from"))
+    # Split a trailing ORDER BY / LIMIT / FETCH FIRST clause off the
+    # regex's greedy-tail group (the WHERE text when present, else the
+    # FROM text) before handing either to its parser.
+    from_text, where_text = m.group("from"), m.group("where")
+    order_by: tuple[tuple[str, bool], ...] = ()
+    limit: int | None = None
+    tail_holder = where_text if where_text is not None else from_text
+    cut = _find_tail(tail_holder)
+    if cut is not None:
+        order_by, limit = _parse_tail(tail_holder[cut:])
+        tail_holder = tail_holder[:cut]
+        if where_text is not None:
+            where_text = tail_holder
+        else:
+            from_text = tail_holder
+    table, base_alias, joins = _parse_from(from_text)
     quals: set[str] | None = None
     if joins:
         quals = {base_alias} | {j.alias for j in joins}
@@ -778,15 +924,50 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             for src, alias in projection
         ]
     disjuncts: list[list[_Predicate]] = []
-    where = m.group("where")
-    if where:
+    if where_text:
         single_alias = "" if joins else (
             base_alias if base_alias != table.lower() else ""
         )
         disjuncts = _WhereParser(
-            _tokenize_where(where), table, quals, alias=single_alias
+            _tokenize_where(where_text), table, quals, alias=single_alias
         ).parse()
-    return ParsedQuery(projection, table, disjuncts, base_alias, joins)
+    if order_by:
+        # SQL resolution order: a SELECT output alias first, then a base
+        # column (qualified names validated/stripped like the projection).
+        alias_to_src = {
+            alias: src for src, alias in (projection or []) if alias != src
+        }
+        resolved: list[tuple[str, bool]] = []
+        for col, asc in order_by:
+            if col in alias_to_src:
+                resolved.append((alias_to_src[col], asc))
+                continue
+            if joins:
+                if "." in col:
+                    q, c = col.split(".", 1)
+                    if q.lower() not in quals:
+                        raise ValidationError(
+                            [f"lookup ORDER BY: unknown relation qualifier "
+                             f"{q!r} in {col!r} (in scope: {sorted(quals)})"]
+                        )
+                    col = f"{q.lower()}.{c}"
+            elif "." in col:
+                prefix = col.split(".", 1)[0].lower()
+                if prefix == table.lower() or (
+                    base_alias != table.lower() and prefix == base_alias
+                ):
+                    col = col.split(".", 1)[1]
+                else:
+                    raise ValidationError(
+                        [f"lookup ORDER BY: unknown table qualifier in "
+                         f"{col!r} (FROM table is {table!r})"]
+                    )
+            resolved.append((col, asc))
+        order_by = tuple(resolved)
+    return ParsedQuery(
+        projection, table, disjuncts, base_alias, joins,
+        order_by=order_by, limit=limit,
+    )
 
 
 def build_join_dim(
@@ -869,7 +1050,8 @@ def build_join_dim(
     refs: list[tuple[str, str]] = []
     srcs = [s for s, _ in (parsed.projection or [])]
     pred_cols = [p.dim_column for p in parsed.predicates]
-    for ref in srcs + pred_cols:
+    order_cols = [c for c, _ in parsed.order_by]
+    for ref in srcs + pred_cols + order_cols:
         pair = resolve(ref)
         if pair not in refs:
             refs.append(pair)
@@ -901,7 +1083,11 @@ def build_join_dim(
         for d in parsed.disjuncts
     ]
     rewritten = ParsedQuery(
-        new_proj, parsed.table, new_disjuncts, parsed.base_alias, parsed.joins
+        new_proj, parsed.table, new_disjuncts, parsed.base_alias, parsed.joins,
+        order_by=tuple(
+            (flat[resolve(c)], asc) for c, asc in parsed.order_by
+        ),
+        limit=parsed.limit,
     )
     return dim, rewritten
 
@@ -965,6 +1151,12 @@ class CompiledLookup:
             if p.dim_column not in dim_fields:
                 raise ValidationError(
                     [f"lookup '{spec.id}': predicate column '{p.dim_column}' "
+                     f"not in table '{self.query.table}'"]
+                )
+        for c, _ in self.query.order_by:
+            if c not in dim_fields:
+                raise ValidationError(
+                    [f"lookup '{spec.id}': ORDER BY column '{c}' "
                      f"not in table '{self.query.table}'"]
                 )
         # Map placeholder name -> event binding string.
@@ -1113,10 +1305,20 @@ class CompiledLookup:
         keys = [
             _apply_lhs_func(p, F.col(p.dim_column)).alias(k) for k, p in key_cols
         ]
-        grouped = (
-            dim.groupBy(*keys)
-            .agg(F.sort_array(F.collect_list(payload)).alias("__payload"))
-        )
+        if self._has_result_order():
+            grouped = (
+                dim.groupBy(*keys)
+                .agg(F.collect_list(self._slim_row(F.col)).alias("__rows"))
+                .select(
+                    *[F.col(k) for k, _ in key_cols],
+                    self._assemble_payload(F.col("__rows")).alias("__payload"),
+                )
+            )
+        else:
+            grouped = (
+                dim.groupBy(*keys)
+                .agg(F.sort_array(F.collect_list(payload)).alias("__payload"))
+            )
         return grouped, [k for k, _ in key_cols]
 
     def _param_cols(self, schema: T.StructType) -> dict[str, BoundParam]:
@@ -1223,6 +1425,74 @@ class CompiledLookup:
             *[row.getField(src).alias(alias) for src, alias in self.out_fields]
         )
 
+    # ---- result-order contract (ORDER BY / LIMIT, Derby parity) -----
+    def _has_result_order(self) -> bool:
+        return bool(self.query.order_by) or self.query.limit is not None
+
+    def _slim_row(self, row_field) -> Column:
+        """Dim-shaped slim struct carrying exactly the columns the
+        payload projection and ORDER BY need (original names, deduped) —
+        what gets collected per match when a result order is requested,
+        so non-projected sort keys survive to the sort without dragging
+        the full dim row through the aggregation."""
+        names: list[str] = []
+        for src, _ in self.out_fields:
+            if src not in names:
+                names.append(src)
+        for c, _ in self.query.order_by:
+            if c not in names:
+                names.append(c)
+        return F.struct(*[row_field(n).alias(n) for n in names])
+
+    def _order_comparator(self):
+        """``array_sort`` comparator over dim-shaped elements: ORDER BY
+        keys under Derby's result-order semantics — NULL sorts as the
+        LARGEST value (nulls last ASC, nulls first DESC) — then a
+        deterministic full-payload tiebreak in projection order under
+        the same null-largest convention, matching the row-at-a-time
+        oracle's ``(v is None, v)`` sort key exactly."""
+        keys = list(self.query.order_by) + [
+            (src, True) for src, _ in self.out_fields
+        ]
+
+        def cmp(a: Column, b: Column) -> Column:
+            result: Column | None = None
+            for colname, asc in keys:
+                ka, kb = a.getField(colname), b.getField(colname)
+                lo, hi = (-1, 1) if asc else (1, -1)
+                c = (
+                    F.when(ka.isNull() & kb.isNull(), F.lit(0))
+                    .when(ka.isNull(), F.lit(hi))
+                    .when(kb.isNull(), F.lit(lo))
+                    .when(ka < kb, F.lit(lo))
+                    .when(ka > kb, F.lit(hi))
+                    .otherwise(F.lit(0))
+                )
+                result = (
+                    c if result is None
+                    else F.when(result != 0, result).otherwise(c)
+                )
+            return result
+
+        return cmp
+
+    def _assemble_payload(self, rows: Column) -> Column:
+        """``rows``: array of dim-shaped structs (at least the projected
+        + ORDER BY columns). With ORDER BY: comparator sort, project,
+        then LIMIT-slice. Without: the legacy deterministic contract
+        (``sort_array`` over projected structs), sliced when a bare
+        LIMIT is present."""
+        if self.query.order_by:
+            out = F.transform(
+                F.array_sort(rows, self._order_comparator()),
+                self._project_struct,
+            )
+        else:
+            out = F.sort_array(F.transform(rows, self._project_struct))
+        if self.query.limit is not None:
+            out = F.slice(out, 1, self.query.limit)
+        return out
+
     def _apply_inline(self, fact: DataFrame, params: dict[str, BoundParam]) -> DataFrame:
         """Small-dim theta lookup as a pure projection: filter a literal
         array-of-structs — no join, no shuffle, stays in codegen.
@@ -1273,7 +1543,7 @@ class CompiledLookup:
                 lambda f, p: rhs_map[f],
             ),
         )
-        payload = F.sort_array(F.transform(matched, self._project_struct))
+        payload = self._assemble_payload(matched)
         return staged.withColumn("__raw_payload", payload).drop(*tmp)
 
     def _apply_bnlj(self, fact: DataFrame, params: dict[str, BoundParam]) -> DataFrame:
@@ -1358,17 +1628,32 @@ class CompiledLookup:
             rhs_for_probe,
         )
 
-        payload_arr = F.sort_array(
-            F.filter(
-                F.collect_list(
-                    F.when(
-                        F.col(dim_alias).isNotNull(),
-                        self._project_struct(F.col(dim_alias)),
-                    )
-                ),
-                lambda x: x.isNotNull(),
+        if self._has_result_order():
+            payload_arr = self._assemble_payload(
+                F.filter(
+                    F.collect_list(
+                        F.when(
+                            F.col(dim_alias).isNotNull(),
+                            self._slim_row(
+                                lambda n: F.col(dim_alias).getField(n)
+                            ),
+                        )
+                    ),
+                    lambda x: x.isNotNull(),
+                )
             )
-        )
+        else:
+            payload_arr = F.sort_array(
+                F.filter(
+                    F.collect_list(
+                        F.when(
+                            F.col(dim_alias).isNotNull(),
+                            self._project_struct(F.col(dim_alias)),
+                        )
+                    ),
+                    lambda x: x.isNotNull(),
+                )
+            )
         if fk_names:
             tuples = with_keys.select(
                 *[F.col(f).alias(m) for f, m in zip(fk_names, mk_names)]

@@ -188,7 +188,7 @@ def run_lookup(
     if not valid:
         tags.extend(spec.tag_on_failure)
         return False, tags
-    rows = []
+    matched: list[tuple[dict, dict]] = []  # (raw row, projected row)
     for row in table:
         # DNF: any disjunct fully matching admits the row ([] == no WHERE)
         match = not q.disjuncts
@@ -202,13 +202,45 @@ def run_lookup(
                 if q.projection is None
                 else q.projection
             )
-            rows.append({alias: row.get(src) for src, alias in fields})
-    if not rows and spec.use_default:
+            matched.append((row, {alias: row.get(src) for src, alias in fields}))
+    if not matched and spec.use_default:
         event[spec.target] = [dict(spec.default_hash)]
         tags.extend(spec.tag_on_default_use)
         return True, tags
-    # deterministic ordering to mirror sort_array(collect_list(...))
-    rows.sort(key=lambda r: [(v is None, v) for v in r.values()])
+    if q.order_by:
+        # ORDER BY under Derby result-order semantics (NULL largest),
+        # full-payload tiebreak — the mirror of _order_comparator
+        import functools
+
+        def cmp(a, b):
+            for col, asc in q.order_by:
+                ka, kb = a[0].get(col), b[0].get(col)
+                if ka is None and kb is None:
+                    c = 0
+                elif ka is None:
+                    c = 1
+                elif kb is None:
+                    c = -1
+                else:
+                    c = -1 if ka < kb else (1 if ka > kb else 0)
+                if not asc:
+                    c = -c
+                if c:
+                    return c
+            ta = [(v is None, v) for v in a[1].values()]
+            tb = [(v is None, v) for v in b[1].values()]
+            return -1 if ta < tb else (1 if ta > tb else 0)
+
+        matched.sort(key=functools.cmp_to_key(cmp))
+        rows = [proj for _, proj in matched]
+    else:
+        # deterministic ordering to mirror sort_array(collect_list(...))
+        rows = sorted(
+            (proj for _, proj in matched),
+            key=lambda r: [(v is None, v) for v in r.values()],
+        )
+    if q.limit is not None:
+        rows = rows[: q.limit]
     event[spec.target] = rows
     return True, tags
 

@@ -1,0 +1,97 @@
+"""Seventh wave of gated queries: the lookup result-order surface.
+
+``lookup_order_limit`` — a lookup whose SQL carries ``ORDER BY`` over a
+NON-projected dim column plus ``LIMIT`` (Derby executes both verbatim,
+lookup.rb:131-147; docs/index.asciidoc:116-122 shows only unordered
+shapes, so this is the generality surface a real config hits first when
+it wants "the newest/top-n matching rows"). The payload array order is
+user-visible (A11 writes rows in result order), so the driver gate
+hashes an ORDER-PRESERVING join of the payload — not the sorted join
+the unordered lookups use.
+
+Physical path: the query is pure-equi (``tool = :tool``), so this pins
+the key-grouped broadcast-hash path's ordered branch: the dim groups
+collect slim (rack, ip) structs, comparator-sort them by ``ip DESC``
+(Derby null-largest semantics), project to the payload, and slice to
+the LIMIT — all dim-side, once per refresh snapshot; the fact side
+still never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
+from logstash_filter_jdbc_static_spark.queries import register
+from logstash_filter_jdbc_static_spark.queries_pipeline3 import (
+    HOST_ROWS,
+    HOST_SCHEMA,
+    _HOSTS_CTE,
+)
+from logstash_filter_jdbc_static_spark.sources.transcripts import (
+    TRANSCRIPTS_CTE,
+    load_transcripts,
+    with_ctes,
+)
+from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+
+@register(
+    "lookup_order_limit",
+    with_ctes(
+        _HOSTS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        ranked AS (
+          SELECT tool, rack,
+                 row_number() OVER (PARTITION BY tool ORDER BY ip DESC) AS rn
+          FROM host_assignments
+        )
+        """,
+        """
+        agg AS (
+          SELECT tool,
+                 CAST(count(*) AS BIGINT) AS n_hosts,
+                 array_to_string(list(rack ORDER BY rn), '|') AS racks_str
+          FROM ranked
+          WHERE rn <= 2
+          GROUP BY tool
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(a.n_hosts, CAST(0 AS BIGINT)) AS n_hosts,
+               coalesce(a.racks_str, '') AS racks_str
+        FROM transcripts t
+        LEFT JOIN agg a ON a.tool = t.tool
+        """,
+    ),
+)
+def lookup_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "hosts",
+                "query": (
+                    "SELECT rack FROM host_assignments "
+                    "WHERE tool = :tool ORDER BY ip DESC LIMIT 2"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"host_assignments": spark.createDataFrame(HOST_ROWS, HOST_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("hosts").cast("long").alias("n_hosts"),
+        # ORDER-preserving join: the payload order IS the contract here
+        F.array_join(
+            F.transform(F.col("hosts"), lambda r: r.getField("rack")), "|"
+        ).alias("racks_str"),
+    )

@@ -247,3 +247,47 @@ class TestJoinRowOracle:
                 [(x["nm"], x["lb"]) for x in (event.get("x") or [])]
             )
             assert got[i] == oracle_rows, f"key={i}"
+
+
+class TestJoinOrderLimit:
+    def test_order_by_non_projected_join_col(self, spark):
+        """ORDER BY over a joined relation's NON-projected column: the
+        derived dim must carry it (build_join_dim refs) and the payload
+        must come back in that order, LIMIT-sliced."""
+        t1 = spark.createDataFrame(
+            [(1, "x1", 10), (1, "x2", 20), (1, "x3", 99)],
+            "k: long, name: string, fk: long",
+        )
+        t2 = spark.createDataFrame(
+            [(10, 5, "b10"), (20, 9, "b20"), (99, 1, "b99")],
+            "pk: long, prio: long, label: string",
+        )
+        q = parse_lookup_query(
+            "SELECT b.label AS lb FROM t1 a JOIN t2 b ON a.fk = b.pk "
+            "WHERE a.k = :k ORDER BY b.prio DESC LIMIT 2"
+        )
+        dim, rw = build_join_dim(q, {"t1": t1, "t2": t2})
+        assert "prio" in dim.columns  # non-projected order key carried
+        assert rw.order_by == (("prio", False),) and rw.limit == 2
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "x",
+                    "query": (
+                        "SELECT b.label AS lb FROM t1 a JOIN t2 b "
+                        "ON a.fk = b.pk WHERE a.k = :k "
+                        "ORDER BY b.prio DESC LIMIT 2"
+                    ),
+                    "parameters": {"k": "key"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame(
+            [("c1", 1, 1), ("c2", 2, 7)], "conv_id: string, turn_idx: long, key: long"
+        )
+        out = LookupEnricher(spec, {"t1": t1, "t2": t2}).apply(fact)
+        got = {
+            r["key"]: None if r["x"] is None else [e["lb"] for e in r["x"]]
+            for r in out.collect()
+        }
+        assert got == {1: ["b20", "b10"], 7: []}

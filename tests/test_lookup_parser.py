@@ -636,3 +636,143 @@ class TestWidenedConfigEndToEnd:
         ]
         assert got[3][0] == [("unknown", "NOWHERE")]  # default path
         assert got[4][0] is None and got[4][3] is False
+
+
+class TestOrderByLimitParser:
+    def test_order_by_and_limit(self):
+        q = parse_lookup_query(
+            "SELECT name FROM servers WHERE ip = :ip ORDER BY name DESC, ip LIMIT 2"
+        )
+        assert q.order_by == (("name", False), ("ip", True))
+        assert q.limit == 2
+        assert q.is_pure_equi  # ORDER BY must not break the equi path
+
+    def test_fetch_first_rows_only(self):
+        q = parse_lookup_query(
+            "SELECT name FROM servers ORDER BY ip FETCH FIRST 3 ROWS ONLY"
+        )
+        assert q.order_by == (("ip", True),) and q.limit == 3
+        q = parse_lookup_query("SELECT name FROM servers FETCH FIRST ROW ONLY")
+        assert q.order_by == () and q.limit == 1
+
+    def test_order_without_where_or_limit(self):
+        q = parse_lookup_query("SELECT name FROM servers ORDER BY name")
+        assert q.order_by == (("name", True),) and q.limit is None
+        assert q.disjuncts == []
+
+    def test_projection_alias_resolves_to_source(self):
+        q = parse_lookup_query("SELECT ip AS addr FROM servers ORDER BY addr")
+        assert q.order_by == (("ip", True),)
+
+    def test_qualified_order_col_stripped(self):
+        q = parse_lookup_query(
+            "SELECT s.name FROM servers s WHERE s.ip = :ip ORDER BY s.ip DESC"
+        )
+        assert q.order_by == (("ip", False),)
+
+    def test_like_literal_containing_keywords_not_split(self):
+        q = parse_lookup_query(
+            "SELECT name FROM servers WHERE os LIKE '%order by limit%' ORDER BY name"
+        )
+        assert q.order_by == (("name", True),)
+        assert q.disjuncts[0][0].literal == "%order by limit%"
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "SELECT name FROM servers ORDER BY",
+            "SELECT name FROM servers LIMIT",
+            "SELECT name FROM servers LIMIT 0",
+            "SELECT name FROM servers LIMIT x",
+            "SELECT name FROM servers ORDER BY name ASC DESC",
+            "SELECT name FROM servers FETCH FIRST 2 ONLY",
+            "SELECT name FROM servers LIMIT 2 trailing",
+            "SELECT name FROM servers ORDER BY z.name",
+        ],
+    )
+    def test_malformed_raises(self, bad):
+        with pytest.raises(ValidationError):
+            parse_lookup_query(bad)
+
+    def test_unknown_order_column_rejected_at_compile(self, spark):
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": "SELECT name FROM dim WHERE key = :k ORDER BY missing",
+                    "parameters": {"k": "k"},
+                }
+            ]
+        )
+        dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+        with pytest.raises(ValidationError, match="ORDER BY column"):
+            LookupEnricher(spec, {"dim": dim})
+
+
+ORDER_DIM_ROWS = [
+    ("a", 3, "r1"),
+    ("a", 1, "r2"),
+    ("a", None, "r3"),
+    ("a", 2, "r4"),
+    ("b", 9, "r5"),
+]
+
+
+def _order_enrich(spark, query, **kw):
+    spec = PipelineSpec(
+        lookups=[{"id": "hit", "query": query, "parameters": {"k": "k"}}]
+    )
+    dim = spark.createDataFrame(ORDER_DIM_ROWS, "key string, num int, name string")
+    facts = [("c", 1, "a"), ("c", 2, "b"), ("c", 3, "z")]
+    out = LookupEnricher(spec, {"dim": dim}, **kw).apply(
+        spark.createDataFrame(facts, "conv_id string, turn_idx int, k string")
+    )
+    return {
+        r["turn_idx"]: None if r["hit"] is None else [
+            x["name"] for x in r["hit"]
+        ]
+        for r in out.collect()
+    }
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},  # equi path (ordered _grouped_dim branch) / inline for theta
+        {"inline_threshold": 0},
+        {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+    ],
+)
+class TestOrderByLimitGolden:
+    def test_equi_order_desc_nulls_first_limit(self, spark, kw):
+        # Derby result order: NULL is the LARGEST value, so num DESC
+        # puts the NULL row first; LIMIT 3 then slices
+        got = _order_enrich(
+            spark,
+            "SELECT name FROM dim WHERE key = :k ORDER BY num DESC LIMIT 3",
+            **kw,
+        )
+        assert got == {1: ["r3", "r1", "r4"], 2: ["r5"], 3: []}
+
+    def test_theta_order_asc_non_projected_key(self, spark, kw):
+        # key <= :k keeps this off the equi path on every engine config;
+        # num ASC puts the NULL row LAST
+        got = _order_enrich(
+            spark,
+            "SELECT name FROM dim WHERE key <= :k ORDER BY num",
+            **kw,
+        )
+        assert got == {
+            1: ["r2", "r4", "r1", "r3"],
+            2: ["r2", "r4", "r1", "r5", "r3"],
+            3: ["r2", "r4", "r1", "r5", "r3"],
+        }
+
+    def test_bare_limit_keeps_default_sort(self, spark, kw):
+        # no ORDER BY: legacy deterministic payload sort, then slice
+        got = _order_enrich(
+            spark,
+            "SELECT name FROM dim WHERE key = :k LIMIT 2",
+            **kw,
+        )
+        assert got == {1: ["r1", "r2"], 2: ["r5"], 3: []}

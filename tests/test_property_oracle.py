@@ -336,3 +336,67 @@ class TestOracleNegatedCoercion:
         assert self._run(
             "ip NOT BETWEEN :lo AND :hi", {"lo": "x", "hi": 9}, self.DIM
         ) == ["n1", "n7"]
+
+
+ORDER_TEMPLATES = [
+    ("ip = :ip", "ORDER BY name DESC LIMIT 2"),          # equi path
+    ("ip LIKE :ip", "ORDER BY name DESC, ip"),
+    ("ip <= :ip", "ORDER BY ip DESC FETCH FIRST 3 ROWS ONLY"),
+    ("ip BETWEEN :ip AND 'k3'", "LIMIT 1"),              # bare LIMIT
+]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=fact_rows,
+    dims=dim_rows,
+    template=st.sampled_from(ORDER_TEMPLATES),
+    engine=engine_cfg,
+)
+def test_order_limit_matches_row_at_a_time_oracle(
+    spark, facts, dims, template, engine
+):
+    """ORDER BY / LIMIT result order, compared ORDER-SENSITIVELY (lists,
+    not sorted sets) between the Spark enricher and the row-at-a-time
+    oracle on every physical path."""
+    where, tail = template
+    lookup = {
+        "id": "server",
+        "query": f"SELECT name FROM servers WHERE {where} {tail}",
+        "parameters": {"ip": "ip"},
+    }
+    spec = PipelineSpec(lookups=[lookup])
+    spec2 = PipelineSpec(lookups=[dict(lookup)])
+
+    fact_data = [(f"c{i}", i, k[0]) for i, k in enumerate(facts)]
+    fact_df = spark.createDataFrame(fact_data, FACT_SCHEMA)
+    dim_df = spark.createDataFrame(dims, DIM_SCHEMA)
+
+    kw = {}
+    if engine is not None:
+        kw = {"inline_threshold": engine[0], "pattern_strategy": engine[1]}
+    enricher = LookupEnricher(spec, {"servers": dim_df}, **kw)
+    got = {
+        r["turn_idx"]: (
+            None if r["server"] is None else [d["name"] for d in r["server"]]
+        )
+        for r in enricher.apply(fact_df).collect()
+    }
+
+    tables = {"servers": [{"ip": ip, "name": nm} for ip, nm in dims]}
+    exp = {}
+    for conv_id, turn_idx, ip in fact_data:
+        event = {"conv_id": conv_id, "turn_idx": turn_idx}
+        if ip is not None:
+            event["ip"] = ip
+        oracle.enhance(event, spec2, tables)
+        exp[turn_idx] = (
+            None if event.get("server") is None
+            else [d["name"] for d in event["server"]]
+        )
+    assert got == exp
