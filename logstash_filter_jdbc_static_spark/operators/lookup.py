@@ -286,6 +286,10 @@ class ParsedQuery:
     # LIMIT / FETCH FIRST n ROWS ONLY row cap, applied after ordering.
     order_by: tuple[tuple[str, bool], ...] = ()
     limit: int | None = None
+    # SELECT DISTINCT: dedupe payload rows (SQL order: DISTINCT, then
+    # ORDER BY — whose keys must be selected, as Derby enforces — then
+    # LIMIT).
+    distinct: bool = False
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -312,7 +316,7 @@ class ParsedQuery:
 
 
 _QUERY_RE = re.compile(
-    r"^\s*select\s+(?P<proj>.+?)\s+from\s+(?P<from>.+?)"
+    r"^\s*select\s+(?P<distinct>distinct\s+)?(?P<proj>.+?)\s+from\s+(?P<from>.+?)"
     r"(?:\s+where\s+(?P<where>.+?))?\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
@@ -964,9 +968,18 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                     )
             resolved.append((col, asc))
         order_by = tuple(resolved)
+    distinct = m.group("distinct") is not None
+    if distinct and order_by and projection is not None:
+        srcs = {src for src, _ in projection}
+        bad = [c for c, _ in order_by if c not in srcs]
+        if bad:
+            raise ValidationError(
+                [f"lookup ORDER BY column(s) {bad} must appear in the "
+                 f"SELECT list when DISTINCT is used"]
+            )
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,
-        order_by=order_by, limit=limit,
+        order_by=order_by, limit=limit, distinct=distinct,
     )
 
 
@@ -1088,6 +1101,7 @@ def build_join_dim(
             (flat[resolve(c)], asc) for c, asc in parsed.order_by
         ),
         limit=parsed.limit,
+        distinct=parsed.distinct,
     )
     return dim, rewritten
 
@@ -1425,9 +1439,16 @@ class CompiledLookup:
             *[row.getField(src).alias(alias) for src, alias in self.out_fields]
         )
 
-    # ---- result-order contract (ORDER BY / LIMIT, Derby parity) -----
+    # ---- result-shape contract (DISTINCT / ORDER BY / LIMIT) --------
     def _has_result_order(self) -> bool:
-        return bool(self.query.order_by) or self.query.limit is not None
+        """True when the payload needs the assembly pipeline instead of
+        the legacy sort_array contract (DISTINCT counts: dedupe happens
+        on the assembled projected array)."""
+        return (
+            bool(self.query.order_by)
+            or self.query.limit is not None
+            or self.query.distinct
+        )
 
     def _slim_row(self, row_field) -> Column:
         """Dim-shaped slim struct carrying exactly the columns the
@@ -1489,6 +1510,12 @@ class CompiledLookup:
             )
         else:
             out = F.sort_array(F.transform(rows, self._project_struct))
+        if self.query.distinct:
+            # SQL applies DISTINCT before ORDER BY; deduping the sorted
+            # array is equivalent because DISTINCT's ORDER BY keys must
+            # be selected (array_distinct keeps first occurrences, which
+            # are in payload order)
+            out = F.array_distinct(out)
         if self.query.limit is not None:
             out = F.slice(out, 1, self.query.limit)
         return out

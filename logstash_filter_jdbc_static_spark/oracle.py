@@ -239,6 +239,16 @@ def run_lookup(
             (proj for _, proj in matched),
             key=lambda r: [(v is None, v) for v in r.values()],
         )
+    if q.distinct:
+        # dedupe projected rows, first occurrence wins (payload order)
+        seen: set = set()
+        uniq = []
+        for r in rows:
+            key = tuple(sorted(r.items(), key=lambda kv: kv[0]))
+            if key not in seen:
+                seen.add(key)
+                uniq.append(r)
+        rows = uniq
     if q.limit is not None:
         rows = rows[: q.limit]
     event[spec.target] = rows

@@ -1,4 +1,5 @@
-"""Seventh wave of gated queries: the lookup result-order surface.
+"""Seventh wave of gated queries: the lookup result-shape surface
+(ORDER BY / LIMIT / SELECT DISTINCT).
 
 ``lookup_order_limit`` — a lookup whose SQL carries ``ORDER BY`` over a
 NON-projected dim column plus ``LIMIT`` (Derby executes both verbatim,
@@ -94,4 +95,87 @@ def lookup_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.transform(F.col("hosts"), lambda r: r.getField("rack")), "|"
         ).alias("racks_str"),
+    )
+
+
+# ------------------------------------------------------------------
+# 2. SELECT DISTINCT lookup: patterns spanning several dim rows that
+#    share a tool must yield each tool ONCE, in ORDER BY order (Derby
+#    enforces DISTINCT's ORDER BY keys to be selected — so does the
+#    parser). Theta path (LIKE): inline literal-array filter with
+#    array_distinct on the assembled payload.
+# ------------------------------------------------------------------
+
+_PAT_SQL = (
+    "CASE CAST(turn_idx % 3 AS INTEGER) WHEN 0 THEN '%.1.1' "
+    "WHEN 1 THEN '10.1.%' ELSE '10.9.%' END"
+)
+
+
+@register(
+    "lookup_distinct",
+    with_ctes(
+        _HOSTS_CTE,
+        TRANSCRIPTS_CTE,
+        f"""
+        pats AS (
+          SELECT conv_id, turn_idx, {_PAT_SQL} AS ip_pat
+          FROM transcripts
+        )
+        """,
+        """
+        matches AS (
+          SELECT DISTINCT p.conv_id, p.turn_idx, h.tool
+          FROM pats p JOIN host_assignments h ON h.ip LIKE p.ip_pat
+        )
+        """,
+        """
+        agg AS (
+          SELECT conv_id, turn_idx,
+                 CAST(count(*) AS BIGINT) AS n_tools,
+                 array_to_string(list(tool ORDER BY tool), '|') AS tools_str
+          FROM matches
+          GROUP BY 1, 2
+        )
+        """,
+        body="""
+        SELECT p.conv_id, p.turn_idx, p.ip_pat,
+               coalesce(a.n_tools, CAST(0 AS BIGINT)) AS n_tools,
+               coalesce(a.tools_str, '') AS tools_str
+        FROM pats p
+        LEFT JOIN agg a ON a.conv_id = p.conv_id AND a.turn_idx = p.turn_idx
+        """,
+    ),
+)
+def lookup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir).withColumn(
+        "ip_pat",
+        F.when(F.col("turn_idx") % 3 == 0, F.lit("%.1.1"))
+        .when(F.col("turn_idx") % 3 == 1, F.lit("10.1.%"))
+        .otherwise(F.lit("10.9.%")),
+    )
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "tools",
+                "query": (
+                    "SELECT DISTINCT tool FROM host_assignments "
+                    "WHERE ip LIKE :pat ORDER BY tool"
+                ),
+                "parameters": {"pat": "ip_pat"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"host_assignments": spark.createDataFrame(HOST_ROWS, HOST_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ip_pat",
+        F.size("tools").cast("long").alias("n_tools"),
+        F.array_join(
+            F.transform(F.col("tools"), lambda r: r.getField("tool")), "|"
+        ).alias("tools_str"),
     )

@@ -776,3 +776,81 @@ class TestOrderByLimitGolden:
             **kw,
         )
         assert got == {1: ["r1", "r2"], 2: ["r5"], 3: []}
+
+
+class TestSelectDistinct:
+    def test_distinct_parses(self):
+        q = parse_lookup_query(
+            "SELECT DISTINCT tool FROM hosts WHERE ip LIKE :p ORDER BY tool LIMIT 3"
+        )
+        assert q.distinct and q.order_by == (("tool", True),) and q.limit == 3
+
+    def test_distinct_star_allowed(self):
+        assert parse_lookup_query("SELECT DISTINCT * FROM hosts").distinct
+
+    def test_distinct_order_key_must_be_selected(self):
+        # Derby rejects ORDER BY over a non-selected column under DISTINCT
+        with pytest.raises(ValidationError, match="must appear in the"):
+            parse_lookup_query("SELECT DISTINCT tool FROM hosts ORDER BY ip")
+
+    def test_non_distinct_unchanged(self):
+        assert not parse_lookup_query("SELECT tool FROM hosts").distinct
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"inline_threshold": 0},
+        {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+    ],
+)
+class TestSelectDistinctGolden:
+    DIM = [
+        ("t0", "10.1.1.1"),
+        ("t0", "10.3.1.1"),
+        ("t2", "10.1.1.1"),
+        ("t2", "10.2.1.1"),
+        ("t1", "10.2.1.1"),
+    ]
+
+    def _run(self, spark, query, facts, **kw):
+        spec = PipelineSpec(
+            lookups=[{"id": "hit", "query": query, "parameters": {"p": "p"}}]
+        )
+        dim = spark.createDataFrame(self.DIM, "tool string, ip string")
+        out = LookupEnricher(spec, {"hosts": dim}, **kw).apply(
+            spark.createDataFrame(facts, "conv_id string, turn_idx int, p string")
+        )
+        first_field = out.schema["hit"].dataType.elementType.fields[0].name
+        return {
+            r["turn_idx"]: [x[first_field] for x in (r["hit"] or [])]
+            for r in out.collect()
+        }
+
+    def test_theta_distinct_ordered(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT DISTINCT tool FROM hosts WHERE ip LIKE :p ORDER BY tool DESC",
+            [("c", 1, "%.1.1"), ("c", 2, "%.9.9")],
+            **kw,
+        )
+        assert got == {1: ["t2", "t1", "t0"], 2: []}
+
+    def test_distinct_default_sort_and_limit(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT DISTINCT tool FROM hosts WHERE ip LIKE :p LIMIT 2",
+            [("c", 1, "%.1.1")],
+            **kw,
+        )
+        assert got == {1: ["t0", "t1"]}
+
+    def test_equi_distinct(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT DISTINCT ip FROM hosts WHERE tool = :p",
+            [("c", 1, "t0"), ("c", 2, "zz")],
+            **kw,
+        )
+        assert got == {1: ["10.1.1.1", "10.3.1.1"], 2: []}
