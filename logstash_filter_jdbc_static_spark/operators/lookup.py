@@ -290,6 +290,12 @@ class ParsedQuery:
     # ORDER BY — whose keys must be selected, as Derby enforces — then
     # LIMIT).
     distinct: bool = False
+    # Aggregate projection (``SELECT count(*) AS n, max(col) AS m``):
+    # (func, col | None for ``*``, alias) triples. Mutually exclusive
+    # with plain columns (no GROUP BY surface) and with
+    # DISTINCT/ORDER BY/LIMIT; the payload is always exactly ONE row —
+    # SQL aggregates over an empty set still return a row.
+    aggregates: tuple[tuple[str, str | None, str], ...] = ()
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -322,6 +328,11 @@ _QUERY_RE = re.compile(
 )
 
 _SIMPLE_TABLE_RE = re.compile(r"^[A-Za-z_][\w.]*$")
+
+_AGG_RE = re.compile(
+    r"^(?P<func>count|sum|min|max|avg)\s*\(\s*(?P<arg>\*|[A-Za-z_][\w.]*)\s*\)$",
+    re.IGNORECASE,
+)
 
 _TOKEN_RE = re.compile(
     r"""(?:
@@ -874,6 +885,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             )
     proj_raw = m.group("proj").strip()
     projection: list[tuple[str, str]] | None
+    aggregates: list[tuple[str, str | None, str]] = []
     if proj_raw == "*":
         if joins:
             raise ValidationError(
@@ -885,10 +897,34 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         projection = []
         for item in proj_raw.split(","):
             parts = re.split(r"\s+as\s+", item.strip(), flags=re.IGNORECASE)
-            if len(parts) == 2:
-                projection.append((parts[0].strip(), parts[1].strip()))
+            src = parts[0].strip()
+            am = _AGG_RE.match(src)
+            if am:
+                if len(parts) != 2:
+                    raise ValidationError(
+                        [f"lookup aggregate projection {src!r} requires an "
+                         f"AS alias (the payload hash is keyed by it)"]
+                    )
+                func = am.group("func").lower()
+                arg = am.group("arg")
+                if arg == "*" and func != "count":
+                    raise ValidationError(
+                        [f"lookup aggregate: {func}(*) is not valid SQL "
+                         f"(only count(*))"]
+                    )
+                aggregates.append(
+                    (func, None if arg == "*" else arg, parts[1].strip())
+                )
+            elif len(parts) == 2:
+                projection.append((src, parts[1].strip()))
             else:
                 projection.append((item.strip(), item.strip()))
+        if aggregates and projection:
+            raise ValidationError(
+                ["lookup projection cannot mix aggregates with plain "
+                 "columns (no GROUP BY surface — aggregate over the "
+                 "matching rows only)"]
+            )
     if projection is not None and joins:
         # keep in-scope qualifiers on sources (lowercased alias);
         # output aliases always flatten to the bare column name.
@@ -977,9 +1013,40 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 [f"lookup ORDER BY column(s) {bad} must appear in the "
                  f"SELECT list when DISTINCT is used"]
             )
+    if aggregates:
+        if distinct or order_by or limit is not None:
+            raise ValidationError(
+                ["lookup aggregate projection cannot combine with "
+                 "DISTINCT/ORDER BY/LIMIT (the result is a single row)"]
+            )
+        # qualifier handling on the aggregate argument, mirroring the
+        # plain-projection rules
+        norm_aggs: list[tuple[str, str | None, str]] = []
+        for func, col, alias in aggregates:
+            if col is not None and "." in col:
+                q, c = col.split(".", 1)
+                if joins:
+                    if q.lower() not in quals:
+                        raise ValidationError(
+                            [f"lookup aggregate: unknown relation qualifier "
+                             f"{q!r} in {col!r} (in scope: {sorted(quals)})"]
+                        )
+                    col = f"{q.lower()}.{c}"
+                elif q.lower() == table.lower() or (
+                    base_alias != table.lower() and q.lower() == base_alias
+                ):
+                    col = c
+                else:
+                    raise ValidationError(
+                        [f"lookup aggregate: unknown table qualifier in "
+                         f"{col!r} (FROM table is {table!r})"]
+                    )
+            norm_aggs.append((func, col, alias))
+        aggregates = norm_aggs
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,
         order_by=order_by, limit=limit, distinct=distinct,
+        aggregates=tuple(aggregates),
     )
 
 
@@ -1064,7 +1131,8 @@ def build_join_dim(
     srcs = [s for s, _ in (parsed.projection or [])]
     pred_cols = [p.dim_column for p in parsed.predicates]
     order_cols = [c for c, _ in parsed.order_by]
-    for ref in srcs + pred_cols + order_cols:
+    agg_cols = [c for _, c, _ in parsed.aggregates if c is not None]
+    for ref in srcs + pred_cols + order_cols + agg_cols:
         pair = resolve(ref)
         if pair not in refs:
             refs.append(pair)
@@ -1102,6 +1170,10 @@ def build_join_dim(
         ),
         limit=parsed.limit,
         distinct=parsed.distinct,
+        aggregates=tuple(
+            (func, None if c is None else flat[resolve(c)], alias)
+            for func, c, alias in parsed.aggregates
+        ),
     )
     return dim, rewritten
 
@@ -1152,7 +1224,27 @@ class CompiledLookup:
             self._dim_count_cache = dim_rows
         # Resolve projection against the dim schema.
         dim_fields = {f.name: f.dataType for f in dim_df.schema.fields}
-        if self.query.projection is None:
+        if self.query.aggregates:
+            for func, col, _ in self.query.aggregates:
+                if col is not None and col not in dim_fields:
+                    raise ValidationError(
+                        [f"lookup '{spec.id}': aggregate column '{col}' "
+                         f"not in table '{self.query.table}'"]
+                    )
+                if func in ("sum", "avg") and not isinstance(
+                    dim_fields[col],
+                    (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                     T.FloatType, T.DoubleType),
+                ):
+                    raise ValidationError(
+                        [f"lookup '{spec.id}': {func}({col}) requires an "
+                         f"integer or floating-point column "
+                         f"(got {dim_fields[col].simpleString()})"]
+                    )
+            self.out_fields = [
+                (alias, alias) for _, _, alias in self.query.aggregates
+            ]
+        elif self.query.projection is None:
             self.out_fields = [(f.name, f.name) for f in dim_df.schema.fields]
         else:
             for src, _ in self.query.projection:
@@ -1193,7 +1285,33 @@ class CompiledLookup:
         self._default_array = self._build_default_array()
 
     # ---- payload/result shapes -------------------------------------
+    def _agg_result_type(self, func: str, col: str | None) -> T.DataType:
+        """Aggregate result types, matching Spark's native aggregate
+        outputs so the equi path (real groupBy agg) and the theta paths
+        (array-expression aggregates) agree: count -> long; sum -> long
+        for integral inputs, double for fractional; avg -> double;
+        min/max -> the column's own type."""
+        dim_fields = {f.name: f.dataType for f in self.dim_df.schema.fields}
+        if func == "count":
+            return T.LongType()
+        if func == "avg":
+            return T.DoubleType()
+        if func == "sum":
+            return (
+                T.DoubleType()
+                if isinstance(dim_fields[col], (T.FloatType, T.DoubleType))
+                else T.LongType()
+            )
+        return dim_fields[col]  # min/max
+
     def _payload_struct_type(self) -> T.StructType:
+        if self.query.aggregates:
+            return T.StructType(
+                [
+                    T.StructField(alias, self._agg_result_type(func, col), True)
+                    for func, col, alias in self.query.aggregates
+                ]
+            )
         dim_fields = {f.name: f.dataType for f in self.dim_df.schema.fields}
         return T.StructType(
             [T.StructField(alias, dim_fields[src], True) for src, alias in self.out_fields]
@@ -1319,7 +1437,15 @@ class CompiledLookup:
         keys = [
             _apply_lhs_func(p, F.col(p.dim_column)).alias(k) for k, p in key_cols
         ]
-        if self._has_result_order():
+        if self.query.aggregates:
+            # real groupBy aggregation per key — every group row is a
+            # dim row, so count(*) counts lit(1)
+            grouped = dim.groupBy(*keys).agg(
+                F.array(
+                    F.struct(*self._agg_columns_native(F.col, F.lit(1)))
+                ).alias("__payload")
+            )
+        elif self._has_result_order():
             grouped = (
                 dim.groupBy(*keys)
                 .agg(F.collect_list(self._slim_row(F.col)).alias("__rows"))
@@ -1369,21 +1495,37 @@ class CompiledLookup:
         # untouched; valid+empty+default => default payload + default tag;
         # valid otherwise => payload ([] when empty, no default).
         raw = F.col("__raw_payload")
-        empty = raw.isNull() | (F.size(raw) == 0)
-        target_expr = (
-            F.when(~valid, F.lit(None).cast(T.ArrayType(self._payload_struct)))
-            .when(
-                empty,
-                self._default_array
-                if self._default_array is not None
-                else F.array().cast(T.ArrayType(self._payload_struct)),
+        if self.query.aggregates:
+            # an aggregate query always returns exactly ONE row (SQL
+            # aggregates over an empty set still produce a row), so the
+            # payload is never empty and default_hash never fires; only
+            # an equi-path key miss leaves raw NULL — substitute the
+            # empty-set aggregate row (count 0, others NULL)
+            target_expr = (
+                F.when(
+                    ~valid, F.lit(None).cast(T.ArrayType(self._payload_struct))
+                )
+                .when(raw.isNull(), self._empty_agg_array())
+                .otherwise(raw)
             )
-            .otherwise(raw)
-        )
+            default_expr = F.lit(False)
+        else:
+            empty = raw.isNull() | (F.size(raw) == 0)
+            target_expr = (
+                F.when(~valid, F.lit(None).cast(T.ArrayType(self._payload_struct)))
+                .when(
+                    empty,
+                    self._default_array
+                    if self._default_array is not None
+                    else F.array().cast(T.ArrayType(self._payload_struct)),
+                )
+                .otherwise(raw)
+            )
+            default_expr = valid & empty & F.lit(self.spec.use_default)
         return (
             enriched.withColumn(self.spec.target, target_expr)
             .withColumn(failed_col, ~valid)
-            .withColumn(default_col, valid & empty & F.lit(self.spec.use_default))
+            .withColumn(default_col, default_expr)
             .withColumn(ok_col, valid)
             .drop("__raw_payload")
         )
@@ -1520,6 +1662,86 @@ class CompiledLookup:
             out = F.slice(out, 1, self.query.limit)
         return out
 
+    # ---- aggregate projections (SELECT count(*) AS n, ...) ----------
+    def _agg_columns_native(self, field_of, star: Column) -> list[Column]:
+        """Native aggregate expressions for ``groupBy().agg(...)``
+        contexts. ``field_of(col)`` yields the dim column; ``star`` is
+        the count(*) row indicator — ``lit(1)`` when every group row is
+        a real dim row (equi path), the dim struct itself on the
+        map-probe path so a left-join miss row (NULL dim) counts 0."""
+        out: list[Column] = []
+        for func, col, alias in self.query.aggregates:
+            t = self._agg_result_type(func, col)
+            if func == "count":
+                c = F.count(star if col is None else field_of(col))
+            elif func == "sum":
+                c = F.sum(field_of(col))
+            elif func == "avg":
+                c = F.avg(field_of(col))
+            elif func == "min":
+                c = F.min(field_of(col))
+            else:
+                c = F.max(field_of(col))
+            out.append(c.cast(t).alias(alias))
+        return out
+
+    def _agg_payload_from_array(self, matched: Column) -> Column:
+        """The same aggregates as array expressions over the inline
+        path's filtered literal dim array — still one codegen'd
+        projection, no join. SQL null semantics: aggregates skip NULL
+        inputs; sum/avg/min/max over zero non-null values are NULL;
+        count never is."""
+        cols: list[Column] = []
+        for func, col, alias in self.query.aggregates:
+            t = self._agg_result_type(func, col)
+            if func == "count" and col is None:
+                c = F.size(matched)
+            else:
+                # factory closures: PySpark infers HOF lambda arity from
+                # the signature, so loop variables must NOT be bound via
+                # default args (a 2-parameter transform lambda would
+                # receive the element INDEX as its second argument)
+                def _getter(cname):
+                    return lambda r: r.getField(cname)
+
+                def _summer(ty):
+                    return lambda acc, x: acc + x.cast(ty)
+
+                vals = F.filter(
+                    F.transform(matched, _getter(col)),
+                    lambda x: x.isNotNull(),
+                )
+                if func == "count":
+                    c = F.size(vals)
+                elif func == "min":
+                    c = F.array_min(vals)
+                elif func == "max":
+                    c = F.array_max(vals)
+                elif func == "sum":
+                    c = F.when(F.size(vals) == 0, F.lit(None).cast(t)).otherwise(
+                        F.aggregate(vals, F.lit(0).cast(t), _summer(t))
+                    )
+                else:  # avg
+                    c = F.when(F.size(vals) == 0, F.lit(None).cast(t)).otherwise(
+                        F.aggregate(vals, F.lit(0.0), _summer("double"))
+                        / F.size(vals)
+                    )
+            cols.append(c.cast(t).alias(alias))
+        return F.array(F.struct(*cols))
+
+    def _empty_agg_array(self) -> Column:
+        """The one-row payload an aggregate query yields over an empty
+        match set: count columns 0, everything else NULL."""
+        cols = [
+            (F.lit(0) if func == "count" else F.lit(None))
+            .cast(fld.dataType)
+            .alias(alias)
+            for (func, _, alias), fld in zip(
+                self.query.aggregates, self._payload_struct.fields
+            )
+        ]
+        return F.array(F.struct(*cols))
+
     def _apply_inline(self, fact: DataFrame, params: dict[str, BoundParam]) -> DataFrame:
         """Small-dim theta lookup as a pure projection: filter a literal
         array-of-structs — no join, no shuffle, stays in codegen.
@@ -1570,7 +1792,10 @@ class CompiledLookup:
                 lambda f, p: rhs_map[f],
             ),
         )
-        payload = self._assemble_payload(matched)
+        if self.query.aggregates:
+            payload = self._agg_payload_from_array(matched)
+        else:
+            payload = self._assemble_payload(matched)
         return staged.withColumn("__raw_payload", payload).drop(*tmp)
 
     def _apply_bnlj(self, fact: DataFrame, params: dict[str, BoundParam]) -> DataFrame:
@@ -1655,7 +1880,19 @@ class CompiledLookup:
             rhs_for_probe,
         )
 
-        if self._has_result_order():
+        if self.query.aggregates:
+            # aggregate once per distinct tuple; the left-join miss row
+            # carries a NULL dim struct, so count(*) counts the struct
+            # (0 on miss) and field aggregates skip its NULL fields
+            payload_arr = F.array(
+                F.struct(
+                    *self._agg_columns_native(
+                        lambda c: F.col(dim_alias).getField(c),
+                        F.col(dim_alias),
+                    )
+                )
+            )
+        elif self._has_result_order():
             payload_arr = self._assemble_payload(
                 F.filter(
                     F.collect_list(

@@ -203,6 +203,31 @@ def run_lookup(
                 else q.projection
             )
             matched.append((row, {alias: row.get(src) for src, alias in fields}))
+    if q.aggregates:
+        # aggregate projection: exactly one payload row, even over an
+        # empty match set (count 0 / NULL) — default_hash never fires
+        row_out: dict = {}
+        for func, col, alias in q.aggregates:
+            if func == "count" and col is None:
+                row_out[alias] = len(matched)
+                continue
+            vals = [r.get(col) for r, _ in matched]
+            vals = [v for v in vals if v is not None]
+            if func == "count":
+                row_out[alias] = len(vals)
+            elif not vals:
+                row_out[alias] = None
+            elif func == "min":
+                row_out[alias] = min(vals)
+            elif func == "max":
+                row_out[alias] = max(vals)
+            elif func == "sum":
+                row_out[alias] = sum(vals)
+            else:  # avg
+                row_out[alias] = sum(float(v) for v in vals) / len(vals)
+        event[spec.target] = [row_out]
+        return True, tags
+
     if not matched and spec.use_default:
         event[spec.target] = [dict(spec.default_hash)]
         tags.extend(spec.tag_on_default_use)

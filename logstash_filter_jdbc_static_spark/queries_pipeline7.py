@@ -179,3 +179,63 @@ def lookup_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("tools"), lambda r: r.getField("tool")), "|"
         ).alias("tools_str"),
     )
+
+
+# ------------------------------------------------------------------
+# 3. Aggregate lookup: `SELECT count(*) AS n, max(ip) AS mx` — Derby
+#    runs aggregate lookup SQL verbatim; the payload is exactly ONE row
+#    per event, even for a key that matches nothing (SQL aggregates
+#    over an empty set still return a row: count 0, max NULL). Equi
+#    path: a real dim-side groupBy aggregation per key, once per
+#    snapshot.
+# ------------------------------------------------------------------
+
+
+@register(
+    "lookup_agg_stats",
+    with_ctes(
+        _HOSTS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        agg AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_hosts,
+                 max(ip) AS max_ip
+          FROM host_assignments
+          GROUP BY tool
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(a.n_hosts, CAST(0 AS BIGINT)) AS n_hosts,
+               a.max_ip AS max_ip
+        FROM transcripts t
+        LEFT JOIN agg a ON a.tool = t.tool
+        """,
+    ),
+)
+def lookup_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "stats",
+                "query": (
+                    "SELECT count(*) AS n_hosts, max(ip) AS max_ip "
+                    "FROM host_assignments WHERE tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"host_assignments": spark.createDataFrame(HOST_ROWS, HOST_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    row = F.get(F.col("stats"), 0)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        row.getField("n_hosts").alias("n_hosts"),
+        row.getField("max_ip").alias("max_ip"),
+    )

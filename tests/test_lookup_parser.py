@@ -854,3 +854,106 @@ class TestSelectDistinctGolden:
             **kw,
         )
         assert got == {1: ["10.1.1.1", "10.3.1.1"], 2: []}
+
+
+class TestAggregateParser:
+    def test_aggregates_parse(self):
+        q = parse_lookup_query(
+            "SELECT count(*) AS n, max(ip) AS mx, avg(num) AS a "
+            "FROM hosts WHERE tool = :t"
+        )
+        assert q.aggregates == (
+            ("count", None, "n"), ("max", "ip", "mx"), ("avg", "num", "a"),
+        )
+        assert q.projection == [] and q.is_pure_equi
+
+    def test_qualified_agg_arg_stripped(self):
+        q = parse_lookup_query(
+            "SELECT count(h.ip) AS n FROM hosts h WHERE h.tool = :t"
+        )
+        assert q.aggregates == (("count", "ip", "n"),)
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "SELECT count(*) FROM hosts",                       # no alias
+            "SELECT count(*) AS n, ip FROM hosts",              # mixed
+            "SELECT sum(*) AS s FROM hosts",                    # sum(*)
+            "SELECT count(*) AS n FROM hosts ORDER BY n",       # order
+            "SELECT count(*) AS n FROM hosts LIMIT 1",          # limit
+            "SELECT DISTINCT count(*) AS n FROM hosts",         # distinct
+        ],
+    )
+    def test_malformed_aggregates_raise(self, bad):
+        with pytest.raises(ValidationError):
+            parse_lookup_query(bad)
+
+    def test_sum_requires_numeric_column(self, spark):
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": "SELECT sum(name) AS s FROM dim WHERE key = :k",
+                    "parameters": {"k": "k"},
+                }
+            ]
+        )
+        dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+        with pytest.raises(ValidationError, match="integer or floating-point"):
+            LookupEnricher(spec, {"dim": dim})
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"inline_threshold": 0},
+        {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+    ],
+)
+class TestAggregateGolden:
+    DIM = [
+        ("t0", 3, "10.1.1.1"),
+        ("t0", None, "10.3.1.1"),
+        ("t2", 5, "10.1.1.1"),
+        ("t1", 7, None),
+    ]
+
+    def _run(self, spark, query, facts, **kw):
+        spec = PipelineSpec(
+            lookups=[{"id": "hit", "query": query, "parameters": {"t": "t"}}]
+        )
+        dim = spark.createDataFrame(self.DIM, "tool string, num int, ip string")
+        out = LookupEnricher(spec, {"hosts": dim}, **kw).apply(
+            spark.createDataFrame(facts, "conv_id string, turn_idx int, t string")
+        )
+        return {
+            r["turn_idx"]: (
+                None if r["hit"] is None else [tuple(x) for x in r["hit"]]
+            )
+            for r in out.collect()
+        }
+
+    def test_equi_aggregates_incl_empty_set_row(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT count(*) AS n, count(ip) AS nip, max(ip) AS mx, "
+            "sum(num) AS s, avg(num) AS a FROM hosts WHERE tool = :t",
+            [("c", 1, "t0"), ("c", 2, "t1"), ("c", 3, "zz"), ("c", 4, None)],
+            **kw,
+        )
+        assert got == {
+            1: [(2, 2, "10.3.1.1", 3, 3.0)],   # NULL num skipped by sum/avg
+            2: [(1, 0, None, 7, 7.0)],         # NULL ip: count(ip) 0, max NULL
+            3: [(0, 0, None, None, None)],     # key miss: one row, count 0
+            4: None,                           # invalid param: failed lookup
+        }
+
+    def test_theta_aggregates(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT count(*) AS n, min(num) AS mn FROM hosts WHERE ip LIKE :t",
+            [("c", 1, "%.1.1"), ("c", 2, "%.9")],
+            **kw,
+        )
+        assert got == {1: [(3, 3)], 2: [(0, None)]}
