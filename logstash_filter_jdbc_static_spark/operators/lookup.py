@@ -370,6 +370,33 @@ def _tokenize_where(text: str) -> list[tuple[str, str]]:
 _FROM_KEYWORDS = {"join", "inner", "left", "outer", "on", "as", "and"}
 
 
+class _TokenCursor:
+    """Shared peek/take cursor over ``_tokenize_where`` token lists —
+    the FROM and ORDER BY/LIMIT clause parsers both walk tokens this
+    way (the round-3 review found two drifting copies)."""
+
+    def __init__(self, toks: list[tuple[str, str]], what: str):
+        self.toks = toks
+        self.what = what
+        self.pos = 0
+
+    def peek(self):
+        return self.toks[self.pos] if self.pos < len(self.toks) else None
+
+    def take(self):
+        t = self.peek()
+        if t is None:
+            raise ValidationError(
+                [f"unsupported lookup {self.what}: unexpected end of clause"]
+            )
+        self.pos += 1
+        return t
+
+    @staticmethod
+    def word_of(t):
+        return t[1].lower() if t and t[0] == "word" else None
+
+
 def _parse_from(text: str) -> tuple[str, str, tuple[_JoinPart, ...]]:
     """Parse the FROM clause: ``table [alias] (JOIN table [alias] ON
     qual.col = qual.col [AND ...])*`` with INNER (default) and LEFT
@@ -380,24 +407,8 @@ def _parse_from(text: str) -> tuple[str, str, tuple[_JoinPart, ...]]:
     text = text.strip()
     if _SIMPLE_TABLE_RE.match(text) and text.lower() not in _FROM_KEYWORDS:
         return text, text.lower(), ()
-    toks = _tokenize_where(text)
-    pos = 0
-
-    def peek():
-        return toks[pos] if pos < len(toks) else None
-
-    def take():
-        nonlocal pos
-        t = peek()
-        if t is None:
-            raise ValidationError(
-                ["unsupported lookup FROM: unexpected end of clause"]
-            )
-        pos += 1
-        return t
-
-    def word_of(t):
-        return t[1].lower() if t and t[0] == "word" else None
+    cur = _TokenCursor(_tokenize_where(text), "FROM")
+    peek, take, word_of = cur.peek, cur.take, cur.word_of
 
     def relation() -> tuple[str, str]:
         kind, name = take()
@@ -729,6 +740,38 @@ def _to_dnf(node) -> list[list[_Predicate]]:
 _WORD_RE = re.compile(r"[A-Za-z_]\w*")
 
 
+def _resolve_qualified(
+    name: str,
+    table: str,
+    base_alias: str,
+    quals: set[str] | None,
+    context: str,
+) -> str:
+    """Canonicalize a possibly-qualified column reference, with the one
+    strip-or-raise rule every clause shares (the round-3 review found
+    three hand-rolled drifting copies): join mode (``quals`` set) keeps
+    a lowercased ``alias.col``; single-table mode strips the FROM
+    table's name or alias; unknown qualifiers raise, naming the
+    clause."""
+    if "." not in name:
+        return name
+    q, c = name.split(".", 1)
+    ql = q.lower()
+    if quals is not None:
+        if ql not in quals:
+            raise ValidationError(
+                [f"lookup {context}: unknown relation qualifier {q!r} "
+                 f"in {name!r} (in scope: {sorted(quals)})"]
+            )
+        return f"{ql}.{c}"
+    if ql == table.lower() or (base_alias != table.lower() and ql == base_alias):
+        return c
+    raise ValidationError(
+        [f"lookup {context}: unknown table qualifier in {name!r} "
+         f"(FROM table is {table!r})"]
+    )
+
+
 def _find_tail(text: str) -> int | None:
     """Index where a top-level ``ORDER BY`` / ``LIMIT`` / ``FETCH``
     clause starts in ``text``, or None. Scans outside string literals
@@ -773,24 +816,8 @@ def _parse_tail(text: str) -> tuple[tuple[tuple[str, bool], ...], int | None]:
     """Parse a trailing ``[ORDER BY col [ASC|DESC], ...]`` ``[LIMIT n |
     FETCH FIRST|NEXT [n] ROW[S] ONLY]`` clause (Derby's result-order
     surface; LIMIT accepted as the common dialect spelling)."""
-    toks = _tokenize_where(text)
-    pos = 0
-
-    def peek():
-        return toks[pos] if pos < len(toks) else None
-
-    def take():
-        nonlocal pos
-        t = peek()
-        if t is None:
-            raise ValidationError(
-                ["unsupported lookup query: unexpected end of ORDER BY/LIMIT clause"]
-            )
-        pos += 1
-        return t
-
-    def word_of(t):
-        return t[1].lower() if t and t[0] == "word" else None
+    cur = _TokenCursor(_tokenize_where(text), "ORDER BY/LIMIT")
+    peek, take, word_of = cur.peek, cur.take, cur.word_of
 
     order: list[tuple[str, bool]] = []
     if word_of(peek()) == "order":
@@ -872,6 +899,13 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         order_by, limit = _parse_tail(tail_holder[cut:])
         tail_holder = tail_holder[:cut]
         if where_text is not None:
+            if not tail_holder.strip():
+                # "WHERE ORDER BY x" / "WHERE LIMIT 2": a truncated
+                # filter must not silently become match-everything
+                raise ValidationError(
+                    ["unsupported lookup query: WHERE clause is empty "
+                     "(predicate missing before ORDER BY/LIMIT)"]
+                )
             where_text = tail_holder
         else:
             from_text = tail_holder
@@ -977,35 +1011,18 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         alias_to_src = {
             alias: src for src, alias in (projection or []) if alias != src
         }
-        resolved: list[tuple[str, bool]] = []
-        for col, asc in order_by:
-            if col in alias_to_src:
-                resolved.append((alias_to_src[col], asc))
-                continue
-            if joins:
-                if "." in col:
-                    q, c = col.split(".", 1)
-                    if q.lower() not in quals:
-                        raise ValidationError(
-                            [f"lookup ORDER BY: unknown relation qualifier "
-                             f"{q!r} in {col!r} (in scope: {sorted(quals)})"]
-                        )
-                    col = f"{q.lower()}.{c}"
-            elif "." in col:
-                prefix = col.split(".", 1)[0].lower()
-                if prefix == table.lower() or (
-                    base_alias != table.lower() and prefix == base_alias
-                ):
-                    col = col.split(".", 1)[1]
-                else:
-                    raise ValidationError(
-                        [f"lookup ORDER BY: unknown table qualifier in "
-                         f"{col!r} (FROM table is {table!r})"]
-                    )
-            resolved.append((col, asc))
-        order_by = tuple(resolved)
+        order_by = tuple(
+            (
+                alias_to_src[col]
+                if col in alias_to_src
+                else _resolve_qualified(col, table, base_alias, quals, "ORDER BY")
+            , asc)
+            for col, asc in order_by
+        )
     distinct = m.group("distinct") is not None
-    if distinct and order_by and projection is not None:
+    if distinct and order_by and projection is not None and not joins:
+        # single-table: both sides are canonical bare names here; the
+        # join-mode equivalent runs on flat names in build_join_dim
         srcs = {src for src, _ in projection}
         bad = [c for c, _ in order_by if c not in srcs]
         if bad:
@@ -1019,30 +1036,16 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 ["lookup aggregate projection cannot combine with "
                  "DISTINCT/ORDER BY/LIMIT (the result is a single row)"]
             )
-        # qualifier handling on the aggregate argument, mirroring the
-        # plain-projection rules
-        norm_aggs: list[tuple[str, str | None, str]] = []
-        for func, col, alias in aggregates:
-            if col is not None and "." in col:
-                q, c = col.split(".", 1)
-                if joins:
-                    if q.lower() not in quals:
-                        raise ValidationError(
-                            [f"lookup aggregate: unknown relation qualifier "
-                             f"{q!r} in {col!r} (in scope: {sorted(quals)})"]
-                        )
-                    col = f"{q.lower()}.{c}"
-                elif q.lower() == table.lower() or (
-                    base_alias != table.lower() and q.lower() == base_alias
-                ):
-                    col = c
-                else:
-                    raise ValidationError(
-                        [f"lookup aggregate: unknown table qualifier in "
-                         f"{col!r} (FROM table is {table!r})"]
-                    )
-            norm_aggs.append((func, col, alias))
-        aggregates = norm_aggs
+        aggregates = [
+            (
+                func,
+                None if col is None else _resolve_qualified(
+                    col, table, base_alias, quals, "aggregate"
+                ),
+                alias,
+            )
+            for func, col, alias in aggregates
+        ]
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,
         order_by=order_by, limit=limit, distinct=distinct,
@@ -1163,11 +1166,21 @@ def build_join_dim(
         ]
         for d in parsed.disjuncts
     ]
+    new_order = tuple((flat[resolve(c)], asc) for c, asc in parsed.order_by)
+    if parsed.distinct and new_order:
+        # join-mode twin of the parse-time single-table check: on flat
+        # names, qualified-vs-bare spellings of the same column compare
+        # equal (the round-3 review's false-rejection finding)
+        srcs = {src for src, _ in new_proj}
+        bad = [c for c, _ in new_order if c not in srcs]
+        if bad:
+            raise ValidationError(
+                [f"lookup ORDER BY column(s) {bad} must appear in the "
+                 f"SELECT list when DISTINCT is used"]
+            )
     rewritten = ParsedQuery(
         new_proj, parsed.table, new_disjuncts, parsed.base_alias, parsed.joins,
-        order_by=tuple(
-            (flat[resolve(c)], asc) for c, asc in parsed.order_by
-        ),
+        order_by=new_order,
         limit=parsed.limit,
         distinct=parsed.distinct,
         aggregates=tuple(

@@ -291,3 +291,25 @@ class TestJoinOrderLimit:
             for r in out.collect()
         }
         assert got == {1: ["b20", "b10"], 7: []}
+
+
+class TestJoinDistinctOrderCheck:
+    def test_qualified_order_key_matches_bare_projection(self, spark):
+        t1 = spark.createDataFrame([(1, "n1", 10)], "k: long, name: string, fk: long")
+        t2 = spark.createDataFrame([(10, "lb")], "pk: long, label: string")
+        q = parse_lookup_query(
+            "SELECT DISTINCT a.name AS name FROM t1 a JOIN t2 b "
+            "ON a.fk = b.pk WHERE a.k = :k ORDER BY a.name"
+        )
+        dim, rw = build_join_dim(q, {"t1": t1, "t2": t2})
+        assert rw.order_by == (("name", True),)  # flat, selected
+
+    def test_unselected_order_key_under_distinct_raises(self, spark):
+        t1 = spark.createDataFrame([(1, "n1", 10)], "k: long, name: string, fk: long")
+        t2 = spark.createDataFrame([(10, "lb")], "pk: long, label: string")
+        q = parse_lookup_query(
+            "SELECT DISTINCT a.name AS name FROM t1 a JOIN t2 b "
+            "ON a.fk = b.pk WHERE a.k = :k ORDER BY b.label"
+        )
+        with pytest.raises(ValidationError, match="must appear in the"):
+            build_join_dim(q, {"t1": t1, "t2": t2})

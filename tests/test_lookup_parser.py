@@ -957,3 +957,27 @@ class TestAggregateGolden:
             **kw,
         )
         assert got == {1: [(3, 3)], 2: [(0, None)]}
+
+
+class TestRound3ReviewRegressions:
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # a truncated WHERE must not silently match everything
+            "SELECT name FROM servers WHERE ORDER BY name",
+            "SELECT name FROM servers WHERE LIMIT 2",
+        ],
+    )
+    def test_empty_where_before_tail_raises(self, bad):
+        with pytest.raises(ValidationError, match="WHERE clause is empty"):
+            parse_lookup_query(bad)
+
+    def test_distinct_join_order_key_selected_via_qualifier(self):
+        # 'name' is selected bare (unambiguous) and ordered qualified —
+        # Derby accepts this; the membership check must compare flat
+        # names, not mixed spellings (round-3 review finding)
+        q = parse_lookup_query(
+            "SELECT DISTINCT a.name AS name FROM t1 a JOIN t2 b "
+            "ON a.fk = b.pk WHERE a.k = :k ORDER BY a.name"
+        )
+        assert q.distinct and q.order_by == (("a.name", True),)
