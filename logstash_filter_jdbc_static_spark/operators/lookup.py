@@ -283,9 +283,11 @@ class ParsedQuery:
     base_alias: str = ""
     joins: tuple[_JoinPart, ...] = ()
     # ORDER BY (col, ascending) keys — payload array order — and the
-    # LIMIT / FETCH FIRST n ROWS ONLY row cap, applied after ordering.
+    # LIMIT / FETCH FIRST n ROWS ONLY row cap plus OFFSET n ROWS skip,
+    # applied after ordering (and after DISTINCT).
     order_by: tuple[tuple[str, bool], ...] = ()
     limit: int | None = None
+    offset: int | None = None
     # SELECT DISTINCT: dedupe payload rows (SQL order: DISTINCT, then
     # ORDER BY — whose keys must be selected, as Derby enforces — then
     # LIMIT).
@@ -330,7 +332,8 @@ _QUERY_RE = re.compile(
 _SIMPLE_TABLE_RE = re.compile(r"^[A-Za-z_][\w.]*$")
 
 _AGG_RE = re.compile(
-    r"^(?P<func>count|sum|min|max|avg)\s*\(\s*(?P<arg>\*|[A-Za-z_][\w.]*)\s*\)$",
+    r"^(?P<func>count|sum|min|max|avg)\s*\(\s*(?P<distinct>distinct\s+)?"
+    r"(?P<arg>\*|[A-Za-z_][\w.]*)\s*\)$",
     re.IGNORECASE,
 )
 
@@ -812,12 +815,32 @@ def _find_tail(text: str) -> int | None:
     return None
 
 
-def _parse_tail(text: str) -> tuple[tuple[tuple[str, bool], ...], int | None]:
-    """Parse a trailing ``[ORDER BY col [ASC|DESC], ...]`` ``[LIMIT n |
-    FETCH FIRST|NEXT [n] ROW[S] ONLY]`` clause (Derby's result-order
-    surface; LIMIT accepted as the common dialect spelling)."""
+def _parse_tail(
+    text: str,
+) -> tuple[tuple[tuple[str, bool], ...], int | None, int | None]:
+    """Parse a trailing ``[ORDER BY col [ASC|DESC], ...]``
+    ``[OFFSET n ROW[S]]`` ``[LIMIT n [OFFSET n] | FETCH FIRST|NEXT [n]
+    ROW[S] ONLY]`` clause (Derby's result-order surface; LIMIT/OFFSET
+    accepted in the common dialect spellings too)."""
     cur = _TokenCursor(_tokenize_where(text), "ORDER BY/LIMIT")
     peek, take, word_of = cur.peek, cur.take, cur.word_of
+
+    def take_count(what: str) -> int:
+        kind, num = take()
+        if kind != "number" or not re.fullmatch(r"\d+", num):
+            raise ValidationError(
+                [f"unsupported lookup {what}: expected a row count, got {num!r}"]
+            )
+        return int(num)
+
+    offset: int | None = None
+
+    def parse_offset() -> None:
+        nonlocal offset
+        take()  # OFFSET
+        offset = take_count("OFFSET")
+        if word_of(peek()) in ("row", "rows"):
+            take()
 
     order: list[tuple[str, bool]] = []
     if word_of(peek()) == "order":
@@ -840,15 +863,14 @@ def _parse_tail(text: str) -> tuple[tuple[tuple[str, bool], ...], int | None]:
                 continue
             break
     limit: int | None = None
+    if word_of(peek()) == "offset":
+        parse_offset()  # standard order: OFFSET before FETCH
     w = word_of(peek())
     if w == "limit":
         take()
-        kind, num = take()
-        if kind != "number" or not re.fullmatch(r"\d+", num):
-            raise ValidationError(
-                [f"unsupported lookup LIMIT: expected a row count, got {num!r}"]
-            )
-        limit = int(num)
+        limit = take_count("LIMIT")
+        if word_of(peek()) == "offset":
+            parse_offset()  # dialect order: LIMIT n OFFSET m
     elif w == "fetch":
         take()
         if word_of(take()) not in ("first", "next"):
@@ -857,12 +879,7 @@ def _parse_tail(text: str) -> tuple[tuple[tuple[str, bool], ...], int | None]:
             )
         limit = 1
         if peek() is not None and peek()[0] == "number":
-            num = take()[1]
-            if not re.fullmatch(r"\d+", num):
-                raise ValidationError(
-                    [f"unsupported lookup FETCH: expected a row count, got {num!r}"]
-                )
-            limit = int(num)
+            limit = take_count("FETCH")
         if word_of(take()) not in ("row", "rows"):
             raise ValidationError(["unsupported lookup FETCH: expected ROW[S]"])
         if word_of(take()) != "only":
@@ -874,7 +891,7 @@ def _parse_tail(text: str) -> tuple[tuple[tuple[str, bool], ...], int | None]:
         )
     if limit is not None and limit < 1:
         raise ValidationError(["unsupported lookup LIMIT: row count must be >= 1"])
-    return tuple(order), limit
+    return tuple(order), limit, offset
 
 
 def parse_lookup_query(query: str) -> ParsedQuery:
@@ -893,10 +910,11 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     from_text, where_text = m.group("from"), m.group("where")
     order_by: tuple[tuple[str, bool], ...] = ()
     limit: int | None = None
+    offset: int | None = None
     tail_holder = where_text if where_text is not None else from_text
     cut = _find_tail(tail_holder)
     if cut is not None:
-        order_by, limit = _parse_tail(tail_holder[cut:])
+        order_by, limit, offset = _parse_tail(tail_holder[cut:])
         tail_holder = tail_holder[:cut]
         if where_text is not None:
             if not tail_holder.strip():
@@ -946,6 +964,13 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                         [f"lookup aggregate: {func}(*) is not valid SQL "
                          f"(only count(*))"]
                     )
+                if am.group("distinct"):
+                    if func != "count" or arg == "*":
+                        raise ValidationError(
+                            [f"lookup aggregate: DISTINCT is supported only "
+                             f"as count(DISTINCT col), got {src!r}"]
+                        )
+                    func = "count_distinct"
                 aggregates.append(
                     (func, None if arg == "*" else arg, parts[1].strip())
                 )
@@ -1031,10 +1056,11 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                  f"SELECT list when DISTINCT is used"]
             )
     if aggregates:
-        if distinct or order_by or limit is not None:
+        if distinct or order_by or limit is not None or offset is not None:
             raise ValidationError(
                 ["lookup aggregate projection cannot combine with "
-                 "DISTINCT/ORDER BY/LIMIT (the result is a single row)"]
+                 "DISTINCT/ORDER BY/LIMIT/OFFSET (the result is a "
+                 "single row)"]
             )
         aggregates = [
             (
@@ -1048,7 +1074,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         ]
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,
-        order_by=order_by, limit=limit, distinct=distinct,
+        order_by=order_by, limit=limit, offset=offset, distinct=distinct,
         aggregates=tuple(aggregates),
     )
 
@@ -1182,6 +1208,7 @@ def build_join_dim(
         new_proj, parsed.table, new_disjuncts, parsed.base_alias, parsed.joins,
         order_by=new_order,
         limit=parsed.limit,
+        offset=parsed.offset,
         distinct=parsed.distinct,
         aggregates=tuple(
             (func, None if c is None else flat[resolve(c)], alias)
@@ -1305,7 +1332,7 @@ class CompiledLookup:
         for integral inputs, double for fractional; avg -> double;
         min/max -> the column's own type."""
         dim_fields = {f.name: f.dataType for f in self.dim_df.schema.fields}
-        if func == "count":
+        if func in ("count", "count_distinct"):
             return T.LongType()
         if func == "avg":
             return T.DoubleType()
@@ -1602,6 +1629,7 @@ class CompiledLookup:
         return (
             bool(self.query.order_by)
             or self.query.limit is not None
+            or self.query.offset is not None
             or self.query.distinct
         )
 
@@ -1671,8 +1699,12 @@ class CompiledLookup:
             # be selected (array_distinct keeps first occurrences, which
             # are in payload order)
             out = F.array_distinct(out)
+        start = (self.query.offset or 0) + 1
         if self.query.limit is not None:
-            out = F.slice(out, 1, self.query.limit)
+            out = F.slice(out, start, self.query.limit)
+        elif start > 1:
+            # OFFSET without FETCH: keep everything past the skip
+            out = F.slice(out, start, F.greatest(F.size(out) - (start - 1), F.lit(0)))
         return out
 
     # ---- aggregate projections (SELECT count(*) AS n, ...) ----------
@@ -1687,6 +1719,8 @@ class CompiledLookup:
             t = self._agg_result_type(func, col)
             if func == "count":
                 c = F.count(star if col is None else field_of(col))
+            elif func == "count_distinct":
+                c = F.count_distinct(field_of(col))
             elif func == "sum":
                 c = F.sum(field_of(col))
             elif func == "avg":
@@ -1726,6 +1760,8 @@ class CompiledLookup:
                 )
                 if func == "count":
                     c = F.size(vals)
+                elif func == "count_distinct":
+                    c = F.size(F.array_distinct(vals))
                 elif func == "min":
                     c = F.array_min(vals)
                 elif func == "max":
@@ -1746,7 +1782,7 @@ class CompiledLookup:
         """The one-row payload an aggregate query yields over an empty
         match set: count columns 0, everything else NULL."""
         cols = [
-            (F.lit(0) if func == "count" else F.lit(None))
+            (F.lit(0) if func.startswith("count") else F.lit(None))
             .cast(fld.dataType)
             .alias(alias)
             for (func, _, alias), fld in zip(

@@ -215,6 +215,8 @@ def run_lookup(
             vals = [v for v in vals if v is not None]
             if func == "count":
                 row_out[alias] = len(vals)
+            elif func == "count_distinct":
+                row_out[alias] = len(set(vals))
             elif not vals:
                 row_out[alias] = None
             elif func == "min":
@@ -274,8 +276,11 @@ def run_lookup(
                 seen.add(key)
                 uniq.append(r)
         rows = uniq
+    start = q.offset or 0
     if q.limit is not None:
-        rows = rows[: q.limit]
+        rows = rows[start:start + q.limit]
+    elif start:
+        rows = rows[start:]
     event[spec.target] = rows
     return True, tags
 

@@ -981,3 +981,90 @@ class TestRound3ReviewRegressions:
             "ON a.fk = b.pk WHERE a.k = :k ORDER BY a.name"
         )
         assert q.distinct and q.order_by == (("a.name", True),)
+
+
+class TestOffsetAndCountDistinct:
+    def test_offset_fetch_standard_order(self):
+        q = parse_lookup_query(
+            "SELECT name FROM t ORDER BY name OFFSET 2 ROWS FETCH NEXT 3 ROWS ONLY"
+        )
+        assert (q.limit, q.offset) == (3, 2)
+
+    def test_limit_offset_dialect_order(self):
+        q = parse_lookup_query("SELECT name FROM t ORDER BY name LIMIT 3 OFFSET 2")
+        assert (q.limit, q.offset) == (3, 2)
+
+    def test_offset_alone(self):
+        q = parse_lookup_query("SELECT name FROM t ORDER BY name OFFSET 4 ROWS")
+        assert (q.limit, q.offset) == (None, 4)
+
+    def test_count_distinct_parses(self):
+        q = parse_lookup_query(
+            "SELECT count(DISTINCT ip) AS n FROM t WHERE tool = :t"
+        )
+        assert q.aggregates == (("count_distinct", "ip", "n"),)
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "SELECT max(DISTINCT ip) AS m FROM t",
+            "SELECT count(DISTINCT *) AS n FROM t",
+            "SELECT count(*) AS n FROM t OFFSET 1 ROWS",
+            "SELECT name FROM t OFFSET x ROWS",
+        ],
+    )
+    def test_malformed_raise(self, bad):
+        with pytest.raises(ValidationError):
+            parse_lookup_query(bad)
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},
+            {"inline_threshold": 0},
+            {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+        ],
+    )
+    def test_golden_offset_and_count_distinct(self, spark, kw):
+        dim = spark.createDataFrame(
+            [("t0", "a"), ("t0", "b"), ("t0", "c"), ("t0", "d"), ("t0", "a"),
+             ("t1", "z")],
+            "tool string, v string",
+        )
+        facts = spark.createDataFrame(
+            [("c", 1, "t0"), ("c", 2, "t1"), ("c", 3, "zz")],
+            "conv_id string, turn_idx int, t string",
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": "SELECT v FROM hosts WHERE tool = :t "
+                             "ORDER BY v OFFSET 1 ROWS FETCH NEXT 2 ROWS ONLY",
+                    "parameters": {"t": "t"},
+                }
+            ]
+        )
+        out = LookupEnricher(spec, {"hosts": dim}, **kw).apply(facts)
+        got = {
+            r["turn_idx"]: [x["v"] for x in (r["hit"] or [])]
+            for r in out.collect()
+        }
+        # ordered [a,a,b,c,d] -> skip 1, take 2
+        assert got == {1: ["a", "b"], 2: [], 3: []}
+        spec2 = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": "SELECT count(DISTINCT v) AS n FROM hosts "
+                             "WHERE tool = :t",
+                    "parameters": {"t": "t"},
+                }
+            ]
+        )
+        out2 = LookupEnricher(spec2, {"hosts": dim}, **kw).apply(facts)
+        got2 = {
+            r["turn_idx"]: [x["n"] for x in (r["hit"] or [])]
+            for r in out2.collect()
+        }
+        assert got2 == {1: [4], 2: [1], 3: [0]}

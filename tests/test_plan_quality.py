@@ -289,3 +289,69 @@ class TestWidenedLookupPlans:
             assert fact_col not in sig
         assert "BroadcastHashJoin" in plan  # map-back
         assert plan.count("BroadcastNestedLoopJoin") == 1  # tuple probe only
+
+
+class TestResultShapePlans:
+    """ORDER BY / LIMIT / DISTINCT / aggregate lookups must keep the
+    physical story: the equi path stays ONE broadcast hash join with all
+    sorting/aggregation on the dim side (once per snapshot), and the
+    inline theta path stays a zero-join projection."""
+
+    def _plan_for(self, spark, query, theta=False):
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+        from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+        dim = spark.createDataFrame(
+            [("t0", 3, "10.1.1.1"), ("t0", 1, "10.3.1.1"), ("t1", 7, "10.2.1.1")],
+            "tool string, num int, ip string",
+        )
+        spec = PipelineSpec(
+            lookups=[{"id": "hit", "query": query, "parameters": {"t": "t"}}]
+        )
+        fact = spark.range(1000).select(
+            F.lit("c").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("t"),
+        )
+        out = LookupEnricher(spec, {"hosts": dim}).apply(fact)
+        return _plan(out, "simple")
+
+    def test_equi_order_limit_stays_single_broadcast_join(self, spark):
+        plan = self._plan_for(
+            spark,
+            "SELECT ip FROM hosts WHERE tool = :t ORDER BY num DESC LIMIT 2",
+        )
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert "SortMergeJoin" not in plan
+        assert "NestedLoop" not in plan
+        assert "EvalPython" not in plan
+        # the ORDER BY is an array_sort INSIDE the dim aggregation — it
+        # must not become a fact-side global Sort
+        fact_side = plan.split("BroadcastHashJoin")[0]
+        assert "Sort " not in fact_side, plan
+
+    def test_equi_aggregate_stays_single_broadcast_join(self, spark):
+        plan = self._plan_for(
+            spark,
+            "SELECT count(*) AS n, max(ip) AS mx FROM hosts WHERE tool = :t",
+        )
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert "SortMergeJoin" not in plan
+        assert "NestedLoop" not in plan
+        # dim-side HashAggregate, not a fact-side one: the join's stream
+        # side must carry no aggregate
+        fact_side = plan.split("BroadcastHashJoin")[0]
+        assert "HashAggregate" not in fact_side, plan
+
+    def test_inline_distinct_order_is_zero_join(self, spark):
+        plan = self._plan_for(
+            spark,
+            "SELECT DISTINCT ip FROM hosts WHERE ip LIKE :t ORDER BY ip",
+        )
+        assert "Join" not in plan, plan
+        assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+        assert "EvalPython" not in plan
