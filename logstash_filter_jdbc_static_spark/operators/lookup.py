@@ -49,10 +49,14 @@ Spark-first physical design (NOT a port of the Derby execution path):
   / ``IN`` / ``BETWEEN``, ``IS [NOT] NULL``, AND/OR/parens, optional
   ``func(col)`` lhs wrappers and table-qualified columns — normalized
   to OR-of-conjunctions and compiled onto the same three paths (exact
-  grammar + physical mapping: COVERAGE.md §2B), plus ``ORDER BY`` /
-  ``LIMIT`` / ``FETCH FIRST n ROWS ONLY`` result order: the payload
-  array is comparator-sorted (Derby null-largest semantics, sort keys
-  need not be projected) and sliced dim-side on every path.
+  grammar + physical mapping: COVERAGE.md §2B), plus the result-shape
+  tail — ``SELECT DISTINCT``, ``ORDER BY`` (Derby null-largest
+  semantics, sort keys need not be projected), ``LIMIT`` / ``FETCH
+  FIRST n ROWS ONLY`` / ``OFFSET n ROWS`` — and aggregate projections
+  (``count(*) | count[(DISTINCT)] | sum | min | max | avg ... AS
+  alias``, exactly one payload row even over an empty match set). All
+  of it computes dim-side on every physical path; the fact side never
+  shuffles for it.
 """
 
 from __future__ import annotations
