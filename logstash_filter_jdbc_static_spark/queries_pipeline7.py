@@ -239,3 +239,87 @@ def lookup_agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         row.getField("n_hosts").alias("n_hosts"),
         row.getField("max_ip").alias("max_ip"),
     )
+
+
+# ------------------------------------------------------------------
+# 4. Per-document keyword extraction (tf × rarity top-k) — the topic
+#    tagging / quality-signal step of a curation pipeline. Ranking is
+#    INTEGER-ONLY (tf DESC, then document-frequency ASC — the tf-idf
+#    order without materializing the float score, which would risk
+#    cross-engine ln() ulp flips in the hash gate; production can swap
+#    the ORDER BY for tf*ln(N/df) in one line). Scale shape: explode is
+#    narrow; three bounded shuffles — tf on (doc_id, token), df on
+#    token (vocab-bounded, AQE may broadcast it back), top-k window on
+#    doc_id. No driver-side state.
+# ------------------------------------------------------------------
+
+
+@register(
+    "documents_keywords",
+    """
+    WITH toks AS (
+      SELECT doc_id, tok
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(text), '[^a-z]+')) AS tok
+        FROM documents
+      )
+      WHERE length(tok) >= 3
+    ),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    ranked AS (
+      SELECT t.doc_id, t.tok, t.tf,
+             row_number() OVER (
+               PARTITION BY t.doc_id
+               ORDER BY t.tf DESC, d.df ASC, t.tok
+             ) AS rn
+      FROM tf t JOIN df d ON d.tok = t.tok
+    )
+    SELECT doc_id,
+           array_to_string(list(tok ORDER BY rn), '|') AS kw_str,
+           CAST(max(CASE WHEN rn = 1 THEN tf END) AS BIGINT) AS top_tf
+    FROM ranked
+    WHERE rn <= 3
+    GROUP BY doc_id
+    """,
+)
+def documents_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from logstash_filter_jdbc_static_spark.sources.registry import (
+        load_table_split,
+    )
+
+    docs = load_table_split(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("tok"),
+    ).filter(F.length("tok") >= 3)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked = tf.join(df, "tok").withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy(
+                F.col("tf").desc(), F.col("df").asc(), F.col("tok")
+            )
+        ),
+    )
+    return (
+        ranked.filter(F.col("rn") <= 3)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("rn", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+                "|",
+            ).alias("kw_str"),
+            F.max(F.when(F.col("rn") == 1, F.col("tf"))).alias("top_tf"),
+        )
+    )

@@ -400,3 +400,66 @@ def test_order_limit_matches_row_at_a_time_oracle(
             else [d["name"] for d in event["server"]]
         )
     assert got == exp
+
+
+SHAPE_QUERIES = [
+    "SELECT DISTINCT name FROM servers WHERE ip LIKE :ip ORDER BY name",
+    "SELECT DISTINCT name FROM servers WHERE ip <= :ip",
+    "SELECT name FROM servers WHERE ip >= :ip ORDER BY name OFFSET 1 ROWS",
+    "SELECT name FROM servers WHERE ip = :ip OR name = 'v2' "
+    "ORDER BY name DESC LIMIT 2 OFFSET 1",
+    "SELECT count(*) AS n, count(DISTINCT name) AS nd, max(name) AS mx "
+    "FROM servers WHERE ip LIKE :ip",
+    "SELECT count(*) AS n FROM servers WHERE ip = :ip",
+]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=fact_rows,
+    dims=dim_rows,
+    query=st.sampled_from(SHAPE_QUERIES),
+    engine=engine_cfg,
+)
+def test_result_shapes_match_row_at_a_time_oracle(
+    spark, facts, dims, query, engine
+):
+    """DISTINCT / OFFSET / aggregate result shapes, order-sensitively
+    compared between the Spark enricher and the row-at-a-time oracle on
+    every physical path. Aggregate rows compare as value tuples."""
+    lookup = {"id": "server", "query": query, "parameters": {"ip": "ip"}}
+    spec = PipelineSpec(lookups=[lookup])
+    spec2 = PipelineSpec(lookups=[dict(lookup)])
+
+    fact_data = [(f"c{i}", i, k[0]) for i, k in enumerate(facts)]
+    fact_df = spark.createDataFrame(fact_data, FACT_SCHEMA)
+    dim_df = spark.createDataFrame(dims, DIM_SCHEMA)
+
+    kw = {}
+    if engine is not None:
+        kw = {"inline_threshold": engine[0], "pattern_strategy": engine[1]}
+    enricher = LookupEnricher(spec, {"servers": dim_df}, **kw)
+    got = {
+        r["turn_idx"]: (
+            None if r["server"] is None else [tuple(d) for d in r["server"]]
+        )
+        for r in enricher.apply(fact_df).collect()
+    }
+
+    tables = {"servers": [{"ip": ip, "name": nm} for ip, nm in dims]}
+    exp = {}
+    for conv_id, turn_idx, ip in fact_data:
+        event = {"conv_id": conv_id, "turn_idx": turn_idx}
+        if ip is not None:
+            event["ip"] = ip
+        oracle.enhance(event, spec2, tables)
+        exp[turn_idx] = (
+            None if event.get("server") is None
+            else [tuple(d.values()) for d in event["server"]]
+        )
+    assert got == exp
