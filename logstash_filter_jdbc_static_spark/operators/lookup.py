@@ -811,7 +811,7 @@ def _find_tail(text: str) -> int | None:
                     r"\s+by\b", text[m.end():], re.IGNORECASE
                 ):
                     return i
-                if w in ("limit", "fetch"):
+                if w in ("limit", "fetch", "offset"):
                     return i
             i = m.end()
             continue
@@ -841,6 +841,10 @@ def _parse_tail(
 
     def parse_offset() -> None:
         nonlocal offset
+        if offset is not None:
+            raise ValidationError(
+                ["unsupported lookup query: OFFSET specified twice"]
+            )
         take()  # OFFSET
         offset = take_count("OFFSET")
         if word_of(peek()) in ("row", "rows"):
@@ -1708,7 +1712,8 @@ class CompiledLookup:
             out = F.slice(out, start, self.query.limit)
         elif start > 1:
             # OFFSET without FETCH: keep everything past the skip
-            out = F.slice(out, start, F.greatest(F.size(out) - (start - 1), F.lit(0)))
+            # (slice clamps the length to what remains)
+            out = F.slice(out, start, F.size(out))
         return out
 
     # ---- aggregate projections (SELECT count(*) AS n, ...) ----------

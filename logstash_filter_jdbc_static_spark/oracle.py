@@ -230,10 +230,6 @@ def run_lookup(
         event[spec.target] = [row_out]
         return True, tags
 
-    if not matched and spec.use_default:
-        event[spec.target] = [dict(spec.default_hash)]
-        tags.extend(spec.tag_on_default_use)
-        return True, tags
     if q.order_by:
         # ORDER BY under Derby result-order semantics (NULL largest),
         # full-payload tiebreak — the mirror of _order_comparator
@@ -281,6 +277,14 @@ def run_lookup(
         rows = rows[start:start + q.limit]
     elif start:
         rows = rows[start:]
+    if not rows and spec.use_default:
+        # default fires on the POST-shape payload (Derby returns the
+        # already-offset/limited result set; an OFFSET past the matches
+        # yields zero rows and the reference's empty?-branch runs) —
+        # mirrors the compiled path's size-after-assembly check
+        event[spec.target] = [dict(spec.default_hash)]
+        tags.extend(spec.tag_on_default_use)
+        return True, tags
     event[spec.target] = rows
     return True, tags
 

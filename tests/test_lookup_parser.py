@@ -1068,3 +1068,61 @@ class TestOffsetAndCountDistinct:
             for r in out2.collect()
         }
         assert got2 == {1: [4], 2: [1], 3: [0]}
+
+
+class TestOffsetReviewRegressions:
+    def test_offset_only_tail_parses(self):
+        # valid Derby SQL; _find_tail must recognize an OFFSET-led tail
+        q = parse_lookup_query(
+            "SELECT name FROM servers WHERE ip = :ip OFFSET 2 ROWS"
+        )
+        assert (q.limit, q.offset) == (None, 2)
+        q = parse_lookup_query("SELECT name FROM servers OFFSET 3 ROWS")
+        assert (q.limit, q.offset) == (None, 3)
+
+    def test_double_offset_raises(self):
+        with pytest.raises(ValidationError, match="OFFSET specified twice"):
+            parse_lookup_query(
+                "SELECT name FROM t ORDER BY name OFFSET 1 ROWS LIMIT 2 OFFSET 5"
+            )
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},
+            {"inline_threshold": 0},
+        ],
+    )
+    def test_offset_past_matches_fires_default(self, spark, kw):
+        """An OFFSET that empties a non-empty match set must fire
+        default_hash + tag (Derby returns the post-offset result set,
+        so its empty?-branch runs) — engine and row oracle agree."""
+        from logstash_filter_jdbc_static_spark import oracle
+
+        dim_rows = [("a", "n1"), ("a", "n2")]
+        lookup = {
+            "id": "hit",
+            "query": "SELECT name FROM hosts WHERE key = :k "
+                     "ORDER BY name OFFSET 5 ROWS",
+            "parameters": {"k": "k"},
+            "default_hash": {"name": "dflt"},
+            "tag_on_default_use": ["used_default"],
+        }
+        spec = PipelineSpec(lookups=[dict(lookup)])
+        dim = spark.createDataFrame(dim_rows, "key string, name string")
+        out = LookupEnricher(spec, {"hosts": dim}, **kw).apply(
+            spark.createDataFrame(
+                [("c", 1, "a")], "conv_id string, turn_idx int, k string"
+            )
+        )
+        (r,) = out.collect()
+        assert [x["name"] for x in r["hit"]] == ["dflt"]
+        assert "used_default" in list(r["tags"])
+        event = {"conv_id": "c", "turn_idx": 1, "k": "a"}
+        oracle.enhance(
+            event,
+            PipelineSpec(lookups=[dict(lookup)]),
+            {"hosts": [{"key": k, "name": n} for k, n in dim_rows]},
+        )
+        assert [x["name"] for x in event["hit"]] == ["dflt"]
+        assert "used_default" in event["tags"]
