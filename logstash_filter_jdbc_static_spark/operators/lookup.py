@@ -297,11 +297,15 @@ class ParsedQuery:
     # LIMIT).
     distinct: bool = False
     # Aggregate projection (``SELECT count(*) AS n, max(col) AS m``):
-    # (func, col | None for ``*``, alias) triples. Mutually exclusive
-    # with plain columns (no GROUP BY surface) and with
+    # (func, col | None for ``*``, alias) triples. Without GROUP BY,
+    # mutually exclusive with plain columns and with
     # DISTINCT/ORDER BY/LIMIT; the payload is always exactly ONE row —
     # SQL aggregates over an empty set still return a row.
     aggregates: tuple[tuple[str, str | None, str], ...] = ()
+    # GROUP BY keys: the payload carries one row per group among the
+    # matching dim rows (plain projected columns must be group keys;
+    # zero groups on an empty match set — the default_hash CAN fire).
+    group_by: tuple[str, ...] = ()
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -807,7 +811,7 @@ def _find_tail(text: str) -> int | None:
             w = m.group().lower()
             boundary = i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_.:")
             if boundary:
-                if w == "order" and re.match(
+                if w in ("order", "group") and re.match(
                     r"\s+by\b", text[m.end():], re.IGNORECASE
                 ):
                     return i
@@ -821,11 +825,17 @@ def _find_tail(text: str) -> int | None:
 
 def _parse_tail(
     text: str,
-) -> tuple[tuple[tuple[str, bool], ...], int | None, int | None]:
-    """Parse a trailing ``[ORDER BY col [ASC|DESC], ...]``
-    ``[OFFSET n ROW[S]]`` ``[LIMIT n [OFFSET n] | FETCH FIRST|NEXT [n]
-    ROW[S] ONLY]`` clause (Derby's result-order surface; LIMIT/OFFSET
-    accepted in the common dialect spellings too)."""
+) -> tuple[
+    tuple[str, ...],
+    tuple[tuple[str, bool], ...],
+    int | None,
+    int | None,
+]:
+    """Parse a trailing ``[GROUP BY col, ...]``
+    ``[ORDER BY col [ASC|DESC], ...]`` ``[OFFSET n ROW[S]]``
+    ``[LIMIT n [OFFSET n] | FETCH FIRST|NEXT [n] ROW[S] ONLY]`` clause
+    (Derby's result-shape surface; LIMIT/OFFSET accepted in the common
+    dialect spellings too)."""
     cur = _TokenCursor(_tokenize_where(text), "ORDER BY/LIMIT")
     peek, take, word_of = cur.peek, cur.take, cur.word_of
 
@@ -850,6 +860,27 @@ def _parse_tail(
         if word_of(peek()) in ("row", "rows"):
             take()
 
+    group: list[str] = []
+    if word_of(peek()) == "group":
+        take()
+        if word_of(take()) != "by":
+            raise ValidationError(
+                ["unsupported lookup query: GROUP not followed by BY"]
+            )
+        while True:
+            kind, name = take()
+            if kind != "word" or name.lower() in (
+                "order", "limit", "fetch", "offset",
+            ):
+                raise ValidationError(
+                    [f"unsupported lookup GROUP BY: expected column, "
+                     f"got {name!r}"]
+                )
+            group.append(name)
+            if peek() is not None and peek()[0] == "comma":
+                take()
+                continue
+            break
     order: list[tuple[str, bool]] = []
     if word_of(peek()) == "order":
         take()
@@ -899,7 +930,7 @@ def _parse_tail(
         )
     if limit is not None and limit < 1:
         raise ValidationError(["unsupported lookup LIMIT: row count must be >= 1"])
-    return tuple(order), limit, offset
+    return tuple(group), tuple(order), limit, offset
 
 
 def parse_lookup_query(query: str) -> ParsedQuery:
@@ -916,13 +947,14 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     # regex's greedy-tail group (the WHERE text when present, else the
     # FROM text) before handing either to its parser.
     from_text, where_text = m.group("from"), m.group("where")
+    group_by: tuple[str, ...] = ()
     order_by: tuple[tuple[str, bool], ...] = ()
     limit: int | None = None
     offset: int | None = None
     tail_holder = where_text if where_text is not None else from_text
     cut = _find_tail(tail_holder)
     if cut is not None:
-        order_by, limit, offset = _parse_tail(tail_holder[cut:])
+        group_by, order_by, limit, offset = _parse_tail(tail_holder[cut:])
         tail_holder = tail_holder[:cut]
         if where_text is not None:
             if not tail_holder.strip():
@@ -986,11 +1018,10 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 projection.append((src, parts[1].strip()))
             else:
                 projection.append((item.strip(), item.strip()))
-        if aggregates and projection:
+        if aggregates and projection and not group_by:
             raise ValidationError(
                 ["lookup projection cannot mix aggregates with plain "
-                 "columns (no GROUP BY surface — aggregate over the "
-                 "matching rows only)"]
+                 "columns without GROUP BY"]
             )
     if projection is not None and joins:
         # keep in-scope qualifiers on sources (lowercased alias);
@@ -1063,7 +1094,32 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 [f"lookup ORDER BY column(s) {bad} must appear in the "
                  f"SELECT list when DISTINCT is used"]
             )
-    if aggregates:
+    if group_by:
+        if distinct or order_by or limit is not None or offset is not None:
+            raise ValidationError(
+                ["lookup GROUP BY cannot combine with DISTINCT/"
+                 "ORDER BY/LIMIT/OFFSET (payload rows are "
+                 "deterministically sorted)"]
+            )
+        if projection is None:
+            raise ValidationError(
+                ["lookup GROUP BY requires an explicit projection "
+                 "(SELECT * cannot be grouped)"]
+            )
+        group_by = tuple(
+            _resolve_qualified(c, table, base_alias, quals, "GROUP BY")
+            for c in group_by
+        )
+        if not joins:
+            # join mode defers to build_join_dim's flat names, where
+            # qualified and bare spellings of one column compare equal
+            bad = [src for src, _ in projection if src not in group_by]
+            if bad:
+                raise ValidationError(
+                    [f"lookup GROUP BY: projected column(s) {bad} must "
+                     f"appear in the GROUP BY list (or be aggregated)"]
+                )
+    if aggregates and not group_by:
         if distinct or order_by or limit is not None or offset is not None:
             raise ValidationError(
                 ["lookup aggregate projection cannot combine with "
@@ -1083,7 +1139,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,
         order_by=order_by, limit=limit, offset=offset, distinct=distinct,
-        aggregates=tuple(aggregates),
+        aggregates=tuple(aggregates), group_by=group_by,
     )
 
 
@@ -1169,7 +1225,8 @@ def build_join_dim(
     pred_cols = [p.dim_column for p in parsed.predicates]
     order_cols = [c for c, _ in parsed.order_by]
     agg_cols = [c for _, c, _ in parsed.aggregates if c is not None]
-    for ref in srcs + pred_cols + order_cols + agg_cols:
+    group_cols = list(parsed.group_by)
+    for ref in srcs + pred_cols + order_cols + agg_cols + group_cols:
         pair = resolve(ref)
         if pair not in refs:
             refs.append(pair)
@@ -1200,6 +1257,14 @@ def build_join_dim(
         ]
         for d in parsed.disjuncts
     ]
+    new_group = tuple(flat[resolve(c)] for c in parsed.group_by)
+    if new_group:
+        bad = [src for src, _ in new_proj if src not in new_group]
+        if bad:
+            raise ValidationError(
+                [f"lookup GROUP BY: projected column(s) {bad} must "
+                 f"appear in the GROUP BY list (or be aggregated)"]
+            )
     new_order = tuple((flat[resolve(c)], asc) for c, asc in parsed.order_by)
     if parsed.distinct and new_order:
         # join-mode twin of the parse-time single-table check: on flat
@@ -1222,6 +1287,7 @@ def build_join_dim(
             (func, None if c is None else flat[resolve(c)], alias)
             for func, c, alias in parsed.aggregates
         ),
+        group_by=new_group,
     )
     return dim, rewritten
 
@@ -1272,7 +1338,7 @@ class CompiledLookup:
             self._dim_count_cache = dim_rows
         # Resolve projection against the dim schema.
         dim_fields = {f.name: f.dataType for f in dim_df.schema.fields}
-        if self.query.aggregates:
+        if self.query.aggregates or self.query.group_by:
             for func, col, _ in self.query.aggregates:
                 if col is not None and col not in dim_fields:
                     raise ValidationError(
@@ -1289,7 +1355,21 @@ class CompiledLookup:
                          f"integer or floating-point column "
                          f"(got {dim_fields[col].simpleString()})"]
                     )
-            self.out_fields = [
+            for c in self.query.group_by:
+                if c not in dim_fields:
+                    raise ValidationError(
+                        [f"lookup '{spec.id}': GROUP BY column '{c}' "
+                         f"not in table '{self.query.table}'"]
+                    )
+            for src, _ in self.query.projection or []:
+                if src not in dim_fields:
+                    raise ValidationError(
+                        [f"lookup '{spec.id}': column '{src}' not in "
+                         f"table '{self.query.table}'"]
+                    )
+            # payload field order: plain projected group keys first (in
+            # SELECT order), then the aggregates (in SELECT order)
+            self.out_fields = list(self.query.projection or []) + [
                 (alias, alias) for _, _, alias in self.query.aggregates
             ]
         elif self.query.projection is None:
@@ -1353,14 +1433,17 @@ class CompiledLookup:
         return dim_fields[col]  # min/max
 
     def _payload_struct_type(self) -> T.StructType:
-        if self.query.aggregates:
-            return T.StructType(
-                [
-                    T.StructField(alias, self._agg_result_type(func, col), True)
-                    for func, col, alias in self.query.aggregates
-                ]
-            )
         dim_fields = {f.name: f.dataType for f in self.dim_df.schema.fields}
+        if self.query.aggregates or self.query.group_by:
+            fields = [
+                T.StructField(alias, dim_fields[src], True)
+                for src, alias in (self.query.projection or [])
+            ]
+            fields += [
+                T.StructField(alias, self._agg_result_type(func, col), True)
+                for func, col, alias in self.query.aggregates
+            ]
+            return T.StructType(fields)
         return T.StructType(
             [T.StructField(alias, dim_fields[src], True) for src, alias in self.out_fields]
         )
@@ -1485,7 +1568,26 @@ class CompiledLookup:
         keys = [
             _apply_lhs_func(p, F.col(p.dim_column)).alias(k) for k, p in key_cols
         ]
-        if self.query.aggregates:
+        if self.query.group_by:
+            # two dim-side aggregations: per (key, group) aggregate,
+            # then per key collect the sorted group-row payload
+            aggs = self._agg_columns_native(F.col, F.lit(1)) or [
+                F.count(F.lit(1)).alias("__n_rows_ignored")
+            ]
+            level1 = dim.groupBy(
+                *keys, *[F.col(c) for c in self.query.group_by]
+            ).agg(*aggs)
+            payload_struct = F.struct(
+                *[
+                    F.col(src).alias(alias)
+                    for src, alias in (self.query.projection or [])
+                ],
+                *[F.col(alias) for _, _, alias in self.query.aggregates],
+            )
+            grouped = level1.groupBy(*[F.col(k) for k, _ in key_cols]).agg(
+                F.sort_array(F.collect_list(payload_struct)).alias("__payload")
+            )
+        elif self.query.aggregates:
             # real groupBy aggregation per key — every group row is a
             # dim row, so count(*) counts lit(1)
             grouped = dim.groupBy(*keys).agg(
@@ -1543,7 +1645,7 @@ class CompiledLookup:
         # untouched; valid+empty+default => default payload + default tag;
         # valid otherwise => payload ([] when empty, no default).
         raw = F.col("__raw_payload")
-        if self.query.aggregates:
+        if self.query.aggregates and not self.query.group_by:
             # an aggregate query always returns exactly ONE row (SQL
             # aggregates over an empty set still produce a row), so the
             # payload is never empty and default_hash never fires; only
@@ -1742,8 +1844,13 @@ class CompiledLookup:
         return out
 
     def _agg_payload_from_array(self, matched: Column) -> Column:
-        """The same aggregates as array expressions over the inline
-        path's filtered literal dim array — still one codegen'd
+        """The whole-match-set aggregate payload (no GROUP BY): one
+        struct of `_agg_fields_from_array` in a 1-element array."""
+        return F.array(F.struct(*self._agg_fields_from_array(matched)))
+
+    def _agg_fields_from_array(self, matched: Column) -> list[Column]:
+        """The aggregates as array expressions over a (sub)set of the
+        inline path's filtered literal dim array — still one codegen'd
         projection, no join. SQL null semantics: aggregates skip NULL
         inputs; sum/avg/min/max over zero non-null values are NULL;
         count never is."""
@@ -1785,7 +1892,37 @@ class CompiledLookup:
                         / F.size(vals)
                     )
             cols.append(c.cast(t).alias(alias))
-        return F.array(F.struct(*cols))
+        return cols
+
+    def _group_payload_from_array(self, matched: Column) -> Column:
+        """GROUP BY payload on the inline path: one struct per distinct
+        group-key tuple among the matched rows (projected keys in
+        SELECT order, then the aggregates computed over that group's
+        subset). O(groups x matched) — bounded by inline_threshold^2 in
+        the worst case, tiny in practice."""
+        gb = list(self.query.group_by)
+
+        def key_of(r: Column) -> Column:
+            return F.struct(*[r.getField(c).alias(c) for c in gb])
+
+        keys_arr = F.array_distinct(F.transform(matched, key_of))
+
+        def row_for(k: Column) -> Column:
+            def same_group(r: Column) -> Column:
+                cond = F.lit(True)
+                for c in gb:
+                    cond = cond & r.getField(c).eqNullSafe(k.getField(c))
+                return cond
+
+            sub = F.filter(matched, same_group)
+            fields = [
+                k.getField(src).alias(alias)
+                for src, alias in (self.query.projection or [])
+            ]
+            fields += self._agg_fields_from_array(sub)
+            return F.struct(*fields)
+
+        return F.sort_array(F.transform(keys_arr, row_for))
 
     def _empty_agg_array(self) -> Column:
         """The one-row payload an aggregate query yields over an empty
@@ -1850,7 +1987,9 @@ class CompiledLookup:
                 lambda f, p: rhs_map[f],
             ),
         )
-        if self.query.aggregates:
+        if self.query.group_by:
+            payload = self._group_payload_from_array(matched)
+        elif self.query.aggregates:
             payload = self._agg_payload_from_array(matched)
         else:
             payload = self._assemble_payload(matched)
@@ -1938,7 +2077,45 @@ class CompiledLookup:
             rhs_for_probe,
         )
 
-        if self.query.aggregates:
+        def group_key_payload(src_df: DataFrame, by: list[str]) -> DataFrame:
+            """GROUP BY on the map-probe path: two aggregations over
+            rows carrying the dim struct — per (tuple, group) aggregate,
+            then per tuple collect the sorted group-row payload. NULL
+            dim rows (left-join misses) are excluded, so a miss tuple
+            simply has no payload row and maps back to NULL -> [] (SQL:
+            GROUP BY over an empty set yields zero rows)."""
+            gb = list(self.query.group_by)
+            aggs = self._agg_columns_native(
+                lambda c: F.col(dim_alias).getField(c), F.col(dim_alias)
+            ) or [F.count(F.lit(1)).alias("__n_rows_ignored")]
+            level1 = (
+                src_df.filter(F.col(dim_alias).isNotNull())
+                .groupBy(
+                    *by,
+                    *[
+                        F.col(dim_alias).getField(c).alias(f"__gb_{c}")
+                        for c in gb
+                    ],
+                )
+                .agg(*aggs)
+            )
+            payload_struct = F.struct(
+                *[
+                    F.col(f"__gb_{src}").alias(alias)
+                    for src, alias in (self.query.projection or [])
+                ],
+                *[F.col(alias) for _, _, alias in self.query.aggregates],
+            )
+            return level1.groupBy(*by).agg(
+                F.sort_array(F.collect_list(payload_struct)).alias(
+                    "__raw_payload"
+                )
+            )
+
+        payload_arr = None
+        if self.query.group_by:
+            pass  # handled by group_key_payload at the use sites
+        elif self.query.aggregates:
             # aggregate once per distinct tuple; the left-join miss row
             # carries a NULL dim struct, so count(*) counts the struct
             # (0 on miss) and field aggregates skip its NULL fields
@@ -1988,9 +2165,12 @@ class CompiledLookup:
                 ],
             )
             probed = tuples.join(F.broadcast(dim), probe_cond, "left")
-            key_payload = probed.groupBy(*mk_names).agg(
-                payload_arr.alias("__raw_payload")
-            )
+            if self.query.group_by:
+                key_payload = group_key_payload(probed, mk_names)
+            else:
+                key_payload = probed.groupBy(*mk_names).agg(
+                    payload_arr.alias("__raw_payload")
+                )
             back = F.lit(True)
             for fn, mn in zip(fk_names, mk_names):
                 back = back & F.col(fn).eqNullSafe(F.col(mn))
@@ -2001,7 +2181,12 @@ class CompiledLookup:
         # No bound parameters: every fact row shares ONE payload (the dim
         # filtered by the literal predicates) — aggregate it to a single
         # row and broadcast-cross-join it on.
-        single = dim.filter(probe_cond).agg(payload_arr.alias("__raw_payload"))
+        if self.query.group_by:
+            single = group_key_payload(dim.filter(probe_cond), [])
+        else:
+            single = dim.filter(probe_cond).agg(
+                payload_arr.alias("__raw_payload")
+            )
         return with_keys.crossJoin(F.broadcast(single))
 
     # Above this estimated distinct-tuple count, the tuple->payload map

@@ -167,6 +167,14 @@ def _pred_match(p, row: dict, params: dict) -> bool:
     return ordered3(vals[0], lambda a, b: a >= b) is True
 
 
+def _payload_sort_key(r: dict) -> list:
+    """Mirror of Spark's ``sort_array`` struct ordering for the default
+    (no ORDER BY) payload contract: field-wise ascending with NULL as
+    the SMALLEST value (verified against Spark 4: a null field sorts
+    before every non-null value)."""
+    return [(v is not None, v) for v in r.values()]
+
+
 def run_lookup(
     event: dict, spec: LookupSpec, table: list[dict]
 ) -> tuple[bool, list[str]]:
@@ -203,15 +211,13 @@ def run_lookup(
                 else q.projection
             )
             matched.append((row, {alias: row.get(src) for src, alias in fields}))
-    if q.aggregates:
-        # aggregate projection: exactly one payload row, even over an
-        # empty match set (count 0 / NULL) — default_hash never fires
+    def _agg_over(rows_raw: list[dict]) -> dict:
         row_out: dict = {}
         for func, col, alias in q.aggregates:
             if func == "count" and col is None:
-                row_out[alias] = len(matched)
+                row_out[alias] = len(rows_raw)
                 continue
-            vals = [r.get(col) for r, _ in matched]
+            vals = [r.get(col) for r in rows_raw]
             vals = [v for v in vals if v is not None]
             if func == "count":
                 row_out[alias] = len(vals)
@@ -227,7 +233,34 @@ def run_lookup(
                 row_out[alias] = sum(vals)
             else:  # avg
                 row_out[alias] = sum(float(v) for v in vals) / len(vals)
-        event[spec.target] = [row_out]
+        return row_out
+
+    if q.group_by:
+        # one payload row per distinct group-key tuple among the
+        # matches (projected keys then aggregates, like the compiled
+        # payload struct); zero groups on an empty match set, so the
+        # post-shape default CAN fire below
+        groups: dict[tuple, list[dict]] = {}
+        for r, _ in matched:
+            groups.setdefault(tuple(r.get(c) for c in q.group_by), []).append(r)
+        grows = []
+        for key, rs in groups.items():
+            kd = dict(zip(q.group_by, key))
+            d = {alias: kd[src] for src, alias in (q.projection or [])}
+            d.update(_agg_over(rs))
+            grows.append(d)
+        grows.sort(key=_payload_sort_key)
+        if not grows and spec.use_default:
+            event[spec.target] = [dict(spec.default_hash)]
+            tags.extend(spec.tag_on_default_use)
+            return True, tags
+        event[spec.target] = grows
+        return True, tags
+
+    if q.aggregates:
+        # aggregate projection: exactly one payload row, even over an
+        # empty match set (count 0 / NULL) — default_hash never fires
+        event[spec.target] = [_agg_over([r for r, _ in matched])]
         return True, tags
 
     if q.order_by:
@@ -257,11 +290,9 @@ def run_lookup(
         matched.sort(key=functools.cmp_to_key(cmp))
         rows = [proj for _, proj in matched]
     else:
-        # deterministic ordering to mirror sort_array(collect_list(...))
-        rows = sorted(
-            (proj for _, proj in matched),
-            key=lambda r: [(v is None, v) for v in r.values()],
-        )
+        # deterministic ordering to mirror sort_array(collect_list(...)),
+        # including its nulls-first struct-field ordering
+        rows = sorted((proj for _, proj in matched), key=_payload_sort_key)
     if q.distinct:
         # dedupe projected rows, first occurrence wins (payload order)
         seen: set = set()

@@ -323,3 +323,92 @@ def documents_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == 1, F.col("tf"))).alias("top_tf"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# 5. GROUP BY lookup: one payload row per group among the matching dim
+#    rows (`SELECT ip, count(*) AS n ... GROUP BY ip`) — Derby runs
+#    grouped lookup SQL verbatim. Zero groups on an empty match set
+#    (unlike the ungrouped aggregate, SQL returns no rows), so misses
+#    yield []. Theta path here: the per-distinct-tuple probe aggregates
+#    twice dim-side — (tuple, group) then tuple — before the broadcast
+#    map-back; the fact side still never shuffles.
+# ------------------------------------------------------------------
+
+
+@register(
+    "lookup_group_count",
+    with_ctes(
+        _HOSTS_CTE,
+        TRANSCRIPTS_CTE,
+        f"""
+        pats AS (
+          SELECT conv_id, turn_idx, {_PAT_SQL} AS ip_pat
+          FROM transcripts
+        )
+        """,
+        """
+        m AS (
+          SELECT p.conv_id, p.turn_idx, h.ip, CAST(count(*) AS BIGINT) AS n
+          FROM pats p JOIN host_assignments h ON h.ip LIKE p.ip_pat
+          GROUP BY 1, 2, 3
+        )
+        """,
+        """
+        agg AS (
+          SELECT conv_id, turn_idx,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 array_to_string(
+                   list(ip || '=' || CAST(n AS VARCHAR) ORDER BY ip), '|'
+                 ) AS groups_str
+          FROM m
+          GROUP BY 1, 2
+        )
+        """,
+        body="""
+        SELECT p.conv_id, p.turn_idx, p.ip_pat,
+               coalesce(a.n_groups, CAST(0 AS BIGINT)) AS n_groups,
+               coalesce(a.groups_str, '') AS groups_str
+        FROM pats p
+        LEFT JOIN agg a ON a.conv_id = p.conv_id AND a.turn_idx = p.turn_idx
+        """,
+    ),
+)
+def lookup_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir).withColumn(
+        "ip_pat",
+        F.when(F.col("turn_idx") % 3 == 0, F.lit("%.1.1"))
+        .when(F.col("turn_idx") % 3 == 1, F.lit("10.1.%"))
+        .otherwise(F.lit("10.9.%")),
+    )
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "grp",
+                "query": (
+                    "SELECT ip, count(*) AS n FROM host_assignments "
+                    "WHERE ip LIKE :pat GROUP BY ip"
+                ),
+                "parameters": {"pat": "ip_pat"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"host_assignments": spark.createDataFrame(HOST_ROWS, HOST_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ip_pat",
+        F.size("grp").cast("long").alias("n_groups"),
+        F.array_join(
+            F.transform(
+                F.col("grp"),
+                lambda r: F.concat(
+                    r.getField("ip"), F.lit("="), r.getField("n").cast("string")
+                ),
+            ),
+            "|",
+        ).alias("groups_str"),
+    )

@@ -1126,3 +1126,126 @@ class TestOffsetReviewRegressions:
         )
         assert [x["name"] for x in event["hit"]] == ["dflt"]
         assert "used_default" in event["tags"]
+
+
+class TestGroupByParser:
+    def test_group_with_aggregates_parses(self):
+        q = parse_lookup_query(
+            "SELECT ip, count(*) AS n FROM hosts WHERE tool <= :t GROUP BY ip"
+        )
+        assert q.group_by == ("ip",)
+        assert q.aggregates == (("count", None, "n"),)
+        assert q.projection == [("ip", "ip")]
+
+    def test_group_keys_only(self):
+        q = parse_lookup_query("SELECT ip FROM hosts WHERE tool = :t GROUP BY ip")
+        assert q.group_by == ("ip",) and q.aggregates == ()
+
+    def test_qualified_group_col_stripped(self):
+        q = parse_lookup_query(
+            "SELECT h.ip FROM hosts h WHERE h.tool = :t GROUP BY h.ip"
+        )
+        assert q.group_by == ("ip",)
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            # projected non-key, non-aggregated column
+            "SELECT ip, num FROM hosts GROUP BY ip",
+            # no result shaping on top of GROUP BY
+            "SELECT ip, count(*) AS n FROM hosts GROUP BY ip ORDER BY ip",
+            "SELECT ip, count(*) AS n FROM hosts GROUP BY ip LIMIT 2",
+            # SELECT * cannot be grouped
+            "SELECT * FROM hosts GROUP BY ip",
+            # GROUP not followed by BY
+            "SELECT ip FROM hosts GROUP ip",
+        ],
+    )
+    def test_malformed_group_raises(self, bad):
+        with pytest.raises(ValidationError):
+            parse_lookup_query(bad)
+
+    def test_unknown_group_column_rejected_at_compile(self, spark):
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": "SELECT missing FROM dim WHERE key = :k "
+                             "GROUP BY missing",
+                    "parameters": {"k": "k"},
+                }
+            ]
+        )
+        dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+        with pytest.raises(ValidationError, match="GROUP BY column"):
+            LookupEnricher(spec, {"dim": dim})
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"inline_threshold": 0},
+        {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+    ],
+)
+class TestGroupByGolden:
+    DIM = [
+        ("t0", "x", 1),
+        ("t0", "x", 2),
+        ("t0", "y", 5),
+        ("t1", "x", 7),
+        ("t1", None, 9),
+    ]
+
+    def _run(self, spark, query, facts, **kw):
+        spec = PipelineSpec(
+            lookups=[{"id": "hit", "query": query, "parameters": {"t": "t"}}]
+        )
+        dim = spark.createDataFrame(self.DIM, "tool string, cat string, num int")
+        out = LookupEnricher(spec, {"hosts": dim}, **kw).apply(
+            spark.createDataFrame(facts, "conv_id string, turn_idx int, t string")
+        )
+        return {
+            r["turn_idx"]: (
+                None if r["hit"] is None else [tuple(x) for x in r["hit"]]
+            )
+            for r in out.collect()
+        }
+
+    def test_equi_grouped_aggregates(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT cat, count(*) AS n, sum(num) AS s FROM hosts "
+            "WHERE tool = :t GROUP BY cat",
+            [("c", 1, "t0"), ("c", 2, "t1"), ("c", 3, "zz")],
+            **kw,
+        )
+        # NULL group key sorts FIRST (Spark struct ordering); a key
+        # miss yields ZERO groups -> []
+        assert got == {
+            1: [("x", 2, 3), ("y", 1, 5)],
+            2: [(None, 1, 9), ("x", 1, 7)],
+            3: [],
+        }
+
+    def test_theta_grouped(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT cat, count(*) AS n FROM hosts WHERE tool LIKE :t GROUP BY cat",
+            [("c", 1, "t%"), ("c", 2, "q%")],
+            **kw,
+        )
+        assert got == {
+            1: [(None, 1), ("x", 3), ("y", 1)],
+            2: [],
+        }
+
+    def test_group_keys_only_acts_as_distinct(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT cat FROM hosts WHERE tool = :t GROUP BY cat",
+            [("c", 1, "t0")],
+            **kw,
+        )
+        assert got == {1: [("x",), ("y",)]}

@@ -411,6 +411,9 @@ SHAPE_QUERIES = [
     "SELECT count(*) AS n, count(DISTINCT name) AS nd, max(name) AS mx "
     "FROM servers WHERE ip LIKE :ip",
     "SELECT count(*) AS n FROM servers WHERE ip = :ip",
+    "SELECT name, count(*) AS n FROM servers WHERE ip <= :ip GROUP BY name",
+    "SELECT ip, count(DISTINCT name) AS nd FROM servers WHERE ip LIKE :ip "
+    "GROUP BY ip",
 ]
 
 
