@@ -306,6 +306,11 @@ class ParsedQuery:
     # matching dim rows (plain projected columns must be group keys;
     # zero groups on an empty match set — the default_hash CAN fire).
     group_by: tuple[str, ...] = ()
+    # HAVING in DNF over PAYLOAD FIELDS (group keys / aggregate
+    # aliases): filters the group rows after aggregation; referencing
+    # an aggregate not in the SELECT list is rejected with a pointer to
+    # add it.
+    having: tuple = ()
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -783,11 +788,16 @@ def _resolve_qualified(
     )
 
 
-def _find_tail(text: str) -> int | None:
-    """Index where a top-level ``ORDER BY`` / ``LIMIT`` / ``FETCH``
-    clause starts in ``text``, or None. Scans outside string literals
-    and parentheses only, so a pattern like ``'%order by%'`` inside a
-    LIKE literal can never split the query."""
+def _find_tail(
+    text: str,
+    by_words: tuple[str, ...] = ("order", "group"),
+    bare_words: tuple[str, ...] = ("limit", "fetch", "offset", "having"),
+) -> int | None:
+    """Index where a top-level result-shape clause (``GROUP BY`` /
+    ``HAVING`` / ``ORDER BY`` / ``LIMIT`` / ``OFFSET`` / ``FETCH``)
+    starts in ``text``, or None. Scans outside string literals and
+    parentheses only, so a pattern like ``'%order by%'`` inside a LIKE
+    literal can never split the query."""
     i, n, depth = 0, len(text), 0
     while i < n:
         ch = text[i]
@@ -811,11 +821,11 @@ def _find_tail(text: str) -> int | None:
             w = m.group().lower()
             boundary = i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_.:")
             if boundary:
-                if w in ("order", "group") and re.match(
+                if w in by_words and re.match(
                     r"\s+by\b", text[m.end():], re.IGNORECASE
                 ):
                     return i
-                if w in ("limit", "fetch", "offset"):
+                if w in bare_words:
                     return i
             i = m.end()
             continue
@@ -953,8 +963,14 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     offset: int | None = None
     tail_holder = where_text if where_text is not None else from_text
     cut = _find_tail(tail_holder)
+    having_text: str | None = None
     if cut is not None:
-        group_by, order_by, limit, offset = _parse_tail(tail_holder[cut:])
+        tail_text = tail_holder[cut:]
+        hcut = _find_tail(tail_text, by_words=(), bare_words=("having",))
+        if hcut is not None:
+            having_text = tail_text[hcut + len("having"):]
+            tail_text = tail_text[:hcut]
+        group_by, order_by, limit, offset = _parse_tail(tail_text)
         tail_holder = tail_holder[:cut]
         if where_text is not None:
             if not tail_holder.strip():
@@ -1119,6 +1135,50 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                     [f"lookup GROUP BY: projected column(s) {bad} must "
                      f"appear in the GROUP BY list (or be aggregated)"]
                 )
+    having: tuple = ()
+    if having_text is not None:
+        if not group_by:
+            raise ValidationError(["lookup HAVING requires GROUP BY"])
+        # rewrite SELECTed aggregate expressions to their aliases so the
+        # predicate parser sees plain payload-field names
+        rewritten_h = having_text
+        for func, col, alias in aggregates:
+            if func == "count_distinct":
+                pat = r"count\s*\(\s*distinct\s+" + re.escape(col) + r"\s*\)"
+            elif col is None:
+                pat = r"count\s*\(\s*\*\s*\)"
+            else:
+                pat = func + r"\s*\(\s*" + re.escape(col) + r"\s*\)"
+            rewritten_h = re.sub(pat, alias, rewritten_h, flags=re.IGNORECASE)
+        if re.search(r"\b(count|sum|min|max|avg)\s*\(", rewritten_h, re.IGNORECASE):
+            raise ValidationError(
+                ["lookup HAVING references an aggregate that is not in "
+                 "the SELECT list — add it to the projection with an "
+                 "alias (use the same column spelling in both places)"]
+            )
+        htoks = _tokenize_where(rewritten_h)
+        if any(k == "qmark" for k, _ in htoks):
+            raise ValidationError(
+                ["lookup HAVING: positional '?' placeholders are not "
+                 "supported here — use a named :param"]
+            )
+        having = tuple(_WhereParser(htoks).parse())
+        payload_names = {alias for _, alias in projection} | {
+            a for _, _, a in aggregates
+        }
+        for d in having:
+            for p in d:
+                if p.func is not None:
+                    raise ValidationError(
+                        [f"lookup HAVING: function-wrapped fields are not "
+                         f"supported ({p.func}({p.dim_column}))"]
+                    )
+                if p.dim_column not in payload_names:
+                    raise ValidationError(
+                        [f"lookup HAVING: {p.dim_column!r} is not a "
+                         f"selected column alias "
+                         f"(available: {sorted(payload_names)})"]
+                    )
     if aggregates and not group_by:
         if distinct or order_by or limit is not None or offset is not None:
             raise ValidationError(
@@ -1139,7 +1199,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,
         order_by=order_by, limit=limit, offset=offset, distinct=distinct,
-        aggregates=tuple(aggregates), group_by=group_by,
+        aggregates=tuple(aggregates), group_by=group_by, having=having,
     )
 
 
@@ -1288,6 +1348,7 @@ def build_join_dim(
             for func, c, alias in parsed.aggregates
         ),
         group_by=new_group,
+        having=parsed.having,  # references payload ALIASES — flat-safe
     )
     return dim, rewritten
 
@@ -1399,7 +1460,8 @@ class CompiledLookup:
         else:
             self.bindings = dict(spec.parameters or {})
         needed: list[str] = []
-        for p in self.query.predicates:
+        having_preds = [p for d in self.query.having for p in d]
+        for p in self.query.predicates + having_preds:
             for n in p.param_names:
                 if n not in needed:
                     needed.append(n)
@@ -1645,6 +1707,12 @@ class CompiledLookup:
         # untouched; valid+empty+default => default payload + default tag;
         # valid otherwise => payload ([] when empty, no default).
         raw = F.col("__raw_payload")
+        if self.query.having:
+            # HAVING filters the aggregated group rows; a NULL payload
+            # (equi key miss) stays NULL through F.filter, preserving
+            # miss semantics, and an emptied payload takes the normal
+            # empty branch (Derby returns zero rows -> default can fire)
+            raw = F.filter(raw, self._having_element_condition(params))
         if self.query.aggregates and not self.query.group_by:
             # an aggregate query always returns exactly ONE row (SQL
             # aggregates over an empty set still produce a row), so the
@@ -1923,6 +1991,40 @@ class CompiledLookup:
             return F.struct(*fields)
 
         return F.sort_array(F.transform(keys_arr, row_for))
+
+    def _having_element_condition(self, params: dict[str, BoundParam]):
+        """Element-predicate for the HAVING filter over the aggregated
+        payload rows: DNF over payload-field comparisons, rhs operands
+        being literals or bound :params (re-evaluated per group row —
+        group counts are small, so the non-lambda-staging trap that
+        matters for dim-sized arrays does not bite here)."""
+
+        def fn(r: Column) -> Column:
+            parts: list[Column] = []
+            for d in self.query.having:
+                c: Column | None = None
+                for p in d:
+                    rhs: list[Column] = []
+                    for t in p.terms:
+                        if t.kind == "literal":
+                            lit = F.lit(t.value)
+                            rhs.append(
+                                _like_regex(lit) if p.op in _LIKE_OPS else lit
+                            )
+                        else:
+                            v = params[t.value].value
+                            if p.op in _LIKE_OPS:
+                                v = _like_regex(v)
+                            rhs.append(v)
+                    pc = self._pred_condition(p, r.getField(p.dim_column), rhs)
+                    c = pc if c is None else c & pc
+                parts.append(c if c is not None else F.lit(True))
+            out = parts[0]
+            for c in parts[1:]:
+                out = out | c
+            return out
+
+        return fn
 
     def _empty_agg_array(self) -> Column:
         """The one-row payload an aggregate query yields over an empty

@@ -249,6 +249,17 @@ def run_lookup(
             d = {alias: kd[src] for src, alias in (q.projection or [])}
             d.update(_agg_over(rs))
             grows.append(d)
+        if q.having:
+            # HAVING predicates reference payload aliases, so the group
+            # row dict doubles as the predicate's "row"
+            grows = [
+                g
+                for g in grows
+                if any(
+                    all(_pred_match(p, g, params) for p in disjunct)
+                    for disjunct in q.having
+                )
+            ]
         grows.sort(key=_payload_sort_key)
         if not grows and spec.use_default:
             event[spec.target] = [dict(spec.default_hash)]

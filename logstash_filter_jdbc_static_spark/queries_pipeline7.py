@@ -412,3 +412,91 @@ def lookup_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("groups_str"),
     )
+
+
+# ------------------------------------------------------------------
+# 6. GROUP BY + HAVING lookup — the canonical "find duplicate keys"
+#    shape (`HAVING count(*) > 1`). The HAVING compiles to a filter
+#    over the aggregated payload rows, after the per-group aggregation
+#    and before the empty-payload/default branch (Derby returns the
+#    post-HAVING result set).
+# ------------------------------------------------------------------
+
+
+@register(
+    "lookup_group_having",
+    with_ctes(
+        _HOSTS_CTE,
+        TRANSCRIPTS_CTE,
+        f"""
+        pats AS (
+          SELECT conv_id, turn_idx, {_PAT_SQL} AS ip_pat
+          FROM transcripts
+        )
+        """,
+        """
+        m AS (
+          SELECT p.conv_id, p.turn_idx, h.ip, CAST(count(*) AS BIGINT) AS n
+          FROM pats p JOIN host_assignments h ON h.ip LIKE p.ip_pat
+          GROUP BY 1, 2, 3
+          HAVING count(*) > 1
+        )
+        """,
+        """
+        agg AS (
+          SELECT conv_id, turn_idx,
+                 CAST(count(*) AS BIGINT) AS n_groups,
+                 array_to_string(
+                   list(ip || '=' || CAST(n AS VARCHAR) ORDER BY ip), '|'
+                 ) AS groups_str
+          FROM m
+          GROUP BY 1, 2
+        )
+        """,
+        body="""
+        SELECT p.conv_id, p.turn_idx, p.ip_pat,
+               coalesce(a.n_groups, CAST(0 AS BIGINT)) AS n_groups,
+               coalesce(a.groups_str, '') AS groups_str
+        FROM pats p
+        LEFT JOIN agg a ON a.conv_id = p.conv_id AND a.turn_idx = p.turn_idx
+        """,
+    ),
+)
+def lookup_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir).withColumn(
+        "ip_pat",
+        F.when(F.col("turn_idx") % 3 == 0, F.lit("%.1.1"))
+        .when(F.col("turn_idx") % 3 == 1, F.lit("10.1.%"))
+        .otherwise(F.lit("10.9.%")),
+    )
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "grp",
+                "query": (
+                    "SELECT ip, count(*) AS n FROM host_assignments "
+                    "WHERE ip LIKE :pat GROUP BY ip HAVING count(*) > 1"
+                ),
+                "parameters": {"pat": "ip_pat"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"host_assignments": spark.createDataFrame(HOST_ROWS, HOST_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "ip_pat",
+        F.size("grp").cast("long").alias("n_groups"),
+        F.array_join(
+            F.transform(
+                F.col("grp"),
+                lambda r: F.concat(
+                    r.getField("ip"), F.lit("="), r.getField("n").cast("string")
+                ),
+            ),
+            "|",
+        ).alias("groups_str"),
+    )

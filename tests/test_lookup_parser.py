@@ -1249,3 +1249,85 @@ class TestGroupByGolden:
             **kw,
         )
         assert got == {1: [("x",), ("y",)]}
+
+
+class TestHavingParser:
+    def test_agg_expr_rewritten_to_alias(self):
+        q = parse_lookup_query(
+            "SELECT cat, count(*) AS n FROM hosts WHERE tool = :t "
+            "GROUP BY cat HAVING count(*) > 1"
+        )
+        ((p,),) = q.having
+        assert (p.dim_column, p.op, p.literal) == ("n", ">", 1)
+
+    def test_alias_and_key_predicates_with_param(self):
+        q = parse_lookup_query(
+            "SELECT cat, count(*) AS n FROM hosts GROUP BY cat "
+            "HAVING n >= :min AND cat IS NOT NULL"
+        )
+        assert [(p.dim_column, p.op) for d in q.having for p in d] == [
+            ("n", ">="), ("cat", "is not null"),
+        ]
+
+    @pytest.mark.parametrize(
+        "bad",
+        [
+            "SELECT cat FROM hosts HAVING cat = 'x'",             # no GROUP BY
+            # aggregate not in the SELECT list
+            "SELECT cat, count(*) AS n FROM hosts GROUP BY cat HAVING sum(num) > 3",
+            # unknown field
+            "SELECT cat, count(*) AS n FROM hosts GROUP BY cat HAVING zz > 3",
+            # positional placeholder
+            "SELECT cat, count(*) AS n FROM hosts GROUP BY cat HAVING n > ?",
+        ],
+    )
+    def test_malformed_having_raises(self, bad):
+        with pytest.raises(ValidationError):
+            parse_lookup_query(bad)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        {},
+        {"inline_threshold": 0},
+        {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+    ],
+)
+class TestHavingGolden:
+    def test_having_filters_groups_and_default_fires(self, spark, kw):
+        dim = spark.createDataFrame(
+            [("t0", "x"), ("t0", "x"), ("t0", "y"), ("t1", "z")],
+            "tool string, cat string",
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": "SELECT cat, count(*) AS n FROM hosts "
+                             "WHERE tool = :t GROUP BY cat HAVING count(*) > 1",
+                    "parameters": {"t": "t"},
+                    "default_hash": {"cat": "none"},
+                    "tag_on_default_use": ["dflt"],
+                }
+            ]
+        )
+        out = LookupEnricher(spec, {"hosts": dim}, **kw).apply(
+            spark.createDataFrame(
+                [("c", 1, "t0"), ("c", 2, "t1")],
+                "conv_id string, turn_idx int, t string",
+            )
+        )
+        got = {
+            r["turn_idx"]: (
+                [tuple(x) for x in r["hit"]], "dflt" in list(r["tags"])
+            )
+            for r in out.collect()
+        }
+        # t0: only cat=x survives HAVING; t1: its one group is filtered
+        # out -> empty post-HAVING payload -> default fires (Derby
+        # returns the post-HAVING result set)
+        assert got == {
+            1: ([("x", 2)], False),
+            2: ([("none", None)], True),
+        }

@@ -414,6 +414,8 @@ SHAPE_QUERIES = [
     "SELECT name, count(*) AS n FROM servers WHERE ip <= :ip GROUP BY name",
     "SELECT ip, count(DISTINCT name) AS nd FROM servers WHERE ip LIKE :ip "
     "GROUP BY ip",
+    "SELECT name, count(*) AS n FROM servers WHERE ip <= :ip "
+    "GROUP BY name HAVING count(*) > 1",
 ]
 
 
