@@ -833,6 +833,43 @@ def _find_tail(
     return None
 
 
+def _quote_segments(text: str):
+    """Yield ``(is_quoted, segment)`` pieces of ``text`` (``''`` escape
+    handled), so clause rewrites can skip string literals."""
+    i, n = 0, len(text)
+    while i < n:
+        if text[i] == "'":
+            j = i + 1
+            while j < n:
+                if text[j] == "'":
+                    if j + 1 < n and text[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            yield True, text[i:min(j + 1, n)]
+            i = j + 1
+        else:
+            j = text.find("'", i)
+            seg = text[i:] if j == -1 else text[i:j]
+            yield False, seg
+            i = n if j == -1 else j
+
+
+def _sub_outside_quotes(pattern: str, repl: str, text: str) -> str:
+    return "".join(
+        seg if quoted else re.sub(pattern, repl, seg, flags=re.IGNORECASE)
+        for quoted, seg in _quote_segments(text)
+    )
+
+
+def _search_outside_quotes(pattern: str, text: str) -> bool:
+    return any(
+        not quoted and re.search(pattern, seg, re.IGNORECASE)
+        for quoted, seg in _quote_segments(text)
+    )
+
+
 def _parse_tail(
     text: str,
 ) -> tuple[
@@ -970,7 +1007,21 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         if hcut is not None:
             having_text = tail_text[hcut + len("having"):]
             tail_text = tail_text[:hcut]
-        group_by, order_by, limit, offset = _parse_tail(tail_text)
+            # clauses legally following HAVING (ORDER BY/FETCH in
+            # Derby's clause order) parse as the result-shape tail so
+            # the GROUP BY exclusivity check names the right clause
+            tcut = _find_tail(having_text)
+            if tcut is not None:
+                g2, order_by, limit, offset = _parse_tail(having_text[tcut:])
+                if g2:
+                    raise ValidationError(
+                        ["unsupported lookup query: GROUP BY after HAVING"]
+                    )
+                having_text = having_text[:tcut]
+        group_by, order_by2, limit2, offset2 = _parse_tail(tail_text)
+        order_by = order_by or order_by2
+        limit = limit if limit is not None else limit2
+        offset = offset if offset is not None else offset2
         tail_holder = tail_holder[:cut]
         if where_text is not None:
             if not tail_holder.strip():
@@ -1149,8 +1200,8 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 pat = r"count\s*\(\s*\*\s*\)"
             else:
                 pat = func + r"\s*\(\s*" + re.escape(col) + r"\s*\)"
-            rewritten_h = re.sub(pat, alias, rewritten_h, flags=re.IGNORECASE)
-        if re.search(r"\b(count|sum|min|max|avg)\s*\(", rewritten_h, re.IGNORECASE):
+            rewritten_h = _sub_outside_quotes(pat, alias, rewritten_h)
+        if _search_outside_quotes(r"\b(count|sum|min|max|avg)\s*\(", rewritten_h):
             raise ValidationError(
                 ["lookup HAVING references an aggregate that is not in "
                  "the SELECT list — add it to the projection with an "
@@ -1186,16 +1237,18 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                  "DISTINCT/ORDER BY/LIMIT/OFFSET (the result is a "
                  "single row)"]
             )
-        aggregates = [
-            (
-                func,
-                None if col is None else _resolve_qualified(
-                    col, table, base_alias, quals, "aggregate"
-                ),
-                alias,
-            )
-            for func, col, alias in aggregates
-        ]
+    # qualifier resolution runs for grouped aggregates too (the HAVING
+    # rewrite above intentionally matched the raw SELECT spelling first)
+    aggregates = [
+        (
+            func,
+            None if col is None else _resolve_qualified(
+                col, table, base_alias, quals, "aggregate"
+            ),
+            alias,
+        )
+        for func, col, alias in aggregates
+    ]
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,
         order_by=order_by, limit=limit, offset=offset, distinct=distinct,
@@ -1471,6 +1524,16 @@ class CompiledLookup:
                 [f"lookup '{spec.id}': no binding for placeholder(s) {missing}"]
             )
         self._needed_params = needed
+        # WHERE-referenced params only: the map-probe tuple key must not
+        # include HAVING-only params (the HAVING filter runs fact-side
+        # in apply(), so a probe keyed on them would multiply the
+        # tuple->payload map cardinality for nothing)
+        where_needed: list[str] = []
+        for p in self.query.predicates:
+            for n in p.param_names:
+                if n not in where_needed:
+                    where_needed.append(n)
+        self._where_params = where_needed
         self._payload_struct = self._payload_struct_type()
         self._default_array = self._build_default_array()
 
@@ -1589,13 +1652,24 @@ class CompiledLookup:
             out.append(row)
         return out
 
-    def _dnf_condition(self, lhs_for, rhs_for) -> Column:
+    def _term_rhs(self, p: _Predicate, t: _Term, param_value) -> Column:
+        """One rhs operand as a Column: literals inline (LIKE patterns
+        compile to constant-folded regexes); params via
+        ``param_value(name)`` with the LIKE rewrite applied."""
+        if t.kind == "literal":
+            lit = F.lit(t.value)
+            return _like_regex(lit) if p.op in _LIKE_OPS else lit
+        v = param_value(t.value)
+        return _like_regex(v) if p.op in _LIKE_OPS else v
+
+    def _dnf_condition(self, lhs_for, rhs_for, indexed=None) -> Column:
         """OR over disjuncts of AND over predicates. ``lhs_for(p)`` and
         ``rhs_for(flat_idx, p) -> list[Column]`` supply the operands, so
         the same normalized WHERE drives the dim filter, the inline
-        array filter, and the map-probe join condition."""
+        array filter, the map-probe join condition, and (via
+        ``indexed``) the HAVING payload filter."""
         parts: list[Column] = []
-        for d in self._indexed_disjuncts():
+        for d in (self._indexed_disjuncts() if indexed is None else indexed):
             c: Column | None = None
             for f, p in d:
                 pc = self._pred_condition(p, lhs_for(p), rhs_for(f, p))
@@ -1994,35 +2068,23 @@ class CompiledLookup:
 
     def _having_element_condition(self, params: dict[str, BoundParam]):
         """Element-predicate for the HAVING filter over the aggregated
-        payload rows: DNF over payload-field comparisons, rhs operands
-        being literals or bound :params (re-evaluated per group row —
-        group counts are small, so the non-lambda-staging trap that
+        payload rows: the same DNF machinery as the WHERE compile, with
+        lhs = payload field and rhs literals/bound :params (re-evaluated
+        per group row — group counts are small, so the staging trap that
         matters for dim-sized arrays does not bite here)."""
+        indexed = [
+            [(0, p) for p in d] for d in self.query.having
+        ]
 
         def fn(r: Column) -> Column:
-            parts: list[Column] = []
-            for d in self.query.having:
-                c: Column | None = None
-                for p in d:
-                    rhs: list[Column] = []
-                    for t in p.terms:
-                        if t.kind == "literal":
-                            lit = F.lit(t.value)
-                            rhs.append(
-                                _like_regex(lit) if p.op in _LIKE_OPS else lit
-                            )
-                        else:
-                            v = params[t.value].value
-                            if p.op in _LIKE_OPS:
-                                v = _like_regex(v)
-                            rhs.append(v)
-                    pc = self._pred_condition(p, r.getField(p.dim_column), rhs)
-                    c = pc if c is None else c & pc
-                parts.append(c if c is not None else F.lit(True))
-            out = parts[0]
-            for c in parts[1:]:
-                out = out | c
-            return out
+            return self._dnf_condition(
+                lambda p: r.getField(p.dim_column),
+                lambda _f, p: [
+                    self._term_rhs(p, t, lambda n: params[n].value)
+                    for t in p.terms
+                ],
+                indexed=indexed,
+            )
 
         return fn
 
@@ -2135,7 +2197,7 @@ class CompiledLookup:
         # use in the WHERE): the tuple carries the RAW parameter values —
         # the LIKE->regex rewrite runs once per distinct tuple on the map
         # side, and the map-back join key stays the short raw value.
-        param_order = list(self._needed_params)
+        param_order = list(self._where_params)
         fk = {n: f"__fk_{sid}_{j}" for j, n in enumerate(param_order)}
         mk = {n: f"__mk_{sid}_{j}" for j, n in enumerate(param_order)}
         for n in param_order:

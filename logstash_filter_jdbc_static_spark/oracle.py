@@ -245,8 +245,11 @@ def run_lookup(
             groups.setdefault(tuple(r.get(c) for c in q.group_by), []).append(r)
         grows = []
         for key, rs in groups.items():
-            kd = dict(zip(q.group_by, key))
-            d = {alias: kd[src] for src, alias in (q.projection or [])}
+            # read projected key values off a group member row, not off
+            # the group_by-keyed dict: projection and GROUP BY may use
+            # different (qualified vs bare) spellings of one column in
+            # join mode, and _join_rows rows carry both spellings
+            d = {alias: rs[0].get(src) for src, alias in (q.projection or [])}
             d.update(_agg_over(rs))
             grows.append(d)
         if q.having:

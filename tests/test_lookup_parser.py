@@ -1331,3 +1331,112 @@ class TestHavingGolden:
             1: ([("x", 2)], False),
             2: ([("none", None)], True),
         }
+
+
+class TestHavingReviewRegressions:
+    def test_qualified_aggregate_resolves_under_group_by(self, spark):
+        q = parse_lookup_query(
+            "SELECT h.cat, sum(h.num) AS s FROM hosts h "
+            "WHERE h.tool = :t GROUP BY h.cat"
+        )
+        assert q.aggregates == (("sum", "num", "s"),)
+        dim = spark.createDataFrame(
+            [("t0", "x", 3), ("t0", "x", 4)], "tool string, cat string, num int"
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": "SELECT h.cat, sum(h.num) AS s FROM hosts h "
+                             "WHERE h.tool = :t GROUP BY h.cat",
+                    "parameters": {"t": "t"},
+                }
+            ]
+        )
+        out = LookupEnricher(spec, {"hosts": dim}).apply(
+            spark.createDataFrame(
+                [("c", 1, "t0")], "conv_id string, turn_idx int, t string"
+            )
+        )
+        assert [tuple(x) for x in out.collect()[0]["hit"]] == [("x", 7)]
+        from logstash_filter_jdbc_static_spark import oracle
+
+        event = {"conv_id": "c", "turn_idx": 1, "t": "t0"}
+        oracle.enhance(
+            event, spec,
+            {"hosts": [{"tool": "t0", "cat": "x", "num": 3},
+                       {"tool": "t0", "cat": "x", "num": 4}]},
+        )
+        assert event["hit"] == [{"cat": "x", "s": 7}]
+
+    def test_oracle_join_group_mixed_spellings(self):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "x",
+                    "query": (
+                        "SELECT s.name, count(*) AS n FROM servers s "
+                        "JOIN owners o ON o.ip = s.ip WHERE o.team = :t "
+                        "GROUP BY name"
+                    ),
+                    "parameters": {"t": "t"},
+                }
+            ]
+        )
+        event = {"conv_id": "c", "turn_idx": 1, "t": "a"}
+        oracle.enhance(
+            event, spec,
+            {
+                "servers": [{"ip": "1", "name": "n1"}, {"ip": "2", "name": "n1"}],
+                "owners": [{"ip": "1", "team": "a"}, {"ip": "2", "team": "a"}],
+            },
+        )
+        assert event["x"] == [{"name": "n1", "n": 2}]
+
+    def test_having_string_literal_not_rewritten(self):
+        q = parse_lookup_query(
+            "SELECT cat, count(*) AS n FROM hosts GROUP BY cat "
+            "HAVING cat = 'count(*)'"
+        )
+        ((p,),) = q.having
+        assert (p.dim_column, p.literal) == ("cat", "count(*)")
+
+    def test_having_then_order_names_the_right_clause(self):
+        with pytest.raises(ValidationError, match="ORDER BY"):
+            parse_lookup_query(
+                "SELECT cat, count(*) AS n FROM hosts WHERE tool = :t "
+                "GROUP BY cat HAVING count(*) > 1 ORDER BY cat"
+            )
+
+    def test_having_param_not_in_probe_tuple(self, spark):
+        """A HAVING-only :param must not widen the map-probe's distinct
+        tuple key — the filter runs fact-side after the map-back."""
+        dim = spark.createDataFrame(
+            [("t0", "x"), ("t0", "x"), ("t0", "y")], "tool string, cat string"
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": "SELECT cat, count(*) AS n FROM hosts "
+                             "WHERE tool LIKE :t GROUP BY cat HAVING n >= :min",
+                    "parameters": {"t": "t", "min": "min"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame(
+            [("c", 1, "t%", 1), ("c", 2, "t%", 2), ("c", 3, "q%", 1)],
+            "conv_id string, turn_idx int, t string, min int",
+        )
+        out = LookupEnricher(spec, {"hosts": dim}, inline_threshold=0).apply(fact)
+        plan = out._jdf.queryExecution().analyzed().toString()
+        assert "__fk_hit_0" in plan
+        assert "__fk_hit_1" not in plan, "HAVING param leaked into the probe tuple"
+        got = {
+            r["turn_idx"]: [tuple(x) for x in (r["hit"] or [])]
+            for r in out.collect()
+        }
+        # same WHERE tuple (t%), different :min per row -> different filters
+        assert got == {1: [("x", 2), ("y", 1)], 2: [("x", 2)], 3: []}

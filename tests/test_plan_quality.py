@@ -355,3 +355,43 @@ class TestResultShapePlans:
         assert "Join" not in plan, plan
         assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
         assert "EvalPython" not in plan
+
+
+class TestGroupedLookupPlan:
+    def test_equi_group_by_stays_single_broadcast_join(self, spark):
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+        from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+        dim = spark.createDataFrame(
+            [("t0", "x", 1), ("t0", "y", 2), ("t1", "x", 3)],
+            "tool string, cat string, num int",
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "grp",
+                    "query": "SELECT cat, count(*) AS n, sum(num) AS s "
+                             "FROM hosts WHERE tool = :t GROUP BY cat "
+                             "HAVING count(*) >= 1",
+                    "parameters": {"t": "t"},
+                }
+            ]
+        )
+        fact = spark.range(1000).select(
+            F.lit("c").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("t"),
+        )
+        out = LookupEnricher(spec, {"hosts": dim}).apply(fact)
+        plan = _plan(out, "simple")
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert "SortMergeJoin" not in plan
+        assert "NestedLoop" not in plan
+        assert "EvalPython" not in plan
+        # both aggregation levels live on the dim (build) side
+        fact_side = plan.split("BroadcastHashJoin")[0]
+        assert "HashAggregate" not in fact_side, plan
