@@ -418,3 +418,64 @@ class TestFileBasedDerbyExample:
             (F.col("route") == "hit") & F.col("text").contains("10.1.1.1")
         ).first()
         assert '"name":"ldn-server-1"' in hit["server_json"]
+
+
+class TestDerbyResultShapeLookups:
+    """The round-3 result-shape SQL (ORDER BY/LIMIT, GROUP BY+HAVING)
+    against a dim ACTUALLY loaded from embedded Derby over JDBC — the
+    same store/loader path the reference's local db_objects take."""
+
+    def test_order_limit_lookup_on_derby_dim(self, spark, derby_servers):
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "top",
+                    "query": "SELECT name FROM servers WHERE ip LIKE :pre "
+                             "ORDER BY ip DESC LIMIT 2",
+                    "parameters": {"pre": "%{[prefix]}%"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1", "10.")], ["event", "prefix"])
+        # expectations derive from the LIVE dim: earlier module tests
+        # legitimately insert rows into the shared Derby table
+        dim_rows = [
+            (r["ip"], r["name"])
+            for r in store.dims()["servers"].collect()
+            if r["ip"].startswith("10.")
+        ]
+        expect = [
+            name for _, name in sorted(dim_rows, reverse=True)[:2]
+        ]
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert [x["name"] for x in row["top"]] == expect
+
+    def test_group_having_lookup_on_derby_dim(self, spark, derby_servers):
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "grp",
+                    "query": "SELECT location, count(*) AS n FROM servers "
+                             "WHERE ip LIKE :pre GROUP BY location "
+                             "HAVING count(*) >= 1",
+                    "parameters": {"pre": "%{[prefix]}%"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1", "10.")], ["event", "prefix"])
+        from collections import Counter
+
+        live = [
+            r["location"]
+            for r in store.dims()["servers"].collect()
+            if r["ip"].startswith("10.")
+        ]
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        got = sorted((x["location"], x["n"]) for x in row["grp"])
+        assert got == sorted(Counter(live).items())
