@@ -341,6 +341,7 @@ def connected_components(
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
         "label", F.col("id")
     ).localCheckpoint(eager=True)
+    n_changed = 0
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges["dst"] == labels["id"])
@@ -364,4 +365,15 @@ def connected_components(
         labels = new_labels.drop("_chg")
         if not n_changed:
             break
+    if n_changed:
+        # Fail loud, not silent (the _to_dnf convention): a chain longer
+        # than max_iter rounds would otherwise return partially-merged
+        # cluster ids as if converged, and every downstream canonical-keep
+        # decision on the affected component would be wrong.
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds ({n_changed} labels still changing); the "
+            f"duplicate graph has a component with diameter > {max_iter} — "
+            f"raise max_iter"
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))

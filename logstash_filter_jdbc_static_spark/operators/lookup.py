@@ -1762,7 +1762,17 @@ class CompiledLookup:
         return valid
 
     def apply(self, fact: DataFrame) -> DataFrame:
-        """Enrich ``fact`` with this lookup's target + status columns."""
+        """Enrich ``fact`` with this lookup's target + status columns.
+
+        Laziness contract: plan construction is lazy EXCEPT (a) the
+        inline-threshold dim count (a one-off over the small pinned dim
+        snapshot, cached) and (b) ``pattern_strategy="auto"`` on the
+        map-probe path, which eagerly materializes the slim distinct
+        parameter-tuple frame (localCheckpoint + exact count) to decide
+        broadcast vs shuffle map-back — one extra pass over ``fact``'s
+        lineage per apply(). Callers looping apply() over an expensive
+        uncached fact should either cache the fact or pin the strategy
+        explicitly."""
         params = self._param_cols(fact.schema)
         valid = self._validity(params)
         sid = self.spec.id
@@ -2321,6 +2331,21 @@ class CompiledLookup:
             tuples = with_keys.select(
                 *[F.col(f).alias(m) for f, m in zip(fk_names, mk_names)]
             ).distinct()
+            if self.pattern_strategy == "auto":
+                # "auto" needs the distinct-tuple cardinality BEFORE the
+                # plan commits to a broadcast. Materialize the slim
+                # distinct frame once (localCheckpoint truncates the
+                # upstream fact lineage) and count it exactly; the probe
+                # below reuses the checkpointed frame, so the fact is
+                # scanned once to build the tuples instead of twice (the
+                # old approx pre-flight re-ran the whole — possibly
+                # expensive, uncached — fact lineage a second time).
+                # NOTE this makes plan construction eager for "auto":
+                # documented in apply()'s contract.
+                tuples = tuples.localCheckpoint(eager=True)
+                strategy = self._resolve_pattern_strategy(tuples.count())
+            else:
+                strategy = self.pattern_strategy
             tuples = tuples.select(
                 "*",
                 *[
@@ -2338,7 +2363,7 @@ class CompiledLookup:
             back = F.lit(True)
             for fn, mn in zip(fk_names, mk_names):
                 back = back & F.col(fn).eqNullSafe(F.col(mn))
-            if self._resolve_pattern_strategy(with_keys, fk_names) == "broadcast_map":
+            if strategy == "broadcast_map":
                 key_payload = F.broadcast(key_payload)
             joined = with_keys.join(key_payload, back, "left")
             return joined.drop(*fk_names, *mk_names)
@@ -2358,21 +2383,14 @@ class CompiledLookup:
     # "auto" falls back to the shuffle join.
     AUTO_TUPLE_BROADCAST_LIMIT = 1_000_000
 
-    def _resolve_pattern_strategy(self, with_keys: DataFrame, fk_names: list[str]) -> str:
-        """broadcast_map/shuffle_map pass through; "auto" pays one
-        approx_count_distinct action over the slim tuple projection
-        (column-pruned scan, no shuffle) to bound the map size before
-        committing to a broadcast — the cardinality guard for
-        near-unique parameter tuples."""
+    def _resolve_pattern_strategy(self, n_tuples: int) -> str:
+        """broadcast_map/shuffle_map pass through; "auto" compares the
+        EXACT distinct-tuple count (from the localCheckpoint'd tuple
+        frame the probe reuses — see _apply_bnlj) against the broadcast
+        cap — the cardinality guard for near-unique parameter tuples."""
         if self.pattern_strategy != "auto":
             return self.pattern_strategy
-        n = (
-            with_keys.select(
-                F.approx_count_distinct(
-                    F.struct(*[F.col(c) for c in fk_names])
-                ).alias("n")
-            ).collect()[0]["n"]
-        )
+        n = n_tuples
         if n > self.AUTO_TUPLE_BROADCAST_LIMIT:
             import logging
 

@@ -373,8 +373,9 @@ class TestAutoPatternStrategy:
             spec, {"dim": dim}, inline_threshold=0, pattern_strategy="auto"
         )
         cl = enr.compiled[0]
-        facts = self._facts(spark, 50).withColumn("__fk_hit_0", F.col("k"))
-        assert cl._resolve_pattern_strategy(facts, ["__fk_hit_0"]) == "shuffle_map"
+        # 50 facts carry 50 distinct k values > patched limit of 5
+        assert cl._resolve_pattern_strategy(50) == "shuffle_map"
+        assert cl._resolve_pattern_strategy(5) == "broadcast_map"
         # and end-to-end results stay correct on the fallback path
         out = enr.apply(self._facts(spark, 50))
         assert out.count() == 50

@@ -37,14 +37,15 @@ class TestConnectedComponents:
         got = {r["id"]: r["cluster_id"] for r in comp.collect()}
         assert got == {2: 2, 5: 2, 9: 2}
 
-    def test_max_iter_bounds_rounds(self, spark):
-        # With max_iter=1 a long chain cannot fully converge; the result
-        # is still a valid partial labeling (every label <= own id) and
-        # the call terminates.
+    def test_max_iter_unconverged_raises(self, spark):
+        # With max_iter=1 a long chain cannot fully converge; silently
+        # returning partially-merged labels as if converged would poison
+        # downstream canonical-keep decisions, so the loop fails loud.
+        import pytest
+
         edges = [(i, i + 1) for i in range(1, 8)]
-        comp = D.connected_components(_pairs(spark, edges), max_iter=1)
-        for r in comp.collect():
-            assert r["cluster_id"] <= r["id"]
+        with pytest.raises(RuntimeError, match="did not converge"):
+            D.connected_components(_pairs(spark, edges), max_iter=1)
 
     def test_triangle_converges_fast(self, spark):
         comp = D.connected_components(
