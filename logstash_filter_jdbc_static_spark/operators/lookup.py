@@ -66,6 +66,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame, functions as F, types as T
 
+from logstash_filter_jdbc_static_spark.operators import sqlexpr
 from logstash_filter_jdbc_static_spark.spec import (
     LookupSpec,
     ValidationError,
@@ -311,6 +312,13 @@ class ParsedQuery:
     # an aggregate not in the SELECT list is rejected with a pointer to
     # add it.
     having: tuple = ()
+    # Dim-side scalar expressions (arithmetic / CASE / COALESCE in the
+    # projection or a predicate lhs), each materialized as a synthetic
+    # dim column named ``__expr{n}``: (name, sqlexpr AST) pairs. The
+    # rest of the query references them as plain columns, so every
+    # physical path works unchanged (a param-keyed equality on a
+    # computed column keeps the broadcast-hash equi path).
+    computed: tuple[tuple[str, object], ...] = ()
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -353,10 +361,11 @@ _AGG_RE = re.compile(
 _TOKEN_RE = re.compile(
     r"""(?:
         (?P<string>'(?:[^']|'')*')
-      | (?P<number>-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+      | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
       | (?P<param>:[A-Za-z_][A-Za-z0-9_]*)
       | (?P<qmark>\?)
       | (?P<op><>|!=|<=|>=|=|<|>)
+      | (?P<arith>\|\||[+\-*/])
       | (?P<lparen>\()
       | (?P<rparen>\))
       | (?P<comma>,)
@@ -527,9 +536,14 @@ class _WhereParser:
         table: str = "",
         quals: set[str] | None = None,
         alias: str = "",
+        computed: list[tuple[str, object]] | None = None,
     ):
         self.tokens = tokens
         self.table = table
+        # Shared registry of dim-side computed expressions (see
+        # ParsedQuery.computed); None == expression lhs not legal in
+        # this clause (HAVING runs over payload fields, not the dim).
+        self.computed = computed
         # Multi-table mode: the set of in-scope relation aliases.
         # Qualified references are KEPT as "alias.col" (lowercased
         # alias) for build_join_dim to resolve; single-table mode
@@ -620,61 +634,106 @@ class _WhereParser:
             return _negate(self._primary())
         tok = self._peek()
         if tok and tok[0] == "lparen":
-            self._next()
-            node = self._or_expr()
-            if self._next()[0] != "rparen":
-                raise ValidationError(["unsupported lookup predicate: unbalanced parentheses"])
-            return node
+            # '(' may open a boolean group or a parenthesized arithmetic
+            # lhs (``(a + 1) > :x``): try the boolean reading first and
+            # fall back to a predicate whose expression grammar owns the
+            # paren; when both fail, the boolean error is the clearer one
+            save = self.i
+            try:
+                self._next()
+                node = self._or_expr()
+                if self._next()[0] != "rparen":
+                    raise ValidationError(
+                        ["unsupported lookup predicate: unbalanced parentheses"]
+                    )
+                return node
+            except ValidationError as bool_err:
+                self.i = save
+                try:
+                    return ("pred", self._predicate())
+                except ValidationError:
+                    raise bool_err
         return ("pred", self._predicate())
 
     def _term(self) -> _Term:
         kind, text = self._next()
-        if kind == "param":
-            return _Term("param", text[1:])
-        if kind == "qmark":
-            name = f"p{self.positional}"
-            self.positional += 1
-            return _Term("param", name)
-        if kind == "string":
-            return _Term("literal", text[1:-1].replace("''", "'"))
+        neg = False
+        if kind == "arith" and text == "-":
+            # unary minus on a numeric literal (the tokenizer lexes the
+            # sign separately so the expression grammar can see `a-1`)
+            kind, text = self._next()
+            neg = True
+        if not neg:
+            if kind == "param":
+                return _Term("param", text[1:])
+            if kind == "qmark":
+                name = f"p{self.positional}"
+                self.positional += 1
+                return _Term("param", name)
+            if kind == "string":
+                return _Term("literal", text[1:-1].replace("''", "'"))
         if kind == "number":
             is_float = "." in text or "e" in text or "E" in text
-            return _Term("literal", float(text) if is_float else int(text))
+            v = float(text) if is_float else int(text)
+            return _Term("literal", -v if neg else v)
         raise ValidationError(
             [f"unsupported lookup predicate rhs: {text!r} "
              "(expected :name, ?, 'string' or number)"]
         )
 
-    def _predicate(self) -> _Predicate:
-        kind, col = self._next()
-        if kind != "word" or col.lower() in ("and", "or", "not", "null"):
+    def _new_computed(self, ast) -> str:
+        """Register a dim-side expression lhs, returning its synthetic
+        column name; structurally identical expressions share one
+        column (the ASTs are frozen dataclasses, comparable by value)."""
+        if self.computed is None:
             raise ValidationError(
-                [f"unsupported lookup predicate: expected column name, got {col!r}"]
+                ["lookup HAVING: expression left-hand sides are not "
+                 "supported — SELECT the expression with an alias and "
+                 "reference the alias"]
+            )
+        if self.quals is not None:
+            raise ValidationError(
+                ["lookup predicate: expressions are not supported in "
+                 "multi-table (JOIN) queries"]
+            )
+        for name, existing in self.computed:
+            if existing == ast:
+                return name
+        name = f"__expr{len(self.computed)}"
+        self.computed.append((name, ast))
+        return name
+
+    def _predicate(self) -> _Predicate:
+        tok0 = self._peek()
+        if tok0 is None:
+            raise ValidationError(
+                ["unsupported lookup predicate: unexpected end of WHERE"]
+            )
+        if tok0[0] == "word" and tok0[1].lower() in ("and", "or", "null"):
+            raise ValidationError(
+                [f"unsupported lookup predicate: expected column name, "
+                 f"got {tok0[1]!r}"]
             )
         func: str | None = None
-        col = self._strip_qualifier(col)
+        # The lhs is a scalar expression; a bare column and the legacy
+        # func(col) wrap keep their dedicated representations (and the
+        # is_pure_equi computed-key behavior pinned by tests) — any
+        # other shape is materialized as a synthetic dim column.
+        ep = sqlexpr.ExprParser(
+            self.tokens, self.i, resolve_col=self._strip_qualifier
+        )
+        ast = ep.parse()
+        self.i = ep.i
+        simple = sqlexpr.is_simple_column(ast)
+        if simple is not None:
+            col = simple
+        else:
+            fc = sqlexpr.single_func_column(ast)
+            if fc is not None:
+                func, col = fc
+            else:
+                col = self._new_computed(ast)
         tok = self._peek()
-        if tok and tok[0] == "lparen":
-            fname = col.lower()
-            if fname not in _LHS_FUNCS:
-                raise ValidationError(
-                    [f"unsupported lookup predicate: unknown function {col!r} "
-                     f"(supported: {', '.join(sorted(_LHS_FUNCS))})"]
-                )
-            self._next()  # (
-            kind, col = self._next()
-            if kind != "word":
-                raise ValidationError(
-                    [f"unsupported lookup predicate: expected column inside "
-                     f"{fname}(), got {col!r}"]
-                )
-            col = self._strip_qualifier(col)
-            if self._next()[0] != "rparen":
-                raise ValidationError(
-                    [f"unsupported lookup predicate: unclosed {fname}(...)"]
-                )
-            func = fname
-            tok = self._peek()
         if tok is None:
             raise ValidationError(
                 [f"unsupported lookup predicate: dangling column {col!r}"]
@@ -833,41 +892,74 @@ def _find_tail(
     return None
 
 
-def _quote_segments(text: str):
-    """Yield ``(is_quoted, segment)`` pieces of ``text`` (``''`` escape
-    handled), so clause rewrites can skip string literals."""
-    i, n = 0, len(text)
+def _split_top_level_commas(text: str) -> list[str]:
+    """Split on commas outside string literals and parentheses, so a
+    projection item like ``coalesce(name, '?')`` stays whole."""
+    items: list[str] = []
+    start, i, n, depth = 0, 0, len(text), 0
     while i < n:
-        if text[i] == "'":
-            j = i + 1
-            while j < n:
-                if text[j] == "'":
-                    if j + 1 < n and text[j + 1] == "'":
-                        j += 2
+        ch = text[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 2
                         continue
                     break
-                j += 1
-            yield True, text[i:min(j + 1, n)]
-            i = j + 1
-        else:
-            j = text.find("'", i)
-            seg = text[i:] if j == -1 else text[i:j]
-            yield False, seg
-            i = n if j == -1 else j
+                i += 1
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append(text[start:i])
+            start = i + 1
+        i += 1
+    items.append(text[start:])
+    return [s.strip() for s in items]
 
 
-def _sub_outside_quotes(pattern: str, repl: str, text: str) -> str:
-    return "".join(
-        seg if quoted else re.sub(pattern, repl, seg, flags=re.IGNORECASE)
-        for quoted, seg in _quote_segments(text)
-    )
-
-
-def _search_outside_quotes(pattern: str, text: str) -> bool:
-    return any(
-        not quoted and re.search(pattern, seg, re.IGNORECASE)
-        for quoted, seg in _quote_segments(text)
-    )
+def _split_projection_alias(item: str) -> tuple[str, str | None]:
+    """Split one projection item at its LAST top-level ``AS`` (outside
+    string literals and parentheses) -> (source text, alias or None)."""
+    i, n, depth, pos = 0, len(item), 0, None
+    while i < n:
+        ch = item[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if item[i] == "'":
+                    if i + 1 < n and item[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            m = _WORD_RE.match(item, i)
+            boundary = i == 0 or not (item[i - 1].isalnum() or item[i - 1] in "_.")
+            if boundary and m.group().lower() == "as":
+                pos = i
+            i = m.end()
+            continue
+        i += 1
+    if pos is None:
+        return item.strip(), None
+    src = item[:pos].strip()
+    alias = item[pos + 2:].strip()
+    if not src or not re.match(r"^[A-Za-z_][\w.]*$", alias):
+        raise ValidationError(
+            [f"lookup projection: bad AS alias in {item.strip()!r}"]
+        )
+    return src, alias
 
 
 def _parse_tail(
@@ -980,6 +1072,94 @@ def _parse_tail(
     return tuple(group), tuple(order), limit, offset
 
 
+_AGG_FUNC_NAMES = ("count", "sum", "min", "max", "avg")
+
+
+def _rewrite_having_aggregates(
+    toks: list[tuple[str, str]],
+    aggregates: list[tuple[str, str | None, str]],
+    table: str,
+    base_alias: str,
+    quals: set[str] | None,
+) -> list[tuple[str, str]]:
+    """Rewrite SELECTed aggregate calls in a HAVING token stream to their
+    SELECT aliases. Matching is token-level and qualifier-normalized, so
+    ``HAVING sum( t.amount ) > 3`` resolves against ``SELECT sum(amount)
+    AS total`` regardless of whitespace or qualifier spelling, and a
+    function that merely ends in an aggregate name (``checksum(...)``)
+    is never touched (round-3 ADVICE: the old regex rewrite mangled it).
+    An aggregate call with no SELECT counterpart raises with a pointer —
+    the payload can only carry selected fields."""
+    sel: dict[tuple[str, str | None], str] = {}
+    for func, col, alias in aggregates:
+        key_col = None if col is None else _resolve_qualified(
+            col, table, base_alias, quals, "HAVING"
+        )
+        sel[(func, key_col)] = alias
+    out: list[tuple[str, str]] = []
+    i, n = 0, len(toks)
+    while i < n:
+        kind, val = toks[i]
+        if not (
+            kind == "word"
+            and "." not in val
+            and val.lower() in _AGG_FUNC_NAMES
+            and i + 1 < n
+            and toks[i + 1][0] == "lparen"
+        ):
+            out.append(toks[i])
+            i += 1
+            continue
+        func = val.lower()
+        j, depth = i + 2, 1
+        inner: list[tuple[str, str]] = []
+        while j < n:
+            k2 = toks[j][0]
+            if k2 == "lparen":
+                depth += 1
+            elif k2 == "rparen":
+                depth -= 1
+                if not depth:
+                    break
+            inner.append(toks[j])
+            j += 1
+        if depth:
+            raise ValidationError([f"lookup HAVING: unclosed {func}(...)"])
+        key: tuple[str, str | None]
+        if func == "count" and len(inner) == 1 and inner[0] == ("arith", "*"):
+            key = ("count", None)
+        elif (
+            func == "count"
+            and len(inner) == 2
+            and inner[0][0] == "word"
+            and inner[0][1].lower() == "distinct"
+            and inner[1][0] == "word"
+        ):
+            key = ("count_distinct", _resolve_qualified(
+                inner[1][1], table, base_alias, quals, "HAVING"
+            ))
+        elif len(inner) == 1 and inner[0][0] == "word":
+            key = (func, _resolve_qualified(
+                inner[0][1], table, base_alias, quals, "HAVING"
+            ))
+        else:
+            arg_text = " ".join(v for _, v in inner)
+            raise ValidationError(
+                [f"lookup HAVING: unsupported aggregate argument in "
+                 f"{func}({arg_text})"]
+            )
+        alias = sel.get(key)
+        if alias is None:
+            raise ValidationError(
+                ["lookup HAVING references an aggregate that is not in "
+                 "the SELECT list — add it to the projection with an "
+                 "alias"]
+            )
+        out.append(("word", alias))
+        i = j + 1
+    return out
+
+
 def parse_lookup_query(query: str) -> ParsedQuery:
     """Parse the lookup SQL surface (SURVEY 2B, widened per round-2
     verdict #1): projection with aliases or ``*``, single table, optional
@@ -1045,6 +1225,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     proj_raw = m.group("proj").strip()
     projection: list[tuple[str, str]] | None
     aggregates: list[tuple[str, str | None, str]] = []
+    computed: list[tuple[str, object]] = []
     if proj_raw == "*":
         if joins:
             raise ValidationError(
@@ -1054,12 +1235,11 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         projection = None
     else:
         projection = []
-        for item in proj_raw.split(","):
-            parts = re.split(r"\s+as\s+", item.strip(), flags=re.IGNORECASE)
-            src = parts[0].strip()
+        for item in _split_top_level_commas(proj_raw):
+            src, alias = _split_projection_alias(item)
             am = _AGG_RE.match(src)
             if am:
-                if len(parts) != 2:
+                if alias is None:
                     raise ValidationError(
                         [f"lookup aggregate projection {src!r} requires an "
                          f"AS alias (the payload hash is keyed by it)"]
@@ -1078,13 +1258,43 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                              f"as count(DISTINCT col), got {src!r}"]
                         )
                     func = "count_distinct"
-                aggregates.append(
-                    (func, None if arg == "*" else arg, parts[1].strip())
-                )
-            elif len(parts) == 2:
-                projection.append((src, parts[1].strip()))
+                aggregates.append((func, None if arg == "*" else arg, alias))
+            elif _SIMPLE_TABLE_RE.match(src):
+                projection.append((src, alias if alias is not None else src))
             else:
-                projection.append((item.strip(), item.strip()))
+                # scalar expression projection (arithmetic / CASE /
+                # COALESCE ... — the reference executes these verbatim
+                # in Derby, lookup.rb:131-147); materialized dim-side
+                # as a synthetic column the projection references
+                if joins:
+                    raise ValidationError(
+                        ["lookup projection: expressions are not supported "
+                         "in multi-table (JOIN) queries"]
+                    )
+                if alias is None:
+                    raise ValidationError(
+                        [f"lookup expression projection {src!r} requires an "
+                         f"AS alias (the payload hash is keyed by it)"]
+                    )
+                toks = _tokenize_where(src)
+                ep = sqlexpr.ExprParser(
+                    toks,
+                    0,
+                    resolve_col=lambda nm: _resolve_qualified(
+                        nm, table, base_alias, quals, "projection"
+                    ),
+                )
+                ast = ep.parse()
+                if ep.i != len(toks):
+                    raise ValidationError(
+                        [f"lookup projection: trailing tokens after "
+                         f"expression at {toks[ep.i][1]!r} in {src!r}"]
+                    )
+                name = next((n for n, e in computed if e == ast), None)
+                if name is None:
+                    name = f"__expr{len(computed)}"
+                    computed.append((name, ast))
+                projection.append((name, alias))
         if aggregates and projection and not group_by:
             raise ValidationError(
                 ["lookup projection cannot mix aggregates with plain "
@@ -1134,7 +1344,8 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             base_alias if base_alias != table.lower() else ""
         )
         disjuncts = _WhereParser(
-            _tokenize_where(where_text), table, quals, alias=single_alias
+            _tokenize_where(where_text), table, quals, alias=single_alias,
+            computed=computed,
         ).parse()
     if order_by:
         # SQL resolution order: a SELECT output alias first, then a base
@@ -1190,24 +1401,24 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     if having_text is not None:
         if not group_by:
             raise ValidationError(["lookup HAVING requires GROUP BY"])
-        # rewrite SELECTed aggregate expressions to their aliases so the
-        # predicate parser sees plain payload-field names
-        rewritten_h = having_text
-        for func, col, alias in aggregates:
-            if func == "count_distinct":
-                pat = r"count\s*\(\s*distinct\s+" + re.escape(col) + r"\s*\)"
-            elif col is None:
-                pat = r"count\s*\(\s*\*\s*\)"
-            else:
-                pat = func + r"\s*\(\s*" + re.escape(col) + r"\s*\)"
-            rewritten_h = _sub_outside_quotes(pat, alias, rewritten_h)
-        if _search_outside_quotes(r"\b(count|sum|min|max|avg)\s*\(", rewritten_h):
-            raise ValidationError(
-                ["lookup HAVING references an aggregate that is not in "
-                 "the SELECT list — add it to the projection with an "
-                 "alias (use the same column spelling in both places)"]
+        # rewrite SELECTed aggregate calls to their aliases so the
+        # predicate parser sees plain payload-field names; token-level,
+        # so whitespace/qualifier spelling differences between SELECT
+        # and HAVING resolve instead of raising
+        htoks = _rewrite_having_aggregates(
+            _tokenize_where(having_text), aggregates,
+            table, base_alias, quals,
+        )
+        # group-key references may be qualifier-spelled too
+        # (`HAVING h.cat <> 'z'`): canonicalize like every other clause
+        htoks = [
+            (
+                ("word", _resolve_qualified(v, table, base_alias, quals, "HAVING"))
+                if k == "word" and "." in v
+                else (k, v)
             )
-        htoks = _tokenize_where(rewritten_h)
+            for k, v in htoks
+        ]
         if any(k == "qmark" for k, _ in htoks):
             raise ValidationError(
                 ["lookup HAVING: positional '?' placeholders are not "
@@ -1238,7 +1449,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                  "single row)"]
             )
     # qualifier resolution runs for grouped aggregates too (the HAVING
-    # rewrite above intentionally matched the raw SELECT spelling first)
+    # rewrite above already normalized both sides the same way)
     aggregates = [
         (
             func,
@@ -1249,10 +1460,18 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         )
         for func, col, alias in aggregates
     ]
+    # Prune computed expressions no clause ended up referencing (the
+    # boolean-vs-arithmetic paren backtracking can register an lhs on
+    # an attempt that is then re-parsed the other way).
+    if computed:
+        referenced = {src for src, _ in (projection or [])}
+        referenced |= {p.dim_column for d in disjuncts for p in d}
+        computed = [(n, a) for n, a in computed if n in referenced]
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,
         order_by=order_by, limit=limit, offset=offset, distinct=distinct,
         aggregates=tuple(aggregates), group_by=group_by, having=having,
+        computed=tuple(computed),
     )
 
 
@@ -1436,6 +1655,29 @@ class CompiledLookup:
             parsed_query if parsed_query is not None
             else parse_lookup_query(spec.query)
         )
+        # Materialize dim-side computed expressions (arithmetic / CASE /
+        # COALESCE) as synthetic columns BEFORE any path sees the dim;
+        # every physical strategy then treats them as ordinary columns.
+        base_schema_fields = list(dim_df.schema.fields)
+        if self.query.computed:
+            names = {f.name for f in base_schema_fields}
+            for cname, ast in self.query.computed:
+                missing = sorted(
+                    r for r in sqlexpr.columns(ast) if r not in names
+                )
+                if missing:
+                    raise ValidationError(
+                        [f"lookup '{spec.id}': expression references "
+                         f"unknown column(s) {missing} in table "
+                         f"'{self.query.table}'"]
+                    )
+                if cname in names:
+                    raise ValidationError(
+                        [f"lookup '{spec.id}': synthetic expression column "
+                         f"{cname!r} collides with a dim column"]
+                    )
+                dim_df = dim_df.withColumn(cname, sqlexpr.compile_expr(ast))
+                names.add(cname)
         self.dim_df = dim_df
         self.inline_threshold = inline_threshold
         self.row_key = list(row_key)
@@ -1487,7 +1729,9 @@ class CompiledLookup:
                 (alias, alias) for _, _, alias in self.query.aggregates
             ]
         elif self.query.projection is None:
-            self.out_fields = [(f.name, f.name) for f in dim_df.schema.fields]
+            # SELECT * expands to the BASE table columns — synthetic
+            # __expr columns from a WHERE expression never leak out
+            self.out_fields = [(f.name, f.name) for f in base_schema_fields]
         else:
             for src, _ in self.query.projection:
                 if src not in dim_fields:

@@ -1,0 +1,609 @@
+"""Dim-side scalar SQL expressions for lookup queries.
+
+The reference hands lookup SQL verbatim to Derby
+(lib/logstash/filters/jdbc/lookup.rb:131-147), so arithmetic
+(``WHERE price * qty > :limit``), ``COALESCE``, and searched ``CASE``
+projections are legal lookup configs there. This module parses those
+scalar expressions from the shared lookup token stream and compiles
+them BOTH ways:
+
+- :func:`compile_expr` -> a pyspark ``Column`` evaluated **dim-side
+  only** (expressions never see event fields or :params), so every
+  physical lookup path works unchanged: the parser materializes each
+  expression as a synthetic dim column and rewrites the query to a
+  plain column reference. A param-keyed equality on a computed column
+  therefore keeps the broadcast-hash equi path — the same
+  computed-key machinery ``lower(ip) = :ip`` already rides.
+- :func:`eval_expr` -> the same semantics row-at-a-time over Python
+  dicts, for the property-test oracle (SQL three-valued logic: NULL
+  propagates through arithmetic/comparisons, CASE skips NULL
+  conditions, COALESCE takes the first non-NULL).
+
+Supported surface (the closed-grammar contract, COVERAGE.md):
+``+ - * /`` (SQL float division), ``||`` string concat, unary minus,
+scalar functions lower/upper/trim/ltrim/rtrim/length/abs/coalesce/
+mod/substr/floor/ceil/round, searched ``CASE WHEN <cond> THEN <expr>
+... [ELSE <expr>] END`` where ``<cond>`` combines comparisons and
+``IS [NOT] NULL`` with AND/OR/NOT. Parameters are rejected inside
+expressions — they belong to predicate right-hand sides.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, functions as F
+
+from logstash_filter_jdbc_static_spark.spec import ValidationError
+
+# ---------------------------------------------------------------- AST
+
+@dataclass(frozen=True)
+class Col:
+    name: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: object  # str | int | float
+
+
+@dataclass(frozen=True)
+class Bin:
+    op: str  # '+', '-', '*', '/', '||'
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Neg:
+    operand: object
+
+
+@dataclass(frozen=True)
+class Func:
+    name: str
+    args: tuple
+
+
+@dataclass(frozen=True)
+class Case:
+    whens: tuple  # of (cond, expr)
+    otherwise: object | None
+
+
+# conditions (inside CASE WHEN only)
+
+@dataclass(frozen=True)
+class Cmp:
+    op: str  # '=', '<>', '<', '>', '<=', '>='
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class NullTest:
+    operand: object
+    negated: bool
+
+
+@dataclass(frozen=True)
+class BoolOp:
+    op: str  # 'and' | 'or'
+    parts: tuple
+
+
+@dataclass(frozen=True)
+class NotOp:
+    operand: object
+
+
+# arity: None == variadic (>= min_args)
+_FUNCS: dict[str, tuple[int, int | None]] = {
+    "lower": (1, 1),
+    "upper": (1, 1),
+    "trim": (1, 1),
+    "ltrim": (1, 1),
+    "rtrim": (1, 1),
+    "length": (1, 1),
+    "abs": (1, 1),
+    "floor": (1, 1),
+    "ceil": (1, 1),
+    "ceiling": (1, 1),
+    "round": (1, 2),
+    "mod": (2, 2),
+    "substr": (2, 3),
+    "substring": (2, 3),
+    "coalesce": (2, None),
+}
+
+_AGG_NAMES = ("count", "sum", "min", "max", "avg")
+
+_CMP_OPS = ("=", "<>", "<", ">", "<=", ">=")
+
+
+def is_simple_column(ast) -> str | None:
+    """The parsed expression is just a bare column -> its name."""
+    return ast.name if isinstance(ast, Col) else None
+
+
+def single_func_column(ast) -> tuple[str, str] | None:
+    """``func(col)`` for a 1-arg scalar function -> (func, col); the
+    legacy ``_LHS_FUNCS`` predicate shape keeps its dedicated
+    representation (and its pinned behavior/tests)."""
+    if (
+        isinstance(ast, Func)
+        and len(ast.args) == 1
+        and isinstance(ast.args[0], Col)
+        and ast.name in ("lower", "upper", "trim", "ltrim", "rtrim", "length", "abs")
+    ):
+        return ast.name, ast.args[0].name
+    return None
+
+
+def columns(ast) -> set[str]:
+    """Every column name referenced by the expression."""
+    if isinstance(ast, Col):
+        return {ast.name}
+    if isinstance(ast, Lit):
+        return set()
+    if isinstance(ast, (Bin, Cmp)):
+        return columns(ast.left) | columns(ast.right)
+    if isinstance(ast, (Neg, NotOp)):
+        return columns(ast.operand)
+    if isinstance(ast, NullTest):
+        return columns(ast.operand)
+    if isinstance(ast, Func):
+        out: set[str] = set()
+        for a in ast.args:
+            out |= columns(a)
+        return out
+    if isinstance(ast, BoolOp):
+        out = set()
+        for p in ast.parts:
+            out |= columns(p)
+        return out
+    if isinstance(ast, Case):
+        out = set()
+        for c, e in ast.whens:
+            out |= columns(c) | columns(e)
+        if ast.otherwise is not None:
+            out |= columns(ast.otherwise)
+        return out
+    raise TypeError(f"unknown expression node {ast!r}")
+
+
+# ------------------------------------------------------------- parser
+
+class ExprParser:
+    """Recursive-descent scalar-expression parser over the lookup
+    token stream (``_tokenize_where`` tokens). Precedence, loosest to
+    tightest: ``||``, then ``+ -``, then ``* /``, then unary minus.
+
+    Instantiated at a position INSIDE a larger token list (the WHERE
+    parser hands over mid-stream); ``parse()`` returns the AST and
+    leaves ``self.i`` at the first token it did not consume, so the
+    caller resumes with the predicate operator.
+
+    ``resolve_col`` canonicalizes qualified names (the caller's
+    qualifier-strip rule); params/placeholders raise — expressions are
+    dim-static by contract.
+    """
+
+    def __init__(self, tokens, i=0, resolve_col=None):
+        self.tokens = tokens
+        self.i = i
+        self.resolve_col = resolve_col or (lambda name: name)
+
+    # -- cursor helpers
+    def _peek(self):
+        return self.tokens[self.i] if self.i < len(self.tokens) else None
+
+    def _peek_word(self):
+        t = self._peek()
+        return t[1].lower() if t and t[0] == "word" else None
+
+    def _next(self):
+        t = self._peek()
+        if t is None:
+            raise ValidationError(
+                ["unsupported lookup expression: unexpected end of input"]
+            )
+        self.i += 1
+        return t
+
+    def _expect(self, kind: str, what: str):
+        t = self._next()
+        if t[0] != kind:
+            raise ValidationError(
+                [f"unsupported lookup expression: expected {what}, got {t[1]!r}"]
+            )
+        return t
+
+    def _expect_word(self, *words: str):
+        t = self._next()
+        if t[0] != "word" or t[1].lower() not in words:
+            raise ValidationError(
+                [f"unsupported lookup expression: expected "
+                 f"{'/'.join(w.upper() for w in words)}, got {t[1]!r}"]
+            )
+        return t[1].lower()
+
+    # -- expression grammar
+    def parse(self):
+        return self._concat()
+
+    def _concat(self):
+        node = self._addsub()
+        while True:
+            t = self._peek()
+            if t and t[0] == "arith" and t[1] == "||":
+                self._next()
+                node = Bin("||", node, self._addsub())
+            else:
+                return node
+
+    def _addsub(self):
+        node = self._muldiv()
+        while True:
+            t = self._peek()
+            if t and t[0] == "arith" and t[1] in ("+", "-"):
+                self._next()
+                node = Bin(t[1], node, self._muldiv())
+            else:
+                return node
+
+    def _muldiv(self):
+        node = self._unary()
+        while True:
+            t = self._peek()
+            if t and t[0] == "arith" and t[1] in ("*", "/"):
+                self._next()
+                node = Bin(t[1], node, self._unary())
+            else:
+                return node
+
+    def _unary(self):
+        t = self._peek()
+        if t and t[0] == "arith" and t[1] == "-":
+            self._next()
+            operand = self._unary()
+            if isinstance(operand, Lit) and isinstance(operand.value, (int, float)):
+                return Lit(-operand.value)
+            return Neg(operand)
+        return self._primary()
+
+    def _primary(self):
+        kind, text = self._next()
+        if kind == "number":
+            is_float = "." in text or "e" in text or "E" in text
+            return Lit(float(text) if is_float else int(text))
+        if kind == "string":
+            return Lit(text[1:-1].replace("''", "'"))
+        if kind in ("param", "qmark"):
+            raise ValidationError(
+                [f"unsupported lookup expression: parameter {text!r} inside "
+                 f"an expression (expressions are evaluated dim-side; bind "
+                 f"parameters on the predicate right-hand side)"]
+            )
+        if kind == "lparen":
+            node = self.parse()
+            self._expect("rparen", "')'")
+            return node
+        if kind == "word":
+            w = text.lower()
+            if w == "case":
+                return self._case()
+            nxt = self._peek()
+            if nxt and nxt[0] == "lparen" and "." not in text:
+                if w in _AGG_NAMES:
+                    raise ValidationError(
+                        [f"unsupported lookup expression: aggregate {w}(...) "
+                         f"inside a scalar expression (aggregates appear as "
+                         f"whole projection items: {w}(col) AS alias)"]
+                    )
+                if w not in _FUNCS:
+                    raise ValidationError(
+                        [f"unsupported lookup expression: unknown function "
+                         f"{text!r} (supported: {', '.join(sorted(_FUNCS))})"]
+                    )
+                self._next()  # (
+                args = [self.parse()]
+                while True:
+                    t = self._next()
+                    if t[0] == "rparen":
+                        break
+                    if t[0] != "comma":
+                        raise ValidationError(
+                            [f"unsupported lookup expression: unclosed "
+                             f"{w}(...) — expected ',' or ')', got {t[1]!r}"]
+                        )
+                    args.append(self.parse())
+                lo, hi = _FUNCS[w]
+                if len(args) < lo or (hi is not None and len(args) > hi):
+                    arity = str(lo) if hi == lo else f"{lo}..{hi or 'n'}"
+                    raise ValidationError(
+                        [f"unsupported lookup expression: {w}() takes "
+                         f"{arity} argument(s), got {len(args)}"]
+                    )
+                return Func(w, tuple(args))
+            if w in ("null", "and", "or", "not", "when", "then", "else", "end", "is"):
+                raise ValidationError(
+                    [f"unsupported lookup expression: unexpected keyword "
+                     f"{text!r}"]
+                )
+            return Col(self.resolve_col(text))
+        raise ValidationError(
+            [f"unsupported lookup expression: unexpected token {text!r}"]
+        )
+
+    def _case(self):
+        """Searched CASE (already consumed the CASE word)."""
+        if self._peek_word() != "when":
+            raise ValidationError(
+                ["unsupported lookup expression: only searched CASE is "
+                 "supported (CASE WHEN <cond> THEN <expr> ... END)"]
+            )
+        whens = []
+        while self._peek_word() == "when":
+            self._next()
+            cond = self._cond_or()
+            self._expect_word("then")
+            whens.append((cond, self.parse()))
+        otherwise = None
+        if self._peek_word() == "else":
+            self._next()
+            otherwise = self.parse()
+        self._expect_word("end")
+        return Case(tuple(whens), otherwise)
+
+    # -- condition grammar (CASE WHEN only)
+    def _cond_or(self):
+        parts = [self._cond_and()]
+        while self._peek_word() == "or":
+            self._next()
+            parts.append(self._cond_and())
+        return parts[0] if len(parts) == 1 else BoolOp("or", tuple(parts))
+
+    def _cond_and(self):
+        parts = [self._cond_not()]
+        while self._peek_word() == "and":
+            self._next()
+            parts.append(self._cond_not())
+        return parts[0] if len(parts) == 1 else BoolOp("and", tuple(parts))
+
+    def _cond_not(self):
+        if self._peek_word() == "not":
+            self._next()
+            return NotOp(self._cond_not())
+        t = self._peek()
+        if t and t[0] == "lparen":
+            # '(' may open a parenthesized condition OR a parenthesized
+            # arithmetic lhs: try the condition first, fall back to a
+            # comparison whose expression grammar owns the paren
+            save = self.i
+            try:
+                self._next()
+                node = self._cond_or()
+                self._expect("rparen", "')'")
+                return node
+            except ValidationError:
+                self.i = save
+        return self._cmp()
+
+    def _cmp(self):
+        left = self.parse()
+        t = self._peek()
+        if t and t[0] == "op":
+            self._next()
+            op = "<>" if t[1] == "!=" else t[1]
+            return Cmp(op, left, self.parse())
+        if self._peek_word() == "is":
+            self._next()
+            negated = False
+            if self._peek_word() == "not":
+                self._next()
+                negated = True
+            self._expect_word("null")
+            return NullTest(left, negated)
+        got = t[1] if t else "end of input"
+        raise ValidationError(
+            [f"unsupported lookup expression: expected a comparison in "
+             f"CASE WHEN, got {got!r}"]
+        )
+
+
+# ---------------------------------------------------- Spark compiler
+
+def compile_expr(ast) -> Column:
+    """AST -> pyspark Column (dim-side; no params by construction).
+
+    Division follows Spark/DuckDB float-division semantics (Derby
+    truncates int/int — documented divergence in the COVERAGE.md
+    contract)."""
+    if isinstance(ast, Col):
+        return F.col(ast.name)
+    if isinstance(ast, Lit):
+        return F.lit(ast.value)
+    if isinstance(ast, Neg):
+        return -compile_expr(ast.operand)
+    if isinstance(ast, Bin):
+        left, right = compile_expr(ast.left), compile_expr(ast.right)
+        if ast.op == "+":
+            return left + right
+        if ast.op == "-":
+            return left - right
+        if ast.op == "*":
+            return left * right
+        if ast.op == "/":
+            return left / right
+        return F.concat(left, right)  # '||' (NULL-propagating, as SQL)
+    if isinstance(ast, Func):
+        args = [compile_expr(a) for a in ast.args]
+        name = ast.name
+        if name == "coalesce":
+            return F.coalesce(*args)
+        if name == "mod":
+            return args[0] % args[1]
+        if name in ("substr", "substring"):
+            return F.substring(args[0], args[1], *(args[2:] or []))
+        if name in ("ceil", "ceiling"):
+            return F.ceil(args[0])
+        if name == "round":
+            return F.round(*args)
+        return getattr(F, name)(*args)
+    if isinstance(ast, Case):
+        expr = None
+        for cond, val in ast.whens:
+            c, v = _compile_cond(cond), compile_expr(val)
+            expr = F.when(c, v) if expr is None else expr.when(c, v)
+        if ast.otherwise is not None:
+            expr = expr.otherwise(compile_expr(ast.otherwise))
+        return expr
+    raise TypeError(f"unknown expression node {ast!r}")
+
+
+def _compile_cond(ast) -> Column:
+    if isinstance(ast, Cmp):
+        left, right = compile_expr(ast.left), compile_expr(ast.right)
+        return {
+            "=": left == right,
+            "<>": left != right,
+            "<": left < right,
+            ">": left > right,
+            "<=": left <= right,
+            ">=": left >= right,
+        }[ast.op]
+    if isinstance(ast, NullTest):
+        col = compile_expr(ast.operand)
+        return col.isNotNull() if ast.negated else col.isNull()
+    if isinstance(ast, BoolOp):
+        parts = [_compile_cond(p) for p in ast.parts]
+        out = parts[0]
+        for p in parts[1:]:
+            out = (out & p) if ast.op == "and" else (out | p)
+        return out
+    if isinstance(ast, NotOp):
+        return ~_compile_cond(ast.operand)
+    raise TypeError(f"unknown condition node {ast!r}")
+
+
+# ------------------------------------------------- Python evaluator
+
+def eval_expr(ast, row: dict):
+    """Row-at-a-time evaluation with SQL NULL semantics, for the
+    property-test oracle (oracle.py pre-materializes computed columns
+    on its dict rows with this)."""
+    if isinstance(ast, Col):
+        return row.get(ast.name)
+    if isinstance(ast, Lit):
+        return ast.value
+    if isinstance(ast, Neg):
+        v = eval_expr(ast.operand, row)
+        return None if v is None else -v
+    if isinstance(ast, Bin):
+        left = eval_expr(ast.left, row)
+        right = eval_expr(ast.right, row)
+        if left is None or right is None:
+            return None
+        if ast.op == "+":
+            return left + right
+        if ast.op == "-":
+            return left - right
+        if ast.op == "*":
+            return left * right
+        if ast.op == "/":
+            return left / right
+        return f"{left}{right}"  # '||'
+    if isinstance(ast, Func):
+        args = [eval_expr(a, row) for a in ast.args]
+        name = ast.name
+        if name == "coalesce":
+            for a in args:
+                if a is not None:
+                    return a
+            return None
+        if any(a is None for a in args):
+            return None
+        if name == "lower":
+            return args[0].lower()
+        if name == "upper":
+            return args[0].upper()
+        if name == "trim":
+            return args[0].strip()
+        if name == "ltrim":
+            return args[0].lstrip()
+        if name == "rtrim":
+            return args[0].rstrip()
+        if name == "length":
+            return len(args[0])
+        if name == "abs":
+            return abs(args[0])
+        if name == "floor":
+            return math.floor(args[0])
+        if name in ("ceil", "ceiling"):
+            return math.ceil(args[0])
+        if name == "round":
+            # Spark rounds HALF_UP; Python's round() is HALF_EVEN
+            d = args[1] if len(args) > 1 else 0
+            q = 10 ** d
+            v = args[0] * q
+            r = math.floor(v + 0.5) if v >= 0 else math.ceil(v - 0.5)
+            return r / q if d > 0 else int(r)
+        if name == "mod":
+            # Spark % follows the dividend sign, like Python math.fmod
+            r = math.fmod(args[0], args[1])
+            return int(r) if isinstance(args[0], int) and isinstance(args[1], int) else r
+        if name in ("substr", "substring"):
+            s, pos = args[0], args[1]
+            ln = args[2] if len(args) > 2 else None
+            # SQL 1-based; pos 0 behaves like 1 in Spark
+            start = max(pos - 1, 0) if pos > 0 else max(len(s) + pos, 0) if pos < 0 else 0
+            end = len(s) if ln is None else min(start + max(ln, 0), len(s))
+            if pos < 0 and ln is not None:
+                end = min(max(len(s) + pos, 0) + max(ln, 0), len(s))
+            return s[start:end]
+        raise TypeError(f"unknown function {name!r}")
+    if isinstance(ast, Case):
+        for cond, val in ast.whens:
+            if _eval_cond(cond, row) is True:
+                return eval_expr(val, row)
+        return None if ast.otherwise is None else eval_expr(ast.otherwise, row)
+    raise TypeError(f"unknown expression node {ast!r}")
+
+
+def _eval_cond(ast, row):
+    """SQL three-valued logic: returns True, False, or None."""
+    if isinstance(ast, Cmp):
+        left = eval_expr(ast.left, row)
+        right = eval_expr(ast.right, row)
+        if left is None or right is None:
+            return None
+        if ast.op == "=":
+            return left == right
+        if ast.op == "<>":
+            return left != right
+        if ast.op == "<":
+            return left < right
+        if ast.op == ">":
+            return left > right
+        if ast.op == "<=":
+            return left <= right
+        return left >= right
+    if isinstance(ast, NullTest):
+        v = eval_expr(ast.operand, row)
+        return (v is not None) if ast.negated else (v is None)
+    if isinstance(ast, BoolOp):
+        vals = [_eval_cond(p, row) for p in ast.parts]
+        if ast.op == "and":
+            if any(v is False for v in vals):
+                return False
+            return None if any(v is None for v in vals) else True
+        if any(v is True for v in vals):
+            return True
+        return None if any(v is None for v in vals) else False
+    if isinstance(ast, NotOp):
+        v = _eval_cond(ast.operand, row)
+        return None if v is None else (not v)
+    raise TypeError(f"unknown condition node {ast!r}")

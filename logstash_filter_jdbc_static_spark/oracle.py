@@ -10,6 +10,7 @@ import re
 from typing import Any
 
 from logstash_filter_jdbc_static_spark.operators.lookup import parse_lookup_query
+from logstash_filter_jdbc_static_spark.operators.sqlexpr import eval_expr
 from logstash_filter_jdbc_static_spark.spec import (
     LookupSpec,
     PipelineSpec,
@@ -196,6 +197,15 @@ def run_lookup(
     if not valid:
         tags.extend(spec.tag_on_failure)
         return False, tags
+    # dim-side computed expressions: materialize synthetic columns on
+    # the dict rows exactly like CompiledLookup does on the dim frame
+    # (they never appear in SELECT * output)
+    synth = {n for n, _ in q.computed}
+    if q.computed:
+        table = [
+            {**row, **{n: eval_expr(a, row) for n, a in q.computed}}
+            for row in table
+        ]
     matched: list[tuple[dict, dict]] = []  # (raw row, projected row)
     for row in table:
         # DNF: any disjunct fully matching admits the row ([] == no WHERE)
@@ -206,7 +216,7 @@ def run_lookup(
                 break
         if match:
             fields = (
-                [(f, f) for f in row.keys()]
+                [(f, f) for f in row.keys() if f not in synth]
                 if q.projection is None
                 else q.projection
             )

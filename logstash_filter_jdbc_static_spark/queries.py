@@ -401,4 +401,5 @@ def _load_plugins() -> None:
     import logstash_filter_jdbc_static_spark.queries_pipeline5  # noqa: F401
     import logstash_filter_jdbc_static_spark.queries_pipeline6  # noqa: F401
     import logstash_filter_jdbc_static_spark.queries_pipeline7  # noqa: F401
+    import logstash_filter_jdbc_static_spark.queries_pipeline8  # noqa: F401
     import logstash_filter_jdbc_static_spark.queries_relational  # noqa: F401

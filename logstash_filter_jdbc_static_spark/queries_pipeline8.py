@@ -1,0 +1,192 @@
+"""Eighth wave of gated queries: scalar expressions in lookup SQL
+(round-3 verdict #2) — arithmetic in WHERE/projection and
+CASE/COALESCE projections. The reference hands lookup SQL verbatim to
+Derby (lib/logstash/filters/jdbc/lookup.rb:131-147), so these are
+legal lookup configs there; our parser compiles them to synthetic
+dim-side columns (operators/sqlexpr.py) so every physical path stays
+the plan it was.
+
+``lookup_arith`` — ``WHERE price * qty >= :lim AND tool = :tool`` with
+the arithmetic also projected (``price * qty AS total``): a mixed
+range+equi probe whose computed column is evaluated ONCE on the 7-row
+dim, never per fact row. Physical path: inline literal-array filter
+(dim under threshold), fact side exchange-free.
+
+``lookup_case_projection`` — ``COALESCE``/``CASE`` projections on a
+pure-equi lookup: the computed payload fields ride the key-grouped
+broadcast dim, so the fact side still takes a single BroadcastHashJoin
+and never shuffles — the 100 TB plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
+from logstash_filter_jdbc_static_spark.queries import register
+from logstash_filter_jdbc_static_spark.sources.transcripts import (
+    TRANSCRIPTS_CTE,
+    load_transcripts,
+    values_cte,
+    with_ctes,
+)
+from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+PLAN_ROWS = [
+    ("tool_0", 10, 3, "basic"),
+    ("tool_0", 5, 4, None),
+    ("tool_1", 7, 2, "pro"),
+    ("tool_2", 2, 9, "basic"),
+    ("tool_2", 8, 1, "pro"),
+    ("tool_3", 8, 8, None),
+    ("tool_4", 1, 5, "trial"),
+    # no tool_5 row: valid-but-empty payload; tool_ghost: same
+]
+PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("tool", T.StringType(), False),
+        T.StructField("price", T.IntegerType(), False),
+        T.StructField("qty", T.IntegerType(), False),
+        T.StructField("plan", T.StringType(), True),
+    ]
+)
+_PLANS_CTE = values_cte(
+    "tool_plans", PLAN_ROWS, ["tool", "price", "qty", "plan"],
+    casts={"price": "INTEGER", "qty": "INTEGER"},
+)
+
+
+@register(
+    "lookup_arith",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        proj AS (
+          SELECT tool, price * qty AS total FROM tool_plans
+        )
+        """,
+        """
+        f AS (
+          SELECT conv_id, turn_idx, tool,
+                 CAST(turn_idx % 40 AS INTEGER) AS lim
+          FROM transcripts
+        )
+        """,
+        body="""
+        SELECT f.conv_id, f.turn_idx, f.tool, f.lim,
+               CAST(count(p.total) AS BIGINT) AS n_plans,
+               coalesce(
+                 array_to_string(
+                   list(CAST(p.total AS VARCHAR) ORDER BY p.total)
+                     FILTER (WHERE p.total IS NOT NULL),
+                   ','),
+                 '') AS totals_str
+        FROM f
+        LEFT JOIN proj p ON p.tool = f.tool AND p.total >= f.lim
+        GROUP BY 1, 2, 3, 4
+        """,
+    ),
+)
+def lookup_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir).withColumn(
+        "lim", (F.col("turn_idx") % 40).cast("int")
+    )
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "plans",
+                "query": (
+                    "SELECT price * qty AS total FROM tool_plans "
+                    "WHERE price * qty >= :lim AND tool = :tool"
+                ),
+                "parameters": {"lim": "lim", "tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "lim",
+        F.size("plans").cast("long").alias("n_plans"),
+        F.array_join(
+            F.transform(
+                F.col("plans"), lambda r: r.getField("total").cast("string")
+            ),
+            ",",
+        ).alias("totals_str"),
+    )
+
+
+@register(
+    "lookup_case_projection",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        proj AS (
+          SELECT tool,
+                 coalesce(plan, 'none') AS plan_name,
+                 CASE WHEN price >= 5 THEN 'hi' ELSE 'lo' END AS band
+          FROM tool_plans
+        )
+        """,
+        """
+        agg AS (
+          SELECT tool,
+                 CAST(count(*) AS BIGINT) AS n_plans,
+                 array_to_string(
+                   list(plan_name || ':' || band ORDER BY plan_name, band),
+                   '|') AS plans_str
+          FROM proj
+          GROUP BY tool
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(a.n_plans, CAST(0 AS BIGINT)) AS n_plans,
+               coalesce(a.plans_str, '') AS plans_str
+        FROM transcripts t
+        LEFT JOIN agg a ON a.tool = t.tool
+        """,
+    ),
+)
+def lookup_case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "plans",
+                "query": (
+                    "SELECT coalesce(plan, 'none') AS plan_name, "
+                    "CASE WHEN price >= 5 THEN 'hi' ELSE 'lo' END AS band "
+                    "FROM tool_plans WHERE tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("plans").cast("long").alias("n_plans"),
+        F.array_join(
+            F.transform(
+                F.col("plans"),
+                lambda r: F.concat(
+                    r.getField("plan_name"), F.lit(":"), r.getField("band")
+                ),
+            ),
+            "|",
+        ).alias("plans_str"),
+    )

@@ -72,6 +72,8 @@ def tool_catalog_df(spark: SparkSession) -> DataFrame:
 
 
 def _sql_quote(v) -> str:
+    if v is None:
+        return "NULL"
     if isinstance(v, str):
         return "'" + v.replace("'", "''") + "'"
     return str(v)

@@ -1,0 +1,344 @@
+"""Scalar-expression lookup SQL (round-3 verdict #2): arithmetic,
+COALESCE and searched CASE in projections and predicate left-hand
+sides. Parser shapes, golden end-to-end runs on every physical path,
+and property-based Spark-vs-row-oracle equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import types as T
+
+from logstash_filter_jdbc_static_spark import oracle
+from logstash_filter_jdbc_static_spark.operators import sqlexpr
+from logstash_filter_jdbc_static_spark.operators.lookup import (
+    CompiledLookup,
+    parse_lookup_query,
+)
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
+from logstash_filter_jdbc_static_spark.spec import PipelineSpec, ValidationError
+
+
+class TestExprParser:
+    def test_arithmetic_predicate_lhs_becomes_computed_column(self):
+        q = parse_lookup_query(
+            "SELECT name FROM items WHERE price * qty > :limit"
+        )
+        ((p,),) = (q.disjuncts,)
+        (pred,) = p
+        assert pred.dim_column == "__expr0" and pred.op == ">"
+        (name, ast) = q.computed[0]
+        assert name == "__expr0"
+        assert ast == sqlexpr.Bin("*", sqlexpr.Col("price"), sqlexpr.Col("qty"))
+
+    def test_computed_equality_keeps_equi_path(self):
+        q = parse_lookup_query("SELECT a FROM t WHERE (hour + 1) * 2 = :h")
+        assert q.is_pure_equi
+
+    def test_projection_and_where_share_one_computed_column(self):
+        q = parse_lookup_query(
+            "SELECT price*qty AS total FROM t WHERE price * qty = :n"
+        )
+        assert len(q.computed) == 1
+        (pred,) = q.disjuncts[0]
+        assert q.projection == [(q.computed[0][0], "total")]
+        assert pred.dim_column == q.computed[0][0]
+
+    def test_precedence_mul_before_add(self):
+        q = parse_lookup_query("SELECT a + b * c AS x FROM t")
+        (_, ast) = q.computed[0]
+        assert ast == sqlexpr.Bin(
+            "+", sqlexpr.Col("a"),
+            sqlexpr.Bin("*", sqlexpr.Col("b"), sqlexpr.Col("c")),
+        )
+
+    def test_unary_minus_folds_into_literal(self):
+        q = parse_lookup_query("SELECT a - -1 AS x FROM t")
+        (_, ast) = q.computed[0]
+        assert ast == sqlexpr.Bin("-", sqlexpr.Col("a"), sqlexpr.Lit(-1))
+
+    def test_case_and_coalesce_projections(self):
+        q = parse_lookup_query(
+            "SELECT coalesce(name, '?') AS n, "
+            "CASE WHEN price > 10 THEN 'hi' WHEN price IS NULL THEN 'na' "
+            "ELSE 'lo' END AS band FROM items WHERE id = :i"
+        )
+        assert [a for _, a in q.projection] == ["n", "band"]
+        assert len(q.computed) == 2
+        assert q.is_pure_equi
+
+    def test_concat_and_substr(self):
+        q = parse_lookup_query(
+            "SELECT substr(name, 1, 3) || '-' || upper(cat) AS tag FROM t"
+        )
+        assert len(q.computed) == 1
+
+    def test_qualified_columns_in_expressions_resolve(self):
+        q = parse_lookup_query(
+            "SELECT t.price * t.qty AS total FROM t WHERE t.id = :i"
+        )
+        (_, ast) = q.computed[0]
+        assert sqlexpr.columns(ast) == {"price", "qty"}
+
+    @pytest.mark.parametrize(
+        ("bad", "msg"),
+        [
+            ("SELECT a*b FROM t", "requires an AS alias"),
+            ("SELECT a FROM t WHERE x + :p = 3", "inside\\s+an expression"),
+            ("SELECT sum(a*b) AS s FROM t", "aggregate sum"),
+            ("SELECT CASE a WHEN 1 THEN 2 END AS c FROM t", "searched CASE"),
+            ("SELECT CASE WHEN a THEN 1 END AS c FROM t", "comparison in"),
+            ("SELECT nosuch(a) AS c FROM t", "unknown function"),
+            ("SELECT coalesce(a) AS c FROM t", "argument"),
+            ("SELECT a FROM t, u", "expected table name|unsupported lookup FROM"),
+        ],
+    )
+    def test_malformed_expressions_raise(self, bad, msg):
+        with pytest.raises(ValidationError, match=msg):
+            parse_lookup_query(bad)
+
+    def test_expressions_rejected_in_join_queries(self):
+        with pytest.raises(ValidationError, match="multi-table"):
+            parse_lookup_query(
+                "SELECT a.x * 2 AS d FROM a JOIN b ON a.k = b.k "
+                "WHERE a.k = :k"
+            )
+
+    def test_expressions_rejected_in_having(self):
+        with pytest.raises(ValidationError, match="HAVING"):
+            parse_lookup_query(
+                "SELECT cat, count(*) AS n FROM t GROUP BY cat "
+                "HAVING n + 1 > 2"
+            )
+
+    def test_select_star_with_where_expression_hides_synthetic(self, spark):
+        dim = spark.createDataFrame(
+            [(1, 2), (3, 4)], "a: int, b: int"
+        )
+        cl = CompiledLookup(
+            PipelineSpec(
+                lookups=[{
+                    "id": "x",
+                    "query": "SELECT * FROM t WHERE a + b = :s",
+                    "parameters": {"s": "s"},
+                }]
+            ).lookups[0],
+            dim,
+        )
+        assert [a for _, a in cl.out_fields] == ["a", "b"]
+
+    def test_unknown_expression_column_raises_at_compile(self, spark):
+        dim = spark.createDataFrame([(1,)], "a: int")
+        with pytest.raises(ValidationError, match="unknown column"):
+            CompiledLookup(
+                PipelineSpec(
+                    lookups=[{
+                        "id": "x",
+                        "query": "SELECT a + zz AS s FROM t WHERE a = :a",
+                        "parameters": {"a": "a"},
+                    }]
+                ).lookups[0],
+                dim,
+            )
+
+
+DIM_ROWS = [
+    (1, "a", 10, 3),
+    (2, "b", 5, 4),
+    (3, None, 7, 2),
+    (20, "c", 2, 1),
+]
+DIM_SCHEMA = "id: int, name: string, price: int, qty: int"
+
+ENGINES = [
+    {},
+    {"inline_threshold": 0},
+    {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+]
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+class TestExprGolden:
+    def _run(self, spark, kw, query, facts, schema, params):
+        spec = PipelineSpec(
+            lookups=[{"id": "x", "query": query, "parameters": params}]
+        )
+        dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+        enr = LookupEnricher(spec, {"items": dim}, **kw)
+        out = enr.apply(spark.createDataFrame(facts, schema))
+        return {
+            r[0]: None if r["x"] is None else [d.asDict() for d in r["x"]]
+            for r in out.select(out.columns[0], "x").collect()
+        }
+
+    def test_arith_case_coalesce_all_paths(self, spark, kw):
+        got = self._run(
+            spark, kw,
+            "SELECT coalesce(name,'?') AS n, price*qty AS total, "
+            "CASE WHEN price > 6 THEN 'hi' ELSE 'lo' END AS band "
+            "FROM items WHERE price * qty = :limit",
+            [(30,), (20,), (14,), (999,)], "lim: int", {"limit": "lim"},
+        )
+        assert got == {
+            30: [{"n": "a", "total": 30, "band": "hi"}],
+            20: [{"n": "b", "total": 20, "band": "lo"}],
+            14: [{"n": "?", "total": 14, "band": "hi"}],
+            999: [],
+        }
+
+    def test_division_and_null_propagation(self, spark, kw):
+        # price/qty is SQL float division; NULL name propagates through
+        # '||' (concat) to a NULL payload field
+        got = self._run(
+            spark, kw,
+            "SELECT price / qty AS ratio, name || '!' AS bang "
+            "FROM items WHERE id = :i",
+            [(3,), (2,)], "i: int", {"i": "i"},
+        )
+        assert got == {
+            3: [{"ratio": 3.5, "bang": None}],
+            2: [{"ratio": 1.25, "bang": "b!"}],
+        }
+
+    def test_static_expression_filter_rides_dim_side(self, spark, kw):
+        # parameter-free expression predicate: pure dim filter
+        got = self._run(
+            spark, kw,
+            "SELECT id FROM items WHERE price + qty > 8 AND id = :i",
+            [(1,), (20,)], "i: int", {"i": "i"},
+        )
+        assert got == {1: [{"id": 1}], 20: []}
+
+    def test_case_with_order_by_alias(self, spark, kw):
+        # ORDER BY a computed alias resolves through alias->synthetic src
+        got = self._run(
+            spark, kw,
+            "SELECT name, mod(id, 2) AS par FROM items "
+            "WHERE id < :hi ORDER BY par DESC, name ASC",
+            [(4,)], "hi: int", {"hi": "hi"},
+        )
+        assert got == {
+            4: [
+                {"name": "a", "par": 1},
+                {"name": None, "par": 1},
+                {"name": "b", "par": 0},
+            ]
+        }
+
+
+FACT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("n", T.IntegerType(), True),
+    ]
+)
+NDIM_SCHEMA = T.StructType(
+    [
+        T.StructField("price", T.IntegerType(), True),
+        T.StructField("qty", T.IntegerType(), True),
+        T.StructField("name", T.StringType(), True),
+    ]
+)
+
+EXPR_TEMPLATES = [
+    ("SELECT name FROM items WHERE price * qty = :n", ["name"]),
+    ("SELECT name FROM items WHERE price + qty > 3 AND price - 1 = :n", ["name"]),
+    ("SELECT coalesce(name, '?') AS nm, price + qty AS t FROM items "
+     "WHERE abs(price - qty) = :n", ["nm", "t"]),
+    ("SELECT CASE WHEN price >= qty THEN 'ge' WHEN price IS NULL THEN 'na' "
+     "ELSE 'lt' END AS band FROM items WHERE mod(price, 3) = :n", ["band"]),
+    ("SELECT name || '-' || name AS dbl FROM items "
+     "WHERE length(coalesce(name, '')) + price = :n", ["dbl"]),
+]
+
+nfacts = st.lists(
+    st.tuples(st.sampled_from([0, 1, 2, 3, 4, 6, 9, 12, None])),
+    min_size=1, max_size=10,
+)
+ndims = st.lists(
+    st.tuples(
+        st.sampled_from([1, 2, 3, 4, None]),
+        st.sampled_from([1, 2, 3, None]),
+        st.sampled_from(["a", "bb", None]),
+    ),
+    min_size=0, max_size=8,
+)
+engine_cfg = st.sampled_from(
+    [None, (0, "broadcast_map"), (0, "shuffle_map")]
+)
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=nfacts,
+    dims=ndims,
+    template=st.sampled_from(EXPR_TEMPLATES),
+    default=st.booleans(),
+    engine=engine_cfg,
+)
+def test_expression_lookups_match_row_at_a_time_oracle(
+    spark, facts, dims, template, default, engine
+):
+    query, fields = template
+    lookup: dict = {
+        "id": "x",
+        "query": query,
+        "parameters": {"n": "n"},
+    }
+    if default:
+        lookup["default_hash"] = {fields[0]: "dflt"}
+    spec = PipelineSpec(lookups=[lookup])
+    spec2 = PipelineSpec(lookups=[dict(lookup)])
+
+    fact_data = [(f"c{i}", i, v[0]) for i, v in enumerate(facts)]
+    fact_df = spark.createDataFrame(fact_data, FACT_SCHEMA)
+    dim_df = spark.createDataFrame(dims, NDIM_SCHEMA)
+
+    kw = {}
+    if engine is not None:
+        kw = {"inline_threshold": engine[0], "pattern_strategy": engine[1]}
+    enricher = LookupEnricher(spec, {"items": dim_df}, **kw)
+    got = {
+        r["turn_idx"]: (
+            None if r["x"] is None else sorted(
+                tuple("\x00N" if d[f] is None else str(d[f]) for f in fields)
+                for d in r["x"]
+            ),
+            list(r["tags"]),
+            r["matched"],
+        )
+        for r in enricher.apply(fact_df).collect()
+    }
+
+    tables = {
+        "items": [
+            {"price": p, "qty": q, "name": nm} for p, q, nm in dims
+        ]
+    }
+    exp = {}
+    for conv_id, turn_idx, nval in fact_data:
+        event = {"conv_id": conv_id, "turn_idx": turn_idx}
+        if nval is not None:
+            event["n"] = nval
+        oracle.enhance(event, spec2, tables)
+        exp[turn_idx] = (
+            None if event.get("x") is None else sorted(
+                # the row oracle copies default_hash verbatim (keys absent ==
+                # NULL in Spark's typed struct), hence .get
+                tuple(
+                    "\x00N" if d.get(f) is None else str(d.get(f))
+                    for f in fields
+                )
+                for d in event["x"]
+            ),
+            event["tags"],
+            event["matched"],
+        )
+    assert got == exp
