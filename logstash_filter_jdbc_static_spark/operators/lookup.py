@@ -319,10 +319,19 @@ class ParsedQuery:
     # physical path works unchanged (a param-keyed equality on a
     # computed column keeps the broadcast-hash equi path).
     computed: tuple[tuple[str, object], ...] = ()
+    # The raw boolean tree, kept ONLY when DNF normalization would
+    # exceed _MAX_DISJUNCTS (``disjuncts`` is then empty): the theta
+    # paths compile/evaluate the tree directly instead of raising —
+    # the reference executes any WHERE verbatim in Derby, so a wide OR
+    # is a legal config. None for every normalizable query.
+    where_tree: object | None = None
 
     @property
     def predicates(self) -> list[_Predicate]:
-        """All predicates, flattened across disjuncts (validation/advisory)."""
+        """All predicates, flattened across disjuncts — or across the
+        un-normalized tree on DNF overflow (validation/advisory)."""
+        if self.where_tree is not None:
+            return _tree_leaves(self.where_tree)
         return [p for d in self.disjuncts for p in d]
 
     @property
@@ -603,13 +612,19 @@ class _WhereParser:
             )
         return tok[1].lower()
 
-    def parse(self) -> list[list[_Predicate]]:
+    def parse_tree(self):
+        """The raw boolean tree — kept un-normalized when DNF expansion
+        would explode past _MAX_DISJUNCTS (the theta paths can evaluate
+        the tree directly; see ParsedQuery.where_tree)."""
         node = self._or_expr()
         if self._peek() is not None:
             raise ValidationError(
                 [f"unsupported lookup predicate: trailing tokens at {self._peek()[1]!r}"]
             )
-        return _to_dnf(node)
+        return node
+
+    def parse(self) -> list[list[_Predicate]]:
+        return _to_dnf(self.parse_tree())
 
     def _or_expr(self):
         parts = [self._and_expr()]
@@ -785,6 +800,13 @@ class _WhereParser:
         raise ValidationError(
             [f"unsupported lookup predicate: unexpected token after column {col!r}"]
         )
+
+
+def _tree_leaves(node) -> list[_Predicate]:
+    """Every predicate leaf of a raw boolean tree, in traversal order."""
+    if node[0] == "pred":
+        return [node[1]]
+    return [p for child in node[1] for p in _tree_leaves(child)]
 
 
 def _to_dnf(node) -> list[list[_Predicate]]:
@@ -1339,14 +1361,25 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             for src, alias in projection
         ]
     disjuncts: list[list[_Predicate]] = []
+    where_tree = None
     if where_text:
         single_alias = "" if joins else (
             base_alias if base_alias != table.lower() else ""
         )
-        disjuncts = _WhereParser(
+        tree = _WhereParser(
             _tokenize_where(where_text), table, quals, alias=single_alias,
             computed=computed,
-        ).parse()
+        ).parse_tree()
+        try:
+            disjuncts = _to_dnf(tree)
+        except ValidationError:
+            # DNF would exceed _MAX_DISJUNCTS: keep the un-normalized
+            # tree — the theta paths evaluate it directly. The join
+            # flat-rewrite (build_join_dim) needs DNF, so there the
+            # bound still raises.
+            if joins:
+                raise
+            where_tree = tree
     if order_by:
         # SQL resolution order: a SELECT output alias first, then a base
         # column (qualified names validated/stripped like the projection).
@@ -1465,13 +1498,17 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     # an attempt that is then re-parsed the other way).
     if computed:
         referenced = {src for src, _ in (projection or [])}
-        referenced |= {p.dim_column for d in disjuncts for p in d}
+        where_preds = (
+            _tree_leaves(where_tree) if where_tree is not None
+            else [p for d in disjuncts for p in d]
+        )
+        referenced |= {p.dim_column for p in where_preds}
         computed = [(n, a) for n, a in computed if n in referenced]
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,
         order_by=order_by, limit=limit, offset=offset, distinct=distinct,
         aggregates=tuple(aggregates), group_by=group_by, having=having,
-        computed=tuple(computed),
+        computed=tuple(computed), where_tree=where_tree,
     )
 
 
@@ -1895,6 +1932,35 @@ class CompiledLookup:
                 f += 1
             out.append(row)
         return out
+
+    def _flat_indexed(self) -> list[tuple[int, _Predicate]]:
+        """Every WHERE predicate with its stable flat index — DNF order,
+        or tree-traversal order on DNF overflow. Drives rhs/regex
+        staging identically for both representations."""
+        if self.query.where_tree is not None:
+            return list(enumerate(_tree_leaves(self.query.where_tree)))
+        return [fp for d in self._indexed_disjuncts() for fp in d]
+
+    def _where_condition(self, lhs_for, rhs_for) -> Column:
+        """The WHERE clause as one Column expression: OR-of-ANDs from
+        the normalized disjuncts, or a direct walk of the un-normalized
+        boolean tree on DNF overflow (same operand callbacks, so every
+        theta path supports both representations)."""
+        if self.query.where_tree is None:
+            return self._dnf_condition(lhs_for, rhs_for)
+        flat_iter = iter(self._flat_indexed())
+
+        def walk(node) -> Column:
+            if node[0] == "pred":
+                f, p = next(flat_iter)
+                return self._pred_condition(p, lhs_for(p), rhs_for(f, p))
+            parts = [walk(c) for c in node[1]]
+            out = parts[0]
+            for c in parts[1:]:
+                out = (out & c) if node[0] == "and" else (out | c)
+            return out
+
+        return walk(self.query.where_tree)
 
     def _term_rhs(self, p: _Predicate, t: _Term, param_value) -> Column:
         """One rhs operand as a Column: literals inline (LIKE patterns
@@ -2376,31 +2442,30 @@ class CompiledLookup:
         # duplicate instead of once per placeholder.
         stage_cache: dict[tuple[str, bool], str] = {}
         rhs_map: dict[int, list[Column]] = {}
-        for d in self._indexed_disjuncts():
-            for f, p in d:
-                rhs: list[Column] = []
-                for t in p.terms:
-                    if t.kind == "literal":
-                        lit = F.lit(t.value)
-                        # literal LIKE patterns compile here (constant-folded)
-                        rhs.append(_like_regex(lit) if p.op in _LIKE_OPS else lit)
-                    else:
-                        key = (t.value, p.op in _LIKE_OPS)
-                        c = stage_cache.get(key)
-                        if c is None:
-                            val = params[t.value].value
-                            if p.op in _LIKE_OPS:
-                                val = _like_regex(val)
-                            c = f"__pv_{sid}_{len(stage_cache)}"
-                            staged = staged.withColumn(c, val)
-                            stage_cache[key] = c
-                            tmp.append(c)
-                        rhs.append(F.col(c))
-                rhs_map[f] = rhs
+        for f, p in self._flat_indexed():
+            rhs: list[Column] = []
+            for t in p.terms:
+                if t.kind == "literal":
+                    lit = F.lit(t.value)
+                    # literal LIKE patterns compile here (constant-folded)
+                    rhs.append(_like_regex(lit) if p.op in _LIKE_OPS else lit)
+                else:
+                    key = (t.value, p.op in _LIKE_OPS)
+                    c = stage_cache.get(key)
+                    if c is None:
+                        val = params[t.value].value
+                        if p.op in _LIKE_OPS:
+                            val = _like_regex(val)
+                        c = f"__pv_{sid}_{len(stage_cache)}"
+                        staged = staged.withColumn(c, val)
+                        stage_cache[key] = c
+                        tmp.append(c)
+                    rhs.append(F.col(c))
+            rhs_map[f] = rhs
         arr = self._dim_literal_array()
         matched = F.filter(
             arr,
-            lambda r: self._dnf_condition(
+            lambda r: self._where_condition(
                 lambda p: _apply_lhs_func(p, r.getField(p.dim_column)),
                 lambda f, p: rhs_map[f],
             ),
@@ -2472,10 +2537,9 @@ class CompiledLookup:
         # (tuple, dim) pair. Keyed by flat predicate index: the same
         # placeholder may feed both a LIKE and an equality.
         rx_specs: list[tuple[int, str]] = []
-        for d in self._indexed_disjuncts():
-            for f, p in d:
-                if p.op in _LIKE_OPS and p.terms and p.terms[0].kind == "param":
-                    rx_specs.append((f, p.terms[0].value))
+        for f, p in self._flat_indexed():
+            if p.op in _LIKE_OPS and p.terms and p.terms[0].kind == "param":
+                rx_specs.append((f, p.terms[0].value))
 
         def rhs_for_probe(f: int, p: _Predicate) -> list[Column]:
             rhs: list[Column] = []
@@ -2490,7 +2554,7 @@ class CompiledLookup:
                     rhs.append(F.col(mk[t.value]))
             return rhs
 
-        probe_cond = self._dnf_condition(
+        probe_cond = self._where_condition(
             lambda p: _apply_lhs_func(p, F.col(dim_alias).getField(p.dim_column)),
             rhs_for_probe,
         )

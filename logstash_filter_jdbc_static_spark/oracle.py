@@ -206,14 +206,26 @@ def run_lookup(
             {**row, **{n: eval_expr(a, row) for n, a in q.computed}}
             for row in table
         ]
+    def _tree_match(node, row: dict) -> bool:
+        if node[0] == "pred":
+            return _pred_match(node[1], row, params)
+        if node[0] == "and":
+            return all(_tree_match(c, row) for c in node[1])
+        return any(_tree_match(c, row) for c in node[1])
+
     matched: list[tuple[dict, dict]] = []  # (raw row, projected row)
     for row in table:
-        # DNF: any disjunct fully matching admits the row ([] == no WHERE)
-        match = not q.disjuncts
-        for disjunct in q.disjuncts:
-            if all(_pred_match(p, row, params) for p in disjunct):
-                match = True
-                break
+        if q.where_tree is not None:
+            # DNF overflow: evaluate the un-normalized boolean tree
+            match = _tree_match(q.where_tree, row)
+        else:
+            # DNF: any disjunct fully matching admits the row
+            # ([] == no WHERE)
+            match = not q.disjuncts
+            for disjunct in q.disjuncts:
+                if all(_pred_match(p, row, params) for p in disjunct):
+                    match = True
+                    break
         if match:
             fields = (
                 [(f, f) for f in row.keys() if f not in synth]

@@ -157,10 +157,24 @@ class TestWhereParser:
         with pytest.raises(ValidationError, match="unsupported lookup predicate"):
             parse_lookup_query(bad)
 
-    def test_disjunct_explosion_bounded(self):
+    def test_disjunct_explosion_falls_back_to_tree(self):
+        # 2^8 = 256 disjuncts > _MAX_DISJUNCTS: instead of raising, the
+        # parser keeps the un-normalized boolean tree for the theta
+        # paths to evaluate directly (round-3 verdict #4)
         clause = " AND ".join(f"(a{i} = :x OR b{i} = :x)" for i in range(8))
+        q = parse_lookup_query(f"SELECT x FROM t WHERE {clause}")
+        assert q.where_tree is not None and q.disjuncts == []
+        assert len(q.predicates) == 16
+        assert not q.is_pure_equi
+
+    def test_disjunct_explosion_still_raises_for_joins(self):
+        # the join flat-rewrite needs DNF, so the bound stays a hard
+        # error there
+        clause = " AND ".join(f"(a.c{i} = :x OR b.d{i} = :x)" for i in range(8))
         with pytest.raises(ValidationError, match="OR-branches"):
-            parse_lookup_query(f"SELECT x FROM t WHERE {clause}")
+            parse_lookup_query(
+                f"SELECT a.x FROM a JOIN b ON a.k = b.k WHERE {clause}"
+            )
 
 
 FACT_SCHEMA = T.StructType(

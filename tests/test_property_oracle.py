@@ -115,6 +115,9 @@ WIDE_TEMPLATES = [
     "ip IS NOT NULL AND name NOT LIKE :ip",
     "(ip = :ip OR name LIKE :ip) AND ip IS NOT NULL",
     "trim(ip) = :ip OR lower(name) = 'v1'",
+    # 2^7 = 128 disjuncts > _MAX_DISJUNCTS: exercises the DNF-overflow
+    # fallback that evaluates the un-normalized tree on the theta paths
+    " AND ".join(f"(ip = :ip OR name <> 'w{i}')" for i in range(7)),
 ]
 
 
