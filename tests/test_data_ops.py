@@ -135,12 +135,16 @@ class TestIvfRecall:
         """The recall/latency knob must actually buy recall: probing 3
         cells recovers strictly more of the brute-force top-k than one."""
         from logstash_filter_jdbc_static_spark.queries import queries
+        from logstash_filter_jdbc_static_spark.queries_data import (
+            ann_ivf_multiprobe,
+            ann_ivf_topk,
+        )
 
         sf = "/root/testdata/sf0.001"
         qs = queries()
         bf = {(r.query_id, r.neighbor_id) for r in qs["ann_cosine_topk"](spark, sf).collect()}
-        one = {(r.query_id, r.neighbor_id) for r in qs["ann_ivf_topk"](spark, sf).collect()}
-        multi = {(r.query_id, r.neighbor_id) for r in qs["ann_ivf_multiprobe"](spark, sf).collect()}
+        one = {(r.query_id, r.neighbor_id) for r in ann_ivf_topk(spark, sf).collect()}
+        multi = {(r.query_id, r.neighbor_id) for r in ann_ivf_multiprobe(spark, sf).collect()}
         r1 = len(bf & one) / len(bf)
         r3 = len(bf & multi) / len(bf)
         assert r3 > r1, (r1, r3)

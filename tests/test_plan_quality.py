@@ -228,6 +228,67 @@ class TestRelationalPushdown:
         assert simple.count("BroadcastHashJoin") == 3, simple
         assert "SortMergeJoin" not in simple
 
+    def test_topk_is_take_ordered_not_global_sort(self, spark, sf_dir):
+        """ORDER BY + LIMIT must plan TakeOrderedAndProject (per-partition
+        heap + driver merge of k rows) — a global Sort+Exchange of the
+        whole fact is the 100 TB failure mode."""
+        from logstash_filter_jdbc_static_spark.queries_relational import (
+            relational_topk_orders,
+        )
+
+        plan = _plan(relational_topk_orders(spark, sf_dir), "simple")
+        assert "TakeOrderedAndProject" in plan, plan
+        assert "Exchange" not in plan, plan
+
+    def test_window_running_is_single_exchange(self, spark, sf_dir):
+        """row_number + running sum over the SAME window spec must share
+        one partitioning: exactly one shuffle on o_custkey, one Window."""
+        from logstash_filter_jdbc_static_spark.queries_relational import (
+            relational_window_running,
+        )
+
+        plan = _plan(relational_window_running(spark, sf_dir), "simple")
+        assert plan.count("Window") == 1, plan
+        assert plan.count("Exchange") == 1, plan
+        assert "hashpartitioning(o_custkey" in plan, plan
+
+    def test_events_rollup_partial_agg_and_pruned_scan(self, spark, sf_dir):
+        """groupBy rollup: map-side partial HashAggregate before the one
+        shuffle, and the scan reads only the 3 referenced columns."""
+        from logstash_filter_jdbc_static_spark.queries_relational import (
+            events_rollup,
+        )
+
+        df = events_rollup(spark, sf_dir)
+        simple = _plan(df, "simple")
+        assert simple.count("HashAggregate") == 2, simple  # partial + final
+        assert simple.count("Exchange") == 1, simple
+        formatted = _plan(df, "formatted")
+        m = re.search(r"ReadSchema: struct<([^>]*)>", formatted)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"user_id", "event_type", "value"}, cols
+
+    def test_global_shuffle_is_single_exchange_window(self, spark, sf_dir):
+        """Seeded global shuffle: one hash exchange on shard + one Window
+        for pos; no extra sort-merge machinery, scan pruned to doc_id."""
+        from logstash_filter_jdbc_static_spark.queries_pipeline6 import (
+            documents_global_shuffle,
+        )
+
+        df = documents_global_shuffle(spark, sf_dir)
+        simple = _plan(df, "simple")
+        # exactly one HASH exchange (on shard); the round-robin staging
+        # repartition from load_table_split is input spreading, not a
+        # data-dependent shuffle
+        assert simple.count("Exchange hashpartitioning") == 1, simple
+        assert "hashpartitioning(shard" in simple, simple
+        assert simple.count("Window") == 1, simple
+        assert "EvalPython" not in simple
+        formatted = _plan(df, "formatted")
+        m = re.search(r"ReadSchema: struct<([^>]*)>", formatted)
+        cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+        assert cols == {"doc_id"}, cols
+
 
 class TestWidenedLookupPlans:
     """Round-3 widened WHERE shapes must not degrade the physical story:
@@ -237,9 +298,15 @@ class TestWidenedLookupPlans:
     exchange-free (only the slim tuple distinct() shuffles)."""
 
     def test_in_and_or_shapes_compile_to_inline_zero_join(self, spark, sf_dir):
-        from logstash_filter_jdbc_static_spark.queries import queries
+        from logstash_filter_jdbc_static_spark.queries_pipeline5 import (
+            lookup_in_list,
+            lookup_or_disjunction,
+        )
 
-        reg = queries()
+        reg = {
+            "lookup_in_list": lookup_in_list,
+            "lookup_or_disjunction": lookup_or_disjunction,
+        }
         for name in ("lookup_in_list", "lookup_or_disjunction"):
             plan = _plan(reg[name](spark, sf_dir), "simple")
             assert plan.count("BroadcastHashJoin") == 0, (name, plan)
