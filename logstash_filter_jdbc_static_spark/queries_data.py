@@ -498,6 +498,93 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(emb, queries, centroids, k=_IVF_K, n_probe=_IVF_N_PROBE)
 
 
+# ----------------------------- IVF at scale (10k clustered corpus)
+#
+# The parquet embeddings table is 2k rows at sf0.1 (200 at sf0.01), too
+# small to pin the quantizer's SCALE behavior. This variant runs the
+# identical ivf_topk operator over a 10,000-vector deterministic
+# clustered corpus both engines synthesize from integers: 64 lattice
+# cluster centers plus small per-vector noise, every term a ratio of
+# exact small ints so the float64 arithmetic (and left-to-right dot
+# product fold) is bit-identical in Spark and DuckDB. Cluster structure
+# makes the one-representative-per-cluster quantizer (vec_id < 64)
+# honest: recall vs brute force is asserted >= 0.9 in tests.
+
+_S10K_N, _S10K_D, _S10K_C, _S10K_NQ = 10_000, 32, 64, 8
+
+
+def synth_clustered_embeddings(
+    spark: SparkSession, n: int = _S10K_N, d: int = _S10K_D, c: int = _S10K_C
+) -> DataFrame:
+    """(vec_id, embedding double[d]) — n vectors in c lattice clusters."""
+    dseq = F.sequence(F.lit(0), F.lit(d - 1))
+
+    def comp(dd):
+        center = (((F.col("vec_id") % c) * 7919 + dd * 104729) % 211 - 105) / 105.0
+        noise = ((F.col("vec_id") * 2654435761 + dd * 40503) % 1000 - 500) / 5000.0
+        return center + noise
+
+    return spark.range(n).select(
+        F.col("id").alias("vec_id"), F.transform(dseq, comp).alias("embedding")
+    )
+
+
+def _s10k_vec_sql(id_col: str = "id") -> str:
+    return (
+        f"list_transform(range(0, {_S10K_D}), d -> "
+        f"((({id_col} % {_S10K_C}) * 7919 + d * 104729) % 211 - 105) / 105.0"
+        f" + (({id_col} * 2654435761 + d * 40503) % 1000 - 500) / 5000.0)"
+    )
+
+
+_S10K_SQL = f"""
+WITH v AS (
+  SELECT id AS vec_id, {_s10k_vec_sql("id")} AS vec
+  FROM range(0, {_S10K_N}) t(id)
+),
+cen AS (SELECT vec_id AS centroid_id, vec AS c_vec FROM v WHERE vec_id < {_S10K_C}),
+ranked AS (
+  SELECT v.vec_id, cen.centroid_id, v.vec,
+         row_number() OVER (
+           PARTITION BY v.vec_id
+           ORDER BY list_dot_product(v.vec, cen.c_vec)
+                    / (sqrt(list_dot_product(v.vec, v.vec)) * sqrt(list_dot_product(cen.c_vec, cen.c_vec)))
+                    DESC, cen.centroid_id) AS rn
+  FROM v CROSS JOIN cen
+),
+assigned AS (SELECT vec_id, centroid_id, vec FROM ranked WHERE rn = 1),
+q AS (SELECT vec_id - {_S10K_C} AS query_id, centroid_id, vec AS q_vec
+      FROM ranked
+      WHERE rn <= {_IVF_N_PROBE} AND vec_id >= {_S10K_C} AND vec_id < {_S10K_C + _S10K_NQ}),
+c AS (SELECT vec_id AS neighbor_id, centroid_id, vec AS c_vec FROM assigned),
+scored AS (
+  SELECT q.query_id, c.neighbor_id,
+         list_dot_product(q.q_vec, c.c_vec)
+           / (sqrt(list_dot_product(q.q_vec, q.q_vec)) * sqrt(list_dot_product(c.c_vec, c.c_vec)))
+           AS cos_sim
+  FROM c JOIN q ON c.centroid_id = q.centroid_id AND c.neighbor_id <> q.query_id
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS INT) AS rank,
+       cos_sim
+FROM scored
+QUALIFY rank <= {_IVF_K}
+"""
+
+
+@register("ann_ivf_scale10k", _S10K_SQL)
+def ann_ivf_scale10k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF multi-probe over the 10k synthetic clustered corpus (sf_dir
+    unused: the corpus is fixed-size by design — the point is pinning
+    quantizer behavior at >=10k vectors under the driver gate)."""
+    corpus = synth_clustered_embeddings(spark)
+    centroids = corpus.filter(F.col("vec_id") < _S10K_C)
+    queries = corpus.filter(
+        (F.col("vec_id") >= _S10K_C) & (F.col("vec_id") < _S10K_C + _S10K_NQ)
+    ).select((F.col("vec_id") - _S10K_C).alias("vec_id"), "embedding")
+    return S.ivf_topk(corpus, queries, centroids, k=_IVF_K, n_probe=_IVF_N_PROBE)
+
+
 # ---------------------------------------------------- PII redaction
 #
 # Regex scrub of emails / IPv4s / long digit runs — the pre-training

@@ -135,6 +135,10 @@ _merge(
          [("neighbor_id", "sp_neighbor"), ("cos_sim", "sp_cos")]),
         ("ann_ivf_multiprobe",
          [("neighbor_id", "mp_neighbor"), ("cos_sim", "mp_cos")]),
+        # >=10k-vector quantizer-scale variant (round-3 verdict #7):
+        # same query_id 0..7 / rank 1..5 key domain by construction
+        ("ann_ivf_scale10k",
+         [("neighbor_id", "s10k_neighbor"), ("cos_sim", "s10k_cos")]),
     ],
 )
 
