@@ -58,6 +58,183 @@ def force(df) -> int:
     return row["n"]
 
 
+# --------------------------------------------------------------- 10x data
+#
+# The sf0.1 per-query timings are fixed-cost dominated (~0.3-0.5 s floor)
+# so round-over-round regressions drown in VM noise (round-3 verdict #5).
+# This synthesizes an sf1-equivalent dataset by replicating each fact
+# table 10x with key offsets chosen so every derived distribution is
+# preserved exactly:
+#   - events: event_id offset by a multiple of 420 = lcm(20,7,6) (keeps
+#     the malformed/tool-ghost/tool-id fractions bit-exact) and user_id
+#     by a multiple of 4 (keeps the server-miss fraction), so each
+#     replica contributes NEW conversations with the same turn counts.
+#   - orders/lineitem: orderkey offset keeps the 1:N join intact;
+#     custkey untouched (10x orders per customer — broadcast dims are
+#     cluster-realistic: dims grow slower than facts).
+#   - documents: doc_id offset; text passed through a replica-specific
+#     1:1 character permutation (lengths/token stats preserved, shingles
+#     changed) so near-dup work scales linearly instead of exploding on
+#     synthetic exact copies.
+#   - embeddings: vec_id offset.
+# Dims (customer/nation/region/part/supplier) are copied as-is.
+
+_10X = 10
+# 10 fixed permutations of the translate alphabet, replica 0 = identity
+_TR_SRC = "aeiousnrtl"
+_TR_PERMS = [
+    "aeiousnrtl", "eiouasrtln", "iouaetlnsr", "ouaeilnrst", "uaeiotrsln",
+    "snrtlaeiou", "nrtlseaiou", "rtlnsiueoa", "tlnsroieua", "lnsrtuoiae",
+]
+
+
+def _mult_of(n: int, k: int) -> int:
+    return ((n + k - 1) // k) * k
+
+
+def _replicate(df, n: int):
+    from pyspark.sql import functions as F
+
+    return df.withColumn(
+        "__r", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+    )
+
+
+def make_10x_dir(spark, src_dir: str) -> str:
+    """Write the 10x dataset next to the repo (cached across runs)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    dst = os.path.join(
+        repo, ".bench10x", os.path.basename(src_dir.rstrip("/"))
+    )
+    marker = os.path.join(dst, "_DONE")
+    if os.path.exists(marker):
+        return dst
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst, exist_ok=True)
+
+    def write(df, table):
+        df.write.mode("overwrite").parquet(os.path.join(dst, f"{table}.parquet"))
+
+    # events: offsets preserve every modular derivation (see header)
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    mx = ev.agg(
+        F.max("event_id").alias("e"), F.max("user_id").alias("u")
+    ).collect()[0]
+    off_e, off_u = _mult_of(int(mx["e"]) + 1, 420), _mult_of(int(mx["u"]) + 1, 4)
+    write(
+        _replicate(ev, _10X).select(
+            (F.col("event_id") + F.col("__r") * off_e).alias("event_id"),
+            "ts",
+            (F.col("user_id") + F.col("__r") * off_u).alias("user_id"),
+            "event_type", "value", "props",
+        ),
+        "events",
+    )
+
+    # documents: per-replica 1:1 character permutation of the text
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    off_d = int(docs.agg(F.max("doc_id")).collect()[0][0]) + 1
+    perm = F.col("text")
+    for r in range(1, _10X):
+        perm = F.when(
+            F.col("__r") == r, F.translate(F.col("text"), _TR_SRC, _TR_PERMS[r])
+        ).otherwise(perm)
+    write(
+        _replicate(docs, _10X).select(
+            (F.col("doc_id") + F.col("__r") * off_d).alias("doc_id"),
+            perm.alias("text"),
+            "lang", "source", "n_chars",
+        ),
+        "documents",
+    )
+
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    off_v = int(emb.agg(F.max("vec_id")).collect()[0][0]) + 1
+    write(
+        _replicate(emb, _10X).select(
+            (F.col("vec_id") + F.col("__r") * off_v).alias("vec_id"),
+            "embedding", "label",
+        ),
+        "embeddings",
+    )
+
+    orders = spark.read.parquet(f"{src_dir}/orders.parquet")
+    off_o = int(orders.agg(F.max("o_orderkey")).collect()[0][0]) + 1
+    write(
+        _replicate(orders, _10X).select(
+            (F.col("o_orderkey") + F.col("__r") * off_o).alias("o_orderkey"),
+            "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+            "o_orderpriority",
+        ),
+        "orders",
+    )
+    li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
+    write(
+        _replicate(li, _10X).select(
+            (F.col("l_orderkey") + F.col("__r") * off_o).alias("l_orderkey"),
+            *[c for c in li.columns if c != "l_orderkey"],
+        ),
+        "lineitem",
+    )
+    for table in ("customer", "nation", "region", "part", "supplier"):
+        write(spark.read.parquet(f"{src_dir}/{table}.parquet"), table)
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return dst
+
+
+def run_headline_10x(spark, sf_dir: str, repeats: int = 5) -> dict:
+    """Median-of-N per-query timings at the 10x scale so regressions are
+    detectable above the fixed-cost floor; each row carries its own
+    spread so the recorded BENCH json documents its noise bound."""
+    from logstash_filter_jdbc_static_spark import queries as q
+
+    dir10 = make_10x_dir(spark, sf_dir)
+    registry = q.queries()
+    names = [n for n in HEADLINE if n in registry]
+    # First execution pays one-time costs (file listing, codegen for
+    # this sf dir, shared staging caches) — record it as cold_s but
+    # take the regression-comparable median over the warm runs.
+    cold: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        force(registry[name](spark, dir10))
+        cold[name] = round(time.perf_counter() - t0, 3)
+    # Warm runs are INTERLEAVED round-robin across queries: this host is
+    # a shared VM with multi-second contention episodes, so consecutive
+    # same-query runs would hand one query's whole sample to a bad
+    # episode; round-robin spreads drift across all queries and the
+    # median absorbs it.
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(repeats):
+        for name in names:
+            t0 = time.perf_counter()
+            force(registry[name](spark, dir10))
+            runs[name].append(round(time.perf_counter() - t0, 3))
+    out: dict[str, dict] = {}
+    total = 0.0
+    for name in names:
+        r = runs[name]
+        srt = sorted(r)
+        med = srt[len(srt) // 2]
+        # spread of the middle runs (min/max dropped): the noise bound
+        # on the MEDIAN, which is what round-over-round A/B compares;
+        # the extremes are single contention episodes the median ignores
+        mid = srt[1:-1] if len(srt) >= 4 else srt
+        total += med
+        out[name] = {
+            "cold_s": cold[name],
+            "median_s": med,
+            "runs_s": r,
+            "spread_pct": round(100.0 * (max(mid) - min(mid)) / med, 1),
+        }
+    return {"total_median_s": round(total, 3), "queries": out}
+
+
 def run_headline(sf_dir: str, cpus: int) -> dict:
     from logstash_filter_jdbc_static_spark import queries as q
     from logstash_filter_jdbc_static_spark.session import get_spark
@@ -95,6 +272,7 @@ def run_headline(sf_dir: str, cpus: int) -> dict:
         "sf": sf,
         "cpus": cpus,
         "rows_materialized": total_rows,
+        "headline_10x": run_headline_10x(spark, sf_dir),
         "flagship_scale": flagship_at_scale(spark),
     }
 
