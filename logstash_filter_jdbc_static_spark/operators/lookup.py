@@ -61,6 +61,7 @@ Spark-first physical design (NOT a port of the Derby execution path):
 
 from __future__ import annotations
 
+import dataclasses
 import re
 from dataclasses import dataclass, field
 
@@ -181,10 +182,36 @@ def bind_param(binding: str, schema: T.StructType, name: str) -> BoundParam:
 
 @dataclass(frozen=True)
 class _Term:
-    """One rhs operand of a predicate: a bound placeholder or a literal."""
+    """One rhs operand of a predicate.
 
-    kind: str  # 'param' | 'literal'
-    value: object  # placeholder name, or Python literal (str | int | float)
+    kinds: ``param`` (bound placeholder), ``literal`` (Python literal),
+    ``column`` (a dim column — possibly a synthetic ``__exprN`` computed
+    column — so ``a = b + 1`` compares dim-side), ``subquery`` (a scalar
+    sub-select, resolved to a literal once per refresh snapshot)."""
+
+    kind: str  # 'param' | 'literal' | 'column' | 'subquery'
+    value: object  # placeholder name, Python literal, column name, or _Subquery
+
+
+@dataclass(frozen=True)
+class _Subquery:
+    """An uncorrelated scalar subquery term:
+    ``(SELECT agg(col) FROM table [WHERE <static predicates>])``.
+
+    The reference hands such SQL verbatim to Derby per event
+    (lookup.rb:131-147); here it is evaluated ONCE per refresh snapshot
+    against the local dim tables (the subquery may only reference dim
+    columns and literals — params would make it correlated per event,
+    which no set-oriented plan can stage) and substituted as a literal
+    term before compile. ``where`` is a tuple-of-tuples DNF of static
+    predicates; ``computed`` carries the sub-WHERE's own synthetic
+    expression columns."""
+
+    func: str  # count | count_distinct | sum | min | max | avg
+    col: str | None  # None == count(*)
+    table: str
+    where: tuple = ()  # tuple[tuple[_Predicate, ...], ...]
+    computed: tuple = ()  # tuple[(name, sqlexpr AST), ...]
 
 
 @dataclass
@@ -261,6 +288,214 @@ _LHS_FUNCS = {
 
 def _apply_lhs_func(p: _Predicate, col: Column) -> Column:
     return _LHS_FUNCS[p.func](col) if p.func else col
+
+
+def _pred_column_condition(p: _Predicate, lhs: Column, rhs: list[Column]) -> Column:
+    """One predicate as a Column expression; ``rhs`` holds one
+    pre-staged Column per term (LIKE patterns already compiled to
+    anchored regexes). Three-valued SQL semantics fall out of Spark's
+    null propagation — a null that reaches a filter drops the row,
+    matching Derby/DuckDB."""
+    op = p.op
+    if op == "=":
+        return lhs == rhs[0]
+    if op == "<>":
+        return lhs != rhs[0]
+    if op == "<":
+        return lhs < rhs[0]
+    if op == ">":
+        return lhs > rhs[0]
+    if op == "<=":
+        return lhs <= rhs[0]
+    if op == ">=":
+        return lhs >= rhs[0]
+    if op == "like":
+        return F.rlike(lhs, rhs[0])
+    if op == "not like":
+        return ~F.rlike(lhs, rhs[0])
+    if op in ("in", "not in"):
+        cond = lhs == rhs[0]
+        for r in rhs[1:]:
+            cond = cond | (lhs == r)
+        return ~cond if op == "not in" else cond
+    if op == "between":
+        return (lhs >= rhs[0]) & (lhs <= rhs[1])
+    if op == "not between":
+        return ~((lhs >= rhs[0]) & (lhs <= rhs[1]))
+    if op == "is null":
+        return lhs.isNull()
+    # "is not null"
+    return lhs.isNotNull()
+
+
+def _static_operand(p: _Predicate, t: _Term) -> Column:
+    """A parameter-free term as a Column in a context where the dim's
+    real columns are in scope: literals inline, column terms by name."""
+    if t.kind == "subquery":
+        raise ValidationError(
+            ["internal: unresolved subquery term reached compile — "
+             "resolve_subqueries must run before CompiledLookup"]
+        )
+    base = F.col(t.value) if t.kind == "column" else F.lit(t.value)
+    return _like_regex(base) if p.op in _LIKE_OPS else base
+
+
+def _pred_terms(parsed: ParsedQuery) -> list[_Predicate]:
+    """Every predicate of a parsed query whose terms may need subquery
+    resolution: WHERE (DNF or overflow tree) plus HAVING."""
+    preds = list(parsed.predicates)
+    for d in parsed.having:
+        preds.extend(d)
+    return preds
+
+
+def has_subqueries(parsed: ParsedQuery) -> bool:
+    return any(
+        t.kind == "subquery" for p in _pred_terms(parsed) for t in p.terms
+    )
+
+
+def _static_where_condition(disjuncts) -> Column | None:
+    """OR-of-AND Column over fully-static predicates (the subquery
+    WHERE grammar guarantees no params)."""
+    parts: list[Column] = []
+    for d in disjuncts:
+        c: Column | None = None
+        for p in d:
+            pc = _pred_column_condition(
+                p,
+                _apply_lhs_func(p, F.col(p.dim_column)),
+                [_static_operand(p, t) for t in p.terms],
+            )
+            c = pc if c is None else c & pc
+        parts.append(c if c is not None else F.lit(True))
+    if not parts:
+        return None
+    out = parts[0]
+    for c in parts[1:]:
+        out = out | c
+    return out
+
+
+def _eval_subquery(sq: _Subquery, dims: dict[str, DataFrame], _depth: int = 0):
+    """Evaluate one scalar subquery against the local dim tables: a
+    dim-sized aggregation, once per refresh snapshot (the Spark-first
+    hoist of Derby's per-event execution). Returns a Python scalar
+    (None == SQL NULL)."""
+    if _depth > 8:
+        raise ValidationError(
+            ["lookup subquery: nesting deeper than 8 levels"]
+        )
+    if sq.table not in dims:
+        raise ValidationError(
+            [f"lookup subquery references unknown local table {sq.table!r}"]
+        )
+    df = dims[sq.table]
+    names = {f.name for f in df.schema.fields}
+    for cname, ast in sq.computed:
+        missing = sorted(r for r in sqlexpr.columns(ast) if r not in names)
+        if missing:
+            raise ValidationError(
+                [f"lookup subquery on {sq.table!r}: expression references "
+                 f"unknown column(s) {missing}"]
+            )
+        df = df.withColumn(cname, sqlexpr.compile_expr(ast))
+        names.add(cname)
+    # nested subqueries in the sub-WHERE resolve first (depth-bounded)
+    where = [
+        [
+            _Predicate(
+                p.dim_column,
+                p.op,
+                [
+                    _Term("literal", _eval_subquery(t.value, dims, _depth + 1))
+                    if t.kind == "subquery"
+                    else t
+                    for t in p.terms
+                ],
+                func=p.func,
+            )
+            for p in d
+        ]
+        for d in sq.where
+    ]
+    for d in where:
+        for p in d:
+            if p.dim_column not in names:
+                raise ValidationError(
+                    [f"lookup subquery on {sq.table!r}: predicate column "
+                     f"{p.dim_column!r} not in table"]
+                )
+            for t in p.terms:
+                if t.kind == "column" and t.value not in names:
+                    raise ValidationError(
+                        [f"lookup subquery on {sq.table!r}: predicate "
+                         f"column {t.value!r} not in table"]
+                    )
+    cond = _static_where_condition(where)
+    if cond is not None:
+        df = df.filter(cond)
+    if sq.col is not None and sq.col not in names:
+        raise ValidationError(
+            [f"lookup subquery on {sq.table!r}: aggregate column "
+             f"{sq.col!r} not in table"]
+        )
+    if sq.func == "count":
+        agg = F.count(F.lit(1)) if sq.col is None else F.count(F.col(sq.col))
+    elif sq.func == "count_distinct":
+        agg = F.count_distinct(F.col(sq.col))
+    else:
+        agg = getattr(F, {"avg": "avg", "sum": "sum", "min": "min", "max": "max"}[sq.func])(
+            F.col(sq.col)
+        )
+    return df.agg(agg).collect()[0][0]
+
+
+def resolve_subqueries(
+    parsed: ParsedQuery, dims: dict[str, DataFrame]
+) -> ParsedQuery:
+    """Replace every scalar-subquery term with its literal value,
+    evaluated against the current dim snapshot (dim-sized work, once
+    per refresh — reload recomputes it, matching the reference's
+    re-execute-on-reload semantics). No-op when the query has none."""
+    if not has_subqueries(parsed):
+        return parsed
+    cache: list[tuple[_Subquery, object]] = []
+
+    def value_of(sq: _Subquery):
+        for k, v in cache:
+            if k == sq:
+                return v
+        v = _eval_subquery(sq, dims)
+        cache.append((sq, v))
+        return v
+
+    def fix_pred(p: _Predicate) -> _Predicate:
+        if not any(t.kind == "subquery" for t in p.terms):
+            return p
+        return _Predicate(
+            p.dim_column,
+            p.op,
+            [
+                _Term("literal", value_of(t.value)) if t.kind == "subquery" else t
+                for t in p.terms
+            ],
+            func=p.func,
+        )
+
+    def fix_tree(node):
+        if node[0] == "pred":
+            return ("pred", fix_pred(node[1]))
+        return (node[0], [fix_tree(c) for c in node[1]])
+
+    return dataclasses.replace(
+        parsed,
+        disjuncts=[[fix_pred(p) for p in d] for d in parsed.disjuncts],
+        where_tree=(
+            None if parsed.where_tree is None else fix_tree(parsed.where_tree)
+        ),
+        having=tuple(tuple(fix_pred(p) for p in d) for d in parsed.having),
+    )
 
 
 @dataclass(frozen=True)
@@ -671,29 +906,196 @@ class _WhereParser:
         return ("pred", self._predicate())
 
     def _term(self) -> _Term:
-        kind, text = self._next()
-        neg = False
-        if kind == "arith" and text == "-":
-            # unary minus on a numeric literal (the tokenizer lexes the
-            # sign separately so the expression grammar can see `a-1`)
-            kind, text = self._next()
-            neg = True
-        if not neg:
-            if kind == "param":
-                return _Term("param", text[1:])
-            if kind == "qmark":
-                name = f"p{self.positional}"
-                self.positional += 1
-                return _Term("param", name)
-            if kind == "string":
-                return _Term("literal", text[1:-1].replace("''", "'"))
-        if kind == "number":
-            is_float = "." in text or "e" in text or "E" in text
-            v = float(text) if is_float else int(text)
-            return _Term("literal", -v if neg else v)
-        raise ValidationError(
-            [f"unsupported lookup predicate rhs: {text!r} "
-             "(expected :name, ?, 'string' or number)"]
+        """One rhs operand: a ``:name``/``?`` placeholder, a literal, a
+        scalar subquery, or a dim-side column/expression. Non-param,
+        non-literal shapes are STATIC — evaluable against the dimension
+        alone — so ``a = b + 1`` rides dim-side on every physical path.
+        Params inside expressions stay rejected (``a = b + :k`` is not
+        a key any path can stage); bind the whole rhs instead."""
+        tok = self._peek()
+        if tok is None:
+            raise ValidationError(
+                ["unsupported lookup predicate: unexpected end of WHERE"]
+            )
+        kind, text = tok
+        if kind == "param":
+            self._next()
+            return _Term("param", text[1:])
+        if kind == "qmark":
+            self._next()
+            name = f"p{self.positional}"
+            self.positional += 1
+            return _Term("param", name)
+        if kind == "lparen":
+            nxt = self.tokens[self.i + 1] if self.i + 1 < len(self.tokens) else None
+            if nxt and nxt[0] == "word" and nxt[1].lower() == "select":
+                return self._subquery_term()
+        # Everything else is a scalar expression over dim columns and
+        # literals — the arithmetic grammar also lexes plain literals
+        # (signed numbers, concatenated strings), which fold back to
+        # literal terms below.
+        ep = sqlexpr.ExprParser(
+            self.tokens, self.i, resolve_col=self._strip_qualifier
+        )
+        try:
+            ast = ep.parse()
+        except ValidationError as e:
+            raise ValidationError(
+                [f"unsupported lookup predicate rhs: {text!r} "
+                 f"(expected :name, ?, literal, subquery, or a dim-side "
+                 f"column/expression; {e.errors[0]})"]
+            )
+        self.i = ep.i
+        if isinstance(ast, sqlexpr.Lit):
+            return _Term("literal", ast.value)
+        if not sqlexpr.columns(ast):
+            # constant expression ((2+3), 'a'||'b'): fold at parse time
+            return _Term("literal", sqlexpr.eval_expr(ast, {}))
+        simple = sqlexpr.is_simple_column(ast)
+        if simple is not None:
+            return _Term("column", simple)
+        return _Term("column", self._new_computed(ast))
+
+    def _subquery_term(self) -> _Term:
+        """``( SELECT agg([DISTINCT] col | *) FROM table [WHERE ...] )``
+        — an uncorrelated scalar subquery rhs. The inner WHERE accepts
+        the same static predicate grammar (column/literal/expression
+        operands, nested subqueries); ``:param``/``?`` inside it is
+        rejected — that would be a correlated probe per event."""
+        self._next()  # (
+        self._next()  # SELECT
+        tok = self._next()
+        if tok[0] != "word" or tok[1].lower() not in (
+            "count", "sum", "min", "max", "avg"
+        ):
+            raise ValidationError(
+                [f"unsupported lookup subquery: expected an aggregate "
+                 f"(count/sum/min/max/avg), got {tok[1]!r} — scalar "
+                 f"subqueries must return one value"]
+            )
+        func = tok[1].lower()
+        if self._next()[0] != "lparen":
+            raise ValidationError(
+                [f"unsupported lookup subquery: expected '(' after {func}"]
+            )
+        distinct = False
+        if self._peek_word() == "distinct":
+            self._next()
+            distinct = True
+        if distinct and func != "count":
+            raise ValidationError(
+                [f"unsupported lookup subquery: {func}(DISTINCT ...) — "
+                 f"only count(DISTINCT col) is supported"]
+            )
+        # The aggregate argument may be an expression (max(length(c)));
+        # slice its tokens to the matching ')' and parse once the FROM
+        # table (needed for qualifier stripping) is known.
+        depth, j = 0, self.i
+        while j < len(self.tokens):
+            k = self.tokens[j][0]
+            if k == "lparen":
+                depth += 1
+            elif k == "rparen":
+                if depth == 0:
+                    break
+                depth -= 1
+            j += 1
+        arg_toks = self.tokens[self.i:j]
+        if j >= len(self.tokens):
+            raise ValidationError(
+                [f"unsupported lookup subquery: unclosed {func}(...)"]
+            )
+        self.i = j + 1  # past the aggregate's ')'
+        self._expect_word("from")
+        tok = self._next()
+        if tok[0] != "word":
+            raise ValidationError(
+                [f"unsupported lookup subquery: expected a table name "
+                 f"after FROM, got {tok[1]!r}"]
+            )
+        table = tok[1]
+
+        def strip_sub_qual(name: str) -> str:
+            if "." not in name:
+                return name
+            q, c = name.split(".", 1)
+            if q.lower() != table.lower():
+                raise ValidationError(
+                    [f"unsupported lookup subquery: unknown table "
+                     f"qualifier {q!r} in {name!r} (subquery FROM is "
+                     f"{table!r})"]
+                )
+            return c
+
+        computed: list[tuple[str, object]] = []
+        col: str | None
+        if (
+            len(arg_toks) == 1
+            and arg_toks[0][0] == "arith"
+            and arg_toks[0][1] == "*"
+        ):
+            if func != "count" or distinct:
+                raise ValidationError(
+                    [f"unsupported lookup subquery: {func}(*) — only "
+                     f"count(*) takes '*'"]
+                )
+            col = None
+        else:
+            ep = sqlexpr.ExprParser(arg_toks, 0, resolve_col=strip_sub_qual)
+            ast = ep.parse()
+            if ep.i != len(arg_toks):
+                raise ValidationError(
+                    [f"unsupported lookup subquery: bad aggregate "
+                     f"argument near {arg_toks[ep.i][1]!r}"]
+                )
+            simple = sqlexpr.is_simple_column(ast)
+            if simple is not None:
+                col = simple
+            else:
+                col = f"__sq_expr{len(computed)}"
+                computed.append((col, ast))
+        where: tuple = ()
+        if self._peek_word() == "where":
+            self._next()
+            # slice the sub-WHERE tokens up to the subquery's closing
+            # paren (depth-tracked: the sub-WHERE may itself contain
+            # parens and nested subqueries)
+            depth, j = 0, self.i
+            while j < len(self.tokens):
+                k = self.tokens[j][0]
+                if k == "lparen":
+                    depth += 1
+                elif k == "rparen":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                j += 1
+            sub = _WhereParser(
+                self.tokens[self.i:j], table, computed=computed
+            )
+            where = tuple(tuple(d) for d in sub.parse())
+            self.i = j
+            for d in where:
+                for p in d:
+                    if p.param_names:
+                        raise ValidationError(
+                            [f"unsupported lookup subquery on {table!r}: "
+                             f"parameter :{p.param_names[0]} inside the "
+                             f"subquery WHERE (correlated/parameterized "
+                             f"subqueries are not supported — the "
+                             f"subquery is evaluated once per refresh "
+                             f"snapshot)"]
+                        )
+        tok = self._next()
+        if tok[0] != "rparen":
+            raise ValidationError(
+                [f"unsupported lookup subquery: expected ')', got {tok[1]!r}"]
+            )
+        if distinct:
+            func = "count_distinct"
+        return _Term(
+            "subquery",
+            _Subquery(func, col, table, where, tuple(computed)),
         )
 
     def _new_computed(self, ast) -> str:
@@ -1474,6 +1876,13 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                          f"selected column alias "
                          f"(available: {sorted(payload_names)})"]
                     )
+                for t in p.terms:
+                    if t.kind == "column" and t.value not in payload_names:
+                        raise ValidationError(
+                            [f"lookup HAVING: comparand {t.value!r} is "
+                             f"not a selected column alias "
+                             f"(available: {sorted(payload_names)})"]
+                        )
     if aggregates and not group_by:
         if distinct or order_by or limit is not None or offset is not None:
             raise ValidationError(
@@ -1503,6 +1912,14 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             else [p for d in disjuncts for p in d]
         )
         referenced |= {p.dim_column for p in where_preds}
+        # rhs column terms reference computed columns too (a = b + 1
+        # registers __exprN as the rhs comparand)
+        referenced |= {
+            t.value
+            for p in where_preds
+            for t in p.terms
+            if t.kind == "column"
+        }
         computed = [(n, a) for n, a in computed if n in referenced]
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,
@@ -1591,7 +2008,13 @@ def build_join_dim(
 
     refs: list[tuple[str, str]] = []
     srcs = [s for s, _ in (parsed.projection or [])]
-    pred_cols = [p.dim_column for p in parsed.predicates]
+    pred_cols = [p.dim_column for p in parsed.predicates] + [
+        # rhs column comparands (``WHERE a.x < b.y``) are dim columns too
+        t.value
+        for p in parsed.predicates
+        for t in p.terms
+        if t.kind == "column"
+    ]
     order_cols = [c for c, _ in parsed.order_by]
     agg_cols = [c for _, c, _ in parsed.aggregates if c is not None]
     group_cols = list(parsed.group_by)
@@ -1621,7 +2044,17 @@ def build_join_dim(
     new_proj = [(flat[resolve(src)], alias) for src, alias in (parsed.projection or [])]
     new_disjuncts = [
         [
-            _Predicate(flat[resolve(p.dim_column)], p.op, p.terms, func=p.func)
+            _Predicate(
+                flat[resolve(p.dim_column)],
+                p.op,
+                [
+                    _Term("column", flat[resolve(t.value)])
+                    if t.kind == "column"
+                    else t
+                    for t in p.terms
+                ],
+                func=p.func,
+            )
             for p in d
         ]
         for d in parsed.disjuncts
@@ -1692,6 +2125,15 @@ class CompiledLookup:
             parsed_query if parsed_query is not None
             else parse_lookup_query(spec.query)
         )
+        if has_subqueries(self.query):
+            # Direct construction (tests, single-table callers): scalar
+            # subqueries resolve against the one dim in scope — a
+            # dim-sized aggregation, once per compile/refresh snapshot.
+            # LookupEnricher resolves earlier with the full table dict,
+            # so cross-table subqueries require that path.
+            self.query = resolve_subqueries(
+                self.query, {self.query.table: dim_df}
+            )
         # Materialize dim-side computed expressions (arithmetic / CASE /
         # COALESCE) as synthetic columns BEFORE any path sees the dim;
         # every physical strategy then treats them as ordinary columns.
@@ -1782,6 +2224,12 @@ class CompiledLookup:
                     [f"lookup '{spec.id}': predicate column '{p.dim_column}' "
                      f"not in table '{self.query.table}'"]
                 )
+            for t in p.terms:
+                if t.kind == "column" and t.value not in dim_fields:
+                    raise ValidationError(
+                        [f"lookup '{spec.id}': predicate comparand column "
+                         f"'{t.value}' not in table '{self.query.table}'"]
+                    )
         for c, _ in self.query.order_by:
             if c not in dim_fields:
                 raise ValidationError(
@@ -1876,49 +2324,14 @@ class CompiledLookup:
 
     # ---- predicate evaluation (shared by all physical paths) --------
     def _pred_condition(self, p: _Predicate, lhs: Column, rhs: list[Column]) -> Column:
-        """One predicate as a Column expression; ``rhs`` holds one
-        pre-staged Column per term (LIKE patterns already compiled to
-        anchored regexes). Three-valued SQL semantics fall out of Spark's
-        null propagation — a null that reaches a filter drops the row,
-        matching Derby/DuckDB."""
-        op = p.op
-        if op == "=":
-            return lhs == rhs[0]
-        if op == "<>":
-            return lhs != rhs[0]
-        if op == "<":
-            return lhs < rhs[0]
-        if op == ">":
-            return lhs > rhs[0]
-        if op == "<=":
-            return lhs <= rhs[0]
-        if op == ">=":
-            return lhs >= rhs[0]
-        if op == "like":
-            return F.rlike(lhs, rhs[0])
-        if op == "not like":
-            return ~F.rlike(lhs, rhs[0])
-        if op in ("in", "not in"):
-            cond = lhs == rhs[0]
-            for r in rhs[1:]:
-                cond = cond | (lhs == r)
-            return ~cond if op == "not in" else cond
-        if op == "between":
-            return (lhs >= rhs[0]) & (lhs <= rhs[1])
-        if op == "not between":
-            return ~((lhs >= rhs[0]) & (lhs <= rhs[1]))
-        if op == "is null":
-            return lhs.isNull()
-        # "is not null"
-        return lhs.isNotNull()
+        return _pred_column_condition(p, lhs, rhs)
 
     def _static_rhs(self, p: _Predicate) -> list[Column]:
-        """rhs Columns for a parameter-free predicate (all literals);
-        literal LIKE patterns compile here and constant-fold."""
-        return [
-            _like_regex(F.lit(t.value)) if p.op in _LIKE_OPS else F.lit(t.value)
-            for t in p.terms
-        ]
+        """rhs Columns for a parameter-free predicate: literals inline
+        (literal LIKE patterns compile here and constant-fold), column
+        terms reference the dim column by name — valid only where the
+        dim's real columns are in scope (the equi path's dim filter)."""
+        return [_static_operand(p, t) for t in p.terms]
 
     def _indexed_disjuncts(self) -> list[list[tuple[int, _Predicate]]]:
         """Disjuncts with a stable flat index per predicate, used to key
@@ -2397,12 +2810,17 @@ class CompiledLookup:
         ]
 
         def fn(r: Column) -> Column:
+            def rhs_one(p: _Predicate, t: _Term) -> Column:
+                if t.kind == "column":
+                    # HAVING comparand naming another payload field
+                    # (``HAVING total > cnt``)
+                    c = r.getField(t.value)
+                    return _like_regex(c) if p.op in _LIKE_OPS else c
+                return self._term_rhs(p, t, lambda n: params[n].value)
+
             return self._dnf_condition(
                 lambda p: r.getField(p.dim_column),
-                lambda _f, p: [
-                    self._term_rhs(p, t, lambda n: params[n].value)
-                    for t in p.terms
-                ],
+                lambda _f, p: [rhs_one(p, t) for t in p.terms],
                 indexed=indexed,
             )
 
@@ -2441,14 +2859,21 @@ class CompiledLookup:
         # occurrence would evaluate the sprintf/regex derivation once per
         # duplicate instead of once per placeholder.
         stage_cache: dict[tuple[str, bool], str] = {}
-        rhs_map: dict[int, list[Column]] = {}
+        rhs_map: dict[int, list[Column | None]] = {}
+        # column terms (static dim-side comparands, ``a = b + 1``) are
+        # left as None placeholders: their operand is the ARRAY ELEMENT's
+        # field, only in scope inside the filter lambda below
+        col_terms: dict[int, dict[int, str]] = {}
         for f, p in self._flat_indexed():
-            rhs: list[Column] = []
-            for t in p.terms:
+            rhs: list[Column | None] = []
+            for j, t in enumerate(p.terms):
                 if t.kind == "literal":
                     lit = F.lit(t.value)
                     # literal LIKE patterns compile here (constant-folded)
                     rhs.append(_like_regex(lit) if p.op in _LIKE_OPS else lit)
+                elif t.kind == "column":
+                    col_terms.setdefault(f, {})[j] = t.value
+                    rhs.append(None)
                 else:
                     key = (t.value, p.op in _LIKE_OPS)
                     c = stage_cache.get(key)
@@ -2463,11 +2888,25 @@ class CompiledLookup:
                     rhs.append(F.col(c))
             rhs_map[f] = rhs
         arr = self._dim_literal_array()
+
+        def rhs_for_element(r):
+            def fn(f: int, p: _Predicate) -> list[Column]:
+                if f not in col_terms:
+                    return rhs_map[f]
+                out = list(rhs_map[f])
+                for j, name in col_terms[f].items():
+                    c = r.getField(name)
+                    # a column LIKE pattern derives its regex per
+                    # element — dim-sized work inside the inline array
+                    out[j] = _like_regex(c) if p.op in _LIKE_OPS else c
+                return out
+            return fn
+
         matched = F.filter(
             arr,
             lambda r: self._where_condition(
                 lambda p: _apply_lhs_func(p, r.getField(p.dim_column)),
-                lambda f, p: rhs_map[f],
+                rhs_for_element(r),
             ),
         )
         if self.query.group_by:
@@ -2548,6 +2987,11 @@ class CompiledLookup:
                     lit = F.lit(t.value)
                     # literal pattern compiles here; Catalyst constant-folds
                     rhs.append(_like_regex(lit) if p.op in _LIKE_OPS else lit)
+                elif t.kind == "column":
+                    # static dim-side comparand (a = b + 1): both sides
+                    # come from the broadcast dim struct
+                    c = F.col(dim_alias).getField(t.value)
+                    rhs.append(_like_regex(c) if p.op in _LIKE_OPS else c)
                 elif p.op in _LIKE_OPS:
                     rhs.append(F.col(f"__rx_{sid}_{f}"))
                 else:

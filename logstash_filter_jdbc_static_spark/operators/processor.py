@@ -93,9 +93,15 @@ class LookupEnricher:
             from logstash_filter_jdbc_static_spark.operators.lookup import (
                 build_join_dim,
                 parse_lookup_query,
+                resolve_subqueries,
             )
 
             parsed = parse_lookup_query(lk.query)
+            # Scalar subqueries resolve here — the one site with the
+            # full table dict in scope (they may aggregate a DIFFERENT
+            # dim than the one being probed) — once per compile/refresh
+            # snapshot, before the join flat-rewrite.
+            parsed = resolve_subqueries(parsed, dims)
             if parsed.joins:
                 # Multi-table lookup: pre-join the dims into one derived
                 # dimension at compile/refresh time (dim-sized work, once

@@ -9,7 +9,10 @@ from __future__ import annotations
 import re
 from typing import Any
 
-from logstash_filter_jdbc_static_spark.operators.lookup import parse_lookup_query
+from logstash_filter_jdbc_static_spark.operators.lookup import (
+    has_subqueries,
+    parse_lookup_query,
+)
 from logstash_filter_jdbc_static_spark.operators.sqlexpr import eval_expr
 from logstash_filter_jdbc_static_spark.spec import (
     LookupSpec,
@@ -104,7 +107,16 @@ def _pred_match(p, row: dict, params: dict) -> bool:
         return lhs is None
     if p.op == "is not null":
         return lhs is not None
-    vals = [params[t.value] if t.kind == "param" else t.value for t in p.terms]
+    vals = []
+    for t in p.terms:
+        if t.kind == "param":
+            vals.append(params[t.value])
+        elif t.kind == "column":
+            # static dim-side comparand (a = b + 1) / HAVING alias rhs:
+            # read the other field off the same row
+            vals.append(row.get(t.value))
+        else:
+            vals.append(t.value)
     if lhs is None:
         return False
 
@@ -176,12 +188,106 @@ def _payload_sort_key(r: dict) -> list:
     return [(v is not None, v) for v in r.values()]
 
 
+def _eval_subquery_rows(sq, tables: dict[str, list[dict]], _depth: int = 0):
+    """Row-at-a-time twin of lookup._eval_subquery: one scalar from an
+    uncorrelated aggregate subquery over the dict-row tables."""
+    if _depth > 8:
+        raise ValueError("lookup subquery: nesting deeper than 8 levels")
+    rows = tables[sq.table]
+    if sq.computed:
+        rows = [
+            {**r, **{n: eval_expr(a, r) for n, a in sq.computed}}
+            for r in rows
+        ]
+    where = [
+        [
+            _replace_subquery_terms(p, tables, _depth + 1)
+            for p in d
+        ]
+        for d in sq.where
+    ]
+    if where:
+        rows = [
+            r
+            for r in rows
+            if any(all(_pred_match(p, r, {}) for p in d) for d in where)
+        ]
+    if sq.func == "count" and sq.col is None:
+        return len(rows)
+    vals = [r.get(sq.col) for r in rows]
+    nonnull = [v for v in vals if v is not None]
+    if sq.func == "count":
+        return len(nonnull)
+    if sq.func == "count_distinct":
+        return len(set(nonnull))
+    if not nonnull:
+        return None  # SQL: sum/avg/min/max over empty or all-NULL -> NULL
+    if sq.func == "sum":
+        return sum(nonnull)
+    if sq.func == "avg":
+        return sum(nonnull) / len(nonnull)
+    return min(nonnull) if sq.func == "min" else max(nonnull)
+
+
+def _replace_subquery_terms(p, tables: dict[str, list[dict]], _depth: int = 0):
+    from logstash_filter_jdbc_static_spark.operators.lookup import (
+        _Predicate,
+        _Term,
+    )
+
+    if not any(t.kind == "subquery" for t in p.terms):
+        return p
+    return _Predicate(
+        p.dim_column,
+        p.op,
+        [
+            _Term("literal", _eval_subquery_rows(t.value, tables, _depth))
+            if t.kind == "subquery"
+            else t
+            for t in p.terms
+        ],
+        func=p.func,
+    )
+
+
+def _resolve_subqueries_rows(q, tables: dict[str, list[dict]]):
+    """Oracle-side resolve_subqueries: substitute literal values before
+    per-event matching (evaluated once per enhance call — the oracle has
+    no snapshot lifecycle to amortize over)."""
+    import dataclasses
+
+    def fix_tree(node):
+        if node[0] == "pred":
+            return ("pred", _replace_subquery_terms(node[1], tables))
+        return (node[0], [fix_tree(c) for c in node[1]])
+
+    return dataclasses.replace(
+        q,
+        disjuncts=[
+            [_replace_subquery_terms(p, tables) for p in d]
+            for d in q.disjuncts
+        ],
+        where_tree=None if q.where_tree is None else fix_tree(q.where_tree),
+        having=tuple(
+            tuple(_replace_subquery_terms(p, tables) for p in d)
+            for d in q.having
+        ),
+    )
+
+
 def run_lookup(
-    event: dict, spec: LookupSpec, table: list[dict]
+    event: dict, spec: LookupSpec, table: list[dict],
+    tables: dict[str, list[dict]] | None = None,
 ) -> tuple[bool, list[str]]:
     """Executes one lookup against `event` in place (sets spec.target).
-    Returns (ok, tags_appended)."""
+    Returns (ok, tags_appended). ``tables`` supplies the full local
+    table dict for scalar-subquery resolution (defaults to just the
+    probed table)."""
     q = parse_lookup_query(spec.query)
+    if has_subqueries(q):
+        q = _resolve_subqueries_rows(
+            q, tables if tables is not None else {q.table: table}
+        )
     bindings = (
         {f"p{i}": v for i, v in enumerate(spec.prepared_parameters)}
         if spec.prepared_parameters is not None
@@ -408,7 +514,7 @@ def enhance(event: dict, spec: PipelineSpec, tables: dict[str, list[dict]]) -> d
     for lk in spec.lookups:
         q = parse_lookup_query(lk.query)
         table = _join_rows(q, tables) if q.joins else tables[q.table]
-        ok, new_tags = run_lookup(event, lk, table)
+        ok, new_tags = run_lookup(event, lk, table, tables=tables)
         for t in new_tags:
             if t not in tags:
                 tags.append(t)

@@ -113,6 +113,23 @@ _merge(
 )
 
 _merge(
+    "lookup_expr_shapes", ["conv_id", "turn_idx"],
+    [
+        ("lookup_arith",
+         [("tool", "tool"), ("lim", "lim"), ("n_plans", "arith_n"),
+          ("totals_str", "arith_totals")]),
+        ("lookup_case_projection",
+         [("n_plans", "case_n"), ("plans_str", "case_plans")]),
+        # round-4 widening: static column/expression comparands and
+        # uncorrelated scalar subqueries share this gate row
+        ("lookup_col_rhs",
+         [("n_plans", "rhs_n"), ("pairs_str", "rhs_pairs")]),
+        ("lookup_subquery",
+         [("n_hits", "subq_n"), ("prices_str", "subq_prices")]),
+    ],
+)
+
+_merge(
     "lookup_param_shapes", ["conv_id", "turn_idx"],
     [
         ("lookup_map_field_param", [("server_name", "server_name")]),

@@ -190,3 +190,136 @@ def lookup_case_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("plans_str"),
     )
+
+
+@register(
+    "lookup_col_rhs",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT tool, price, qty FROM tool_plans WHERE price >= qty * 2
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_plans,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) || ':' || CAST(m.qty AS VARCHAR)
+                        ORDER BY m.price, m.qty),
+                   ','),
+                 '') AS pairs_str
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_col_rhs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 lookup-SQL widening: a static dim-side column/expression
+    COMPARAND — ``price >= qty * 2`` compares two columns of the SAME
+    dim row (the reference runs it verbatim in Derby, lookup.rb:131-147).
+    The comparand compiles to a synthetic dim column, the predicate has
+    no params, so it rides the dim as a load-time filter and the fact
+    side keeps the single broadcast-hash equi plan — the 100 TB shape."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "plans",
+                "query": (
+                    "SELECT price, qty FROM tool_plans "
+                    "WHERE tool = :tool AND price >= qty * 2"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("plans").cast("long").alias("n_plans"),
+        F.array_join(
+            F.transform(
+                F.col("plans"),
+                lambda r: F.concat(
+                    r.getField("price").cast("string"),
+                    F.lit(":"),
+                    r.getField("qty").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("pairs_str"),
+    )
+
+
+@register(
+    "lookup_subquery",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT tool, price FROM tool_plans
+          WHERE price >= (SELECT avg(price) FROM tool_plans
+                          WHERE plan IS NOT NULL)
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_hits,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) ORDER BY m.price),
+                   ','),
+                 '') AS prices_str
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4 lookup-SQL widening: an uncorrelated scalar subquery
+    comparand with its own WHERE. Derby evaluates it per event
+    (lookup.rb:131-147); the Spark-first hoist evaluates it ONCE per
+    refresh snapshot (a dim-sized aggregation) and substitutes the
+    scalar before compile, so the per-event plan is unchanged
+    broadcast-hash equi."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "plans",
+                "query": (
+                    "SELECT price FROM tool_plans WHERE tool = :tool "
+                    "AND price >= (SELECT avg(price) FROM tool_plans "
+                    "WHERE plan IS NOT NULL)"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("plans").cast("long").alias("n_hits"),
+        F.array_join(
+            F.transform(
+                F.col("plans"), lambda r: r.getField("price").cast("string")
+            ),
+            ",",
+        ).alias("prices_str"),
+    )

@@ -150,7 +150,10 @@ class TestWhereParser:
             "SELECT x FROM t WHERE k IS BANANA",
             "SELECT x FROM t WHERE (k = :a",
             "SELECT x FROM t WHERE k = :a extra",
-            "SELECT x FROM t WHERE k = unquoted",
+            # NOTE: "k = unquoted" is no longer malformed — a bare word
+            # rhs is a static dim-side column comparand since round 4
+            # (existence checked at compile; test_lookup_rhs.py)
+            "SELECT x FROM t WHERE k = 'a' extra",
         ],
     )
     def test_malformed_where_raises(self, bad):

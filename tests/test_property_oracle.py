@@ -118,6 +118,19 @@ WIDE_TEMPLATES = [
     # 2^7 = 128 disjuncts > _MAX_DISJUNCTS: exercises the DNF-overflow
     # fallback that evaluates the un-normalized tree on the theta paths
     " AND ".join(f"(ip = :ip OR name <> 'w{i}')" for i in range(7)),
+    # round-4: static dim-side column/expression comparands — both
+    # operands come from the dim row, riding every physical path
+    "ip = name",
+    "ip < name OR ip = :ip",
+    "ip LIKE name OR ip = :ip",
+    "substr(name, 2, 1) = substr(ip, 2, 1) AND ip = :ip",
+    "ip NOT BETWEEN name AND 'zz' AND ip IS NOT NULL",
+    "ip IN (name, :ip)",
+    # round-4: uncorrelated scalar subqueries, resolved once per
+    # compile against the dim snapshot
+    "ip >= (SELECT min(ip) FROM servers) AND ip = :ip",
+    "length(ip) <= (SELECT count(*) FROM servers WHERE name <> 'v1')",
+    "ip = :ip AND length(name) = (SELECT max(length(name)) FROM servers)",
 ]
 
 
