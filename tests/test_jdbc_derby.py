@@ -479,3 +479,59 @@ class TestDerbyResultShapeLookups:
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         got = sorted((x["location"], x["n"]) for x in row["grp"])
         assert got == sorted(Counter(live).items())
+
+
+class TestDerbyExprLookups:
+    """Round-4 widened SQL (column/expression comparands, scalar
+    subqueries) against a dim ACTUALLY loaded from embedded Derby —
+    expectations derive from the live dim rows, so earlier module
+    tests mutating the shared table stay harmless."""
+
+    def _store(self, spark):
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        return store
+
+    def test_column_comparand_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "cmp",
+                    "query": "SELECT name FROM servers "
+                             "WHERE ip LIKE :pre AND name < location",
+                    "parameters": {"pre": "%{[prefix]}%"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1", "10.")], ["event", "prefix"])
+        live = sorted(
+            r["name"]
+            for r in store.dims()["servers"].collect()
+            if r["ip"].startswith("10.") and r["name"] < r["location"]
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["name"] for x in row["cmp"]) == live
+
+    def test_scalar_subquery_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "longest",
+                    "query": "SELECT name, ip FROM servers WHERE "
+                             "length(ip) = (SELECT max(length(ip)) "
+                             "FROM servers)",
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = store.dims()["servers"].collect()
+        mx = max(len(r["ip"]) for r in rows)
+        live = sorted(
+            (r["name"], r["ip"]) for r in rows if len(r["ip"]) == mx
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted((x["name"], x["ip"]) for x in row["longest"]) == live
