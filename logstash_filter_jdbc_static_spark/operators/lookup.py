@@ -503,12 +503,15 @@ class _JoinPart:
     """One JOIN clause of a multi-table lookup query. ``alias`` is the
     lowercase qualifier this relation is referenced by (explicit alias,
     else the table name); ``on`` is a conjunction of alias-qualified
-    equi-conditions (l_qual, l_col, r_qual, r_col)."""
+    conditions (l_qual, l_col, op, r_qual, r_col) — op is one of
+    ``= <> < > <= >=`` (non-equi ON is legal since round 4; a pure
+    non-equi join compiles to a dim-sized nested-loop, still once per
+    refresh snapshot)."""
 
     table: str
     alias: str
     how: str  # 'inner' | 'left'
-    on: tuple[tuple[str, str, str, str], ...]
+    on: tuple[tuple[str, str, str, str, str], ...]
 
 
 @dataclass
@@ -736,17 +739,19 @@ def _parse_from(text: str) -> tuple[str, str, tuple[_JoinPart, ...]]:
             raise ValidationError(
                 [f"unsupported lookup FROM: expected ON after {tbl!r}"]
             )
-        on: list[tuple[str, str, str, str]] = []
+        on: list[tuple[str, str, str, str, str]] = []
         while True:
             lq, lc = qualified_col("left")
             opk, opv = take()
-            if opk != "op" or opv != "=":
+            if opk != "op":
                 raise ValidationError(
-                    ["unsupported lookup FROM: ON supports only "
-                     "equi-conditions (alias.col = alias.col)"]
+                    ["unsupported lookup FROM: ON supports "
+                     "alias.col <op> alias.col conditions "
+                     "(=, <>, <, >, <=, >=)"]
                 )
+            op = "<>" if opv == "!=" else opv
             rq, rc = qualified_col("right")
-            on.append((lq, lc, rq, rc))
+            on.append((lq, lc, op, rq, rc))
             if word_of(peek()) == "and":
                 take()
                 continue
@@ -1964,7 +1969,7 @@ def build_join_dim(
     in_scope = {parsed.base_alias}
     for j in parsed.joins:
         cond: Column | None = None
-        for lq, lc, rq, rc in j.on:
+        for lq, lc, op, rq, rc in j.on:
             for q, c in ((lq, lc), (rq, rc)):
                 if q not in in_scope and q != j.alias:
                     raise ValidationError(
@@ -1976,7 +1981,11 @@ def build_join_dim(
                         [f"lookup FROM: column '{c}' not in table "
                          f"'{alias_map[q]}' (alias {q!r})"]
                     )
-            piece = F.col(f"{lq}.{lc}") == F.col(f"{rq}.{rc}")
+            l, r = F.col(f"{lq}.{lc}"), F.col(f"{rq}.{rc}")
+            piece = {
+                "=": l == r, "<>": l != r, "<": l < r,
+                ">": l > r, "<=": l <= r, ">=": l >= r,
+            }[op]
             cond = piece if cond is None else (cond & piece)
         joined = joined.join(frames[j.alias], cond, j.how)
         in_scope.add(j.alias)

@@ -483,10 +483,18 @@ def _join_rows(q, tables: dict[str, list[dict]]) -> list[dict]:
             for rr in right_rows:
                 def val(qual, col):
                     return rr.get((qual, col)) if qual == j.alias else lr.get((qual, col))
-                if all(
-                    val(lq, lc) is not None and val(lq, lc) == val(rq, rc)
-                    for lq, lc, rq, rc in j.on
-                ):
+
+                def on_match(lq, lc, op, rq, rc) -> bool:
+                    left, right = _coerce_pair(val(lq, lc), val(rq, rc))
+                    if left is None or right is None:
+                        return False  # SQL: NULL comparison -> no match
+                    return {
+                        "=": left == right, "<>": left != right,
+                        "<": left < right, ">": left > right,
+                        "<=": left <= right, ">=": left >= right,
+                    }[op]
+
+                if all(on_match(*cond) for cond in j.on):
                     nxt.append({**lr, **rr})
                     matched = True
             if not matched and j.how == "left":

@@ -30,7 +30,7 @@ class TestFromParser:
         assert q.table == "nation" and q.base_alias == "n"
         (j,) = q.joins
         assert (j.table, j.alias, j.how) == ("region", "r", "inner")
-        assert j.on == (("n", "n_regionkey", "r", "r_regionkey"),)
+        assert j.on == (("n", "n_regionkey", "=", "r", "r_regionkey"),)
         assert q.projection == [("n.n_name", "nation"), ("r.r_name", "region")]
         (p,) = q.predicates
         assert (p.dim_column, p.op, p.param) == ("n.n_nationkey", "=", "k")
@@ -49,8 +49,8 @@ class TestFromParser:
             "JOIN t3 c ON b.j = c.j WHERE a.x = :x"
         )
         assert len(q.joins) == 2
-        assert q.joins[0].on == (("a", "k", "b", "k"), ("a", "k2", "b", "k2"))
-        assert q.joins[1].on == (("b", "j", "c", "j"),)
+        assert q.joins[0].on == (("a", "k", "=", "b", "k"), ("a", "k2", "=", "b", "k2"))
+        assert q.joins[1].on == (("b", "j", "=", "c", "j"),)
 
     def test_no_alias_uses_table_name(self):
         q = parse_lookup_query(
@@ -66,8 +66,8 @@ class TestFromParser:
         [
             # SELECT * is ambiguous across relations
             "SELECT * FROM t1 a JOIN t2 b ON a.k = b.k WHERE a.x = :x",
-            # non-equi ON
-            "SELECT a.x AS x FROM t1 a JOIN t2 b ON a.k < b.k WHERE a.x = :x",
+            # ON rhs must still be a qualified column, not a literal
+            "SELECT a.x AS x FROM t1 a JOIN t2 b ON a.k < 5 WHERE a.x = :x",
             # unqualified ON column
             "SELECT a.x AS x FROM t1 a JOIN t2 b ON k = b.k WHERE a.x = :x",
             # unknown qualifier in WHERE
@@ -313,3 +313,81 @@ class TestJoinDistinctOrderCheck:
         )
         with pytest.raises(ValidationError, match="must appear in the"):
             build_join_dim(q, {"t1": t1, "t2": t2})
+
+
+class TestNonEquiOn:
+    """Round-4: non-equi ON conditions (``ON a.lo < b.hi``). The LEFT
+    variant is the semantic reason ON-level support exists at all —
+    an unmatched left row SURVIVES with NULL right columns, which a
+    WHERE-level filter could not express."""
+
+    def test_parse_non_equi_ops(self):
+        q = parse_lookup_query(
+            "SELECT a.name FROM t1 a JOIN t2 b "
+            "ON a.k = b.k AND a.lo < b.hi WHERE a.k = :k"
+        )
+        assert q.joins[0].on == (
+            ("a", "k", "=", "b", "k"), ("a", "lo", "<", "b", "hi"),
+        )
+        q = parse_lookup_query(
+            "SELECT a.name FROM t1 a JOIN t2 b ON a.x != b.y "
+            "WHERE a.k = :k"
+        )
+        assert q.joins[0].on == (("a", "x", "<>", "b", "y"),)
+
+    def _fixture(self, spark):
+        t1 = [
+            {"k": 1, "name": "a1", "lo": 5},
+            {"k": 2, "name": "a2", "lo": 15},
+            {"k": 3, "name": "a3", "lo": 50},
+        ]
+        t2 = [{"cat": "x", "hi": 10}, {"cat": "y", "hi": 20}]
+        dims = {
+            "t1": spark.createDataFrame(
+                [tuple(r.values()) for r in t1],
+                "k: long, name: string, lo: long",
+            ),
+            "t2": spark.createDataFrame(
+                [tuple(r.values()) for r in t2], "cat: string, hi: long"
+            ),
+        }
+        return t1, t2, dims
+
+    @pytest.mark.parametrize("how", ["JOIN", "LEFT JOIN"])
+    def test_non_equi_on_agrees_with_oracle(self, spark, how):
+        from logstash_filter_jdbc_static_spark.oracle import enhance
+
+        t1, t2, dims = self._fixture(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "x",
+                    "query": (
+                        f"SELECT a.name AS nm, b.cat AS ct FROM t1 a "
+                        f"{how} t2 b ON a.lo < b.hi WHERE a.k = :k"
+                    ),
+                    "parameters": {"k": "key"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame(
+            [(f"c{i}", i, i) for i in range(1, 5)],
+            "conv_id: string, turn_idx: long, key: long",
+        )
+        got = {
+            r["key"]: sorted(
+                [(x["nm"], x["ct"]) for x in (r["x"] or [])]
+            )
+            for r in LookupEnricher(spec, dims).apply(fact).collect()
+        }
+        for i in range(1, 5):
+            event = {"conv_id": f"c{i}", "turn_idx": i, "key": i}
+            enhance(event, spec, {"t1": t1, "t2": t2})
+            exp = sorted([(x["nm"], x["ct"]) for x in (event.get("x") or [])])
+            assert got[i] == exp, f"key={i} {how}"
+        # the LEFT non-equi join must keep a3 (lo=50 beats every hi)
+        # with a NULL cat; INNER must drop it
+        if how == "LEFT JOIN":
+            assert got.get(3) == [("a3", None)]
+        else:
+            assert got.get(3) == []

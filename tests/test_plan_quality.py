@@ -424,6 +424,65 @@ class TestResultShapePlans:
         assert "EvalPython" not in plan
 
 
+class TestExprLookupPlans:
+    """Round-4 widened SQL keeps the physical story: a static
+    column/expression comparand rides the dim as a load-time filter
+    (the probe stays ONE broadcast hash join), and a scalar subquery
+    is resolved to a literal BEFORE compile — no subquery node, no
+    extra join in the per-event plan."""
+
+    def _plan_for(self, spark, query):
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+        from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+        dim = spark.createDataFrame(
+            [("t0", 3, "10.1.1.1"), ("t0", 1, "10.3.1.1"), ("t1", 7, "10.2.1.1")],
+            "tool string, num int, ip string",
+        )
+        spec = PipelineSpec(
+            lookups=[{"id": "hit", "query": query, "parameters": {"t": "t"}}]
+        )
+        fact = spark.range(1000).select(
+            F.lit("c").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("t"),
+        )
+        out = LookupEnricher(spec, {"hosts": dim}).apply(fact)
+        return _plan(out, "simple")
+
+    def test_column_comparand_keeps_broadcast_hash(self, spark):
+        plan = self._plan_for(
+            spark,
+            "SELECT ip FROM hosts WHERE tool = :t AND num > length(ip) - 8",
+        )
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert "SortMergeJoin" not in plan
+        assert "NestedLoop" not in plan
+        assert "EvalPython" not in plan
+        # the static expression filter must run on the dim (build) side,
+        # never on the fact stream side
+        fact_side = plan.split("BroadcastHashJoin")[0]
+        assert "length" not in fact_side, plan
+
+    def test_subquery_resolves_to_literal_before_compile(self, spark):
+        plan = self._plan_for(
+            spark,
+            "SELECT ip FROM hosts WHERE tool = :t "
+            "AND num >= (SELECT min(num) FROM hosts)",
+        )
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert "Subquery" not in plan, plan
+        assert "NestedLoop" not in plan
+        # resolved per snapshot: the literal 1 (min(num)) is already
+        # folded into the dim-side filter
+        fact_side = plan.split("BroadcastHashJoin")[0]
+        assert "min(" not in fact_side, plan
+
+
 class TestGroupedLookupPlan:
     def test_equi_group_by_stays_single_broadcast_join(self, spark):
         from pyspark.sql import functions as F
