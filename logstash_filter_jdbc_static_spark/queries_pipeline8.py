@@ -323,3 +323,97 @@ def lookup_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("prices_str"),
     )
+
+
+BAND_ROWS = [(0, 5, "low"), (5, 9, "mid")]  # price 10 falls outside: NULL band
+BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("lo", T.IntegerType(), False),
+        T.StructField("hi", T.IntegerType(), False),
+        T.StructField("band", T.StringType(), False),
+    ]
+)
+_BANDS_CTE = values_cte(
+    "price_bands", BAND_ROWS, ["lo", "hi", "band"],
+    casts={"lo": "INTEGER", "hi": "INTEGER"},
+)
+
+
+@register(
+    "lookup_join_range",
+    with_ctes(
+        _PLANS_CTE,
+        _BANDS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        j AS (
+          SELECT p.tool, p.price, b.band
+          FROM tool_plans p
+          LEFT JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(j.price) AS BIGINT) AS n_rows,
+               coalesce(
+                 array_to_string(
+                   list(CAST(j.price AS VARCHAR) || ':' || coalesce(j.band, '-')
+                        ORDER BY j.price, j.band),
+                   ','),
+                 '') AS bands_str
+        FROM transcripts t
+        LEFT JOIN j ON j.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: a RANGE (non-equi) join inside a multi-table lookup —
+    ``LEFT JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi``.
+    Derby executes the range join per event (lookup.rb:131-147); the
+    Spark-first hoist builds the banded derived dim ONCE per refresh
+    snapshot (dim-sized nested-loop, broadcastable like any dim), so
+    the per-event plan stays a single broadcast-hash equi probe —
+    the 100 TB shape. The LEFT keeps out-of-band prices with a NULL
+    band, which a WHERE-level comparand could not express."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "bands",
+                "query": (
+                    "SELECT p.price AS price, b.band AS band "
+                    "FROM tool_plans p "
+                    "LEFT JOIN price_bands b "
+                    "ON p.price >= b.lo AND p.price < b.hi "
+                    "WHERE p.tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec,
+        {
+            "tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA),
+            "price_bands": spark.createDataFrame(BAND_ROWS, BAND_SCHEMA),
+        },
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("bands").cast("long").alias("n_rows"),
+        F.array_join(
+            F.transform(
+                F.col("bands"),
+                lambda r: F.concat(
+                    r.getField("price").cast("string"),
+                    F.lit(":"),
+                    F.coalesce(r.getField("band"), F.lit("-")),
+                ),
+            ),
+            ",",
+        ).alias("bands_str"),
+    )
