@@ -1589,6 +1589,57 @@ def _rewrite_having_aggregates(
     return out
 
 
+def split_top_level_union(text: str) -> tuple[list[str], bool]:
+    """Split a lookup query on top-level ``UNION [ALL]`` joints
+    (quote- and paren-aware, so subqueries and string literals never
+    split). Returns (branch texts, dedupe) — dedupe is True for plain
+    ``UNION`` (SQL set semantics: the combined result is de-duplicated).
+    Mixing UNION and UNION ALL in one query is rejected: SQL gives the
+    joints subtly position-dependent semantics there, and a config that
+    needs it should de-dup via SELECT DISTINCT branches instead."""
+    parts: list[str] = []
+    alls: list[bool] = []
+    i, n, depth, start = 0, len(text), 0, 0
+    while i < n:
+        c = text[i]
+        if c == "'":
+            i += 1
+            while i < n:
+                if text[i] == "'":
+                    if i + 1 < n and text[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and c in "uU"
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+        ):
+            m = re.match(r"union(\s+all)?\b", text[i:], re.IGNORECASE)
+            if m:
+                parts.append(text[start:i])
+                alls.append(bool(m.group(1)))
+                i += m.end()
+                start = i
+                continue
+        i += 1
+    parts.append(text[start:])
+    if len(parts) == 1:
+        return parts, False
+    if any(alls) and not all(alls):
+        raise ValidationError(
+            ["lookup UNION: mixing UNION and UNION ALL in one query is "
+             "not supported — use SELECT DISTINCT branches with UNION "
+             "ALL instead"]
+        )
+    return parts, not alls[0]
+
+
 def parse_lookup_query(query: str) -> ParsedQuery:
     """Parse the lookup SQL surface (SURVEY 2B, widened per round-2
     verdict #1): projection with aliases or ``*``, single table, optional
@@ -2511,14 +2562,7 @@ class CompiledLookup:
         ok_col, failed_col, default_col = (
             f"__{sid}_ok", f"__{sid}_failed", f"__{sid}_default_used",
         )
-        if self.query.is_pure_equi:
-            enriched = self._apply_equi(fact, params)
-        elif self.inline_threshold > 0 and self._dim_count() <= self.inline_threshold:
-            # threshold 0 pins the map-probe path WITHOUT paying the
-            # eager dim count the comparison would otherwise need
-            enriched = self._apply_inline(fact, params)
-        else:
-            enriched = self._apply_bnlj(fact, params)
+        enriched = self._payload_stage(fact, params)
         # Outcome logic (lookup.rb:83-104): invalid => failed, target
         # untouched; valid+empty+default => default payload + default tag;
         # valid otherwise => payload ([] when empty, no default).
@@ -2563,6 +2607,21 @@ class CompiledLookup:
             .withColumn(ok_col, valid)
             .drop("__raw_payload")
         )
+
+    def _payload_stage(
+        self, fact: DataFrame, params: dict[str, BoundParam]
+    ) -> DataFrame:
+        """Run the physical lookup and attach ``__raw_payload`` (NULL on
+        an equi key miss, [] on a theta empty match) — the
+        pre-outcome-shaping stage, reused by CompiledUnionLookup to
+        evaluate each branch independently."""
+        if self.query.is_pure_equi:
+            return self._apply_equi(fact, params)
+        if self.inline_threshold > 0 and self._dim_count() <= self.inline_threshold:
+            # threshold 0 pins the map-probe path WITHOUT paying the
+            # eager dim count the comparison would otherwise need
+            return self._apply_inline(fact, params)
+        return self._apply_bnlj(fact, params)
 
     def _dim_count(self) -> int:
         if not hasattr(self, "_dim_count_cache"):
@@ -3162,6 +3221,157 @@ class CompiledLookup:
             )
             return "shuffle_map"
         return "broadcast_map"
+
+
+class CompiledUnionLookup:
+    """``SELECT ... UNION [ALL] SELECT ...`` lookups — Derby executes
+    them verbatim per event (lookup.rb:131-147). Each branch compiles as
+    its own CompiledLookup over its own dim (different tables and joined
+    dims are fine) and runs its physical path in sequence over the fact;
+    the combined payload is the concatenation (``UNION ALL``) or set
+    union (plain ``UNION`` — de-duplicated) of the branch payloads,
+    re-sorted under the default deterministic contract. Scale shape: N
+    broadcast probes instead of one — each branch keeps its own
+    exchange-free plan, nothing new shuffles.
+
+    Branch surface: explicit projections + WHERE (the full predicate
+    grammar incl. expressions/subqueries). Result shaping (DISTINCT /
+    ORDER BY / LIMIT / OFFSET), aggregates and GROUP BY remain
+    single-query features — Derby's own clause rules for unions differ
+    branch-by-branch, and a config that needs them can pre-shape via a
+    loader query. Branches align positionally and must project the same
+    number of columns with identical types; the FIRST branch's aliases
+    name the payload fields (SQL rule)."""
+
+    def __init__(
+        self,
+        spec: LookupSpec,
+        dims: dict[str, DataFrame],
+        inline_threshold: int = DEFAULT_INLINE_THRESHOLD,
+        row_key: list[str] = ("conv_id", "turn_idx"),
+        dim_rows: dict[str, int] | None = None,
+        pattern_strategy: str = "broadcast_map",
+    ):
+        spec.raise_if_invalid()
+        self.spec = spec
+        texts, self.dedupe = split_top_level_union(spec.query)
+        if len(texts) < 2:
+            raise ValidationError(
+                [f"lookup '{spec.id}': not a UNION query"]
+            )
+        self.branches: list[CompiledLookup] = []
+        aliases0: list[str] | None = None
+        for bi, text in enumerate(texts):
+            label = f"lookup '{spec.id}' UNION branch {bi + 1}"
+            parsed = parse_lookup_query(text)
+            if parsed.projection is None:
+                raise ValidationError(
+                    [f"{label}: SELECT * is not supported in UNION "
+                     f"branches — project explicit columns"]
+                )
+            if (
+                parsed.aggregates or parsed.group_by or parsed.having
+                or parsed.order_by or parsed.limit is not None
+                or parsed.offset is not None or parsed.distinct
+            ):
+                raise ValidationError(
+                    [f"{label}: aggregates/GROUP BY/HAVING/DISTINCT/"
+                     f"ORDER BY/LIMIT/OFFSET are not supported inside "
+                     f"UNION branches"]
+                )
+            if aliases0 is None:
+                aliases0 = [a for _, a in parsed.projection]
+            else:
+                if len(parsed.projection) != len(aliases0):
+                    raise ValidationError(
+                        [f"{label}: projects {len(parsed.projection)} "
+                         f"column(s); branch 1 projects {len(aliases0)} "
+                         f"(UNION branches align positionally)"]
+                    )
+                parsed = dataclasses.replace(
+                    parsed,
+                    projection=[
+                        (src, a0)
+                        for (src, _), a0 in zip(parsed.projection, aliases0)
+                    ],
+                )
+            parsed = resolve_subqueries(parsed, dims)
+            if parsed.joins:
+                dim_df, parsed = build_join_dim(parsed, dims)
+                lk_rows = None
+            else:
+                if parsed.table not in dims:
+                    raise ValidationError(
+                        [f"{label}: references unknown local table "
+                         f"'{parsed.table}'"]
+                    )
+                dim_df = dims[parsed.table]
+                lk_rows = (dim_rows or {}).get(parsed.table)
+            self.branches.append(
+                CompiledLookup(
+                    spec,
+                    dim_df,
+                    inline_threshold,
+                    row_key,
+                    dim_rows=lk_rows,
+                    pattern_strategy=pattern_strategy,
+                    parsed_query=parsed,
+                )
+            )
+        t0 = self.branches[0]._payload_struct
+        for bi, b in enumerate(self.branches[1:], start=2):
+            if b._payload_struct != t0:
+                raise ValidationError(
+                    [f"lookup '{spec.id}' UNION branch {bi}: payload "
+                     f"type {b._payload_struct.simpleString()} does not "
+                     f"match branch 1's {t0.simpleString()}"]
+                )
+        self._payload_struct = t0
+        # advisory surface (index-coverage hints) reads .query
+        self.query = self.branches[0].query
+
+    def apply(self, fact: DataFrame) -> DataFrame:
+        sid = self.spec.id
+        b0 = self.branches[0]
+        params = b0._param_cols(fact.schema)
+        valid = b0._validity(params)
+        arr_t = T.ArrayType(self._payload_struct)
+        cur = fact
+        tmp: list[str] = []
+        for i, b in enumerate(self.branches):
+            # branches share spec bindings, so one bound-param set
+            # drives every branch's physical path
+            cur = b._payload_stage(cur, params)
+            name = f"__u_{sid}_{i}"
+            cur = cur.withColumnRenamed("__raw_payload", name)
+            tmp.append(name)
+        combined = F.concat(
+            *[F.coalesce(F.col(n), F.array().cast(arr_t)) for n in tmp]
+        )
+        if self.dedupe:
+            combined = F.array_distinct(combined)
+        combined = F.sort_array(combined)
+        empty = F.size(combined) == 0
+        default_arr = b0._default_array
+        target_expr = (
+            F.when(~valid, F.lit(None).cast(arr_t))
+            .when(
+                empty,
+                default_arr if default_arr is not None
+                else F.array().cast(arr_t),
+            )
+            .otherwise(combined)
+        )
+        return (
+            cur.withColumn(self.spec.target, target_expr)
+            .withColumn(f"__{sid}_failed", ~valid)
+            .withColumn(
+                f"__{sid}_default_used",
+                valid & empty & F.lit(self.spec.use_default),
+            )
+            .withColumn(f"__{sid}_ok", valid)
+            .drop(*tmp)
+        )
 
 
 def _like_regex(pattern: Column) -> Column:

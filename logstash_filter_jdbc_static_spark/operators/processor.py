@@ -91,11 +91,28 @@ class LookupEnricher:
         self.compiled: list[CompiledLookup] = []
         for lk in spec.lookups:
             from logstash_filter_jdbc_static_spark.operators.lookup import (
+                CompiledUnionLookup,
                 build_join_dim,
                 parse_lookup_query,
                 resolve_subqueries,
+                split_top_level_union,
             )
 
+            if len(split_top_level_union(lk.query)[0]) > 1:
+                # UNION [ALL]: each branch compiles against its own dim;
+                # the union wrapper shares this spec's binding/target/
+                # default machinery across branches
+                self.compiled.append(
+                    CompiledUnionLookup(
+                        lk,
+                        dims,
+                        inline_threshold,
+                        row_key,
+                        dim_rows=dim_rows,
+                        pattern_strategy=pattern_strategy,
+                    )
+                )
+                continue
             parsed = parse_lookup_query(lk.query)
             # Scalar subqueries resolve here — the one site with the
             # full table dict in scope (they may aggregate a DIFFERENT

@@ -12,6 +12,7 @@ from typing import Any
 from logstash_filter_jdbc_static_spark.operators.lookup import (
     has_subqueries,
     parse_lookup_query,
+    split_top_level_union,
 )
 from logstash_filter_jdbc_static_spark.operators.sqlexpr import eval_expr
 from logstash_filter_jdbc_static_spark.spec import (
@@ -275,6 +276,114 @@ def _resolve_subqueries_rows(q, tables: dict[str, list[dict]]):
     )
 
 
+def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:
+    """WHERE-match + project one parsed (non-union) query over dict
+    rows: returns (raw row, projected row) pairs. Dim-side computed
+    expressions materialize as synthetic columns exactly like
+    CompiledLookup does on the dim frame (never in SELECT * output)."""
+    synth = {n for n, _ in q.computed}
+    if q.computed:
+        table = [
+            {**row, **{n: eval_expr(a, row) for n, a in q.computed}}
+            for row in table
+        ]
+
+    def _tree_match(node, row: dict) -> bool:
+        if node[0] == "pred":
+            return _pred_match(node[1], row, params)
+        if node[0] == "and":
+            return all(_tree_match(c, row) for c in node[1])
+        return any(_tree_match(c, row) for c in node[1])
+
+    matched: list[tuple[dict, dict]] = []
+    for row in table:
+        if q.where_tree is not None:
+            # DNF overflow: evaluate the un-normalized boolean tree
+            match = _tree_match(q.where_tree, row)
+        else:
+            # DNF: any disjunct fully matching admits the row
+            # ([] == no WHERE)
+            match = not q.disjuncts
+            for disjunct in q.disjuncts:
+                if all(_pred_match(p, row, params) for p in disjunct):
+                    match = True
+                    break
+        if match:
+            fields = (
+                [(f, f) for f in row.keys() if f not in synth]
+                if q.projection is None
+                else q.projection
+            )
+            matched.append((row, {alias: row.get(src) for src, alias in fields}))
+    return matched
+
+
+def _run_union(
+    event: dict, spec: LookupSpec, texts: list[str], dedupe: bool,
+    table: list[dict], tables: dict[str, list[dict]] | None,
+) -> tuple[bool, list[str]]:
+    """UNION [ALL] twin of run_lookup: per-branch match+project with the
+    shared bindings, concatenate (ALL) or set-union (plain), sort under
+    the default payload contract, then the usual default/tags outcome."""
+    import dataclasses
+
+    bindings = (
+        {f"p{i}": v for i, v in enumerate(spec.prepared_parameters)}
+        if spec.prepared_parameters is not None
+        else dict(spec.parameters or {})
+    )
+    params: dict[str, Any] = {}
+    valid = True
+    for name, binding in bindings.items():
+        v, ok = _bind(event, binding)
+        params[name] = v
+        valid = valid and ok
+    tags: list[str] = []
+    if not valid:
+        tags.extend(spec.tag_on_failure)
+        return False, tags
+    aliases0: list[str] | None = None
+    rows: list[dict] = []
+    for text in texts:
+        q = parse_lookup_query(text)
+        if aliases0 is None:
+            aliases0 = [a for _, a in (q.projection or [])]
+        elif q.projection is not None:
+            q = dataclasses.replace(
+                q,
+                projection=[
+                    (src, a0)
+                    for (src, _), a0 in zip(q.projection, aliases0)
+                ],
+            )
+        if has_subqueries(q):
+            q = _resolve_subqueries_rows(
+                q, tables if tables is not None else {q.table: table}
+            )
+        branch_table = (
+            _join_rows(q, tables)
+            if q.joins and tables is not None
+            else (tables[q.table] if tables is not None else table)
+        )
+        rows.extend(proj for _, proj in _match_rows(q, branch_table, params))
+    if dedupe:
+        seen: set = set()
+        uniq = []
+        for r in rows:
+            key = tuple(sorted(r.items(), key=lambda kv: kv[0]))
+            if key not in seen:
+                seen.add(key)
+                uniq.append(r)
+        rows = uniq
+    rows.sort(key=_payload_sort_key)
+    if not rows and spec.use_default:
+        event[spec.target] = [dict(spec.default_hash)]
+        tags.extend(spec.tag_on_default_use)
+        return True, tags
+    event[spec.target] = rows
+    return True, tags
+
+
 def run_lookup(
     event: dict, spec: LookupSpec, table: list[dict],
     tables: dict[str, list[dict]] | None = None,
@@ -283,6 +392,9 @@ def run_lookup(
     Returns (ok, tags_appended). ``tables`` supplies the full local
     table dict for scalar-subquery resolution (defaults to just the
     probed table)."""
+    texts, dedupe = split_top_level_union(spec.query)
+    if len(texts) > 1:
+        return _run_union(event, spec, texts, dedupe, table, tables)
     q = parse_lookup_query(spec.query)
     if has_subqueries(q):
         q = _resolve_subqueries_rows(
@@ -303,42 +415,7 @@ def run_lookup(
     if not valid:
         tags.extend(spec.tag_on_failure)
         return False, tags
-    # dim-side computed expressions: materialize synthetic columns on
-    # the dict rows exactly like CompiledLookup does on the dim frame
-    # (they never appear in SELECT * output)
-    synth = {n for n, _ in q.computed}
-    if q.computed:
-        table = [
-            {**row, **{n: eval_expr(a, row) for n, a in q.computed}}
-            for row in table
-        ]
-    def _tree_match(node, row: dict) -> bool:
-        if node[0] == "pred":
-            return _pred_match(node[1], row, params)
-        if node[0] == "and":
-            return all(_tree_match(c, row) for c in node[1])
-        return any(_tree_match(c, row) for c in node[1])
-
-    matched: list[tuple[dict, dict]] = []  # (raw row, projected row)
-    for row in table:
-        if q.where_tree is not None:
-            # DNF overflow: evaluate the un-normalized boolean tree
-            match = _tree_match(q.where_tree, row)
-        else:
-            # DNF: any disjunct fully matching admits the row
-            # ([] == no WHERE)
-            match = not q.disjuncts
-            for disjunct in q.disjuncts:
-                if all(_pred_match(p, row, params) for p in disjunct):
-                    match = True
-                    break
-        if match:
-            fields = (
-                [(f, f) for f in row.keys() if f not in synth]
-                if q.projection is None
-                else q.projection
-            )
-            matched.append((row, {alias: row.get(src) for src, alias in fields}))
+    matched = _match_rows(q, table, params)
     def _agg_over(rows_raw: list[dict]) -> dict:
         row_out: dict = {}
         for func, col, alias in q.aggregates:
@@ -520,8 +597,14 @@ def enhance(event: dict, spec: PipelineSpec, tables: dict[str, list[dict]]) -> d
     tags: list[str] = list(event.get("tags", []))
     matched = True
     for lk in spec.lookups:
-        q = parse_lookup_query(lk.query)
-        table = _join_rows(q, tables) if q.joins else tables[q.table]
+        texts, _ = split_top_level_union(lk.query)
+        if len(texts) > 1:
+            # union: run_lookup resolves each branch's table itself
+            q = parse_lookup_query(texts[0])
+            table = tables[q.table] if not q.joins else []
+        else:
+            q = parse_lookup_query(lk.query)
+            table = _join_rows(q, tables) if q.joins else tables[q.table]
         ok, new_tags = run_lookup(event, lk, table, tables=tables)
         for t in new_tags:
             if t not in tags:

@@ -126,6 +126,8 @@ _merge(
          [("n_plans", "rhs_n"), ("pairs_str", "rhs_pairs")]),
         ("lookup_subquery",
          [("n_hits", "subq_n"), ("prices_str", "subq_prices")]),
+        ("lookup_union",
+         [("n_tags", "union_n"), ("tags_str", "union_tags")]),
     ],
 )
 

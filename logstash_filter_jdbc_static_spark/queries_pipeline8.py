@@ -417,3 +417,80 @@ def lookup_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("bands_str"),
     )
+
+
+@register(
+    "lookup_union",
+    with_ctes(
+        _PLANS_CTE,
+        _BANDS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        u1 AS (
+          SELECT tool, 'p' || plan AS tag FROM tool_plans
+          WHERE plan IS NOT NULL
+        )
+        """,
+        """
+        u2 AS (
+          SELECT 'b' || band AS tag FROM price_bands WHERE lo <= 5
+        )
+        """,
+        """
+        combined AS (
+          SELECT t.conv_id AS conv_id, t.turn_idx AS turn_idx,
+                 t.tool AS tool, u1.tag AS tag
+          FROM transcripts t JOIN u1 ON u1.tool = t.tool
+          UNION ALL
+          SELECT t.conv_id, t.turn_idx, t.tool, u2.tag
+          FROM transcripts t CROSS JOIN u2
+        )
+        """,
+        body="""
+        SELECT c.conv_id, c.turn_idx, c.tool,
+               CAST(count(*) AS BIGINT) AS n_tags,
+               array_to_string(list(c.tag ORDER BY c.tag), ',') AS tags_str
+        FROM combined c
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: a UNION ALL lookup — an equi-keyed branch over
+    tool_plans plus a static branch over a DIFFERENT dim
+    (price_bands), exactly the shape Derby runs verbatim
+    (lookup.rb:131-147). Each branch keeps its own broadcast plan;
+    the payloads concatenate and re-sort, no new shuffle."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "tags2",
+                "query": (
+                    "SELECT 'p' || plan AS tag FROM tool_plans "
+                    "WHERE tool = :tool AND plan IS NOT NULL "
+                    "UNION ALL "
+                    "SELECT 'b' || band AS tag FROM price_bands "
+                    "WHERE lo <= 5"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec,
+        {
+            "tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA),
+            "price_bands": spark.createDataFrame(BAND_ROWS, BAND_SCHEMA),
+        },
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("tags2").cast("long").alias("n_tags"),
+        F.array_join(
+            F.transform(F.col("tags2"), lambda r: r.getField("tag")), ","
+        ).alias("tags_str"),
+    )

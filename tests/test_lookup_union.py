@@ -1,0 +1,235 @@
+"""UNION [ALL] lookup queries (round-4): Derby executes them verbatim
+per event (lookup.rb:131-147); here each branch compiles as its own
+CompiledLookup over its own dim and the combined payload is the
+concatenation (ALL) / set-union (plain) of the branch payloads under
+the default deterministic sort. Randomized Spark-vs-oracle equivalence
+for the single-branch shapes lives in test_property_oracle.py; these
+are the union-specific goldens + validation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from logstash_filter_jdbc_static_spark import oracle
+from logstash_filter_jdbc_static_spark.operators.lookup import (
+    split_top_level_union,
+)
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
+from logstash_filter_jdbc_static_spark.spec import PipelineSpec, ValidationError
+
+FACT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("ip", T.StringType(), True),
+    ]
+)
+DIM = "ip string, name string"
+S1 = [("k1", "v1"), ("k2", "k2"), ("k1", "v2")]
+S2 = [("k1", "w1"), ("k3", "v1"), ("k1", "v1")]
+
+ENGINES = [
+    {},
+    {"inline_threshold": 0, "pattern_strategy": "broadcast_map"},
+    {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+]
+
+
+class TestSplitter:
+    def test_plain_query_is_one_part(self):
+        parts, dedupe = split_top_level_union("SELECT a FROM t WHERE x = :x")
+        assert len(parts) == 1 and dedupe is False
+
+    def test_union_all_and_plain(self):
+        parts, dedupe = split_top_level_union(
+            "SELECT a FROM t UNION ALL SELECT a FROM u"
+        )
+        assert len(parts) == 2 and dedupe is False
+        parts, dedupe = split_top_level_union(
+            "SELECT a FROM t UNION SELECT a FROM u UNION SELECT a FROM v"
+        )
+        assert len(parts) == 3 and dedupe is True
+
+    def test_union_inside_string_or_parens_does_not_split(self):
+        parts, _ = split_top_level_union(
+            "SELECT a FROM t WHERE s = 'x union all y'"
+        )
+        assert len(parts) == 1
+        parts, _ = split_top_level_union(
+            "SELECT a FROM t WHERE n = (SELECT count(*) FROM u) "
+            "UNION ALL SELECT a FROM v"
+        )
+        assert len(parts) == 2
+        assert "(SELECT count(*) FROM u)" in parts[0]
+
+    def test_mixed_union_kinds_rejected(self):
+        with pytest.raises(ValidationError, match="mixing UNION"):
+            split_top_level_union(
+                "SELECT a FROM t UNION SELECT a FROM u "
+                "UNION ALL SELECT a FROM v"
+            )
+
+
+def _run(spark, query, kw, default=None):
+    facts = [("c0", 0, "k1"), ("c1", 1, "k2"), ("c2", 2, None), ("c3", 3, "k9")]
+    dims = {
+        "s1": spark.createDataFrame(S1, DIM),
+        "s2": spark.createDataFrame(S2, DIM),
+    }
+    lookup = {"id": "u", "query": query, "parameters": {"ip": "ip"}}
+    if default is not None:
+        lookup["default_hash"] = default
+    spec = PipelineSpec(lookups=[lookup])
+    out = LookupEnricher(spec, dims, **kw).apply(
+        spark.createDataFrame(facts, FACT)
+    )
+    return {
+        r["turn_idx"]: (
+            None if r["u"] is None else [tuple(d.asDict().values()) for d in r["u"]],
+            r["matched"],
+        )
+        for r in out.collect()
+    }
+
+
+class TestGoldenUnion:
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_union_all_concatenates_and_sorts(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT name FROM s1 WHERE ip = :ip "
+            "UNION ALL SELECT name FROM s2 WHERE ip = :ip",
+            kw,
+        )
+        # k1: s1 gives v1,v2; s2 gives w1,v1 -> sorted concat keeps dup v1
+        assert got[0] == ([("v1",), ("v1",), ("v2",), ("w1",)], True)
+        assert got[1] == ([("k2",)], True)  # only s1 matches k2
+        assert got[2] == (None, False)  # invalid param
+        assert got[3] == ([], True)  # valid, no match either side
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_plain_union_dedupes(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT name FROM s1 WHERE ip = :ip "
+            "UNION SELECT name FROM s2 WHERE ip = :ip",
+            kw,
+        )
+        assert got[0] == ([("v1",), ("v2",), ("w1",)], True)
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_positional_alias_alignment(self, spark, kw):
+        # branch 2 projects ip under branch 1's alias nm (SQL rule)
+        got = _run(
+            spark,
+            "SELECT name AS nm FROM s1 WHERE ip = :ip "
+            "UNION ALL SELECT ip FROM s2 WHERE name = 'v1'",
+            kw,
+        )
+        # k2 matches s1 (k2) plus the static branch (k3, k1 from name=v1)
+        assert got[1] == ([("k1",), ("k2",), ("k3",)], True)
+
+    def test_default_fires_only_when_both_branches_empty(self, spark):
+        got = _run(
+            spark,
+            "SELECT name FROM s1 WHERE ip = :ip "
+            "UNION ALL SELECT name FROM s2 WHERE ip = :ip",
+            {},
+            default={"name": "dflt"},
+        )
+        assert got[3] == ([("dflt",)], True)
+        assert got[1] == ([("k2",)], True)
+
+    def test_union_matches_row_oracle_including_join_branch(self, spark):
+        t3 = [("k1", "j1"), ("k2", "j2")]
+        dims = {
+            "s1": spark.createDataFrame(S1, DIM),
+            "s2": spark.createDataFrame(S2, DIM),
+            "s3": spark.createDataFrame(t3, "ip string, label string"),
+        }
+        tables = {
+            "s1": [{"ip": a, "name": b} for a, b in S1],
+            "s2": [{"ip": a, "name": b} for a, b in S2],
+            "s3": [{"ip": a, "label": b} for a, b in t3],
+        }
+        q = (
+            "SELECT a.name AS nm FROM s1 a JOIN s3 b ON a.ip = b.ip "
+            "WHERE a.ip = :ip "
+            "UNION ALL SELECT name FROM s2 WHERE ip = :ip"
+        )
+        lookup = {"id": "u", "query": q, "parameters": {"ip": "ip"}}
+        spec = PipelineSpec(lookups=[lookup])
+        spec2 = PipelineSpec(lookups=[dict(lookup)])
+        facts = [("c0", 0, "k1"), ("c1", 1, "k3"), ("c2", 2, None)]
+        got = {
+            r["turn_idx"]: (
+                None if r["u"] is None else [d["nm"] for d in r["u"]],
+                r["matched"],
+            )
+            for r in LookupEnricher(spec, dims)
+            .apply(spark.createDataFrame(facts, FACT))
+            .collect()
+        }
+        for conv_id, turn_idx, ip in facts:
+            event = {"conv_id": conv_id, "turn_idx": turn_idx}
+            if ip is not None:
+                event["ip"] = ip
+            oracle.enhance(event, spec2, tables)
+            v = event.get("u")
+            exp = (None if v is None else [d["nm"] for d in v], event["matched"])
+            assert got[turn_idx] == exp, turn_idx
+
+
+class TestUnionValidation:
+    def _spec(self, query):
+        return PipelineSpec(
+            lookups=[{"id": "u", "query": query, "parameters": {"ip": "ip"}}]
+        )
+
+    def _dims(self, spark):
+        return {
+            "s1": spark.createDataFrame(S1, DIM),
+            "s2": spark.createDataFrame(S2, DIM),
+            "nums": spark.createDataFrame([("k1", 5)], "ip string, n int"),
+        }
+
+    def test_select_star_branch_rejected(self, spark):
+        with pytest.raises(ValidationError, match="SELECT \\*"):
+            LookupEnricher(
+                self._spec(
+                    "SELECT * FROM s1 WHERE ip = :ip "
+                    "UNION ALL SELECT * FROM s2"
+                ),
+                self._dims(spark),
+            )
+
+    def test_branch_shaping_rejected(self, spark):
+        with pytest.raises(ValidationError, match="not supported inside"):
+            LookupEnricher(
+                self._spec(
+                    "SELECT name FROM s1 WHERE ip = :ip ORDER BY name "
+                    "UNION ALL SELECT name FROM s2"
+                ),
+                self._dims(spark),
+            )
+
+    def test_arity_mismatch_rejected(self, spark):
+        with pytest.raises(ValidationError, match="align positionally"):
+            LookupEnricher(
+                self._spec(
+                    "SELECT name, ip FROM s1 WHERE ip = :ip "
+                    "UNION ALL SELECT name FROM s2"
+                ),
+                self._dims(spark),
+            )
+
+    def test_type_mismatch_rejected(self, spark):
+        with pytest.raises(ValidationError, match="payload .*type"):
+            LookupEnricher(
+                self._spec(
+                    "SELECT name FROM s1 WHERE ip = :ip "
+                    "UNION ALL SELECT n FROM nums"
+                ),
+                self._dims(spark),
+            )
