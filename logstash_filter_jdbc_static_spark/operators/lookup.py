@@ -1428,7 +1428,42 @@ def _parse_tail(
         if word_of(peek()) in ("row", "rows"):
             take()
 
-    group: list[str] = []
+    def parse_item(clause: str, stop_words: tuple[str, ...]):
+        """One GROUP BY / ORDER BY item: a plain (possibly qualified)
+        column, or a scalar expression (``substr(c,1,3)``, ``a*b``) —
+        returned as an unresolved ``("expr", ast)`` marker the caller
+        materializes once the FROM scope is known."""
+        tok = peek()
+        if tok is None:
+            raise ValidationError(
+                [f"unsupported lookup {clause}: unexpected end of clause"]
+            )
+        if tok[0] == "word" and tok[1].lower() in stop_words:
+            raise ValidationError(
+                [f"unsupported lookup {clause}: expected column, "
+                 f"got {tok[1]!r}"]
+            )
+        nxt = cur.toks[cur.pos + 1] if cur.pos + 1 < len(cur.toks) else None
+        if tok[0] == "word" and (
+            nxt is None or nxt[0] in ("comma", "word")
+        ):
+            # plain column (next token is ASC/DESC, a clause keyword,
+            # a comma, or the end)
+            take()
+            return tok[1]
+        ep = sqlexpr.ExprParser(cur.toks, cur.pos, resolve_col=lambda n: n)
+        try:
+            ast = ep.parse()
+        except ValidationError as e:
+            raise ValidationError(
+                [f"unsupported lookup {clause}: expected column or "
+                 f"expression, got {tok[1]!r} ({e.errors[0]})"]
+            )
+        cur.pos = ep.i
+        simple = sqlexpr.is_simple_column(ast)
+        return simple if simple is not None else ("expr", ast)
+
+    group: list = []
     if word_of(peek()) == "group":
         take()
         if word_of(take()) != "by":
@@ -1436,35 +1471,25 @@ def _parse_tail(
                 ["unsupported lookup query: GROUP not followed by BY"]
             )
         while True:
-            kind, name = take()
-            if kind != "word" or name.lower() in (
-                "order", "limit", "fetch", "offset",
-            ):
-                raise ValidationError(
-                    [f"unsupported lookup GROUP BY: expected column, "
-                     f"got {name!r}"]
-                )
-            group.append(name)
+            group.append(
+                parse_item("GROUP BY", ("order", "limit", "fetch", "offset"))
+            )
             if peek() is not None and peek()[0] == "comma":
                 take()
                 continue
             break
-    order: list[tuple[str, bool]] = []
+    order: list[tuple] = []
     if word_of(peek()) == "order":
         take()
         if word_of(take()) != "by":
             raise ValidationError(["unsupported lookup query: ORDER not followed by BY"])
         while True:
-            kind, name = take()
-            if kind != "word" or name.lower() in ("asc", "desc", "limit", "fetch"):
-                raise ValidationError(
-                    [f"unsupported lookup ORDER BY: expected column, got {name!r}"]
-                )
+            item = parse_item("ORDER BY", ("asc", "desc", "limit", "fetch"))
             asc = True
             w = word_of(peek())
             if w in ("asc", "desc"):
                 asc = take()[1].lower() == "asc"
-            order.append((name, asc))
+            order.append((item, asc))
             if peek() is not None and peek()[0] == "comma":
                 take()
                 continue
@@ -1838,6 +1863,38 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             if joins:
                 raise
             where_tree = tree
+    def _tail_expr_col(item, clause: str) -> str:
+        """Materialize a GROUP BY / ORDER BY expression item as a
+        synthetic dim column (shared with structurally-equal projection
+        / predicate expressions, so ``SELECT a*b AS x ... GROUP BY a*b``
+        groups by the projected column)."""
+        if not (isinstance(item, tuple) and item and item[0] == "expr"):
+            return item
+        if joins:
+            raise ValidationError(
+                [f"lookup {clause}: expressions are not supported in "
+                 f"multi-table (JOIN) queries"]
+            )
+        ast = sqlexpr.map_columns(
+            item[1],
+            lambda nm: _resolve_qualified(nm, table, base_alias, quals, clause),
+        )
+        if not sqlexpr.columns(ast):
+            raise ValidationError(
+                [f"lookup {clause}: constant/ordinal items are not "
+                 f"supported — name a column or expression over columns"]
+            )
+        for name, existing in computed:
+            if existing == ast:
+                return name
+        name = f"__expr{len(computed)}"
+        computed.append((name, ast))
+        return name
+
+    order_by = tuple(
+        (_tail_expr_col(c, "ORDER BY"), asc) for c, asc in order_by
+    )
+    group_by = tuple(_tail_expr_col(c, "GROUP BY") for c in group_by)
     if order_by:
         # SQL resolution order: a SELECT output alias first, then a base
         # column (qualified names validated/stripped like the projection).
@@ -1875,6 +1932,19 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 ["lookup GROUP BY requires an explicit projection "
                  "(SELECT * cannot be grouped)"]
             )
+        # a group item naming the ALIAS of a projected expression
+        # resolves to its synthetic column (``SELECT substr(c,1,3) AS
+        # pre ... GROUP BY pre``) — Derby itself cannot spell that
+        # grouping via an alias, so no Derby-semantics conflict; plain
+        # column aliases deliberately do NOT resolve (Derby rule:
+        # GROUP BY names source columns)
+        synth_names = {n for n, _ in computed}
+        alias_to_synth = {
+            alias: src
+            for src, alias in (projection or [])
+            if src in synth_names
+        }
+        group_by = tuple(alias_to_synth.get(c, c) for c in group_by)
         group_by = tuple(
             _resolve_qualified(c, table, base_alias, quals, "GROUP BY")
             for c in group_by
@@ -1976,6 +2046,10 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             for t in p.terms
             if t.kind == "column"
         }
+        # GROUP BY / ORDER BY expression items materialize as computed
+        # columns referenced only from the tail clauses
+        referenced |= set(group_by)
+        referenced |= {c for c, _ in order_by}
         computed = [(n, a) for n, a in computed if n in referenced]
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,

@@ -142,6 +142,40 @@ def single_func_column(ast) -> tuple[str, str] | None:
     return None
 
 
+def map_columns(ast, fn):
+    """Rebuild the expression with every column name passed through
+    ``fn`` — used to apply qualifier resolution AFTER parsing, for
+    clauses (GROUP BY / ORDER BY tails) parsed before the FROM scope
+    is known."""
+    if isinstance(ast, Col):
+        return Col(fn(ast.name))
+    if isinstance(ast, Lit):
+        return ast
+    if isinstance(ast, Bin):
+        return Bin(ast.op, map_columns(ast.left, fn), map_columns(ast.right, fn))
+    if isinstance(ast, Cmp):
+        return Cmp(ast.op, map_columns(ast.left, fn), map_columns(ast.right, fn))
+    if isinstance(ast, Neg):
+        return Neg(map_columns(ast.operand, fn))
+    if isinstance(ast, NotOp):
+        return NotOp(map_columns(ast.operand, fn))
+    if isinstance(ast, NullTest):
+        return NullTest(map_columns(ast.operand, fn), ast.negated)
+    if isinstance(ast, Func):
+        return Func(ast.name, tuple(map_columns(a, fn) for a in ast.args))
+    if isinstance(ast, BoolOp):
+        return BoolOp(ast.op, tuple(map_columns(p, fn) for p in ast.parts))
+    if isinstance(ast, Case):
+        return Case(
+            tuple(
+                (map_columns(c, fn), map_columns(e, fn))
+                for c, e in ast.whens
+            ),
+            None if ast.otherwise is None else map_columns(ast.otherwise, fn),
+        )
+    raise TypeError(f"unknown expression node {ast!r}")
+
+
 def columns(ast) -> set[str]:
     """Every column name referenced by the expression."""
     if isinstance(ast, Col):

@@ -316,3 +316,70 @@ class TestSnapshotSemantics:
     def test_resolve_subqueries_is_noop_without_subqueries(self):
         q = parse_lookup_query("SELECT tool FROM plans WHERE price = qty")
         assert resolve_subqueries(q, {}) is q
+
+
+class TestTailExpressions:
+    """Round-4: expressions (and expression aliases) in GROUP BY and
+    ORDER BY — materialized as synthetic dim columns shared with
+    structurally-equal projection/predicate expressions."""
+
+    def test_group_by_alias_of_expression(self):
+        q = parse_lookup_query(
+            "SELECT substr(ip,1,3) AS pre, count(*) AS n FROM t "
+            "WHERE k = :k GROUP BY pre"
+        )
+        assert q.group_by == ("__expr0",)
+        assert q.projection == [("__expr0", "pre")]
+
+    def test_group_by_expression_shares_projection_column(self):
+        q = parse_lookup_query(
+            "SELECT substr(ip,1,3) AS pre, count(*) AS n FROM t "
+            "GROUP BY substr(ip,1,3)"
+        )
+        assert q.group_by == ("__expr0",)
+        assert len(q.computed) == 1
+
+    def test_order_by_expression(self):
+        q = parse_lookup_query(
+            "SELECT name FROM t WHERE k = :k "
+            "ORDER BY length(name) DESC, name"
+        )
+        assert q.order_by == (("__expr0", False), ("name", True))
+
+    def test_order_by_ordinal_rejected(self):
+        with pytest.raises(ValidationError, match="constant/ordinal"):
+            parse_lookup_query("SELECT name FROM t ORDER BY 1")
+
+    def test_plain_alias_not_resolved_in_group_by(self):
+        # Derby rule: GROUP BY names source columns; only synthetic
+        # expression aliases resolve
+        q = parse_lookup_query(
+            "SELECT cat AS c2, count(*) AS n FROM t GROUP BY cat"
+        )
+        assert q.group_by == ("cat",)
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_group_by_expression_all_paths(self, spark, kw):
+        got = _apply(
+            spark,
+            "SELECT CASE WHEN price >= 5 THEN 'hi' ELSE 'lo' END AS band, "
+            "count(*) AS n FROM plans WHERE tool = :tool GROUP BY band",
+            kw,
+        )
+        # t1: prices 10,2 -> hi:1, lo:1
+        assert got[0] == [(("band", "hi"), ("n", 1)), (("band", "lo"), ("n", 1))]
+        # t3: prices 1,8 -> hi:1, lo:1
+        assert got[2] == [(("band", "hi"), ("n", 1)), (("band", "lo"), ("n", 1))]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_order_by_expression_all_paths(self, spark, kw):
+        got = _apply(
+            spark,
+            "SELECT price, qty FROM plans WHERE tool = :tool "
+            "ORDER BY price * qty DESC LIMIT 1",
+            kw,
+        )
+        # t1: 10*3=30 vs 2*9=18 -> keep (10,3)
+        assert got[0] == [(("price", 10), ("qty", 3))]
+        # t3: 1*5=5 vs 8*8=64 -> keep (8,8)
+        assert got[2] == [(("price", 8), ("qty", 8))]
