@@ -605,6 +605,15 @@ _AGG_RE = re.compile(
     re.IGNORECASE,
 )
 
+# aggregate over an expression argument — the greedy group takes
+# everything to the final ')'; the expression parser then validates
+# balance and shape
+_AGG_EXPR_RE = re.compile(
+    r"^(?P<func>count|sum|min|max|avg)\s*\(\s*(?P<distinct>distinct\s+)?"
+    r"(?P<arg>.+)\)\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+
 _TOKEN_RE = re.compile(
     r"""(?:
         (?P<string>'(?:[^']|'')*')
@@ -1535,6 +1544,7 @@ def _rewrite_having_aggregates(
     table: str,
     base_alias: str,
     quals: set[str] | None,
+    computed: tuple[tuple[str, object], ...] = (),
 ) -> list[tuple[str, str]]:
     """Rewrite SELECTed aggregate calls in a HAVING token stream to their
     SELECT aliases. Matching is token-level and qualifier-normalized, so
@@ -1597,11 +1607,47 @@ def _rewrite_having_aggregates(
                 inner[0][1], table, base_alias, quals, "HAVING"
             ))
         else:
-            arg_text = " ".join(v for _, v in inner)
-            raise ValidationError(
-                [f"lookup HAVING: unsupported aggregate argument in "
-                 f"{func}({arg_text})"]
-            )
+            # expression argument (HAVING sum(price*qty) > :x):
+            # structural match against the SELECTed aggregate's
+            # synthetic column
+            arg_toks = inner
+            kfunc = func
+            if (
+                func == "count"
+                and arg_toks
+                and arg_toks[0][0] == "word"
+                and arg_toks[0][1].lower() == "distinct"
+            ):
+                kfunc = "count_distinct"
+                arg_toks = arg_toks[1:]
+            ast = None
+            try:
+                ep = sqlexpr.ExprParser(
+                    arg_toks,
+                    0,
+                    resolve_col=lambda nm: _resolve_qualified(
+                        nm, table, base_alias, quals, "HAVING"
+                    ),
+                )
+                parsed_ast = ep.parse()
+                if ep.i == len(arg_toks):
+                    ast = parsed_ast
+            except ValidationError:
+                ast = None
+            key = None
+            if ast is not None:
+                for name, existing in computed:
+                    if existing == ast:
+                        key = (kfunc, name)
+                        break
+            if key is None:
+                arg_text = " ".join(v for _, v in inner)
+                raise ValidationError(
+                    [f"lookup HAVING: aggregate argument in "
+                     f"{func}({arg_text}) does not match any SELECTed "
+                     f"aggregate — add it to the projection with an "
+                     f"alias and reference the alias"]
+                )
         alias = sel.get(key)
         if alias is None:
             raise ValidationError(
@@ -1764,6 +1810,52 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                         )
                     func = "count_distinct"
                 aggregates.append((func, None if arg == "*" else arg, alias))
+            elif (aem := _AGG_EXPR_RE.match(src)) is not None:
+                # aggregate over a scalar EXPRESSION (sum(price*qty),
+                # max(length(name)), count(DISTINCT upper(c))): the
+                # argument materializes as a synthetic dim column the
+                # aggregate then runs over, like every other expression
+                if alias is None:
+                    raise ValidationError(
+                        [f"lookup aggregate projection {src!r} requires an "
+                         f"AS alias (the payload hash is keyed by it)"]
+                    )
+                if joins:
+                    raise ValidationError(
+                        ["lookup projection: expressions are not supported "
+                         "in multi-table (JOIN) queries"]
+                    )
+                func = aem.group("func").lower()
+                if aem.group("distinct"):
+                    if func != "count":
+                        raise ValidationError(
+                            [f"lookup aggregate: DISTINCT is supported only "
+                             f"under count(), got {src!r}"]
+                        )
+                    func = "count_distinct"
+                toks = _tokenize_where(aem.group("arg"))
+                ep = sqlexpr.ExprParser(
+                    toks,
+                    0,
+                    resolve_col=lambda nm: _resolve_qualified(
+                        nm, table, base_alias, quals, "aggregate"
+                    ),
+                )
+                ast = ep.parse()
+                if ep.i != len(toks):
+                    raise ValidationError(
+                        [f"lookup aggregate: bad argument near "
+                         f"{toks[ep.i][1]!r} in {src!r}"]
+                    )
+                cname = None
+                for name, existing in computed:
+                    if existing == ast:
+                        cname = name
+                        break
+                if cname is None:
+                    cname = f"__expr{len(computed)}"
+                    computed.append((cname, ast))
+                aggregates.append((func, cname, alias))
             elif _SIMPLE_TABLE_RE.match(src):
                 projection.append((src, alias if alias is not None else src))
             else:
@@ -1968,7 +2060,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         # and HAVING resolve instead of raising
         htoks = _rewrite_having_aggregates(
             _tokenize_where(having_text), aggregates,
-            table, base_alias, quals,
+            table, base_alias, quals, computed=tuple(computed),
         )
         # group-key references may be qualifier-spelled too
         # (`HAVING h.cat <> 'z'`): canonicalize like every other clause
@@ -2046,10 +2138,12 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             for t in p.terms
             if t.kind == "column"
         }
-        # GROUP BY / ORDER BY expression items materialize as computed
-        # columns referenced only from the tail clauses
+        # GROUP BY / ORDER BY expression items and aggregate expression
+        # arguments materialize as computed columns referenced only
+        # from their clauses
         referenced |= set(group_by)
         referenced |= {c for c, _ in order_by}
+        referenced |= {c for _, c, _ in aggregates if c is not None}
         computed = [(n, a) for n, a in computed if n in referenced]
     return ParsedQuery(
         projection, table, disjuncts, base_alias, joins,

@@ -383,3 +383,68 @@ class TestTailExpressions:
         assert got[0] == [(("price", 10), ("qty", 3))]
         # t3: 1*5=5 vs 8*8=64 -> keep (8,8)
         assert got[2] == [(("price", 8), ("qty", 8))]
+
+
+class TestAggregateExpressions:
+    """Round-4: aggregates over scalar expressions — sum(price*qty),
+    max(length(c)), count(DISTINCT upper(c)) — the argument
+    materializes as a synthetic dim column the aggregate runs over."""
+
+    def test_parse_agg_expr(self):
+        q = parse_lookup_query(
+            "SELECT sum(price*qty) AS rev FROM t WHERE k = :k"
+        )
+        assert q.aggregates == (("sum", "__expr0", "rev"),)
+        assert len(q.computed) == 1
+
+    def test_count_distinct_expression(self):
+        q = parse_lookup_query(
+            "SELECT count(DISTINCT upper(name)) AS n FROM t"
+        )
+        assert q.aggregates[0][0] == "count_distinct"
+
+    def test_having_matches_expression_spelling_variants(self):
+        q = parse_lookup_query(
+            "SELECT cat, sum(price*qty) AS rev FROM t GROUP BY cat "
+            "HAVING sum( price * qty ) > 20"
+        )
+        (p,) = q.having[0]
+        assert p.dim_column == "rev"
+
+    def test_having_unmatched_expression_raises(self):
+        with pytest.raises(ValidationError, match="does not match any"):
+            parse_lookup_query(
+                "SELECT cat, sum(price*qty) AS rev FROM t GROUP BY cat "
+                "HAVING sum(price + qty) > 20"
+            )
+
+    def test_distinct_under_non_count_rejected(self):
+        with pytest.raises(ValidationError, match="DISTINCT is supported"):
+            parse_lookup_query("SELECT avg(DISTINCT price*2) AS a FROM t")
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_sum_product_all_paths(self, spark, kw):
+        got = _apply(
+            spark,
+            "SELECT sum(price*qty) AS rev, count(*) AS n FROM plans "
+            "WHERE tool = :tool",
+            kw,
+        )
+        # t1: 10*3 + 2*9 = 48 over 2 rows
+        assert got[0] == [(("rev", 48), ("n", 2))]
+        # t2: 7*7 = 49
+        assert got[1] == [(("rev", 49), ("n", 1))]
+        # invalid param -> None
+        assert got[3] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_grouped_agg_expr_with_having(self, spark, kw):
+        got = _apply(
+            spark,
+            "SELECT tool, sum(price*qty) AS rev FROM plans "
+            "WHERE tool = :tool GROUP BY tool "
+            "HAVING sum(price * qty) >= 49",
+            kw,
+        )
+        assert got[0] == []  # t1 rev 48 filtered out
+        assert got[1] == [(("tool", "t2"), ("rev", 49))]
