@@ -535,3 +535,89 @@ class TestDerbyExprLookups:
         )
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         assert sorted((x["name"], x["ip"]) for x in row["longest"]) == live
+
+
+class TestDerbyRound4Shapes:
+    """Union, aggregate-expression and tail-expression lookups against
+    the Derby-loaded dim (expectations from live rows, as above)."""
+
+    def _store(self, spark):
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        return store
+
+    def test_union_all_lookup_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "u",
+                    "query": (
+                        "SELECT name AS v FROM servers WHERE ip LIKE :pre "
+                        "UNION ALL "
+                        "SELECT location FROM servers WHERE ip LIKE :pre"
+                    ),
+                    "parameters": {"pre": "%{[prefix]}%"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1", "10.")], ["event", "prefix"])
+        rows = [
+            r for r in store.dims()["servers"].collect()
+            if r["ip"].startswith("10.")
+        ]
+        live = sorted(
+            [r["name"] for r in rows] + [r["location"] for r in rows]
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["v"] for x in row["u"]) == live
+
+    def test_agg_expression_lookup_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "agg",
+                    "query": (
+                        "SELECT max(length(name || location)) AS mx, "
+                        "count(*) AS n FROM servers WHERE ip LIKE :pre"
+                    ),
+                    "parameters": {"pre": "%{[prefix]}%"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1", "10.")], ["event", "prefix"])
+        rows = [
+            r for r in store.dims()["servers"].collect()
+            if r["ip"].startswith("10.")
+        ]
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        (payload,) = row["agg"]
+        assert payload["mx"] == max(
+            len(r["name"] + r["location"]) for r in rows
+        )
+        assert payload["n"] == len(rows)
+
+    def test_order_by_expression_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "ord",
+                    "query": (
+                        "SELECT name FROM servers WHERE ip LIKE :pre "
+                        "ORDER BY length(name) DESC, name LIMIT 2"
+                    ),
+                    "parameters": {"pre": "%{[prefix]}%"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1", "10.")], ["event", "prefix"])
+        names = [
+            r["name"] for r in store.dims()["servers"].collect()
+            if r["ip"].startswith("10.")
+        ]
+        expect = sorted(names, key=lambda n: (-len(n), n))[:2]
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert [x["name"] for x in row["ord"]] == expect
