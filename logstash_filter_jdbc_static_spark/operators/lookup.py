@@ -1712,12 +1712,19 @@ def split_top_level_union(text: str) -> tuple[list[str], bool]:
 
 
 def parse_lookup_query(query: str) -> ParsedQuery:
-    """Parse the lookup SQL surface (SURVEY 2B, widened per round-2
-    verdict #1): projection with aliases or ``*``, single table, optional
-    WHERE combining ``=``/``<>``/ranges/``[NOT] LIKE``/``[NOT] IN``/
-    ``[NOT] BETWEEN``/``IS [NOT] NULL`` predicates with AND/OR and
-    parentheses; rhs operands are ``:name``/``?`` placeholders, quoted
-    strings, or numbers. Normalized to OR-of-conjunctions."""
+    """Parse the lookup SQL surface (SURVEY 2B, widened rounds 2-4):
+    projection with aliases / ``*`` / scalar expressions / aggregates
+    (incl. expression arguments), single table or JOINs (equi and
+    non-equi ON), optional WHERE combining ``=``/``<>``/ranges/
+    ``[NOT] LIKE``/``[NOT] IN``/``[NOT] BETWEEN``/``IS [NOT] NULL``
+    predicates with AND/OR/NOT and parentheses; operands are
+    ``:name``/``?`` placeholders, literals, dim columns/expressions,
+    or uncorrelated scalar subqueries; GROUP BY/HAVING/ORDER BY/LIMIT/
+    OFFSET tails (expressions allowed in GROUP BY/ORDER BY). Normalized
+    to OR-of-conjunctions (raw tree kept past the 64-disjunct cap).
+    ``UNION`` splitting happens ABOVE this parser
+    (split_top_level_union / CompiledUnionLookup); the full grammar
+    lives in COVERAGE.md."""
     m = _QUERY_RE.match(query)
     if not m:
         raise ValidationError([f"unsupported lookup query shape: {query!r}"])
