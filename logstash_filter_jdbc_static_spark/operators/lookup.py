@@ -212,6 +212,12 @@ class _Subquery:
     table: str
     where: tuple = ()  # tuple[tuple[_Predicate, ...], ...]
     computed: tuple = ()  # tuple[(name, sqlexpr AST), ...]
+    # correlation pairs (sub_col, outer_col) extracted from
+    # outer-qualified equalities in the sub-WHERE (``WHERE t2.cat =
+    # t.cat``): the subquery is then evaluated as ONE per-group
+    # aggregation left-joined onto the outer dim per refresh snapshot —
+    # the set-at-a-time hoist of Derby's per-row nested execution.
+    corr: tuple = ()  # tuple[(sub_col, outer_col), ...]
 
 
 @dataclass
@@ -340,6 +346,80 @@ def _static_operand(p: _Predicate, t: _Term) -> Column:
     return _like_regex(base) if p.op in _LIKE_OPS else base
 
 
+# Sentinel prefix marking a column resolved through the ENCLOSING
+# query's scope inside a subquery WHERE (NUL bytes cannot appear in a
+# parsed identifier, so no legitimate column collides).
+_OUTER_MARK = "\x00outer\x00:"
+
+
+def _extract_correlation(
+    table: str, where: tuple, computed: list
+) -> tuple[tuple, tuple]:
+    """Split a subquery WHERE into (static where, correlation pairs).
+    Correlation is restricted to the set-at-a-time-compilable shape:
+    plain ``sub_col = outer.col`` equalities in a pure conjunction —
+    each becomes a groupBy key of the per-group aggregation that is
+    left-joined onto the outer dim. Anything else touching an outer
+    reference (inequalities, OR branches, expressions) raises: those
+    would need per-row nested execution, which no broadcast plan can
+    stage."""
+    def is_outer(name: str) -> bool:
+        return isinstance(name, str) and name.startswith(_OUTER_MARK)
+
+    has_outer = any(
+        is_outer(p.dim_column)
+        or any(t.kind == "column" and is_outer(t.value) for t in p.terms)
+        for d in where
+        for p in d
+    )
+    for cname, ast in computed:
+        if any(is_outer(c) for c in sqlexpr.columns(ast)):
+            raise ValidationError(
+                [f"lookup subquery on {table!r}: outer-column references "
+                 f"inside expressions are not supported — correlate with "
+                 f"a plain equality (sub_col = outer.col)"]
+            )
+    if not has_outer:
+        return where, ()
+    if len(where) != 1:
+        raise ValidationError(
+            [f"lookup subquery on {table!r}: correlated predicates must "
+             f"form a pure AND conjunction (no OR around the "
+             f"correlation)"]
+        )
+    corr: list[tuple[str, str]] = []
+    rest: list[_Predicate] = []
+    for p in where[0]:
+        lhs_outer = is_outer(p.dim_column)
+        term_outer = any(
+            t.kind == "column" and is_outer(t.value) for t in p.terms
+        )
+        if not lhs_outer and not term_outer:
+            rest.append(p)
+            continue
+        bad = (
+            p.op != "="
+            or p.func is not None
+            or len(p.terms) != 1
+            or p.terms[0].kind != "column"
+        )
+        if not bad:
+            t = p.terms[0]
+            if lhs_outer and not is_outer(t.value):
+                corr.append((t.value, p.dim_column[len(_OUTER_MARK):]))
+                continue
+            if not lhs_outer and is_outer(t.value):
+                corr.append((p.dim_column, t.value[len(_OUTER_MARK):]))
+                continue
+        raise ValidationError(
+            [f"lookup subquery on {table!r}: unsupported correlated "
+             f"predicate — only plain equalities between one subquery "
+             f"column and one outer column (sub_col = outer.col) are "
+             f"supported"]
+        )
+    return ((tuple(rest),) if rest else (), tuple(corr))
+
+
 def _pred_terms(parsed: ParsedQuery) -> list[_Predicate]:
     """Every predicate of a parsed query whose terms may need subquery
     resolution: WHERE (DNF or overflow tree) plus HAVING."""
@@ -377,11 +457,12 @@ def _static_where_condition(disjuncts) -> Column | None:
     return out
 
 
-def _eval_subquery(sq: _Subquery, dims: dict[str, DataFrame], _depth: int = 0):
-    """Evaluate one scalar subquery against the local dim tables: a
-    dim-sized aggregation, once per refresh snapshot (the Spark-first
-    hoist of Derby's per-event execution). Returns a Python scalar
-    (None == SQL NULL)."""
+def _sub_filtered_df(
+    sq: _Subquery, dims: dict[str, DataFrame], _depth: int = 0
+) -> tuple[DataFrame, Column]:
+    """The subquery's source frame — computed columns materialized,
+    static WHERE applied, nested (uncorrelated) subqueries resolved —
+    plus its aggregate Column."""
     if _depth > 8:
         raise ValidationError(
             ["lookup subquery: nesting deeper than 8 levels"]
@@ -435,11 +516,12 @@ def _eval_subquery(sq: _Subquery, dims: dict[str, DataFrame], _depth: int = 0):
     cond = _static_where_condition(where)
     if cond is not None:
         df = df.filter(cond)
-    if sq.col is not None and sq.col not in names:
-        raise ValidationError(
-            [f"lookup subquery on {sq.table!r}: aggregate column "
-             f"{sq.col!r} not in table"]
-        )
+    for c in [sq.col] + [sc for sc, _ in sq.corr]:
+        if c is not None and c not in names:
+            raise ValidationError(
+                [f"lookup subquery on {sq.table!r}: column {c!r} not in "
+                 f"table"]
+            )
     if sq.func == "count":
         agg = F.count(F.lit(1)) if sq.col is None else F.count(F.col(sq.col))
     elif sq.func == "count_distinct":
@@ -448,27 +530,104 @@ def _eval_subquery(sq: _Subquery, dims: dict[str, DataFrame], _depth: int = 0):
         agg = getattr(F, {"avg": "avg", "sum": "sum", "min": "min", "max": "max"}[sq.func])(
             F.col(sq.col)
         )
+    return df, agg
+
+
+def _eval_subquery(sq: _Subquery, dims: dict[str, DataFrame], _depth: int = 0):
+    """Evaluate one UNCORRELATED scalar subquery against the local dim
+    tables: a dim-sized aggregation, once per refresh snapshot (the
+    Spark-first hoist of Derby's per-event execution). Returns a Python
+    scalar (None == SQL NULL)."""
+    if sq.corr:
+        raise ValidationError(
+            [f"lookup subquery on {sq.table!r}: correlated subqueries "
+             f"cannot nest inside another subquery"]
+        )
+    df, agg = _sub_filtered_df(sq, dims, _depth)
     return df.agg(agg).collect()[0][0]
 
 
 def resolve_subqueries(
     parsed: ParsedQuery, dims: dict[str, DataFrame]
 ) -> ParsedQuery:
-    """Replace every scalar-subquery term with its literal value,
-    evaluated against the current dim snapshot (dim-sized work, once
-    per refresh — reload recomputes it, matching the reference's
-    re-execute-on-reload semantics). No-op when the query has none."""
-    if not has_subqueries(parsed):
-        return parsed
-    cache: list[tuple[_Subquery, object]] = []
+    """Replace every UNCORRELATED scalar-subquery term with its literal
+    value, evaluated against the current dim snapshot (dim-sized work,
+    once per refresh — reload recomputes it, matching the reference's
+    re-execute-on-reload semantics). No-op when the query has none;
+    correlated subqueries need the probed dim frame in scope — use
+    :func:`resolve_subqueries_with_dim` (the single-table compile path
+    does)."""
+    parsed, dim_df = resolve_subqueries_with_dim(parsed, dims, None)
+    return parsed
 
-    def value_of(sq: _Subquery):
-        for k, v in cache:
+
+def resolve_subqueries_with_dim(
+    parsed: ParsedQuery,
+    dims: dict[str, DataFrame],
+    dim_df: DataFrame | None,
+) -> tuple[ParsedQuery, DataFrame | None]:
+    """Subquery resolution with the probed dim frame in scope:
+    uncorrelated subqueries become literals; CORRELATED ones
+    (``WHERE price > (SELECT avg(price) FROM t2 WHERE t2.cat = t.cat)``)
+    become synthetic dim columns — the sub-aggregation runs ONCE per
+    refresh snapshot grouped by its correlation keys and left-joins
+    onto the dim (dim-sized work), and the predicate compiles as an
+    ordinary static column comparand on every physical path. Returns
+    the rewritten query and the (possibly augmented) dim frame."""
+    if not has_subqueries(parsed):
+        return parsed, dim_df
+    lit_cache: list[tuple[_Subquery, object]] = []
+    corr_cache: list[tuple[_Subquery, str]] = []
+    holder = {"dim": dim_df}
+
+    def value_term(sq: _Subquery) -> _Term:
+        if sq.corr:
+            return _Term("column", corr_col_of(sq))
+        for k, v in lit_cache:
             if k == sq:
-                return v
+                return _Term("literal", v)
         v = _eval_subquery(sq, dims)
-        cache.append((sq, v))
-        return v
+        lit_cache.append((sq, v))
+        return _Term("literal", v)
+
+    def corr_col_of(sq: _Subquery) -> str:
+        if holder["dim"] is None:
+            raise ValidationError(
+                [f"lookup subquery on {sq.table!r}: correlated "
+                 f"subqueries are supported only in single-table "
+                 f"lookup queries"]
+            )
+        for k, name in corr_cache:
+            if k == sq:
+                return name
+        dim = holder["dim"]
+        missing = sorted(
+            oc for _, oc in sq.corr if oc not in dim.columns
+        )
+        if missing:
+            raise ValidationError(
+                [f"lookup subquery on {sq.table!r}: outer column(s) "
+                 f"{missing} not in table {parsed.table!r}"]
+            )
+        sub_df, agg = _sub_filtered_df(sq, dims)
+        name = f"__sq_corr{len(corr_cache)}"
+        keys = [f"__ck{i}_{name}" for i in range(len(sq.corr))]
+        agg_df = sub_df.groupBy(
+            *[F.col(sc).alias(k) for (sc, _), k in zip(sq.corr, keys)]
+        ).agg(agg.alias(name))
+        cond = None
+        for (_, oc), k in zip(sq.corr, keys):
+            piece = dim[oc] == agg_df[k]
+            cond = piece if cond is None else (cond & piece)
+        dim = dim.join(agg_df, cond, "left").drop(*keys)
+        if sq.func in ("count", "count_distinct"):
+            # SQL: an aggregate over an empty correlated group is a
+            # COUNT of 0, not NULL — a left-join miss must not differ
+            # from a matched-but-empty group
+            dim = dim.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+        holder["dim"] = dim
+        corr_cache.append((sq, name))
+        return name
 
     def fix_pred(p: _Predicate) -> _Predicate:
         if not any(t.kind == "subquery" for t in p.terms):
@@ -477,7 +636,7 @@ def resolve_subqueries(
             p.dim_column,
             p.op,
             [
-                _Term("literal", value_of(t.value)) if t.kind == "subquery" else t
+                value_term(t.value) if t.kind == "subquery" else t
                 for t in p.terms
             ],
             func=p.func,
@@ -488,7 +647,7 @@ def resolve_subqueries(
             return ("pred", fix_pred(node[1]))
         return (node[0], [fix_tree(c) for c in node[1]])
 
-    return dataclasses.replace(
+    parsed = dataclasses.replace(
         parsed,
         disjuncts=[[fix_pred(p) for p in d] for d in parsed.disjuncts],
         where_tree=(
@@ -496,6 +655,7 @@ def resolve_subqueries(
         ),
         having=tuple(tuple(fix_pred(p) for p in d) for d in parsed.having),
     )
+    return parsed, holder["dim"]
 
 
 @dataclass(frozen=True)
@@ -795,9 +955,14 @@ class _WhereParser:
         quals: set[str] | None = None,
         alias: str = "",
         computed: list[tuple[str, object]] | None = None,
+        qualifier_fallback=None,
     ):
         self.tokens = tokens
         self.table = table
+        # Subquery scoping hook: called with a qualified name whose
+        # qualifier is NOT this parser's relation — the enclosing
+        # query's parser resolves it as an OUTER (correlated) reference.
+        self.qualifier_fallback = qualifier_fallback
         # Shared registry of dim-side computed expressions (see
         # ParsedQuery.computed); None == expression lhs not legal in
         # this clause (HAVING runs over payload fields, not the dim).
@@ -834,6 +999,8 @@ class _WhereParser:
             or (self.alias and prefix.lower() == self.alias)
         ):
             return col
+        if self.qualifier_fallback is not None:
+            return self.qualifier_fallback(name)
         raise ValidationError(
             [f"unsupported lookup predicate: unknown table qualifier "
              f"{prefix!r} in {name!r} (FROM table is {self.table!r})"]
@@ -1028,16 +1195,33 @@ class _WhereParser:
                  f"after FROM, got {tok[1]!r}"]
             )
         table = tok[1]
+        # optional sub-relation alias (``FROM plans p2``) — required to
+        # correlate a subquery against ITS OWN table (the alias hides
+        # the table name, standard SQL scoping, so ``plans.cat`` then
+        # resolves to the OUTER relation)
+        sub_alias = table.lower()
+        nt = self._peek()
+        if (
+            nt is not None
+            and nt[0] == "word"
+            and nt[1].lower() != "where"
+            and "." not in nt[1]
+        ):
+            self._next()
+            sub_alias = nt[1].lower()
 
         def strip_sub_qual(name: str) -> str:
+            # only the sub-relation's own qualifier resolves inner —
+            # an explicit alias HIDES the table name (standard SQL), so
+            # ``plans.cat`` under ``FROM plans p2`` is an outer ref
             if "." not in name:
                 return name
             q, c = name.split(".", 1)
-            if q.lower() != table.lower():
+            if q.lower() != sub_alias:
                 raise ValidationError(
                     [f"unsupported lookup subquery: unknown table "
-                     f"qualifier {q!r} in {name!r} (subquery FROM is "
-                     f"{table!r})"]
+                     f"qualifier {q!r} in {name!r} (subquery relation "
+                     f"is {sub_alias!r})"]
                 )
             return c
 
@@ -1084,8 +1268,25 @@ class _WhereParser:
                         break
                     depth -= 1
                 j += 1
+            def outer_ref(name: str) -> str:
+                # a qualifier that is not the subquery's table resolves
+                # through the ENCLOSING query's scope: a correlated
+                # outer-column reference (``WHERE t2.cat = t.cat``)
+                if self.quals is not None:
+                    raise ValidationError(
+                        [f"unsupported lookup subquery on {table!r}: "
+                         f"correlated reference {name!r} — correlated "
+                         f"subqueries are not supported in multi-table "
+                         f"(JOIN) lookup queries"]
+                    )
+                return _OUTER_MARK + self._strip_qualifier(name)
+
+            # the sub parser's relation name IS the (alias-hidden)
+            # qualifier: with ``FROM plans p2``, only ``p2.x`` resolves
+            # inner and ``plans.x`` falls through to the outer scope
             sub = _WhereParser(
-                self.tokens[self.i:j], table, computed=computed
+                self.tokens[self.i:j], sub_alias, computed=computed,
+                qualifier_fallback=outer_ref,
             )
             where = tuple(tuple(d) for d in sub.parse())
             self.i = j
@@ -1095,10 +1296,9 @@ class _WhereParser:
                         raise ValidationError(
                             [f"unsupported lookup subquery on {table!r}: "
                              f"parameter :{p.param_names[0]} inside the "
-                             f"subquery WHERE (correlated/parameterized "
-                             f"subqueries are not supported — the "
-                             f"subquery is evaluated once per refresh "
-                             f"snapshot)"]
+                             f"subquery WHERE (parameterized subqueries "
+                             f"are not supported — the subquery is "
+                             f"evaluated once per refresh snapshot)"]
                         )
         tok = self._next()
         if tok[0] != "rparen":
@@ -1107,9 +1307,10 @@ class _WhereParser:
             )
         if distinct:
             func = "count_distinct"
+        where, corr = _extract_correlation(table, where, computed)
         return _Term(
             "subquery",
-            _Subquery(func, col, table, where, tuple(computed)),
+            _Subquery(func, col, table, where, tuple(computed), corr),
         )
 
     def _new_computed(self, ast) -> str:
@@ -2363,11 +2564,13 @@ class CompiledLookup:
         if has_subqueries(self.query):
             # Direct construction (tests, single-table callers): scalar
             # subqueries resolve against the one dim in scope — a
-            # dim-sized aggregation, once per compile/refresh snapshot.
-            # LookupEnricher resolves earlier with the full table dict,
-            # so cross-table subqueries require that path.
-            self.query = resolve_subqueries(
-                self.query, {self.query.table: dim_df}
+            # dim-sized aggregation, once per compile/refresh snapshot;
+            # correlated subqueries may augment the dim with their
+            # per-group value column. LookupEnricher resolves earlier
+            # with the full table dict, so cross-table subqueries
+            # require that path.
+            self.query, dim_df = resolve_subqueries_with_dim(
+                self.query, {self.query.table: dim_df}, dim_df
             )
         # Materialize dim-side computed expressions (arithmetic / CASE /
         # COALESCE) as synthetic columns BEFORE any path sees the dim;
@@ -2444,8 +2647,13 @@ class CompiledLookup:
             ]
         elif self.query.projection is None:
             # SELECT * expands to the BASE table columns — synthetic
-            # __expr columns from a WHERE expression never leak out
-            self.out_fields = [(f.name, f.name) for f in base_schema_fields]
+            # __expr columns from a WHERE expression and __sq_corr
+            # correlated-subquery columns never leak out
+            self.out_fields = [
+                (f.name, f.name)
+                for f in base_schema_fields
+                if not f.name.startswith("__sq_corr")
+            ]
         else:
             for src, _ in self.query.projection:
                 if src not in dim_fields:
@@ -3470,8 +3678,8 @@ class CompiledUnionLookup:
                         for (src, _), a0 in zip(parsed.projection, aliases0)
                     ],
                 )
-            parsed = resolve_subqueries(parsed, dims)
             if parsed.joins:
+                parsed = resolve_subqueries(parsed, dims)
                 dim_df, parsed = build_join_dim(parsed, dims)
                 lk_rows = None
             else:
@@ -3481,6 +3689,9 @@ class CompiledUnionLookup:
                          f"'{parsed.table}'"]
                     )
                 dim_df = dims[parsed.table]
+                parsed, dim_df = resolve_subqueries_with_dim(
+                    parsed, dims, dim_df
+                )
                 lk_rows = (dim_rows or {}).get(parsed.table)
             self.branches.append(
                 CompiledLookup(

@@ -95,6 +95,7 @@ class LookupEnricher:
                 build_join_dim,
                 parse_lookup_query,
                 resolve_subqueries,
+                resolve_subqueries_with_dim,
                 split_top_level_union,
             )
 
@@ -117,9 +118,11 @@ class LookupEnricher:
             # Scalar subqueries resolve here — the one site with the
             # full table dict in scope (they may aggregate a DIFFERENT
             # dim than the one being probed) — once per compile/refresh
-            # snapshot, before the join flat-rewrite.
-            parsed = resolve_subqueries(parsed, dims)
+            # snapshot. Correlated subqueries left-join their per-group
+            # aggregate onto the probed dim (single-table path only;
+            # the parser rejects them in join queries).
             if parsed.joins:
+                parsed = resolve_subqueries(parsed, dims)
                 # Multi-table lookup: pre-join the dims into one derived
                 # dimension at compile/refresh time (dim-sized work, once
                 # per snapshot) and compile against the flat rewrite.
@@ -132,6 +135,12 @@ class LookupEnricher:
                          f"'{parsed.table}'"]
                     )
                 dim_df = dims[parsed.table]
+                parsed, dim_df = resolve_subqueries_with_dim(
+                    parsed, dims, dim_df
+                )
+                # the correlated-aggregate join is keyed by groupBy
+                # output (unique key tuples), so the dim ROW COUNT is
+                # preserved and the A2 guard's cached count stays valid
                 lk_dim_rows = (dim_rows or {}).get(parsed.table)
             self.compiled.append(
                 CompiledLookup(

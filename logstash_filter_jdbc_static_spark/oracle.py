@@ -189,9 +189,9 @@ def _payload_sort_key(r: dict) -> list:
     return [(v is not None, v) for v in r.values()]
 
 
-def _eval_subquery_rows(sq, tables: dict[str, list[dict]], _depth: int = 0):
-    """Row-at-a-time twin of lookup._eval_subquery: one scalar from an
-    uncorrelated aggregate subquery over the dict-row tables."""
+def _sub_rows(sq, tables: dict[str, list[dict]], _depth: int = 0) -> list[dict]:
+    """The subquery's source rows — computed columns materialized,
+    static WHERE applied, nested (uncorrelated) subqueries resolved."""
     if _depth > 8:
         raise ValueError("lookup subquery: nesting deeper than 8 levels")
     rows = tables[sq.table]
@@ -202,7 +202,7 @@ def _eval_subquery_rows(sq, tables: dict[str, list[dict]], _depth: int = 0):
         ]
     where = [
         [
-            _replace_subquery_terms(p, tables, _depth + 1)
+            _replace_nested_subqueries(p, tables, _depth + 1)
             for p in d
         ]
         for d in sq.where
@@ -213,6 +213,11 @@ def _eval_subquery_rows(sq, tables: dict[str, list[dict]], _depth: int = 0):
             for r in rows
             if any(all(_pred_match(p, r, {}) for p in d) for d in where)
         ]
+    return rows
+
+
+def _agg_rows(sq, rows: list[dict]):
+    """SQL aggregate semantics over the matched sub rows."""
     if sq.func == "count" and sq.col is None:
         return len(rows)
     vals = [r.get(sq.col) for r in rows]
@@ -230,7 +235,17 @@ def _eval_subquery_rows(sq, tables: dict[str, list[dict]], _depth: int = 0):
     return min(nonnull) if sq.func == "min" else max(nonnull)
 
 
-def _replace_subquery_terms(p, tables: dict[str, list[dict]], _depth: int = 0):
+def _eval_subquery_rows(sq, tables: dict[str, list[dict]], _depth: int = 0):
+    """Row-at-a-time twin of lookup._eval_subquery: one scalar from an
+    UNCORRELATED aggregate subquery over the dict-row tables."""
+    if sq.corr:
+        raise ValueError(
+            "lookup subquery: correlated subqueries cannot nest"
+        )
+    return _agg_rows(sq, _sub_rows(sq, tables, _depth))
+
+
+def _replace_nested_subqueries(p, tables: dict[str, list[dict]], _depth: int = 0):
     from logstash_filter_jdbc_static_spark.operators.lookup import (
         _Predicate,
         _Term,
@@ -251,29 +266,80 @@ def _replace_subquery_terms(p, tables: dict[str, list[dict]], _depth: int = 0):
     )
 
 
-def _resolve_subqueries_rows(q, tables: dict[str, list[dict]]):
-    """Oracle-side resolve_subqueries: substitute literal values before
-    per-event matching (evaluated once per enhance call — the oracle has
-    no snapshot lifecycle to amortize over)."""
+def _resolve_subqueries_rows(
+    q, tables: dict[str, list[dict]], probe_rows: list[dict]
+):
+    """Oracle-side resolve_subqueries_with_dim: uncorrelated subquery
+    terms become literals; correlated ones become synthetic columns on
+    the probed rows — each row gets the aggregate over the sub rows
+    matching its correlation keys (the row-at-a-time mirror of the
+    compiled per-group left join). Returns (query, probe rows)."""
     import dataclasses
+
+    from logstash_filter_jdbc_static_spark.operators.lookup import (
+        _Predicate,
+        _Term,
+    )
+
+    state = {"rows": probe_rows, "cache": []}
+
+    def corr_eq(a, b) -> bool:
+        left, right = _coerce_pair(a, b)
+        return left is not None and right is not None and left == right
+
+    def term_of(t):
+        sq = t.value
+        if not sq.corr:
+            return _Term("literal", _eval_subquery_rows(sq, tables))
+        for k, name in state["cache"]:
+            if k == sq:
+                return _Term("column", name)
+        name = f"__sq_corr{len(state['cache'])}"
+        sub = _sub_rows(sq, tables)
+        state["rows"] = [
+            {
+                **r,
+                name: _agg_rows(
+                    sq,
+                    [
+                        s
+                        for s in sub
+                        if all(
+                            corr_eq(s.get(sc), r.get(oc))
+                            for sc, oc in sq.corr
+                        )
+                    ],
+                ),
+            }
+            for r in state["rows"]
+        ]
+        state["cache"].append((sq, name))
+        return _Term("column", name)
+
+    def fix_pred(p):
+        if not any(t.kind == "subquery" for t in p.terms):
+            return p
+        return _Predicate(
+            p.dim_column,
+            p.op,
+            [term_of(t) if t.kind == "subquery" else t for t in p.terms],
+            func=p.func,
+        )
 
     def fix_tree(node):
         if node[0] == "pred":
-            return ("pred", _replace_subquery_terms(node[1], tables))
+            return ("pred", fix_pred(node[1]))
         return (node[0], [fix_tree(c) for c in node[1]])
 
-    return dataclasses.replace(
+    q = dataclasses.replace(
         q,
-        disjuncts=[
-            [_replace_subquery_terms(p, tables) for p in d]
-            for d in q.disjuncts
-        ],
+        disjuncts=[[fix_pred(p) for p in d] for d in q.disjuncts],
         where_tree=None if q.where_tree is None else fix_tree(q.where_tree),
         having=tuple(
-            tuple(_replace_subquery_terms(p, tables) for p in d)
-            for d in q.having
+            tuple(fix_pred(p) for p in d) for d in q.having
         ),
     )
+    return q, state["rows"]
 
 
 def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:
@@ -310,7 +376,11 @@ def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:
                     break
         if match:
             fields = (
-                [(f, f) for f in row.keys() if f not in synth]
+                [
+                    (f, f)
+                    for f in row.keys()
+                    if f not in synth and not f.startswith("__sq_corr")
+                ]
                 if q.projection is None
                 else q.projection
             )
@@ -356,15 +426,17 @@ def _run_union(
                     for (src, _), a0 in zip(q.projection, aliases0)
                 ],
             )
-        if has_subqueries(q):
-            q = _resolve_subqueries_rows(
-                q, tables if tables is not None else {q.table: table}
-            )
         branch_table = (
             _join_rows(q, tables)
             if q.joins and tables is not None
             else (tables[q.table] if tables is not None else table)
         )
+        if has_subqueries(q):
+            q, branch_table = _resolve_subqueries_rows(
+                q,
+                tables if tables is not None else {q.table: table},
+                branch_table,
+            )
         rows.extend(proj for _, proj in _match_rows(q, branch_table, params))
     if dedupe:
         seen: set = set()
@@ -397,8 +469,8 @@ def run_lookup(
         return _run_union(event, spec, texts, dedupe, table, tables)
     q = parse_lookup_query(spec.query)
     if has_subqueries(q):
-        q = _resolve_subqueries_rows(
-            q, tables if tables is not None else {q.table: table}
+        q, table = _resolve_subqueries_rows(
+            q, tables if tables is not None else {q.table: table}, table
         )
     bindings = (
         {f"p{i}": v for i, v in enumerate(spec.prepared_parameters)}

@@ -128,6 +128,8 @@ _merge(
          [("n_hits", "subq_n"), ("prices_str", "subq_prices")]),
         ("lookup_union",
          [("n_tags", "union_n"), ("tags_str", "union_tags")]),
+        ("lookup_corr_subquery",
+         [("n_corr", "corr_n"), ("corr_prices", "corr_prices")]),
     ],
 )
 

@@ -494,3 +494,69 @@ def lookup_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("tags2"), lambda r: r.getField("tag")), ","
         ).alias("tags_str"),
     )
+
+
+@register(
+    "lookup_corr_subquery",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT t.tool, t.price FROM tool_plans t
+          WHERE t.price >= (SELECT avg(p2.price) FROM tool_plans p2
+                            WHERE p2.plan = t.plan)
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_corr,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) ORDER BY m.price),
+                   ','),
+                 '') AS corr_prices
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: a CORRELATED scalar subquery — price at or above the
+    per-plan average (``WHERE p2.plan = tool_plans.plan``). Derby nests
+    the execution per outer row (lookup.rb:131-147); the Spark-first
+    hoist aggregates per correlation key ONCE per refresh snapshot and
+    left-joins the value onto the dim, so the per-event plan stays the
+    single broadcast-hash equi probe. NULL-plan rows correlate to
+    nothing (SQL: NULL = NULL is not true) and drop, on both engines."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "corr",
+                "query": (
+                    "SELECT price FROM tool_plans WHERE tool = :tool "
+                    "AND price >= (SELECT avg(p2.price) FROM tool_plans "
+                    "p2 WHERE p2.plan = tool_plans.plan)"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("corr").cast("long").alias("n_corr"),
+        F.array_join(
+            F.transform(
+                F.col("corr"), lambda r: r.getField("price").cast("string")
+            ),
+            ",",
+        ).alias("corr_prices"),
+    )

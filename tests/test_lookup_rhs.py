@@ -142,8 +142,11 @@ class TestParseSubquery:
         assert sq.col.startswith("__sq_expr")
         assert len(sq.computed) == 1
 
-    def test_correlated_subquery_rejected(self):
-        with pytest.raises(ValidationError, match="correlated"):
+    def test_parameterized_subquery_rejected(self):
+        # :params inside a subquery would re-bind per event — no
+        # snapshot-time plan can stage that (outer COLUMN correlation
+        # is supported; see TestCorrelatedSubquery)
+        with pytest.raises(ValidationError, match="parameterized"):
             parse_lookup_query(
                 "SELECT tool FROM plans WHERE price >= "
                 "(SELECT avg(price) FROM plans WHERE tool = :tool)"
@@ -448,3 +451,138 @@ class TestAggregateExpressions:
         )
         assert got[0] == []  # t1 rev 48 filtered out
         assert got[1] == [(("tool", "t2"), ("rev", 49))]
+
+
+class TestCorrelatedSubquery:
+    """Round-4: correlated scalar subqueries — ``WHERE price >
+    (SELECT avg(p2.price) FROM plans p2 WHERE p2.cat = plans.cat)``.
+    Derby nests the execution per outer row; here the sub-aggregation
+    runs ONCE per refresh snapshot grouped by its correlation keys and
+    left-joins onto the dim, so the predicate compiles as a static
+    column comparand on every physical path."""
+
+    CAT_PLANS = T.StructType(
+        [
+            T.StructField("tool", T.StringType(), False),
+            T.StructField("cat", T.StringType(), False),
+            T.StructField("price", T.IntegerType(), False),
+        ]
+    )
+    CAT_ROWS = [
+        ("t1", "a", 10),
+        ("t1", "a", 2),
+        ("t2", "b", 7),
+        ("t3", "c", 8),
+        ("t3", "c", 1),
+        ("t2", "b", 3),
+    ]
+
+    def test_parse_extracts_correlation(self):
+        q = parse_lookup_query(
+            "SELECT name FROM t WHERE num > "
+            "(SELECT avg(num) FROM u WHERE u.cat = t.cat AND u.x = 1)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.corr == (("cat", "cat"),)
+        assert len(sq.where) == 1  # the static residue u.x = 1
+
+    def test_non_equi_correlation_rejected(self):
+        with pytest.raises(ValidationError, match="plain equalities"):
+            parse_lookup_query(
+                "SELECT name FROM t WHERE num > "
+                "(SELECT avg(num) FROM u WHERE u.cat > t.cat)"
+            )
+
+    def test_or_around_correlation_rejected(self):
+        with pytest.raises(ValidationError, match="pure AND"):
+            parse_lookup_query(
+                "SELECT name FROM t WHERE num > "
+                "(SELECT avg(num) FROM u WHERE u.cat = t.cat OR u.x = 1)"
+            )
+
+    def test_join_mode_correlation_rejected(self):
+        with pytest.raises(ValidationError, match="multi-table"):
+            parse_lookup_query(
+                "SELECT a.name FROM t a JOIN v b ON a.k = b.k "
+                "WHERE a.num > (SELECT avg(num) FROM u WHERE u.cat = a.cat)"
+            )
+
+    def _run(self, spark, query, kw):
+        facts = [("c0", 0, "t1"), ("c1", 1, "t2"), ("c2", 2, "t3"), ("c3", 3, None)]
+        dims = {"plans": spark.createDataFrame(self.CAT_ROWS, self.CAT_PLANS)}
+        spec = PipelineSpec(
+            lookups=[
+                {"id": "u", "query": query, "parameters": {"tool": "tool"}}
+            ]
+        )
+        out = LookupEnricher(spec, dims, **kw).apply(
+            spark.createDataFrame(facts, FACT)
+        )
+        return {
+            r["turn_idx"]: (
+                None
+                if r["u"] is None
+                else sorted(tuple(d.asDict().items()) for d in r["u"])
+            )
+            for r in out.collect()
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_same_table_per_group_average(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT price FROM plans WHERE tool = :tool AND price > "
+            "(SELECT avg(p2.price) FROM plans p2 WHERE p2.cat = plans.cat)",
+            kw,
+        )
+        # cat a avg 6 -> keeps 10; cat b avg 5 -> keeps 7; cat c avg 4.5 -> keeps 8
+        assert got[0] == [(("price", 10),)]
+        assert got[1] == [(("price", 7),)]
+        assert got[2] == [(("price", 8),)]
+        assert got[3] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_count_of_empty_group_is_zero(self, spark, kw):
+        # correlate against a second dim with NO rows for cat c: the
+        # count must be 0 (not NULL), so "price > count" still evaluates
+        caps = spark.createDataFrame(
+            [("a", 1), ("b", 2)], "cat string, x int"
+        )
+        facts = [("c0", 0, "t1"), ("c2", 2, "t3")]
+        dims = {
+            "plans": spark.createDataFrame(self.CAT_ROWS, self.CAT_PLANS),
+            "caps": caps,
+        }
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "u",
+                    "query": (
+                        "SELECT price FROM plans WHERE tool = :tool AND "
+                        "price > (SELECT count(*) FROM caps "
+                        "WHERE caps.cat = plans.cat)"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }
+            ]
+        )
+        out = LookupEnricher(spec, dims, **kw).apply(
+            spark.createDataFrame(facts, FACT)
+        )
+        got = {
+            r["turn_idx"]: sorted(d["price"] for d in r["u"])
+            for r in out.collect()
+        }
+        # t1 cat a count 1 -> 10,2 > 1 keeps both; t3 cat c count 0 -> 8,1 > 0 keeps both
+        assert got[0] == [2, 10]
+        assert got[2] == [1, 8]
+
+    def test_select_star_excludes_correlation_column(self, spark):
+        got = self._run(
+            spark,
+            "SELECT * FROM plans WHERE tool = :tool AND price > "
+            "(SELECT avg(p2.price) FROM plans p2 WHERE p2.cat = plans.cat)",
+            {},
+        )
+        (payload,) = got[1]
+        assert [k for k, _ in payload] == ["tool", "cat", "price"]
