@@ -482,6 +482,22 @@ class TestExprLookupPlans:
         fact_side = plan.split("BroadcastHashJoin")[0]
         assert "min(" not in fact_side, plan
 
+    def test_correlated_subquery_stays_dim_side(self, spark):
+        plan = self._plan_for(
+            spark,
+            "SELECT ip FROM hosts WHERE tool = :t AND num >= "
+            "(SELECT avg(h2.num) FROM hosts h2 WHERE h2.tool = hosts.tool)",
+        )
+        # the per-group aggregate joins the DIM once per snapshot: the
+        # fact still sees exactly one broadcast hash join and no
+        # per-event subquery machinery
+        assert plan.count("BroadcastHashJoin") <= 2, plan
+        assert "Subquery" not in plan, plan
+        assert "NestedLoop" not in plan
+        fact_side = plan.split("BroadcastHashJoin")[0]
+        assert "avg(" not in fact_side, plan
+        assert "HashAggregate" not in fact_side, plan
+
 
 class TestGroupedLookupPlan:
     def test_equi_group_by_stays_single_broadcast_join(self, spark):

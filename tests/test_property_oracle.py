@@ -131,6 +131,12 @@ WIDE_TEMPLATES = [
     "ip >= (SELECT min(ip) FROM servers) AND ip = :ip",
     "length(ip) <= (SELECT count(*) FROM servers WHERE name <> 'v1')",
     "ip = :ip AND length(name) = (SELECT max(length(name)) FROM servers)",
+    # round-4: CORRELATED subqueries (same-table via alias; count-0
+    # semantics on empty correlated groups)
+    "ip = :ip AND ip >= (SELECT min(s2.ip) FROM servers s2 "
+    "WHERE s2.name = servers.name)",
+    "length(ip) >= (SELECT count(*) FROM servers s2 "
+    "WHERE s2.name = servers.name AND s2.ip <> 'k9')",
 ]
 
 
