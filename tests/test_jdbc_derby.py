@@ -621,3 +621,35 @@ class TestDerbyRound4Shapes:
         expect = sorted(names, key=lambda n: (-len(n), n))[:2]
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         assert [x["name"] for x in row["ord"]] == expect
+
+    def test_correlated_subquery_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "corr",
+                    "query": (
+                        "SELECT name, location FROM servers WHERE "
+                        "length(name) >= (SELECT max(length(s2.name)) "
+                        "FROM servers s2 "
+                        "WHERE s2.location = servers.location)"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = [
+            (r["name"], r["location"])
+            for r in store.dims()["servers"].collect()
+        ]
+        by_loc: dict = {}
+        for nm, loc in rows:
+            by_loc.setdefault(loc, []).append(nm)
+        live = sorted(
+            (nm, loc)
+            for nm, loc in rows
+            if len(nm) >= max(len(x) for x in by_loc[loc])
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted((x["name"], x["location"]) for x in row["corr"]) == live

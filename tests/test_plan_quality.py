@@ -537,3 +537,57 @@ class TestGroupedLookupPlan:
         # both aggregation levels live on the dim (build) side
         fact_side = plan.split("BroadcastHashJoin")[0]
         assert "HashAggregate" not in fact_side, plan
+
+
+class TestUnionLookupPlan:
+    def test_union_is_n_broadcast_probes_no_fact_shuffle(self, spark):
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.operators.processor import (
+            LookupEnricher,
+        )
+        from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+        d1 = spark.createDataFrame(
+            [("t0", "a"), ("t1", "b")], "tool string, v string"
+        )
+        d2 = spark.createDataFrame(
+            [("t0", "x"), ("t2", "y")], "tool string, w string"
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": (
+                        "SELECT v AS val FROM d1 WHERE tool = :t "
+                        "UNION ALL SELECT w FROM d2 WHERE tool = :t"
+                    ),
+                    "parameters": {"t": "t"},
+                }
+            ]
+        )
+        fact = spark.range(1000).select(
+            F.lit("c").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("t"),
+        )
+        out = LookupEnricher(spec, {"d1": d1, "d2": d2}).apply(fact)
+        plan = _plan(out, "simple")
+        # one broadcast probe per branch, nothing else: no sort-merge,
+        # no nested-loop, no fact-side exchange (the only allowed
+        # shuffles are each branch's tiny DIM-side key-grouping, keyed
+        # by the dim join column)
+        assert plan.count("BroadcastHashJoin") == 2, plan
+        assert "SortMergeJoin" not in plan
+        assert "NestedLoop" not in plan
+        assert "EvalPython" not in plan
+        import re as _re
+
+        sigs = _re.findall(
+            r"(?<!Broadcast)Exchange hashpartitioning\(([^)]*)\)", plan
+        )
+        assert len(sigs) <= 2, plan
+        for s in sigs:
+            assert s.startswith("tool#"), (s, plan)
+            for fact_col in ("conv_id", "turn_idx", "t#"):
+                assert fact_col not in s, (s, plan)
