@@ -320,6 +320,10 @@ def _pred_column_condition(p: _Predicate, lhs: Column, rhs: list[Column]) -> Col
     if op == "not like":
         return ~F.rlike(lhs, rhs[0])
     if op in ("in", "not in"):
+        if not rhs:
+            # empty IN-subquery set: IN () is FALSE, NOT IN () is TRUE
+            # (no comparisons happen, so even a NULL lhs decides)
+            return F.lit(op == "not in")
         cond = lhs == rhs[0]
         for r in rhs[1:]:
             cond = cond | (lhs == r)
@@ -522,7 +526,9 @@ def _sub_filtered_df(
                 [f"lookup subquery on {sq.table!r}: column {c!r} not in "
                  f"table"]
             )
-    if sq.func == "count":
+    if sq.func == "__values":
+        agg = None  # row-set subquery: no aggregate, values collected
+    elif sq.func == "count":
         agg = F.count(F.lit(1)) if sq.col is None else F.count(F.col(sq.col))
     elif sq.func == "count_distinct":
         agg = F.count_distinct(F.col(sq.col))
@@ -543,8 +549,33 @@ def _eval_subquery(sq: _Subquery, dims: dict[str, DataFrame], _depth: int = 0):
             [f"lookup subquery on {sq.table!r}: correlated subqueries "
              f"cannot nest inside another subquery"]
         )
+    if sq.func == "__values":
+        raise ValidationError(
+            [f"lookup subquery on {sq.table!r}: IN-subqueries cannot "
+             f"nest inside another subquery"]
+        )
     df, agg = _sub_filtered_df(sq, dims, _depth)
     return df.agg(agg).collect()[0][0]
+
+
+# [NOT] IN (SELECT ...) value sets are collected driver-side once per
+# refresh snapshot; dims are broadcast-sized by contract, and the cap
+# fails loud long before a collect could hurt.
+_IN_SUBQUERY_CAP = 65536
+
+
+def _collect_in_values(sq: _Subquery, dims: dict[str, DataFrame]) -> list:
+    df, _ = _sub_filtered_df(sq, dims)
+    rows = (
+        df.select(F.col(sq.col)).distinct().limit(_IN_SUBQUERY_CAP + 1).collect()
+    )
+    if len(rows) > _IN_SUBQUERY_CAP:
+        raise ValidationError(
+            [f"lookup IN-subquery on {sq.table!r}: more than "
+             f"{_IN_SUBQUERY_CAP} distinct values — pre-shape the dim "
+             f"with a loader query instead"]
+        )
+    return [r[0] for r in rows]
 
 
 def resolve_subqueries(
@@ -629,9 +660,35 @@ def resolve_subqueries_with_dim(
         corr_cache.append((sq, name))
         return name
 
+    set_cache: list[tuple[_Subquery, list]] = []
+
     def fix_pred(p: _Predicate) -> _Predicate:
         if not any(t.kind == "subquery" for t in p.terms):
             return p
+        if (
+            p.op in ("in", "not in")
+            and len(p.terms) == 1
+            and p.terms[0].kind == "subquery"
+            and p.terms[0].value.func == "__values"
+        ):
+            # row-set subquery: expand to a literal IN list (empty set
+            # -> zero terms; the condition compilers give IN () = FALSE
+            # and NOT IN () = TRUE, standard SQL)
+            sq = p.terms[0].value
+            vals = None
+            for k, v in set_cache:
+                if k == sq:
+                    vals = v
+                    break
+            if vals is None:
+                vals = _collect_in_values(sq, dims)
+                set_cache.append((sq, vals))
+            return _Predicate(
+                p.dim_column,
+                p.op,
+                [_Term("literal", v) for v in vals],
+                func=p.func,
+            )
         return _Predicate(
             p.dim_column,
             p.op,
@@ -1187,44 +1244,7 @@ class _WhereParser:
                 [f"unsupported lookup subquery: unclosed {func}(...)"]
             )
         self.i = j + 1  # past the aggregate's ')'
-        self._expect_word("from")
-        tok = self._next()
-        if tok[0] != "word":
-            raise ValidationError(
-                [f"unsupported lookup subquery: expected a table name "
-                 f"after FROM, got {tok[1]!r}"]
-            )
-        table = tok[1]
-        # optional sub-relation alias (``FROM plans p2``) — required to
-        # correlate a subquery against ITS OWN table (the alias hides
-        # the table name, standard SQL scoping, so ``plans.cat`` then
-        # resolves to the OUTER relation)
-        sub_alias = table.lower()
-        nt = self._peek()
-        if (
-            nt is not None
-            and nt[0] == "word"
-            and nt[1].lower() != "where"
-            and "." not in nt[1]
-        ):
-            self._next()
-            sub_alias = nt[1].lower()
-
-        def strip_sub_qual(name: str) -> str:
-            # only the sub-relation's own qualifier resolves inner —
-            # an explicit alias HIDES the table name (standard SQL), so
-            # ``plans.cat`` under ``FROM plans p2`` is an outer ref
-            if "." not in name:
-                return name
-            q, c = name.split(".", 1)
-            if q.lower() != sub_alias:
-                raise ValidationError(
-                    [f"unsupported lookup subquery: unknown table "
-                     f"qualifier {q!r} in {name!r} (subquery relation "
-                     f"is {sub_alias!r})"]
-                )
-            return c
-
+        table, sub_alias, strip_sub_qual = self._sub_relation()
         computed: list[tuple[str, object]] = []
         col: str | None
         if (
@@ -1239,19 +1259,130 @@ class _WhereParser:
                 )
             col = None
         else:
-            ep = sqlexpr.ExprParser(arg_toks, 0, resolve_col=strip_sub_qual)
-            ast = ep.parse()
-            if ep.i != len(arg_toks):
+            col = self._sub_head_column(
+                arg_toks, strip_sub_qual, computed, "aggregate argument"
+            )
+        where, corr = self._sub_where(table, sub_alias, computed)
+        if distinct:
+            func = "count_distinct"
+        return _Term(
+            "subquery",
+            _Subquery(func, col, table, where, tuple(computed), corr),
+        )
+
+    def _set_subquery_term(self) -> _Term:
+        """``IN ( SELECT col FROM table [alias] [WHERE <static>] )`` —
+        a row-SET subquery for [NOT] IN membership. Uncorrelated only:
+        the value set is collected once per refresh snapshot (distinct,
+        size-capped) and expanded into a literal IN list, so every
+        physical path treats it as an ordinary static predicate. The
+        opening '(' is already consumed by the IN branch."""
+        self._next()  # SELECT
+        if self._peek_word() == "distinct":
+            self._next()  # membership semantics: DISTINCT is a no-op
+        # slice the projection tokens up to the depth-0 FROM
+        depth, j = 0, self.i
+        while j < len(self.tokens):
+            k, v = self.tokens[j]
+            if k == "lparen":
+                depth += 1
+            elif k == "rparen":
+                if depth == 0:
+                    raise ValidationError(
+                        ["unsupported lookup IN-subquery: missing FROM"]
+                    )
+                depth -= 1
+            elif k == "word" and v.lower() == "from" and depth == 0:
+                break
+            j += 1
+        proj_toks = self.tokens[self.i:j]
+        if not proj_toks:
+            raise ValidationError(
+                ["unsupported lookup IN-subquery: missing projected column"]
+            )
+        self.i = j  # at FROM (consumed by _sub_relation)
+        table, sub_alias, strip_sub_qual = self._sub_relation()
+        computed: list[tuple[str, object]] = []
+        col = self._sub_head_column(
+            proj_toks, strip_sub_qual, computed, "projection"
+        )
+        where, corr = self._sub_where(table, sub_alias, computed)
+        if corr:
+            raise ValidationError(
+                [f"unsupported lookup IN-subquery on {table!r}: "
+                 f"correlated IN-subqueries are not supported — "
+                 f"pre-shape the dim with a loader query instead"]
+            )
+        return _Term(
+            "subquery",
+            _Subquery("__values", col, table, where, tuple(computed)),
+        )
+
+    def _sub_head_column(
+        self, toks, strip_sub_qual, computed, what: str
+    ) -> str:
+        """Parse a subquery head (aggregate argument / set projection)
+        as a column or expression, registering expressions as synthetic
+        sub columns."""
+        ep = sqlexpr.ExprParser(toks, 0, resolve_col=strip_sub_qual)
+        ast = ep.parse()
+        if ep.i != len(toks):
+            raise ValidationError(
+                [f"unsupported lookup subquery: bad {what} near "
+                 f"{toks[ep.i][1]!r}"]
+            )
+        simple = sqlexpr.is_simple_column(ast)
+        if simple is not None:
+            return simple
+        name = f"__sq_expr{len(computed)}"
+        computed.append((name, ast))
+        return name
+
+    def _sub_relation(self) -> tuple[str, str, object]:
+        """``FROM table [alias]`` of a subquery. The optional alias is
+        required to correlate a subquery against ITS OWN table: it
+        HIDES the table name (standard SQL scoping), so ``plans.cat``
+        under ``FROM plans p2`` resolves to the OUTER relation."""
+        self._expect_word("from")
+        tok = self._next()
+        if tok[0] != "word":
+            raise ValidationError(
+                [f"unsupported lookup subquery: expected a table name "
+                 f"after FROM, got {tok[1]!r}"]
+            )
+        table = tok[1]
+        sub_alias = table.lower()
+        nt = self._peek()
+        if (
+            nt is not None
+            and nt[0] == "word"
+            and nt[1].lower() != "where"
+            and "." not in nt[1]
+        ):
+            self._next()
+            sub_alias = nt[1].lower()
+
+        def strip_sub_qual(name: str) -> str:
+            # only the sub-relation's own qualifier resolves inner
+            if "." not in name:
+                return name
+            q, c = name.split(".", 1)
+            if q.lower() != sub_alias:
                 raise ValidationError(
-                    [f"unsupported lookup subquery: bad aggregate "
-                     f"argument near {arg_toks[ep.i][1]!r}"]
+                    [f"unsupported lookup subquery: unknown table "
+                     f"qualifier {q!r} in {name!r} (subquery relation "
+                     f"is {sub_alias!r})"]
                 )
-            simple = sqlexpr.is_simple_column(ast)
-            if simple is not None:
-                col = simple
-            else:
-                col = f"__sq_expr{len(computed)}"
-                computed.append((col, ast))
+            return c
+
+        return table, sub_alias, strip_sub_qual
+
+    def _sub_where(
+        self, table: str, sub_alias: str, computed: list
+    ) -> tuple[tuple, tuple]:
+        """``[WHERE ...] )`` tail of a subquery: static predicates plus
+        (for scalar subqueries) correlation pairs extracted from
+        outer-qualified equalities."""
         where: tuple = ()
         if self._peek_word() == "where":
             self._next()
@@ -1268,10 +1399,11 @@ class _WhereParser:
                         break
                     depth -= 1
                 j += 1
+
             def outer_ref(name: str) -> str:
-                # a qualifier that is not the subquery's table resolves
-                # through the ENCLOSING query's scope: a correlated
-                # outer-column reference (``WHERE t2.cat = t.cat``)
+                # a qualifier that is not the subquery's relation
+                # resolves through the ENCLOSING query's scope: a
+                # correlated outer-column reference (``t2.cat = t.cat``)
                 if self.quals is not None:
                     raise ValidationError(
                         [f"unsupported lookup subquery on {table!r}: "
@@ -1281,9 +1413,6 @@ class _WhereParser:
                     )
                 return _OUTER_MARK + self._strip_qualifier(name)
 
-            # the sub parser's relation name IS the (alias-hidden)
-            # qualifier: with ``FROM plans p2``, only ``p2.x`` resolves
-            # inner and ``plans.x`` falls through to the outer scope
             sub = _WhereParser(
                 self.tokens[self.i:j], sub_alias, computed=computed,
                 qualifier_fallback=outer_ref,
@@ -1305,13 +1434,7 @@ class _WhereParser:
             raise ValidationError(
                 [f"unsupported lookup subquery: expected ')', got {tok[1]!r}"]
             )
-        if distinct:
-            func = "count_distinct"
-        where, corr = _extract_correlation(table, where, computed)
-        return _Term(
-            "subquery",
-            _Subquery(func, col, table, where, tuple(computed), corr),
-        )
+        return _extract_correlation(table, where, computed)
 
     def _new_computed(self, ast) -> str:
         """Register a dim-side expression lhs, returning its synthetic
@@ -1394,6 +1517,14 @@ class _WhereParser:
             if self._next()[0] != "lparen":
                 raise ValidationError(
                     [f"unsupported lookup predicate: IN on {col!r} requires a parenthesized list"]
+                )
+            nxt = self._peek()
+            if nxt is not None and nxt[0] == "word" and nxt[1].lower() == "select":
+                # [NOT] IN (SELECT col FROM t ...): a row-set subquery,
+                # expanded to a literal value list per refresh snapshot
+                term = self._set_subquery_term()
+                return _Predicate(
+                    col, "not in" if negate else "in", [term], func=func
                 )
             terms = [self._term()]
             while True:

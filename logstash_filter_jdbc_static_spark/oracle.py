@@ -118,6 +118,10 @@ def _pred_match(p, row: dict, params: dict) -> bool:
             vals.append(row.get(t.value))
         else:
             vals.append(t.value)
+    if p.op in ("in", "not in") and not vals:
+        # empty IN-subquery set: IN () FALSE, NOT IN () TRUE — decided
+        # before the NULL-lhs check (no comparisons happen)
+        return p.op == "not in"
     if lhs is None:
         return False
 
@@ -242,6 +246,8 @@ def _eval_subquery_rows(sq, tables: dict[str, list[dict]], _depth: int = 0):
         raise ValueError(
             "lookup subquery: correlated subqueries cannot nest"
         )
+    if sq.func == "__values":
+        raise ValueError("lookup subquery: IN-subqueries cannot nest")
     return _agg_rows(sq, _sub_rows(sq, tables, _depth))
 
 
@@ -319,6 +325,22 @@ def _resolve_subqueries_rows(
     def fix_pred(p):
         if not any(t.kind == "subquery" for t in p.terms):
             return p
+        if (
+            p.op in ("in", "not in")
+            and len(p.terms) == 1
+            and p.terms[0].kind == "subquery"
+            and p.terms[0].value.func == "__values"
+        ):
+            sq = p.terms[0].value
+            vals = list(
+                dict.fromkeys(r.get(sq.col) for r in _sub_rows(sq, tables))
+            )
+            return _Predicate(
+                p.dim_column,
+                p.op,
+                [_Term("literal", v) for v in vals],
+                func=p.func,
+            )
         return _Predicate(
             p.dim_column,
             p.op,

@@ -130,6 +130,8 @@ _merge(
          [("n_tags", "union_n"), ("tags_str", "union_tags")]),
         ("lookup_corr_subquery",
          [("n_corr", "corr_n"), ("corr_prices", "corr_prices")]),
+        ("lookup_in_subquery",
+         [("n_in", "in_n"), ("in_prices", "in_prices")]),
     ],
 )
 

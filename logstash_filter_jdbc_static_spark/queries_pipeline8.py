@@ -560,3 +560,71 @@ def lookup_corr_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("corr_prices"),
     )
+
+
+@register(
+    "lookup_in_subquery",
+    with_ctes(
+        _PLANS_CTE,
+        _BANDS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT tool, price FROM tool_plans
+          WHERE price NOT IN (SELECT hi FROM price_bands WHERE lo >= 0)
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_in,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) ORDER BY m.price),
+                   ','),
+                 '') AS in_prices
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-4: a row-SET subquery — ``price NOT IN (SELECT hi FROM
+    price_bands WHERE lo >= 0)``. The value set collects once per
+    refresh snapshot (distinct, 65536-cap) and expands to a literal
+    NOT-IN list, so the predicate rides the dim as a static filter and
+    the per-event plan stays the broadcast-hash equi probe."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "inq",
+                "query": (
+                    "SELECT price FROM tool_plans WHERE tool = :tool "
+                    "AND price NOT IN (SELECT hi FROM price_bands "
+                    "WHERE lo >= 0)"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec,
+        {
+            "tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA),
+            "price_bands": spark.createDataFrame(BAND_ROWS, BAND_SCHEMA),
+        },
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("inq").cast("long").alias("n_in"),
+        F.array_join(
+            F.transform(
+                F.col("inq"), lambda r: r.getField("price").cast("string")
+            ),
+            ",",
+        ).alias("in_prices"),
+    )

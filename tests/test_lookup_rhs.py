@@ -586,3 +586,118 @@ class TestCorrelatedSubquery:
         )
         (payload,) = got[1]
         assert [k for k, _ in payload] == ["tool", "cat", "price"]
+
+
+class TestInSubquery:
+    """Round-4: [NOT] IN (SELECT col FROM t [WHERE static]) — the value
+    set collects once per refresh snapshot (distinct, size-capped) and
+    expands into a literal IN list; empty sets follow SQL (IN () FALSE,
+    NOT IN () TRUE, decided even for NULL lhs)."""
+
+    ALLOW = T.StructType(
+        [
+            T.StructField("cat", T.StringType(), False),
+            T.StructField("ok", T.IntegerType(), False),
+        ]
+    )
+    CAT_PLANS = TestCorrelatedSubquery.CAT_PLANS
+    CAT_ROWS = TestCorrelatedSubquery.CAT_ROWS
+
+    def test_parse_in_subquery(self):
+        q = parse_lookup_query(
+            "SELECT name FROM t WHERE cat IN "
+            "(SELECT cat FROM allow WHERE ok = 1) AND k = :k"
+        )
+        p = q.disjuncts[0][0]
+        assert p.op == "in"
+        sq = p.terms[0].value
+        assert (sq.func, sq.col, sq.table) == ("__values", "cat", "allow")
+        assert q.is_pure_equi  # the IN-set rides as a dim-side filter
+
+    def test_correlated_in_subquery_rejected(self):
+        with pytest.raises(ValidationError, match="correlated IN-subqueries"):
+            parse_lookup_query(
+                "SELECT name FROM t WHERE cat IN "
+                "(SELECT u2.cat FROM u u2 WHERE u2.k = t.k)"
+            )
+
+    def test_nested_in_subquery_rejected(self, spark):
+        dims = {
+            "plans": spark.createDataFrame(self.CAT_ROWS, self.CAT_PLANS),
+            "allow": spark.createDataFrame([("a", 1)], self.ALLOW),
+        }
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "u",
+                    "query": (
+                        "SELECT price FROM plans WHERE price > "
+                        "(SELECT max(price) FROM plans WHERE cat IN "
+                        "(SELECT cat FROM allow))"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        with pytest.raises(ValidationError, match="cannot nest"):
+            LookupEnricher(spec, dims)
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    @pytest.mark.parametrize("neg", ["", "NOT "])
+    def test_in_subquery_all_paths(self, spark, kw, neg):
+        facts = [("c0", 0, "t1"), ("c1", 1, "t2"), ("c2", 2, "t3")]
+        dims = {
+            "plans": spark.createDataFrame(self.CAT_ROWS, self.CAT_PLANS),
+            "allow": spark.createDataFrame(
+                [("a", 1), ("b", 0), ("d", 1)], self.ALLOW
+            ),
+        }
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "u",
+                    "query": (
+                        f"SELECT price FROM plans WHERE tool = :tool AND "
+                        f"cat {neg}IN (SELECT cat FROM allow WHERE ok = 1)"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }
+            ]
+        )
+        out = LookupEnricher(spec, dims, **kw).apply(
+            spark.createDataFrame(facts, FACT)
+        )
+        got = {
+            r["turn_idx"]: sorted(d["price"] for d in r["u"])
+            for r in out.collect()
+        }
+        if neg:
+            # cat b/c not in {a, d}
+            assert got == {0: [], 1: [3, 7], 2: [1, 8]}
+        else:
+            assert got == {0: [2, 10], 1: [], 2: []}
+
+    @pytest.mark.parametrize("neg,expect", [("", []), ("NOT ", [2, 10])])
+    def test_empty_set_semantics(self, spark, neg, expect):
+        facts = [("c0", 0, "t1")]
+        dims = {
+            "plans": spark.createDataFrame(self.CAT_ROWS, self.CAT_PLANS),
+            "allow": spark.createDataFrame([("a", 1)], self.ALLOW),
+        }
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "u",
+                    "query": (
+                        f"SELECT price FROM plans WHERE tool = :tool AND "
+                        f"cat {neg}IN (SELECT cat FROM allow WHERE ok = 9)"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }
+            ]
+        )
+        out = LookupEnricher(spec, dims).apply(
+            spark.createDataFrame(facts, FACT)
+        )
+        (row,) = out.collect()
+        assert sorted(d["price"] for d in row["u"]) == expect

@@ -137,6 +137,10 @@ WIDE_TEMPLATES = [
     "WHERE s2.name = servers.name)",
     "length(ip) >= (SELECT count(*) FROM servers s2 "
     "WHERE s2.name = servers.name AND s2.ip <> 'k9')",
+    # round-4: row-set [NOT] IN subqueries (incl. the sometimes-empty
+    # set -> IN () FALSE / NOT IN () TRUE)
+    "ip IN (SELECT ip FROM servers WHERE name = 'v1') OR ip = :ip",
+    "ip = :ip AND ip NOT IN (SELECT ip FROM servers WHERE name = 'v9')",
 ]
 
 
