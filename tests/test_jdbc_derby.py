@@ -653,3 +653,28 @@ class TestDerbyRound4Shapes:
         )
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         assert sorted((x["name"], x["location"]) for x in row["corr"]) == live
+
+    def test_in_subquery_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "inq",
+                    "query": (
+                        "SELECT name FROM servers WHERE location NOT IN "
+                        "(SELECT location FROM servers WHERE ip LIKE '10.%')"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = store.dims()["servers"].collect()
+        excluded = {
+            r["location"] for r in rows if r["ip"].startswith("10.")
+        }
+        live = sorted(
+            r["name"] for r in rows if r["location"] not in excluded
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["name"] for x in row["inq"]) == live
