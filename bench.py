@@ -2,8 +2,12 @@
 
 Default mode (what the driver runs): executes the headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
-local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+local[$SPARK_GRAFT_CPUS], writes the full result (per-run arrays,
+10x medians, flagship scale, scaling + host-ceiling control) to
+BENCH_DETAIL.json, and prints ONE COMPACT JSON line (<2 KB — the
+driver's tail capture truncated round 4's single giant line):
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+     "sf": ..., "flagship": {...}, "scaling": {...}, "detail": ...}
 
 --scaling mode: runs the identical flagship pipeline job over an on-the-fly
 synthesized transcript table (default 20M turns) at local[8] and local[32]
@@ -56,6 +60,28 @@ def force(df) -> int:
         F.sum(F.xxhash64(*[F.col(c) for c in df.columns]) % F.lit(2**31)).alias("chk"),
     ).collect()[0]
     return row["n"]
+
+
+# Pure-JVM, (almost) shuffle-free host-ceiling control: sum(id % 1000)
+# over spark.range — no Python, no IO, no real shuffle, so its wall time
+# tracks what the shared VM's cores can deliver THIS session. Interleaved
+# with the job runs, it separates code regressions from host drift
+# (round-4 verdict: the control collapsed 0.97 -> 0.72-0.75 between
+# sessions while plans were byte-identical). sum(id % 1000) not sum(id):
+# ANSI mode overflows a raw sum of 16e9 ids.
+_CTL_ROWS = 16_000_000_000
+
+
+def ceiling_one(spark, rows: int = _CTL_ROWS) -> float:
+    """One timed run of the host-ceiling control on an existing session."""
+    from pyspark.sql import functions as F
+
+    n_parts = 4 * int(spark.sparkContext.defaultParallelism)
+    t0 = time.perf_counter()
+    spark.range(0, rows, numPartitions=n_parts).select(
+        F.sum(F.col("id") % 1000)
+    ).collect()
+    return time.perf_counter() - t0
 
 
 # --------------------------------------------------------------- 10x data
@@ -299,18 +325,25 @@ def flagship_at_scale(spark, n_turns: int = 20_000_000, repeats: int = 3) -> dic
     # until the last `repeats` runs agree within the spread target, then
     # report THOSE. All runs are recorded for transparency.
     all_runs: list[float] = []
+    ctl_runs: list[float] = []
     max_runs, target_spread = repeats + 4, 15.0
     window: list[float] = []
     for _ in range(max_runs):
         t0 = time.perf_counter()
         force(sink_counts(enrich_and_route(t, enricher)))
         all_runs.append(round(time.perf_counter() - t0, 3))
+        # Interleaved host-ceiling control (round-4 verdict #2): records
+        # machine-readably how much the shared VM drifted DURING the
+        # flagship sample, so a slow median can be attributed.
+        ctl_runs.append(round(ceiling_one(spark), 3))
         window = all_runs[-repeats:]
         if len(all_runs) >= repeats + 1:  # >=1 discarded warm-up run
             med = sorted(window)[len(window) // 2]
             if 100.0 * (max(window) - min(window)) / med <= target_spread:
                 break
     med = sorted(window)[len(window) // 2]
+    ctl_w = ctl_runs[-len(window):]
+    ctl_med = sorted(ctl_w)[len(ctl_w) // 2]
     return {
         "n_turns": n_turns,
         "all_runs_s": all_runs,
@@ -318,6 +351,13 @@ def flagship_at_scale(spark, n_turns: int = 20_000_000, repeats: int = 3) -> dic
         "median_s": med,
         "turns_per_sec": round(n_turns / med),
         "spread_pct": round(100.0 * (max(window) - min(window)) / med, 1),
+        "host_ceiling": {
+            "ctl_runs_s": ctl_runs,
+            "ctl_median_s": ctl_med,
+            "ctl_spread_pct": round(
+                100.0 * (max(ctl_w) - min(ctl_w)) / ctl_med, 1
+            ),
+        },
     }
 
 
@@ -358,9 +398,14 @@ def synth_transcripts(spark, n_turns: int, n_convs: int):
     )
 
 
-def scale_one(cpus: int, n_turns: int) -> float:
+def scale_one(cpus: int, n_turns: int) -> dict:
     """One timed run of the full pipeline at a given parallelism (fresh
-    JVM — invoked as a subprocess so levels can't contaminate each other)."""
+    JVM — invoked as a subprocess so levels can't contaminate each
+    other), plus an interleaved host-ceiling control run in the SAME
+    JVM at the SAME parallelism: the control's own N-vs-4N scaling is
+    the ceiling this host allows this session, and the job's scaling
+    efficiency is judged AGAINST that ceiling (round-3 idle host:
+    control 0.97; round-4 busy host: 0.72-0.75 with identical plans)."""
     from logstash_filter_jdbc_static_spark.operators.aggregate import sink_counts
     from logstash_filter_jdbc_static_spark.plans.pipeline import (
         build_enricher,
@@ -375,9 +420,12 @@ def scale_one(cpus: int, n_turns: int) -> float:
     enricher = build_enricher(spark)
     # warm-up (codegen + broadcast) on a small slice
     force(sink_counts(enrich_and_route(t.limit(100_000), enricher)))
+    ceiling_one(spark, rows=1_000_000_000)  # control warm-up
     t0 = time.perf_counter()
     force(sink_counts(enrich_and_route(t, enricher)))
-    return time.perf_counter() - t0
+    job_s = time.perf_counter() - t0
+    ctl_s = ceiling_one(spark)
+    return {"job_s": round(job_s, 3), "ctl_s": round(ctl_s, 3)}
 
 
 def run_scaling(
@@ -390,27 +438,36 @@ def run_scaling(
 
     results = {}
     for cpus in parallelisms:
-        best = None
+        best, ctl_best = None, None
         for _ in range(repeats):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scale-one",
                  str(cpus), str(n_turns)],
                 capture_output=True, text=True, check=True,
             )
-            sec = float(out.stdout.strip().splitlines()[-1])
+            one = json.loads(out.stdout.strip().splitlines()[-1])
+            sec, ctl = float(one["job_s"]), float(one["ctl_s"])
             best = sec if best is None else min(best, sec)
+            ctl_best = ctl if ctl_best is None else min(ctl_best, ctl)
         results[cpus] = {
             "seconds": round(best, 3),
             "turns_per_sec": round(n_turns / best),
+            "ctl_seconds": round(ctl_best, 3),
         }
     lo, hi = parallelisms[0], parallelisms[-1]
     speedup = results[hi]["turns_per_sec"] / results[lo]["turns_per_sec"]
     efficiency = speedup / (hi / lo)
+    # The control's own scaling efficiency is this session's host
+    # ceiling; the job is graded against it (normalized efficiency).
+    ctl_speedup = results[lo]["ctl_seconds"] / results[hi]["ctl_seconds"]
+    ctl_eff = ctl_speedup / (hi / lo)
     return {
         "n_turns": n_turns,
         "parallelism": {str(k): v for k, v in results.items()},
         "speedup": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
+        "ctl_scaling_efficiency": round(ctl_eff, 3),
+        "normalized_efficiency": round(efficiency / ctl_eff, 3),
     }
 
 
@@ -490,7 +547,7 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args()
     if args.scale_one:
-        print(scale_one(int(args.scale_one[0]), int(args.scale_one[1])))
+        print(json.dumps(scale_one(int(args.scale_one[0]), int(args.scale_one[1]))))
         return
     if args.scaling_submit:
         levels = tuple(int(x) for x in args.levels.split(","))
@@ -503,7 +560,66 @@ def main() -> None:
         return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    print(json.dumps(run_headline(sf_dir, cpus)))
+    res = run_headline(sf_dir, cpus)
+    # North-rule scaling evidence (N vs 4N parallelism, fresh JVMs) with
+    # the interleaved host-ceiling control, recorded machine-readably in
+    # the same driver-parsed JSON (round-4 verdict #1/#5). Skippable for
+    # quick iteration runs.
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        try:
+            res["scaling"] = run_scaling(args.turns, (8, 32), repeats=2)
+        except Exception as e:  # never lose the headline numbers
+            res["scaling"] = {"err": str(e)[:200]}
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(res, f, indent=1)
+    # The driver's tail capture is ~2.2 KB; round 4's single giant JSON
+    # line got its HEAD truncated (BENCH_r04 parsed:null). The LAST line
+    # is now a compact summary guaranteed to fit; full per-run arrays
+    # live in BENCH_DETAIL.json (committed to the repo).
+    line = json.dumps(compact_summary(res), separators=(",", ":"))
+    assert len(line) < 2000, f"summary line {len(line)}B exceeds tail window"
+    print(line)
+
+
+def compact_summary(res: dict) -> dict:
+    """Driver-parseable one-line summary of a full headline result."""
+    q10 = res["headline_10x"]["queries"]
+    fl = res["flagship_scale"]
+    out = {
+        "metric": "headline_10x_total_median_s",
+        "value": res["headline_10x"]["total_median_s"],
+        "unit": "sec",
+        "sf": res["sf"],
+        "cpus": res["cpus"],
+        # per-query medians at 10x replication — the A/B-comparable
+        # numbers (per-query spreads + raw sf runs: BENCH_DETAIL.json)
+        "queries": {n: d["median_s"] for n, d in q10.items()},
+        "sf_total_s": res["value"],
+        "spread_pct_max": max(d["spread_pct"] for d in q10.values()),
+        "flagship": {
+            "median_s": fl["median_s"],
+            "turns_per_sec": fl["turns_per_sec"],
+            "spread_pct": fl["spread_pct"],
+            "ctl_median_s": fl["host_ceiling"]["ctl_median_s"],
+            "ctl_spread_pct": fl["host_ceiling"]["ctl_spread_pct"],
+        },
+        "detail": "BENCH_DETAIL.json",
+    }
+    sc = res.get("scaling")
+    if sc and "err" not in sc:
+        out["scaling"] = {
+            "tps": {
+                k: v["turns_per_sec"] for k, v in sc["parallelism"].items()
+            },
+            "eff": sc["scaling_efficiency"],
+            "ctl_eff": sc["ctl_scaling_efficiency"],
+            "norm_eff": sc["normalized_efficiency"],
+        }
+    elif sc:
+        out["scaling"] = sc
+    return out
 
 
 if __name__ == "__main__":
