@@ -268,6 +268,8 @@ _NEG_OPS = {
     "in": "not in", "not in": "in",
     "between": "not between", "not between": "between",
     "is null": "is not null", "is not null": "is null",
+    # EXISTS is two-valued (never NULL), so De Morgan holds trivially
+    "exists": "not exists", "not exists": "exists",
 }
 
 
@@ -332,6 +334,26 @@ def _pred_column_condition(p: _Predicate, lhs: Column, rhs: list[Column]) -> Col
         return (lhs >= rhs[0]) & (lhs <= rhs[1])
     if op == "not between":
         return ~((lhs >= rhs[0]) & (lhs <= rhs[1]))
+    if op in ("in_set", "not in_set"):
+        # Correlated [NOT] IN subquery, resolved per refresh snapshot to
+        # three per-group dim columns: rhs[0] the group's non-null value
+        # set (collect_set drops NULLs), rhs[1] whether the group had a
+        # NULL value, rhs[2] the group row count (NULL == left-join miss
+        # == empty group). SQL filter semantics (FALSE and UNKNOWN both
+        # drop, NOT is already pushed to the leaf op):
+        #   IN: TRUE iff some group value equals lhs — a NULL lhs, a
+        #       missing group, or no match all drop the row.
+        #   NOT IN: TRUE iff the group is EMPTY (vacuous — even for a
+        #       NULL lhs), else lhs non-NULL, no NULL in the set, and
+        #       no match.
+        contains = F.coalesce(F.array_contains(rhs[0], lhs), F.lit(False))
+        if op == "in_set":
+            return contains
+        return F.when(rhs[2].isNull(), F.lit(True)).otherwise(
+            lhs.isNotNull()
+            & ~F.coalesce(rhs[1], F.lit(False))
+            & ~contains
+        )
     if op == "is null":
         return lhs.isNull()
     # "is not null"
@@ -526,8 +548,8 @@ def _sub_filtered_df(
                 [f"lookup subquery on {sq.table!r}: column {c!r} not in "
                  f"table"]
             )
-    if sq.func == "__values":
-        agg = None  # row-set subquery: no aggregate, values collected
+    if sq.func in ("__values", "__exists"):
+        agg = None  # row-set / existence subquery: no aggregate
     elif sq.func == "count":
         agg = F.count(F.lit(1)) if sq.col is None else F.count(F.col(sq.col))
     elif sq.func == "count_distinct":
@@ -549,10 +571,10 @@ def _eval_subquery(sq: _Subquery, dims: dict[str, DataFrame], _depth: int = 0):
             [f"lookup subquery on {sq.table!r}: correlated subqueries "
              f"cannot nest inside another subquery"]
         )
-    if sq.func == "__values":
+    if sq.func in ("__values", "__exists"):
         raise ValidationError(
-            [f"lookup subquery on {sq.table!r}: IN-subqueries cannot "
-             f"nest inside another subquery"]
+            [f"lookup subquery on {sq.table!r}: IN/EXISTS subqueries "
+             f"cannot nest inside another subquery"]
         )
     df, agg = _sub_filtered_df(sq, dims, _depth)
     return df.agg(agg).collect()[0][0]
@@ -650,7 +672,9 @@ def resolve_subqueries_with_dim(
         for (_, oc), k in zip(sq.corr, keys):
             piece = dim[oc] == agg_df[k]
             cond = piece if cond is None else (cond & piece)
-        dim = dim.join(agg_df, cond, "left").drop(*keys)
+        # per-group aggregate of a broadcast-contract dim: hint the
+        # broadcast so this snapshot-time join never sort-merges
+        dim = dim.join(F.broadcast(agg_df), cond, "left").drop(*keys)
         if sq.func in ("count", "count_distinct"):
             # SQL: an aggregate over an empty correlated group is a
             # COUNT of 0, not NULL — a left-join miss must not differ
@@ -661,20 +685,139 @@ def resolve_subqueries_with_dim(
         return name
 
     set_cache: list[tuple[_Subquery, list]] = []
+    exists_cache: list[tuple[_Subquery, str]] = []
+    in_group_cache: list[tuple[_Subquery, tuple[str, str, str]]] = []
 
-    def fix_pred(p: _Predicate) -> _Predicate:
+    def _need_dim(sq: _Subquery, what: str) -> DataFrame:
+        if holder["dim"] is None:
+            raise ValidationError(
+                [f"lookup subquery on {sq.table!r}: {what} subqueries "
+                 f"are supported only in single-table lookup queries"]
+            )
+        missing = sorted(
+            oc for _, oc in sq.corr if oc not in holder["dim"].columns
+        )
+        if missing:
+            raise ValidationError(
+                [f"lookup subquery on {sq.table!r}: outer column(s) "
+                 f"{missing} not in table {parsed.table!r}"]
+            )
+        return holder["dim"]
+
+    def exists_col_of(sq: _Subquery) -> str:
+        """[NOT] EXISTS as a synthetic NON-NULL boolean dim column
+        (EXISTS is two-valued in SQL), built once per refresh snapshot:
+        correlated -> the distinct correlation-key set of the sub rows
+        left-joins onto the dim as a TRUE flag, missing keys coalesce
+        FALSE (the set-at-a-time hoist of Derby's per-row nested
+        EXISTS); uncorrelated -> one driver-side emptiness probe folds
+        to a constant column."""
+        for k, name in exists_cache:
+            if k == sq:
+                return name
+        dim = _need_dim(sq, "EXISTS")
+        name = f"__sq_exists{len(exists_cache)}"
+        sub_df, _ = _sub_filtered_df(sq, dims)
+        if not sq.corr:
+            flag = bool(sub_df.take(1))
+            dim = dim.withColumn(name, F.lit(flag))
+        else:
+            keys = [f"__xk{i}_{name}" for i in range(len(sq.corr))]
+            flags = (
+                sub_df.groupBy(
+                    *[F.col(sc).alias(k) for (sc, _), k in zip(sq.corr, keys)]
+                )
+                .agg(F.lit(True).alias(name))
+            )
+            cond = None
+            for (_, oc), k in zip(sq.corr, keys):
+                piece = dim[oc] == flags[k]
+                cond = piece if cond is None else (cond & piece)
+            dim = (
+                dim.join(F.broadcast(flags), cond, "left")
+                .drop(*keys)
+                .withColumn(name, F.coalesce(F.col(name), F.lit(False)))
+            )
+        holder["dim"] = dim
+        exists_cache.append((sq, name))
+        return name
+
+    def in_group_cols_of(sq: _Subquery) -> tuple[str, str, str]:
+        """A CORRELATED [NOT] IN subquery as three per-group dim
+        columns (value set / had-NULL / group count), aggregated once
+        per refresh snapshot and left-joined by the correlation keys;
+        the predicate then compiles as the static ``in_set`` op on
+        every physical path. The per-group set honors the same
+        broadcast-dim size contract as uncorrelated IN-subqueries
+        (_IN_SUBQUERY_CAP, checked against the largest group)."""
+        for k, names in in_group_cache:
+            if k == sq:
+                return names
+        dim = _need_dim(sq, "correlated IN")
+        i = len(in_group_cache)
+        names = (f"__sq_in{i}_set", f"__sq_in{i}_null", f"__sq_in{i}_cnt")
+        sub_df, _ = _sub_filtered_df(sq, dims)
+        keys = [f"__ik{j}_{i}" for j in range(len(sq.corr))]
+        grouped = sub_df.groupBy(
+            *[F.col(sc).alias(k) for (sc, _), k in zip(sq.corr, keys)]
+        ).agg(
+            F.collect_set(F.col(sq.col)).alias(names[0]),
+            F.max(F.col(sq.col).isNull()).alias(names[1]),
+            F.count(F.lit(1)).alias(names[2]),
+        )
+        biggest = grouped.agg(F.max(F.size(names[0]))).collect()[0][0]
+        if biggest is not None and biggest > _IN_SUBQUERY_CAP:
+            raise ValidationError(
+                [f"lookup IN-subquery on {sq.table!r}: a correlation "
+                 f"group exceeds {_IN_SUBQUERY_CAP} distinct values — "
+                 f"pre-shape the dim with a loader query instead"]
+            )
+        cond = None
+        for (_, oc), k in zip(sq.corr, keys):
+            piece = dim[oc] == grouped[k]
+            cond = piece if cond is None else (cond & piece)
+        holder["dim"] = dim.join(F.broadcast(grouped), cond, "left").drop(*keys)
+        in_group_cache.append((sq, names))
+        return names
+
+    def fix_pred(p: _Predicate, in_having: bool = False) -> _Predicate:
         if not any(t.kind == "subquery" for t in p.terms):
             return p
+        if p.op in ("exists", "not exists"):
+            if in_having:
+                raise ValidationError(
+                    ["lookup HAVING: EXISTS subqueries are not supported "
+                     "in HAVING — filter in the WHERE clause instead"]
+                )
+            name = exists_col_of(p.terms[0].value)
+            return _Predicate(
+                name, "=", [_Term("literal", p.op == "exists")]
+            )
         if (
             p.op in ("in", "not in")
             and len(p.terms) == 1
             and p.terms[0].kind == "subquery"
             and p.terms[0].value.func == "__values"
         ):
-            # row-set subquery: expand to a literal IN list (empty set
-            # -> zero terms; the condition compilers give IN () = FALSE
-            # and NOT IN () = TRUE, standard SQL)
             sq = p.terms[0].value
+            if sq.corr:
+                if in_having:
+                    raise ValidationError(
+                        ["lookup HAVING: correlated IN-subqueries are not "
+                         "supported in HAVING — filter in the WHERE "
+                         "clause instead"]
+                    )
+                s, n, c = in_group_cols_of(sq)
+                return _Predicate(
+                    p.dim_column,
+                    "in_set" if p.op == "in" else "not in_set",
+                    [_Term("column", s), _Term("column", n),
+                     _Term("column", c)],
+                    func=p.func,
+                )
+            # uncorrelated row-set subquery: expand to a literal IN
+            # list (empty set -> zero terms; the condition compilers
+            # give IN () = FALSE and NOT IN () = TRUE, standard SQL)
             vals = None
             for k, v in set_cache:
                 if k == sq:
@@ -710,7 +853,10 @@ def resolve_subqueries_with_dim(
         where_tree=(
             None if parsed.where_tree is None else fix_tree(parsed.where_tree)
         ),
-        having=tuple(tuple(fix_pred(p) for p in d) for d in parsed.having),
+        having=tuple(
+            tuple(fix_pred(p, in_having=True) for p in d)
+            for d in parsed.having
+        ),
     )
     return parsed, holder["dim"]
 
@@ -1013,9 +1159,14 @@ class _WhereParser:
         alias: str = "",
         computed: list[tuple[str, object]] | None = None,
         qualifier_fallback=None,
+        in_subquery: bool = False,
     ):
         self.tokens = tokens
         self.table = table
+        # True when parsing a subquery's own WHERE: EXISTS cannot nest
+        # there (no set-at-a-time plan can stage doubly-nested
+        # existence), so the parser rejects it with a direct message.
+        self.in_subquery = in_subquery
         # Subquery scoping hook: called with a qualified name whose
         # qualifier is NOT this parser's relation — the enclosing
         # query's parser resolves it as an OUTER (correlated) reference.
@@ -1120,6 +1271,15 @@ class _WhereParser:
         if self._peek_word() == "not":
             self._next()
             return _negate(self._primary())
+        if self._peek_word() == "exists":
+            nxt = (
+                self.tokens[self.i + 1]
+                if self.i + 1 < len(self.tokens) else None
+            )
+            if nxt and nxt[0] == "lparen":
+                self._next()  # EXISTS
+                self._next()  # (
+                return ("pred", self._exists_predicate())
         tok = self._peek()
         if tok and tok[0] == "lparen":
             # '(' may open a boolean group or a parenthesized arithmetic
@@ -1270,13 +1430,80 @@ class _WhereParser:
             _Subquery(func, col, table, where, tuple(computed), corr),
         )
 
+    def _exists_predicate(self) -> _Predicate:
+        """``[NOT] EXISTS ( SELECT <any> FROM table [alias] [WHERE ...] )``
+        — the projection is irrelevant to existence (SQL) and accepted
+        as ``*``, a literal, or a column; the sub-WHERE takes the same
+        static-predicate grammar plus plain-equality correlations. The
+        reference runs EXISTS verbatim in Derby per event
+        (lookup.rb:131-147); here a correlated EXISTS compiles to a
+        semi-join flag column built once per refresh snapshot (see
+        resolve_subqueries_with_dim.exists_col_of), an uncorrelated one
+        folds to a constant — so every physical path keeps its plan.
+        NOT EXISTS arrives via _negate (op complement, EXISTS is
+        two-valued)."""
+        if self.computed is None:
+            raise ValidationError(
+                ["lookup HAVING: EXISTS subqueries are not supported in "
+                 "HAVING — filter in the WHERE clause instead"]
+            )
+        if self.in_subquery:
+            raise ValidationError(
+                ["lookup subquery: EXISTS cannot nest inside another "
+                 "subquery's WHERE"]
+            )
+        self._expect_word("select")
+        # slice the projection tokens up to the depth-0 FROM
+        depth, j = 0, self.i
+        while j < len(self.tokens):
+            k, v = self.tokens[j]
+            if k == "lparen":
+                depth += 1
+            elif k == "rparen":
+                if depth == 0:
+                    raise ValidationError(
+                        ["unsupported lookup EXISTS subquery: missing FROM"]
+                    )
+                depth -= 1
+            elif k == "word" and v.lower() == "from" and depth == 0:
+                break
+            j += 1
+        proj_toks = self.tokens[self.i:j]
+        if not proj_toks:
+            raise ValidationError(
+                ["unsupported lookup EXISTS subquery: missing projection"]
+            )
+        self.i = j  # at FROM (consumed by _sub_relation)
+        table, sub_alias, strip_sub_qual = self._sub_relation()
+        computed: list[tuple[str, object]] = []
+        if proj_toks != [("arith", "*")]:
+            # anything the scalar grammar accepts is fine — the value
+            # is discarded; the parse just closes the grammar
+            self._sub_head_column(
+                proj_toks, strip_sub_qual, computed, "EXISTS projection"
+            )
+            computed.clear()  # projection expressions are never evaluated
+        where, corr = self._sub_where(table, sub_alias, computed)
+        return _Predicate(
+            "",  # EXISTS has no lhs column; resolved to a flag column
+            "exists",
+            [_Term(
+                "subquery",
+                _Subquery("__exists", None, table, where, tuple(computed), corr),
+            )],
+        )
+
     def _set_subquery_term(self) -> _Term:
-        """``IN ( SELECT col FROM table [alias] [WHERE <static>] )`` —
-        a row-SET subquery for [NOT] IN membership. Uncorrelated only:
-        the value set is collected once per refresh snapshot (distinct,
-        size-capped) and expanded into a literal IN list, so every
-        physical path treats it as an ordinary static predicate. The
-        opening '(' is already consumed by the IN branch."""
+        """``IN ( SELECT col FROM table [alias] [WHERE ...] )`` —
+        a row-SET subquery for [NOT] IN membership. Uncorrelated: the
+        value set is collected once per refresh snapshot (distinct,
+        size-capped) and expanded into a literal IN list. Correlated
+        (plain sub_col = outer.col equalities, round-5): per-group
+        value sets aggregate once per snapshot and left-join onto the
+        dim, and the predicate compiles as the static ``in_set`` op —
+        either way every physical path treats it as an ordinary static
+        predicate. The opening '(' is already consumed by the IN
+        branch."""
         self._next()  # SELECT
         if self._peek_word() == "distinct":
             self._next()  # membership semantics: DISTINCT is a no-op
@@ -1307,15 +1534,9 @@ class _WhereParser:
             proj_toks, strip_sub_qual, computed, "projection"
         )
         where, corr = self._sub_where(table, sub_alias, computed)
-        if corr:
-            raise ValidationError(
-                [f"unsupported lookup IN-subquery on {table!r}: "
-                 f"correlated IN-subqueries are not supported — "
-                 f"pre-shape the dim with a loader query instead"]
-            )
         return _Term(
             "subquery",
-            _Subquery("__values", col, table, where, tuple(computed)),
+            _Subquery("__values", col, table, where, tuple(computed), corr),
         )
 
     def _sub_head_column(
@@ -1415,7 +1636,7 @@ class _WhereParser:
 
             sub = _WhereParser(
                 self.tokens[self.i:j], sub_alias, computed=computed,
-                qualifier_fallback=outer_ref,
+                qualifier_fallback=outer_ref, in_subquery=True,
             )
             where = tuple(tuple(d) for d in sub.parse())
             self.i = j
@@ -2778,12 +2999,12 @@ class CompiledLookup:
             ]
         elif self.query.projection is None:
             # SELECT * expands to the BASE table columns — synthetic
-            # __expr columns from a WHERE expression and __sq_corr
-            # correlated-subquery columns never leak out
+            # __expr columns from a WHERE expression and __sq_* columns
+            # (correlated scalar/EXISTS/IN subqueries) never leak out
             self.out_fields = [
                 (f.name, f.name)
                 for f in base_schema_fields
-                if not f.name.startswith("__sq_corr")
+                if not f.name.startswith("__sq_")
             ]
         else:
             for src, _ in self.query.projection:

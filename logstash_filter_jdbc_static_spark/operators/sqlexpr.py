@@ -22,7 +22,10 @@ them BOTH ways:
 Supported surface (the closed-grammar contract, COVERAGE.md):
 ``+ - * /`` (SQL float division), ``||`` string concat, unary minus,
 scalar functions lower/upper/trim/ltrim/rtrim/length/abs/coalesce/
-mod/substr/floor/ceil/round, searched ``CASE WHEN <cond> THEN <expr>
+mod/substr/floor/ceil/round/nullif/replace/instr, ``CAST(expr AS
+type)`` over the local-DDL type surface (round-4 verdict #3 — the
+docs tell users to cast remote columns to match local schemas,
+docs/index.asciidoc:455-458), searched ``CASE WHEN <cond> THEN <expr>
 ... [ELSE <expr>] END`` where ``<cond>`` combines comparisons and
 ``IS [NOT] NULL`` with AND/OR/NOT. Parameters are rejected inside
 expressions — they belong to predicate right-hand sides.
@@ -73,6 +76,20 @@ class Case:
     otherwise: object | None
 
 
+@dataclass(frozen=True)
+class Cast:
+    """``CAST(expr AS type)`` — the docs-recommended shape for aligning
+    remote column types with local schemas (docs/index.asciidoc:455-458).
+    ``type_str`` is the normalized Derby type string (``int``,
+    ``decimal(10,2)``, ``varchar(64)``); the Spark side maps it through
+    the same schema.derby_type_to_spark used for local table DDL.
+    Documented divergence (COVERAGE.md): float->int CAST truncates
+    (Spark/Derby, SQL standard); DuckDB rounds."""
+
+    operand: object
+    type_str: str
+
+
 # conditions (inside CASE WHEN only)
 
 @dataclass(frozen=True)
@@ -116,7 +133,18 @@ _FUNCS: dict[str, tuple[int, int | None]] = {
     "substr": (2, 3),
     "substring": (2, 3),
     "coalesce": (2, None),
+    "nullif": (2, 2),
+    "replace": (3, 3),
+    "instr": (2, 2),
 }
+
+# CAST targets: the Derby type surface local DDL already accepts,
+# minus binary/lob (no sensible text-protocol literal to cast from).
+_CAST_BASES = frozenset(
+    ("int", "integer", "smallint", "tinyint", "bigint", "long",
+     "double", "float", "real", "decimal", "numeric",
+     "varchar", "char", "string", "date", "timestamp", "boolean")
+)
 
 _AGG_NAMES = ("count", "sum", "min", "max", "avg")
 
@@ -163,6 +191,8 @@ def map_columns(ast, fn):
         return NullTest(map_columns(ast.operand, fn), ast.negated)
     if isinstance(ast, Func):
         return Func(ast.name, tuple(map_columns(a, fn) for a in ast.args))
+    if isinstance(ast, Cast):
+        return Cast(map_columns(ast.operand, fn), ast.type_str)
     if isinstance(ast, BoolOp):
         return BoolOp(ast.op, tuple(map_columns(p, fn) for p in ast.parts))
     if isinstance(ast, Case):
@@ -184,7 +214,7 @@ def columns(ast) -> set[str]:
         return set()
     if isinstance(ast, (Bin, Cmp)):
         return columns(ast.left) | columns(ast.right)
-    if isinstance(ast, (Neg, NotOp)):
+    if isinstance(ast, (Neg, NotOp, Cast)):
         return columns(ast.operand)
     if isinstance(ast, NullTest):
         return columns(ast.operand)
@@ -331,6 +361,8 @@ class ExprParser:
                 return self._case()
             nxt = self._peek()
             if nxt and nxt[0] == "lparen" and "." not in text:
+                if w == "cast":
+                    return self._cast()
                 if w in _AGG_NAMES:
                     raise ValidationError(
                         [f"unsupported lookup expression: aggregate {w}(...) "
@@ -371,6 +403,70 @@ class ExprParser:
         raise ValidationError(
             [f"unsupported lookup expression: unexpected token {text!r}"]
         )
+
+    def _cast(self):
+        """``CAST(expr AS type)`` — the CAST word is consumed, the '('
+        is at the cursor. The type grammar mirrors local-DDL column
+        types: base word (``DOUBLE PRECISION`` folds to ``double``),
+        optional ``(n)`` / ``(p,s)`` parameters."""
+        self._next()  # (
+        operand = self.parse()
+        self._expect_word("as")
+        t = self._next()
+        if t[0] != "word":
+            raise ValidationError(
+                [f"unsupported lookup expression: expected a type name "
+                 f"after CAST(... AS, got {t[1]!r}"]
+            )
+        base = t[1].lower()
+        if base == "double" and self._peek_word() == "precision":
+            self._next()
+        if base not in _CAST_BASES:
+            raise ValidationError(
+                [f"unsupported lookup expression: CAST to {t[1]!r} "
+                 f"(supported: {', '.join(sorted(_CAST_BASES))})"]
+            )
+        params: list[str] = []
+        nt = self._peek()
+        if nt and nt[0] == "lparen":
+            self._next()
+            while True:
+                pt = self._next()
+                if pt[0] != "number" or "." in pt[1]:
+                    raise ValidationError(
+                        [f"unsupported lookup expression: CAST type "
+                         f"parameter must be an integer, got {pt[1]!r}"]
+                    )
+                params.append(pt[1])
+                sep = self._next()
+                if sep[0] == "rparen":
+                    break
+                if sep[0] != "comma":
+                    raise ValidationError(
+                        [f"unsupported lookup expression: expected ',' or "
+                         f"')' in CAST type, got {sep[1]!r}"]
+                    )
+        if params and base not in ("decimal", "numeric", "varchar", "char"):
+            raise ValidationError(
+                [f"unsupported lookup expression: type {base!r} takes no "
+                 f"parameters in CAST"]
+            )
+        if len(params) > (2 if base in ("decimal", "numeric") else 1):
+            raise ValidationError(
+                [f"unsupported lookup expression: too many parameters for "
+                 f"CAST type {base!r}"]
+            )
+        type_str = base + (f"({','.join(params)})" if params else "")
+        from logstash_filter_jdbc_static_spark.schema import derby_type_to_spark
+
+        try:
+            derby_type_to_spark(type_str)
+        except ValueError as e:
+            raise ValidationError(
+                [f"unsupported lookup expression: {e}"]
+            )
+        self._expect("rparen", "')'")
+        return Cast(operand, type_str)
 
     def _case(self):
         """Searched CASE (already consumed the CASE word)."""
@@ -473,11 +569,21 @@ def compile_expr(ast) -> Column:
         if ast.op == "/":
             return left / right
         return F.concat(left, right)  # '||' (NULL-propagating, as SQL)
+    if isinstance(ast, Cast):
+        from logstash_filter_jdbc_static_spark.schema import derby_type_to_spark
+
+        return compile_expr(ast.operand).cast(derby_type_to_spark(ast.type_str))
     if isinstance(ast, Func):
         args = [compile_expr(a) for a in ast.args]
         name = ast.name
         if name == "coalesce":
             return F.coalesce(*args)
+        if name == "nullif":
+            return F.nullif(args[0], args[1])
+        if name == "replace":
+            return F.replace(args[0], args[1], args[2])
+        if name == "instr":
+            return F.instr(args[0], args[1])
         if name == "mod":
             return args[0] % args[1]
         if name in ("substr", "substring"):
@@ -550,6 +656,8 @@ def eval_expr(ast, row: dict):
         if ast.op == "/":
             return left / right
         return f"{left}{right}"  # '||'
+    if isinstance(ast, Cast):
+        return _eval_cast(eval_expr(ast.operand, row), ast.type_str)
     if isinstance(ast, Func):
         args = [eval_expr(a, row) for a in ast.args]
         name = ast.name
@@ -558,6 +666,11 @@ def eval_expr(ast, row: dict):
                 if a is not None:
                     return a
             return None
+        if name == "nullif":
+            # NULLIF(a, b): NULL when a = b; a otherwise (a NULL b, or
+            # b NULL, makes the comparison unknown -> returns a)
+            a, b = args
+            return None if (a is not None and b is not None and a == b) else a
         if any(a is None for a in args):
             return None
         if name == "lower":
@@ -589,6 +702,14 @@ def eval_expr(ast, row: dict):
             # Spark % follows the dividend sign, like Python math.fmod
             r = math.fmod(args[0], args[1])
             return int(r) if isinstance(args[0], int) and isinstance(args[1], int) else r
+        if name == "replace":
+            s, search, repl = args
+            # Spark/DuckDB: an empty search string is a no-op (Python's
+            # str.replace would interleave `repl` everywhere)
+            return s if search == "" else s.replace(search, repl)
+        if name == "instr":
+            # 1-based position of the first occurrence; 0 when absent
+            return args[0].find(args[1]) + 1
         if name in ("substr", "substring"):
             s, pos = args[0], args[1]
             ln = args[2] if len(args) > 2 else None
@@ -605,6 +726,67 @@ def eval_expr(ast, row: dict):
                 return eval_expr(val, row)
         return None if ast.otherwise is None else eval_expr(ast.otherwise, row)
     raise TypeError(f"unknown expression node {ast!r}")
+
+
+def _eval_cast(v, type_str: str):
+    """Row-at-a-time CAST with Spark/Derby semantics (ANSI: malformed
+    string casts raise, float->int truncates toward zero, decimal
+    rounds HALF_UP). NULL passes through every cast."""
+    import datetime
+    import decimal
+    import re as _re
+
+    if v is None:
+        return None
+    base = type_str.split("(")[0]
+    if base in ("int", "integer", "smallint", "tinyint", "bigint", "long"):
+        if isinstance(v, bool):
+            return int(v)
+        if isinstance(v, str):
+            return int(v.strip())  # raises on malformed, like ANSI
+        if isinstance(v, decimal.Decimal):
+            return int(v.to_integral_value(rounding=decimal.ROUND_DOWN))
+        return int(v)  # float truncates toward zero (Spark/Derby; DuckDB rounds)
+    if base in ("double", "float", "real"):
+        return float(v)
+    if base in ("decimal", "numeric"):
+        m = _re.match(r"^[a-z]+\((\d+)(?:,(\d+))?\)$", type_str)
+        scale = int(m.group(2) or 0) if m else 0
+        return decimal.Decimal(str(v)).quantize(
+            decimal.Decimal(1).scaleb(-scale), rounding=decimal.ROUND_HALF_UP
+        )
+    if base in ("varchar", "char", "string"):
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, datetime.datetime):
+            return v.strftime("%Y-%m-%d %H:%M:%S")
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        return str(v)
+    if base == "date":
+        if isinstance(v, datetime.datetime):
+            return v.date()
+        if isinstance(v, datetime.date):
+            return v
+        return datetime.date.fromisoformat(str(v).strip())
+    if base == "timestamp":
+        if isinstance(v, datetime.datetime):
+            return v
+        if isinstance(v, datetime.date):
+            return datetime.datetime(v.year, v.month, v.day)
+        return datetime.datetime.fromisoformat(str(v).strip())
+    if base == "boolean":
+        if isinstance(v, bool):
+            return v
+        if isinstance(v, str):
+            s = v.strip().lower()
+            if s in ("true", "t", "yes", "y", "1"):
+                return True
+            if s in ("false", "f", "no", "n", "0"):
+                return False
+            raise ValueError(f"cannot cast {v!r} to boolean")
+        return bool(v)
+    raise TypeError(f"unknown CAST target {type_str!r}")
 
 
 def _eval_cond(ast, row):

@@ -322,9 +322,85 @@ def _resolve_subqueries_rows(
         state["cache"].append((sq, name))
         return _Term("column", name)
 
+    def _lhs_of(p, r: dict):
+        lhs = r.get(p.dim_column)
+        if lhs is not None and p.func:
+            lhs = _LHS_FUNCS[p.func](lhs)
+        return lhs
+
+    def exists_col_of(sq) -> str:
+        """Row-at-a-time twin of lookup.exists_col_of: a boolean
+        synthetic column per probe row (constant when uncorrelated)."""
+        for k, name in state["cache"]:
+            if k == ("exists", sq):
+                return name
+        name = f"__sq_exists{len(state['cache'])}"
+        sub = _sub_rows(sq, tables)
+        if not sq.corr:
+            flag = bool(sub)
+            state["rows"] = [{**r, name: flag} for r in state["rows"]]
+        else:
+            state["rows"] = [
+                {
+                    **r,
+                    name: any(
+                        all(
+                            corr_eq(s.get(sc), r.get(oc))
+                            for sc, oc in sq.corr
+                        )
+                        for s in sub
+                    ),
+                }
+                for r in state["rows"]
+            ]
+        state["cache"].append((("exists", sq), name))
+        return name
+
+    def corr_in_col_of(p) -> str:
+        """Row-at-a-time twin of lookup.in_group_cols_of, collapsed to
+        the final filter boolean per probe row (the Spark side keeps
+        set/had-null/count columns and compiles the ``in_set`` op; the
+        semantics here must match _pred_column_condition's)."""
+        sq = p.terms[0].value
+        key = ("corr_in", sq, p.dim_column, p.func, p.op)
+        for k, name in state["cache"]:
+            if k == key:
+                return name
+        name = f"__sq_in{len(state['cache'])}"
+        sub = _sub_rows(sq, tables)
+        new_rows = []
+        for r in state["rows"]:
+            grp = [
+                s.get(sq.col)
+                for s in sub
+                if all(corr_eq(s.get(sc), r.get(oc)) for sc, oc in sq.corr)
+            ]
+            nonnull = [v for v in grp if v is not None]
+            has_null = len(nonnull) < len(grp)
+            lhs = _lhs_of(p, r)
+
+            def eq(v, lhs=lhs):
+                left, right = _coerce_pair(lhs, v)
+                return left is not None and right is not None and left == right
+
+            member = lhs is not None and any(eq(v) for v in nonnull)
+            if p.op == "in":
+                flag = member
+            else:  # not in: TRUE iff empty group, else no NULLs + no match
+                flag = not grp or (
+                    lhs is not None and not has_null and not member
+                )
+            new_rows.append({**r, name: flag})
+        state["rows"] = new_rows
+        state["cache"].append((key, name))
+        return name
+
     def fix_pred(p):
         if not any(t.kind == "subquery" for t in p.terms):
             return p
+        if p.op in ("exists", "not exists"):
+            name = exists_col_of(p.terms[0].value)
+            return _Predicate(name, "=", [_Term("literal", p.op == "exists")])
         if (
             p.op in ("in", "not in")
             and len(p.terms) == 1
@@ -332,6 +408,9 @@ def _resolve_subqueries_rows(
             and p.terms[0].value.func == "__values"
         ):
             sq = p.terms[0].value
+            if sq.corr:
+                name = corr_in_col_of(p)
+                return _Predicate(name, "=", [_Term("literal", True)])
             vals = list(
                 dict.fromkeys(r.get(sq.col) for r in _sub_rows(sq, tables))
             )
@@ -401,7 +480,7 @@ def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:
                 [
                     (f, f)
                     for f in row.keys()
-                    if f not in synth and not f.startswith("__sq_corr")
+                    if f not in synth and not f.startswith("__sq_")
                 ]
                 if q.projection is None
                 else q.projection

@@ -413,6 +413,7 @@ def _load_plugins() -> None:
     import logstash_filter_jdbc_static_spark.queries_pipeline6  # noqa: F401
     import logstash_filter_jdbc_static_spark.queries_pipeline7  # noqa: F401
     import logstash_filter_jdbc_static_spark.queries_pipeline8  # noqa: F401
+    import logstash_filter_jdbc_static_spark.queries_pipeline9  # noqa: F401
     import logstash_filter_jdbc_static_spark.queries_relational  # noqa: F401
     # LAST: joins the part registrations above into merged gate entries
     import logstash_filter_jdbc_static_spark.queries_merged  # noqa: F401

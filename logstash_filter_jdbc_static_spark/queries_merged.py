@@ -29,34 +29,59 @@ CONSOLIDATED: dict[str, str] = {}
 
 
 def _merge(name: str, keys: list[str], parts) -> None:
-    """Register ``name`` as the inner join of the part queries on
-    ``keys``. ``parts``: (part_name, [(src_col, out_col), ...]) —
-    explicit projections, so colliding part columns get distinct
-    names and redundant duplicates (same derivation in two parts)
-    are dropped."""
+    """Register ``name`` as the FULL OUTER join of the part queries on
+    ``keys`` (round-4 verdict #6). ``parts``: (part_name, [(src_col,
+    out_col), ...]) — explicit projections, so colliding part columns
+    get distinct names and redundant duplicates (same derivation in
+    two parts) are dropped.
+
+    Outer, not inner: an inner join could mask a part bug that
+    adds/removes rows at keys its SIBLING parts don't cover (the bug's
+    rows would vanish identically from both engines). The full outer
+    join surfaces every key any part produced, NULL-padding the
+    others, and a per-part boolean ``in_p{i}`` membership marker
+    (FALSE on a miss, mirrored in the composed oracle SQL) pins each
+    part's exact row membership into the hash compare."""
     # Eager capture: a merged query may reuse a part's name
     # (embeddings_kmeans, ann_ivf_multiprobe), so grab the part fn/SQL
     # BEFORE re-registering overwrites them.
     fns = [(Q.QUERIES[p], cols) for p, cols in parts]
     sqls = [Q.ORACLES[p] for p, _ in parts]
+    n = len(parts)
 
     def fn(spark, sf_dir):
         out = None
-        for part_fn, cols in fns:
+        for i, (part_fn, cols) in enumerate(fns):
             df = part_fn(spark, sf_dir).select(
-                *keys, *[F.col(s).alias(o) for s, o in cols]
+                *keys,
+                *[F.col(s).alias(o) for s, o in cols],
+                F.lit(True).alias(f"in_p{i}"),
             )
-            out = df if out is None else out.join(df, keys)
-        return out
+            # name-list join: Spark coalesces the key columns, exactly
+            # like SQL USING
+            out = df if out is None else out.join(df, keys, "full")
+        sel = list(keys)
+        for _, cols in fns:
+            sel += [o for _, o in cols]
+        return out.select(
+            *sel,
+            *[
+                F.coalesce(F.col(f"in_p{i}"), F.lit(False)).alias(f"in_p{i}")
+                for i in range(n)
+            ],
+        )
 
     fn.__name__ = name
-    sel = [f"p0.{k} AS {k}" for k in keys]
-    frm = f"FROM ({sqls[0]}) p0"
+    sel = [f"{k} AS {k}" for k in keys]  # USING-coalesced keys
+    frm = f"FROM (SELECT q.*, TRUE AS __m0 FROM ({sqls[0]}) q) p0"
     for i, (_, cols) in enumerate(parts):
         sel += [f"p{i}.{s} AS {o}" for s, o in cols]
         if i:
-            on = " AND ".join(f"p{i}.{k} = p0.{k}" for k in keys)
-            frm += f"\nJOIN ({sqls[i]}) p{i} ON {on}"
+            frm += (
+                f"\nFULL JOIN (SELECT q.*, TRUE AS __m{i} "
+                f"FROM ({sqls[i]}) q) p{i} USING ({', '.join(keys)})"
+            )
+    sel += [f"coalesce(p{i}.__m{i}, FALSE) AS in_p{i}" for i in range(n)]
     register(name, f"SELECT {', '.join(sel)}\n{frm}")(fn)
     for p, _ in parts:
         if p != name:
@@ -132,6 +157,14 @@ _merge(
          [("n_corr", "corr_n"), ("corr_prices", "corr_prices")]),
         ("lookup_in_subquery",
          [("n_in", "in_n"), ("in_prices", "in_prices")]),
+        # round-5 widening: [NOT] EXISTS, correlated [NOT] IN, and
+        # CAST/nullif/replace/instr share this gate row too
+        ("lookup_exists",
+         [("n_nx", "nx_n"), ("nx_prices", "nx_prices")]),
+        ("lookup_corr_in",
+         [("n_ci", "ci_n"), ("ci_prices", "ci_prices")]),
+        ("lookup_cast_funcs",
+         [("n_cf", "cf_n"), ("cf_rows", "cf_rows")]),
     ],
 )
 
@@ -204,6 +237,21 @@ _merge(
         ("documents_pack_sequences",
          [("n_tokens", "pack_n_tokens"), ("shard", "pack_shard"),
           ("pack_id", "pack_id")]),
+    ],
+)
+
+
+_merge(
+    "events_windowed_counts", ["window_start", "event_type"],
+    [
+        # batch twin + the REAL Structured Streaming run (readStream ->
+        # window agg -> AvailableNow -> memory sink) share one gate row
+        # (round-4 verdict #7); the full outer join + markers prove the
+        # streaming sink's final contents equal the batch aggregation
+        ("events_windowed_counts",
+         [("n_events", "n_events"), ("sum_value", "sum_value")]),
+        ("events_windowed_counts_stream",
+         [("n_events", "st_n_events"), ("sum_value", "st_sum_value")]),
     ],
 )
 

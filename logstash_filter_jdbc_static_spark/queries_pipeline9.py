@@ -1,0 +1,299 @@
+"""Ninth wave of gated queries: the round-5 lookup-SQL widening —
+``[NOT] EXISTS`` subqueries, correlated ``[NOT] IN`` subqueries, and
+``CAST``/``nullif``/``replace``/``instr`` scalar expressions. The
+reference hands lookup SQL verbatim to Derby
+(lib/logstash/filters/jdbc/lookup.rb:131-147), so all three are legal
+lookup configs there; the docs explicitly tell users to CAST remote
+columns so they match local schemas (docs/index.asciidoc:455-458).
+
+Spark-first compilation (operators/lookup.py, operators/sqlexpr.py):
+a correlated EXISTS becomes a semi-join boolean flag column built ONCE
+per refresh snapshot (broadcast-hinted, dim-sized); a correlated IN
+becomes per-group value-set columns plus the static ``in_set`` op;
+CAST and the scalar functions are synthetic dim columns. The per-event
+plan stays the single broadcast-hash equi probe on every shape — the
+100 TB plan (plan-asserted in tests/test_lookup_exists.py).
+
+All three fold into the ``lookup_expr_shapes`` merged gate row
+(queries_merged.py) — the driver registry stays at 50 entries.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
+from logstash_filter_jdbc_static_spark.queries import register
+from logstash_filter_jdbc_static_spark.queries_pipeline8 import (
+    PLAN_ROWS,
+    PLAN_SCHEMA,
+    _PLANS_CTE,
+)
+from logstash_filter_jdbc_static_spark.sources.transcripts import (
+    TRANSCRIPTS_CTE,
+    load_transcripts,
+    with_ctes,
+)
+from logstash_filter_jdbc_static_spark.spec import PipelineSpec
+
+
+def _payload_agg(spark, sf_dir, query, alias, value_field):
+    """Shared fact-side shape of this wave: enrich, then flatten the
+    payload to a count + sorted CSV string per turn."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[{"id": alias, "query": query, "parameters": {"tool": "tool"}}]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    return enricher.apply(t), alias, value_field
+
+
+@register(
+    "lookup_exists",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT t.tool, t.price FROM tool_plans t
+          WHERE NOT EXISTS (SELECT 1 FROM tool_plans p2
+                            WHERE p2.plan = t.plan AND p2.price > 6)
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_nx,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) ORDER BY m.price),
+                   ','),
+                 '') AS nx_prices
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: a correlated ``NOT EXISTS`` — plans with no same-plan
+    sibling priced above 6. Derby nests the existence probe per outer
+    row (lookup.rb:131-147); the Spark-first hoist builds a semi-join
+    TRUE-flag per correlation key once per refresh snapshot
+    (broadcast-hinted), coalesces misses to FALSE (EXISTS is
+    two-valued), and compiles the predicate as a static boolean
+    equality — the per-event plan stays one broadcast-hash probe.
+    NULL-plan rows correlate to nothing, so NOT EXISTS keeps them."""
+    out, alias, vf = _payload_agg(
+        spark, sf_dir,
+        "SELECT price FROM tool_plans WHERE tool = :tool AND NOT EXISTS "
+        "(SELECT 1 FROM tool_plans p2 "
+        "WHERE p2.plan = tool_plans.plan AND p2.price > 6)",
+        "nx", "price",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size(alias).cast("long").alias("n_nx"),
+        F.array_join(
+            F.transform(
+                F.col(alias), lambda r: r.getField(vf).cast("string")
+            ),
+            ",",
+        ).alias("nx_prices"),
+    )
+
+
+@register(
+    "lookup_corr_in",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT t.tool, t.price FROM tool_plans t
+          WHERE t.price NOT IN (SELECT p2.price FROM tool_plans p2
+                                WHERE p2.plan = t.plan AND p2.qty <= 4)
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_ci,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) ORDER BY m.price),
+                   ','),
+                 '') AS ci_prices
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_corr_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: a correlated ``NOT IN`` — prices outside their own
+    plan's low-qty price set. The per-group value sets (plus had-NULL
+    and row-count markers, for exact 3-valued NOT IN semantics: an
+    EMPTY group is vacuously TRUE, a NULL in the set never matches)
+    aggregate once per refresh snapshot and left-join onto the dim
+    broadcast-hinted; the predicate compiles as the static ``in_set``
+    op, so the fact side stays the one broadcast-hash probe."""
+    out, alias, vf = _payload_agg(
+        spark, sf_dir,
+        "SELECT price FROM tool_plans WHERE tool = :tool AND price NOT IN "
+        "(SELECT p2.price FROM tool_plans p2 "
+        "WHERE p2.plan = tool_plans.plan AND p2.qty <= 4)",
+        "ci", "price",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size(alias).cast("long").alias("n_ci"),
+        F.array_join(
+            F.transform(
+                F.col(alias), lambda r: r.getField(vf).cast("string")
+            ),
+            ",",
+        ).alias("ci_prices"),
+    )
+
+
+@register(
+    "lookup_cast_funcs",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT tool,
+                 CAST(price * qty AS VARCHAR) AS total_s,
+                 nullif(plan, 'basic') AS nb,
+                 CAST(instr(coalesce(plan, ''), 'r') AS INTEGER) AS rpos
+          FROM tool_plans
+          WHERE replace(coalesce(plan, 'x'), 'ic', '') <> 'bas'
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.total_s) AS BIGINT) AS n_cf,
+               coalesce(
+                 array_to_string(
+                   list(m.total_s || ':' || coalesce(m.nb, '-') || ':'
+                        || CAST(m.rpos AS VARCHAR)
+                        ORDER BY m.total_s, m.nb, m.rpos),
+                   ','),
+                 '') AS cf_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_cast_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: ``CAST`` plus the nullif/replace/instr scalar functions
+    (round-4 verdict #3; docs/index.asciidoc:455-458 recommends CAST in
+    lookup SQL). All compile to synthetic dim columns through the same
+    sqlexpr pipeline as arithmetic/CASE — parameter-free, so the
+    replace() predicate rides the dim as a load-time filter and the
+    fact side keeps the single broadcast-hash equi plan. Documented
+    divergence honored by construction: int->varchar CAST is identical
+    on Spark/Derby/DuckDB (float->int would not be — Spark truncates,
+    DuckDB rounds — so gated queries avoid it)."""
+    out, alias, _ = _payload_agg(
+        spark, sf_dir,
+        "SELECT cast(price * qty AS varchar(16)) AS total_s, "
+        "nullif(plan, 'basic') AS nb, "
+        "instr(coalesce(plan, ''), 'r') AS rpos "
+        "FROM tool_plans WHERE tool = :tool "
+        "AND replace(coalesce(plan, 'x'), 'ic', '') <> 'bas'",
+        "cf", "total_s",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size(alias).cast("long").alias("n_cf"),
+        F.array_join(
+            F.transform(
+                F.col(alias),
+                lambda r: F.concat(
+                    r.getField("total_s"),
+                    F.lit(":"),
+                    F.coalesce(r.getField("nb"), F.lit("-")),
+                    F.lit(":"),
+                    r.getField("rpos").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("cf_rows"),
+    )
+
+
+@register(
+    "events_windowed_counts_stream",
+    # the ground truth for the STREAMING run is the same batch SQL the
+    # batch twin is gated on: Structured Streaming over a finite file
+    # source with Trigger.AvailableNow + complete mode must produce
+    # exactly the batch aggregation
+    """
+    SELECT time_bucket(INTERVAL '300 seconds', ts) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 (round-4 verdict #7): the REAL Structured Streaming path
+    driver-gated, not just its batch twin. readStream over the events
+    parquet (file source), the same tumbling-window aggregation the
+    batch twin runs, Trigger.AvailableNow (process everything, then
+    stop — the deterministic finite-source mode), complete-mode memory
+    sink. At scale the same plan runs unbounded with the watermark
+    variant (streaming/stream_pipeline.py, tested in
+    test_multimodal_streaming.py); complete mode here makes the final
+    sink contents exactly the batch aggregation, which is what the
+    DuckDB oracle pins."""
+    import os
+    import tempfile
+    import uuid
+
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    # Spark's streaming file source lists a DIRECTORY; the testdata
+    # tables are single parquet files, so stage a symlink dir (zero
+    # copy — on a real deployment the events land in a directory and
+    # this staging disappears)
+    stream_dir = src
+    if os.path.isfile(src):
+        stream_dir = tempfile.mkdtemp(prefix="ewc_stream_src_")
+        os.symlink(os.path.abspath(src),
+                   os.path.join(stream_dir, "events.parquet"))
+    ev = spark.readStream.schema(schema).parquet(stream_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "300 seconds").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"ewc_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -678,3 +678,134 @@ class TestDerbyRound4Shapes:
         )
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         assert sorted(x["name"] for x in row["inq"]) == live
+
+
+class TestDerbyRound5Shapes:
+    """[NOT] EXISTS, correlated [NOT] IN, and CAST/nullif/replace/instr
+    lookups against the Derby-loaded dim — the round-5 widening of the
+    execute-anything contract (lookup.rb:131-147), with expectations
+    derived from the live Derby rows like the round-4 class above."""
+
+    def _store(self, spark):
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        return store
+
+    def test_exists_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "ex",
+                    "query": (
+                        "SELECT name FROM servers WHERE EXISTS "
+                        "(SELECT 1 FROM servers s2 WHERE "
+                        "s2.location = servers.location "
+                        "AND s2.ip LIKE '10.%')"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = store.dims()["servers"].collect()
+        locs_with_10 = {
+            r["location"] for r in rows if r["ip"].startswith("10.")
+        }
+        live = sorted(
+            r["name"] for r in rows if r["location"] in locs_with_10
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["name"] for x in row["ex"]) == live
+
+    def test_not_exists_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "nx",
+                    "query": (
+                        "SELECT name FROM servers WHERE NOT EXISTS "
+                        "(SELECT 1 FROM servers s2 WHERE "
+                        "s2.location = servers.location "
+                        "AND s2.ip LIKE '192.%')"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = store.dims()["servers"].collect()
+        locs_with_192 = {
+            r["location"] for r in rows if r["ip"].startswith("192.")
+        }
+        live = sorted(
+            r["name"] for r in rows if r["location"] not in locs_with_192
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["name"] for x in row["nx"]) == live
+
+    def test_correlated_in_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "ci",
+                    "query": (
+                        "SELECT name FROM servers WHERE length(name) IN "
+                        "(SELECT length(s2.name) FROM servers s2 WHERE "
+                        "s2.location = servers.location "
+                        "AND s2.ip LIKE '10.%')"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = store.dims()["servers"].collect()
+        lens_by_loc: dict = {}
+        for r in rows:
+            if r["ip"].startswith("10."):
+                lens_by_loc.setdefault(r["location"], set()).add(
+                    len(r["name"])
+                )
+        live = sorted(
+            r["name"] for r in rows
+            if len(r["name"]) in lens_by_loc.get(r["location"], set())
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["name"] for x in row["ci"]) == live
+
+    def test_cast_and_scalar_funcs_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "cf",
+                    "query": (
+                        "SELECT cast(length(ip) AS varchar(8)) AS len_s, "
+                        "nullif(location, 'MV-9') AS loc2, "
+                        "replace(name, '-', '_') AS uname "
+                        "FROM servers WHERE instr(ip, '.') > 0"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = store.dims()["servers"].collect()
+        live = sorted(
+            (
+                str(len(r["ip"])),
+                None if r["location"] == "MV-9" else r["location"],
+                r["name"].replace("-", "_"),
+            )
+            for r in rows
+            if "." in r["ip"]
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        got = sorted(
+            (x["len_s"], x["loc2"], x["uname"]) for x in row["cf"]
+        )
+        assert got == live

@@ -614,12 +614,17 @@ class TestInSubquery:
         assert (sq.func, sq.col, sq.table) == ("__values", "cat", "allow")
         assert q.is_pure_equi  # the IN-set rides as a dim-side filter
 
-    def test_correlated_in_subquery_rejected(self):
-        with pytest.raises(ValidationError, match="correlated IN-subqueries"):
-            parse_lookup_query(
-                "SELECT name FROM t WHERE cat IN "
-                "(SELECT u2.cat FROM u u2 WHERE u2.k = t.k)"
-            )
+    def test_correlated_in_subquery_accepted_since_round5(self):
+        # round 4 rejected this; round 5 compiles it to per-group
+        # value-set columns + the static in_set op
+        # (tests/test_lookup_exists.py has the golden/plan coverage)
+        q = parse_lookup_query(
+            "SELECT name FROM t WHERE cat IN "
+            "(SELECT u2.cat FROM u u2 WHERE u2.k = t.k)"
+        )
+        (pred,) = q.disjuncts[0]
+        assert pred.op == "in"
+        assert pred.terms[0].value.corr == (("k", "k"),)
 
     def test_nested_in_subquery_rejected(self, spark):
         dims = {

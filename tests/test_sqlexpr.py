@@ -254,6 +254,29 @@ EXPR_TEMPLATES = [
      "ELSE 'lt' END AS band FROM items WHERE mod(price, 3) = :n", ["band"]),
     ("SELECT name || '-' || name AS dbl FROM items "
      "WHERE length(coalesce(name, '')) + price = :n", ["dbl"]),
+    # round-5 widening: CAST + nullif/replace/instr ...
+    ("SELECT cast(price AS varchar(8)) || '/' || "
+     "coalesce(nullif(name, 'a'), '-') AS tag FROM items "
+     "WHERE instr(coalesce(name, ''), 'b') + price = :n", ["tag"]),
+    ("SELECT replace(coalesce(name, 'aa'), 'a', 'z') AS rz FROM items "
+     "WHERE cast(price * 2 AS bigint) = :n", ["rz"]),
+    # ... and [NOT] EXISTS / correlated [NOT] IN subqueries (the
+    # hypothesis dims carry NULL prices/qtys/names, so the 3-valued
+    # membership and empty-group corners are exercised for real)
+    # (first projected field stays STRING-typed: the harness's
+    # default_hash writes a string default into it)
+    ("SELECT name FROM items WHERE price = :n AND EXISTS "
+     "(SELECT 1 FROM items i2 WHERE i2.name = items.name AND i2.qty >= 2)",
+     ["name"]),
+    ("SELECT name, price FROM items WHERE qty = :n AND NOT EXISTS "
+     "(SELECT 1 FROM items i2 WHERE i2.name = items.name AND i2.price > 2)",
+     ["name", "price"]),
+    ("SELECT name, price FROM items WHERE qty = :n AND price IN "
+     "(SELECT i2.qty FROM items i2 WHERE i2.name = items.name)",
+     ["name", "price"]),
+    ("SELECT name, price FROM items WHERE qty = :n AND price NOT IN "
+     "(SELECT i2.qty FROM items i2 WHERE i2.name = items.name)",
+     ["name", "price"]),
 ]
 
 nfacts = st.lists(
@@ -275,7 +298,7 @@ engine_cfg = st.sampled_from(
 
 @pytest.mark.slow
 @settings(
-    max_examples=15,
+    max_examples=25,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
