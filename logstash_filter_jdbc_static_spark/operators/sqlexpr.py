@@ -136,6 +136,24 @@ _FUNCS: dict[str, tuple[int, int | None]] = {
     "nullif": (2, 2),
     "replace": (3, 3),
     "instr": (2, 2),
+    # Derby's own canonical spellings (Derby ref manual): UCASE/LCASE,
+    # CHAR_LENGTH/CHARACTER_LENGTH, LOCATE(substr, str) — real
+    # reference configs use these names, so the grammar accepts them
+    # and normalizes to the shared implementations at parse time.
+    "ucase": (1, 1),
+    "lcase": (1, 1),
+    "char_length": (1, 1),
+    "character_length": (1, 1),
+    "locate": (2, 2),
+}
+
+# parse-time canonicalization: alias -> (name, arg permutation)
+_FUNC_ALIASES: dict[str, tuple[str, tuple[int, ...]]] = {
+    "ucase": ("upper", (0,)),
+    "lcase": ("lower", (0,)),
+    "char_length": ("length", (0,)),
+    "character_length": ("length", (0,)),
+    "locate": ("instr", (1, 0)),  # LOCATE(sub, s) == INSTR(s, sub)
 }
 
 # CAST targets: the Derby type surface local DDL already accepts,
@@ -393,6 +411,9 @@ class ExprParser:
                         [f"unsupported lookup expression: {w}() takes "
                          f"{arity} argument(s), got {len(args)}"]
                     )
+                if w in _FUNC_ALIASES:
+                    w, perm = _FUNC_ALIASES[w]
+                    args = [args[i] for i in perm]
                 return Func(w, tuple(args))
             if w in ("null", "and", "or", "not", "when", "then", "else", "end", "is"):
                 raise ValidationError(

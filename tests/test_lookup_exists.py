@@ -323,6 +323,27 @@ class TestCastFuncsParser:
         (_, ast) = q.computed[0]
         assert ast == sqlexpr.Cast(sqlexpr.Col("price"), "double")
 
+    def test_derby_native_aliases_normalize(self):
+        # Derby's canonical spellings map onto the shared
+        # implementations at parse time (UCASE/LCASE/CHAR_LENGTH/
+        # CHARACTER_LENGTH/LOCATE — Derby ref manual names)
+        q = parse_lookup_query(
+            "SELECT ucase(name) AS u, lcase(name) AS l, "
+            "char_length(name) AS n, locate('x', name) AS pos FROM t"
+        )
+        asts = [a for _, a in q.computed]
+        assert asts[0] == sqlexpr.Func("upper", (sqlexpr.Col("name"),))
+        assert asts[1] == sqlexpr.Func("lower", (sqlexpr.Col("name"),))
+        assert asts[2] == sqlexpr.Func("length", (sqlexpr.Col("name"),))
+        # LOCATE(sub, s) == INSTR(s, sub): args swap
+        assert asts[3] == sqlexpr.Func(
+            "instr", (sqlexpr.Col("name"), sqlexpr.Lit("x"))
+        )
+
+    def test_ucase_keyed_lookup_keeps_equi_path(self):
+        q = parse_lookup_query("SELECT name FROM t WHERE ucase(name) = :n")
+        assert q.is_pure_equi
+
     @pytest.mark.parametrize(
         "bad, msg",
         [
@@ -338,3 +359,40 @@ class TestCastFuncsParser:
     def test_malformed_raise(self, bad, msg):
         with pytest.raises(ValidationError, match=msg):
             parse_lookup_query(f"SELECT {bad} AS x FROM t")
+
+
+class TestUnionBranches:
+    def test_exists_inside_a_union_branch(self, spark):
+        """Each UNION branch resolves its subqueries independently; an
+        EXISTS branch gets its flag column on ITS dim only."""
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "u",
+                    "query": (
+                        "SELECT price AS v FROM tool_plans "
+                        "WHERE tool = :tool AND EXISTS "
+                        "(SELECT 1 FROM tool_plans p2 "
+                        "WHERE p2.plan = tool_plans.plan AND p2.price > 6) "
+                        "UNION ALL "
+                        "SELECT qty FROM tool_plans WHERE tool = :tool "
+                        "AND plan IS NULL"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }
+            ]
+        )
+        dim = spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)
+        facts = spark.createDataFrame(
+            [(f"t{i}",) for i in range(5)], "tool: string"
+        )
+        out = LookupEnricher(spec, {"tool_plans": dim}).apply(facts)
+        got = {
+            r["tool"]: sorted(d["v"] for d in r["u"])
+            for r in out.select("tool", "u").collect()
+        }
+        # branch 1 (exists): t0 [10], t1 [7], t2 [2, 8]; branch 2
+        # (NULL plan qtys): t0 [4], t3 [8]
+        assert got == {
+            "t0": [4, 10], "t1": [7], "t2": [2, 8], "t3": [8], "t4": [],
+        }
