@@ -561,6 +561,26 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     res = run_headline(sf_dir, cpus)
+
+    # The driver's tail capture is ~2.2 KB; round 4's single giant JSON
+    # line got its HEAD truncated (BENCH_r04 parsed:null). Every summary
+    # line printed here is compact enough to fit; full per-run arrays
+    # live in BENCH_DETAIL.json (committed to the repo).
+    repo = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
+
+    def emit(r):
+        with open(detail_path, "w") as f:
+            json.dump(r, f, indent=1)
+        line = json.dumps(compact_summary(r), separators=(",", ":"))
+        assert len(line) < 2000, f"summary line {len(line)}B exceeds tail"
+        print(line, flush=True)
+
+    # Hedge against an external kill during the scaling phase: print a
+    # complete headline+flagship summary FIRST, so the last fully
+    # printed line is always parseable; the final line (if reached)
+    # repeats it with the scaling section added.
+    emit(res)
     # North-rule scaling evidence (N vs 4N parallelism, fresh JVMs) with
     # the interleaved host-ceiling control, recorded machine-readably in
     # the same driver-parsed JSON (round-4 verdict #1/#5). Skippable for
@@ -570,17 +590,7 @@ def main() -> None:
             res["scaling"] = run_scaling(args.turns, (8, 32), repeats=2)
         except Exception as e:  # never lose the headline numbers
             res["scaling"] = {"err": str(e)[:200]}
-    repo = os.path.dirname(os.path.abspath(__file__))
-    detail_path = os.path.join(repo, "BENCH_DETAIL.json")
-    with open(detail_path, "w") as f:
-        json.dump(res, f, indent=1)
-    # The driver's tail capture is ~2.2 KB; round 4's single giant JSON
-    # line got its HEAD truncated (BENCH_r04 parsed:null). The LAST line
-    # is now a compact summary guaranteed to fit; full per-run arrays
-    # live in BENCH_DETAIL.json (committed to the repo).
-    line = json.dumps(compact_summary(res), separators=(",", ":"))
-    assert len(line) < 2000, f"summary line {len(line)}B exceeds tail window"
-    print(line)
+        emit(res)
 
 
 def compact_summary(res: dict) -> dict:
