@@ -218,6 +218,13 @@ class _Subquery:
     # aggregation left-joined onto the outer dim per refresh snapshot —
     # the set-at-a-time hoist of Derby's per-row nested execution.
     corr: tuple = ()  # tuple[(sub_col, outer_col), ...]
+    # at most ONE inequality correlation (sub_col, op, outer_col),
+    # EXISTS subqueries only: ``EXISTS (... WHERE sub.k = t.k AND
+    # sub.price > t.price)`` decorrelates to the per-group max/min
+    # aggregate compared against the outer column (one row satisfies
+    # ``sub_col > x`` iff ``max(sub_col) > x``) — a single extremum
+    # cannot witness two inequalities simultaneously, hence the cap.
+    ineq: tuple = ()  # () | ((sub_col, op, outer_col),)
 
 
 @dataclass
@@ -378,17 +385,24 @@ def _static_operand(p: _Predicate, t: _Term) -> Column:
 _OUTER_MARK = "\x00outer\x00:"
 
 
+# op complement under operand swap: outer.col < sub_col == sub_col > outer.col
+_SWAP_OPS = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
+
+
 def _extract_correlation(
-    table: str, where: tuple, computed: list
-) -> tuple[tuple, tuple]:
-    """Split a subquery WHERE into (static where, correlation pairs).
-    Correlation is restricted to the set-at-a-time-compilable shape:
-    plain ``sub_col = outer.col`` equalities in a pure conjunction —
-    each becomes a groupBy key of the per-group aggregation that is
-    left-joined onto the outer dim. Anything else touching an outer
-    reference (inequalities, OR branches, expressions) raises: those
-    would need per-row nested execution, which no broadcast plan can
-    stage."""
+    table: str, where: tuple, computed: list, allow_ineq: bool = False
+) -> tuple[tuple, tuple, tuple]:
+    """Split a subquery WHERE into (static where, equality correlation
+    pairs, inequality correlations). Correlation is restricted to the
+    set-at-a-time-compilable shapes: plain ``sub_col = outer.col``
+    equalities in a pure conjunction — each becomes a groupBy key of
+    the per-group aggregation that is left-joined onto the outer dim —
+    plus (EXISTS only, ``allow_ineq``) at most ONE plain
+    ``sub_col <op> outer.col`` inequality, decorrelated to the group's
+    max/min extremum (one extremum can witness one inequality, not
+    two). Anything else touching an outer reference (OR branches,
+    expressions over outer columns) raises: those would need per-row
+    nested execution, which no broadcast plan can stage."""
     def is_outer(name: str) -> bool:
         return isinstance(name, str) and name.startswith(_OUTER_MARK)
 
@@ -406,7 +420,7 @@ def _extract_correlation(
                  f"a plain equality (sub_col = outer.col)"]
             )
     if not has_outer:
-        return where, ()
+        return where, (), ()
     if len(where) != 1:
         raise ValidationError(
             [f"lookup subquery on {table!r}: correlated predicates must "
@@ -414,6 +428,7 @@ def _extract_correlation(
              f"correlation)"]
         )
     corr: list[tuple[str, str]] = []
+    ineq: list[tuple[str, str, str]] = []
     rest: list[_Predicate] = []
     for p in where[0]:
         lhs_outer = is_outer(p.dim_column)
@@ -423,27 +438,53 @@ def _extract_correlation(
         if not lhs_outer and not term_outer:
             rest.append(p)
             continue
-        bad = (
-            p.op != "="
-            or p.func is not None
-            or len(p.terms) != 1
-            or p.terms[0].kind != "column"
+        plain = (
+            p.func is None
+            and len(p.terms) == 1
+            and p.terms[0].kind == "column"
+            # exactly ONE side references the outer scope
+            and lhs_outer != is_outer(p.terms[0].value)
         )
-        if not bad:
+        if plain and p.op == "=":
             t = p.terms[0]
-            if lhs_outer and not is_outer(t.value):
+            if lhs_outer:
                 corr.append((t.value, p.dim_column[len(_OUTER_MARK):]))
-                continue
-            if not lhs_outer and is_outer(t.value):
+            else:
                 corr.append((p.dim_column, t.value[len(_OUTER_MARK):]))
-                continue
+            continue
+        if plain and allow_ineq and p.op in ("<", ">", "<=", ">="):
+            t = p.terms[0]
+            if lhs_outer:  # outer.col <op> sub_col -> sub_col <swap> outer
+                ineq.append(
+                    (t.value, _SWAP_OPS[p.op], p.dim_column[len(_OUTER_MARK):])
+                )
+            else:
+                ineq.append(
+                    (p.dim_column, p.op, t.value[len(_OUTER_MARK):])
+                )
+            continue
+        if allow_ineq:
+            raise ValidationError(
+                [f"lookup subquery on {table!r}: unsupported correlated "
+                 f"predicate — only plain equalities (sub_col = "
+                 f"outer.col) plus at most one plain inequality "
+                 f"(sub_col < <= > >= outer.col) are supported in "
+                 f"EXISTS"]
+            )
         raise ValidationError(
             [f"lookup subquery on {table!r}: unsupported correlated "
              f"predicate — only plain equalities between one subquery "
              f"column and one outer column (sub_col = outer.col) are "
              f"supported"]
         )
-    return ((tuple(rest),) if rest else (), tuple(corr))
+    if len(ineq) > 1:
+        raise ValidationError(
+            [f"lookup subquery on {table!r}: at most ONE correlated "
+             f"inequality is supported in EXISTS (a per-group extremum "
+             f"can witness one inequality, not several) — pre-shape "
+             f"the dim with a loader query instead"]
+        )
+    return ((tuple(rest),) if rest else (), tuple(corr), tuple(ineq))
 
 
 def _pred_terms(parsed: ParsedQuery) -> list[_Predicate]:
@@ -542,7 +583,11 @@ def _sub_filtered_df(
     cond = _static_where_condition(where)
     if cond is not None:
         df = df.filter(cond)
-    for c in [sq.col] + [sc for sc, _ in sq.corr]:
+    for c in (
+        [sq.col]
+        + [sc for sc, _ in sq.corr]
+        + [sc for sc, _, _ in sq.ineq]
+    ):
         if c is not None and c not in names:
             raise ValidationError(
                 [f"lookup subquery on {sq.table!r}: column {c!r} not in "
@@ -694,8 +739,10 @@ def resolve_subqueries_with_dim(
                 [f"lookup subquery on {sq.table!r}: {what} subqueries "
                  f"are supported only in single-table lookup queries"]
             )
+        outer_cols = [oc for _, oc in sq.corr]
+        outer_cols += [oc for _, _, oc in sq.ineq]
         missing = sorted(
-            oc for _, oc in sq.corr if oc not in holder["dim"].columns
+            oc for oc in outer_cols if oc not in holder["dim"].columns
         )
         if missing:
             raise ValidationError(
@@ -707,18 +754,62 @@ def resolve_subqueries_with_dim(
     def exists_col_of(sq: _Subquery) -> str:
         """[NOT] EXISTS as a synthetic NON-NULL boolean dim column
         (EXISTS is two-valued in SQL), built once per refresh snapshot:
-        correlated -> the distinct correlation-key set of the sub rows
-        left-joins onto the dim as a TRUE flag, missing keys coalesce
-        FALSE (the set-at-a-time hoist of Derby's per-row nested
-        EXISTS); uncorrelated -> one driver-side emptiness probe folds
-        to a constant column."""
+        equality-correlated -> the distinct correlation-key set of the
+        sub rows left-joins onto the dim as a TRUE flag, missing keys
+        coalesce FALSE (the set-at-a-time hoist of Derby's per-row
+        nested EXISTS); an inequality correlation decorrelates to the
+        per-group extremum (a row with ``sub_col > x`` exists iff
+        ``max(sub_col) > x``; max/min ignore NULL sub values, which
+        could never satisfy the inequality anyway — and a NULL outer
+        value compares unknown, coalescing FALSE, exactly SQL);
+        uncorrelated -> one driver-side emptiness probe folds to a
+        constant column."""
         for k, name in exists_cache:
             if k == sq:
                 return name
         dim = _need_dim(sq, "EXISTS")
         name = f"__sq_exists{len(exists_cache)}"
         sub_df, _ = _sub_filtered_df(sq, dims)
-        if not sq.corr:
+        cmp_of = {
+            "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        }
+        if sq.ineq:
+            (sub_col, op, outer_col) = sq.ineq[0]
+            # one inequality witness per group: > >= need the group max,
+            # < <= the group min
+            ext = (F.max if op in (">", ">=") else F.min)(F.col(sub_col))
+            if sq.corr:
+                keys = [f"__xk{i}_{name}" for i in range(len(sq.corr))]
+                agg_df = sub_df.groupBy(
+                    *[F.col(sc).alias(k)
+                      for (sc, _), k in zip(sq.corr, keys)]
+                ).agg(ext.alias(name))
+                cond = None
+                for (_, oc), k in zip(sq.corr, keys):
+                    piece = dim[oc] == agg_df[k]
+                    cond = piece if cond is None else (cond & piece)
+                dim = (
+                    dim.join(F.broadcast(agg_df), cond, "left")
+                    .withColumn(
+                        name,
+                        F.coalesce(
+                            cmp_of[op](F.col(name), dim[outer_col]),
+                            F.lit(False),
+                        ),
+                    )
+                    .drop(*keys)
+                )
+            else:
+                extremum = sub_df.agg(ext).collect()[0][0]
+                dim = dim.withColumn(
+                    name,
+                    F.coalesce(
+                        cmp_of[op](F.lit(extremum), F.col(outer_col)),
+                        F.lit(False),
+                    ),
+                )
+        elif not sq.corr:
             flag = bool(sub_df.take(1))
             dim = dim.withColumn(name, F.lit(flag))
         else:
@@ -1422,7 +1513,7 @@ class _WhereParser:
             col = self._sub_head_column(
                 arg_toks, strip_sub_qual, computed, "aggregate argument"
             )
-        where, corr = self._sub_where(table, sub_alias, computed)
+        where, corr, _ = self._sub_where(table, sub_alias, computed)
         if distinct:
             func = "count_distinct"
         return _Term(
@@ -1483,13 +1574,16 @@ class _WhereParser:
                 proj_toks, strip_sub_qual, computed, "EXISTS projection"
             )
             computed.clear()  # projection expressions are never evaluated
-        where, corr = self._sub_where(table, sub_alias, computed)
+        where, corr, ineq = self._sub_where(
+            table, sub_alias, computed, allow_ineq=True
+        )
         return _Predicate(
             "",  # EXISTS has no lhs column; resolved to a flag column
             "exists",
             [_Term(
                 "subquery",
-                _Subquery("__exists", None, table, where, tuple(computed), corr),
+                _Subquery("__exists", None, table, where, tuple(computed),
+                          corr, ineq),
             )],
         )
 
@@ -1533,7 +1627,7 @@ class _WhereParser:
         col = self._sub_head_column(
             proj_toks, strip_sub_qual, computed, "projection"
         )
-        where, corr = self._sub_where(table, sub_alias, computed)
+        where, corr, _ = self._sub_where(table, sub_alias, computed)
         return _Term(
             "subquery",
             _Subquery("__values", col, table, where, tuple(computed), corr),
@@ -1599,11 +1693,12 @@ class _WhereParser:
         return table, sub_alias, strip_sub_qual
 
     def _sub_where(
-        self, table: str, sub_alias: str, computed: list
-    ) -> tuple[tuple, tuple]:
+        self, table: str, sub_alias: str, computed: list,
+        allow_ineq: bool = False,
+    ) -> tuple[tuple, tuple, tuple]:
         """``[WHERE ...] )`` tail of a subquery: static predicates plus
-        (for scalar subqueries) correlation pairs extracted from
-        outer-qualified equalities."""
+        correlation pairs extracted from outer-qualified equalities
+        (and, for EXISTS, at most one outer-qualified inequality)."""
         where: tuple = ()
         if self._peek_word() == "where":
             self._next()
@@ -1655,7 +1750,7 @@ class _WhereParser:
             raise ValidationError(
                 [f"unsupported lookup subquery: expected ')', got {tok[1]!r}"]
             )
-        return _extract_correlation(table, where, computed)
+        return _extract_correlation(table, where, computed, allow_ineq)
 
     def _new_computed(self, ast) -> str:
         """Register a dim-side expression lhs, returning its synthetic

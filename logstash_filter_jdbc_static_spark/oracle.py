@@ -330,13 +330,29 @@ def _resolve_subqueries_rows(
 
     def exists_col_of(sq) -> str:
         """Row-at-a-time twin of lookup.exists_col_of: a boolean
-        synthetic column per probe row (constant when uncorrelated)."""
+        synthetic column per probe row (constant when uncorrelated;
+        inequality correlations evaluated directly per row — the
+        compiled side's per-group extremum rewrite must agree)."""
         for k, name in state["cache"]:
             if k == ("exists", sq):
                 return name
         name = f"__sq_exists{len(state['cache'])}"
         sub = _sub_rows(sq, tables)
-        if not sq.corr:
+        cmp_of = {
+            "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+            ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        }
+
+        def ineq_ok(s, r) -> bool:
+            for sc, op, oc in sq.ineq:
+                left, right = _coerce_pair(s.get(sc), r.get(oc))
+                if left is None or right is None:
+                    return False  # NULL comparison is unknown -> no witness
+                if not cmp_of[op](left, right):
+                    return False
+            return True
+
+        if not sq.corr and not sq.ineq:
             flag = bool(sub)
             state["rows"] = [{**r, name: flag} for r in state["rows"]]
         else:
@@ -348,6 +364,7 @@ def _resolve_subqueries_rows(
                             corr_eq(s.get(sc), r.get(oc))
                             for sc, oc in sq.corr
                         )
+                        and ineq_ok(s, r)
                         for s in sub
                     ),
                 }

@@ -4,12 +4,13 @@ The grading driver's CORRECTNESS gate runs the FIRST 50 registry
 entries (r1 ran 41/41, r2 46/46, r3 truncated at exactly 50), and the
 registry had outgrown it. Per the verdict's instruction, overlapping
 gated queries are consolidated so every distinct operator family fits
-under the gate: each merged query below inner-joins the results of its
-part queries on their natural key, so the ORIGINAL operator plans run
-unchanged (every part function still executes end-to-end — parse,
-enrich, dedup, ANN, packing ...) and the oracle joins the SAME part
-oracle SQL texts. A mismatch in any part still fails the merged row:
-nothing is gated more weakly, there are simply fewer rows.
+under the gate: each merged query below FULL-OUTER-joins the results
+of its part queries on their natural key (round-4 verdict #6 — see
+``_merge``), so the ORIGINAL operator plans run unchanged (every part
+function still executes end-to-end — parse, enrich, dedup, ANN,
+packing ...) and the oracle joins the SAME part oracle SQL texts. A
+mismatch in any part still fails the merged row: nothing is gated more
+weakly, there are simply fewer rows.
 
 The part queries stay importable and unit-tested; ``CONSOLIDATED``
 maps each part to the merged entry that now gates it, and
@@ -165,6 +166,8 @@ _merge(
          [("n_ci", "ci_n"), ("ci_prices", "ci_prices")]),
         ("lookup_cast_funcs",
          [("n_cf", "cf_n"), ("cf_rows", "cf_rows")]),
+        ("lookup_exists_range",
+         [("n_xr", "xr_n"), ("xr_prices", "xr_prices")]),
     ],
 )
 

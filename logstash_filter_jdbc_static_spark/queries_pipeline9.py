@@ -297,3 +297,57 @@ def events_windowed_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@register(
+    "lookup_exists_range",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT t.tool, t.price FROM tool_plans t
+          WHERE EXISTS (SELECT 1 FROM tool_plans p2
+                        WHERE p2.plan = t.plan AND p2.price > t.price)
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_xr,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) ORDER BY m.price),
+                   ','),
+                 '') AS xr_prices
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_exists_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5b: an EXISTS with an INEQUALITY correlation — "a strictly
+    more expensive same-plan sibling exists". Derby nests the probe per
+    outer row (lookup.rb:131-147); the Spark-first decorrelation
+    rewrites it to the per-plan price MAX (one row with price > x
+    exists iff max(price) > x), aggregated once per refresh snapshot
+    and compared dim-side — the fact plan stays one broadcast probe."""
+    out, alias, vf = _payload_agg(
+        spark, sf_dir,
+        "SELECT price FROM tool_plans WHERE tool = :tool AND EXISTS "
+        "(SELECT 1 FROM tool_plans p2 "
+        "WHERE p2.plan = tool_plans.plan AND p2.price > tool_plans.price)",
+        "xr", "price",
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size(alias).cast("long").alias("n_xr"),
+        F.array_join(
+            F.transform(
+                F.col(alias), lambda r: r.getField(vf).cast("string")
+            ),
+            ",",
+        ).alias("xr_prices"),
+    )

@@ -809,3 +809,31 @@ class TestDerbyRound5Shapes:
             (x["len_s"], x["loc2"], x["uname"]) for x in row["cf"]
         )
         assert got == live
+
+    def test_exists_ineq_correlation_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "gx",
+                    "query": (
+                        "SELECT name FROM servers WHERE EXISTS "
+                        "(SELECT 1 FROM servers s2 WHERE "
+                        "s2.location = servers.location "
+                        "AND s2.name > servers.name)"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = [(r["name"], r["location"])
+                for r in store.dims()["servers"].collect()]
+        by_loc: dict = {}
+        for nm, loc in rows:
+            by_loc.setdefault(loc, []).append(nm)
+        live = sorted(
+            nm for nm, loc in rows if nm < max(by_loc[loc])
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["name"] for x in row["gx"]) == live

@@ -396,3 +396,104 @@ class TestUnionBranches:
         assert got == {
             "t0": [4, 10], "t1": [7], "t2": [2, 8], "t3": [8], "t4": [],
         }
+
+
+class TestIneqCorrelation:
+    """Round-5b: a single plain inequality correlation in EXISTS,
+    decorrelated to the per-group extremum (``a row with sub_col >
+    outer exists iff max(sub_col) > outer``)."""
+
+    def test_parser_extracts_ineq(self):
+        q = parse_lookup_query(
+            "SELECT price FROM t WHERE EXISTS (SELECT 1 FROM t p2 "
+            "WHERE p2.plan = t.plan AND p2.price > t.price)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.corr == (("plan", "plan"),)
+        assert sq.ineq == (("price", ">", "price"),)
+
+    def test_parser_swaps_outer_lhs(self):
+        # outer.col < sub_col normalizes to sub_col > outer.col
+        q = parse_lookup_query(
+            "SELECT price FROM t WHERE EXISTS (SELECT 1 FROM t p2 "
+            "WHERE t.price < p2.price)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.ineq == (("price", ">", "price"),)
+
+    def test_two_inequalities_rejected(self):
+        with pytest.raises(ValidationError, match="at most ONE"):
+            parse_lookup_query(
+                "SELECT price FROM t WHERE EXISTS (SELECT 1 FROM t p2 "
+                "WHERE p2.price > t.price AND p2.qty < t.qty)"
+            )
+
+    def test_ineq_rejected_in_scalar_subquery(self):
+        with pytest.raises(ValidationError, match="only plain equalities"):
+            parse_lookup_query(
+                "SELECT price FROM t WHERE price >= (SELECT avg(p2.price) "
+                "FROM t p2 WHERE p2.price > t.price)"
+            )
+
+    def test_ineq_rejected_in_in_subquery(self):
+        with pytest.raises(ValidationError, match="only plain equalities"):
+            parse_lookup_query(
+                "SELECT price FROM t WHERE price IN (SELECT p2.price "
+                "FROM t p2 WHERE p2.qty > t.qty)"
+            )
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+class TestIneqGolden:
+    _run = TestGolden._run
+
+    def test_exists_strictly_greater_sibling(self, spark, kw):
+        # per-plan max prices: basic 10, pro 8, trial 1 — a row matches
+        # iff its plan's max is strictly above its own price
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan AND p2.price > tool_plans.price)",
+        )
+        assert got == {
+            "t0": [], "t1": [7], "t2": [2], "t3": [], "t4": [], "t5": [],
+        }
+
+    def test_not_exists_is_the_group_max(self, spark, kw):
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND NOT EXISTS "
+            "(SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan AND p2.price > tool_plans.price)",
+        )
+        # NULL-plan rows (5, 8) correlate to nothing -> NOT EXISTS TRUE
+        assert got == {
+            "t0": [5, 10], "t1": [], "t2": [8], "t3": [8],
+            "t4": [1], "t5": [],
+        }
+
+    def test_global_ineq_without_equality_keys(self, spark, kw):
+        # no equality correlation: the extremum is ONE global scalar —
+        # prices among qty>=4 rows are {5, 2, 8, 1}, max 8
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.qty >= 4 AND p2.price > tool_plans.price)",
+        )
+        assert got == {
+            "t0": [5], "t1": [7], "t2": [2], "t3": [], "t4": [1], "t5": [],
+        }
+
+    def test_less_than_uses_group_min(self, spark, kw):
+        # per-plan min prices: basic 2, pro 7, trial 1
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan AND p2.price < tool_plans.price)",
+        )
+        assert got == {
+            "t0": [10], "t1": [], "t2": [8], "t3": [], "t4": [], "t5": [],
+        }

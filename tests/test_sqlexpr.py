@@ -277,6 +277,14 @@ EXPR_TEMPLATES = [
     ("SELECT name, price FROM items WHERE qty = :n AND price NOT IN "
      "(SELECT i2.qty FROM items i2 WHERE i2.name = items.name)",
      ["name", "price"]),
+    # inequality correlation in EXISTS: per-group extremum rewrite
+    # (Spark) vs direct row evaluation (oracle) must agree under NULLs
+    ("SELECT name, price FROM items WHERE qty = :n AND EXISTS "
+     "(SELECT 1 FROM items i2 WHERE i2.name = items.name "
+     "AND i2.price > items.price)", ["name", "price"]),
+    ("SELECT name, qty FROM items WHERE price = :n AND NOT EXISTS "
+     "(SELECT 1 FROM items i2 WHERE items.qty < i2.qty)",
+     ["name", "qty"]),
 ]
 
 nfacts = st.lists(
