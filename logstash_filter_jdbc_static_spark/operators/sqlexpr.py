@@ -26,9 +26,10 @@ mod/substr/floor/ceil/round/nullif/replace/instr, ``CAST(expr AS
 type)`` over the local-DDL type surface (round-4 verdict #3 — the
 docs tell users to cast remote columns to match local schemas,
 docs/index.asciidoc:455-458), searched ``CASE WHEN <cond> THEN <expr>
-... [ELSE <expr>] END`` where ``<cond>`` combines comparisons and
-``IS [NOT] NULL`` with AND/OR/NOT. Parameters are rejected inside
-expressions — they belong to predicate right-hand sides.
+... [ELSE <expr>] END`` where ``<cond>`` combines comparisons,
+``IS [NOT] NULL``, ``[NOT] LIKE 'pat'``, ``[NOT] IN (items)`` and
+``[NOT] BETWEEN lo AND hi`` with AND/OR/NOT. Parameters are rejected
+inside expressions — they belong to predicate right-hand sides.
 """
 
 from __future__ import annotations
@@ -102,6 +103,36 @@ class Cmp:
 @dataclass(frozen=True)
 class NullTest:
     operand: object
+    negated: bool
+
+
+@dataclass(frozen=True)
+class LikeTest:
+    """``expr [NOT] LIKE 'pattern'`` inside a CASE condition — Derby
+    runs it verbatim (lookup.rb:131-147). The pattern is a literal
+    (parameterized patterns belong to predicate right-hand sides)."""
+
+    operand: object
+    pattern: str
+    negated: bool
+
+
+@dataclass(frozen=True)
+class InList:
+    """``expr [NOT] IN (lit, ...)`` inside a CASE condition."""
+
+    operand: object
+    items: tuple  # of expression ASTs (constant-foldable or columns)
+    negated: bool
+
+
+@dataclass(frozen=True)
+class RangeTest:
+    """``expr [NOT] BETWEEN lo AND hi`` inside a CASE condition."""
+
+    operand: object
+    lo: object
+    hi: object
     negated: bool
 
 
@@ -207,6 +238,21 @@ def map_columns(ast, fn):
         return NotOp(map_columns(ast.operand, fn))
     if isinstance(ast, NullTest):
         return NullTest(map_columns(ast.operand, fn), ast.negated)
+    if isinstance(ast, LikeTest):
+        return LikeTest(map_columns(ast.operand, fn), ast.pattern, ast.negated)
+    if isinstance(ast, InList):
+        return InList(
+            map_columns(ast.operand, fn),
+            tuple(map_columns(i, fn) for i in ast.items),
+            ast.negated,
+        )
+    if isinstance(ast, RangeTest):
+        return RangeTest(
+            map_columns(ast.operand, fn),
+            map_columns(ast.lo, fn),
+            map_columns(ast.hi, fn),
+            ast.negated,
+        )
     if isinstance(ast, Func):
         return Func(ast.name, tuple(map_columns(a, fn) for a in ast.args))
     if isinstance(ast, Cast):
@@ -234,8 +280,15 @@ def columns(ast) -> set[str]:
         return columns(ast.left) | columns(ast.right)
     if isinstance(ast, (Neg, NotOp, Cast)):
         return columns(ast.operand)
-    if isinstance(ast, NullTest):
+    if isinstance(ast, (NullTest, LikeTest)):
         return columns(ast.operand)
+    if isinstance(ast, InList):
+        out = columns(ast.operand)
+        for i in ast.items:
+            out |= columns(i)
+        return out
+    if isinstance(ast, RangeTest):
+        return columns(ast.operand) | columns(ast.lo) | columns(ast.hi)
     if isinstance(ast, Func):
         out: set[str] = set()
         for a in ast.args:
@@ -550,7 +603,8 @@ class ExprParser:
             self._next()
             op = "<>" if t[1] == "!=" else t[1]
             return Cmp(op, left, self.parse())
-        if self._peek_word() == "is":
+        w = self._peek_word()
+        if w == "is":
             self._next()
             negated = False
             if self._peek_word() == "not":
@@ -558,6 +612,50 @@ class ExprParser:
                 negated = True
             self._expect_word("null")
             return NullTest(left, negated)
+        # [NOT] LIKE / IN (literals) / BETWEEN — Derby accepts them
+        # inside CASE conditions and runs the SQL verbatim
+        negated = False
+        if w == "not":
+            nxt = (
+                self.tokens[self.i + 1]
+                if self.i + 1 < len(self.tokens) else None
+            )
+            if nxt and nxt[0] == "word" and nxt[1].lower() in (
+                "like", "in", "between"
+            ):
+                self._next()
+                negated = True
+                w = self._peek_word()
+        if w == "like":
+            self._next()
+            pt = self._next()
+            if pt[0] != "string":
+                raise ValidationError(
+                    [f"unsupported lookup expression: LIKE in CASE takes "
+                     f"a string literal pattern, got {pt[1]!r}"]
+                )
+            return LikeTest(left, pt[1][1:-1].replace("''", "'"), negated)
+        if w == "in":
+            self._next()
+            self._expect("lparen", "'('")
+            items = [self.parse()]
+            while True:
+                t2 = self._next()
+                if t2[0] == "rparen":
+                    break
+                if t2[0] != "comma":
+                    raise ValidationError(
+                        [f"unsupported lookup expression: expected ',' or "
+                         f"')' in CASE IN list, got {t2[1]!r}"]
+                    )
+                items.append(self.parse())
+            return InList(left, tuple(items), negated)
+        if w == "between":
+            self._next()
+            lo = self.parse()  # the expression grammar never consumes AND
+            self._expect_word("and")
+            hi = self.parse()
+            return RangeTest(left, lo, hi, negated)
         got = t[1] if t else "end of input"
         raise ValidationError(
             [f"unsupported lookup expression: expected a comparison in "
@@ -639,6 +737,20 @@ def _compile_cond(ast) -> Column:
     if isinstance(ast, NullTest):
         col = compile_expr(ast.operand)
         return col.isNotNull() if ast.negated else col.isNull()
+    if isinstance(ast, LikeTest):
+        cond = compile_expr(ast.operand).like(ast.pattern)
+        return ~cond if ast.negated else cond
+    if isinstance(ast, InList):
+        col = compile_expr(ast.operand)
+        cond = None
+        for item in ast.items:
+            piece = col == compile_expr(item)
+            cond = piece if cond is None else (cond | piece)
+        return ~cond if ast.negated else cond
+    if isinstance(ast, RangeTest):
+        col = compile_expr(ast.operand)
+        cond = (col >= compile_expr(ast.lo)) & (col <= compile_expr(ast.hi))
+        return ~cond if ast.negated else cond
     if isinstance(ast, BoolOp):
         parts = [_compile_cond(p) for p in ast.parts]
         out = parts[0]
@@ -810,6 +922,18 @@ def _eval_cast(v, type_str: str):
     raise TypeError(f"unknown CAST target {type_str!r}")
 
 
+def _like_match(value: str, pattern: str) -> bool:
+    """SQL LIKE for the row evaluator: % = any run, _ = one char,
+    everything else literal, full-string anchored (Derby semantics)."""
+    import re as _re
+
+    rx = "".join(
+        ".*" if ch == "%" else "." if ch == "_" else _re.escape(ch)
+        for ch in pattern
+    )
+    return _re.fullmatch(rx, value, flags=_re.DOTALL) is not None
+
+
 def _eval_cond(ast, row):
     """SQL three-valued logic: returns True, False, or None."""
     if isinstance(ast, Cmp):
@@ -831,6 +955,34 @@ def _eval_cond(ast, row):
     if isinstance(ast, NullTest):
         v = eval_expr(ast.operand, row)
         return (v is not None) if ast.negated else (v is None)
+    if isinstance(ast, LikeTest):
+        v = eval_expr(ast.operand, row)
+        if v is None:
+            return None
+        res = _like_match(str(v), ast.pattern)
+        return (not res) if ast.negated else res
+    if isinstance(ast, InList):
+        v = eval_expr(ast.operand, row)
+        if v is None:
+            return None
+        vals = [eval_expr(i, row) for i in ast.items]
+        if any(x is not None and x == v for x in vals):
+            res: bool | None = True
+        elif any(x is None for x in vals):
+            res = None  # no match but a NULL member: unknown
+        else:
+            res = False
+        if res is None:
+            return None
+        return (not res) if ast.negated else res
+    if isinstance(ast, RangeTest):
+        v = eval_expr(ast.operand, row)
+        lo = eval_expr(ast.lo, row)
+        hi = eval_expr(ast.hi, row)
+        if v is None or lo is None or hi is None:
+            return None
+        res = lo <= v <= hi
+        return (not res) if ast.negated else res
     if isinstance(ast, BoolOp):
         vals = [_eval_cond(p, row) for p in ast.parts]
         if ast.op == "and":

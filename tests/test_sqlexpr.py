@@ -285,6 +285,11 @@ EXPR_TEMPLATES = [
     ("SELECT name, qty FROM items WHERE price = :n AND NOT EXISTS "
      "(SELECT 1 FROM items i2 WHERE items.qty < i2.qty)",
      ["name", "qty"]),
+    # LIKE / BETWEEN / IN inside CASE conditions (round 5)
+    ("SELECT CASE WHEN name LIKE 'b%' THEN 'B' "
+     "WHEN price BETWEEN 2 AND 3 THEN 'mid' "
+     "WHEN qty NOT IN (1, 2) THEN 'many' ELSE 'rest' END AS band "
+     "FROM items WHERE coalesce(price, 0) = :n", ["band"]),
 ]
 
 nfacts = st.lists(
@@ -376,3 +381,54 @@ def test_expression_lookups_match_row_at_a_time_oracle(
             event["matched"],
         )
     assert got == exp
+
+
+class TestCaseConditionShapes:
+    """Round-5: LIKE / IN / BETWEEN inside CASE WHEN conditions (Derby
+    runs them verbatim; the closed grammar now accepts them)."""
+
+    def test_parser_shapes(self):
+        q = parse_lookup_query(
+            "SELECT CASE WHEN name LIKE 'a%' THEN 1 "
+            "WHEN qty NOT IN (1, 3) THEN 2 "
+            "WHEN price BETWEEN 2 AND 5 THEN 3 ELSE 0 END AS b FROM t"
+        )
+        (_, ast) = q.computed[0]
+        (c1, _), (c2, _), (c3, _) = ast.whens
+        assert c1 == sqlexpr.LikeTest(sqlexpr.Col("name"), "a%", False)
+        assert c2 == sqlexpr.InList(
+            sqlexpr.Col("qty"), (sqlexpr.Lit(1), sqlexpr.Lit(3)), True
+        )
+        assert c3 == sqlexpr.RangeTest(
+            sqlexpr.Col("price"), sqlexpr.Lit(2), sqlexpr.Lit(5), False
+        )
+
+    def test_like_pattern_must_be_literal(self):
+        with pytest.raises(ValidationError, match="string literal pattern"):
+            parse_lookup_query(
+                "SELECT CASE WHEN a LIKE b THEN 1 ELSE 0 END AS x FROM t"
+            )
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_golden_case_conditions(self, spark, kw):
+        # DIM_ROWS: (1,'a',10,3) (2,'b',5,4) (3,NULL,7,2) (20,'c',2,1)
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "x",
+                "query": (
+                    "SELECT CASE WHEN name LIKE 'a%' THEN 'A' "
+                    "WHEN price BETWEEN 3 AND 6 THEN 'mid' "
+                    "WHEN qty IN (1, 2) THEN 'few' "
+                    "ELSE 'rest' END AS band FROM items WHERE id = :i"
+                ),
+                "parameters": {"i": "i"},
+            }]
+        )
+        dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+        enr = LookupEnricher(spec, {"items": dim}, **kw)
+        out = enr.apply(spark.createDataFrame([(1,), (2,), (3,), (20,)], "i: int"))
+        got = {r["i"]: [d["band"] for d in r["x"]] for r in out.collect()}
+        # id 3: NULL name -> LIKE unknown, price 7 out of range, qty 2 in
+        assert got == {
+            1: ["A"], 2: ["mid"], 3: ["few"], 20: ["few"],
+        }
