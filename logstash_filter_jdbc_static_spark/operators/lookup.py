@@ -1762,11 +1762,9 @@ class _WhereParser:
                  "supported — SELECT the expression with an alias and "
                  "reference the alias"]
             )
-        if self.quals is not None:
-            raise ValidationError(
-                ["lookup predicate: expressions are not supported in "
-                 "multi-table (JOIN) queries"]
-            )
+        # join mode: expression columns stay alias-qualified
+        # ("a.price"); build_join_dim maps them onto the derived dim's
+        # flat names and materializes the expression there (round 5)
         for name, existing in self.computed:
             if existing == ast:
                 return name
@@ -2475,11 +2473,6 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                         [f"lookup aggregate projection {src!r} requires an "
                          f"AS alias (the payload hash is keyed by it)"]
                     )
-                if joins:
-                    raise ValidationError(
-                        ["lookup projection: expressions are not supported "
-                         "in multi-table (JOIN) queries"]
-                    )
                 func = aem.group("func").lower()
                 if aem.group("distinct"):
                     if func != "count":
@@ -2518,11 +2511,6 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 # COALESCE ... — the reference executes these verbatim
                 # in Derby, lookup.rb:131-147); materialized dim-side
                 # as a synthetic column the projection references
-                if joins:
-                    raise ValidationError(
-                        ["lookup projection: expressions are not supported "
-                         "in multi-table (JOIN) queries"]
-                    )
                 if alias is None:
                     raise ValidationError(
                         [f"lookup expression projection {src!r} requires an "
@@ -2617,11 +2605,6 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         groups by the projected column)."""
         if not (isinstance(item, tuple) and item and item[0] == "expr"):
             return item
-        if joins:
-            raise ValidationError(
-                [f"lookup {clause}: expressions are not supported in "
-                 f"multi-table (JOIN) queries"]
-            )
         ast = sqlexpr.map_columns(
             item[1],
             lambda nm: _resolve_qualified(nm, table, base_alias, quals, clause),
@@ -2889,6 +2872,11 @@ def build_join_dim(
             )
         return owners[0], ref
 
+    # synthetic expression columns (__exprN) resolve AFTER the flat
+    # rewrite: their ASTs reference real (possibly alias-qualified)
+    # columns, mapped below and materialized by CompiledLookup on the
+    # derived dim — so every clause may reference them by name here
+    synth = {n for n, _ in parsed.computed}
     refs: list[tuple[str, str]] = []
     srcs = [s for s, _ in (parsed.projection or [])]
     pred_cols = [p.dim_column for p in parsed.predicates] + [
@@ -2901,7 +2889,14 @@ def build_join_dim(
     order_cols = [c for c, _ in parsed.order_by]
     agg_cols = [c for _, c, _ in parsed.aggregates if c is not None]
     group_cols = list(parsed.group_by)
-    for ref in srcs + pred_cols + order_cols + agg_cols + group_cols:
+    expr_cols = [
+        r for _, a in parsed.computed for r in sorted(sqlexpr.columns(a))
+    ]
+    for ref in (
+        srcs + pred_cols + order_cols + agg_cols + group_cols + expr_cols
+    ):
+        if ref in synth:
+            continue
         pair = resolve(ref)
         if pair not in refs:
             refs.append(pair)
@@ -2924,14 +2919,18 @@ def build_join_dim(
         flat[(a, c)] = cand
         used.add(cand)
     dim = joined.select(*[F.col(f"{a}.{c}").alias(flat[(a, c)]) for a, c in refs])
-    new_proj = [(flat[resolve(src)], alias) for src, alias in (parsed.projection or [])]
+
+    def res(ref: str) -> str:
+        return ref if ref in synth else flat[resolve(ref)]
+
+    new_proj = [(res(src), alias) for src, alias in (parsed.projection or [])]
     new_disjuncts = [
         [
             _Predicate(
-                flat[resolve(p.dim_column)],
+                res(p.dim_column),
                 p.op,
                 [
-                    _Term("column", flat[resolve(t.value)])
+                    _Term("column", res(t.value))
                     if t.kind == "column"
                     else t
                     for t in p.terms
@@ -2942,7 +2941,7 @@ def build_join_dim(
         ]
         for d in parsed.disjuncts
     ]
-    new_group = tuple(flat[resolve(c)] for c in parsed.group_by)
+    new_group = tuple(res(c) for c in parsed.group_by)
     if new_group:
         bad = [src for src, _ in new_proj if src not in new_group]
         if bad:
@@ -2950,7 +2949,7 @@ def build_join_dim(
                 [f"lookup GROUP BY: projected column(s) {bad} must "
                  f"appear in the GROUP BY list (or be aggregated)"]
             )
-    new_order = tuple((flat[resolve(c)], asc) for c, asc in parsed.order_by)
+    new_order = tuple((res(c), asc) for c, asc in parsed.order_by)
     if parsed.distinct and new_order:
         # join-mode twin of the parse-time single-table check: on flat
         # names, qualified-vs-bare spellings of the same column compare
@@ -2969,11 +2968,18 @@ def build_join_dim(
         offset=parsed.offset,
         distinct=parsed.distinct,
         aggregates=tuple(
-            (func, None if c is None else flat[resolve(c)], alias)
+            (func, None if c is None else res(c), alias)
             for func, c, alias in parsed.aggregates
         ),
         group_by=new_group,
         having=parsed.having,  # references payload ALIASES — flat-safe
+        # expression ASTs remapped onto the derived dim's flat names;
+        # CompiledLookup materializes them there like any single-table
+        # computed column (round 5: expressions in JOIN lookups)
+        computed=tuple(
+            (n, sqlexpr.map_columns(a, lambda ref: flat[resolve(ref)]))
+            for n, a in parsed.computed
+        ),
     )
     return dim, rewritten
 

@@ -168,6 +168,8 @@ _merge(
          [("n_cf", "cf_n"), ("cf_rows", "cf_rows")]),
         ("lookup_exists_range",
          [("n_xr", "xr_n"), ("xr_prices", "xr_prices")]),
+        ("lookup_join_expr",
+         [("n_jx", "jx_n"), ("jx_rows", "jx_rows")]),
     ],
 )
 

@@ -27,6 +27,7 @@ from logstash_filter_jdbc_static_spark.queries import register
 from logstash_filter_jdbc_static_spark.queries_pipeline8 import (
     PLAN_ROWS,
     PLAN_SCHEMA,
+    _BANDS_CTE,
     _PLANS_CTE,
 )
 from logstash_filter_jdbc_static_spark.sources.transcripts import (
@@ -350,4 +351,90 @@ def lookup_exists_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("xr_prices"),
+    )
+
+
+@register(
+    "lookup_join_expr",
+    with_ctes(
+        _PLANS_CTE,
+        _BANDS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT p.tool, p.price * p.qty AS total, upper(b.band) AS ub
+          FROM tool_plans p
+          JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi
+          WHERE p.price + b.lo < 20
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.total) AS BIGINT) AS n_jx,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.total AS VARCHAR) || ':' || m.ub
+                        ORDER BY m.total, m.ub),
+                   ','),
+                 '') AS jx_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_join_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: scalar expressions inside a multi-table JOIN lookup —
+    a cross-relation arithmetic projection (``p.price * p.qty``), a
+    function projection over the joined relation (``upper(b.band)``)
+    and a cross-relation expression predicate (``p.price + b.lo <
+    20``). Derby executes the join + expressions per event
+    (lookup.rb:131-147); build_join_dim pre-joins the dims once per
+    refresh snapshot and maps the expressions onto the derived dim's
+    flat columns, so the per-event plan stays one broadcast-hash
+    probe."""
+    from logstash_filter_jdbc_static_spark.queries_pipeline8 import (
+        BAND_ROWS,
+        BAND_SCHEMA,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "jx",
+                "query": (
+                    "SELECT p.price * p.qty AS total, upper(b.band) AS ub "
+                    "FROM tool_plans p "
+                    "JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi "
+                    "WHERE p.tool = :tool AND p.price + b.lo < 20"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec,
+        {
+            "tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA),
+            "price_bands": spark.createDataFrame(BAND_ROWS, BAND_SCHEMA),
+        },
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("jx").cast("long").alias("n_jx"),
+        F.array_join(
+            F.transform(
+                F.col("jx"),
+                lambda r: F.concat(
+                    r.getField("total").cast("string"),
+                    F.lit(":"),
+                    r.getField("ub"),
+                ),
+            ),
+            ",",
+        ).alias("jx_rows"),
     )

@@ -391,3 +391,126 @@ class TestNonEquiOn:
             assert got.get(3) == [("a3", None)]
         else:
             assert got.get(3) == []
+
+
+class TestJoinExpressions:
+    """Round-5: scalar expressions in multi-table (JOIN) lookup queries
+    — projections, predicates (both sides), aggregate arguments and
+    GROUP BY items. build_join_dim maps the expressions' qualified
+    columns onto the derived dim's flat names; CompiledLookup then
+    materializes them there exactly like single-table computed columns,
+    so the per-event probe stays the broadcast-hash plan."""
+
+    PLANS = [
+        ("t0", 10, 3, "basic"),
+        ("t0", 5, 4, None),
+        ("t1", 7, 2, "pro"),
+        ("t2", 2, 9, "basic"),
+    ]
+    BANDS = [(0, 15, "low"), (15, 99, "high")]
+
+    def _dims(self, spark):
+        return {
+            "tool_plans": spark.createDataFrame(
+                self.PLANS, "tool string, price int, qty int, plan string"
+            ),
+            "price_bands": spark.createDataFrame(
+                self.BANDS, "lo int, hi int, band string"
+            ),
+        }
+
+    def _run(self, spark, query, target, kw=None):
+        spec = PipelineSpec(
+            lookups=[{"id": target, "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        enr = LookupEnricher(spec, self._dims(spark), **(kw or {}))
+        fact = spark.createDataFrame(
+            [(f"t{i}",) for i in range(3)], "tool: string"
+        )
+        return {
+            r["tool"]: sorted(tuple(d) for d in r[target])
+            for r in enr.apply(fact).select("tool", target).collect()
+        }
+
+    @pytest.mark.parametrize(
+        "kw", [{}, {"inline_threshold": 0},
+               {"inline_threshold": 0, "pattern_strategy": "shuffle_map"}]
+    )
+    def test_expression_projection_and_predicate(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT p.price * p.qty AS total, upper(b.band) AS ub "
+            "FROM tool_plans p "
+            "JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi "
+            "WHERE p.tool = :tool AND p.price + b.lo < 20",
+            "e1", kw,
+        )
+        assert got == {
+            "t0": [(20, "LOW"), (30, "LOW")],
+            "t1": [(14, "LOW")],
+            "t2": [(18, "LOW")],
+        }
+
+    def test_aggregate_over_cross_relation_expression(self, spark):
+        got = self._run(
+            spark,
+            "SELECT sum(p.price * p.qty) AS s, coalesce(p.plan, '?') AS pl "
+            "FROM tool_plans p "
+            "JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi "
+            "WHERE p.tool = :tool GROUP BY coalesce(p.plan, '?')",
+            "e2",
+        )
+        assert got == {
+            "t0": [("?", 20), ("basic", 30)],
+            "t1": [("pro", 14)],
+            "t2": [("basic", 18)],
+        }
+
+    def test_bare_ambiguous_column_in_expression_raises(self, spark):
+        t1 = spark.createDataFrame([(1, 2)], "k: int, x: int")
+        t2 = spark.createDataFrame([(1, 3)], "k: int, x: int")
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "u",
+                "query": ("SELECT a.x + x AS d FROM t1 a "
+                          "JOIN t2 b ON a.k = b.k WHERE a.k = :k"),
+                "parameters": {"k": "k"},
+            }]
+        )
+        with pytest.raises(ValidationError, match="ambiguous"):
+            LookupEnricher(spec, {"t1": t1, "t2": t2}).apply(
+                spark.createDataFrame([(1,)], "k: int")
+            )
+
+    def test_join_expression_matches_row_oracle(self, spark):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        query = (
+            "SELECT p.price * p.qty AS total, lower(b.band) AS lb "
+            "FROM tool_plans p "
+            "JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi "
+            "WHERE p.tool = :tool AND length(coalesce(p.plan, '')) > 2"
+        )
+        got = self._run(spark, query, "jx")
+        spec = PipelineSpec(
+            lookups=[{"id": "jx", "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        tables = {
+            "tool_plans": [
+                dict(zip(("tool", "price", "qty", "plan"), r))
+                for r in self.PLANS
+            ],
+            "price_bands": [
+                dict(zip(("lo", "hi", "band"), r)) for r in self.BANDS
+            ],
+        }
+        exp = {}
+        for i in range(3):
+            event = {"tool": f"t{i}"}
+            oracle.enhance(event, spec, tables)
+            exp[f"t{i}"] = sorted(
+                (d["total"], d["lb"]) for d in event["jx"]
+            )
+        assert got == exp

@@ -101,12 +101,17 @@ class TestExprParser:
         with pytest.raises(ValidationError, match=msg):
             parse_lookup_query(bad)
 
-    def test_expressions_rejected_in_join_queries(self):
-        with pytest.raises(ValidationError, match="multi-table"):
-            parse_lookup_query(
-                "SELECT a.x * 2 AS d FROM a JOIN b ON a.k = b.k "
-                "WHERE a.k = :k"
-            )
+    def test_expressions_accepted_in_join_queries_since_round5(self):
+        # rounds 3-4 rejected these; build_join_dim now maps the
+        # expression's qualified columns onto the derived dim's flat
+        # names (tests/test_lookup_join.py::TestJoinExpressions)
+        q = parse_lookup_query(
+            "SELECT a.x * 2 AS d FROM a JOIN b ON a.k = b.k "
+            "WHERE a.k = :k"
+        )
+        (name, ast) = q.computed[0]
+        assert q.projection == [(name, "d")]
+        assert sqlexpr.columns(ast) == {"a.x"}  # qualified until flat rewrite
 
     def test_expressions_rejected_in_having(self):
         with pytest.raises(ValidationError, match="HAVING"):
