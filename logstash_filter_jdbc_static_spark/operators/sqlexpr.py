@@ -26,7 +26,8 @@ mod/substr/floor/ceil/round/nullif/replace/instr, ``CAST(expr AS
 type)`` over the local-DDL type surface (round-4 verdict #3 — the
 docs tell users to cast remote columns to match local schemas,
 docs/index.asciidoc:455-458), searched ``CASE WHEN <cond> THEN <expr>
-... [ELSE <expr>] END`` where ``<cond>`` combines comparisons,
+... [ELSE <expr>] END`` plus simple ``CASE x WHEN v THEN r ... END``
+(desugared to searched) where ``<cond>`` combines comparisons,
 ``IS [NOT] NULL``, ``[NOT] LIKE 'pat'``, ``[NOT] IN (items)`` and
 ``[NOT] BETWEEN lo AND hi`` with AND/OR/NOT. Parameters are rejected
 inside expressions — they belong to predicate right-hand sides.
@@ -543,16 +544,27 @@ class ExprParser:
         return Cast(operand, type_str)
 
     def _case(self):
-        """Searched CASE (already consumed the CASE word)."""
+        """Searched CASE, or simple CASE desugared to it (already
+        consumed the CASE word). Simple ``CASE x WHEN v THEN r ... END``
+        is Derby-legal and equivalent to ``CASE WHEN x = v THEN r ...``
+        — including the NULL corner: a NULL scrutinee matches no WHEN
+        (x = v is unknown) and falls to ELSE/NULL on both forms."""
+        operand = None
         if self._peek_word() != "when":
-            raise ValidationError(
-                ["unsupported lookup expression: only searched CASE is "
-                 "supported (CASE WHEN <cond> THEN <expr> ... END)"]
-            )
+            operand = self.parse()  # simple CASE scrutinee
+            if self._peek_word() != "when":
+                got = self._peek()
+                raise ValidationError(
+                    [f"unsupported lookup expression: expected WHEN in "
+                     f"CASE, got {(got[1] if got else 'end of input')!r}"]
+                )
         whens = []
         while self._peek_word() == "when":
             self._next()
-            cond = self._cond_or()
+            if operand is None:
+                cond = self._cond_or()
+            else:
+                cond = Cmp("=", operand, self.parse())
             self._expect_word("then")
             whens.append((cond, self.parse()))
         otherwise = None

@@ -90,7 +90,9 @@ class TestExprParser:
             # round 4 (test_lookup_rhs.py::TestAggregateExpressions);
             # an aggregate INSIDE a scalar expression is still rejected
             ("SELECT 1 + sum(a*b) AS s FROM t", "aggregate sum"),
-            ("SELECT CASE a WHEN 1 THEN 2 END AS c FROM t", "searched CASE"),
+            # simple CASE is accepted since round 5 (desugars to
+            # searched); a CASE with neither scrutinee nor WHEN is not
+            ("SELECT CASE END AS c FROM t", "unexpected keyword"),
             ("SELECT CASE WHEN a THEN 1 END AS c FROM t", "comparison in"),
             ("SELECT nosuch(a) AS c FROM t", "unknown function"),
             ("SELECT coalesce(a) AS c FROM t", "argument"),
@@ -295,6 +297,9 @@ EXPR_TEMPLATES = [
      "WHEN price BETWEEN 2 AND 3 THEN 'mid' "
      "WHEN qty NOT IN (1, 2) THEN 'many' ELSE 'rest' END AS band "
      "FROM items WHERE coalesce(price, 0) = :n", ["band"]),
+    # simple CASE (round 5): NULL scrutinee falls to ELSE on both engines
+    ("SELECT CASE name WHEN 'a' THEN 'A' WHEN 'bb' THEN 'B' "
+     "ELSE '?' END AS t FROM items WHERE coalesce(qty, 0) = :n", ["t"]),
 ]
 
 nfacts = st.lists(
@@ -437,3 +442,55 @@ class TestCaseConditionShapes:
         assert got == {
             1: ["A"], 2: ["mid"], 3: ["few"], 20: ["few"],
         }
+
+
+class TestSimpleCase:
+    def test_desugars_to_searched(self):
+        q = parse_lookup_query(
+            "SELECT CASE plan WHEN 'basic' THEN 1 WHEN 'pro' THEN 2 "
+            "ELSE 0 END AS tier FROM t"
+        )
+        (_, ast) = q.computed[0]
+        assert ast == sqlexpr.Case(
+            (
+                (sqlexpr.Cmp("=", sqlexpr.Col("plan"), sqlexpr.Lit("basic")),
+                 sqlexpr.Lit(1)),
+                (sqlexpr.Cmp("=", sqlexpr.Col("plan"), sqlexpr.Lit("pro")),
+                 sqlexpr.Lit(2)),
+            ),
+            sqlexpr.Lit(0),
+        )
+
+    def test_scrutinee_may_be_an_expression(self):
+        q = parse_lookup_query(
+            "SELECT CASE mod(id, 2) WHEN 0 THEN 'even' ELSE 'odd' END "
+            "AS par FROM t"
+        )
+        (_, ast) = q.computed[0]
+        (cond, _), = ast.whens
+        assert cond == sqlexpr.Cmp(
+            "=", sqlexpr.Func("mod", (sqlexpr.Col("id"), sqlexpr.Lit(2))),
+            sqlexpr.Lit(0),
+        )
+
+    def test_missing_when_raises(self):
+        with pytest.raises(ValidationError, match="expected WHEN in CASE"):
+            parse_lookup_query("SELECT CASE plan THEN 1 END AS x FROM t")
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_golden_null_scrutinee_falls_to_else(self, spark, kw):
+        # DIM_ROWS id 3 has NULL name: NULL = 'a' is unknown -> ELSE
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "x",
+                "query": ("SELECT CASE name WHEN 'a' THEN 'A' "
+                          "WHEN 'b' THEN 'B' ELSE '?' END AS t "
+                          "FROM items WHERE id = :i"),
+                "parameters": {"i": "i"},
+            }]
+        )
+        dim = spark.createDataFrame(DIM_ROWS, DIM_SCHEMA)
+        enr = LookupEnricher(spec, {"items": dim}, **kw)
+        out = enr.apply(spark.createDataFrame([(1,), (2,), (3,)], "i: int"))
+        got = {r["i"]: [d["t"] for d in r["x"]] for r in out.collect()}
+        assert got == {1: ["A"], 2: ["B"], 3: ["?"]}
