@@ -837,3 +837,52 @@ class TestDerbyRound5Shapes:
         )
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         assert sorted(x["name"] for x in row["gx"]) == live
+
+    def test_exists_flag_recomputes_on_reload(self, spark, derby_servers):
+        """A16 parity for the round-5 machinery: the EXISTS semi-join
+        flag is built per refresh snapshot, so a row added to the
+        remote table flips the answer after refresh() — and the
+        pre-reload enricher (pinned snapshot) still answers from the
+        old state."""
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(
+            spark, [], [(loader, make_fetcher(spark, loader))]
+        )
+        store.initial_load()
+        marker = f"zz-{uuid.uuid4().hex[:6]}"
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "xz",
+                    "query": (
+                        "SELECT name FROM servers WHERE EXISTS "
+                        "(SELECT 1 FROM servers s2 WHERE "
+                        "s2.location = servers.location "
+                        f"AND s2.name = '{marker}')"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        old_enr = LookupEnricher(spec, store.dims())
+        (before,) = old_enr.apply(fact).collect()
+        assert list(before["xz"]) == []  # marker not in any location yet
+        loc = store.dims()["servers"].select("location").first()[0]
+        spark.createDataFrame(
+            [("10.42.0.1", marker, loc)], SERVERS_SCHEMA
+        ).write.format("jdbc").option("url", URL).option(
+            "driver", DRIVER
+        ).option("dbtable", "servers").mode("append").save()
+        store.refresh()
+        new_enr = LookupEnricher(spec, store.dims())
+        (after,) = new_enr.apply(fact).collect()
+        live = sorted(
+            r["name"]
+            for r in store.dims()["servers"].collect()
+            if r["location"] == loc
+        )
+        assert sorted(x["name"] for x in after["xz"]) == live
+        # the pinned pre-reload snapshot still answers the OLD state
+        (again,) = old_enr.apply(fact).collect()
+        assert list(again["xz"]) == []
