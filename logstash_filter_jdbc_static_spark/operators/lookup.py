@@ -497,7 +497,7 @@ def _pred_terms(parsed: ParsedQuery) -> list[_Predicate]:
 
 
 def has_subqueries(parsed: ParsedQuery) -> bool:
-    return any(
+    return bool(parsed.proj_subqueries) or any(
         t.kind == "subquery" for p in _pred_terms(parsed) for t in p.terms
     )
 
@@ -692,8 +692,8 @@ def resolve_subqueries_with_dim(
         if holder["dim"] is None:
             raise ValidationError(
                 [f"lookup subquery on {sq.table!r}: correlated "
-                 f"subqueries are supported only in single-table "
-                 f"lookup queries"]
+                 f"subqueries need the probed dimension in scope — "
+                 f"use resolve_subqueries_with_dim"]
             )
         for k, name in corr_cache:
             if k == sq:
@@ -737,7 +737,8 @@ def resolve_subqueries_with_dim(
         if holder["dim"] is None:
             raise ValidationError(
                 [f"lookup subquery on {sq.table!r}: {what} subqueries "
-                 f"are supported only in single-table lookup queries"]
+                 f"need the probed dimension in scope — use "
+                 f"resolve_subqueries_with_dim"]
             )
         outer_cols = [oc for _, oc in sq.corr]
         outer_cols += [oc for _, _, oc in sq.ineq]
@@ -938,6 +939,37 @@ def resolve_subqueries_with_dim(
             return ("pred", fix_pred(node[1]))
         return (node[0], [fix_tree(c) for c in node[1]])
 
+    # projection scalar subqueries (round-5) materialize as dim
+    # columns under their ``__psq{n}`` names: correlated ones alias
+    # the shared per-group aggregate column; uncorrelated ones become
+    # one TYPED literal (Derby types a NULL aggregate by the
+    # aggregate's result type, and a NullType payload field would
+    # poison the struct schema).
+    for name, sq in parsed.proj_subqueries:
+        if holder["dim"] is None:
+            raise ValidationError(
+                [f"lookup subquery on {sq.table!r}: projection "
+                 f"subqueries need the probed dimension in scope — "
+                 f"use resolve_subqueries_with_dim"]
+            )
+        if sq.corr:
+            col = corr_col_of(sq)  # joins the aggregate onto holder["dim"]
+            holder["dim"] = holder["dim"].withColumn(name, F.col(col))
+        else:
+            v = None
+            for k, cached in lit_cache:
+                if k == sq:
+                    v = cached
+                    break
+            else:
+                v = _eval_subquery(sq, dims)
+                lit_cache.append((sq, v))
+            if v is None:
+                df, agg = _sub_filtered_df(sq, dims)
+                lit = F.lit(None).cast(df.agg(agg).schema[0].dataType)
+            else:
+                lit = F.lit(v)
+            holder["dim"] = holder["dim"].withColumn(name, lit)
     parsed = dataclasses.replace(
         parsed,
         disjuncts=[[fix_pred(p) for p in d] for d in parsed.disjuncts],
@@ -948,6 +980,7 @@ def resolve_subqueries_with_dim(
             tuple(fix_pred(p, in_having=True) for p in d)
             for d in parsed.having
         ),
+        proj_subqueries=(),
     )
     return parsed, holder["dim"]
 
@@ -960,12 +993,15 @@ class _JoinPart:
     conditions (l_qual, l_col, op, r_qual, r_col) — op is one of
     ``= <> < > <= >=`` (non-equi ON is legal since round 4; a pure
     non-equi join compiles to a dim-sized nested-loop, still once per
-    refresh snapshot)."""
+    refresh snapshot). A side with qual ``None`` carries a LITERAL in
+    the col slot (round-5: ``ON p.k = b.k AND b.status = 'active'`` —
+    with a LEFT join this is not WHERE-expressible, the unmatched left
+    row survives with NULLs)."""
 
     table: str
     alias: str
     how: str  # 'inner' | 'left'
-    on: tuple[tuple[str, str, str, str, str], ...]
+    on: tuple[tuple[str | None, object, str, str | None, object], ...]
 
 
 @dataclass
@@ -1017,6 +1053,16 @@ class ParsedQuery:
     # the reference executes any WHERE verbatim in Derby, so a wide OR
     # is a legal config. None for every normalizable query.
     where_tree: object | None = None
+    # Scalar subqueries in the PROJECTION (round-5:
+    # ``SELECT name, (SELECT max(x) FROM t2 WHERE t2.k = s.k) AS mx``)
+    # — Derby evaluates the sub-SELECT per output row
+    # (lookup.rb:131-147); here each resolves once per refresh
+    # snapshot into a synthetic ``__psq{n}`` dim column (uncorrelated
+    # -> one typed literal; correlated -> the per-group aggregate
+    # left-joined by its correlation keys) the projection then
+    # references like any plain column. Cleared by
+    # resolve_subqueries_with_dim.
+    proj_subqueries: tuple[tuple[str, "_Subquery"], ...] = ()
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -1045,11 +1091,80 @@ class ParsedQuery:
         return has_key
 
 
-_QUERY_RE = re.compile(
-    r"^\s*select\s+(?P<distinct>distinct\s+)?(?P<proj>.+?)\s+from\s+(?P<from>.+?)"
-    r"(?:\s+where\s+(?P<where>.+?))?\s*;?\s*$",
-    re.IGNORECASE | re.DOTALL,
+_SELECT_HEAD_RE = re.compile(
+    r"^\s*select\s+(?P<distinct>distinct\s+)?", re.IGNORECASE
 )
+
+
+def _split_select(
+    query: str,
+) -> tuple[bool, str, str, str | None] | None:
+    """Split ``SELECT [DISTINCT] <proj> FROM <from> [WHERE <where>]``
+    at paren depth 0. A plain regex split breaks the moment a
+    projection item is a scalar subquery (round-5) — its inner FROM
+    would truncate the projection — so the keyword scan tracks paren
+    depth and ``'...'`` string state (with ``''`` escapes). Returns
+    (distinct, proj, from_text, where_text|None), or None on a shape
+    this parser does not accept."""
+    head = _SELECT_HEAD_RE.match(query)
+    if head is None:
+        return None
+    s = query.rstrip()
+    if s.endswith(";"):
+        s = s[:-1].rstrip()
+    n = len(s)
+    depth = 0
+    i = head.end()
+    from_span: tuple[int, int] | None = None
+    where_span: tuple[int, int] | None = None
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and (ch.isalpha() or ch == "_"):
+            j = i
+            while j < n and (s[j].isalnum() or s[j] in "_$"):
+                j += 1
+            prev = s[i - 1] if i else " "
+            if not (prev.isalnum() or prev in "_$.:"):
+                w = s[i:j].lower()
+                if w == "from" and from_span is None:
+                    from_span = (i, j)
+                elif w == "where" and from_span is not None:
+                    where_span = (i, j)
+                    break
+            i = j
+            continue
+        i += 1
+    if from_span is None:
+        return None
+    proj = s[head.end():from_span[0]].strip()
+    if not proj:
+        return None
+    if where_span is not None:
+        from_text = s[from_span[1]:where_span[0]].strip()
+        where_text = s[where_span[1]:].strip()
+        if not where_text:
+            return None
+    else:
+        from_text = s[from_span[1]:].strip()
+        where_text = None
+    if not from_text:
+        return None
+    return head.group("distinct") is not None, proj, from_text, where_text
 
 _SIMPLE_TABLE_RE = re.compile(r"^[A-Za-z_][\w.]*$")
 
@@ -1165,12 +1280,32 @@ def _parse_from(text: str) -> tuple[str, str, tuple[_JoinPart, ...]]:
             alias = take()[1].lower()
         return name, alias
 
-    def qualified_col(side: str) -> tuple[str, str]:
+    def operand(side: str) -> tuple[str | None, object]:
+        """One ON operand: a qualified column (qual, col) or a literal
+        (None, value) — Derby accepts literal ON operands
+        (lookup.rb:131-147), and with a LEFT join they are NOT
+        WHERE-expressible (the unmatched left row survives)."""
         kind, name = take()
+        if kind == "string":
+            return None, name[1:-1].replace("''", "'")
+        if kind == "arith" and name == "-":
+            kind, name = take()
+            if kind != "number":
+                raise ValidationError(
+                    [f"unsupported lookup FROM: ON {side} side — "
+                     f"expected a number after '-', got {name!r}"]
+                )
+            return None, -(
+                float(name) if any(ch in name for ch in ".eE") else int(name)
+            )
+        if kind == "number":
+            return None, (
+                float(name) if any(ch in name for ch in ".eE") else int(name)
+            )
         if kind != "word" or "." not in name:
             raise ValidationError(
                 [f"unsupported lookup FROM: ON {side} side must be a "
-                 f"qualified column (alias.col), got {name!r}"]
+                 f"qualified column (alias.col) or a literal, got {name!r}"]
             )
         q, c = name.split(".", 1)
         return q.lower(), c
@@ -1202,18 +1337,23 @@ def _parse_from(text: str) -> tuple[str, str, tuple[_JoinPart, ...]]:
             raise ValidationError(
                 [f"unsupported lookup FROM: expected ON after {tbl!r}"]
             )
-        on: list[tuple[str, str, str, str, str]] = []
+        on: list[tuple[str | None, object, str, str | None, object]] = []
         while True:
-            lq, lc = qualified_col("left")
+            lq, lc = operand("left")
             opk, opv = take()
             if opk != "op":
                 raise ValidationError(
                     ["unsupported lookup FROM: ON supports "
-                     "alias.col <op> alias.col conditions "
+                     "alias.col <op> alias.col|literal conditions "
                      "(=, <>, <, >, <=, >=)"]
                 )
             op = "<>" if opv == "!=" else opv
-            rq, rc = qualified_col("right")
+            rq, rc = operand("right")
+            if lq is None and rq is None:
+                raise ValidationError(
+                    ["unsupported lookup FROM: an ON condition must "
+                     "reference at least one column (got two literals)"]
+                )
             on.append((lq, lc, op, rq, rc))
             if word_of(peek()) == "and":
                 take()
@@ -1719,14 +1859,13 @@ class _WhereParser:
             def outer_ref(name: str) -> str:
                 # a qualifier that is not the subquery's relation
                 # resolves through the ENCLOSING query's scope: a
-                # correlated outer-column reference (``t2.cat = t.cat``)
-                if self.quals is not None:
-                    raise ValidationError(
-                        [f"unsupported lookup subquery on {table!r}: "
-                         f"correlated reference {name!r} — correlated "
-                         f"subqueries are not supported in multi-table "
-                         f"(JOIN) lookup queries"]
-                    )
+                # correlated outer-column reference (``t2.cat = t.cat``).
+                # Single-table: the outer alias strips to the bare
+                # column. Join mode (round-5): _strip_qualifier
+                # validates the qualifier against the in-scope aliases
+                # and KEEPS the "alias.col" spelling — build_join_dim
+                # maps it onto the derived dim's flat name, so the
+                # correlation may target ANY joined relation's column.
                 return _OUTER_MARK + self._strip_qualifier(name)
 
             sub = _WhereParser(
@@ -2371,13 +2510,13 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     ``UNION`` splitting happens ABOVE this parser
     (split_top_level_union / CompiledUnionLookup); the full grammar
     lives in COVERAGE.md."""
-    m = _QUERY_RE.match(query)
-    if not m:
+    parts = _split_select(query)
+    if parts is None:
         raise ValidationError([f"unsupported lookup query shape: {query!r}"])
+    is_distinct, proj_raw, from_text, where_text = parts
     # Split a trailing ORDER BY / LIMIT / FETCH FIRST clause off the
-    # regex's greedy-tail group (the WHERE text when present, else the
+    # greedy-tail clause (the WHERE text when present, else the
     # FROM text) before handing either to its parser.
-    from_text, where_text = m.group("from"), m.group("where")
     group_by: tuple[str, ...] = ()
     order_by: tuple[tuple[str, bool], ...] = ()
     limit: int | None = None
@@ -2424,12 +2563,12 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         quals = {base_alias} | {j.alias for j in joins}
         if len(quals) != 1 + len(joins):
             raise ValidationError(
-                [f"lookup FROM: duplicate relation alias in {m.group('from')!r}"]
+                [f"lookup FROM: duplicate relation alias in {from_text!r}"]
             )
-    proj_raw = m.group("proj").strip()
     projection: list[tuple[str, str]] | None
     aggregates: list[tuple[str, str | None, str]] = []
     computed: list[tuple[str, object]] = []
+    proj_subqueries: list[tuple[str, _Subquery]] = []
     if proj_raw == "*":
         if joins:
             raise ValidationError(
@@ -2506,6 +2645,43 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 aggregates.append((func, cname, alias))
             elif _SIMPLE_TABLE_RE.match(src):
                 projection.append((src, alias if alias is not None else src))
+            elif re.match(r"^\(\s*select\b", src, flags=re.IGNORECASE):
+                # scalar subquery projection (round-5): Derby returns
+                # the sub-SELECT's value per output row
+                # (lookup.rb:131-147); here it resolves once per
+                # refresh snapshot — uncorrelated to one typed-literal
+                # column, correlated to the per-group aggregate
+                # left-joined onto the dim — and the projection
+                # references the synthetic ``__psq{n}`` column.
+                if alias is None:
+                    raise ValidationError(
+                        [f"lookup subquery projection {src!r} requires "
+                         f"an AS alias (the payload hash is keyed by it)"]
+                    )
+                toks = _tokenize_where(src)
+                wp = _WhereParser(
+                    toks,
+                    table,
+                    quals,
+                    alias="" if joins else (
+                        base_alias if base_alias != table.lower() else ""
+                    ),
+                    computed=computed,
+                )
+                term = wp._term()  # '(' + SELECT dispatches to subquery
+                if wp.i != len(toks):
+                    raise ValidationError(
+                        [f"lookup projection: trailing tokens after "
+                         f"subquery at {toks[wp.i][1]!r} in {src!r}"]
+                    )
+                sq = term.value
+                name = next(
+                    (n for n, k in proj_subqueries if k == sq), None
+                )
+                if name is None:
+                    name = f"__psq{len(proj_subqueries)}"
+                    proj_subqueries.append((name, sq))
+                projection.append((name, alias))
             else:
                 # scalar expression projection (arithmetic / CASE /
                 # COALESCE ... — the reference executes these verbatim
@@ -2539,6 +2715,16 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             raise ValidationError(
                 ["lookup projection cannot mix aggregates with plain "
                  "columns without GROUP BY"]
+            )
+        if proj_subqueries and (aggregates or group_by):
+            # a grouped query would need the subquery column in GROUP
+            # BY (it is constant per group only when uncorrelated) —
+            # Derby-legal but a corner; keep the contract closed
+            raise ValidationError(
+                ["lookup projection: a scalar-subquery projection "
+                 "cannot combine with aggregates or GROUP BY — "
+                 "aggregate inside the subquery or pre-shape the dim "
+                 "with a loader query"]
             )
     if projection is not None and joins:
         # keep in-scope qualifiers on sources (lowercased alias);
@@ -2639,7 +2825,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             , asc)
             for col, asc in order_by
         )
-    distinct = m.group("distinct") is not None
+    distinct = is_distinct
     if distinct and order_by and projection is not None and not joins:
         # single-table: both sides are canonical bare names here; the
         # join-mode equivalent runs on flat names in build_join_dim
@@ -2788,6 +2974,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         order_by=order_by, limit=limit, offset=offset, distinct=distinct,
         aggregates=tuple(aggregates), group_by=group_by, having=having,
         computed=tuple(computed), where_tree=where_tree,
+        proj_subqueries=tuple(proj_subqueries),
     )
 
 
@@ -2828,6 +3015,8 @@ def build_join_dim(
         cond: Column | None = None
         for lq, lc, op, rq, rc in j.on:
             for q, c in ((lq, lc), (rq, rc)):
+                if q is None:  # literal ON operand
+                    continue
                 if q not in in_scope and q != j.alias:
                     raise ValidationError(
                         [f"lookup FROM: ON references {q}.{c} but "
@@ -2838,7 +3027,8 @@ def build_join_dim(
                         [f"lookup FROM: column '{c}' not in table "
                          f"'{alias_map[q]}' (alias {q!r})"]
                     )
-            l, r = F.col(f"{lq}.{lc}"), F.col(f"{rq}.{rc}")
+            l = F.lit(lc) if lq is None else F.col(f"{lq}.{lc}")
+            r = F.lit(rc) if rq is None else F.col(f"{rq}.{rc}")
             piece = {
                 "=": l == r, "<>": l != r, "<": l < r,
                 ">": l > r, "<=": l <= r, ">=": l >= r,
@@ -2876,10 +3066,13 @@ def build_join_dim(
     # rewrite: their ASTs reference real (possibly alias-qualified)
     # columns, mapped below and materialized by CompiledLookup on the
     # derived dim — so every clause may reference them by name here
-    synth = {n for n, _ in parsed.computed}
+    synth = {n for n, _ in parsed.computed} | {
+        n for n, _ in parsed.proj_subqueries
+    }
     refs: list[tuple[str, str]] = []
     srcs = [s for s, _ in (parsed.projection or [])]
-    pred_cols = [p.dim_column for p in parsed.predicates] + [
+    # EXISTS predicates have no lhs column (empty dim_column)
+    pred_cols = [p.dim_column for p in parsed.predicates if p.dim_column] + [
         # rhs column comparands (``WHERE a.x < b.y``) are dim columns too
         t.value
         for p in parsed.predicates
@@ -2892,8 +3085,26 @@ def build_join_dim(
     expr_cols = [
         r for _, a in parsed.computed for r in sorted(sqlexpr.columns(a))
     ]
+    # correlated-subquery outer references ("alias.col", kept qualified
+    # by the parser) are dim columns of the derived dim too: the
+    # per-group aggregate/flag left-joins onto it by these keys
+    # (round-5: correlated subqueries in JOIN lookups)
+    sub_outer = [
+        oc
+        for p in parsed.predicates
+        for t in p.terms
+        if t.kind == "subquery"
+        for oc in (
+            [o for _, o in t.value.corr] + [o for _, _, o in t.value.ineq]
+        )
+    ] + [
+        oc
+        for _, sq in parsed.proj_subqueries
+        for oc in [o for _, o in sq.corr]
+    ]
     for ref in (
         srcs + pred_cols + order_cols + agg_cols + group_cols + expr_cols
+        + sub_outer
     ):
         if ref in synth:
             continue
@@ -2924,17 +3135,33 @@ def build_join_dim(
         return ref if ref in synth else flat[resolve(ref)]
 
     new_proj = [(res(src), alias) for src, alias in (parsed.projection or [])]
+
+    def flat_term(t: _Term) -> _Term:
+        if t.kind == "column":
+            return _Term("column", res(t.value))
+        if t.kind == "subquery" and (t.value.corr or t.value.ineq):
+            # correlation keys flatten with the dim; the subquery's own
+            # columns (sub-relation scope) stay untouched
+            sq = t.value
+            return _Term(
+                "subquery",
+                dataclasses.replace(
+                    sq,
+                    corr=tuple((sc, res(oc)) for sc, oc in sq.corr),
+                    ineq=tuple(
+                        (sc, op, res(oc)) for sc, op, oc in sq.ineq
+                    ),
+                ),
+            )
+        return t
+
     new_disjuncts = [
         [
             _Predicate(
-                res(p.dim_column),
+                res(p.dim_column) if p.op not in ("exists", "not exists")
+                else p.dim_column,  # EXISTS has no lhs column
                 p.op,
-                [
-                    _Term("column", res(t.value))
-                    if t.kind == "column"
-                    else t
-                    for t in p.terms
-                ],
+                [flat_term(t) for t in p.terms],
                 func=p.func,
             )
             for p in d
@@ -2979,6 +3206,20 @@ def build_join_dim(
         computed=tuple(
             (n, sqlexpr.map_columns(a, lambda ref: flat[resolve(ref)]))
             for n, a in parsed.computed
+        ),
+        # projection scalar subqueries: correlation keys flatten with
+        # the dim (the per-group aggregate left-joins onto the DERIVED
+        # dim); the subquery's own columns stay in the sub-relation's
+        # scope (round-5)
+        proj_subqueries=tuple(
+            (
+                n,
+                dataclasses.replace(
+                    sq,
+                    corr=tuple((sc, res(oc)) for sc, oc in sq.corr),
+                ),
+            )
+            for n, sq in parsed.proj_subqueries
         ),
     )
     return dim, rewritten
@@ -4132,8 +4373,12 @@ class CompiledUnionLookup:
                     ],
                 )
             if parsed.joins:
-                parsed = resolve_subqueries(parsed, dims)
+                # flat-rewrite first: correlated subqueries left-join
+                # their per-group aggregate/flag onto the DERIVED dim
                 dim_df, parsed = build_join_dim(parsed, dims)
+                parsed, dim_df = resolve_subqueries_with_dim(
+                    parsed, dims, dim_df
+                )
                 lk_rows = None
             else:
                 if parsed.table not in dims:

@@ -94,7 +94,6 @@ class LookupEnricher:
                 CompiledUnionLookup,
                 build_join_dim,
                 parse_lookup_query,
-                resolve_subqueries,
                 resolve_subqueries_with_dim,
                 split_top_level_union,
             )
@@ -119,14 +118,17 @@ class LookupEnricher:
             # full table dict in scope (they may aggregate a DIFFERENT
             # dim than the one being probed) — once per compile/refresh
             # snapshot. Correlated subqueries left-join their per-group
-            # aggregate onto the probed dim (single-table path only;
-            # the parser rejects them in join queries).
+            # aggregate/flag onto the probed dim; in join queries that
+            # is the DERIVED dim, so the flat rewrite runs first and
+            # the correlation keys resolve to flat names (round-5).
             if parsed.joins:
-                parsed = resolve_subqueries(parsed, dims)
                 # Multi-table lookup: pre-join the dims into one derived
                 # dimension at compile/refresh time (dim-sized work, once
                 # per snapshot) and compile against the flat rewrite.
                 dim_df, parsed = build_join_dim(parsed, dims)
+                parsed, dim_df = resolve_subqueries_with_dim(
+                    parsed, dims, dim_df
+                )
                 lk_dim_rows = None  # derived dim: A2 count not applicable
             else:
                 if parsed.table not in dims:

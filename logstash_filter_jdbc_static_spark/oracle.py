@@ -449,6 +449,32 @@ def _resolve_subqueries_rows(
             return ("pred", fix_pred(node[1]))
         return (node[0], [fix_tree(c) for c in node[1]])
 
+    # projection scalar subqueries (round-5): each ``__psq{n}`` becomes
+    # a per-row column — the row-at-a-time mirror of the compiled
+    # typed-literal / per-group-aggregate dim column
+    for name, sq in q.proj_subqueries:
+        if not sq.corr:
+            v = _eval_subquery_rows(sq, tables)
+            state["rows"] = [{**r, name: v} for r in state["rows"]]
+        else:
+            sub = _sub_rows(sq, tables)
+            state["rows"] = [
+                {
+                    **r,
+                    name: _agg_rows(
+                        sq,
+                        [
+                            s
+                            for s in sub
+                            if all(
+                                corr_eq(s.get(sc), r.get(oc))
+                                for sc, oc in sq.corr
+                            )
+                        ],
+                    ),
+                }
+                for r in state["rows"]
+            ]
     q = dataclasses.replace(
         q,
         disjuncts=[[fix_pred(p) for p in d] for d in q.disjuncts],
@@ -456,6 +482,7 @@ def _resolve_subqueries_rows(
         having=tuple(
             tuple(fix_pred(p) for p in d) for d in q.having
         ),
+        proj_subqueries=(),
     )
     return q, state["rows"]
 
@@ -497,7 +524,8 @@ def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:
                 [
                     (f, f)
                     for f in row.keys()
-                    if f not in synth and not f.startswith("__sq_")
+                    if f not in synth
+                    and not f.startswith(("__sq_", "__psq"))
                 ]
                 if q.projection is None
                 else q.projection
@@ -749,6 +777,8 @@ def _join_rows(q, tables: dict[str, list[dict]]) -> list[dict]:
             matched = False
             for rr in right_rows:
                 def val(qual, col):
+                    if qual is None:  # literal ON operand
+                        return col
                     return rr.get((qual, col)) if qual == j.alias else lr.get((qual, col))
 
                 def on_match(lq, lc, op, rq, rc) -> bool:

@@ -170,6 +170,17 @@ _merge(
          [("n_xr", "xr_n"), ("xr_prices", "xr_prices")]),
         ("lookup_join_expr",
          [("n_jx", "jx_n"), ("jx_rows", "jx_rows")]),
+        # round-5 late widening: correlated subqueries in JOIN lookups
+        # and literal ON operands (LEFT-join shape, not WHERE sugar)
+        ("lookup_join_subquery",
+         [("n_js", "js_n"), ("js_rows", "js_rows")]),
+        ("lookup_join_onlit",
+         [("n_ol", "ol_n"), ("ol_rows", "ol_rows")]),
+        # round-5 late widening: scalar subqueries in the PROJECTION
+        # (correlated per-group aggregate + uncorrelated typed literal)
+        ("lookup_proj_subquery",
+         [("n_ps", "ps_n"), ("ps_prices", "ps_prices"),
+          ("ps_avg_sum", "ps_avg_sum"), ("ps_nplans", "ps_nplans")]),
     ],
 )
 

@@ -14,8 +14,12 @@ CAST and the scalar functions are synthetic dim columns. The per-event
 plan stays the single broadcast-hash equi probe on every shape — the
 100 TB plan (plan-asserted in tests/test_lookup_exists.py).
 
-All three fold into the ``lookup_expr_shapes`` merged gate row
-(queries_merged.py) — the driver registry stays at 50 entries.
+All of this wave — including the round-5-late parts: correlated
+subqueries and literal ON operands in JOIN lookups
+(``lookup_join_subquery``/``lookup_join_onlit``) and scalar subqueries
+in the PROJECTION (``lookup_proj_subquery``) — folds into the
+``lookup_expr_shapes`` merged gate row (queries_merged.py), so the
+driver registry stays at 50 entries.
 """
 
 from __future__ import annotations
@@ -437,4 +441,284 @@ def lookup_join_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("jx_rows"),
+    )
+
+
+@register(
+    "lookup_join_subquery",
+    with_ctes(
+        _PLANS_CTE,
+        _BANDS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT p.tool, p.plan, p.price, b.band
+          FROM tool_plans p
+          JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi
+          WHERE EXISTS (SELECT 1 FROM tool_plans p2
+                        WHERE p2.plan = p.plan AND p2.qty > b.lo)
+            AND p.price <= (SELECT avg(p3.price) FROM tool_plans p3
+                            WHERE p3.plan = p.plan)
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_js,
+               coalesce(
+                 array_to_string(
+                   list(m.plan || ':' || CAST(m.price AS VARCHAR)
+                        || ':' || m.band
+                        ORDER BY m.plan, m.price, m.band),
+                   ','),
+                 '') AS js_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_join_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late widening: CORRELATED subqueries inside a
+    multi-table JOIN lookup. The EXISTS correlates against BOTH joined
+    relations (equality on ``p.plan``, inequality on ``b.lo`` — the
+    band floor), and a correlated scalar subquery compares against the
+    per-plan average price. Derby nests both probes per outer row
+    (lookup.rb:131-147); Spark-first, build_join_dim flat-rewrites the
+    join once per refresh snapshot and the correlation machinery
+    left-joins the per-group flag/aggregate onto the DERIVED dim — the
+    per-event plan stays one broadcast-hash probe
+    (tests/test_lookup_exists.py::TestJoinModePlan)."""
+    from logstash_filter_jdbc_static_spark.queries_pipeline8 import (
+        BAND_ROWS,
+        BAND_SCHEMA,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "js",
+                "query": (
+                    "SELECT p.plan AS plan, p.price AS price, "
+                    "b.band AS band "
+                    "FROM tool_plans p "
+                    "JOIN price_bands b ON p.price >= b.lo "
+                    "AND p.price < b.hi "
+                    "WHERE p.tool = :tool AND EXISTS "
+                    "(SELECT 1 FROM tool_plans p2 "
+                    "WHERE p2.plan = p.plan AND p2.qty > b.lo) "
+                    "AND p.price <= (SELECT avg(p3.price) "
+                    "FROM tool_plans p3 WHERE p3.plan = p.plan)"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec,
+        {
+            "tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA),
+            "price_bands": spark.createDataFrame(BAND_ROWS, BAND_SCHEMA),
+        },
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("js").cast("long").alias("n_js"),
+        F.array_join(
+            F.transform(
+                F.col("js"),
+                lambda r: F.concat(
+                    r.getField("plan"),
+                    F.lit(":"),
+                    r.getField("price").cast("string"),
+                    F.lit(":"),
+                    r.getField("band"),
+                ),
+            ),
+            ",",
+        ).alias("js_rows"),
+    )
+
+
+@register(
+    "lookup_join_onlit",
+    with_ctes(
+        _PLANS_CTE,
+        _BANDS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT p.tool, p.price, coalesce(b.band, '-') AS band
+          FROM tool_plans p
+          LEFT JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi
+                                  AND b.band <> 'low'
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_ol,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) || ':' || m.band
+                        ORDER BY m.price, m.band),
+                   ','),
+                 '') AS ol_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_join_onlit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late widening: a LITERAL operand inside a LEFT JOIN's
+    ON (``AND b.band <> 'low'``) — Derby-legal (lookup.rb:131-147) and
+    NOT WHERE-expressible: the low-band and out-of-band plan rows
+    survive with a NULL band instead of dropping. The literal rides
+    the snapshot-time join condition in build_join_dim; the per-event
+    plan stays one broadcast-hash probe."""
+    from logstash_filter_jdbc_static_spark.queries_pipeline8 import (
+        BAND_ROWS,
+        BAND_SCHEMA,
+    )
+
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "ol",
+                "query": (
+                    "SELECT p.price AS price, "
+                    "coalesce(b.band, '-') AS band "
+                    "FROM tool_plans p LEFT JOIN price_bands b "
+                    "ON p.price >= b.lo AND p.price < b.hi "
+                    "AND b.band <> 'low' "
+                    "WHERE p.tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec,
+        {
+            "tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA),
+            "price_bands": spark.createDataFrame(BAND_ROWS, BAND_SCHEMA),
+        },
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("ol").cast("long").alias("n_ol"),
+        F.array_join(
+            F.transform(
+                F.col("ol"),
+                lambda r: F.concat(
+                    r.getField("price").cast("string"),
+                    F.lit(":"),
+                    r.getField("band"),
+                ),
+            ),
+            ",",
+        ).alias("ol_rows"),
+    )
+
+
+@register(
+    "lookup_proj_subquery",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT p.tool, p.price,
+                 (SELECT avg(p2.price) FROM tool_plans p2
+                  WHERE p2.plan = p.plan) AS plan_avg,
+                 (SELECT count(*) FROM tool_plans) AS n_all
+          FROM tool_plans p
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_ps,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) ORDER BY m.price),
+                   ','),
+                 '') AS ps_prices,
+               sum(m.plan_avg) AS ps_avg_sum,
+               CAST(coalesce(max(m.n_all), 0) AS BIGINT) AS ps_nplans
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_proj_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 widening: scalar subqueries in the lookup PROJECTION —
+    a correlated per-plan average and an uncorrelated count(*), both
+    attached as payload fields. Derby evaluates the sub-SELECTs per
+    output row (lookup.rb:131-147); Spark-first they resolve once per
+    refresh snapshot into synthetic dim columns (correlated -> the
+    per-group aggregate left-joined by its correlation keys,
+    uncorrelated -> one typed literal), so the per-event plan stays
+    the single broadcast-hash probe
+    (tests/test_lookup_proj_subquery.py::TestPlan)."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "ps",
+                "query": (
+                    "SELECT p.price AS price, "
+                    "(SELECT avg(p2.price) FROM tool_plans p2 "
+                    "WHERE p2.plan = p.plan) AS plan_avg, "
+                    "(SELECT count(*) FROM tool_plans) AS n_all "
+                    "FROM tool_plans p WHERE p.tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    nonnull = F.filter(
+        F.col("ps"), lambda r: r.getField("plan_avg").isNotNull()
+    )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("ps").cast("long").alias("n_ps"),
+        F.array_join(
+            F.transform(
+                F.col("ps"), lambda r: r.getField("price").cast("string")
+            ),
+            ",",
+        ).alias("ps_prices"),
+        # SQL SUM: NULLs skipped, empty/all-NULL -> NULL (the payload
+        # array is price-ascending by the default contract, matching
+        # the oracle's ORDER BY; <=3 exact dyadic doubles, so FP
+        # association cannot diverge)
+        F.when(F.size(nonnull) == 0, F.lit(None).cast("double"))
+        .otherwise(
+            F.aggregate(
+                nonnull,
+                F.lit(0.0),
+                lambda acc, r: acc + r.getField("plan_avg"),
+            )
+        )
+        .alias("ps_avg_sum"),
+        F.when(
+            F.size("ps") > 0, F.element_at("ps", 1).getField("n_all")
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("ps_nplans"),
     )

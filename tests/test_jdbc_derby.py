@@ -886,3 +886,88 @@ class TestDerbyRound5Shapes:
         # the pinned pre-reload snapshot still answers the OLD state
         (again,) = old_enr.apply(fact).collect()
         assert list(again["xz"]) == []
+
+    def test_join_correlated_exists_on_derby_dims(self, spark, derby_servers):
+        """Round-5 late widening e2e: a multi-table JOIN lookup whose
+        EXISTS correlates against the JOINED relation's column
+        (t.location), both dims loaded from live Derby. build_join_dim
+        flat-rewrites the correlation key onto the derived dim, and
+        the semi-join flag is built there once per snapshot."""
+        loaders = [
+            _loader('SELECT "ip", "name", "location" FROM servers'),
+            _loader(
+                'SELECT DISTINCT "location" FROM servers', table="sites"
+            ),
+        ]
+        store = DimensionStore(
+            spark, [], [(ld, make_fetcher(spark, ld)) for ld in loaders]
+        )
+        store.initial_load()
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "jx",
+                    "query": (
+                        "SELECT s.name AS name FROM servers s "
+                        "JOIN sites t ON s.location = t.location "
+                        "WHERE EXISTS (SELECT 1 FROM servers s2 "
+                        "WHERE s2.location = t.location "
+                        "AND s2.ip LIKE '10.%')"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = store.dims()["servers"].collect()
+        locs_with_10 = {
+            r["location"] for r in rows if r["ip"].startswith("10.")
+        }
+        live = sorted(
+            r["name"] for r in rows if r["location"] in locs_with_10
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["name"] for x in row["jx"]) == live
+
+    def test_projection_scalar_subqueries_on_derby_dim(
+        self, spark, derby_servers
+    ):
+        """Round-5 widening e2e: scalar subqueries in the PROJECTION —
+        a correlated per-location max ip and an uncorrelated count(*),
+        both over a live Derby-loaded dim, attached as payload fields
+        alongside the plain column."""
+        ld = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(ld, make_fetcher(spark, ld))])
+        store.initial_load()
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "px",
+                    "query": (
+                        "SELECT s.name AS name, "
+                        "(SELECT max(s2.ip) FROM servers s2 "
+                        "WHERE s2.location = s.location) AS loc_max_ip, "
+                        "(SELECT count(*) FROM servers) AS n_servers "
+                        "FROM servers s WHERE s.ip = :ip"
+                    ),
+                    "parameters": {"ip": "ip"},
+                }
+            ]
+        )
+        rows = store.dims()["servers"].collect()
+        n_total = len(rows)
+        by_loc_max = {}
+        for r in rows:
+            loc = r["location"]
+            if loc not in by_loc_max or r["ip"] > by_loc_max[loc]:
+                by_loc_max[loc] = r["ip"]
+        probe = rows[0]
+        fact = spark.createDataFrame([(probe["ip"],)], ["ip"])
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        got = {(d["name"], d["loc_max_ip"], d["n_servers"]) for d in row["px"]}
+        exp = {
+            (r["name"], by_loc_max[r["location"]], n_total)
+            for r in rows
+            if r["ip"] == probe["ip"]
+        }
+        assert got == exp

@@ -93,39 +93,29 @@ class TestParser:
                 "(SELECT 1 FROM b))"
             )
 
-    def test_correlated_reference_rejected_in_join_query(self):
-        with pytest.raises(ValidationError, match="multi-table"):
+    def test_join_correlation_keeps_qualified_spelling(self):
+        # round-5: correlated subqueries in JOIN queries — the outer
+        # reference keeps its "alias.col" spelling for build_join_dim
+        # to map onto the derived dim's flat names; correlations may
+        # target ANY joined relation (here both p and b)
+        q = parse_lookup_query(
+            "SELECT p.price AS price FROM t p JOIN u b ON p.k = b.k "
+            "WHERE EXISTS (SELECT 1 FROM v "
+            "WHERE v.plan = p.plan AND v.qty > b.lo)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.corr == (("plan", "p.plan"),)
+        assert sq.ineq == (("qty", ">", "b.lo"),)
+
+    def test_join_unknown_outer_qualifier_rejected(self):
+        with pytest.raises(ValidationError, match="unknown relation"):
             parse_lookup_query(
                 "SELECT a.x AS x FROM t a JOIN u b ON a.k = b.k "
-                "WHERE EXISTS (SELECT 1 FROM v WHERE v.c = a.x)"
+                "WHERE EXISTS (SELECT 1 FROM v WHERE v.c = zz.x)"
             )
 
 
 class TestValidation:
-    def test_uncorrelated_exists_rejected_in_join_query(self, spark):
-        # parses (no outer reference), but the join path has no probed
-        # dim frame to flag — rejected at resolve with a direct message
-        spec = PipelineSpec(
-            lookups=[
-                {
-                    "id": "x",
-                    "query": (
-                        "SELECT a.price AS price FROM tool_plans a "
-                        "JOIN bands b ON a.price = b.lo "
-                        "WHERE a.tool = :tool AND EXISTS "
-                        "(SELECT 1 FROM bands WHERE lo > 0)"
-                    ),
-                    "parameters": {"tool": "tool"},
-                }
-            ]
-        )
-        dims = {
-            "tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA),
-            "bands": spark.createDataFrame([(5,)], "lo: int"),
-        }
-        with pytest.raises(ValidationError, match="single-table"):
-            LookupEnricher(spec, dims)
-
     def test_correlated_in_group_cap(self, spark, monkeypatch):
         from logstash_filter_jdbc_static_spark.operators import lookup as L
 
@@ -497,3 +487,227 @@ class TestIneqGolden:
         assert got == {
             "t0": [10], "t1": [], "t2": [8], "t3": [], "t4": [], "t5": [],
         }
+
+
+BAND_ROWS = [(0, 5, "low"), (5, 9, "mid")]
+BAND_SCHEMA = T.StructType(
+    [
+        T.StructField("lo", T.IntegerType(), False),
+        T.StructField("hi", T.IntegerType(), False),
+        T.StructField("band", T.StringType(), False),
+    ]
+)
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+class TestJoinModeGolden:
+    """Round-5 widening: correlated subqueries inside multi-table JOIN
+    lookup queries. build_join_dim flat-rewrites first, so the
+    per-group aggregate/flag left-joins onto the DERIVED dim and the
+    correlation may target ANY joined relation's column (b.lo / b.hi).
+
+    Joined rows (price in a band): t0/5/NULL-plan mid, t1/7/pro mid,
+    t2/2/basic low, t2/8/pro mid, t3/8/NULL mid, t4/1/trial low;
+    t0's price-10 row falls outside every band. Plan groups:
+    basic {(10,qty3), (2,qty9)}, pro {(7,2), (8,1)}, trial {(1,5)}."""
+
+    BASE = (
+        "SELECT p.price AS price FROM tool_plans p "
+        "JOIN bands b ON p.price >= b.lo AND p.price < b.hi "
+        "WHERE p.tool = :tool AND "
+    )
+
+    def _run(self, spark, kw, query):
+        spec = PipelineSpec(
+            lookups=[{"id": "x", "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        dims = {
+            "tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA),
+            "bands": spark.createDataFrame(BAND_ROWS, BAND_SCHEMA),
+        }
+        facts = spark.createDataFrame(
+            [(f"t{i}",) for i in range(6)], "tool: string"
+        )
+        out = LookupEnricher(spec, dims, **kw).apply(facts)
+        return {
+            r["tool"]: sorted(d["price"] for d in r["x"])
+            for r in out.select("tool", "x").collect()
+        }
+
+    def test_exists_correlated_on_joined_relation(self, spark, kw):
+        # equality corr on p.plan, inequality corr on b.lo: a same-plan
+        # sibling with qty > the row's band floor. Group max qty:
+        # basic 9, pro 2, trial 5; NULL plans correlate to nothing.
+        got = self._run(
+            spark, kw,
+            self.BASE + "EXISTS (SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.plan = p.plan AND p2.qty > b.lo)",
+        )
+        assert got == {
+            "t0": [], "t1": [], "t2": [2], "t3": [], "t4": [1], "t5": [],
+        }
+
+    def test_correlated_scalar_subquery(self, spark, kw):
+        # per-plan avg prices: basic 6, pro 7.5, trial 1; NULL-plan
+        # rows left-join to no group -> NULL avg -> unknown -> drop
+        got = self._run(
+            spark, kw,
+            self.BASE + "p.price <= (SELECT avg(p3.price) "
+            "FROM tool_plans p3 WHERE p3.plan = p.plan)",
+        )
+        assert got == {
+            "t0": [], "t1": [7], "t2": [2], "t3": [], "t4": [1], "t5": [],
+        }
+
+    def test_correlated_not_in_on_joined_column(self, spark, kw):
+        # per-plan qty sets: basic {3,9}, pro {2,1}, trial {5}; the
+        # band CEILING is the probe value — only t4's (hi 5, trial
+        # {5}) is a member, so NOT IN drops exactly that row; empty
+        # groups (NULL plans) pass vacuously
+        got = self._run(
+            spark, kw,
+            self.BASE + "b.hi NOT IN (SELECT p2.qty FROM tool_plans p2 "
+            "WHERE p2.plan = p.plan)",
+        )
+        assert got == {
+            "t0": [5], "t1": [7], "t2": [2, 8], "t3": [8],
+            "t4": [], "t5": [],
+        }
+
+    def test_uncorrelated_exists_folds_to_constant(self, spark, kw):
+        # no outer reference: one emptiness probe per refresh snapshot
+        # (this shape was rejected before round-5's join support)
+        got = self._run(
+            spark, kw,
+            self.BASE + "EXISTS (SELECT 1 FROM tool_plans WHERE "
+            "price > 100)",
+        )
+        assert got == {f"t{i}": [] for i in range(6)}
+
+    def test_sub_alias_shadows_outer_alias(self, spark, kw):
+        # the subquery aliases its relation "b", hiding the joined
+        # bands alias (standard SQL scoping): b.plan/b.price resolve
+        # INNER. Plans with a sibling priced over 6: basic, pro.
+        got = self._run(
+            spark, kw,
+            self.BASE + "EXISTS (SELECT 1 FROM tool_plans b "
+            "WHERE b.plan = p.plan AND b.price > 6)",
+        )
+        assert got == {
+            "t0": [], "t1": [7], "t2": [2, 8], "t3": [], "t4": [], "t5": [],
+        }
+
+
+class TestJoinModePlan:
+    def test_join_exists_keeps_fact_side_shuffle_free(self, spark):
+        from tests.test_plan_quality import _plan
+
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "hit",
+                "query": (
+                    "SELECT p.price AS price FROM tool_plans p "
+                    "JOIN bands b ON p.price >= b.lo AND p.price < b.hi "
+                    "WHERE p.tool = :tool AND EXISTS "
+                    "(SELECT 1 FROM tool_plans p2 "
+                    "WHERE p2.plan = p.plan AND p2.qty > b.lo) "
+                    "AND p.price <= (SELECT avg(p3.price) "
+                    "FROM tool_plans p3 WHERE p3.plan = p.plan)"
+                ),
+                "parameters": {"tool": "t"},
+            }]
+        )
+        dims = {
+            "tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA),
+            "bands": spark.createDataFrame(BAND_ROWS, BAND_SCHEMA),
+        }
+        fact = spark.range(1000).select(
+            F.lit("c").alias("conv_id"),
+            F.col("id").cast("int").alias("turn_idx"),
+            F.concat(F.lit("t"), (F.col("id") % 3).cast("string")).alias("t"),
+        )
+        plan = _plan(LookupEnricher(spec, dims).apply(fact), "simple")
+        # flag + per-group aggregate built on the DERIVED dim once per
+        # snapshot: the fact stream sees one broadcast hash probe
+        assert "Subquery" not in plan, plan
+        assert "NestedLoop" not in plan, plan
+        assert "SortMergeJoin" not in plan, plan
+        fact_side = plan.split("BroadcastHashJoin")[0]
+        assert "HashAggregate" not in fact_side, plan
+        assert "Exchange" not in fact_side.replace("BroadcastExchange", ""), plan
+
+
+JOIN_SQ_TEMPLATES = [
+    # EXISTS: equality corr on the base relation, inequality corr on
+    # the JOINED relation's column
+    "EXISTS (SELECT 1 FROM tool_plans p2 "
+    "WHERE p2.plan = p.plan AND p2.qty > b.lo)",
+    # NOT EXISTS correlated ONLY against the joined relation
+    "NOT EXISTS (SELECT 1 FROM tool_plans p2 WHERE p2.qty = b.hi)",
+    # correlated scalar aggregate keyed on the base relation
+    "p.price <= (SELECT avg(p3.price) FROM tool_plans p3 "
+    "WHERE p3.plan = p.plan)",
+    # correlated scalar aggregate keyed on the JOINED relation
+    "b.lo < (SELECT max(p3.qty) FROM tool_plans p3 "
+    "WHERE p3.price = b.hi)",
+    # correlated [NOT] IN probing a joined-relation column
+    "b.hi IN (SELECT p2.qty FROM tool_plans p2 WHERE p2.plan = p.plan)",
+    "b.hi NOT IN (SELECT p2.qty FROM tool_plans p2 "
+    "WHERE p2.plan = p.plan)",
+    # mixed: uncorrelated + correlated in one conjunction
+    "p.qty >= (SELECT min(qty) FROM tool_plans) AND EXISTS "
+    "(SELECT 1 FROM tool_plans p2 WHERE p2.plan = p.plan)",
+]
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+@pytest.mark.parametrize("template", JOIN_SQ_TEMPLATES)
+class TestJoinModeRowOracle:
+    """Spark vs the independent row-at-a-time oracle on every join-mode
+    correlated-subquery template, on all three physical paths."""
+
+    def test_agrees_with_row_oracle(self, spark, kw, template):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        query = (
+            "SELECT p.price AS price, b.band AS band FROM tool_plans p "
+            "JOIN bands b ON p.price >= b.lo AND p.price < b.hi "
+            f"WHERE p.tool = :tool AND {template}"
+        )
+        spec = PipelineSpec(
+            lookups=[{"id": "x", "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        dims = {
+            "tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA),
+            "bands": spark.createDataFrame(BAND_ROWS, BAND_SCHEMA),
+        }
+        facts = spark.createDataFrame(
+            [(f"t{i}",) for i in range(6)], "tool: string"
+        )
+        out = LookupEnricher(spec, dims, **kw).apply(facts)
+        got = {
+            r["tool"]: sorted((d["price"], d["band"]) for d in r["x"])
+            for r in out.select("tool", "x").collect()
+        }
+        tables = {
+            "tool_plans": [
+                dict(zip(("tool", "price", "qty", "plan"), r))
+                for r in PLAN_ROWS
+            ],
+            "bands": [
+                dict(zip(("lo", "hi", "band"), r)) for r in BAND_ROWS
+            ],
+        }
+        exp = {}
+        for i in range(6):
+            event = {"tool": f"t{i}"}
+            oracle.enhance(event, PipelineSpec(
+                lookups=[{"id": "x", "query": query,
+                          "parameters": {"tool": "tool"}}]
+            ), tables)
+            exp[f"t{i}"] = sorted(
+                (d["price"], d["band"]) for d in event["x"]
+            )
+        assert got == exp

@@ -66,8 +66,9 @@ class TestFromParser:
         [
             # SELECT * is ambiguous across relations
             "SELECT * FROM t1 a JOIN t2 b ON a.k = b.k WHERE a.x = :x",
-            # ON rhs must still be a qualified column, not a literal
-            "SELECT a.x AS x FROM t1 a JOIN t2 b ON a.k < 5 WHERE a.x = :x",
+            # an ON condition needs at least one column (round-5 allows
+            # ONE literal operand; two literals reference no relation)
+            "SELECT a.x AS x FROM t1 a JOIN t2 b ON 1 = 2 WHERE a.x = :x",
             # unqualified ON column
             "SELECT a.x AS x FROM t1 a JOIN t2 b ON k = b.k WHERE a.x = :x",
             # unknown qualifier in WHERE
@@ -512,5 +513,134 @@ class TestJoinExpressions:
             oracle.enhance(event, spec, tables)
             exp[f"t{i}"] = sorted(
                 (d["total"], d["lb"]) for d in event["jx"]
+            )
+        assert got == exp
+
+
+class TestOnLiterals:
+    """Round-5 late widening: literal ON operands. Derby accepts them
+    verbatim (lookup.rb:131-147); with a LEFT join a right-side literal
+    in ON is NOT WHERE-expressible — the unmatched left row survives
+    with NULLs — so this is a semantic gap, not sugar."""
+
+    PLANS = [
+        ("t0", 10, 3, "basic"),
+        ("t0", 5, 4, None),
+        ("t1", 7, 2, "pro"),
+        ("t2", 2, 9, "basic"),
+        ("t2", 8, 1, "pro"),
+    ]
+    BANDS = [(0, 5, "low"), (5, 9, "mid")]
+
+    def _dims(self, spark):
+        return {
+            "tool_plans": spark.createDataFrame(
+                self.PLANS, "tool string, price int, qty int, plan string"
+            ),
+            "price_bands": spark.createDataFrame(
+                self.BANDS, "lo int, hi int, band string"
+            ),
+        }
+
+    def _run(self, spark, query, kw=None):
+        spec = PipelineSpec(
+            lookups=[{"id": "x", "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        enr = LookupEnricher(spec, self._dims(spark), **(kw or {}))
+        fact = spark.createDataFrame(
+            [(f"t{i}",) for i in range(3)], "tool: string"
+        )
+        return {
+            r["tool"]: sorted(tuple(d) for d in r["x"])
+            for r in enr.apply(fact).select("tool", "x").collect()
+        }
+
+    def test_parse_literal_operands(self):
+        q = parse_lookup_query(
+            "SELECT p.price AS price FROM tool_plans p "
+            "JOIN price_bands b ON p.price >= b.lo AND b.band <> 'low' "
+            "AND -1 < p.qty WHERE p.tool = :tool"
+        )
+        on = q.joins[0].on
+        assert on[0] == ("p", "price", ">=", "b", "lo")
+        assert on[1] == ("b", "band", "<>", None, "low")
+        assert on[2] == (None, -1, "<", "p", "qty")
+
+    def test_two_literals_rejected(self):
+        with pytest.raises(ValidationError, match="two literals"):
+            parse_lookup_query(
+                "SELECT p.price AS price FROM tool_plans p "
+                "JOIN price_bands b ON 1 = 1 WHERE p.tool = :tool"
+            )
+
+    @pytest.mark.parametrize(
+        "kw", [{}, {"inline_threshold": 0},
+               {"inline_threshold": 0, "pattern_strategy": "shuffle_map"}]
+    )
+    def test_left_join_on_literal_keeps_unmatched_rows(self, spark, kw):
+        # ON ... AND b.band <> 'low': low-band prices (2) and
+        # out-of-band prices (10) keep their row with a NULL band —
+        # a WHERE filter would have dropped them entirely
+        got = self._run(
+            spark,
+            "SELECT p.price AS price, coalesce(b.band, '-') AS band "
+            "FROM tool_plans p LEFT JOIN price_bands b "
+            "ON p.price >= b.lo AND p.price < b.hi AND b.band <> 'low' "
+            "WHERE p.tool = :tool",
+            kw,
+        )
+        assert got == {
+            "t0": [(5, "mid"), (10, "-")],
+            "t1": [(7, "mid")],
+            "t2": [(2, "-"), (8, "mid")],
+        }
+
+    def test_inner_join_on_literal_equals_where(self, spark):
+        on_lit = self._run(
+            spark,
+            "SELECT p.price AS price, b.band AS band FROM tool_plans p "
+            "JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi "
+            "AND b.band = 'mid' WHERE p.tool = :tool",
+        )
+        where = self._run(
+            spark,
+            "SELECT p.price AS price, b.band AS band FROM tool_plans p "
+            "JOIN price_bands b ON p.price >= b.lo AND p.price < b.hi "
+            "WHERE p.tool = :tool AND b.band = 'mid'",
+        )
+        assert on_lit == where == {
+            "t0": [(5, "mid")], "t1": [(7, "mid")], "t2": [(8, "mid")],
+        }
+
+    def test_on_literal_matches_row_oracle(self, spark):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        query = (
+            "SELECT p.price AS price, coalesce(b.band, '-') AS band "
+            "FROM tool_plans p LEFT JOIN price_bands b "
+            "ON p.price >= b.lo AND p.price < b.hi AND b.band <> 'low' "
+            "WHERE p.tool = :tool"
+        )
+        got = self._run(spark, query)
+        spec = PipelineSpec(
+            lookups=[{"id": "x", "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        tables = {
+            "tool_plans": [
+                dict(zip(("tool", "price", "qty", "plan"), r))
+                for r in self.PLANS
+            ],
+            "price_bands": [
+                dict(zip(("lo", "hi", "band"), r)) for r in self.BANDS
+            ],
+        }
+        exp = {}
+        for i in range(3):
+            event = {"tool": f"t{i}"}
+            oracle.enhance(event, spec, tables)
+            exp[f"t{i}"] = sorted(
+                (d["price"], d["band"]) for d in event["x"]
             )
         assert got == exp

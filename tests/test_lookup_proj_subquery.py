@@ -1,0 +1,328 @@
+"""Round-5 widening: scalar subqueries in the lookup PROJECTION
+(``SELECT name, (SELECT max(x) FROM t2 WHERE t2.k = s.k) AS mx``).
+Derby evaluates the sub-SELECT per output row (the reference hands the
+query verbatim, lib/logstash/filters/jdbc/lookup.rb:131-147); here it
+resolves once per refresh snapshot — uncorrelated to one TYPED literal
+column, correlated to the per-group aggregate left-joined onto the
+(possibly derived) dim — and the projection references the synthetic
+``__psq{n}`` column, so every physical probe path works unchanged.
+
+The clause split this forced (`_split_select`) is also pinned here: a
+regex SELECT/FROM/WHERE split truncates the projection at the
+subquery's inner FROM.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import types as T
+
+from logstash_filter_jdbc_static_spark.operators.lookup import (
+    has_subqueries,
+    parse_lookup_query,
+)
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
+from logstash_filter_jdbc_static_spark.spec import (
+    PipelineSpec,
+    ValidationError,
+)
+
+FACT = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("tool", T.StringType(), True),
+    ]
+)
+PLANS = T.StructType(
+    [
+        T.StructField("tool", T.StringType(), False),
+        T.StructField("plan", T.StringType(), True),
+        T.StructField("price", T.IntegerType(), False),
+    ]
+)
+PLAN_ROWS = [
+    ("t1", "basic", 10),
+    ("t1", "basic", 2),
+    ("t2", "pro", 7),
+    ("t3", None, 8),
+    ("t4", "trial", 1),
+]
+
+ENGINES = [
+    {},
+    {"inline_threshold": 0, "pattern_strategy": "broadcast_map"},
+    {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+]
+
+
+class TestParser:
+    def test_projection_subquery_parsed(self):
+        q = parse_lookup_query(
+            "SELECT price AS price, (SELECT avg(p2.price) FROM plans p2 "
+            "WHERE p2.plan = plans.plan) AS pa FROM plans WHERE tool = :t"
+        )
+        assert has_subqueries(q)
+        ((name, sq),) = q.proj_subqueries
+        assert name.startswith("__psq")
+        assert (sq.func, sq.col, sq.table) == ("avg", "price", "plans")
+        assert sq.corr == (("plan", "plan"),)
+        assert q.projection == [("price", "price"), (name, "pa")]
+
+    def test_inner_from_does_not_truncate_projection(self):
+        # the regex split this replaced cut the projection at the
+        # subquery's inner FROM; the depth-0 scan must not
+        q = parse_lookup_query(
+            "SELECT a AS a, (SELECT count(*) FROM u) AS n, b AS b "
+            "FROM t WHERE a = :a"
+        )
+        assert [al for _, al in q.projection] == ["a", "n", "b"]
+        assert q.table == "t"
+        assert q.disjuncts[0][0].dim_column == "a"
+
+    def test_keyword_inside_string_literal_ignored(self):
+        q = parse_lookup_query(
+            "SELECT a AS a, (SELECT count(*) FROM u WHERE "
+            "note = ' from where ') AS n FROM t WHERE a = :a"
+        )
+        assert q.table == "t"
+        sq = q.proj_subqueries[0][1]
+        assert sq.where[0][0].terms[0].value == " from where "
+
+    def test_identical_subqueries_share_one_column(self):
+        q = parse_lookup_query(
+            "SELECT (SELECT count(*) FROM u) AS n1, "
+            "(SELECT count(*) FROM u) AS n2 FROM t WHERE a = :a"
+        )
+        assert len(q.proj_subqueries) == 1
+        (name, _), = q.proj_subqueries
+        assert q.projection == [(name, "n1"), (name, "n2")]
+
+    def test_alias_required(self):
+        with pytest.raises(ValidationError, match="AS alias"):
+            parse_lookup_query(
+                "SELECT a AS a, (SELECT count(*) FROM u) FROM t "
+                "WHERE a = :a"
+            )
+
+    def test_non_aggregate_head_rejected(self):
+        with pytest.raises(ValidationError, match="scalar subqueries"):
+            parse_lookup_query(
+                "SELECT (SELECT price FROM u) AS p FROM t WHERE a = :a"
+            )
+
+    def test_rejected_with_aggregates_and_group_by(self):
+        # without GROUP BY the generic aggregate/plain-mix check
+        # already fires; the subquery-specific one covers GROUP BY
+        with pytest.raises(ValidationError, match="cannot mix aggregates"):
+            parse_lookup_query(
+                "SELECT count(*) AS n, (SELECT max(x) FROM u) AS m "
+                "FROM t WHERE a = :a"
+            )
+        with pytest.raises(ValidationError, match="cannot combine"):
+            parse_lookup_query(
+                "SELECT plan AS plan, (SELECT max(x) FROM u) AS m "
+                "FROM t WHERE a = :a GROUP BY plan"
+            )
+
+    def test_join_mode_correlation_keeps_qualified_spelling(self):
+        q = parse_lookup_query(
+            "SELECT p.price AS price, (SELECT max(u.x) FROM u "
+            "WHERE u.k = b.k) AS mx FROM t p JOIN v b ON p.k = b.k "
+            "WHERE p.a = :a"
+        )
+        ((_, sq),) = q.proj_subqueries
+        assert sq.corr == (("k", "b.k"),)
+
+    def test_trailing_tokens_rejected(self):
+        with pytest.raises(ValidationError, match="trailing tokens"):
+            parse_lookup_query(
+                "SELECT (SELECT max(x) FROM u) + 1 AS m FROM t "
+                "WHERE a = :a"
+            )
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+class TestGolden:
+    """Hand-computed results on PLAN_ROWS: per-plan avg price —
+    basic 6.0, pro 7.0, trial 1.0; the NULL-plan row correlates to no
+    group (NULL avg). count(*) over plans = 5."""
+
+    def _run(self, spark, query, kw, extra_dims=None):
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        if extra_dims:
+            dims.update(extra_dims)
+        spec = PipelineSpec(
+            lookups=[{"id": "u", "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        facts = spark.createDataFrame(
+            [(f"c{i}", i, f"t{i}") for i in range(5)], FACT
+        )
+        out = LookupEnricher(spec, dims, **kw).apply(facts)
+        return {
+            r["tool"]: sorted(
+                tuple(d.asDict().values()) for d in r["u"]
+            )
+            for r in out.select("tool", "u").collect()
+        }
+
+    def test_correlated_and_uncorrelated(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT p.price AS price, "
+            "(SELECT avg(p2.price) FROM plans p2 "
+            "WHERE p2.plan = p.plan) AS pa, "
+            "(SELECT count(*) FROM plans) AS n "
+            "FROM plans p WHERE p.tool = :tool",
+            kw,
+        )
+        assert got == {
+            "t0": [],
+            "t1": [(2, 6.0, 5), (10, 6.0, 5)],
+            "t2": [(7, 7.0, 5)],
+            "t3": [(8, None, 5)],
+            "t4": [(1, 1.0, 5)],
+        }
+
+    def test_empty_table_yields_typed_null(self, spark, kw):
+        empty = spark.createDataFrame([], "x: int")
+        got = self._run(
+            spark,
+            "SELECT price AS price, (SELECT max(x) FROM empty) AS mx "
+            "FROM plans WHERE tool = :tool",
+            kw,
+            extra_dims={"empty": empty},
+        )
+        assert got["t1"] == [(2, None), (10, None)]
+
+    def test_subquery_used_in_where_and_projection(self, spark, kw):
+        # the shared cache must give WHERE term and projection column
+        # the same snapshot value
+        got = self._run(
+            spark,
+            "SELECT price AS price, "
+            "(SELECT avg(price) FROM plans) AS overall "
+            "FROM plans WHERE tool = :tool "
+            "AND price > (SELECT avg(price) FROM plans)",
+            kw,
+        )
+        # overall avg = (10+2+7+8+1)/5 = 5.6 -> prices above: 10, 7, 8
+        assert got == {
+            "t0": [],
+            "t1": [(10, 5.6)],
+            "t2": [(7, 5.6)],
+            "t3": [(8, 5.6)],
+            "t4": [],
+        }
+
+    def test_join_mode_correlated_on_joined_relation(self, spark, kw):
+        bands = spark.createDataFrame(
+            [(0, 5, "low"), (5, 9, "mid")], "lo: int, hi: int, band: string"
+        )
+        got = self._run(
+            spark,
+            "SELECT p.price AS price, b.band AS band, "
+            "(SELECT count(*) FROM plans p2 WHERE p2.plan = p.plan) "
+            "AS sibs FROM plans p JOIN bands b "
+            "ON p.price >= b.lo AND p.price < b.hi "
+            "WHERE p.tool = :tool",
+            kw,
+            extra_dims={"bands": bands},
+        )
+        # price 10 falls outside every band; count over the NULL-plan
+        # group coalesces to 0 (SQL: COUNT of an empty set)
+        assert got == {
+            "t0": [],
+            "t1": [(2, "low", 2)],
+            "t2": [(7, "mid", 1)],
+            "t3": [(8, "mid", 0)],
+            "t4": [(1, "low", 1)],
+        }
+
+    def test_order_by_subquery_alias(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT price AS price, "
+            "(SELECT avg(p2.price) FROM plans p2 "
+            "WHERE p2.plan = plans.plan) AS pa "
+            "FROM plans WHERE tool = :tool ORDER BY price DESC",
+            kw,
+        )
+        # payload order is pinned by ORDER BY; compare unsorted
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "u",
+                "query": (
+                    "SELECT price AS price, "
+                    "(SELECT avg(p2.price) FROM plans p2 "
+                    "WHERE p2.plan = plans.plan) AS pa "
+                    "FROM plans WHERE tool = :tool ORDER BY price DESC"
+                ),
+                "parameters": {"tool": "tool"},
+            }]
+        )
+        facts = spark.createDataFrame([("c1", 1, "t1")], FACT)
+        (row,) = LookupEnricher(spec, dims, **kw).apply(facts).collect()
+        assert [(d["price"], d["pa"]) for d in row["u"]] == [
+            (10, 6.0), (2, 6.0),
+        ]
+        assert got["t1"] == [(2, 6.0), (10, 6.0)]
+
+
+class TestValidation:
+    def test_unknown_sub_table(self, spark):
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "x",
+                "query": ("SELECT price AS p, (SELECT max(x) FROM nope) "
+                          "AS m FROM plans WHERE tool = :tool"),
+                "parameters": {"tool": "tool"},
+            }]
+        )
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        with pytest.raises(ValidationError, match="unknown local table"):
+            LookupEnricher(spec, dims)
+
+    def test_unknown_outer_column(self, spark):
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "x",
+                "query": ("SELECT price AS p, (SELECT max(p2.price) FROM "
+                          "plans p2 WHERE p2.plan = plans.nope) AS m "
+                          "FROM plans WHERE tool = :tool"),
+                "parameters": {"tool": "tool"},
+            }]
+        )
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        with pytest.raises(ValidationError, match="outer column"):
+            LookupEnricher(spec, dims)
+
+
+class TestPlan:
+    def test_fact_side_stays_shuffle_free(self, spark):
+        from tests.test_plan_quality import _plan
+
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "u",
+                "query": ("SELECT p.price AS price, "
+                          "(SELECT avg(p2.price) FROM plans p2 "
+                          "WHERE p2.plan = p.plan) AS pa "
+                          "FROM plans p WHERE p.tool = :tool"),
+                "parameters": {"tool": "tool"},
+            }]
+        )
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        facts = spark.createDataFrame(
+            [(f"c{i}", i, f"t{i % 4}") for i in range(64)], FACT
+        )
+        out = LookupEnricher(spec, dims).apply(facts)
+        plan = _plan(out)
+        assert "BroadcastHashJoin" in plan
+        # the per-group aggregate's exchange is dim-side (snapshot
+        # time); the fact lineage must stay exchange-free — no
+        # shuffle of the 64-row fact frame
+        fact_section = plan.split("BroadcastHashJoin")[0]
+        assert "Exchange" not in fact_section

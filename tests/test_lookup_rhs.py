@@ -500,12 +500,16 @@ class TestCorrelatedSubquery:
                 "(SELECT avg(num) FROM u WHERE u.cat = t.cat OR u.x = 1)"
             )
 
-    def test_join_mode_correlation_rejected(self):
-        with pytest.raises(ValidationError, match="multi-table"):
-            parse_lookup_query(
-                "SELECT a.name FROM t a JOIN v b ON a.k = b.k "
-                "WHERE a.num > (SELECT avg(num) FROM u WHERE u.cat = a.cat)"
-            )
+    def test_join_mode_correlation_keeps_qualified_outer(self):
+        # round-5: correlated scalar subqueries are legal in JOIN
+        # lookups — the outer reference keeps its "alias.col" spelling
+        # for build_join_dim to map onto the derived dim's flat names
+        q = parse_lookup_query(
+            "SELECT a.name AS name FROM t a JOIN v b ON a.k = b.k "
+            "WHERE a.num > (SELECT avg(num) FROM u WHERE u.cat = a.cat)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.corr == (("cat", "a.cat"),)
 
     def _run(self, spark, query, kw):
         facts = [("c0", 0, "t1"), ("c1", 1, "t2"), ("c2", 2, "t3"), ("c3", 3, None)]

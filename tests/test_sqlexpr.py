@@ -300,6 +300,15 @@ EXPR_TEMPLATES = [
     # simple CASE (round 5): NULL scrutinee falls to ELSE on both engines
     ("SELECT CASE name WHEN 'a' THEN 'A' WHEN 'bb' THEN 'B' "
      "ELSE '?' END AS t FROM items WHERE coalesce(qty, 0) = :n", ["t"]),
+    # scalar subqueries in the PROJECTION (round 5): correlated ->
+    # per-group aggregate column (NULL-keyed rows correlate to no
+    # group), uncorrelated -> one snapshot literal
+    ("SELECT name, (SELECT max(i2.price) FROM items i2 "
+     "WHERE i2.name = items.name) AS mp FROM items WHERE qty = :n",
+     ["name", "mp"]),
+    ("SELECT name, (SELECT count(*) FROM items WHERE price >= 2) AS n2, "
+     "(SELECT avg(i2.qty) FROM items i2 WHERE i2.name = items.name) AS aq "
+     "FROM items WHERE price = :n", ["name", "n2", "aq"]),
 ]
 
 nfacts = st.lists(
