@@ -2349,6 +2349,29 @@ def _rewrite_having_aggregates(
     i, n = 0, len(toks)
     while i < n:
         kind, val = toks[i]
+        if (
+            kind == "lparen"
+            and i + 1 < n
+            and toks[i + 1][0] == "word"
+            and toks[i + 1][1].lower() == "select"
+        ):
+            # a scalar/row-set SUBQUERY comparand (round-5: legal in
+            # HAVING when uncorrelated): its tokens are the SUBQUERY's
+            # scope — an inner count(*) must NOT rewrite to a SELECTed
+            # aggregate's alias. Copy the balanced span verbatim.
+            depth = 0
+            while i < n:
+                k2 = toks[i][0]
+                out.append(toks[i])
+                if k2 == "lparen":
+                    depth += 1
+                elif k2 == "rparen":
+                    depth -= 1
+                    if not depth:
+                        i += 1
+                        break
+                i += 1
+            continue
         if not (
             kind == "word"
             and "." not in val
@@ -2888,20 +2911,47 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         )
         # group-key references may be qualifier-spelled too
         # (`HAVING h.cat <> 'z'`): canonicalize like every other clause
-        htoks = [
-            (
-                ("word", _resolve_qualified(v, table, base_alias, quals, "HAVING"))
-                if k == "word" and "." in v
-                else (k, v)
-            )
-            for k, v in htoks
-        ]
+        # — but NOT inside subquery spans, whose qualified refs belong
+        # to the SUB-relation's scope (round-5: uncorrelated subquery
+        # comparands in HAVING)
+        canon: list[tuple[str, str]] = []
+        sub_depth = 0
+        for idx, (k, v) in enumerate(htoks):
+            if k == "lparen":
+                nxt = htoks[idx + 1] if idx + 1 < len(htoks) else None
+                if sub_depth or (
+                    nxt is not None
+                    and nxt[0] == "word"
+                    and nxt[1].lower() == "select"
+                ):
+                    sub_depth += 1
+            elif k == "rparen" and sub_depth:
+                sub_depth -= 1
+            if sub_depth == 0 and k == "word" and "." in v:
+                canon.append(
+                    ("word", _resolve_qualified(
+                        v, table, base_alias, quals, "HAVING"
+                    ))
+                )
+            else:
+                canon.append((k, v))
+        htoks = canon
         if any(k == "qmark" for k, _ in htoks):
             raise ValidationError(
                 ["lookup HAVING: positional '?' placeholders are not "
                  "supported here — use a named :param"]
             )
-        having = tuple(_WhereParser(htoks).parse())
+
+        def _having_corr(name: str) -> str:
+            raise ValidationError(
+                [f"lookup HAVING: correlated reference {name!r} — "
+                 f"HAVING subqueries must be uncorrelated (filter in "
+                 f"the WHERE clause, or aggregate in a loader query)"]
+            )
+
+        having = tuple(
+            _WhereParser(htoks, qualifier_fallback=_having_corr).parse()
+        )
         payload_names = {alias for _, alias in projection} | {
             a for _, _, a in aggregates
         }

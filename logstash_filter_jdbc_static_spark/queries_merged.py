@@ -135,6 +135,10 @@ _merge(
         # same ip_pat derivation as group_count: project it once
         ("lookup_group_having",
          [("n_groups", "having_n"), ("groups_str", "having_str")]),
+        # round-5 late widening: an uncorrelated scalar subquery as a
+        # HAVING comparand (resolved to one literal per snapshot)
+        ("lookup_having_subquery",
+         [("tool", "hs_tool"), ("n_hs", "hs_n"), ("hs_rows", "hs_rows")]),
     ],
 )
 

@@ -722,3 +722,78 @@ def lookup_proj_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("ps_nplans"),
     )
+
+
+@register(
+    "lookup_having_subquery",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT p.tool, p.plan, CAST(sum(p.price) AS BIGINT) AS total
+          FROM tool_plans p
+          GROUP BY 1, 2
+          HAVING CAST(sum(p.price) AS BIGINT)
+                 >= (SELECT avg(price) FROM tool_plans)
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.total) AS BIGINT) AS n_hs,
+               coalesce(
+                 array_to_string(
+                   list(coalesce(m.plan, '~N') || '='
+                        || CAST(m.total AS VARCHAR)
+                        ORDER BY m.plan NULLS FIRST, m.total),
+                   '|'),
+                 '') AS hs_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 widening: an UNCORRELATED scalar subquery as a HAVING
+    comparand (Derby executes it verbatim per event,
+    lookup.rb:131-147). Spark-first it resolves to one literal per
+    refresh snapshot, so the HAVING filter over the aggregated payload
+    rows compiles unchanged and the per-event plan stays the single
+    broadcast-hash probe. The NULL-plan group exercises the payload
+    contract's null-first ordering against DuckDB's NULLS FIRST."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "hs",
+                "query": (
+                    "SELECT plan AS plan, sum(price) AS total "
+                    "FROM tool_plans WHERE tool = :tool GROUP BY plan "
+                    "HAVING total >= (SELECT avg(price) FROM tool_plans)"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("hs").cast("long").alias("n_hs"),
+        F.array_join(
+            F.transform(
+                F.col("hs"),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit("="),
+                    r.getField("total").cast("string"),
+                ),
+            ),
+            "|",
+        ).alias("hs_rows"),
+    )

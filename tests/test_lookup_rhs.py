@@ -710,3 +710,137 @@ class TestInSubquery:
         )
         (row,) = out.collect()
         assert sorted(d["price"] for d in row["u"]) == expect
+
+
+class TestHavingSubquery:
+    """Round-5 widening: UNCORRELATED scalar / row-set subqueries as
+    HAVING comparands (Derby runs them verbatim, lookup.rb:131-147).
+    They resolve to literals once per refresh snapshot, so the HAVING
+    filter over the aggregated payload rows compiles unchanged.
+    Correlated subqueries stay rejected — HAVING runs over payload
+    fields, not dim rows."""
+
+    PLANS3 = T.StructType(
+        [
+            T.StructField("tool", T.StringType(), False),
+            T.StructField("plan", T.StringType(), True),
+            T.StructField("price", T.IntegerType(), False),
+        ]
+    )
+    ROWS3 = [
+        ("t1", "basic", 10),
+        ("t1", "basic", 2),
+        ("t1", "pro", 7),
+        ("t2", "pro", 8),
+        ("t2", "trial", 1),
+    ]
+
+    def test_parse_inner_aggregate_not_rewritten(self):
+        # the HAVING rewriter maps SELECTed aggregate calls to their
+        # aliases; a subquery's own count(*) must stay the SUBQUERY's
+        q = parse_lookup_query(
+            "SELECT plan AS plan, count(*) AS n FROM t WHERE a = :a "
+            "GROUP BY plan HAVING n > (SELECT count(*) FROM u WHERE x = 1)"
+        )
+        sq = q.having[0][0].terms[0].value
+        assert (sq.func, sq.col, sq.table) == ("count", None, "u")
+        assert sq.where[0][0].dim_column == "x"
+
+    def test_parse_sub_qualifiers_stay_sub_scoped(self):
+        q = parse_lookup_query(
+            "SELECT plan AS plan, sum(price) AS total FROM t "
+            "WHERE a = :a GROUP BY plan "
+            "HAVING total >= (SELECT avg(u2.price) FROM u u2 "
+            "WHERE u2.x = 1)"
+        )
+        sq = q.having[0][0].terms[0].value
+        assert (sq.func, sq.col) == ("avg", "price")
+
+    def test_correlated_having_subquery_rejected(self):
+        with pytest.raises(ValidationError, match="correlated reference"):
+            parse_lookup_query(
+                "SELECT plan AS plan, count(*) AS n FROM t WHERE a = :a "
+                "GROUP BY plan "
+                "HAVING n > (SELECT count(*) FROM u WHERE u.x = t.plan)"
+            )
+
+    def _run(self, spark, having, kw=None):
+        q = (
+            "SELECT plan AS plan, sum(price) AS total FROM plans "
+            "WHERE tool = :tool GROUP BY plan HAVING " + having
+        )
+        spec = PipelineSpec(
+            lookups=[{"id": "h", "query": q, "parameters": {"tool": "tool"}}]
+        )
+        dims = {"plans": spark.createDataFrame(self.ROWS3, self.PLANS3)}
+        facts = spark.createDataFrame(
+            [("t1",), ("t2",), ("t9",)], "tool: string"
+        )
+        out = LookupEnricher(spec, dims, **(kw or {})).apply(facts)
+        return {
+            r["tool"]: sorted((d["plan"], d["total"]) for d in r["h"])
+            for r in out.select("tool", "h").collect()
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_scalar_subquery_comparand(self, spark, kw):
+        # overall avg price = 28/5 = 5.6; groups: t1 basic 12, pro 7;
+        # t2 pro 8, trial 1 — trial drops
+        got = self._run(
+            spark, "total >= (SELECT avg(price) FROM plans)", kw
+        )
+        assert got == {
+            "t1": [("basic", 12), ("pro", 7)],
+            "t2": [("pro", 8)],
+            "t9": [],
+        }
+
+    def test_row_set_subquery_comparand(self, spark):
+        # per-tool totals IN the price set {10,2,7,8,1}: t1 pro 7 and
+        # t2 pro 8 match; 12 and 1... trial total 1 IS in the set
+        got = self._run(
+            spark, "total IN (SELECT price FROM plans)"
+        )
+        assert got == {
+            "t1": [("pro", 7)],
+            "t2": [("pro", 8), ("trial", 1)],
+            "t9": [],
+        }
+
+    def test_matches_row_oracle(self, spark):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        q = (
+            "SELECT plan AS plan, count(*) AS n FROM plans "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING n >= (SELECT count(*) FROM plans WHERE price > 7)"
+        )
+        spec = PipelineSpec(
+            lookups=[{"id": "h", "query": q, "parameters": {"tool": "tool"}}]
+        )
+        dims = {"plans": spark.createDataFrame(self.ROWS3, self.PLANS3)}
+        facts = spark.createDataFrame(
+            [("t1",), ("t2",), ("t9",)], "tool: string"
+        )
+        got = {
+            r["tool"]: sorted((d["plan"], d["n"]) for d in r["h"])
+            for r in LookupEnricher(spec, dims).apply(facts).collect()
+        }
+        tables = {
+            "plans": [
+                {"tool": t, "plan": p, "price": pr}
+                for t, p, pr in self.ROWS3
+            ]
+        }
+        exp = {}
+        for tool in ("t1", "t2", "t9"):
+            ev = {"tool": tool}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{
+                    "id": "h", "query": q, "parameters": {"tool": "tool"}
+                }]),
+                tables,
+            )
+            exp[tool] = sorted((d["plan"], d["n"]) for d in ev["h"])
+        assert got == exp

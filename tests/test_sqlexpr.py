@@ -309,6 +309,11 @@ EXPR_TEMPLATES = [
     ("SELECT name, (SELECT count(*) FROM items WHERE price >= 2) AS n2, "
      "(SELECT avg(i2.qty) FROM items i2 WHERE i2.name = items.name) AS aq "
      "FROM items WHERE price = :n", ["name", "n2", "aq"]),
+    # uncorrelated scalar subquery as a HAVING comparand (round 5):
+    # resolved to one snapshot literal, HAVING compiles unchanged
+    ("SELECT name, count(*) AS c FROM items WHERE price = :n "
+     "GROUP BY name HAVING c <= (SELECT count(*) FROM items "
+     "WHERE qty >= 2)", ["name", "c"]),
 ]
 
 nfacts = st.lists(
