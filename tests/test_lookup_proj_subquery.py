@@ -326,3 +326,85 @@ class TestPlan:
         # shuffle of the 64-row fact frame
         fact_section = plan.split("BroadcastHashJoin")[0]
         assert "Exchange" not in fact_section
+
+
+class TestUnionBranches:
+    """Projection subqueries inside UNION branches: each branch is its
+    own CompiledLookup over its own dim, so the psq resolves against
+    the BRANCH's tables; the payload-type contract still applies."""
+
+    def _dims(self, spark):
+        return {
+            "plans": spark.createDataFrame(
+                [("t1", "basic", 10), ("t1", "basic", 2), ("t2", "pro", 7)],
+                PLANS,
+            ),
+            "extras": spark.createDataFrame(
+                [("t1", "gold", 99)], PLANS
+            ),
+        }
+
+    def test_psq_per_branch(self, spark):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        q = (
+            "SELECT price AS price, "
+            "(SELECT min(price) FROM plans) AS m "
+            "FROM plans WHERE tool = :tool "
+            "UNION ALL "
+            "SELECT price AS price, "
+            "(SELECT max(price) FROM extras) AS m "
+            "FROM extras WHERE tool = :tool"
+        )
+        spec = PipelineSpec(
+            lookups=[{"id": "u", "query": q, "parameters": {"tool": "tool"}}]
+        )
+        dims = self._dims(spark)
+        facts = spark.createDataFrame([("t1",), ("t2",)], "tool: string")
+        out = LookupEnricher(spec, dims).apply(facts)
+        got = {
+            r["tool"]: sorted((d["price"], d["m"]) for d in r["u"])
+            for r in out.collect()
+        }
+        assert got == {
+            "t1": [(2, 2), (10, 2), (99, 99)],
+            "t2": [(7, 2)],
+        }
+        # row-at-a-time oracle agrees
+        tables = {
+            name: [
+                {"tool": t, "plan": p, "price": pr}
+                for t, p, pr in df.collect()
+            ]
+            for name, df in dims.items()
+        }
+        for tool, exp in got.items():
+            ev = {"tool": tool}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{
+                    "id": "u", "query": q, "parameters": {"tool": "tool"}
+                }]),
+                tables,
+            )
+            assert sorted((d["price"], d["m"]) for d in ev["u"]) == exp
+
+    def test_branch_type_mismatch_still_rejected(self, spark):
+        # avg -> double vs max -> int: the payload contract names it
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "u",
+                "query": (
+                    "SELECT price AS price, "
+                    "(SELECT avg(price) FROM plans) AS m "
+                    "FROM plans WHERE tool = :tool "
+                    "UNION ALL "
+                    "SELECT price AS price, "
+                    "(SELECT max(price) FROM extras) AS m "
+                    "FROM extras WHERE tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            }]
+        )
+        with pytest.raises(ValidationError, match="does not match"):
+            LookupEnricher(spec, self._dims(spark))
