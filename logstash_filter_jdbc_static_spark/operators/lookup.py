@@ -2519,6 +2519,42 @@ def split_top_level_union(text: str) -> tuple[list[str], bool]:
     return parts, not alls[0]
 
 
+def split_union_tail(
+    texts: list[str],
+) -> tuple[
+    list[str], tuple[tuple[str, bool], ...], int | None, int | None
+]:
+    """Strip a UNION-LEVEL result-shape tail — ``ORDER BY`` / ``LIMIT``
+    / ``OFFSET`` / ``FETCH FIRST`` trailing the LAST branch — and
+    return (branch texts, order_by, limit, offset). SQL (Derby
+    included) attaches a trailing tail to the WHOLE union, so it is
+    parsed here, above the per-branch parser (which rejects
+    branch-level shaping). ``GROUP BY`` after a union is not SQL;
+    ORDER BY keys must be plain branch-1 output aliases — expressions
+    and ordinals are rejected (project the expression in every branch
+    instead). No-op on single-branch input or when no tail exists."""
+    if len(texts) < 2:
+        return texts, (), None, None
+    last = texts[-1]
+    cut = _find_tail(last)
+    if cut is None:
+        return texts, (), None, None
+    group_by, order_by, limit, offset = _parse_tail(last[cut:])
+    if group_by:
+        raise ValidationError(
+            ["lookup UNION: GROUP BY cannot follow a UNION — "
+             "pre-aggregate via a loader query instead"]
+        )
+    for c, _ in order_by:
+        if not isinstance(c, str):
+            raise ValidationError(
+                ["lookup UNION: ORDER BY after a UNION takes plain "
+                 "output aliases — project the expression in every "
+                 "branch and order by its alias"]
+            )
+    return texts[:-1] + [last[:cut]], order_by, limit, offset
+
+
 def parse_lookup_query(query: str) -> ParsedQuery:
     """Parse the lookup SQL surface (SURVEY 2B, widened rounds 2-4):
     projection with aliases / ``*`` / scalar expressions / aggregates
@@ -4386,6 +4422,11 @@ class CompiledUnionLookup:
             raise ValidationError(
                 [f"lookup '{spec.id}': not a UNION query"]
             )
+        # UNION-LEVEL result shaping (round-5): SQL attaches a trailing
+        # ORDER BY / LIMIT / OFFSET / FETCH to the whole union
+        texts, self.union_order, self.union_limit, self.union_offset = (
+            split_union_tail(texts)
+        )
         self.branches: list[CompiledLookup] = []
         aliases0: list[str] | None = None
         for bi, text in enumerate(texts):
@@ -4461,8 +4502,48 @@ class CompiledUnionLookup:
                      f"match branch 1's {t0.simpleString()}"]
                 )
         self._payload_struct = t0
+        bad = [c for c, _ in self.union_order if c not in (aliases0 or [])]
+        if bad:
+            raise ValidationError(
+                [f"lookup '{spec.id}' UNION ORDER BY: column(s) {bad} "
+                 f"are not branch-1 output aliases "
+                 f"(available: {aliases0})"]
+            )
         # advisory surface (index-coverage hints) reads .query
         self.query = self.branches[0].query
+
+    def _union_comparator(self, a: Column, b: Column) -> Column:
+        """array_sort comparator for UNION-level ORDER BY: the named
+        keys first (Derby result order — NULL sorts LARGEST, so ASC
+        puts NULLs last and DESC first), then the default payload
+        contract over every field (NULL smallest) as a total-order
+        tiebreak, so equal-key rows stay deterministic for the hash
+        compare — Derby itself leaves tie order unspecified."""
+        expr: Column = F.lit(0)
+        for fld in reversed(self._payload_struct.fields):
+            av, bv = a.getField(fld.name), b.getField(fld.name)
+            raw = (
+                F.when(av.isNull() & bv.isNull(), F.lit(0))
+                .when(av.isNull(), F.lit(-1))
+                .when(bv.isNull(), F.lit(1))
+                .when(av < bv, F.lit(-1))
+                .when(av > bv, F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            expr = F.when(raw != F.lit(0), raw).otherwise(expr)
+        for col, asc in reversed(self.union_order):
+            av, bv = a.getField(col), b.getField(col)
+            raw = (
+                F.when(av.isNull() & bv.isNull(), F.lit(0))
+                .when(av.isNull(), F.lit(1))
+                .when(bv.isNull(), F.lit(-1))
+                .when(av < bv, F.lit(-1))
+                .when(av > bv, F.lit(1))
+                .otherwise(F.lit(0))
+            )
+            signed = raw if asc else (-raw)
+            expr = F.when(signed != F.lit(0), signed).otherwise(expr)
+        return expr
 
     def apply(self, fact: DataFrame) -> DataFrame:
         sid = self.spec.id
@@ -4484,7 +4565,22 @@ class CompiledUnionLookup:
         )
         if self.dedupe:
             combined = F.array_distinct(combined)
-        combined = F.sort_array(combined)
+        if self.union_order:
+            combined = F.array_sort(combined, self._union_comparator)
+        else:
+            combined = F.sort_array(combined)
+        if self.union_offset is not None or self.union_limit is not None:
+            # SQL clause order: dedupe, ORDER BY, then OFFSET/FETCH —
+            # the slice runs on the SORTED result set; an offset past
+            # the end yields an empty set (and the default CAN fire,
+            # exactly as Derby's empty post-shaping result set does)
+            combined = F.slice(
+                combined,
+                F.lit((self.union_offset or 0) + 1),
+                F.lit(self.union_limit)
+                if self.union_limit is not None
+                else F.size(combined),
+            )
         empty = F.size(combined) == 0
         default_arr = b0._default_array
         target_expr = (

@@ -177,6 +177,30 @@ _FUNCS: dict[str, tuple[int, int | None]] = {
     "char_length": (1, 1),
     "character_length": (1, 1),
     "locate": (2, 2),
+    # Derby's numeric built-in surface (Derby ref manual §built-in
+    # functions; round-5): each compiles to the same-named pyspark
+    # function; Spark semantics where they differ from Derby (SIGN
+    # returns DOUBLE, LN/LOG10 of a non-positive is NULL rather than
+    # an error, SQRT/ASIN/ACOS out of domain is NaN) — documented in
+    # COVERAGE.md.
+    "sqrt": (1, 1),
+    "exp": (1, 1),
+    "ln": (1, 1),
+    "log10": (1, 1),
+    "sin": (1, 1),
+    "cos": (1, 1),
+    "tan": (1, 1),
+    "asin": (1, 1),
+    "acos": (1, 1),
+    "atan": (1, 1),
+    "atan2": (2, 2),
+    "sinh": (1, 1),
+    "cosh": (1, 1),
+    "tanh": (1, 1),
+    "cot": (1, 1),
+    "degrees": (1, 1),
+    "radians": (1, 1),
+    "sign": (1, 1),
 }
 
 # parse-time canonicalization: alias -> (name, arg permutation)
@@ -837,6 +861,10 @@ def eval_expr(ast, row: dict):
         if name in ("ceil", "ceiling"):
             return math.ceil(args[0])
         if name == "round":
+            # Spark ROUND of NaN/±inf is the value itself (round-5:
+            # math functions can produce them)
+            if isinstance(args[0], float) and not math.isfinite(args[0]):
+                return args[0]
             # Spark rounds HALF_UP; Python's round() is HALF_EVEN
             d = args[1] if len(args) > 1 else 0
             q = 10 ** d
@@ -855,6 +883,8 @@ def eval_expr(ast, row: dict):
         if name == "instr":
             # 1-based position of the first occurrence; 0 when absent
             return args[0].find(args[1]) + 1
+        if name in _MATH_EVAL:
+            return _MATH_EVAL[name](*[float(a) for a in args])
         if name in ("substr", "substring"):
             s, pos = args[0], args[1]
             ln = args[2] if len(args) > 2 else None
@@ -871,6 +901,51 @@ def eval_expr(ast, row: dict):
                 return eval_expr(val, row)
         return None if ast.otherwise is None else eval_expr(ast.otherwise, row)
     raise TypeError(f"unknown expression node {ast!r}")
+
+
+def _nan_on_domain(fn):
+    """Spark returns NaN where Python math raises (sqrt(-1), asin(2))."""
+    def g(*a):
+        try:
+            return fn(*a)
+        except ValueError:
+            return float("nan")
+    return g
+
+
+def _null_log(fn):
+    """Spark LN/LOG10 of a non-positive value is NULL, not an error."""
+    def g(x):
+        return None if x <= 0 else fn(x)
+    return g
+
+
+# row-at-a-time twins of the Derby/Spark numeric functions — Spark
+# semantics pinned empirically (see compile_expr; NULL args already
+# short-circuit above)
+_MATH_EVAL = {
+    "sqrt": _nan_on_domain(math.sqrt),
+    "exp": math.exp,
+    "ln": _null_log(math.log),
+    "log10": _null_log(math.log10),
+    "sin": math.sin,
+    "cos": math.cos,
+    "tan": math.tan,
+    "asin": _nan_on_domain(math.asin),
+    "acos": _nan_on_domain(math.acos),
+    "atan": math.atan,
+    "atan2": math.atan2,
+    "sinh": math.sinh,
+    "cosh": math.cosh,
+    "tanh": math.tanh,
+    # Spark COT(0) is +inf (1/tan); math has no cot
+    "cot": lambda x: 1.0 / math.tan(x) if math.tan(x) != 0 else float("inf"),
+    "degrees": math.degrees,
+    "radians": math.radians,
+    # Spark SIGN/SIGNUM returns DOUBLE (Derby returns INTEGER — Spark
+    # semantics win here, as for division)
+    "sign": lambda x: float((x > 0) - (x < 0)),
+}
 
 
 def _eval_cast(v, type_str: str):

@@ -13,6 +13,7 @@ from logstash_filter_jdbc_static_spark.operators.lookup import (
     has_subqueries,
     parse_lookup_query,
     split_top_level_union,
+    split_union_tail,
 )
 from logstash_filter_jdbc_static_spark.operators.sqlexpr import eval_expr
 from logstash_filter_jdbc_static_spark.spec import (
@@ -537,10 +538,13 @@ def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:
 def _run_union(
     event: dict, spec: LookupSpec, texts: list[str], dedupe: bool,
     table: list[dict], tables: dict[str, list[dict]] | None,
+    order: tuple = (), limit: int | None = None, offset: int | None = None,
 ) -> tuple[bool, list[str]]:
     """UNION [ALL] twin of run_lookup: per-branch match+project with the
     shared bindings, concatenate (ALL) or set-union (plain), sort under
-    the default payload contract, then the usual default/tags outcome."""
+    the default payload contract — or the UNION-level ORDER BY keys
+    (Derby result order, NULL largest), then OFFSET/LIMIT (round-5) —
+    then the usual default/tags outcome."""
     import dataclasses
 
     bindings = (
@@ -594,6 +598,21 @@ def _run_union(
                 uniq.append(r)
         rows = uniq
     rows.sort(key=_payload_sort_key)
+    # UNION-level ORDER BY: stable re-sorts by each key, least
+    # significant first, over the default-contract order (the
+    # compiled side's comparator tiebreak). NULL sorts LARGEST
+    # (Derby): ASC puts NULLs last, DESC first.
+    for col, asc in reversed(order):
+        rows.sort(
+            key=lambda r, c=col: (
+                r.get(c) is None,
+                r.get(c) if r.get(c) is not None else 0,
+            ),
+            reverse=not asc,
+        )
+    if order or limit is not None or offset is not None:
+        start = offset or 0
+        rows = rows[start:] if limit is None else rows[start:start + limit]
     if not rows and spec.use_default:
         event[spec.target] = [dict(spec.default_hash)]
         tags.extend(spec.tag_on_default_use)
@@ -612,7 +631,11 @@ def run_lookup(
     probed table)."""
     texts, dedupe = split_top_level_union(spec.query)
     if len(texts) > 1:
-        return _run_union(event, spec, texts, dedupe, table, tables)
+        texts, order, limit, offset = split_union_tail(texts)
+        return _run_union(
+            event, spec, texts, dedupe, table, tables,
+            order=order, limit=limit, offset=offset,
+        )
     q = parse_lookup_query(spec.query)
     if has_subqueries(q):
         q, table = _resolve_subqueries_rows(

@@ -185,6 +185,14 @@ _merge(
         ("lookup_proj_subquery",
          [("n_ps", "ps_n"), ("ps_prices", "ps_prices"),
           ("ps_avg_sum", "ps_avg_sum"), ("ps_nplans", "ps_nplans")]),
+        # round-5 late widening: UNION-level ORDER BY / FETCH FIRST
+        ("lookup_union_order",
+         [("n_uo", "uo_n"), ("uo_rows", "uo_rows")]),
+        # round-5 late widening: Derby numeric built-ins
+        # (sqrt/ln/atan2/degrees/sign)
+        ("lookup_math_funcs",
+         [("n_mf", "mf_n"), ("mf_rt_sum", "mf_rt_sum"),
+          ("mf_ang_sum", "mf_ang_sum"), ("mf_sg_sum", "mf_sg_sum")]),
     ],
 )
 

@@ -797,3 +797,173 @@ def lookup_having_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("hs_rows"),
     )
+
+
+@register(
+    "lookup_union_order",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT tool, plan, price FROM (
+            SELECT u.*,
+                   row_number() OVER (PARTITION BY tool
+                                      ORDER BY price DESC) AS rn
+            FROM (
+              SELECT tool, plan, price FROM tool_plans WHERE price >= 5
+              UNION ALL
+              SELECT tool, plan, price FROM tool_plans WHERE price < 5
+            ) u
+          ) WHERE rn <= 2
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.price) AS BIGINT) AS n_uo,
+               coalesce(
+                 array_to_string(
+                   list(coalesce(m.plan, '~N') || ':'
+                        || CAST(m.price AS VARCHAR)
+                        ORDER BY m.price DESC),
+                   ','),
+                 '') AS uo_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_union_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 widening: UNION-LEVEL result shaping — a trailing
+    ``ORDER BY price DESC FETCH FIRST 2 ROWS ONLY`` applies to the
+    WHOLE union (SQL / Derby clause rules; the reference executes it
+    verbatim, lookup.rb:131-147). Compiled as a comparator array_sort
+    over the combined branch payloads (Derby result order, NULL
+    largest, default-contract tiebreak) plus a slice — still N
+    broadcast probes, zero fact shuffle. Prices are unique per tool,
+    so the DuckDB window-rank oracle is order-exact."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "uo",
+                "query": (
+                    "SELECT plan AS plan, price AS price FROM tool_plans "
+                    "WHERE tool = :tool AND price >= 5 "
+                    "UNION ALL "
+                    "SELECT plan AS plan, price AS price FROM tool_plans "
+                    "WHERE tool = :tool AND price < 5 "
+                    "ORDER BY price DESC FETCH FIRST 2 ROWS ONLY"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("uo").cast("long").alias("n_uo"),
+        F.array_join(
+            F.transform(
+                F.col("uo"),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit(":"),
+                    r.getField("price").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("uo_rows"),
+    )
+
+
+@register(
+    "lookup_math_funcs",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT tool,
+                 sqrt(CAST(price * qty AS DOUBLE)) AS rt,
+                 round(degrees(atan2(CAST(qty AS DOUBLE),
+                                     CAST(price AS DOUBLE))), 6) AS ang,
+                 CAST(sign(price - qty) AS DOUBLE) AS sg
+          FROM tool_plans
+          WHERE ln(CAST(price AS DOUBLE)) >= 0
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.rt) AS BIGINT) AS n_mf,
+               sum(m.rt) AS mf_rt_sum,
+               sum(m.ang) AS mf_ang_sum,
+               sum(m.sg) AS mf_sg_sum
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5: Derby's numeric built-ins (sqrt/ln/atan2/degrees/sign)
+    in lookup SQL — projections and a predicate. Spark-side they are
+    synthetic dim columns through the same sqlexpr pipeline; SQRT is
+    IEEE-exact on every engine, the transcendentals are round()ed per
+    the contract (JVM vs C libm final-ulp), SIGN is cast DOUBLE
+    (Spark's type; Derby returns INTEGER — documented divergence like
+    division). ln(price) >= 0 keeps every price >= 1 row, exercising
+    the predicate path."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "mf",
+                "query": (
+                    "SELECT sqrt(price * qty) AS rt, "
+                    "round(degrees(atan2(qty, price)), 6) AS ang, "
+                    "sign(price - qty) AS sg "
+                    "FROM tool_plans WHERE tool = :tool "
+                    "AND ln(price) >= 0"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    agg = {}
+
+    # F.transform dispatches on lambda arity (a 2-arg callable receives
+    # (element, index)), so a default-arg capture would be handed the
+    # index Column — bind the field name through a closure instead.
+    def _getter(f):
+        return lambda r: r.getField(f)
+
+    for field, alias in (("rt", "mf_rt_sum"), ("ang", "mf_ang_sum"),
+                         ("sg", "mf_sg_sum")):
+        arr = F.transform(F.col("mf"), _getter(field))
+        agg[alias] = (
+            F.when(F.size("mf") == 0, F.lit(None).cast("double"))
+            .otherwise(
+                F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v)
+            )
+            .alias(alias)
+        )
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("mf").cast("long").alias("n_mf"),
+        agg["mf_rt_sum"],
+        agg["mf_ang_sum"],
+        agg["mf_sg_sum"],
+    )

@@ -233,3 +233,154 @@ class TestUnionValidation:
                 ),
                 self._dims(spark),
             )
+
+
+class TestUnionLevelTail:
+    """Round-5: UNION-LEVEL result shaping — SQL attaches a trailing
+    ORDER BY / LIMIT / OFFSET / FETCH FIRST to the WHOLE union (Derby
+    included). Compiled as a comparator array_sort (named keys in
+    Derby result order, NULL largest; the default payload contract
+    breaks ties so the result is total) + slice on the combined
+    payload; branch-LEVEL shaping stays rejected."""
+
+    def _dims(self, spark):
+        plans = spark.createDataFrame(
+            [("t1", "basic", 10), ("t1", "basic", 2), ("t1", "pro", 7),
+             ("t1", None, 4)],
+            "tool: string, plan: string, price: int",
+        )
+        extras = spark.createDataFrame(
+            [("t1", "gold", 99), ("t1", "gold", 2)],
+            "tool: string, plan: string, price: int",
+        )
+        return {"plans": plans, "extras": extras}
+
+    def _tables(self):
+        return {
+            "plans": [
+                {"tool": t, "plan": p, "price": pr}
+                for t, p, pr in [("t1", "basic", 10), ("t1", "basic", 2),
+                                 ("t1", "pro", 7), ("t1", None, 4)]
+            ],
+            "extras": [
+                {"tool": t, "plan": p, "price": pr}
+                for t, p, pr in [("t1", "gold", 99), ("t1", "gold", 2)]
+            ],
+        }
+
+    def _run(self, spark, query):
+        spec = PipelineSpec(
+            lookups=[{"id": "u", "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        facts = spark.createDataFrame([("t1",), ("t2",)], "tool: string")
+        out = LookupEnricher(spec, self._dims(spark)).apply(facts)
+        got = {
+            r["tool"]: [(d["plan"], d["price"]) for d in r["u"]]
+            for r in out.collect()
+        }
+        exp = {}
+        for tool in ("t1", "t2"):
+            ev = {"tool": tool}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{
+                    "id": "u", "query": query,
+                    "parameters": {"tool": "tool"},
+                }]),
+                self._tables(),
+            )
+            exp[tool] = [(d["plan"], d["price"]) for d in ev["u"]]
+        assert got == exp, f"spark {got} != oracle {exp}"
+        return got
+
+    BASE = (
+        "SELECT plan AS plan, price AS price FROM plans "
+        "WHERE tool = :tool UNION ALL "
+        "SELECT plan AS plan, price AS price FROM extras "
+        "WHERE tool = :tool "
+    )
+
+    def test_order_desc_fetch_first(self, spark):
+        got = self._run(
+            spark,
+            self.BASE + "ORDER BY price DESC FETCH FIRST 3 ROWS ONLY",
+        )
+        assert got["t1"] == [("gold", 99), ("basic", 10), ("pro", 7)]
+        assert got["t2"] == []
+
+    def test_plain_union_order_by_null_largest_offset(self, spark):
+        q = self.BASE.replace("UNION ALL", "UNION") + "ORDER BY plan OFFSET 1 ROWS"
+        got = self._run(spark, q)
+        # dedupe -> sort plan ASC (NULL LAST, Derby) with the default
+        # contract breaking the basic/gold ties -> drop the first row
+        assert got["t1"] == [
+            ("basic", 10), ("gold", 2), ("gold", 99), ("pro", 7), (None, 4),
+        ]
+
+    def test_limit_without_order_uses_default_contract(self, spark):
+        got = self._run(spark, self.BASE + "LIMIT 2")
+        # default contract: NULL smallest -> the NULL-plan row first
+        assert got["t1"] == [(None, 4), ("basic", 2)]
+
+    def test_offset_past_end_fires_default(self, spark):
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "u",
+                "query": self.BASE + "ORDER BY price OFFSET 50 ROWS",
+                "parameters": {"tool": "tool"},
+                "default_hash": {"plan": "dflt", "price": 0},
+            }]
+        )
+        facts = spark.createDataFrame([("t1",)], "tool: string")
+        (row,) = LookupEnricher(spec, self._dims(spark)).apply(facts).collect()
+        assert [(d["plan"], d["price"]) for d in row["u"]] == [("dflt", 0)]
+
+    def test_unknown_order_alias_rejected(self, spark):
+        with pytest.raises(ValidationError, match="not branch-1 output"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "u",
+                    "query": self.BASE + "ORDER BY zz",
+                    "parameters": {"tool": "tool"},
+                }]),
+                self._dims(spark),
+            )
+
+    def test_group_by_after_union_rejected(self, spark):
+        with pytest.raises(ValidationError, match="GROUP BY cannot follow"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "u",
+                    "query": self.BASE + "GROUP BY plan",
+                    "parameters": {"tool": "tool"},
+                }]),
+                self._dims(spark),
+            )
+
+    def test_order_expression_rejected(self, spark):
+        with pytest.raises(ValidationError, match="plain output aliases"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "u",
+                    "query": self.BASE + "ORDER BY price * 2",
+                    "parameters": {"tool": "tool"},
+                }]),
+                self._dims(spark),
+            )
+
+    def test_mid_branch_shaping_still_rejected(self, spark):
+        with pytest.raises(ValidationError, match="not supported inside"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "u",
+                    "query": (
+                        "SELECT plan AS plan, price AS price FROM plans "
+                        "WHERE tool = :tool ORDER BY price "
+                        "UNION ALL SELECT plan AS plan, price AS price "
+                        "FROM extras WHERE tool = :tool"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }]),
+                self._dims(spark),
+            )

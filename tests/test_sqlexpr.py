@@ -309,6 +309,14 @@ EXPR_TEMPLATES = [
     ("SELECT name, (SELECT count(*) FROM items WHERE price >= 2) AS n2, "
      "(SELECT avg(i2.qty) FROM items i2 WHERE i2.name = items.name) AS aq "
      "FROM items WHERE price = :n", ["name", "n2", "aq"]),
+    # Derby numeric built-ins (round 5); transcendentals are round()ed
+    # — the JVM and C libm may differ in the final ulp (contract note)
+    ("SELECT name, round(degrees(atan2(qty, price)), 6) AS ang, "
+     "sign(price - qty) AS sg FROM items "
+     "WHERE coalesce(price, 0) = :n", ["name", "ang", "sg"]),
+    ("SELECT name, round(ln(price - 2), 6) AS l, "
+     "round(sqrt(qty), 6) AS s FROM items "
+     "WHERE coalesce(qty, 0) = :n", ["name", "l", "s"]),
     # uncorrelated scalar subquery as a HAVING comparand (round 5):
     # resolved to one snapshot literal, HAVING compiles unchanged
     ("SELECT name, count(*) AS c FROM items WHERE price = :n "
@@ -508,3 +516,98 @@ class TestSimpleCase:
         out = enr.apply(spark.createDataFrame([(1,), (2,), (3,)], "i: int"))
         got = {r["i"]: [d["t"] for d in r["x"]] for r in out.collect()}
         assert got == {1: ["A"], 2: ["B"], 3: ["?"]}
+
+
+class TestDerbyMathFunctions:
+    """Round-5: Derby's numeric built-in surface (SQRT/EXP/LN/LOG10,
+    trig + hyperbolic + COT, DEGREES/RADIANS, SIGN, ATAN2) — compiled
+    to the same-named pyspark functions; the row evaluator mirrors
+    Spark's corner semantics pinned empirically: LN/LOG10 of a
+    non-positive is NULL, SQRT/ASIN/ACOS out of domain is NaN, COT(0)
+    is +inf, SIGN returns DOUBLE."""
+
+    EXPRS = [
+        "sqrt(price)",
+        "sqrt(price - 3)",          # -2..1: NaN branch
+        "round(exp(sign(qty - 2)), 6)",
+        "ln(price - 2)",            # -1..2: NULL-log branch
+        "log10(qty)",
+        "round(degrees(atan2(qty, price)), 6)",
+        "round(sin(price) + cos(qty) + tan(price), 6)",
+        "round(asin(price - 3) + atan(qty), 6)",  # asin domain edges
+        "round(sinh(sign(price)) + cosh(1) + tanh(qty), 6)",
+        "round(cot(price), 6)",
+        "radians(qty * 90)",
+    ]
+
+    def test_spark_matches_row_eval_over_full_domain(self, spark):
+        import itertools
+
+        from pyspark.sql import functions as F
+
+        from logstash_filter_jdbc_static_spark.operators import (
+            sqlexpr as X,
+        )
+        from logstash_filter_jdbc_static_spark.operators.lookup import (
+            _tokenize_where,
+        )
+
+        rows = [
+            {"price": p, "qty": q}
+            for p, q in itertools.product(
+                [1, 2, 3, 4, None], [1, 2, 3, None]
+            )
+        ]
+        df = spark.createDataFrame(
+            [(r["price"], r["qty"]) for r in rows],
+            "price: int, qty: int",
+        )
+        asts = []
+        for e in self.EXPRS:
+            toks = _tokenize_where(e)
+            ep = X.ExprParser(toks, 0, resolve_col=lambda n: n)
+            ast = ep.parse()
+            assert ep.i == len(toks), e
+            asts.append(ast)
+        got = df.select(
+            *[
+                X.compile_expr(a).alias(f"e{i}")
+                for i, a in enumerate(asts)
+            ]
+        ).collect()
+        for row, spark_row in zip(rows, got):
+            for i, (e, a) in enumerate(zip(self.EXPRS, asts)):
+                sv = spark_row[f"e{i}"]
+                pv = X.eval_expr(a, row)
+                if sv is None or pv is None:
+                    assert sv is None and pv is None, (e, row, sv, pv)
+                elif isinstance(sv, float) and sv != sv:  # NaN
+                    assert pv != pv, (e, row, sv, pv)
+                elif isinstance(sv, float):
+                    # JVM Math.* and C libm may differ in the final
+                    # ulp on transcendentals (seen live: exp(1.0));
+                    # the contract tells users to round() projected
+                    # transcendentals, and all these EXPRS do — the
+                    # tolerance here only covers a HALF-UP tie flip
+                    # ON that last ulp
+                    import math as _m
+
+                    assert sv == pv or _m.isclose(
+                        sv, pv, rel_tol=1e-12, abs_tol=1e-12
+                    ), (e, row, sv, pv)
+                else:
+                    assert sv == pv, (e, row, sv, pv)
+
+    def test_wrong_arity_rejected(self):
+        from logstash_filter_jdbc_static_spark.operators import (
+            sqlexpr as X,
+        )
+        from logstash_filter_jdbc_static_spark.operators.lookup import (
+            _tokenize_where,
+        )
+
+        with pytest.raises(ValidationError):
+            X.ExprParser(
+                _tokenize_where("atan2(price)"), 0,
+                resolve_col=lambda n: n,
+            ).parse()
