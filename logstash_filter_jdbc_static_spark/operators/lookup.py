@@ -2468,16 +2468,23 @@ def _rewrite_having_aggregates(
     return out
 
 
-def split_top_level_union(text: str) -> tuple[list[str], bool]:
-    """Split a lookup query on top-level ``UNION [ALL]`` joints
-    (quote- and paren-aware, so subqueries and string literals never
-    split). Returns (branch texts, dedupe) — dedupe is True for plain
-    ``UNION`` (SQL set semantics: the combined result is de-duplicated).
-    Mixing UNION and UNION ALL in one query is rejected: SQL gives the
-    joints subtly position-dependent semantics there, and a config that
-    needs it should de-dup via SELECT DISTINCT branches instead."""
+def split_top_level_setop(text: str) -> tuple[list[str], str, bool]:
+    """Split a lookup query on top-level ``UNION [ALL]`` / ``EXCEPT`` /
+    ``INTERSECT`` joints (quote- and paren-aware, so subqueries and
+    string literals never split). Returns (branch texts, op, dedupe)
+    with op one of ``"union"``/``"except"``/``"intersect"`` (op is
+    ``"union"`` for a single-branch query); dedupe is True for every
+    set op except ``UNION ALL`` — plain set ops de-duplicate by SQL
+    semantics.
+
+    Mixing different joints in one query is rejected: SQL gives them
+    position-dependent precedence (INTERSECT binds tighter), and a
+    config that needs a mixed pipeline should pre-shape via a loader
+    query. ``EXCEPT ALL`` / ``INTERSECT ALL`` (multiset semantics) are
+    likewise rejected — Derby accepts them, but the compiled
+    set-semantics surface is the distinct variant only."""
     parts: list[str] = []
-    alls: list[bool] = []
+    joints: list[tuple[str, bool]] = []  # (op, all)
     i, n, depth, start = 0, len(text), 0, 0
     while i < n:
         c = text[i]
@@ -2496,27 +2503,55 @@ def split_top_level_union(text: str) -> tuple[list[str], bool]:
             depth -= 1
         elif (
             depth == 0
-            and c in "uU"
+            and c in "uUeEiI"
             and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
         ):
-            m = re.match(r"union(\s+all)?\b", text[i:], re.IGNORECASE)
+            m = re.match(
+                r"(union|except|intersect)(\s+all)?\b",
+                text[i:],
+                re.IGNORECASE,
+            )
             if m:
                 parts.append(text[start:i])
-                alls.append(bool(m.group(1)))
+                joints.append((m.group(1).lower(), bool(m.group(2))))
                 i += m.end()
                 start = i
                 continue
         i += 1
     parts.append(text[start:])
     if len(parts) == 1:
-        return parts, False
+        return parts, "union", False
+    ops = {op for op, _ in joints}
+    if len(ops) > 1:
+        raise ValidationError(
+            ["lookup set ops: mixing UNION/EXCEPT/INTERSECT in one "
+             "query is not supported (SQL precedence differs per "
+             "joint) — pre-shape the dim via a loader query instead"]
+        )
+    op = ops.pop()
+    alls = [a for _, a in joints]
+    if op in ("except", "intersect"):
+        if any(alls):
+            raise ValidationError(
+                [f"lookup set ops: {op.upper()} ALL (multiset "
+                 f"semantics) is not supported — use plain "
+                 f"{op.upper()}, or pre-shape via a loader query"]
+            )
+        return parts, op, True
     if any(alls) and not all(alls):
         raise ValidationError(
             ["lookup UNION: mixing UNION and UNION ALL in one query is "
              "not supported — use SELECT DISTINCT branches with UNION "
              "ALL instead"]
         )
-    return parts, not alls[0]
+    return parts, "union", not alls[0]
+
+
+def split_top_level_union(text: str) -> tuple[list[str], bool]:
+    """Back-compat wrapper over :func:`split_top_level_setop` for
+    UNION-only call sites: returns (branch texts, dedupe)."""
+    parts, _, dedupe = split_top_level_setop(text)
+    return parts, dedupe
 
 
 def split_union_tail(
@@ -4417,7 +4452,7 @@ class CompiledUnionLookup:
     ):
         spec.raise_if_invalid()
         self.spec = spec
-        texts, self.dedupe = split_top_level_union(spec.query)
+        texts, self.setop, self.dedupe = split_top_level_setop(spec.query)
         if len(texts) < 2:
             raise ValidationError(
                 [f"lookup '{spec.id}': not a UNION query"]
@@ -4560,11 +4595,22 @@ class CompiledUnionLookup:
             name = f"__u_{sid}_{i}"
             cur = cur.withColumnRenamed("__raw_payload", name)
             tmp.append(name)
-        combined = F.concat(
-            *[F.coalesce(F.col(n), F.array().cast(arr_t)) for n in tmp]
-        )
-        if self.dedupe:
-            combined = F.array_distinct(combined)
+        arrs = [F.coalesce(F.col(n), F.array().cast(arr_t)) for n in tmp]
+        if self.setop == "union":
+            combined = F.concat(*arrs)
+            if self.dedupe:
+                combined = F.array_distinct(combined)
+        elif self.setop == "intersect":
+            # SQL set semantics: distinct rows present in EVERY branch;
+            # array_intersect dedupes and treats NULL fields as equal
+            # (verified: NULL is not distinct from NULL in set ops)
+            combined = arrs[0]
+            for nxt in arrs[1:]:
+                combined = F.array_intersect(combined, nxt)
+        else:  # except — left-associative: ((A EXCEPT B) EXCEPT C)
+            combined = F.array_distinct(arrs[0])
+            for nxt in arrs[1:]:
+                combined = F.array_except(combined, nxt)
         if self.union_order:
             combined = F.array_sort(combined, self._union_comparator)
         else:

@@ -12,6 +12,7 @@ from typing import Any
 from logstash_filter_jdbc_static_spark.operators.lookup import (
     has_subqueries,
     parse_lookup_query,
+    split_top_level_setop,
     split_top_level_union,
     split_union_tail,
 )
@@ -539,12 +540,16 @@ def _run_union(
     event: dict, spec: LookupSpec, texts: list[str], dedupe: bool,
     table: list[dict], tables: dict[str, list[dict]] | None,
     order: tuple = (), limit: int | None = None, offset: int | None = None,
+    op: str = "union",
 ) -> tuple[bool, list[str]]:
-    """UNION [ALL] twin of run_lookup: per-branch match+project with the
-    shared bindings, concatenate (ALL) or set-union (plain), sort under
-    the default payload contract — or the UNION-level ORDER BY keys
-    (Derby result order, NULL largest), then OFFSET/LIMIT (round-5) —
-    then the usual default/tags outcome."""
+    """Set-op twin of run_lookup (UNION [ALL] / EXCEPT / INTERSECT):
+    per-branch match+project with the shared bindings, then concatenate
+    (UNION ALL), set-union (plain UNION), set-difference (EXCEPT,
+    left-associative) or set-intersection (INTERSECT) — NULL is not
+    distinct from NULL, as in SQL set ops — sorted under the default
+    payload contract or the trailing ORDER BY keys (Derby result order,
+    NULL largest), then OFFSET/LIMIT (round-5), then the usual
+    default/tags outcome."""
     import dataclasses
 
     bindings = (
@@ -563,7 +568,7 @@ def _run_union(
         tags.extend(spec.tag_on_failure)
         return False, tags
     aliases0: list[str] | None = None
-    rows: list[dict] = []
+    branch_rows: list[list[dict]] = []
     for text in texts:
         q = parse_lookup_query(text)
         if aliases0 is None:
@@ -587,16 +592,37 @@ def _run_union(
                 tables if tables is not None else {q.table: table},
                 branch_table,
             )
-        rows.extend(proj for _, proj in _match_rows(q, branch_table, params))
-    if dedupe:
+        branch_rows.append(
+            [proj for _, proj in _match_rows(q, branch_table, params)]
+        )
+
+    def _key(r: dict) -> tuple:
+        return tuple(sorted(r.items(), key=lambda kv: kv[0]))
+
+    def _distinct(rs: list[dict]) -> list[dict]:
         seen: set = set()
         uniq = []
-        for r in rows:
-            key = tuple(sorted(r.items(), key=lambda kv: kv[0]))
-            if key not in seen:
-                seen.add(key)
+        for r in rs:
+            k = _key(r)
+            if k not in seen:
+                seen.add(k)
                 uniq.append(r)
-        rows = uniq
+        return uniq
+
+    if op == "union":
+        rows = [r for rs in branch_rows for r in rs]
+        if dedupe:
+            rows = _distinct(rows)
+    elif op == "intersect":
+        rows = _distinct(branch_rows[0])
+        for rs in branch_rows[1:]:
+            keys = {_key(r) for r in rs}
+            rows = [r for r in rows if _key(r) in keys]
+    else:  # except — left-associative
+        rows = _distinct(branch_rows[0])
+        for rs in branch_rows[1:]:
+            keys = {_key(r) for r in rs}
+            rows = [r for r in rows if _key(r) not in keys]
     rows.sort(key=_payload_sort_key)
     # UNION-level ORDER BY: stable re-sorts by each key, least
     # significant first, over the default-contract order (the
@@ -629,12 +655,12 @@ def run_lookup(
     Returns (ok, tags_appended). ``tables`` supplies the full local
     table dict for scalar-subquery resolution (defaults to just the
     probed table)."""
-    texts, dedupe = split_top_level_union(spec.query)
+    texts, op, dedupe = split_top_level_setop(spec.query)
     if len(texts) > 1:
         texts, order, limit, offset = split_union_tail(texts)
         return _run_union(
             event, spec, texts, dedupe, table, tables,
-            order=order, limit=limit, offset=offset,
+            order=order, limit=limit, offset=offset, op=op,
         )
     q = parse_lookup_query(spec.query)
     if has_subqueries(q):

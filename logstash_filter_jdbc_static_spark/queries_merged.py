@@ -193,6 +193,10 @@ _merge(
         ("lookup_math_funcs",
          [("n_mf", "mf_n"), ("mf_rt_sum", "mf_rt_sum"),
           ("mf_ang_sum", "mf_ang_sum"), ("mf_sg_sum", "mf_sg_sum")]),
+        # round-5 late widening: EXCEPT / INTERSECT set-op lookups
+        ("lookup_setops",
+         [("n_se", "se_n"), ("se_rows", "se_rows"),
+          ("n_si", "si_n"), ("si_rows", "si_rows")]),
     ],
 )
 

@@ -967,3 +967,119 @@ def lookup_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg["mf_ang_sum"],
         agg["mf_sg_sum"],
     )
+
+
+@register(
+    "lookup_setops",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        mse AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_se,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || CAST(price AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, price),
+                   ',') AS se_rows
+          FROM (
+            SELECT tool, plan, price FROM tool_plans WHERE price >= 5
+            EXCEPT
+            SELECT tool, plan, price FROM tool_plans WHERE qty >= 4
+          ) GROUP BY tool
+        )
+        """,
+        """
+        msi AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_si,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || CAST(price AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, price),
+                   ',') AS si_rows
+          FROM (
+            SELECT tool, plan, price FROM tool_plans WHERE price >= 5
+            INTERSECT
+            SELECT tool, plan, price FROM tool_plans WHERE qty >= 3
+          ) GROUP BY tool
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(mse.n_se, 0) AS n_se,
+               coalesce(mse.se_rows, '') AS se_rows,
+               coalesce(msi.n_si, 0) AS n_si,
+               coalesce(msi.si_rows, '') AS si_rows
+        FROM transcripts t
+        LEFT JOIN mse ON mse.tool = t.tool
+        LEFT JOIN msi ON msi.tool = t.tool
+        """,
+    ),
+)
+def lookup_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 widening: ``EXCEPT`` / ``INTERSECT`` lookup SQL — Derby
+    executes both verbatim (lookup.rb:131-147). Compiled on the UNION
+    machinery as per-branch payload arrays folded with
+    ``array_except`` / ``array_intersect`` (SQL set semantics: distinct
+    result, NULL not distinct from NULL — tool_3's (NULL, 8) row
+    cancels/matches itself across branches); still N broadcast probes,
+    zero fact shuffle. The per-tool grouping is exact because the
+    DuckDB twin carries the tool key through both set-op sides.
+
+    CAUTION (fan-out trap): the oracle LEFT JOINs two independent
+    per-tool row sets, which would cross-multiply counts/lists — each
+    set-op side pre-aggregates to ONE row per tool before the join."""
+    t = load_transcripts(spark, sf_dir)
+    branch = (
+        "SELECT plan AS plan, price AS price FROM tool_plans "
+        "WHERE tool = :tool AND {pred}"
+    )
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "se",
+                "query": (
+                    branch.format(pred="price >= 5")
+                    + " EXCEPT "
+                    + branch.format(pred="qty >= 4")
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "si",
+                "query": (
+                    branch.format(pred="price >= 5")
+                    + " INTERSECT "
+                    + branch.format(pred="qty >= 3")
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+
+    def _rows(col):
+        return F.array_join(
+            F.transform(
+                F.col(col),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit(":"),
+                    r.getField("price").cast("string"),
+                ),
+            ),
+            ",",
+        )
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("se").cast("long").alias("n_se"),
+        _rows("se").alias("se_rows"),
+        F.size("si").cast("long").alias("n_si"),
+        _rows("si").alias("si_rows"),
+    )

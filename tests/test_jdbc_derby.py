@@ -971,3 +971,70 @@ class TestDerbyRound5Shapes:
             if r["ip"] == probe["ip"]
         }
         assert got == exp
+
+
+class TestDerbySetOps:
+    """EXCEPT / INTERSECT lookups against the Derby-loaded dim —
+    Derby executes both verbatim (lookup.rb:131-147); here the
+    set-semantics fold runs over the per-branch payload arrays, with
+    expectations derived from the live Derby rows."""
+
+    def _store(self, spark):
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        return store
+
+    def test_except_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "ex",
+                    "query": (
+                        "SELECT location AS loc FROM servers "
+                        "WHERE ip LIKE :pre "
+                        "EXCEPT "
+                        "SELECT location AS loc FROM servers "
+                        "WHERE ip LIKE '192.%'"
+                    ),
+                    "parameters": {"pre": "%{[prefix]}%"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1", "10.")], ["event", "prefix"])
+        rows = store.dims()["servers"].collect()
+        minus = {r["location"] for r in rows if r["ip"].startswith("192.")}
+        live = sorted(
+            {r["location"] for r in rows if r["ip"].startswith("10.")}
+            - minus
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["loc"] for x in row["ex"]) == live
+
+    def test_intersect_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "it",
+                    "query": (
+                        "SELECT location AS loc FROM servers "
+                        "WHERE ip LIKE :pre "
+                        "INTERSECT "
+                        "SELECT location AS loc FROM servers "
+                        "WHERE ip LIKE '192.%'"
+                    ),
+                    "parameters": {"pre": "%{[prefix]}%"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1", "10.")], ["event", "prefix"])
+        rows = store.dims()["servers"].collect()
+        with_192 = {r["location"] for r in rows if r["ip"].startswith("192.")}
+        live = sorted(
+            {r["location"] for r in rows if r["ip"].startswith("10.")}
+            & with_192
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["loc"] for x in row["it"]) == live

@@ -384,3 +384,145 @@ class TestUnionLevelTail:
                 }]),
                 self._dims(spark),
             )
+
+
+class TestSetOps:
+    """Round-5: ``EXCEPT`` / ``INTERSECT`` lookup queries — Derby
+    executes them verbatim (lookup.rb:131-147). Compiled on the UNION
+    machinery: per-branch payload arrays folded with
+    ``array_except`` / ``array_intersect`` (SQL set semantics —
+    distinct result, NULL is not distinct from NULL, EXCEPT is
+    left-associative). ALL variants and mixed joints are rejected."""
+
+    _A = [("t1", "basic", 10), ("t1", "basic", 10), ("t1", "pro", 7),
+          ("t1", None, 4)]
+    _B = [("t1", "basic", 10), ("t1", None, 4), ("t1", "gold", 99)]
+    _C = [("t1", "pro", 7)]
+
+    def _dims(self, spark):
+        schema = "tool: string, plan: string, price: int"
+        return {
+            "a": spark.createDataFrame(self._A, schema),
+            "b": spark.createDataFrame(self._B, schema),
+            "c": spark.createDataFrame(self._C, schema),
+        }
+
+    def _tables(self):
+        return {
+            n: [{"tool": t, "plan": p, "price": pr} for t, p, pr in rows]
+            for n, rows in (("a", self._A), ("b", self._B), ("c", self._C))
+        }
+
+    BRANCH = "SELECT plan AS plan, price AS price FROM {t} WHERE tool = :tool"
+
+    def _run(self, spark, query, default=None):
+        lookup = {"id": "u", "query": query, "parameters": {"tool": "tool"}}
+        if default is not None:
+            lookup["default_hash"] = default
+        facts = spark.createDataFrame([("t1",), ("t2",)], "tool: string")
+        out = LookupEnricher(
+            PipelineSpec(lookups=[dict(lookup)]), self._dims(spark)
+        ).apply(facts)
+        got = {
+            r["tool"]: [(d["plan"], d["price"]) for d in r["u"]]
+            for r in out.collect()
+        }
+        for tool in ("t1", "t2"):
+            ev = {"tool": tool}
+            oracle.enhance(
+                ev, PipelineSpec(lookups=[dict(lookup)]), self._tables()
+            )
+            exp = [(d["plan"], d["price"]) for d in ev["u"]]
+            assert got[tool] == exp, f"{tool}: spark {got[tool]} != {exp}"
+        return got
+
+    def test_splitter_returns_op(self):
+        from logstash_filter_jdbc_static_spark.operators.lookup import (
+            split_top_level_setop,
+        )
+
+        parts, op, dedupe = split_top_level_setop(
+            "SELECT a FROM t EXCEPT SELECT a FROM u"
+        )
+        assert (len(parts), op, dedupe) == (2, "except", True)
+        parts, op, dedupe = split_top_level_setop(
+            "SELECT a FROM t INTERSECT SELECT a FROM u "
+            "INTERSECT SELECT a FROM v"
+        )
+        assert (len(parts), op, dedupe) == (3, "intersect", True)
+        parts, op, dedupe = split_top_level_setop(
+            "SELECT a FROM t WHERE s = 'x except y'"
+        )
+        assert (len(parts), op) == (1, "union")
+
+    def test_except_distinct_and_null_equality(self, spark):
+        got = self._run(
+            spark,
+            self.BRANCH.format(t="a") + " EXCEPT "
+            + self.BRANCH.format(t="b"),
+        )
+        # distinct(A) minus B: the dup (basic,10) collapses AND is
+        # removed; (None,4) is removed — NULL is not distinct from NULL
+        assert got["t1"] == [("pro", 7)]
+        assert got["t2"] == []
+
+    def test_intersect_with_null_field(self, spark):
+        got = self._run(
+            spark,
+            self.BRANCH.format(t="a") + " INTERSECT "
+            + self.BRANCH.format(t="b"),
+        )
+        assert got["t1"] == [(None, 4), ("basic", 10)]
+
+    def test_except_left_associative(self, spark):
+        got = self._run(
+            spark,
+            self.BRANCH.format(t="a") + " EXCEPT "
+            + self.BRANCH.format(t="b") + " EXCEPT "
+            + self.BRANCH.format(t="c"),
+        )
+        assert got["t1"] == []
+
+    def test_setop_with_trailing_tail(self, spark):
+        got = self._run(
+            spark,
+            self.BRANCH.format(t="a") + " INTERSECT "
+            + self.BRANCH.format(t="b")
+            + " ORDER BY price DESC FETCH FIRST 1 ROWS ONLY",
+        )
+        assert got["t1"] == [("basic", 10)]
+
+    def test_empty_except_fires_default(self, spark):
+        got = self._run(
+            spark,
+            self.BRANCH.format(t="c") + " EXCEPT "
+            + self.BRANCH.format(t="a"),
+            default={"plan": "none", "price": -1},
+        )
+        assert got["t1"] == [("none", -1)]
+        assert got["t2"] == [("none", -1)]
+
+    @pytest.mark.parametrize(
+        "query,msg",
+        [
+            ("SELECT plan AS p, price AS q FROM a WHERE tool = :tool "
+             "EXCEPT ALL SELECT plan AS p, price AS q FROM b "
+             "WHERE tool = :tool", "EXCEPT ALL"),
+            ("SELECT plan AS p, price AS q FROM a WHERE tool = :tool "
+             "INTERSECT ALL SELECT plan AS p, price AS q FROM b "
+             "WHERE tool = :tool", "INTERSECT ALL"),
+            ("SELECT plan AS p, price AS q FROM a WHERE tool = :tool "
+             "UNION SELECT plan AS p, price AS q FROM b WHERE tool = :tool "
+             "EXCEPT SELECT plan AS p, price AS q FROM c "
+             "WHERE tool = :tool", "mixing UNION/EXCEPT/INTERSECT"),
+        ],
+    )
+    def test_rejections(self, spark, query, msg):
+        with pytest.raises(ValidationError, match=msg):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "u", "query": query,
+                    "parameters": {"tool": "tool"},
+                }]),
+                self._dims(spark),
+            )
