@@ -201,6 +201,17 @@ _FUNCS: dict[str, tuple[int, int | None]] = {
     "degrees": (1, 1),
     "radians": (1, 1),
     "sign": (1, 1),
+    # Derby's date/time extraction built-ins (Derby ref manual —
+    # Derby has no EXTRACT; these ARE its extraction surface). All
+    # return INTEGER on both engines. Spark semantics where they
+    # differ: HOUR/MINUTE/SECOND of a DATE is 0 (implicit midnight
+    # timestamp; Derby raises), SECOND truncates the fraction.
+    "year": (1, 1),
+    "month": (1, 1),
+    "day": (1, 1),
+    "hour": (1, 1),
+    "minute": (1, 1),
+    "second": (1, 1),
 }
 
 # parse-time canonicalization: alias -> (name, arg permutation)
@@ -883,6 +894,23 @@ def eval_expr(ast, row: dict):
         if name == "instr":
             # 1-based position of the first occurrence; 0 when absent
             return args[0].find(args[1]) + 1
+        if name in ("year", "month", "day", "hour", "minute", "second"):
+            import datetime
+
+            v = args[0]
+            if isinstance(v, str):
+                v = (
+                    datetime.datetime.fromisoformat(v)
+                    if (" " in v or "T" in v)
+                    else datetime.date.fromisoformat(v)
+                )
+            if name in ("year", "month", "day"):
+                return getattr(v, name)
+            # Spark: HOUR/MINUTE/SECOND of a DATE is 0 (implicit
+            # midnight); SECOND truncates the fraction
+            if not isinstance(v, datetime.datetime):
+                return 0
+            return getattr(v, name)
         if name in _MATH_EVAL:
             return _MATH_EVAL[name](*[float(a) for a in args])
         if name in ("substr", "substring"):

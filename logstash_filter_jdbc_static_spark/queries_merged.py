@@ -197,6 +197,10 @@ _merge(
         ("lookup_setops",
          [("n_se", "se_n"), ("se_rows", "se_rows"),
           ("n_si", "si_n"), ("si_rows", "si_rows")]),
+        # round-5 late widening: date/time extraction built-ins
+        # (year/month/day/hour/minute/second)
+        ("lookup_date_funcs",
+         [("n_df", "df_n"), ("df_rows", "df_rows")]),
     ],
 )
 

@@ -37,6 +37,7 @@ from logstash_filter_jdbc_static_spark.queries_pipeline8 import (
 from logstash_filter_jdbc_static_spark.sources.transcripts import (
     TRANSCRIPTS_CTE,
     load_transcripts,
+    values_cte,
     with_ctes,
 )
 from logstash_filter_jdbc_static_spark.spec import PipelineSpec
@@ -1082,4 +1083,133 @@ def lookup_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         _rows("se").alias("se_rows"),
         F.size("si").cast("long").alias("n_si"),
         _rows("si").alias("si_rows"),
+    )
+
+
+def _sub_rows():
+    """Subscription dim for the date-function part: (tool, since DATE,
+    seen TIMESTAMP) with a leap day, a pre-epoch row (filtered by the
+    day()<>13 predicate), a NULL timestamp and a NULL date."""
+    import datetime as _dt
+
+    return [
+        ("tool_0", _dt.date(2024, 2, 29),
+         _dt.datetime(2024, 3, 1, 15, 30, 45)),
+        ("tool_1", _dt.date(2023, 12, 31),
+         _dt.datetime(2023, 12, 31, 23, 59, 59)),
+        ("tool_2", _dt.date(2001, 1, 1), None),
+        ("tool_2", _dt.date(2001, 6, 15),
+         _dt.datetime(2001, 6, 15, 0, 0, 0)),
+        ("tool_3", _dt.date(1969, 7, 13),
+         _dt.datetime(1969, 7, 20, 20, 17, 40)),
+        ("tool_4", None, _dt.datetime(1999, 1, 2, 3, 4, 5)),
+    ]
+
+
+_SUBS_CTE = values_cte(
+    "tool_subs",
+    [
+        (t, None if d is None else d.isoformat(),
+         None if ts is None else ts.isoformat(sep=" "))
+        for t, d, ts in _sub_rows()
+    ],
+    ["tool", "since", "seen"],
+    casts={"since": "DATE", "seen": "TIMESTAMP"},
+)
+
+
+@register(
+    "lookup_date_funcs",
+    with_ctes(
+        _SUBS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT tool,
+                 CAST(count(*) AS BIGINT) AS n_df,
+                 array_to_string(
+                   list(
+                     CAST(year(since) AS VARCHAR) || '-'
+                     || CAST(month(since) AS VARCHAR) || '-'
+                     || CAST(day(since) AS VARCHAR) || ' '
+                     || coalesce(CAST(hour(seen) AS VARCHAR), '~') || ':'
+                     || coalesce(CAST(minute(seen) AS VARCHAR), '~') || ':'
+                     || coalesce(CAST(second(seen) AS VARCHAR), '~')
+                     ORDER BY since
+                   ), ',') AS df_rows
+          FROM tool_subs
+          WHERE day(since) <> 13
+          GROUP BY tool
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(m.n_df, 0) AS n_df,
+               coalesce(m.df_rows, '') AS df_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        """,
+    ),
+)
+def lookup_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: Derby's date/time extraction built-ins
+    (YEAR/MONTH/DAY/HOUR/MINUTE/SECOND — Derby has no EXTRACT) in
+    lookup projections AND a predicate (``day(since) <> 13`` drops the
+    pre-epoch row; ``day(NULL)`` is NULL → unknown → filtered on both
+    engines). Spark-first: synthetic dim columns through sqlexpr, the
+    per-event plan stays the broadcast-hash equi probe. The payload's
+    default sort (y, mo, dd, ...) coincides with ORDER BY since within
+    a tool, so the DuckDB list() order is exact."""
+    import datetime  # noqa: F401  (dim rows carry date/datetime)
+
+    from pyspark.sql import types as T
+
+    t = load_transcripts(spark, sf_dir)
+    schema = T.StructType([
+        T.StructField("tool", T.StringType(), False),
+        T.StructField("since", T.DateType(), True),
+        T.StructField("seen", T.TimestampType(), True),
+    ])
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "df",
+                "query": (
+                    "SELECT year(since) AS y, month(since) AS mo, "
+                    "day(since) AS dd, hour(seen) AS hh, "
+                    "minute(seen) AS mi, second(seen) AS ss "
+                    "FROM tool_subs WHERE tool = :tool "
+                    "AND day(since) <> 13"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_subs": spark.createDataFrame(_sub_rows(), schema)}
+    )
+    out = enricher.apply(t)
+
+    def _s(r, f):
+        return F.coalesce(r.getField(f).cast("string"), F.lit("~"))
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("df").cast("long").alias("n_df"),
+        F.array_join(
+            F.transform(
+                F.col("df"),
+                lambda r: F.concat(
+                    r.getField("y").cast("string"), F.lit("-"),
+                    r.getField("mo").cast("string"), F.lit("-"),
+                    r.getField("dd").cast("string"), F.lit(" "),
+                    _s(r, "hh"), F.lit(":"),
+                    _s(r, "mi"), F.lit(":"),
+                    _s(r, "ss"),
+                ),
+            ),
+            ",",
+        ).alias("df_rows"),
     )

@@ -1038,3 +1038,76 @@ class TestDerbySetOps:
         )
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         assert sorted(x["loc"] for x in row["it"]) == live
+
+
+class TestDerbyDateFuncs:
+    """YEAR/MONTH/DAY/HOUR/MINUTE/SECOND lookups against a
+    Derby-loaded dim with real DATE/TIMESTAMP columns (Derby's
+    extraction surface — it has no EXTRACT). Expectations from the
+    live Derby rows."""
+
+    @pytest.fixture(scope="class")
+    def derby_subs(self, spark):
+        import datetime as dt
+
+        rows = [
+            ("tool_a", dt.date(2024, 2, 29),
+             dt.datetime(2024, 3, 1, 15, 30, 45)),
+            ("tool_b", dt.date(1999, 12, 31),
+             dt.datetime(1999, 12, 31, 23, 59, 59)),
+            ("tool_a", dt.date(2001, 6, 13), None),
+        ]
+        (
+            spark.createDataFrame(rows, "tool string, since date, seen timestamp")
+            .write.format("jdbc")
+            .option("url", URL)
+            .option("driver", DRIVER)
+            .option("dbtable", "subs")
+            .option(
+                "createTableColumnTypes",
+                "tool VARCHAR(64), since DATE, seen TIMESTAMP",
+            )
+            .mode("overwrite")
+            .save()
+        )
+        return rows
+
+    def test_date_extraction_lookup_on_derby_dim(self, spark, derby_subs):
+        loader = _loader(
+            'SELECT "tool", "since", "seen" FROM subs', table="subs"
+        )
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "dx",
+                    "query": (
+                        "SELECT year(since) AS y, month(since) AS mo, "
+                        "day(since) AS dd, hour(seen) AS hh "
+                        "FROM subs WHERE tool = :tool "
+                        "AND day(since) <> 13"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame(
+            [("tool_a",), ("tool_b",)], ["tool"]
+        )
+        live = {}
+        for tool, since, seen in derby_subs:
+            if since.day == 13:
+                continue
+            live.setdefault(tool, []).append(
+                (since.year, since.month, since.day,
+                 seen.hour if seen is not None else None)
+            )
+        rows = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        got = {
+            r["tool"]: sorted(
+                (d["y"], d["mo"], d["dd"], d["hh"]) for d in r["dx"]
+            )
+            for r in rows
+        }
+        assert got == {t: sorted(v) for t, v in live.items()}

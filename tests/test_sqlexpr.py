@@ -611,3 +611,70 @@ class TestDerbyMathFunctions:
                 _tokenize_where("atan2(price)"), 0,
                 resolve_col=lambda n: n,
             ).parse()
+
+
+class TestDateFuncs:
+    """Derby's date/time extraction built-ins (round-5 late):
+    YEAR/MONTH/DAY/HOUR/MINUTE/SECOND — Derby has no EXTRACT, these
+    ARE its extraction surface. Spark semantics pinned live where the
+    engines differ: HOUR/MINUTE/SECOND of a DATE is 0 (implicit
+    midnight; Derby raises), SECOND truncates the fraction; all
+    return INTEGER."""
+
+    EXPRS = [
+        "year(d)",
+        "month(d)",
+        "day(d)",
+        "hour(ts)",
+        "minute(ts)",
+        "second(ts)",
+        "hour(d)",                      # DATE -> 0 (Spark semantics)
+        "minute(d) + second(d)",        # both 0
+        "year(d) * 100 + month(d)",     # composition with arithmetic
+        "case when day(d) > 15 then 'late' else 'early' end",
+        "year(ts) - year(d)",
+    ]
+
+    def test_spark_matches_row_eval_over_dates(self, spark):
+        import datetime
+
+        from logstash_filter_jdbc_static_spark.operators import (
+            sqlexpr as X,
+        )
+        from logstash_filter_jdbc_static_spark.operators.lookup import (
+            _tokenize_where,
+        )
+
+        dates = [
+            datetime.date(2024, 2, 29),   # leap day
+            datetime.date(1999, 12, 31),
+            datetime.date(2001, 1, 1),
+            None,
+        ]
+        stamps = [
+            datetime.datetime(2023, 7, 4, 15, 30, 45, 678000),  # frac
+            datetime.datetime(2024, 1, 1, 0, 0, 0),
+            datetime.datetime(1970, 6, 15, 23, 59, 59),
+            None,
+        ]
+        rows = [
+            {"d": d, "ts": ts} for d in dates for ts in stamps
+        ]
+        df = spark.createDataFrame(
+            [(r["d"], r["ts"]) for r in rows], "d: date, ts: timestamp"
+        )
+        asts = []
+        for e in self.EXPRS:
+            toks = _tokenize_where(e)
+            ep = X.ExprParser(toks, 0, resolve_col=lambda n: n)
+            ast = ep.parse()
+            assert ep.i == len(toks), e
+            asts.append(ast)
+        got = df.select(
+            *[X.compile_expr(a).alias(f"e{i}") for i, a in enumerate(asts)]
+        ).collect()
+        for row, spark_row in zip(rows, got):
+            for i, (e, a) in enumerate(zip(self.EXPRS, asts)):
+                sv = spark_row[f"e{i}"]
+                pv = X.eval_expr(a, row)
+                assert sv == pv, (e, row, sv, pv)
