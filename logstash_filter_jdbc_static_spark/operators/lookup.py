@@ -2554,6 +2554,207 @@ def split_top_level_union(text: str) -> tuple[list[str], bool]:
     return parts, dedupe
 
 
+def extract_derived_tables(
+    query: str,
+) -> tuple[str, tuple[tuple[str, str], ...]]:
+    """Rewrite ``FROM (SELECT ...) alias`` / ``JOIN (SELECT ...) alias``
+    derived tables to synthetic table names (``__dt0``, ``__dt1``, ...)
+    and return (rewritten query, ((name, inner select text), ...)).
+    Derby executes derived tables verbatim (lookup.rb:131-147); here
+    each inner select materializes ONCE per refresh snapshot as its own
+    dimension (:func:`materialize_derived`) and the outer query
+    compiles against it unchanged — per-event cost is identical to a
+    plain-table lookup.
+
+    Quote-aware; only a ``(`` directly following the FROM/JOIN keyword
+    opens a derived table, so subquery parentheses (``IN (SELECT``,
+    ``= (SELECT``) never match. SQL requires the alias; a missing one
+    is an error here exactly as on Derby."""
+    out: list[str] = []
+    derived: list[tuple[str, str]] = []
+    i, n = 0, len(query)
+    last_word = ""
+    while i < n:
+        c = query[i]
+        if c == "'":
+            j = i + 1
+            while j < n:
+                if query[j] == "'":
+                    if j + 1 < n and query[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(query[i:j + 1])
+            i = j + 1
+            last_word = ""
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (query[j].isalnum() or query[j] in "_."):
+                j += 1
+            last_word = query[i:j].lower()
+            out.append(query[i:j])
+            i = j
+            continue
+        if c == "(" and last_word in ("from", "join"):
+            depth, j = 1, i + 1
+            while j < n and depth:
+                ch = query[j]
+                if ch == "'":
+                    j += 1
+                    while j < n:
+                        if query[j] == "'":
+                            if j + 1 < n and query[j + 1] == "'":
+                                j += 2
+                                continue
+                            break
+                        j += 1
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                    if not depth:
+                        break
+                j += 1
+            if depth:
+                raise ValidationError(
+                    [f"lookup FROM: unbalanced parenthesis in {query!r}"]
+                )
+            inner = query[i + 1:j].strip()
+            if not re.match(r"select\b", inner, re.IGNORECASE):
+                raise ValidationError(
+                    [f"lookup FROM: expected a derived table "
+                     f"(SELECT ...) after {last_word.upper()}, got "
+                     f"({inner[:40]}...)"]
+                )
+            m = re.match(
+                r"\s*(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*)",
+                query[j + 1:],
+                re.IGNORECASE,
+            )
+            if m is None or m.group(1).lower() in _FROM_KEYWORDS | {
+                "where", "group", "order", "union", "except", "intersect",
+            }:
+                raise ValidationError(
+                    ["lookup FROM: a derived table requires an alias "
+                     "(SQL rule — Derby rejects it too): "
+                     "FROM (SELECT ...) alias"]
+                )
+            name = f"__dt{len(derived)}"
+            derived.append((name, inner))
+            out.append(name)
+            i = j + 1
+            last_word = ""
+            continue
+        if not c.isspace():
+            last_word = ""
+        out.append(c)
+        i += 1
+    return "".join(out), tuple(derived)
+
+
+def materialize_derived(
+    inner: str, dims: dict[str, DataFrame]
+) -> DataFrame:
+    """Materialize a derived table's inner SELECT as a dimension
+    DataFrame, ONCE per refresh snapshot (dim-sized work — never
+    per event). Accepted inner surface: projection (columns, scalar
+    expressions, aggregates + GROUP BY), multi-table JOINs, a static
+    WHERE (the full predicate grammar, no params), DISTINCT, and
+    NESTED derived tables (each level materializes its own dims).
+    Rejected with targeted messages: :param/? placeholders (they
+    would re-bind per event — bind them in the OUTER query),
+    subqueries, HAVING, set ops, and ORDER BY/LIMIT/OFFSET (a derived
+    table is an unordered relation — shape the outer query)."""
+    inner2, nested = extract_derived_tables(inner)
+    if nested:
+        dims = dict(dims)
+        for name, sub in nested:
+            dims[name] = materialize_derived(sub, dims)
+        inner = inner2
+    label = "lookup derived table"
+    texts, _, _ = split_top_level_setop(inner)
+    if len(texts) > 1:
+        raise ValidationError(
+            [f"{label}: set ops (UNION/EXCEPT/INTERSECT) inside a "
+             f"derived table are not supported — pre-shape via a "
+             f"loader query"]
+        )
+    parsed = parse_lookup_query(inner)
+    if parsed.proj_subqueries or has_subqueries(parsed):
+        raise ValidationError(
+            [f"{label}: subqueries inside a derived table are not "
+             f"supported — move them to the outer query"]
+        )
+    if parsed.order_by or parsed.limit is not None or parsed.offset is not None:
+        raise ValidationError(
+            [f"{label}: ORDER BY/LIMIT/OFFSET inside a derived table "
+             f"are not supported — a derived table is an unordered "
+             f"relation; shape the OUTER query instead"]
+        )
+    if parsed.having:
+        raise ValidationError(
+            [f"{label}: HAVING inside a derived table is not supported "
+             f"— filter the aggregate in the outer WHERE"]
+        )
+    for d in parsed.disjuncts:
+        for p in d:
+            if not p.is_static:
+                raise ValidationError(
+                    [f"{label}: :param/? placeholders inside a derived "
+                     f"table are not supported (they would re-bind per "
+                     f"event) — bind parameters in the outer WHERE"]
+                )
+    if parsed.joins:
+        dim_df, parsed = build_join_dim(parsed, dims)
+    else:
+        if parsed.table not in dims:
+            raise ValidationError(
+                [f"{label}: references unknown local table "
+                 f"'{parsed.table}'"]
+            )
+        dim_df = dims[parsed.table]
+    df = dim_df
+    for name, ast in parsed.computed:
+        df = df.withColumn(name, sqlexpr.compile_expr(ast))
+    cond = _static_where_condition(parsed.disjuncts)
+    if cond is not None:
+        df = df.filter(cond)
+    if parsed.aggregates:
+        aggs = []
+        for func, col, alias in parsed.aggregates:
+            if func == "count" and col is None:
+                aggs.append(F.count(F.lit(1)).alias(alias))
+            elif func == "count_distinct":
+                aggs.append(F.count_distinct(F.col(col)).alias(alias))
+            else:
+                aggs.append(getattr(F, func)(F.col(col)).alias(alias))
+        if parsed.group_by:
+            df = df.groupBy(*[F.col(k) for k in parsed.group_by]).agg(*aggs)
+            df = df.select(
+                *[F.col(s).alias(a) for s, a in (parsed.projection or [])],
+                *[F.col(a) for _, _, a in parsed.aggregates],
+            )
+        else:
+            df = df.agg(*aggs)
+    elif parsed.group_by:
+        # GROUP BY with no aggregates == SELECT DISTINCT of the keys
+        df = df.select(
+            *[F.col(s).alias(a) for s, a in (parsed.projection or [])]
+        ).distinct()
+    elif parsed.projection is not None:
+        df = df.select(*[F.col(s).alias(a) for s, a in parsed.projection])
+    else:
+        # SELECT *: never leak synthetic __expr columns from a WHERE
+        df = df.select(
+            *[c for c in dim_df.columns if not c.startswith("__")]
+        )
+    if parsed.distinct:
+        df = df.distinct()
+    return df
+
+
 def split_union_tail(
     texts: list[str],
 ) -> tuple[

@@ -93,10 +93,27 @@ class LookupEnricher:
             from logstash_filter_jdbc_static_spark.operators.lookup import (
                 CompiledUnionLookup,
                 build_join_dim,
+                extract_derived_tables,
+                materialize_derived,
                 parse_lookup_query,
                 resolve_subqueries_with_dim,
                 split_top_level_union,
             )
+
+            # Derived tables (round-5 late): each FROM/JOIN (SELECT ...)
+            # materializes ONCE per snapshot as its own dimension; the
+            # outer query then compiles over the synthetic table name
+            # on the unchanged machinery (union branches included)
+            new_q, derived = extract_derived_tables(lk.query)
+            lk_dims = dims
+            if derived:
+                import copy
+
+                lk = copy.copy(lk)
+                lk.query = new_q
+                lk_dims = dict(dims)
+                for dt_name, dt_inner in derived:
+                    lk_dims[dt_name] = materialize_derived(dt_inner, dims)
 
             if len(split_top_level_union(lk.query)[0]) > 1:
                 # UNION [ALL]: each branch compiles against its own dim;
@@ -105,7 +122,7 @@ class LookupEnricher:
                 self.compiled.append(
                     CompiledUnionLookup(
                         lk,
-                        dims,
+                        lk_dims,
                         inline_threshold,
                         row_key,
                         dim_rows=dim_rows,
@@ -125,20 +142,20 @@ class LookupEnricher:
                 # Multi-table lookup: pre-join the dims into one derived
                 # dimension at compile/refresh time (dim-sized work, once
                 # per snapshot) and compile against the flat rewrite.
-                dim_df, parsed = build_join_dim(parsed, dims)
+                dim_df, parsed = build_join_dim(parsed, lk_dims)
                 parsed, dim_df = resolve_subqueries_with_dim(
-                    parsed, dims, dim_df
+                    parsed, lk_dims, dim_df
                 )
                 lk_dim_rows = None  # derived dim: A2 count not applicable
             else:
-                if parsed.table not in dims:
+                if parsed.table not in lk_dims:
                     raise ValidationError(
                         [f"lookup '{lk.id}' references unknown local table "
                          f"'{parsed.table}'"]
                     )
-                dim_df = dims[parsed.table]
+                dim_df = lk_dims[parsed.table]
                 parsed, dim_df = resolve_subqueries_with_dim(
-                    parsed, dims, dim_df
+                    parsed, lk_dims, dim_df
                 )
                 # the correlated-aggregate join is keyed by groupBy
                 # output (unique key tuples), so the dim ROW COUNT is

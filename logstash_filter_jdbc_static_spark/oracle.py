@@ -10,6 +10,7 @@ import re
 from typing import Any
 
 from logstash_filter_jdbc_static_spark.operators.lookup import (
+    extract_derived_tables,
     has_subqueries,
     parse_lookup_query,
     split_top_level_setop,
@@ -536,6 +537,78 @@ def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:
     return matched
 
 
+def _agg_over_rows(aggregates, rows_raw: list[dict]) -> dict:
+    """SQL aggregate projection over already-matched rows (shared by
+    run_lookup and the derived-table materializer)."""
+    row_out: dict = {}
+    for func, col, alias in aggregates:
+        if func == "count" and col is None:
+            row_out[alias] = len(rows_raw)
+            continue
+        vals = [r.get(col) for r in rows_raw]
+        vals = [v for v in vals if v is not None]
+        if func == "count":
+            row_out[alias] = len(vals)
+        elif func == "count_distinct":
+            row_out[alias] = len(set(vals))
+        elif not vals:
+            row_out[alias] = None
+        elif func == "min":
+            row_out[alias] = min(vals)
+        elif func == "max":
+            row_out[alias] = max(vals)
+        elif func == "sum":
+            row_out[alias] = sum(vals)
+        else:  # avg
+            row_out[alias] = sum(float(v) for v in vals) / len(vals)
+    return row_out
+
+
+def _derived_rows(
+    inner: str, tables: dict[str, list[dict]]
+) -> list[dict]:
+    """Row-at-a-time twin of lookup.materialize_derived: evaluate a
+    derived table's inner SELECT (static WHERE, expressions, joins,
+    aggregates + GROUP BY, DISTINCT, nested derived tables) against the
+    dict-row tables, once per enhance call. The Spark compile enforces
+    the rejections (params/subqueries/HAVING/set ops/tails); this twin
+    just evaluates the accepted surface."""
+    inner2, nested = extract_derived_tables(inner)
+    if nested:
+        tables = dict(tables)
+        for name, sub in nested:
+            tables[name] = _derived_rows(sub, tables)
+        inner = inner2
+    q = parse_lookup_query(inner)
+    table = _join_rows(q, tables) if q.joins else tables[q.table]
+    matched = _match_rows(q, table, {})
+    if q.aggregates and not q.group_by:
+        return [_agg_over_rows(q.aggregates, [r for r, _ in matched])]
+    if q.group_by:
+        groups: dict[tuple, list[dict]] = {}
+        for r, _ in matched:
+            groups.setdefault(
+                tuple(r.get(c) for c in q.group_by), []
+            ).append(r)
+        rows = []
+        for _, rs in groups.items():
+            d = {alias: rs[0].get(src) for src, alias in (q.projection or [])}
+            d.update(_agg_over_rows(q.aggregates, rs))
+            rows.append(d)
+    else:
+        rows = [proj for _, proj in matched]
+    if q.distinct or (q.group_by and not q.aggregates):
+        seen: set = set()
+        uniq = []
+        for r in rows:
+            key = tuple(sorted(r.items(), key=lambda kv: kv[0]))
+            if key not in seen:
+                seen.add(key)
+                uniq.append(r)
+        rows = uniq
+    return rows
+
+
 def _run_union(
     event: dict, spec: LookupSpec, texts: list[str], dedupe: bool,
     table: list[dict], tables: dict[str, list[dict]] | None,
@@ -683,29 +756,9 @@ def run_lookup(
         tags.extend(spec.tag_on_failure)
         return False, tags
     matched = _match_rows(q, table, params)
+
     def _agg_over(rows_raw: list[dict]) -> dict:
-        row_out: dict = {}
-        for func, col, alias in q.aggregates:
-            if func == "count" and col is None:
-                row_out[alias] = len(rows_raw)
-                continue
-            vals = [r.get(col) for r in rows_raw]
-            vals = [v for v in vals if v is not None]
-            if func == "count":
-                row_out[alias] = len(vals)
-            elif func == "count_distinct":
-                row_out[alias] = len(set(vals))
-            elif not vals:
-                row_out[alias] = None
-            elif func == "min":
-                row_out[alias] = min(vals)
-            elif func == "max":
-                row_out[alias] = max(vals)
-            elif func == "sum":
-                row_out[alias] = sum(vals)
-            else:  # avg
-                row_out[alias] = sum(float(v) for v in vals) / len(vals)
-        return row_out
+        return _agg_over_rows(q.aggregates, rows_raw)
 
     if q.group_by:
         # one payload row per distinct group-key tuple among the
@@ -866,15 +919,28 @@ def enhance(event: dict, spec: PipelineSpec, tables: dict[str, list[dict]]) -> d
     tags: list[str] = list(event.get("tags", []))
     matched = True
     for lk in spec.lookups:
+        # derived tables materialize once per enhance into synthetic
+        # table names (the mirror of LookupEnricher's snapshot-time
+        # materialize_derived)
+        new_q, derived = extract_derived_tables(lk.query)
+        tbls = tables
+        if derived:
+            import copy
+
+            lk = copy.copy(lk)
+            lk.query = new_q
+            tbls = dict(tables)
+            for dt_name, dt_inner in derived:
+                tbls[dt_name] = _derived_rows(dt_inner, tables)
         texts, _ = split_top_level_union(lk.query)
         if len(texts) > 1:
             # union: run_lookup resolves each branch's table itself
             q = parse_lookup_query(texts[0])
-            table = tables[q.table] if not q.joins else []
+            table = tbls[q.table] if not q.joins else []
         else:
             q = parse_lookup_query(lk.query)
-            table = _join_rows(q, tables) if q.joins else tables[q.table]
-        ok, new_tags = run_lookup(event, lk, table, tables=tables)
+            table = _join_rows(q, tbls) if q.joins else tbls[q.table]
+        ok, new_tags = run_lookup(event, lk, table, tables=tbls)
         for t in new_tags:
             if t not in tags:
                 tags.append(t)

@@ -201,6 +201,10 @@ _merge(
         # (year/month/day/hour/minute/second)
         ("lookup_date_funcs",
          [("n_df", "df_n"), ("df_rows", "df_rows")]),
+        # round-5 late widening: derived tables in FROM
+        ("lookup_derived",
+         [("n_d1", "d1_n"), ("d1_rows", "d1_rows"),
+          ("g_n", "dg_n"), ("g_mx", "dg_mx")]),
     ],
 )
 

@@ -1213,3 +1213,106 @@ def lookup_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("df_rows"),
     )
+
+
+@register(
+    "lookup_derived",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        md AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_d1,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || CAST(total AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, total),
+                   ',') AS d1_rows
+          FROM (
+            SELECT tool, plan, price * qty AS total
+            FROM tool_plans WHERE qty >= 2
+          )
+          WHERE total > 6
+          GROUP BY tool
+        )
+        """,
+        """
+        mg AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n, max(price) AS mx
+          FROM tool_plans GROUP BY tool
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(md.n_d1, 0) AS n_d1,
+               coalesce(md.d1_rows, '') AS d1_rows,
+               coalesce(mg.n, 0) AS g_n,
+               mg.mx AS g_mx
+        FROM transcripts t
+        LEFT JOIN md ON md.tool = t.tool
+        LEFT JOIN mg ON mg.tool = t.tool
+        """,
+    ),
+)
+def lookup_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: DERIVED TABLES in lookup FROM clauses — Derby
+    executes ``FROM (SELECT ...) d`` verbatim (lookup.rb:131-147). Two
+    lookups: (1) an expression-projection derived table with an outer
+    param + static outer predicate, (2) a GROUP BY aggregate derived
+    table probed by key. Each inner select materializes ONCE per
+    refresh snapshot (dim-sized; the GROUP BY shuffles dim rows only)
+    and the per-event plan stays the key-grouped broadcast hash probe
+    (plan-asserted in tests/test_lookup_derived.py::TestDerivedPlan).
+    Both oracle CTEs are one-row-per-tool, so the double LEFT JOIN
+    cannot fan out."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "d1",
+                "query": (
+                    "SELECT plan AS plan, total AS total FROM "
+                    "(SELECT tool AS tool, plan AS plan, "
+                    "price * qty AS total FROM tool_plans "
+                    "WHERE qty >= 2) d "
+                    "WHERE d.tool = :tool AND d.total > 6"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "g1",
+                "query": (
+                    "SELECT n AS n, mx AS mx FROM "
+                    "(SELECT tool AS tool, count(*) AS n, "
+                    "max(price) AS mx FROM tool_plans GROUP BY tool) g "
+                    "WHERE g.tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("d1").cast("long").alias("n_d1"),
+        F.array_join(
+            F.transform(
+                F.col("d1"),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit(":"),
+                    r.getField("total").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("d1_rows"),
+        F.coalesce(
+            F.get(F.col("g1"), 0).getField("n"), F.lit(0).cast("long")
+        ).alias("g_n"),
+        F.get(F.col("g1"), 0).getField("mx").alias("g_mx"),
+    )

@@ -1111,3 +1111,43 @@ class TestDerbyDateFuncs:
             for r in rows
         }
         assert got == {t: sorted(v) for t, v in live.items()}
+
+
+class TestDerbyDerivedTables:
+    """Derived-table lookups against the Derby-loaded dim — Derby
+    executes ``FROM (SELECT ...) d`` verbatim (lookup.rb:131-147);
+    here the inner select materializes per refresh snapshot. Also
+    verifies a RELOAD re-materializes the derived dim (new snapshot →
+    new inner rows)."""
+
+    def _store(self, spark):
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        return store
+
+    def test_aggregate_derived_lookup_on_derby_dim(self, spark, derby_servers):
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "ld",
+                    "query": (
+                        "SELECT n AS n, mx AS mx FROM "
+                        "(SELECT location AS location, count(*) AS n, "
+                        "max(name) AS mx FROM servers GROUP BY location) g "
+                        "WHERE g.location = :loc"
+                    ),
+                    "parameters": {"loc": "loc"},
+                }
+            ]
+        )
+        rows = store.dims()["servers"].collect()
+        by_loc = {}
+        for r in rows:
+            n, mx = by_loc.get(r["location"], (0, ""))
+            by_loc[r["location"]] = (n + 1, max(mx, r["name"]))
+        loc = rows[0]["location"]
+        fact = spark.createDataFrame([(loc,)], ["loc"])
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert [(d["n"], d["mx"]) for d in row["ld"]] == [by_loc[loc]]

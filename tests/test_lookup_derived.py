@@ -1,0 +1,285 @@
+"""Derived tables in lookup FROM clauses (round-5 late):
+``SELECT ... FROM (SELECT ...) alias`` — Derby executes them verbatim
+per event (lookup.rb:131-147). Here each inner select materializes
+ONCE per refresh snapshot as its own dimension
+(``materialize_derived``, dim-sized work) and the outer query compiles
+over the synthetic table name on the unchanged machinery, so the
+per-event plan is identical to a plain-table lookup (plan-asserted).
+Spark-vs-row-oracle equivalence on every accepted shape; targeted
+rejections for the per-event-rebinding shapes (params inside,
+subqueries, HAVING, set ops, ORDER BY/LIMIT)."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from logstash_filter_jdbc_static_spark import oracle
+from logstash_filter_jdbc_static_spark.operators.lookup import (
+    extract_derived_tables,
+)
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
+from logstash_filter_jdbc_static_spark.spec import PipelineSpec, ValidationError
+
+ROWS = [
+    ("t1", "basic", 10, 3),
+    ("t1", "pro", 7, 2),
+    ("t1", None, 4, 5),
+    ("t2", "basic", 2, 9),
+    ("t3", "solo", 8, 1),
+]
+CATS = [("basic", "core"), ("pro", "paid")]
+
+ENGINES = [
+    {},
+    {"inline_threshold": 0, "pattern_strategy": "broadcast_map"},
+    {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+]
+
+
+def _dims(spark):
+    return {
+        "tool_plans": spark.createDataFrame(
+            ROWS, "tool string, plan string, price int, qty int"
+        ),
+        "plan_cats": spark.createDataFrame(CATS, "plan string, cat string"),
+    }
+
+
+def _tables():
+    return {
+        "tool_plans": [
+            dict(zip(("tool", "plan", "price", "qty"), r)) for r in ROWS
+        ],
+        "plan_cats": [dict(zip(("plan", "cat"), r)) for r in CATS],
+    }
+
+
+def _run(spark, query, kw=None, default=None):
+    lookup = {"id": "dt", "query": query, "parameters": {"tool": "tool"}}
+    if default is not None:
+        lookup["default_hash"] = default
+    facts = spark.createDataFrame(
+        [("t1",), ("t2",), ("t9",)], "tool: string"
+    )
+    out = LookupEnricher(
+        PipelineSpec(lookups=[dict(lookup)]), _dims(spark), **(kw or {})
+    ).apply(facts)
+    got = {
+        r["tool"]: [tuple(d.asDict().items()) for d in r["dt"]]
+        for r in out.collect()
+    }
+    for tool in ("t1", "t2", "t9"):
+        ev = {"tool": tool}
+        oracle.enhance(
+            ev, PipelineSpec(lookups=[dict(lookup)]), _tables()
+        )
+        exp = [tuple(d.items()) for d in ev["dt"]]
+        assert got[tool] == exp, f"{tool}: spark {got[tool]} != oracle {exp}"
+    return got
+
+
+class TestExtractor:
+    def test_plain_query_untouched(self):
+        q = "SELECT a FROM t WHERE x = :x AND s = 'from (select'"
+        new_q, derived = extract_derived_tables(q)
+        assert new_q == q and derived == ()
+
+    def test_from_and_join_derived(self):
+        q = (
+            "SELECT d.a, e.b FROM (SELECT a FROM t) d "
+            "JOIN (SELECT b FROM u WHERE c > 1) AS e ON d.a = e.b"
+        )
+        new_q, derived = extract_derived_tables(q)
+        assert [n for n, _ in derived] == ["__dt0", "__dt1"]
+        assert derived[0][1] == "SELECT a FROM t"
+        assert derived[1][1] == "SELECT b FROM u WHERE c > 1"
+        assert "FROM __dt0 d" in new_q and "JOIN __dt1 AS e" in new_q
+
+    def test_subquery_parens_do_not_match(self):
+        q = (
+            "SELECT a FROM t WHERE n = (SELECT max(n) FROM u) "
+            "AND m IN (SELECT m FROM v)"
+        )
+        new_q, derived = extract_derived_tables(q)
+        assert new_q == q and derived == ()
+
+    def test_missing_alias_rejected(self):
+        with pytest.raises(ValidationError, match="requires an alias"):
+            extract_derived_tables("SELECT a FROM (SELECT a FROM t) WHERE x = :x")
+
+
+class TestGoldenDerived:
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_expression_projection_and_outer_param(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, total AS total FROM "
+            "(SELECT tool AS tool, plan AS plan, price * qty AS total "
+            "FROM tool_plans WHERE qty >= 2) d "
+            "WHERE d.tool = :tool AND d.total > 10",
+            kw,
+        )
+        assert got["t1"] == [
+            (("plan", None), ("total", 20)),
+            (("plan", "basic"), ("total", 30)),
+            (("plan", "pro"), ("total", 14)),
+        ]
+        assert got["t2"] == [(("plan", "basic"), ("total", 18))]
+        assert got["t9"] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_group_by_aggregate_inside(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT n AS n, mx AS mx FROM "
+            "(SELECT tool AS tool, count(*) AS n, max(price) AS mx "
+            "FROM tool_plans GROUP BY tool) g WHERE g.tool = :tool",
+            kw,
+        )
+        assert got["t1"] == [(("n", 3), ("mx", 10))]
+        assert got["t2"] == [(("n", 1), ("mx", 2))]
+
+    def test_distinct_inside(self, spark):
+        got = _run(
+            spark,
+            "SELECT plan AS plan FROM "
+            "(SELECT DISTINCT tool AS tool, plan AS plan FROM tool_plans) d "
+            "WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("plan", None),), (("plan", "basic"),),
+                             (("plan", "pro"),)]
+
+    def test_derived_joined_with_real_table(self, spark):
+        got = _run(
+            spark,
+            "SELECT c.cat AS cat, d.total AS total "
+            "FROM (SELECT tool AS tool, plan AS plan, "
+            "price * qty AS total FROM tool_plans) d "
+            "JOIN plan_cats c ON d.plan = c.plan "
+            "WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("cat", "core"), ("total", 30)),
+                             (("cat", "paid"), ("total", 14))]
+
+    def test_join_inside_derived(self, spark):
+        got = _run(
+            spark,
+            "SELECT pc AS pc FROM "
+            "(SELECT p.tool AS tool, p.plan || '/' || c.cat AS pc "
+            "FROM tool_plans p JOIN plan_cats c ON p.plan = c.plan) d "
+            "WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("pc", "basic/core"),), (("pc", "pro/paid"),)]
+
+    def test_nested_derived(self, spark):
+        got = _run(
+            spark,
+            "SELECT total AS total FROM "
+            "(SELECT tool AS tool, total AS total FROM "
+            "(SELECT tool AS tool, price * qty AS total "
+            "FROM tool_plans WHERE price > 2) i "
+            "WHERE i.total >= 14) o WHERE o.tool = :tool",
+        )
+        assert got["t1"] == [(("total", 14),), (("total", 20),),
+                             (("total", 30),)]
+        assert got["t2"] == []
+
+    def test_derived_in_union_branch(self, spark):
+        got = _run(
+            spark,
+            "SELECT plan AS p FROM tool_plans WHERE tool = :tool "
+            "AND price > 9 "
+            "UNION ALL "
+            "SELECT plan AS p FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "WHERE qty >= 5) d WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [((("p", None)),), (("p", "basic"),)]
+        assert got["t2"] == [(("p", "basic"),)]
+
+    def test_empty_derived_match_fires_default(self, spark):
+        got = _run(
+            spark,
+            "SELECT plan AS plan FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "WHERE price > 99) d WHERE d.tool = :tool",
+            default={"plan": "none"},
+        )
+        assert got["t1"] == [(("plan", "none"),)]
+
+
+class TestDerivedPlan:
+    def test_equi_probe_stays_single_broadcast_join(self, spark):
+        """The per-event plan over a derived dim is the same
+        key-grouped broadcast hash join as a plain-table lookup: the
+        fact side has NO exchange (the derived table's groupBy shuffles
+        dim-sized data once per snapshot, never the fact)."""
+        from tests.test_plan_quality import _plan
+
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "dt",
+                    "query": (
+                        "SELECT n AS n FROM "
+                        "(SELECT tool AS tool, count(*) AS n "
+                        "FROM tool_plans GROUP BY tool) g "
+                        "WHERE g.tool = :tool"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }
+            ]
+        )
+        fact = spark.range(5000).select(
+            F.concat(F.lit("t"), (F.col("id") % 5).cast("string")).alias("tool"),
+            F.col("id").alias("turn_idx"),
+        )
+        out = LookupEnricher(spec, _dims(spark)).apply(fact)
+        plan = _plan(out, "simple")
+        assert "BroadcastHashJoin" in plan
+        sigs = re.findall(
+            r"(?<!Broadcast)Exchange hashpartitioning\(([^)]*)\)", plan
+        )
+        # dim-side shuffles only: the snapshot groupBy keys on the dim
+        # column, never on a fact column
+        for s in sigs:
+            assert "tool#" in s and "turn_idx" not in s, (s, plan)
+        assert "id#" not in " ".join(sigs), sigs
+
+
+class TestDerivedRejections:
+    @pytest.mark.parametrize(
+        "query,msg",
+        [
+            ("SELECT plan AS plan FROM (SELECT tool AS tool, plan AS plan "
+             "FROM tool_plans WHERE tool = :tool) d WHERE d.tool = :tool",
+             "placeholders inside a derived table"),
+            ("SELECT plan AS plan FROM (SELECT tool AS tool, plan AS plan "
+             "FROM tool_plans ORDER BY price LIMIT 2) d WHERE d.tool = :tool",
+             "unordered relation"),
+            ("SELECT n AS n FROM (SELECT tool AS tool, count(*) AS n "
+             "FROM tool_plans GROUP BY tool HAVING count(*) > 1) g "
+             "WHERE g.tool = :tool",
+             "HAVING inside a derived table"),
+            ("SELECT plan AS plan FROM (SELECT tool AS tool, plan AS plan "
+             "FROM tool_plans WHERE price > (SELECT avg(price) "
+             "FROM tool_plans)) d WHERE d.tool = :tool",
+             "subqueries inside a derived table"),
+            ("SELECT p AS p FROM (SELECT tool AS tool, plan AS p "
+             "FROM tool_plans UNION SELECT tool AS tool, plan AS p "
+             "FROM tool_plans) d WHERE d.tool = :tool",
+             "set ops .* inside a derived table"),
+        ],
+    )
+    def test_rejections(self, spark, query, msg):
+        with pytest.raises(ValidationError, match=msg):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "dt", "query": query,
+                    "parameters": {"tool": "tool"},
+                }]),
+                _dims(spark),
+            )
