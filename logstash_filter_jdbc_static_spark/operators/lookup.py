@@ -2662,11 +2662,12 @@ def materialize_derived(
     per event). Accepted inner surface: projection (columns, scalar
     expressions, aggregates + GROUP BY), multi-table JOINs, a static
     WHERE (the full predicate grammar, no params), DISTINCT, and
-    NESTED derived tables (each level materializes its own dims).
-    Rejected with targeted messages: :param/? placeholders (they
-    would re-bind per event — bind them in the OUTER query),
-    subqueries, HAVING, set ops, and ORDER BY/LIMIT/OFFSET (a derived
-    table is an unordered relation — shape the outer query)."""
+    NESTED derived tables (each level materializes its own dims), and
+    a static HAVING over the aggregated rows. Rejected with targeted
+    messages: :param/? placeholders (they would re-bind per event —
+    bind them in the OUTER query), subqueries, set ops, and
+    ORDER BY/LIMIT/OFFSET (a derived table is an unordered relation —
+    shape the outer query)."""
     inner2, nested = extract_derived_tables(inner)
     if nested:
         dims = dict(dims)
@@ -2693,12 +2694,7 @@ def materialize_derived(
              f"are not supported — a derived table is an unordered "
              f"relation; shape the OUTER query instead"]
         )
-    if parsed.having:
-        raise ValidationError(
-            [f"{label}: HAVING inside a derived table is not supported "
-             f"— filter the aggregate in the outer WHERE"]
-        )
-    for d in parsed.disjuncts:
+    for d in list(parsed.disjuncts) + list(parsed.having):
         for p in d:
             if not p.is_static:
                 raise ValidationError(
@@ -2736,6 +2732,12 @@ def materialize_derived(
                 *[F.col(s).alias(a) for s, a in (parsed.projection or [])],
                 *[F.col(a) for _, _, a in parsed.aggregates],
             )
+            # HAVING is STATIC inside a derived table (params are
+            # rejected above), so it is just a filter over the
+            # aggregated rows — unlike the per-event payload HAVING
+            hcond = _static_where_condition(parsed.having)
+            if hcond is not None:
+                df = df.filter(hcond)
         else:
             df = df.agg(*aggs)
     elif parsed.group_by:

@@ -595,6 +595,15 @@ def _derived_rows(
             d = {alias: rs[0].get(src) for src, alias in (q.projection or [])}
             d.update(_agg_over_rows(q.aggregates, rs))
             rows.append(d)
+        if q.having:
+            # static inside a derived table (params rejected at compile)
+            rows = [
+                g for g in rows
+                if any(
+                    all(_pred_match(p, g, {}) for p in disjunct)
+                    for disjunct in q.having
+                )
+            ]
     else:
         rows = [proj for _, proj in matched]
     if q.distinct or (q.group_by and not q.aggregates):

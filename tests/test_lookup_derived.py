@@ -130,6 +130,19 @@ class TestGoldenDerived:
         assert got["t2"] == [(("plan", "basic"), ("total", 18))]
         assert got["t9"] == []
 
+    def test_static_having_inside(self, spark):
+        got = _run(
+            spark,
+            "SELECT n AS n, mx AS mx FROM "
+            "(SELECT tool AS tool, count(*) AS n, max(price) AS mx "
+            "FROM tool_plans GROUP BY tool "
+            "HAVING count(*) > 1 AND max(price) >= 8) g "
+            "WHERE g.tool = :tool",
+        )
+        assert got["t1"] == [(("n", 3), ("mx", 10))]
+        assert got["t2"] == []  # count 1 fails HAVING
+        assert got["t9"] == []
+
     @pytest.mark.parametrize("kw", ENGINES)
     def test_group_by_aggregate_inside(self, spark, kw):
         got = _run(
@@ -261,9 +274,9 @@ class TestDerivedRejections:
              "FROM tool_plans ORDER BY price LIMIT 2) d WHERE d.tool = :tool",
              "unordered relation"),
             ("SELECT n AS n FROM (SELECT tool AS tool, count(*) AS n "
-             "FROM tool_plans GROUP BY tool HAVING count(*) > 1) g "
+             "FROM tool_plans GROUP BY tool HAVING count(*) > :tool) g "
              "WHERE g.tool = :tool",
-             "HAVING inside a derived table"),
+             "placeholders inside a derived table"),
             ("SELECT plan AS plan FROM (SELECT tool AS tool, plan AS plan "
              "FROM tool_plans WHERE price > (SELECT avg(price) "
              "FROM tool_plans)) d WHERE d.tool = :tool",
