@@ -2554,6 +2554,40 @@ def split_top_level_union(text: str) -> tuple[list[str], bool]:
     return parts, dedupe
 
 
+def strip_outer_parens(text: str) -> str:
+    """Strip balanced outer parentheses off a set-op branch —
+    ``(SELECT ...) UNION (SELECT ...)`` is the common SQL spelling and
+    Derby accepts it (lookup.rb:131-147). Quote-aware; only strips
+    when the opening paren's match is the LAST character, repeatedly."""
+    t = text.strip()
+    while t.startswith("(") and t.endswith(")"):
+        depth, i, n = 0, 0, len(t)
+        closes_at = -1
+        while i < n:
+            c = t[i]
+            if c == "'":
+                i += 1
+                while i < n:
+                    if t[i] == "'":
+                        if i + 1 < n and t[i + 1] == "'":
+                            i += 2
+                            continue
+                        break
+                    i += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    closes_at = i
+                    break
+            i += 1
+        if closes_at != n - 1:
+            break
+        t = t[1:-1].strip()
+    return t
+
+
 def extract_derived_tables(
     query: str,
 ) -> tuple[str, tuple[tuple[str, str], ...]]:
@@ -4669,7 +4703,7 @@ class CompiledUnionLookup:
         aliases0: list[str] | None = None
         for bi, text in enumerate(texts):
             label = f"lookup '{spec.id}' UNION branch {bi + 1}"
-            parsed = parse_lookup_query(text)
+            parsed = parse_lookup_query(strip_outer_parens(text))
             if parsed.projection is None:
                 raise ValidationError(
                     [f"{label}: SELECT * is not supported in UNION "

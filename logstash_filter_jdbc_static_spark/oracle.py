@@ -16,6 +16,7 @@ from logstash_filter_jdbc_static_spark.operators.lookup import (
     split_top_level_setop,
     split_top_level_union,
     split_union_tail,
+    strip_outer_parens,
 )
 from logstash_filter_jdbc_static_spark.operators.sqlexpr import eval_expr
 from logstash_filter_jdbc_static_spark.spec import (
@@ -652,7 +653,7 @@ def _run_union(
     aliases0: list[str] | None = None
     branch_rows: list[list[dict]] = []
     for text in texts:
-        q = parse_lookup_query(text)
+        q = parse_lookup_query(strip_outer_parens(text))
         if aliases0 is None:
             aliases0 = [a for _, a in (q.projection or [])]
         elif q.projection is not None:
@@ -944,7 +945,7 @@ def enhance(event: dict, spec: PipelineSpec, tables: dict[str, list[dict]]) -> d
         texts, _ = split_top_level_union(lk.query)
         if len(texts) > 1:
             # union: run_lookup resolves each branch's table itself
-            q = parse_lookup_query(texts[0])
+            q = parse_lookup_query(strip_outer_parens(texts[0]))
             table = tbls[q.table] if not q.joins else []
         else:
             q = parse_lookup_query(lk.query)

@@ -526,3 +526,69 @@ class TestSetOps:
                 }]),
                 self._dims(spark),
             )
+
+
+class TestParenthesizedBranches:
+    """Round-5 late: ``(SELECT ...) UNION (SELECT ...)`` — the common
+    SQL spelling, accepted by Derby. Branch texts strip their balanced
+    outer parens before the branch parser; a trailing tail after the
+    last close paren still shapes the whole set-op result."""
+
+    def test_strip_outer_parens(self):
+        from logstash_filter_jdbc_static_spark.operators.lookup import (
+            strip_outer_parens,
+        )
+
+        assert strip_outer_parens(" (SELECT a FROM t) ") == "SELECT a FROM t"
+        assert strip_outer_parens("((SELECT a FROM t))") == "SELECT a FROM t"
+        # NOT strippable: the first paren closes mid-text
+        assert (
+            strip_outer_parens("(SELECT a FROM t) x (y)")
+            == "(SELECT a FROM t) x (y)"
+        )
+        # quote-aware: a quoted paren never counts
+        assert (
+            strip_outer_parens("(SELECT a FROM t WHERE s = ')')")
+            == "SELECT a FROM t WHERE s = ')'"
+        )
+
+    def test_parenthesized_union_with_tail(self, spark):
+        got = _run(
+            spark,
+            "(SELECT name FROM s1 WHERE ip = :ip) "
+            "UNION ALL (SELECT name FROM s2 WHERE ip = :ip) "
+            "ORDER BY name DESC FETCH FIRST 2 ROWS ONLY",
+            {},
+        )
+        # k1: all rows v1,v1,v2,w1 -> DESC w1,v2 -> first 2
+        assert got[0] == ([("w1",), ("v2",)], True)
+
+    def test_parenthesized_except(self, spark):
+        got = _run(
+            spark,
+            "(SELECT name FROM s1 WHERE ip = :ip) "
+            "EXCEPT (SELECT name FROM s2 WHERE ip = :ip)",
+            {},
+        )
+        # k1: distinct{v1,v2} - {w1,v1} = {v2}
+        assert got[0] == ([("v2",)], True)
+
+    def test_parenthesized_matches_row_oracle(self, spark):
+        q = (
+            "(SELECT name FROM s1 WHERE ip = :ip) "
+            "UNION (SELECT name FROM s2 WHERE ip = :ip) "
+            "ORDER BY name FETCH FIRST 2 ROWS ONLY"
+        )
+        lookup = {"id": "u", "query": q, "parameters": {"ip": "ip"}}
+        got = _run(spark, q, {})
+        tables = {
+            "s1": [{"ip": a, "name": b} for a, b in S1],
+            "s2": [{"ip": a, "name": b} for a, b in S2],
+        }
+        for turn_idx, ip in ((0, "k1"), (1, "k2"), (3, "k9")):
+            ev = {"conv_id": "c", "turn_idx": turn_idx, "ip": ip}
+            oracle.enhance(
+                ev, PipelineSpec(lookups=[dict(lookup)]), tables
+            )
+            exp = [(d["name"],) for d in ev["u"]]
+            assert got[turn_idx][0] == exp, (turn_idx, got[turn_idx], exp)
