@@ -494,3 +494,108 @@ def test_result_shapes_match_row_at_a_time_oracle(
             else [tuple(d.values()) for d in event["server"]]
         )
     assert got == exp
+
+
+# round-5 late: FULL-QUERY templates — set ops (EXCEPT/INTERSECT,
+# parenthesized branches, union-level tails) and derived tables in
+# FROM (expressions, aggregates + GROUP BY + static HAVING, joins,
+# nesting) — randomized facts/dims, generic payload-dict compare.
+FULLQ_TEMPLATES = [
+    "SELECT name AS name FROM servers WHERE ip = :ip "
+    "EXCEPT SELECT name AS name FROM servers WHERE name = 'v1'",
+    "SELECT name AS name FROM servers WHERE ip = :ip "
+    "INTERSECT SELECT name AS name FROM servers WHERE name <> 'v2'",
+    "(SELECT name AS name FROM servers WHERE ip = :ip) "
+    "UNION (SELECT name AS name FROM servers WHERE name = 'v1') "
+    "ORDER BY name DESC FETCH FIRST 2 ROWS ONLY",
+    "SELECT nm AS nm FROM (SELECT ip AS ip2, upper(name) AS nm "
+    "FROM servers WHERE name <> 'v9') d WHERE d.ip2 = :ip",
+    "SELECT c AS c FROM (SELECT ip AS ip, count(*) AS c "
+    "FROM servers GROUP BY ip) g WHERE g.ip = :ip",
+    "SELECT c AS c FROM (SELECT ip AS ip, count(*) AS c "
+    "FROM servers GROUP BY ip HAVING count(*) > 1) g WHERE g.ip = :ip",
+    "SELECT nm AS nm FROM (SELECT ip2 AS ip2, nm AS nm FROM "
+    "(SELECT ip AS ip2, name || '!' AS nm FROM servers) i "
+    "WHERE i.nm <> 'v1!') o WHERE o.ip2 = :ip",
+    "SELECT s.name AS nm, d.c AS c FROM servers s "
+    "JOIN (SELECT ip AS ip, count(*) AS c FROM servers GROUP BY ip) d "
+    "ON s.ip = d.ip WHERE s.ip = :ip",
+    "SELECT name AS name FROM servers WHERE ip = :ip "
+    "UNION ALL SELECT nm AS nm FROM "
+    "(SELECT ip AS ip2, lower(name) AS nm FROM servers) d "
+    "WHERE d.ip2 = :ip",
+]
+
+
+@pytest.mark.slow
+@settings(
+    max_examples=20,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    facts=fact_rows,
+    dims=dim_rows,
+    default=use_default,
+    template=st.sampled_from(FULLQ_TEMPLATES),
+    engine=engine_cfg,
+)
+def test_setops_and_derived_match_row_at_a_time_oracle(
+    spark, facts, dims, default, template, engine
+):
+    lookup: dict = {
+        "id": "server",
+        "query": template,
+        "parameters": {"ip": "ip"},
+    }
+    if default:
+        # default_hash keys must be projected aliases; the templates
+        # project different fields, so pick the first alias
+        first_alias = template.split(" AS ")[1].split(" ")[0].split(",")[0]
+        lookup["default_hash"] = {first_alias: "dflt"}
+        if first_alias == "c":
+            lookup["default_hash"] = {"c": -1}
+    spec = PipelineSpec(lookups=[lookup])
+    spec2 = PipelineSpec(lookups=[dict(lookup)])
+
+    fact_data = [(f"c{i}", i, k[0]) for i, k in enumerate(facts)]
+    fact_df = spark.createDataFrame(fact_data, FACT_SCHEMA)
+    dim_df = spark.createDataFrame(dims, DIM_SCHEMA)
+
+    kw = {}
+    if engine is not None:
+        kw = {"inline_threshold": engine[0], "pattern_strategy": engine[1]}
+    enricher = LookupEnricher(spec, {"servers": dim_df}, **kw)
+
+    def norm(payload):
+        if payload is None:
+            return None
+        return sorted(
+            tuple(sorted(d.items())) for d in payload
+        )
+
+    got = {
+        r["turn_idx"]: (
+            norm(
+                None if r["server"] is None
+                else [x.asDict() for x in r["server"]]
+            ),
+            list(r["tags"]),
+            r["matched"],
+        )
+        for r in enricher.apply(fact_df).collect()
+    }
+
+    tables = {"servers": [{"ip": ip, "name": nm} for ip, nm in dims]}
+    exp = {}
+    for conv_id, turn_idx, ip in fact_data:
+        event = {"conv_id": conv_id, "turn_idx": turn_idx}
+        if ip is not None:
+            event["ip"] = ip
+        oracle.enhance(event, spec2, tables)
+        exp[turn_idx] = (
+            norm(event.get("server")),
+            event["tags"],
+            event["matched"],
+        )
+    assert got == exp
