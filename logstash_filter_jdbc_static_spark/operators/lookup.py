@@ -2590,15 +2590,18 @@ def strip_outer_parens(text: str) -> str:
 
 def extract_derived_tables(
     query: str,
-) -> tuple[str, tuple[tuple[str, str], ...]]:
+) -> tuple[str, tuple[tuple[str, str, tuple[str, ...] | None], ...]]:
     """Rewrite ``FROM (SELECT ...) alias`` / ``JOIN (SELECT ...) alias``
-    derived tables to synthetic table names (``__dt0``, ``__dt1``, ...)
-    and return (rewritten query, ((name, inner select text), ...)).
+    / ``FROM (VALUES (..), ..) AS alias (col, ...)`` derived tables to
+    synthetic table names (``__dt0``, ``__dt1``, ...) and return
+    (rewritten query, ((name, inner text, column list | None), ...)).
     Derby executes derived tables verbatim (lookup.rb:131-147); here
-    each inner select materializes ONCE per refresh snapshot as its own
-    dimension (:func:`materialize_derived`) and the outer query
+    each inner relation materializes ONCE per refresh snapshot as its
+    own dimension (:func:`materialize_derived`) and the outer query
     compiles against it unchanged — per-event cost is identical to a
-    plain-table lookup.
+    plain-table lookup. A column list after the alias (Derby's
+    correlation-name columns) renames the output positionally and is
+    REQUIRED for a VALUES table.
 
     Quote-aware; only a ``(`` directly following the FROM/JOIN keyword
     opens a derived table, so subquery parentheses (``IN (SELECT``,
@@ -2656,11 +2659,11 @@ def extract_derived_tables(
                     [f"lookup FROM: unbalanced parenthesis in {query!r}"]
                 )
             inner = query[i + 1:j].strip()
-            if not re.match(r"select\b", inner, re.IGNORECASE):
+            if not re.match(r"(select|values)\b", inner, re.IGNORECASE):
                 raise ValidationError(
                     [f"lookup FROM: expected a derived table "
-                     f"(SELECT ...) after {last_word.upper()}, got "
-                     f"({inner[:40]}...)"]
+                     f"(SELECT ...) or (VALUES ...) after "
+                     f"{last_word.upper()}, got ({inner[:40]}...)"]
                 )
             m = re.match(
                 r"\s*(?:as\s+)?([A-Za-z_][A-Za-z0-9_]*)",
@@ -2675,10 +2678,24 @@ def extract_derived_tables(
                      "(SQL rule — Derby rejects it too): "
                      "FROM (SELECT ...) alias"]
                 )
+            # optional correlation-name column list: AS t (c1, c2) —
+            # renames the output positionally (required for VALUES)
+            cols: tuple[str, ...] | None = None
+            rest = query[j + 1 + m.end():]
+            cm = re.match(
+                r"\s*\(\s*([A-Za-z_][\w]*(?:\s*,\s*[A-Za-z_][\w]*)*)\s*\)",
+                rest,
+            )
+            consumed = j + 1 + m.end()
+            if cm is not None:
+                cols = tuple(
+                    c.strip().lower() for c in cm.group(1).split(",")
+                )
+                consumed += cm.end()
             name = f"__dt{len(derived)}"
-            derived.append((name, inner))
-            out.append(name)
-            i = j + 1
+            derived.append((name, inner, cols))
+            out.append(name + " " + query[j + 1:j + 1 + m.end()].strip())
+            i = consumed
             last_word = ""
             continue
         if not c.isspace():
@@ -2688,8 +2705,134 @@ def extract_derived_tables(
     return "".join(out), tuple(derived)
 
 
+def _parse_values_rows(text: str) -> list[tuple]:
+    """Parse Derby's inline-table constructor ``VALUES (lit, ...),
+    (lit, ...)`` into Python literal tuples. Literals only (strings,
+    numbers with optional sign, NULL, TRUE/FALSE) — expressions belong
+    in a SELECT derived table over the VALUES one."""
+    toks = _tokenize_where(text)
+    cur = _TokenCursor(toks, "VALUES")
+    kind, word = cur.take()
+    if kind != "word" or word.lower() != "values":
+        raise ValidationError(
+            [f"lookup VALUES table: expected VALUES, got {word!r}"]
+        )
+    rows: list[tuple] = []
+    while True:
+        kind, tok = cur.take()
+        if kind != "lparen":
+            raise ValidationError(
+                [f"lookup VALUES table: expected '(' starting a row, "
+                 f"got {tok!r}"]
+            )
+        row: list = []
+        while True:
+            kind, tok = cur.take()
+            neg = False
+            if kind == "arith" and tok == "-":
+                neg = True
+                kind, tok = cur.take()
+            if kind == "string":
+                if neg:
+                    raise ValidationError(
+                        [f"lookup VALUES table: '-' before a string"]
+                    )
+                row.append(tok[1:-1].replace("''", "'"))
+            elif kind == "number":
+                v = float(tok) if any(c in tok for c in ".eE") else int(tok)
+                row.append(-v if neg else v)
+            elif kind == "word" and tok.lower() == "null":
+                row.append(None)
+            elif kind == "word" and tok.lower() in ("true", "false"):
+                row.append(tok.lower() == "true")
+            else:
+                raise ValidationError(
+                    [f"lookup VALUES table: expected a literal, got "
+                     f"{tok!r} — expressions belong in a SELECT derived "
+                     f"table over the VALUES one"]
+                )
+            kind, tok = cur.take()
+            if kind == "rparen":
+                break
+            if kind != "comma":
+                raise ValidationError(
+                    [f"lookup VALUES table: expected ',' or ')', got "
+                     f"{tok!r}"]
+                )
+        rows.append(tuple(row))
+        nxt = cur.peek()
+        if nxt is None:
+            break
+        if nxt[0] != "comma":
+            raise ValidationError(
+                [f"lookup VALUES table: unexpected {nxt[1]!r} after a "
+                 f"row"]
+            )
+        cur.take()
+    arities = {len(r) for r in rows}
+    if len(arities) != 1:
+        raise ValidationError(
+            [f"lookup VALUES table: rows differ in arity ({sorted(arities)})"]
+        )
+    return rows
+
+
+def _values_dataframe(
+    rows: list[tuple], cols: tuple[str, ...], dims: dict[str, DataFrame]
+) -> DataFrame:
+    """Build the VALUES dimension DataFrame with per-column types
+    inferred from the literals (int -> long, float -> double, str,
+    bool; a column of only NULLs has no type — rejected)."""
+    from pyspark.sql import SparkSession
+
+    if rows and len(cols) != len(rows[0]):
+        raise ValidationError(
+            [f"lookup VALUES table: {len(rows[0])} value(s) per row but "
+             f"{len(cols)} column name(s) {list(cols)}"]
+        )
+    fields = []
+    for ci, cname in enumerate(cols):
+        vals = [r[ci] for r in rows if r[ci] is not None]
+        if not vals:
+            raise ValidationError(
+                [f"lookup VALUES table: column '{cname}' is all NULL — "
+                 f"its type cannot be inferred; CAST in a SELECT "
+                 f"derived table instead"]
+            )
+        kinds = {type(v) for v in vals}
+        if kinds == {int}:
+            t = T.LongType()
+        elif kinds <= {int, float}:
+            t = T.DoubleType()
+        elif kinds == {str}:
+            t = T.StringType()
+        elif kinds == {bool}:
+            t = T.BooleanType()
+        else:
+            raise ValidationError(
+                [f"lookup VALUES table: column '{cname}' mixes types "
+                 f"{sorted(k.__name__ for k in kinds)}"]
+            )
+        fields.append(T.StructField(cname, t, True))
+    spark = (
+        next(iter(dims.values())).sparkSession
+        if dims
+        else SparkSession.getActiveSession()
+    )
+    coerced = [
+        tuple(
+            float(v) if isinstance(f.dataType, T.DoubleType) and v is not None
+            else v
+            for v, f in zip(r, fields)
+        )
+        for r in rows
+    ]
+    return spark.createDataFrame(coerced, T.StructType(fields))
+
+
 def materialize_derived(
-    inner: str, dims: dict[str, DataFrame]
+    inner: str, dims: dict[str, DataFrame],
+    cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Materialize a derived table's inner SELECT as a dimension
     DataFrame, ONCE per refresh snapshot (dim-sized work — never
@@ -2697,18 +2840,28 @@ def materialize_derived(
     expressions, aggregates + GROUP BY), multi-table JOINs, a static
     WHERE (the full predicate grammar, no params), DISTINCT, and
     NESTED derived tables (each level materializes its own dims), and
-    a static HAVING over the aggregated rows. Rejected with targeted
-    messages: :param/? placeholders (they would re-bind per event —
-    bind them in the OUTER query), subqueries, set ops, and
-    ORDER BY/LIMIT/OFFSET (a derived table is an unordered relation —
-    shape the outer query)."""
+    a static HAVING over the aggregated rows — or an inline
+    ``VALUES (lit, ...), ...`` table (literals only; ``cols`` names
+    the columns, Derby's correlation-name column list). ``cols`` on a
+    SELECT derived table renames the output positionally. Rejected
+    with targeted messages: :param/? placeholders (they would re-bind
+    per event — bind them in the OUTER query), subqueries, set ops,
+    and ORDER BY/LIMIT/OFFSET (a derived table is an unordered
+    relation — shape the outer query)."""
+    label = "lookup derived table"
+    if re.match(r"\s*values\b", inner, re.IGNORECASE):
+        if cols is None:
+            raise ValidationError(
+                [f"{label}: a VALUES table needs a column list — "
+                 f"(VALUES ...) AS t (c1, c2)"]
+            )
+        return _values_dataframe(_parse_values_rows(inner), cols, dims)
     inner2, nested = extract_derived_tables(inner)
     if nested:
         dims = dict(dims)
-        for name, sub in nested:
-            dims[name] = materialize_derived(sub, dims)
+        for name, sub, sub_cols in nested:
+            dims[name] = materialize_derived(sub, dims, sub_cols)
         inner = inner2
-    label = "lookup derived table"
     texts, _, _ = split_top_level_setop(inner)
     if len(texts) > 1:
         raise ValidationError(
@@ -2788,6 +2941,15 @@ def materialize_derived(
         )
     if parsed.distinct:
         df = df.distinct()
+    if cols is not None:
+        # correlation-name column list renames the output positionally
+        if len(cols) != len(df.columns):
+            raise ValidationError(
+                [f"{label}: column list {list(cols)} has {len(cols)} "
+                 f"name(s) but the derived select projects "
+                 f"{len(df.columns)}"]
+            )
+        df = df.toDF(*cols)
     return df
 
 

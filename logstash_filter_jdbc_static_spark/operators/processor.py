@@ -112,8 +112,10 @@ class LookupEnricher:
                 lk = copy.copy(lk)
                 lk.query = new_q
                 lk_dims = dict(dims)
-                for dt_name, dt_inner in derived:
-                    lk_dims[dt_name] = materialize_derived(dt_inner, dims)
+                for dt_name, dt_inner, dt_cols in derived:
+                    lk_dims[dt_name] = materialize_derived(
+                        dt_inner, dims, dt_cols
+                    )
 
             if len(split_top_level_union(lk.query)[0]) > 1:
                 # UNION [ALL]: each branch compiles against its own dim;

@@ -566,19 +566,30 @@ def _agg_over_rows(aggregates, rows_raw: list[dict]) -> dict:
 
 
 def _derived_rows(
-    inner: str, tables: dict[str, list[dict]]
+    inner: str, tables: dict[str, list[dict]],
+    cols: tuple[str, ...] | None = None,
 ) -> list[dict]:
     """Row-at-a-time twin of lookup.materialize_derived: evaluate a
     derived table's inner SELECT (static WHERE, expressions, joins,
-    aggregates + GROUP BY, DISTINCT, nested derived tables) against the
-    dict-row tables, once per enhance call. The Spark compile enforces
-    the rejections (params/subqueries/HAVING/set ops/tails); this twin
-    just evaluates the accepted surface."""
+    aggregates + GROUP BY + static HAVING, DISTINCT, nested derived
+    tables) or inline VALUES table against the dict-row tables, once
+    per enhance call. The Spark compile enforces the rejections
+    (params/subqueries/set ops/tails); this twin just evaluates the
+    accepted surface. ``cols`` renames the output positionally."""
+    import re as _re
+
+    if _re.match(r"\s*values\b", inner, _re.IGNORECASE):
+        from logstash_filter_jdbc_static_spark.operators.lookup import (
+            _parse_values_rows,
+        )
+
+        rows = _parse_values_rows(inner)
+        return [dict(zip(cols or (), r)) for r in rows]
     inner2, nested = extract_derived_tables(inner)
     if nested:
         tables = dict(tables)
-        for name, sub in nested:
-            tables[name] = _derived_rows(sub, tables)
+        for name, sub, sub_cols in nested:
+            tables[name] = _derived_rows(sub, tables, sub_cols)
         inner = inner2
     q = parse_lookup_query(inner)
     table = _join_rows(q, tables) if q.joins else tables[q.table]
@@ -616,6 +627,9 @@ def _derived_rows(
                 seen.add(key)
                 uniq.append(r)
         rows = uniq
+    if cols is not None:
+        # positional rename (dicts preserve projection insertion order)
+        rows = [dict(zip(cols, r.values())) for r in rows]
     return rows
 
 
@@ -940,8 +954,8 @@ def enhance(event: dict, spec: PipelineSpec, tables: dict[str, list[dict]]) -> d
             lk = copy.copy(lk)
             lk.query = new_q
             tbls = dict(tables)
-            for dt_name, dt_inner in derived:
-                tbls[dt_name] = _derived_rows(dt_inner, tables)
+            for dt_name, dt_inner, dt_cols in derived:
+                tbls[dt_name] = _derived_rows(dt_inner, tables, dt_cols)
         texts, _ = split_top_level_union(lk.query)
         if len(texts) > 1:
             # union: run_lookup resolves each branch's table itself

@@ -93,10 +93,22 @@ class TestExtractor:
             "JOIN (SELECT b FROM u WHERE c > 1) AS e ON d.a = e.b"
         )
         new_q, derived = extract_derived_tables(q)
-        assert [n for n, _ in derived] == ["__dt0", "__dt1"]
+        assert [n for n, _, _ in derived] == ["__dt0", "__dt1"]
         assert derived[0][1] == "SELECT a FROM t"
         assert derived[1][1] == "SELECT b FROM u WHERE c > 1"
         assert "FROM __dt0 d" in new_q and "JOIN __dt1 AS e" in new_q
+
+    def test_values_with_column_list(self):
+        q = (
+            "SELECT v.label AS label FROM "
+            "(VALUES ('a', 1), ('b', -2.5), (NULL, 3)) AS v (label, w) "
+            "WHERE v.w > :min"
+        )
+        new_q, derived = extract_derived_tables(q)
+        (name, inner, cols) = derived[0]
+        assert name == "__dt0" and cols == ("label", "w")
+        assert inner.lower().startswith("values")
+        assert "FROM __dt0 AS v WHERE" in new_q and "(label, w)" not in new_q
 
     def test_subquery_parens_do_not_match(self):
         q = (
@@ -292,6 +304,91 @@ class TestDerivedRejections:
             LookupEnricher(
                 PipelineSpec(lookups=[{
                     "id": "dt", "query": query,
+                    "parameters": {"tool": "tool"},
+                }]),
+                _dims(spark),
+            )
+
+
+class TestValuesTables:
+    """Inline ``(VALUES ...) AS t (cols)`` derived tables — Derby's
+    table-value constructor, legal lookup SQL there. Materializes as a
+    literal DataFrame per snapshot; lets a config inline a small
+    mapping without declaring a local table."""
+
+    def test_values_lookup_matches_oracle(self, spark):
+        got = _run(
+            spark,
+            "SELECT v.tier AS tier FROM "
+            "(VALUES ('t1', 'gold'), ('t2', 'basic'), ('t3', 'gold')) "
+            "AS v (tool, tier) WHERE v.tool = :tool",
+        )
+        assert got["t1"] == [(("tier", "gold"),)]
+        assert got["t2"] == [(("tier", "basic"),)]
+        assert got["t9"] == []
+
+    def test_values_joined_with_real_table(self, spark):
+        got = _run(
+            spark,
+            "SELECT p.plan AS plan, v.mult AS mult "
+            "FROM tool_plans p JOIN "
+            "(VALUES ('basic', 2), ('pro', 10)) AS v (plan, mult) "
+            "ON p.plan = v.plan WHERE p.tool = :tool",
+        )
+        assert got["t1"] == [(("plan", "basic"), ("mult", 2)),
+                             (("plan", "pro"), ("mult", 10))]
+
+    def test_values_with_nulls_and_negative(self, spark):
+        got = _run(
+            spark,
+            "SELECT v.w AS w FROM "
+            "(VALUES ('t1', -2.5), ('t1', NULL), ('t2', 3)) AS v (tool, w) "
+            "WHERE v.tool = :tool",
+        )
+        assert got["t1"] == [(("w", None),), (("w", -2.5),)]
+        assert got["t2"] == [(("w", 3.0),)]
+
+    def test_column_list_renames_select_derived(self, spark):
+        got = _run(
+            spark,
+            "SELECT d.t2 AS t2 FROM "
+            "(SELECT tool AS a, plan AS b FROM tool_plans) AS d (t1, t2) "
+            "WHERE d.t1 = :tool AND d.t2 IS NOT NULL",
+        )
+        assert got["t2"] == [(("t2", "basic"),)]
+
+    def test_values_without_column_list_rejected(self, spark):
+        with pytest.raises(ValidationError, match="needs a column list"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "dt",
+                    "query": "SELECT x AS x FROM (VALUES (1)) v "
+                             "WHERE v.x = :tool",
+                    "parameters": {"tool": "tool"},
+                }]),
+                _dims(spark),
+            )
+
+    def test_values_expression_rejected(self, spark):
+        with pytest.raises(ValidationError, match="VALUES table"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "dt",
+                    "query": "SELECT x AS x FROM (VALUES (1 + 2)) "
+                             "AS v (x) WHERE v.x = :tool",
+                    "parameters": {"tool": "tool"},
+                }]),
+                _dims(spark),
+            )
+
+    def test_values_all_null_column_rejected(self, spark):
+        with pytest.raises(ValidationError, match="all NULL"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "dt",
+                    "query": "SELECT x AS x FROM "
+                             "(VALUES (NULL, 1), (NULL, 2)) AS v (x, y) "
+                             "WHERE v.y = :tool",
                     "parameters": {"tool": "tool"},
                 }]),
                 _dims(spark),
