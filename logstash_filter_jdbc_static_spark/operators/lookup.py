@@ -468,8 +468,7 @@ def _extract_correlation(
                 [f"lookup subquery on {table!r}: unsupported correlated "
                  f"predicate — only plain equalities (sub_col = "
                  f"outer.col) plus at most one plain inequality "
-                 f"(sub_col < <= > >= outer.col) are supported in "
-                 f"EXISTS"]
+                 f"(sub_col < <= > >= outer.col) are supported"]
             )
         raise ValidationError(
             [f"lookup subquery on {table!r}: unsupported correlated "
@@ -480,7 +479,7 @@ def _extract_correlation(
     if len(ineq) > 1:
         raise ValidationError(
             [f"lookup subquery on {table!r}: at most ONE correlated "
-             f"inequality is supported in EXISTS (a per-group extremum "
+             f"inequality is supported (a per-group extremum "
              f"can witness one inequality, not several) — pre-shape "
              f"the dim with a loader query instead"]
         )
@@ -611,7 +610,7 @@ def _eval_subquery(sq: _Subquery, dims: dict[str, DataFrame], _depth: int = 0):
     tables: a dim-sized aggregation, once per refresh snapshot (the
     Spark-first hoist of Derby's per-event execution). Returns a Python
     scalar (None == SQL NULL)."""
-    if sq.corr:
+    if sq.corr or sq.ineq:
         raise ValidationError(
             [f"lookup subquery on {sq.table!r}: correlated subqueries "
              f"cannot nest inside another subquery"]
@@ -679,7 +678,7 @@ def resolve_subqueries_with_dim(
     holder = {"dim": dim_df}
 
     def value_term(sq: _Subquery) -> _Term:
-        if sq.corr:
+        if sq.corr or sq.ineq:
             return _Term("column", corr_col_of(sq))
         for k, v in lit_cache:
             if k == sq:
@@ -709,6 +708,63 @@ def resolve_subqueries_with_dim(
             )
         sub_df, agg = _sub_filtered_df(sq, dims)
         name = f"__sq_corr{len(corr_cache)}"
+        if sq.ineq:
+            # inequality correlation (round-5 late): no per-group
+            # extremum can carry a general aggregate over a moving
+            # range, so decorrelate via a snapshot-time THETA JOIN —
+            # dim-sized work exactly like a non-equi ON join: pair
+            # each dim row (pinned row id; monotonically_increasing_id
+            # is plan-dependent and the id is read on both sides of
+            # the rejoin, hence the localCheckpoint) with its matching
+            # sub rows, aggregate per row id, left-join back. With
+            # equality keys Spark hash-joins and post-filters the
+            # inequality; without any it is a dim-sized nested loop.
+            (isc, iop, ioc) = sq.ineq[0]
+            if ioc not in dim.columns:
+                raise ValidationError(
+                    [f"lookup subquery on {sq.table!r}: outer column(s) "
+                     f"['{ioc}'] not in table {parsed.table!r}"]
+                )
+            rid = f"__rid_{name}"
+            dim = dim.withColumn(
+                rid, F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            need = [sc for sc, _ in sq.corr] + [isc]
+            if sq.col is not None:
+                need.append(sq.col)
+            need = list(dict.fromkeys(need))
+            sub_r = sub_df.select(
+                *[F.col(c).alias(f"__s_{c}") for c in need]
+            )
+            if sq.func == "count" and sq.col is None:
+                agg2 = F.count(F.lit(1))
+            elif sq.func == "count_distinct":
+                agg2 = F.count_distinct(F.col(f"__s_{sq.col}"))
+            else:
+                agg2 = getattr(F, sq.func)(F.col(f"__s_{sq.col}"))
+            cond = None
+            for sc, oc in sq.corr:
+                piece = F.col(f"__s_{sc}") == F.col(oc)
+                cond = piece if cond is None else (cond & piece)
+            left, right = F.col(f"__s_{isc}"), F.col(ioc)
+            ipiece = {
+                "<": left < right, "<=": left <= right,
+                ">": left > right, ">=": left >= right,
+            }[iop]
+            cond = ipiece if cond is None else (cond & ipiece)
+            outer_cols = list(
+                dict.fromkeys([oc for _, oc in sq.corr] + [ioc])
+            )
+            pairs = dim.select(rid, *outer_cols).join(sub_r, cond, "inner")
+            agg_df = pairs.groupBy(rid).agg(agg2.alias(name))
+            dim = dim.join(F.broadcast(agg_df), rid, "left").drop(rid)
+            if sq.func in ("count", "count_distinct"):
+                dim = dim.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0))
+                )
+            holder["dim"] = dim
+            corr_cache.append((sq, name))
+            return name
         keys = [f"__ck{i}_{name}" for i in range(len(sq.corr))]
         agg_df = sub_df.groupBy(
             *[F.col(sc).alias(k) for (sc, _), k in zip(sq.corr, keys)]
@@ -952,7 +1008,7 @@ def resolve_subqueries_with_dim(
                  f"subqueries need the probed dimension in scope — "
                  f"use resolve_subqueries_with_dim"]
             )
-        if sq.corr:
+        if sq.corr or sq.ineq:
             col = corr_col_of(sq)  # joins the aggregate onto holder["dim"]
             holder["dim"] = holder["dim"].withColumn(name, F.col(col))
         else:
@@ -1653,12 +1709,14 @@ class _WhereParser:
             col = self._sub_head_column(
                 arg_toks, strip_sub_qual, computed, "aggregate argument"
             )
-        where, corr, _ = self._sub_where(table, sub_alias, computed)
+        where, corr, ineq = self._sub_where(
+            table, sub_alias, computed, allow_ineq=True
+        )
         if distinct:
             func = "count_distinct"
         return _Term(
             "subquery",
-            _Subquery(func, col, table, where, tuple(computed), corr),
+            _Subquery(func, col, table, where, tuple(computed), corr, ineq),
         )
 
     def _exists_predicate(self) -> _Predicate:
@@ -4879,7 +4937,9 @@ class CompiledUnionLookup:
                 raise ValidationError(
                     [f"{label}: aggregates/GROUP BY/HAVING/DISTINCT/"
                      f"ORDER BY/LIMIT/OFFSET are not supported inside "
-                     f"UNION branches"]
+                     f"UNION branches — wrap the shaping in a derived "
+                     f"table: SELECT ... FROM (SELECT agg(...) ... "
+                     f"GROUP BY ...) g WHERE ..."]
                 )
             if aliases0 is None:
                 aliases0 = [a for _, a in parsed.projection]

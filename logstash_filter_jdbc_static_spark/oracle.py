@@ -297,9 +297,23 @@ def _resolve_subqueries_rows(
         left, right = _coerce_pair(a, b)
         return left is not None and right is not None and left == right
 
+    _CMP = {
+        "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+    }
+
+    def ineq_match(sq, s: dict, r: dict) -> bool:
+        for sc, op, oc in sq.ineq:
+            left, right = _coerce_pair(s.get(sc), r.get(oc))
+            if left is None or right is None:
+                return False  # NULL comparison is unknown -> no match
+            if not _CMP[op](left, right):
+                return False
+        return True
+
     def term_of(t):
         sq = t.value
-        if not sq.corr:
+        if not sq.corr and not sq.ineq:
             return _Term("literal", _eval_subquery_rows(sq, tables))
         for k, name in state["cache"]:
             if k == sq:
@@ -318,6 +332,7 @@ def _resolve_subqueries_rows(
                             corr_eq(s.get(sc), r.get(oc))
                             for sc, oc in sq.corr
                         )
+                        and ineq_match(sq, s, r)
                     ],
                 ),
             }
@@ -457,7 +472,7 @@ def _resolve_subqueries_rows(
     # a per-row column — the row-at-a-time mirror of the compiled
     # typed-literal / per-group-aggregate dim column
     for name, sq in q.proj_subqueries:
-        if not sq.corr:
+        if not sq.corr and not sq.ineq:
             v = _eval_subquery_rows(sq, tables)
             state["rows"] = [{**r, name: v} for r in state["rows"]]
         else:
@@ -474,6 +489,7 @@ def _resolve_subqueries_rows(
                                 corr_eq(s.get(sc), r.get(oc))
                                 for sc, oc in sq.corr
                             )
+                            and ineq_match(sq, s, r)
                         ],
                     ),
                 }

@@ -205,6 +205,9 @@ _merge(
         ("lookup_derived",
          [("n_d1", "d1_n"), ("d1_rows", "d1_rows"),
           ("g_n", "dg_n"), ("g_mx", "dg_mx")]),
+        # round-5 late widening: inequality-correlated scalar subqueries
+        ("lookup_ineq_subquery",
+         [("n_iq", "iq_n"), ("iq_rows", "iq_rows")]),
     ],
 )
 

@@ -1316,3 +1316,85 @@ def lookup_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("g_n"),
         F.get(F.col("g1"), 0).getField("mx").alias("g_mx"),
     )
+
+
+@register(
+    "lookup_ineq_subquery",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_iq,
+                 array_to_string(
+                   list(CAST(price AS VARCHAR) || ':'
+                        || CAST(nc AS VARCHAR)
+                        ORDER BY price),
+                   ',') AS iq_rows
+          FROM (
+            SELECT tool, price,
+                   (SELECT CAST(count(*) AS BIGINT) FROM tool_plans p2
+                    WHERE p2.plan = t.plan AND p2.price < t.price) AS nc
+            FROM tool_plans t
+            WHERE t.price > (SELECT min(p2.price) FROM tool_plans p2
+                             WHERE p2.price < t.price)
+          ) GROUP BY tool
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(m.n_iq, 0) AS n_iq,
+               coalesce(m.iq_rows, '') AS iq_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        """,
+    ),
+)
+def lookup_ineq_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 late: INEQUALITY correlations in scalar aggregate
+    subqueries — Derby nests them per outer row (lookup.rb:131-147);
+    the Spark-first decorrelation is a snapshot-time THETA JOIN
+    aggregated per pinned dim row id and left-joined back (dim-sized,
+    like a non-equi ON join; with equality keys Spark hash-joins and
+    post-filters the inequality). Two shapes in one query: a
+    rank-style count in the PROJECTION (eq + ineq correlation) and a
+    global min comparand in the WHERE (ineq only — nested-loop)."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "iq",
+                "query": (
+                    "SELECT price AS price, "
+                    "(SELECT count(*) FROM tool_plans p2 "
+                    "WHERE p2.plan = tool_plans.plan "
+                    "AND p2.price < tool_plans.price) AS nc "
+                    "FROM tool_plans WHERE tool = :tool AND "
+                    "price > (SELECT min(p2.price) FROM tool_plans p2 "
+                    "WHERE p2.price < tool_plans.price)"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("iq").cast("long").alias("n_iq"),
+        F.array_join(
+            F.transform(
+                F.col("iq"),
+                lambda r: F.concat(
+                    r.getField("price").cast("string"),
+                    F.lit(":"),
+                    r.getField("nc").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("iq_rows"),
+    )

@@ -418,12 +418,17 @@ class TestIneqCorrelation:
                 "WHERE p2.price > t.price AND p2.qty < t.qty)"
             )
 
-    def test_ineq_rejected_in_scalar_subquery(self):
-        with pytest.raises(ValidationError, match="only plain equalities"):
-            parse_lookup_query(
-                "SELECT price FROM t WHERE price >= (SELECT avg(p2.price) "
-                "FROM t p2 WHERE p2.price > t.price)"
-            )
+    def test_ineq_accepted_in_scalar_subquery(self):
+        # round-5 late: a single inequality correlation in a scalar
+        # aggregate subquery decorrelates via a snapshot-time theta
+        # join (per-row-id aggregation) — no longer rejected
+        q = parse_lookup_query(
+            "SELECT price FROM t WHERE price >= (SELECT avg(p2.price) "
+            "FROM t p2 WHERE p2.price > t.price)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.func == "avg"
+        assert sq.ineq == (("price", ">", "price"),)
 
     def test_ineq_rejected_in_in_subquery(self):
         with pytest.raises(ValidationError, match="only plain equalities"):
@@ -711,3 +716,109 @@ class TestJoinModeRowOracle:
                 (d["price"], d["band"]) for d in event["x"]
             )
         assert got == exp
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+class TestIneqScalarGolden:
+    """Round-5 late: ONE inequality correlation in scalar aggregate
+    subqueries (WHERE comparands and PROJECTION items) — decorrelated
+    via a snapshot-time theta join aggregated per pinned dim row id,
+    left-joined back (dim-sized; with equality keys Spark hash-joins
+    and post-filters the inequality). Hand-verified over PLAN_ROWS
+    (plan groups: basic {10, 2}, pro {7, 8}, trial {1}; NULL plans
+    correlate to nothing)."""
+
+    _run = TestGolden._run
+
+    def _run_pairs(self, spark, kw, query, fields):
+        spec = PipelineSpec(
+            lookups=[{"id": "x", "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        dim = spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)
+        facts = spark.createDataFrame(
+            [(f"t{i}",) for i in range(6)], "tool: string"
+        )
+        enr = LookupEnricher(spec, {"tool_plans": dim}, **kw)
+        out = enr.apply(facts).select("tool", "x").collect()
+        return {
+            r["tool"]: sorted(
+                tuple(d[f] for f in fields) for d in r["x"]
+            )
+            for r in out
+        }
+
+    def test_rank_count_projection_subquery(self, spark, kw):
+        got = self._run_pairs(
+            spark, kw,
+            "SELECT price AS price, "
+            "(SELECT count(*) FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan "
+            "AND p2.price < tool_plans.price) AS nc "
+            "FROM tool_plans WHERE tool = :tool",
+            ("price", "nc"),
+        )
+        # empty correlated group counts 0 (NULL-plan rows, group minima)
+        assert got == {
+            "t0": [(5, 0), (10, 1)], "t1": [(7, 0)],
+            "t2": [(2, 0), (8, 1)], "t3": [(8, 0)],
+            "t4": [(1, 0)], "t5": [],
+        }
+
+    def test_running_sum_comparand(self, spark, kw):
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND "
+            "price >= (SELECT sum(p2.price) FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan "
+            "AND p2.price < tool_plans.price)",
+        )
+        # sum over an EMPTY group is NULL -> comparison unknown -> out
+        assert got == {
+            "t0": [10], "t1": [], "t2": [8], "t3": [], "t4": [], "t5": [],
+        }
+
+    def test_global_inequality_without_equality_keys(self, spark, kw):
+        # no equality correlation: dim-sized nested loop, one scalar
+        # per row — avg of ALL dim prices strictly below the row's
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND "
+            "price > (SELECT avg(p2.price) FROM tool_plans p2 "
+            "WHERE p2.price < tool_plans.price)",
+        )
+        assert got == {
+            "t0": [5, 10], "t1": [7], "t2": [2, 8], "t3": [8],
+            "t4": [], "t5": [],
+        }
+
+    def test_matches_row_oracle(self, spark, kw):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        q = (
+            "SELECT price AS price, "
+            "(SELECT count(*) FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan "
+            "AND p2.price <= tool_plans.price) AS rk "
+            "FROM tool_plans WHERE tool = :tool AND "
+            "price > (SELECT min(p2.price) FROM tool_plans p2 "
+            "WHERE p2.price < tool_plans.price)"
+        )
+        got = self._run_pairs(spark, kw, q, ("price", "rk"))
+        tables = {
+            "tool_plans": [
+                dict(zip(("tool", "price", "qty", "plan"), r))
+                for r in PLAN_ROWS
+            ]
+        }
+        for i in range(6):
+            ev = {"tool": f"t{i}"}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{
+                    "id": "x", "query": q, "parameters": {"tool": "tool"},
+                }]),
+                tables,
+            )
+            exp = sorted((d["price"], d["rk"]) for d in ev["x"])
+            assert got[f"t{i}"] == exp, (i, got[f"t{i}"], exp)

@@ -141,6 +141,14 @@ WIDE_TEMPLATES = [
     # set -> IN () FALSE / NOT IN () TRUE)
     "ip IN (SELECT ip FROM servers WHERE name = 'v1') OR ip = :ip",
     "ip = :ip AND ip NOT IN (SELECT ip FROM servers WHERE name = 'v9')",
+    # round-5 late: INEQUALITY correlations in scalar subqueries —
+    # decorrelated via a snapshot-time theta join per pinned row id
+    "length(ip) > (SELECT count(*) FROM servers s2 "
+    "WHERE s2.ip < servers.ip)",
+    "ip = :ip AND length(name) >= (SELECT count(*) FROM servers s2 "
+    "WHERE s2.name = servers.name AND s2.ip <= servers.ip)",
+    "ip >= (SELECT max(s2.ip) FROM servers s2 "
+    "WHERE s2.ip < servers.ip) AND ip = :ip",
 ]
 
 
