@@ -1151,3 +1151,44 @@ class TestDerbyDerivedTables:
         fact = spark.createDataFrame([(loc,)], ["loc"])
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         assert [(d["n"], d["mx"]) for d in row["ld"]] == [by_loc[loc]]
+
+
+class TestDerbyIneqSubquery:
+    """Inequality-correlated scalar subquery against the Derby-loaded
+    dim (round-5 late): Derby nests the subquery per outer row; here
+    it decorrelates to a snapshot-time theta join per pinned row id.
+    Expectations from the live Derby rows."""
+
+    def test_rank_count_on_derby_dim(self, spark, derby_servers):
+        loader = _loader('SELECT "ip", "name", "location" FROM servers')
+        store = DimensionStore(spark, [], [(loader, make_fetcher(spark, loader))])
+        store.initial_load()
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "rk",
+                    "query": (
+                        "SELECT name, "
+                        "(SELECT count(*) FROM servers s2 "
+                        "WHERE s2.location = servers.location "
+                        "AND s2.ip < servers.ip) AS n_below "
+                        "FROM servers WHERE ip LIKE :pre"
+                    ),
+                    "parameters": {"pre": "%{[prefix]}%"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1", "")], ["event", "prefix"])
+        rows = store.dims()["servers"].collect()
+        live = sorted(
+            (
+                r["name"],
+                sum(
+                    1 for s in rows
+                    if s["location"] == r["location"] and s["ip"] < r["ip"]
+                ),
+            )
+            for r in rows
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted((x["name"], x["n_below"]) for x in row["rk"]) == live
