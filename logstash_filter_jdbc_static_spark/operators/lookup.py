@@ -2898,14 +2898,16 @@ def materialize_derived(
     expressions, aggregates + GROUP BY), multi-table JOINs, a static
     WHERE (the full predicate grammar, no params), DISTINCT, and
     NESTED derived tables (each level materializes its own dims), and
-    a static HAVING over the aggregated rows — or an inline
-    ``VALUES (lit, ...), ...`` table (literals only; ``cols`` names
-    the columns, Derby's correlation-name column list). ``cols`` on a
-    SELECT derived table renames the output positionally. Rejected
-    with targeted messages: :param/? placeholders (they would re-bind
-    per event — bind them in the OUTER query), subqueries, set ops,
-    and ORDER BY/LIMIT/OFFSET (a derived table is an unordered
-    relation — shape the outer query)."""
+    a static HAVING over the aggregated rows, subqueries (all
+    snapshot-time here: uncorrelated fold to literals, correlated/
+    EXISTS/IN join per-group columns onto the inner relation) — or an
+    inline ``VALUES (lit, ...), ...`` table (literals only; ``cols``
+    names the columns, Derby's correlation-name column list). ``cols``
+    on a SELECT derived table renames the output positionally.
+    Rejected with targeted messages: :param/? placeholders (they would
+    re-bind per event — bind them in the OUTER query), set ops, and
+    ORDER BY/LIMIT/OFFSET (a derived table is an unordered relation —
+    shape the outer query)."""
     label = "lookup derived table"
     if re.match(r"\s*values\b", inner, re.IGNORECASE):
         if cols is None:
@@ -2928,11 +2930,6 @@ def materialize_derived(
              f"loader query"]
         )
     parsed = parse_lookup_query(inner)
-    if parsed.proj_subqueries or has_subqueries(parsed):
-        raise ValidationError(
-            [f"{label}: subqueries inside a derived table are not "
-             f"supported — move them to the outer query"]
-        )
     if parsed.order_by or parsed.limit is not None or parsed.offset is not None:
         raise ValidationError(
             [f"{label}: ORDER BY/LIMIT/OFFSET inside a derived table "
@@ -2956,6 +2953,11 @@ def materialize_derived(
                  f"'{parsed.table}'"]
             )
         dim_df = dims[parsed.table]
+    # subqueries inside a derived table (round-5 late): everything is
+    # snapshot-time here — uncorrelated ones fold to literals,
+    # correlated/EXISTS/IN ones join their per-group columns onto THIS
+    # inner relation, exactly as on a probed dim
+    parsed, dim_df = resolve_subqueries_with_dim(parsed, dims, dim_df)
     df = dim_df
     for name, ast in parsed.computed:
         df = df.withColumn(name, sqlexpr.compile_expr(ast))

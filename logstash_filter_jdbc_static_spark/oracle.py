@@ -609,6 +609,8 @@ def _derived_rows(
         inner = inner2
     q = parse_lookup_query(inner)
     table = _join_rows(q, tables) if q.joins else tables[q.table]
+    if has_subqueries(q) or q.proj_subqueries:
+        q, table = _resolve_subqueries_rows(q, tables, table)
     matched = _match_rows(q, table, {})
     if q.aggregates and not q.group_by:
         return [_agg_over_rows(q.aggregates, [r for r, _ in matched])]

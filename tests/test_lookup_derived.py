@@ -7,7 +7,7 @@ over the synthetic table name on the unchanged machinery, so the
 per-event plan is identical to a plain-table lookup (plan-asserted).
 Spark-vs-row-oracle equivalence on every accepted shape; targeted
 rejections for the per-event-rebinding shapes (params inside,
-subqueries, HAVING, set ops, ORDER BY/LIMIT)."""
+set ops, ORDER BY/LIMIT)."""
 
 from __future__ import annotations
 
@@ -289,10 +289,6 @@ class TestDerivedRejections:
              "FROM tool_plans GROUP BY tool HAVING count(*) > :tool) g "
              "WHERE g.tool = :tool",
              "placeholders inside a derived table"),
-            ("SELECT plan AS plan FROM (SELECT tool AS tool, plan AS plan "
-             "FROM tool_plans WHERE price > (SELECT avg(price) "
-             "FROM tool_plans)) d WHERE d.tool = :tool",
-             "subqueries inside a derived table"),
             ("SELECT p AS p FROM (SELECT tool AS tool, plan AS p "
              "FROM tool_plans UNION SELECT tool AS tool, plan AS p "
              "FROM tool_plans) d WHERE d.tool = :tool",
@@ -393,3 +389,65 @@ class TestValuesTables:
                 }]),
                 _dims(spark),
             )
+
+
+class TestSubqueriesInsideDerived:
+    """Round-5 late: subqueries INSIDE a derived table — everything is
+    snapshot-time there, so uncorrelated ones fold to literals and
+    correlated/EXISTS ones join their per-group columns onto the inner
+    relation, exactly as on a probed dim. Spark-vs-row-oracle via the
+    shared _run harness."""
+
+    def test_uncorrelated_comparand_inside(self, spark):
+        # avg price over the whole dim = (10+7+4+2+8)/5 = 6.2
+        got = _run(
+            spark,
+            "SELECT plan AS plan FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "WHERE price > (SELECT avg(price) FROM tool_plans)) d "
+            "WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("plan", "basic"),), (("plan", "pro"),)]
+        assert got["t2"] == []
+
+    def test_correlated_exists_inside(self, spark):
+        # keep rows whose plan has a same-plan sibling priced above 5:
+        # basic {10, 2} yes; pro {7} yes(7>5); solo {8} yes; NULL no
+        got = _run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM "
+            "(SELECT tool AS tool, plan AS plan, price AS price "
+            "FROM tool_plans t WHERE EXISTS "
+            "(SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.plan = t.plan AND p2.price > 5)) d "
+            "WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("plan", "basic"), ("price", 10)),
+                             (("plan", "pro"), ("price", 7))]
+        assert got["t2"] == [(("plan", "basic"), ("price", 2))]
+
+    def test_projection_subquery_inside(self, spark):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, nmx AS nmx FROM "
+            "(SELECT tool AS tool, plan AS plan, "
+            "(SELECT max(p2.price) FROM tool_plans p2 "
+            "WHERE p2.plan = t.plan) AS nmx "
+            "FROM tool_plans t) d WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("plan", None), ("nmx", None)),
+                             (("plan", "basic"), ("nmx", 10)),
+                             (("plan", "pro"), ("nmx", 7))]
+
+    def test_ineq_correlated_inside(self, spark):
+        got = _run(
+            spark,
+            "SELECT price AS price, nc AS nc FROM "
+            "(SELECT tool AS tool, price AS price, "
+            "(SELECT count(*) FROM tool_plans p2 "
+            "WHERE p2.price < t.price) AS nc "
+            "FROM tool_plans t) d WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("price", 4), ("nc", 1)),
+                             (("price", 7), ("nc", 2)),
+                             (("price", 10), ("nc", 4))]

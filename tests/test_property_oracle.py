@@ -508,30 +508,43 @@ def test_result_shapes_match_row_at_a_time_oracle(
 # parenthesized branches, union-level tails) and derived tables in
 # FROM (expressions, aggregates + GROUP BY + static HAVING, joins,
 # nesting) — randomized facts/dims, generic payload-dict compare.
+# (template, full-coverage default_hash): the reference uses the
+# default_hash AS-IS (lookup.rb:239-245) while the typed Spark payload
+# NULL-fills unnamed fields, so an oracle-comparable default must name
+# every projected field — same convention as the golden suites.
 FULLQ_TEMPLATES = [
-    "SELECT name AS name FROM servers WHERE ip = :ip "
-    "EXCEPT SELECT name AS name FROM servers WHERE name = 'v1'",
-    "SELECT name AS name FROM servers WHERE ip = :ip "
-    "INTERSECT SELECT name AS name FROM servers WHERE name <> 'v2'",
-    "(SELECT name AS name FROM servers WHERE ip = :ip) "
-    "UNION (SELECT name AS name FROM servers WHERE name = 'v1') "
-    "ORDER BY name DESC FETCH FIRST 2 ROWS ONLY",
-    "SELECT nm AS nm FROM (SELECT ip AS ip2, upper(name) AS nm "
-    "FROM servers WHERE name <> 'v9') d WHERE d.ip2 = :ip",
-    "SELECT c AS c FROM (SELECT ip AS ip, count(*) AS c "
-    "FROM servers GROUP BY ip) g WHERE g.ip = :ip",
-    "SELECT c AS c FROM (SELECT ip AS ip, count(*) AS c "
-    "FROM servers GROUP BY ip HAVING count(*) > 1) g WHERE g.ip = :ip",
-    "SELECT nm AS nm FROM (SELECT ip2 AS ip2, nm AS nm FROM "
-    "(SELECT ip AS ip2, name || '!' AS nm FROM servers) i "
-    "WHERE i.nm <> 'v1!') o WHERE o.ip2 = :ip",
-    "SELECT s.name AS nm, d.c AS c FROM servers s "
-    "JOIN (SELECT ip AS ip, count(*) AS c FROM servers GROUP BY ip) d "
-    "ON s.ip = d.ip WHERE s.ip = :ip",
-    "SELECT name AS name FROM servers WHERE ip = :ip "
-    "UNION ALL SELECT nm AS nm FROM "
-    "(SELECT ip AS ip2, lower(name) AS nm FROM servers) d "
-    "WHERE d.ip2 = :ip",
+    ("SELECT name AS name FROM servers WHERE ip = :ip "
+     "EXCEPT SELECT name AS name FROM servers WHERE name = 'v1'",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE ip = :ip "
+     "INTERSECT SELECT name AS name FROM servers WHERE name <> 'v2'",
+     {"name": "dflt"}),
+    ("(SELECT name AS name FROM servers WHERE ip = :ip) "
+     "UNION (SELECT name AS name FROM servers WHERE name = 'v1') "
+     "ORDER BY name DESC FETCH FIRST 2 ROWS ONLY",
+     {"name": "dflt"}),
+    ("SELECT nm AS nm FROM (SELECT ip AS ip2, upper(name) AS nm "
+     "FROM servers WHERE name <> 'v9') d WHERE d.ip2 = :ip",
+     {"nm": "dflt"}),
+    ("SELECT c AS c FROM (SELECT ip AS ip, count(*) AS c "
+     "FROM servers GROUP BY ip) g WHERE g.ip = :ip",
+     {"c": -1}),
+    ("SELECT c AS c FROM (SELECT ip AS ip, count(*) AS c "
+     "FROM servers GROUP BY ip HAVING count(*) > 1) g WHERE g.ip = :ip",
+     {"c": -1}),
+    ("SELECT nm AS nm FROM (SELECT ip2 AS ip2, nm AS nm FROM "
+     "(SELECT ip AS ip2, name || '!' AS nm FROM servers) i "
+     "WHERE i.nm <> 'v1!') o WHERE o.ip2 = :ip",
+     {"nm": "dflt"}),
+    ("SELECT s.name AS nm, d.c AS c FROM servers s "
+     "JOIN (SELECT ip AS ip, count(*) AS c FROM servers GROUP BY ip) d "
+     "ON s.ip = d.ip WHERE s.ip = :ip",
+     {"nm": "dflt", "c": -1}),
+    ("SELECT name AS name FROM servers WHERE ip = :ip "
+     "UNION ALL SELECT nm AS nm FROM "
+     "(SELECT ip AS ip2, lower(name) AS nm FROM servers) d "
+     "WHERE d.ip2 = :ip",
+     {"name": "dflt"}),
 ]
 
 
@@ -551,18 +564,14 @@ FULLQ_TEMPLATES = [
 def test_setops_and_derived_match_row_at_a_time_oracle(
     spark, facts, dims, default, template, engine
 ):
+    template, default_hash = template
     lookup: dict = {
         "id": "server",
         "query": template,
         "parameters": {"ip": "ip"},
     }
     if default:
-        # default_hash keys must be projected aliases; the templates
-        # project different fields, so pick the first alias
-        first_alias = template.split(" AS ")[1].split(" ")[0].split(",")[0]
-        lookup["default_hash"] = {first_alias: "dflt"}
-        if first_alias == "c":
-            lookup["default_hash"] = {"c": -1}
+        lookup["default_hash"] = default_hash
     spec = PipelineSpec(lookups=[lookup])
     spec2 = PipelineSpec(lookups=[dict(lookup)])
 
