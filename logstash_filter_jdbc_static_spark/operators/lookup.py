@@ -2930,11 +2930,13 @@ def materialize_derived(
              f"loader query"]
         )
     parsed = parse_lookup_query(inner)
-    if parsed.order_by or parsed.limit is not None or parsed.offset is not None:
+    if (
+        parsed.limit is not None or parsed.offset is not None
+    ) and not parsed.order_by:
         raise ValidationError(
-            [f"{label}: ORDER BY/LIMIT/OFFSET inside a derived table "
-             f"are not supported — a derived table is an unordered "
-             f"relation; shape the OUTER query instead"]
+            [f"{label}: LIMIT/OFFSET inside a derived table requires "
+             f"an ORDER BY — the selected row set would be "
+             f"nondeterministic otherwise"]
         )
     for d in list(parsed.disjuncts) + list(parsed.having):
         for p in d:
@@ -3001,6 +3003,37 @@ def materialize_derived(
         )
     if parsed.distinct:
         df = df.distinct()
+    if parsed.limit is not None or parsed.offset is not None:
+        # ordered top-N dim (round-5 late): ORDER BY keys in Derby
+        # result order (ASC puts NULLs last, DESC first) + every other
+        # output column NULL-first ASC as a total-order tiebreak —
+        # Derby leaves tie selection unspecified; this engine pins the
+        # same canonical order the payload contract uses, so the
+        # selected row SET is deterministic and oracle-comparable
+        keys = [c for c, _ in parsed.order_by]
+        missing = [c for c in keys if c not in df.columns]
+        if missing:
+            raise ValidationError(
+                [f"{label}: ORDER BY column(s) {missing} are not in "
+                 f"the derived output {df.columns} — order by "
+                 f"projected aliases"]
+            )
+        sort_cols = [
+            (F.col(c).asc_nulls_last() if asc else F.col(c).desc_nulls_first())
+            for c, asc in parsed.order_by
+        ]
+        sort_cols += [
+            F.col(c).asc_nulls_first()
+            for c in df.columns
+            if c not in keys
+        ]
+        df = df.orderBy(*sort_cols)
+        if parsed.offset:
+            df = df.offset(parsed.offset)
+        if parsed.limit is not None:
+            df = df.limit(parsed.limit)
+    # a bare ORDER BY (no LIMIT/OFFSET) has no effect — a derived
+    # table is an unordered relation, exactly as on Derby
     if cols is not None:
         # correlation-name column list renames the output positionally
         if len(cols) != len(df.columns):

@@ -645,6 +645,34 @@ def _derived_rows(
                 seen.add(key)
                 uniq.append(r)
         rows = uniq
+    if q.limit is not None or q.offset is not None:
+        # ordered top-N dim: mirror of materialize_derived — Derby
+        # key order (ASC nulls last, DESC nulls first) with the
+        # all-other-columns NULL-first ASC tiebreak, via stable sorts
+        # in reverse priority
+        keys = [c for c, _ in q.order_by]
+        if rows:
+            tiebreak = [c for c in rows[0] if c not in keys]
+            rows.sort(
+                key=lambda r: [
+                    (r.get(c) is not None,
+                     r.get(c) if r.get(c) is not None else 0)
+                    for c in tiebreak
+                ]
+            )
+        for c, asc in reversed(q.order_by):
+            rows.sort(
+                key=lambda r, cc=c: (
+                    r.get(cc) is None,
+                    r.get(cc) if r.get(cc) is not None else 0,
+                ),
+                reverse=not asc,
+            )
+        start = q.offset or 0
+        rows = (
+            rows[start:start + q.limit] if q.limit is not None
+            else rows[start:]
+        )
     if cols is not None:
         # positional rename (dicts preserve projection insertion order)
         rows = [dict(zip(cols, r.values())) for r in rows]

@@ -283,8 +283,11 @@ class TestDerivedRejections:
              "FROM tool_plans WHERE tool = :tool) d WHERE d.tool = :tool",
              "placeholders inside a derived table"),
             ("SELECT plan AS plan FROM (SELECT tool AS tool, plan AS plan "
+             "FROM tool_plans LIMIT 2) d WHERE d.tool = :tool",
+             "requires an ORDER BY"),
+            ("SELECT plan AS plan FROM (SELECT tool AS tool, plan AS plan "
              "FROM tool_plans ORDER BY price LIMIT 2) d WHERE d.tool = :tool",
-             "unordered relation"),
+             "not in .* derived output"),
             ("SELECT n AS n FROM (SELECT tool AS tool, count(*) AS n "
              "FROM tool_plans GROUP BY tool HAVING count(*) > :tool) g "
              "WHERE g.tool = :tool",
@@ -451,3 +454,63 @@ class TestSubqueriesInsideDerived:
         assert got["t1"] == [(("price", 4), ("nc", 1)),
                              (("price", 7), ("nc", 2)),
                              (("price", 10), ("nc", 4))]
+
+
+class TestOrderedDerived:
+    """Round-5 late: ordered top-N derived tables — ``ORDER BY ...
+    FETCH FIRST n`` inside FROM selects WHICH dim rows exist. Keys in
+    Derby result order (ASC nulls last / DESC nulls first) with the
+    all-columns NULL-first tiebreak pinning tie selection (Derby
+    leaves it unspecified), so the row set is deterministic and
+    oracle-comparable. A bare ORDER BY without LIMIT/OFFSET is a no-op
+    (unordered relation); LIMIT without ORDER BY rejects."""
+
+    def test_top2_by_price(self, spark):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM "
+            "(SELECT tool AS tool, plan AS plan, price AS price "
+            "FROM tool_plans ORDER BY price DESC "
+            "FETCH FIRST 3 ROWS ONLY) d WHERE d.tool = :tool",
+        )
+        # global top-3 prices: 10 (t1), 8 (t3), 7 (t1)
+        assert got["t1"] == [(("plan", "basic"), ("price", 10)),
+                             (("plan", "pro"), ("price", 7))]
+        assert got["t2"] == []
+
+    def test_offset_and_limit(self, spark):
+        got = _run(
+            spark,
+            "SELECT price AS price FROM "
+            "(SELECT tool AS tool, price AS price FROM tool_plans "
+            "ORDER BY price OFFSET 1 ROWS "
+            "FETCH FIRST 3 ROWS ONLY) d WHERE d.tool = :tool",
+        )
+        # prices asc: 2,4,7,8,10 -> offset 1, take 3 -> {4,7,8}
+        assert got["t1"] == [(("price", 4),), (("price", 7),)]
+        assert got["t2"] == []  # its only price (2) fell to the offset
+
+    def test_topn_groups_via_nesting(self, spark):
+        # GROUP BY cannot combine with ORDER BY/LIMIT in one SELECT
+        # (the payload-path rule holds inside derived tables too) —
+        # top-N groups spell as a derived table OVER the aggregate one
+        got = _run(
+            spark,
+            "SELECT mx AS mx FROM "
+            "(SELECT tool AS tool, mx AS mx FROM "
+            "(SELECT tool AS tool, max(price) AS mx FROM tool_plans "
+            "GROUP BY tool) i ORDER BY mx DESC "
+            "FETCH FIRST 2 ROWS ONLY) g WHERE g.tool = :tool",
+        )
+        # per-tool maxima: t1 10, t3 8, t2 2 -> top-2 keeps t1, t3
+        assert got["t1"] == [(("mx", 10),)]
+        assert got["t2"] == []
+
+    def test_bare_order_by_is_noop(self, spark):
+        got = _run(
+            spark,
+            "SELECT plan AS plan FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "ORDER BY plan DESC) d WHERE d.tool = :tool",
+        )
+        assert got["t2"] == [(("plan", "basic"),)]
