@@ -201,10 +201,12 @@ _merge(
         # (year/month/day/hour/minute/second)
         ("lookup_date_funcs",
          [("n_df", "df_n"), ("df_rows", "df_rows")]),
-        # round-5 late widening: derived tables in FROM
+        # round-5 late widening: derived tables in FROM (incl. the
+        # ordered top-N shape)
         ("lookup_derived",
          [("n_d1", "d1_n"), ("d1_rows", "d1_rows"),
-          ("g_n", "dg_n"), ("g_mx", "dg_mx")]),
+          ("g_n", "dg_n"), ("g_mx", "dg_mx"),
+          ("n_o", "do_n"), ("o_rows", "do_rows")]),
         # round-5 late widening: inequality-correlated scalar subqueries
         ("lookup_ineq_subquery",
          [("n_iq", "iq_n"), ("iq_rows", "iq_rows")]),

@@ -1242,15 +1242,31 @@ def lookup_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM tool_plans GROUP BY tool
         )
         """,
+        """
+        mo AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_o,
+                 array_to_string(
+                   list(CAST(price AS VARCHAR) ORDER BY price),
+                   ',') AS o_rows
+          FROM (
+            SELECT tool, price FROM tool_plans
+            ORDER BY price DESC, tool NULLS FIRST LIMIT 3
+          )
+          GROUP BY tool
+        )
+        """,
         body="""
         SELECT t.conv_id, t.turn_idx, t.tool,
                coalesce(md.n_d1, 0) AS n_d1,
                coalesce(md.d1_rows, '') AS d1_rows,
                coalesce(mg.n, 0) AS g_n,
-               mg.mx AS g_mx
+               mg.mx AS g_mx,
+               coalesce(mo.n_o, 0) AS n_o,
+               coalesce(mo.o_rows, '') AS o_rows
         FROM transcripts t
         LEFT JOIN md ON md.tool = t.tool
         LEFT JOIN mg ON mg.tool = t.tool
+        LEFT JOIN mo ON mo.tool = t.tool
         """,
     ),
 )
@@ -1289,6 +1305,20 @@ def lookup_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "parameters": {"tool": "tool"},
             },
+            {
+                # ordered top-N derived dim (round-5 late): the
+                # pinned tie rule (keys, then all other output columns
+                # NULL-first ASC — here: tool) is what the oracle's
+                # explicit "price DESC, tool" ORDER BY mirrors
+                "id": "o1",
+                "query": (
+                    "SELECT price AS price FROM "
+                    "(SELECT tool AS tool, price AS price "
+                    "FROM tool_plans ORDER BY price DESC "
+                    "FETCH FIRST 3 ROWS ONLY) d WHERE d.tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            },
         ]
     )
     enricher = LookupEnricher(
@@ -1315,6 +1345,13 @@ def lookup_derived(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.get(F.col("g1"), 0).getField("n"), F.lit(0).cast("long")
         ).alias("g_n"),
         F.get(F.col("g1"), 0).getField("mx").alias("g_mx"),
+        F.size("o1").cast("long").alias("n_o"),
+        F.array_join(
+            F.transform(
+                F.col("o1"), lambda r: r.getField("price").cast("string")
+            ),
+            ",",
+        ).alias("o_rows"),
     )
 
 
