@@ -3083,7 +3083,7 @@ def split_union_tail(
 
 
 def parse_lookup_query(query: str) -> ParsedQuery:
-    """Parse the lookup SQL surface (SURVEY 2B, widened rounds 2-4):
+    """Parse the lookup SQL surface (SURVEY 2B, widened rounds 2-5):
     projection with aliases / ``*`` / scalar expressions / aggregates
     (incl. expression arguments), single table or JOINs (equi and
     non-equi ON), optional WHERE combining ``=``/``<>``/ranges/

@@ -1503,3 +1503,82 @@ class TestHavingReviewRegressions:
         }
         # same WHERE tuple (t%), different :min per row -> different filters
         assert got == {1: [("x", 2), ("y", 1)], 2: [("x", 2)], 3: []}
+
+
+class TestRound5ConfigEndToEnd:
+    """A user-facing JSON config using the round-5 SQL surface
+    (examples/pipeline_round5_sql.json: derived tables, VALUES, EXCEPT,
+    inequality-correlated subqueries) compiles through
+    PipelineSpec.from_json and enriches correctly — validated against
+    the row-at-a-time oracle, not hand-written expectations."""
+
+    def test_example_config_runs_and_matches_oracle(self, spark):
+        import os
+
+        from logstash_filter_jdbc_static_spark import oracle
+        from logstash_filter_jdbc_static_spark.sources.transcripts import (
+            SERVERS_ROWS,
+        )
+
+        cfg = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples", "pipeline_round5_sql.json",
+        )
+        spec = PipelineSpec.from_json(cfg)
+        spec2 = PipelineSpec.from_json(cfg)
+
+        fact_schema = T.StructType(
+            [
+                T.StructField("conv_id", T.StringType(), False),
+                T.StructField("turn_idx", T.IntegerType(), False),
+                T.StructField("from_ip", T.StringType(), True),
+                T.StructField("tool", T.StringType(), True),
+            ]
+        )
+        ips = [r[0] for r in SERVERS_ROWS]
+        facts = [
+            ("c", 1, ips[0], "tool_0"),
+            ("c", 2, ips[-1], "tool_1"),
+            ("c", 3, "9.9.9.9", "tool_9"),
+            ("c", 4, None, None),
+        ]
+        dims = {
+            "servers": spark.createDataFrame(
+                SERVERS_ROWS, "ip string, name string, location string"
+            ),
+        }
+        out = LookupEnricher(spec, dims).apply(
+            spark.createDataFrame(facts, fact_schema)
+        )
+        targets = ("server_derived", "not_a_location", "tool_tier", "ip_rank")
+
+        def norm(v):
+            if v is None:
+                return None
+            return sorted(
+                tuple(sorted(d.asDict().items() if hasattr(d, "asDict")
+                             else d.items()))
+                for d in v
+            )
+
+        got = {
+            r["turn_idx"]: tuple(norm(r[t]) for t in targets)
+            + (sorted(r["tags"]), r["matched"])
+            for r in out.collect()
+        }
+        tables = {
+            "servers": [
+                dict(zip(("ip", "name", "location"), r)) for r in SERVERS_ROWS
+            ]
+        }
+        for conv_id, turn_idx, from_ip, tool in facts:
+            ev = {"conv_id": conv_id, "turn_idx": turn_idx}
+            if from_ip is not None:
+                ev["from_ip"] = from_ip
+            if tool is not None:
+                ev["tool"] = tool
+            oracle.enhance(ev, spec2, tables)
+            exp = tuple(norm(ev.get(t)) for t in targets) + (
+                sorted(ev["tags"]), ev["matched"],
+            )
+            assert got[turn_idx] == exp, (turn_idx, got[turn_idx], exp)
