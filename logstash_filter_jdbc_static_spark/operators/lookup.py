@@ -277,7 +277,33 @@ _NEG_OPS = {
     "is null": "is not null", "is not null": "is null",
     # EXISTS is two-valued (never NULL), so De Morgan holds trivially
     "exists": "not exists", "not exists": "exists",
+    # quantified comparisons: NOT (x op ALL S) == x op' ANY S under
+    # Kleene logic (NOT keeps UNKNOWN; the quantifier flips with the
+    # comparison complement)
+    "= all": "<> any", "<> all": "= any",
+    "< all": ">= any", ">= all": "< any",
+    "> all": "<= any", "<= all": "> any",
+    "= any": "<> all", "<> any": "= all",
+    "< any": ">= all", ">= any": "< all",
+    "> any": "<= all", "<= any": "> all",
 }
+
+
+# quantified-comparison compile tables (round-5 latest): base
+# comparison as a Column lambda; the parse-time ops ("{cmp} all/any",
+# literal terms after uncorrelated expansion) and the post-resolution
+# correlated ops ("{cmp} all_set/any_set", set/had-null/count columns)
+_QUANT_CMP = {
+    "=": lambda a, b: a == b, "<>": lambda a, b: a != b,
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+}
+_QUANT_OPS = frozenset(
+    f"{c} {q}" for c in _QUANT_CMP for q in ("all", "any")
+)
+_QUANT_SET_OPS = frozenset(
+    f"{c} {q}" for c in _QUANT_CMP for q in ("all_set", "any_set")
+)
 
 
 def _negate(node):
@@ -341,6 +367,42 @@ def _pred_column_condition(p: _Predicate, lhs: Column, rhs: list[Column]) -> Col
         return (lhs >= rhs[0]) & (lhs <= rhs[1])
     if op == "not between":
         return ~((lhs >= rhs[0]) & (lhs <= rhs[1]))
+    if op in _QUANT_OPS:
+        # quantified comparison against an UNCORRELATED row-set
+        # subquery, expanded to literal terms per refresh snapshot
+        # (NULL set values stay: each comparison yields UNKNOWN, and
+        # Spark's &/| are Kleene, exactly SQL)
+        base, quant = op.split(" ")
+        cmp = _QUANT_CMP[base]
+        if not rhs:
+            # over the empty set ALL is vacuously TRUE, ANY FALSE —
+            # decided even for a NULL lhs (no comparisons happen)
+            return F.lit(quant == "all")
+        conds = [cmp(lhs, r) for r in rhs]
+        out = conds[0]
+        for c in conds[1:]:
+            out = (out & c) if quant == "all" else (out | c)
+        return out
+    if op in _QUANT_SET_OPS:
+        # CORRELATED quantified comparison, resolved to the same three
+        # per-group dim columns as in_set: rhs[0] the group's non-null
+        # value set, rhs[1] had-NULL, rhs[2] group count (NULL == left
+        # join miss == empty group). A NULL group value makes every
+        # undecided comparison UNKNOWN; higher-order exists/forall and
+        # the Kleene joins reproduce SQL exactly.
+        base, quant = op.split(" ")
+        cmp = _QUANT_CMP[base]
+        unknown = F.lit(None).cast("boolean")
+        had_null = F.coalesce(rhs[1], F.lit(False))
+        if quant == "all_set":
+            allc = F.forall(rhs[0], lambda v: cmp(lhs, v))
+            return F.when(rhs[2].isNull(), F.lit(True)).otherwise(
+                allc & F.when(had_null, unknown).otherwise(F.lit(True))
+            )
+        anyc = F.exists(rhs[0], lambda v: cmp(lhs, v))
+        return F.when(rhs[2].isNull(), F.lit(False)).otherwise(
+            anyc | F.when(had_null, unknown).otherwise(F.lit(False))
+        )
     if op in ("in_set", "not in_set"):
         # Correlated [NOT] IN subquery, resolved per refresh snapshot to
         # three per-group dim columns: rhs[0] the group's non-null value
@@ -942,6 +1004,47 @@ def resolve_subqueries_with_dim(
                 name, "=", [_Term("literal", p.op == "exists")]
             )
         if (
+            p.op in _QUANT_OPS
+            and len(p.terms) == 1
+            and p.terms[0].kind == "subquery"
+            and p.terms[0].value.func == "__values"
+        ):
+            # quantified comparison (round-5 latest): correlated rides
+            # the same per-group set/had-null/count columns as IN;
+            # uncorrelated expands to a literal value list (the
+            # distinct collect keeps its one NULL — a NULL set value
+            # must keep making comparisons UNKNOWN)
+            sq = p.terms[0].value
+            if sq.corr:
+                if in_having:
+                    raise ValidationError(
+                        ["lookup HAVING: correlated quantified "
+                         "subqueries are not supported in HAVING — "
+                         "filter in the WHERE clause instead"]
+                    )
+                s, n, c = in_group_cols_of(sq)
+                return _Predicate(
+                    p.dim_column,
+                    f"{p.op}_set",
+                    [_Term("column", s), _Term("column", n),
+                     _Term("column", c)],
+                    func=p.func,
+                )
+            vals = None
+            for k, v in set_cache:
+                if k == sq:
+                    vals = v
+                    break
+            if vals is None:
+                vals = _collect_in_values(sq, dims)
+                set_cache.append((sq, vals))
+            return _Predicate(
+                p.dim_column,
+                p.op,
+                [_Term("literal", v) for v in vals],
+                func=p.func,
+            )
+        if (
             p.op in ("in", "not in")
             and len(p.terms) == 1
             and p.terms[0].kind == "subquery"
@@ -1119,6 +1222,12 @@ class ParsedQuery:
     # references like any plain column. Cleared by
     # resolve_subqueries_with_dim.
     proj_subqueries: tuple[tuple[str, "_Subquery"], ...] = ()
+    # True when a plain/expression column follows an aggregate in the
+    # SELECT list. The payload struct orders group keys before
+    # aggregates regardless of SELECT order (documented contract), so
+    # positional UNION-branch alignment rejects interleaved lists —
+    # they would align against the reordered payload, not the SQL.
+    select_interleaved: bool = False
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -2007,6 +2116,33 @@ class _WhereParser:
         if tok[0] == "op":
             self._next()
             op = "<>" if tok[1] == "!=" else tok[1]
+            # quantified comparison (round-5 latest): <op> ALL|ANY|SOME
+            # ( SELECT col FROM t ... ) — Derby runs these verbatim
+            # (lookup.rb:131-147); SOME is SQL's synonym for ANY
+            word = self._peek_word()
+            if word in ("all", "any", "some") and op in (
+                "=", "<>", "<", "<=", ">", ">="
+            ):
+                nxt = (
+                    self.tokens[self.i + 1]
+                    if self.i + 1 < len(self.tokens) else None
+                )
+                nxt2 = (
+                    self.tokens[self.i + 2]
+                    if self.i + 2 < len(self.tokens) else None
+                )
+                if (
+                    nxt is not None and nxt[0] == "lparen"
+                    and nxt2 is not None and nxt2[0] == "word"
+                    and nxt2[1].lower() == "select"
+                ):
+                    self._next()  # ALL/ANY/SOME
+                    self._next()  # (
+                    term = self._set_subquery_term()
+                    quant = "any" if word == "some" else word
+                    return _Predicate(
+                        col, f"{op} {quant}", [term], func=func
+                    )
             return _Predicate(col, op, [self._term()], func=func)
         word = self._peek_word()
         negate = False
@@ -3056,22 +3192,24 @@ def split_union_tail(
     return (branch texts, order_by, limit, offset). SQL (Derby
     included) attaches a trailing tail to the WHOLE union, so it is
     parsed here, above the per-branch parser (which rejects
-    branch-level shaping). ``GROUP BY`` after a union is not SQL;
-    ORDER BY keys must be plain branch-1 output aliases — expressions
-    and ordinals are rejected (project the expression in every branch
-    instead). No-op on single-branch input or when no tail exists."""
+    branch-level ORDER BY/LIMIT). A ``GROUP BY``/``HAVING`` found in
+    the last branch belongs to the BRANCH (union-level GROUP BY does
+    not exist in SQL), so the tail scan skips them; ORDER BY keys must
+    be plain branch-1 output aliases — expressions and ordinals are
+    rejected (project the expression in every branch instead). No-op
+    on single-branch input or when no tail exists."""
     if len(texts) < 2:
         return texts, (), None, None
     last = texts[-1]
-    cut = _find_tail(last)
+    cut = _find_tail(
+        last, by_words=("order",), bare_words=("limit", "fetch", "offset")
+    )
     if cut is None:
         return texts, (), None, None
-    group_by, order_by, limit, offset = _parse_tail(last[cut:])
-    if group_by:
-        raise ValidationError(
-            ["lookup UNION: GROUP BY cannot follow a UNION — "
-             "pre-aggregate via a loader query instead"]
-        )
+    # _parse_tail cannot yield group_by here: the cut starts at ORDER/
+    # LIMIT/FETCH/OFFSET, so a GROUP BY inside the tail text is caught
+    # as trailing tokens by _parse_tail itself
+    _, order_by, limit, offset = _parse_tail(last[cut:])
     for c, _ in order_by:
         if not isinstance(c, str):
             raise ValidationError(
@@ -3155,6 +3293,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     aggregates: list[tuple[str, str | None, str]] = []
     computed: list[tuple[str, object]] = []
     proj_subqueries: list[tuple[str, _Subquery]] = []
+    select_interleaved = False
     if proj_raw == "*":
         if joins:
             raise ValidationError(
@@ -3230,6 +3369,8 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                     computed.append((cname, ast))
                 aggregates.append((func, cname, alias))
             elif _SIMPLE_TABLE_RE.match(src):
+                if aggregates:
+                    select_interleaved = True
                 projection.append((src, alias if alias is not None else src))
             elif re.match(r"^\(\s*select\b", src, flags=re.IGNORECASE):
                 # scalar subquery projection (round-5): Derby returns
@@ -3267,6 +3408,8 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 if name is None:
                     name = f"__psq{len(proj_subqueries)}"
                     proj_subqueries.append((name, sq))
+                if aggregates:
+                    select_interleaved = True
                 projection.append((name, alias))
             else:
                 # scalar expression projection (arithmetic / CASE /
@@ -3296,6 +3439,8 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 if name is None:
                     name = f"__expr{len(computed)}"
                     computed.append((name, ast))
+                if aggregates:
+                    select_interleaved = True
                 projection.append((name, alias))
         if aggregates and projection and not group_by:
             raise ValidationError(
@@ -3588,6 +3733,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         aggregates=tuple(aggregates), group_by=group_by, having=having,
         computed=tuple(computed), where_tree=where_tree,
         proj_subqueries=tuple(proj_subqueries),
+        select_interleaved=select_interleaved,
     )
 
 
@@ -4913,6 +5059,32 @@ class CompiledLookup:
         return "broadcast_map"
 
 
+def _remap_having_aliases(having: tuple, ren: dict[str, str]) -> tuple:
+    """Rename payload-field references inside HAVING predicates (both
+    the lhs and column-kind comparands) — the positional UNION-branch
+    alias alignment renames the payload fields the predicates point at,
+    so the references must follow."""
+    out = []
+    for d in having:
+        nd = []
+        for p in d:
+            terms = [
+                dataclasses.replace(t, value=ren.get(t.value, t.value))
+                if t.kind == "column"
+                else t
+                for t in p.terms
+            ]
+            nd.append(
+                dataclasses.replace(
+                    p,
+                    dim_column=ren.get(p.dim_column, p.dim_column),
+                    terms=terms,
+                )
+            )
+        out.append(tuple(nd))
+    return tuple(out)
+
+
 class CompiledUnionLookup:
     """``SELECT ... UNION [ALL] SELECT ...`` lookups — Derby executes
     them verbatim per event (lookup.rb:131-147). Each branch compiles as
@@ -4925,13 +5097,18 @@ class CompiledUnionLookup:
     exchange-free plan, nothing new shuffles.
 
     Branch surface: explicit projections + WHERE (the full predicate
-    grammar incl. expressions/subqueries). Result shaping (DISTINCT /
-    ORDER BY / LIMIT / OFFSET), aggregates and GROUP BY remain
-    single-query features — Derby's own clause rules for unions differ
-    branch-by-branch, and a config that needs them can pre-shape via a
-    loader query. Branches align positionally and must project the same
-    number of columns with identical types; the FIRST branch's aliases
-    name the payload fields (SQL rule)."""
+    grammar incl. expressions/subqueries), plus — round-5 late, matching
+    Derby's own branch rules — aggregates, GROUP BY, HAVING and
+    DISTINCT per branch (an aggregate branch with no GROUP BY always
+    contributes its one row, so the union is never empty and the
+    default never fires — exactly Derby). Per-branch ORDER BY/LIMIT/
+    OFFSET stay rejected: Derby itself only accepts a trailing tail
+    that shapes the WHOLE union. Branches align positionally (payload
+    order: group keys, then aggregates — interleaved SELECT lists are
+    rejected) and must project the same number of columns with
+    identical types; the FIRST branch's aliases name the payload
+    fields (SQL rule), with HAVING references remapped through the
+    rename."""
 
     def __init__(
         self,
@@ -4965,32 +5142,62 @@ class CompiledUnionLookup:
                      f"branches — project explicit columns"]
                 )
             if (
-                parsed.aggregates or parsed.group_by or parsed.having
-                or parsed.order_by or parsed.limit is not None
-                or parsed.offset is not None or parsed.distinct
+                parsed.order_by or parsed.limit is not None
+                or parsed.offset is not None
             ):
+                # Derby itself rejects ORDER BY/FETCH inside a branch —
+                # a trailing tail after the LAST branch shapes the
+                # whole union (split_union_tail above)
                 raise ValidationError(
-                    [f"{label}: aggregates/GROUP BY/HAVING/DISTINCT/"
-                     f"ORDER BY/LIMIT/OFFSET are not supported inside "
-                     f"UNION branches — wrap the shaping in a derived "
-                     f"table: SELECT ... FROM (SELECT agg(...) ... "
-                     f"GROUP BY ...) g WHERE ..."]
+                    [f"{label}: ORDER BY/LIMIT/OFFSET inside a UNION "
+                     f"branch is not valid SQL — put the tail after "
+                     f"the last branch (it applies to the whole union)"]
                 )
+            if parsed.select_interleaved:
+                raise ValidationError(
+                    [f"{label}: a plain column follows an aggregate in "
+                     f"the SELECT list — the payload orders group keys "
+                     f"before aggregates, so positional UNION alignment "
+                     f"would not match the written order; list the "
+                     f"group keys first"]
+                )
+            full = [a for _, a in parsed.projection] + [
+                a for _, _, a in parsed.aggregates
+            ]
             if aliases0 is None:
-                aliases0 = [a for _, a in parsed.projection]
+                aliases0 = full
             else:
-                if len(parsed.projection) != len(aliases0):
+                if len(full) != len(aliases0):
                     raise ValidationError(
-                        [f"{label}: projects {len(parsed.projection)} "
+                        [f"{label}: projects {len(full)} "
                          f"column(s); branch 1 projects {len(aliases0)} "
                          f"(UNION branches align positionally)"]
                     )
+                np_ = len(parsed.projection)
+                ren = {
+                    old: new
+                    for old, new in zip(full, aliases0)
+                    if old != new
+                }
                 parsed = dataclasses.replace(
                     parsed,
                     projection=[
                         (src, a0)
-                        for (src, _), a0 in zip(parsed.projection, aliases0)
+                        for (src, _), a0 in zip(
+                            parsed.projection, aliases0[:np_]
+                        )
                     ],
+                    aggregates=tuple(
+                        (f, c, a0)
+                        for (f, c, _), a0 in zip(
+                            parsed.aggregates, aliases0[np_:]
+                        )
+                    ),
+                    # HAVING predicates reference payload fields by
+                    # alias; the positional rename must follow them
+                    having=_remap_having_aliases(parsed.having, ren)
+                    if ren
+                    else parsed.having,
                 )
             if parsed.joins:
                 # flat-rewrite first: correlated subqueries left-join
@@ -5086,6 +5293,25 @@ class CompiledUnionLookup:
             # branches share spec bindings, so one bound-param set
             # drives every branch's physical path
             cur = b._payload_stage(cur, params)
+            if b.query.having or (
+                b.query.aggregates and not b.query.group_by
+            ):
+                # the single-query apply() shaping, per branch: HAVING
+                # filters the aggregated group rows; a no-GROUP-BY
+                # aggregate branch always yields exactly one row (SQL
+                # aggregates over an empty set still return a row), so
+                # an equi-path key miss substitutes the empty-set row
+                raw = F.col("__raw_payload")
+                if b.query.having:
+                    raw = F.filter(
+                        raw, b._having_element_condition(params)
+                    )
+                if b.query.aggregates and not b.query.group_by:
+                    raw = (
+                        F.when(raw.isNull(), b._empty_agg_array())
+                        .otherwise(raw)
+                    )
+                cur = cur.withColumn("__raw_payload", raw)
             name = f"__u_{sid}_{i}"
             cur = cur.withColumnRenamed("__raw_payload", name)
             tmp.append(name)

@@ -10,6 +10,7 @@ import re
 from typing import Any
 
 from logstash_filter_jdbc_static_spark.operators.lookup import (
+    _remap_having_aliases,
     extract_derived_tables,
     has_subqueries,
     parse_lookup_query,
@@ -126,6 +127,10 @@ def _pred_match(p, row: dict, params: dict) -> bool:
         # empty IN-subquery set: IN () FALSE, NOT IN () TRUE — decided
         # before the NULL-lhs check (no comparisons happen)
         return p.op == "not in"
+    if p.op.endswith((" all", " any")) and not vals:
+        # quantified comparison over the empty set: ALL vacuously TRUE,
+        # ANY FALSE — likewise decided even for a NULL lhs
+        return p.op.endswith(" all")
     if lhs is None:
         return False
 
@@ -146,6 +151,26 @@ def _pred_match(p, row: dict, params: dict) -> bool:
             return None
         return op_fn(left, right)
 
+    if p.op.endswith((" all", " any")):
+        # quantified comparison (non-empty set; NULL lhs already
+        # dropped above): ALL matches iff every comparison is TRUE —
+        # any FALSE or UNKNOWN (NULL value / failed coercion) drops;
+        # ANY matches iff some comparison is TRUE
+        base, quant = p.op.split(" ")
+        cmp_of = {
+            "=": eq3,
+            "<>": lambda v: (lambda e: None if e is None else not e)(
+                eq3(v)
+            ),
+            "<": lambda v: ordered3(v, lambda a, b: a < b),
+            "<=": lambda v: ordered3(v, lambda a, b: a <= b),
+            ">": lambda v: ordered3(v, lambda a, b: a > b),
+            ">=": lambda v: ordered3(v, lambda a, b: a >= b),
+        }[base]
+        cmps = [None if v is None else cmp_of(v) for v in vals]
+        if quant == "all":
+            return all(c is True for c in cmps)
+        return any(c is True for c in cmps)
     if p.op == "=":
         return vals[0] is not None and eq3(vals[0]) is True
     if p.op == "<>":
@@ -431,12 +456,80 @@ def _resolve_subqueries_rows(
         state["cache"].append((key, name))
         return name
 
+    def quant_col_of(p) -> str:
+        """Row-at-a-time twin of the compiled correlated quantified
+        comparison (``{cmp} {all|any}_set`` on set/had-null/count
+        columns), collapsed to the final filter boolean per probe
+        row."""
+        sq = p.terms[0].value
+        key = ("quant", sq, p.dim_column, p.func, p.op)
+        for k, name in state["cache"]:
+            if k == key:
+                return name
+        name = f"__sq_q{len(state['cache'])}"
+        base, quant = p.op.split(" ")
+        new_rows = []
+        sub = _sub_rows(sq, tables)
+        for r in state["rows"]:
+            grp = [
+                s.get(sq.col)
+                for s in sub
+                if all(corr_eq(s.get(sc), r.get(oc)) for sc, oc in sq.corr)
+            ]
+            nonnull = [v for v in grp if v is not None]
+            has_null = len(nonnull) < len(grp)
+            lhs = _lhs_of(p, r)
+
+            def cmp3(v, lhs=lhs):
+                left, right = _coerce_pair(lhs, v)
+                if left is None or right is None:
+                    return None
+                return {
+                    "=": left == right, "<>": left != right,
+                    "<": left < right, "<=": left <= right,
+                    ">": left > right, ">=": left >= right,
+                }[base]
+
+            if quant == "all":
+                # empty group vacuously TRUE; else every comparison
+                # TRUE with nothing UNKNOWN (NULL lhs / NULL value)
+                flag = not grp or (
+                    lhs is not None
+                    and not has_null
+                    and all(cmp3(v) is True for v in nonnull)
+                )
+            else:
+                flag = any(cmp3(v) is True for v in nonnull)
+            new_rows.append({**r, name: flag})
+        state["rows"] = new_rows
+        state["cache"].append((key, name))
+        return name
+
     def fix_pred(p):
         if not any(t.kind == "subquery" for t in p.terms):
             return p
         if p.op in ("exists", "not exists"):
             name = exists_col_of(p.terms[0].value)
             return _Predicate(name, "=", [_Term("literal", p.op == "exists")])
+        if (
+            p.op.endswith((" all", " any"))
+            and len(p.terms) == 1
+            and p.terms[0].kind == "subquery"
+            and p.terms[0].value.func == "__values"
+        ):
+            sq = p.terms[0].value
+            if sq.corr:
+                name = quant_col_of(p)
+                return _Predicate(name, "=", [_Term("literal", True)])
+            vals = list(
+                dict.fromkeys(r.get(sq.col) for r in _sub_rows(sq, tables))
+            )
+            return _Predicate(
+                p.dim_column,
+                p.op,
+                [_Term("literal", v) for v in vals],
+                func=p.func,
+            )
         if (
             p.op in ("in", "not in")
             and len(p.terms) == 1
@@ -581,6 +674,37 @@ def _agg_over_rows(aggregates, rows_raw: list[dict]) -> dict:
     return row_out
 
 
+def _group_rows(q, matched: list[tuple[dict, dict]], params: dict) -> list[dict]:
+    """GROUP BY payload rows over matched (raw, projected) pairs: one
+    row per distinct group-key tuple (projected keys then aggregates,
+    like the compiled payload struct), HAVING-filtered. Shared by
+    run_lookup and the set-op branch evaluator."""
+    groups: dict[tuple, list[dict]] = {}
+    for r, _ in matched:
+        groups.setdefault(tuple(r.get(c) for c in q.group_by), []).append(r)
+    grows = []
+    for _key, rs in groups.items():
+        # read projected key values off a group member row, not off
+        # the group_by-keyed dict: projection and GROUP BY may use
+        # different (qualified vs bare) spellings of one column in
+        # join mode, and _join_rows rows carry both spellings
+        d = {alias: rs[0].get(src) for src, alias in (q.projection or [])}
+        d.update(_agg_over_rows(q.aggregates, rs))
+        grows.append(d)
+    if q.having:
+        # HAVING predicates reference payload aliases, so the group
+        # row dict doubles as the predicate's "row"
+        grows = [
+            g
+            for g in grows
+            if any(
+                all(_pred_match(p, g, params) for p in disjunct)
+                for disjunct in q.having
+            )
+        ]
+    return grows
+
+
 def _derived_rows(
     inner: str, tables: dict[str, list[dict]],
     cols: tuple[str, ...] | None = None,
@@ -714,15 +838,29 @@ def _run_union(
     branch_rows: list[list[dict]] = []
     for text in texts:
         q = parse_lookup_query(strip_outer_parens(text))
+        full = [a for _, a in (q.projection or [])] + [
+            a for _, _, a in q.aggregates
+        ]
         if aliases0 is None:
-            aliases0 = [a for _, a in (q.projection or [])]
-        elif q.projection is not None:
+            aliases0 = full
+        else:
+            np_ = len(q.projection or [])
+            ren = {o: n for o, n in zip(full, aliases0) if o != n}
             q = dataclasses.replace(
                 q,
                 projection=[
                     (src, a0)
-                    for (src, _), a0 in zip(q.projection, aliases0)
+                    for (src, _), a0 in zip(
+                        q.projection or [], aliases0[:np_]
+                    )
                 ],
+                aggregates=tuple(
+                    (f, c, a0)
+                    for (f, c, _), a0 in zip(q.aggregates, aliases0[np_:])
+                ),
+                having=_remap_having_aliases(q.having, ren)
+                if ren
+                else q.having,
             )
         branch_table = (
             _join_rows(q, tables)
@@ -735,9 +873,24 @@ def _run_union(
                 tables if tables is not None else {q.table: table},
                 branch_table,
             )
-        branch_rows.append(
-            [proj for _, proj in _match_rows(q, branch_table, params)]
-        )
+        matched = _match_rows(q, branch_table, params)
+        if q.group_by:
+            rows_b = _group_rows(q, matched, params)
+        elif q.aggregates:
+            # one row even over an empty match set, exactly SQL
+            rows_b = [_agg_over_rows(q.aggregates, [r for r, _ in matched])]
+        else:
+            rows_b = [proj for _, proj in matched]
+            if q.distinct:
+                seen_b: set = set()
+                uniq_b = []
+                for r in rows_b:
+                    kb = tuple(sorted(r.items(), key=lambda kv: kv[0]))
+                    if kb not in seen_b:
+                        seen_b.add(kb)
+                        uniq_b.append(r)
+                rows_b = uniq_b
+        branch_rows.append(rows_b)
 
     def _key(r: dict) -> tuple:
         return tuple(sorted(r.items(), key=lambda kv: kv[0]))
@@ -835,29 +988,7 @@ def run_lookup(
         # matches (projected keys then aggregates, like the compiled
         # payload struct); zero groups on an empty match set, so the
         # post-shape default CAN fire below
-        groups: dict[tuple, list[dict]] = {}
-        for r, _ in matched:
-            groups.setdefault(tuple(r.get(c) for c in q.group_by), []).append(r)
-        grows = []
-        for key, rs in groups.items():
-            # read projected key values off a group member row, not off
-            # the group_by-keyed dict: projection and GROUP BY may use
-            # different (qualified vs bare) spellings of one column in
-            # join mode, and _join_rows rows carry both spellings
-            d = {alias: rs[0].get(src) for src, alias in (q.projection or [])}
-            d.update(_agg_over(rs))
-            grows.append(d)
-        if q.having:
-            # HAVING predicates reference payload aliases, so the group
-            # row dict doubles as the predicate's "row"
-            grows = [
-                g
-                for g in grows
-                if any(
-                    all(_pred_match(p, g, params) for p in disjunct)
-                    for disjunct in q.having
-                )
-            ]
+        grows = _group_rows(q, matched, params)
         grows.sort(key=_payload_sort_key)
         if not grows and spec.use_default:
             event[spec.target] = [dict(spec.default_hash)]

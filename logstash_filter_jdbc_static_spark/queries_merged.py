@@ -210,6 +210,14 @@ _merge(
         # round-5 late widening: inequality-correlated scalar subqueries
         ("lookup_ineq_subquery",
          [("n_iq", "iq_n"), ("iq_rows", "iq_rows")]),
+        # round-5 latest widening: aggregates / GROUP BY / HAVING /
+        # DISTINCT inside UNION branches
+        ("lookup_union_agg",
+         [("n_ua", "ua_n"), ("ua_rows", "ua_rows")]),
+        # round-5 latest widening: quantified subquery comparisons
+        # (<op> ALL / ANY / SOME (SELECT ...), correlated and not)
+        ("lookup_quantified",
+         [("n_qf", "qf_n"), ("qf_rows", "qf_rows")]),
     ],
 )
 

@@ -1435,3 +1435,203 @@ def lookup_ineq_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("iq_rows"),
     )
+
+
+@register(
+    "lookup_union_agg",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        tools AS (SELECT DISTINCT tool FROM transcripts),
+        b1 AS (
+          SELECT tool, plan, CAST(sum(price) AS BIGINT) AS v
+          FROM tool_plans GROUP BY tool, plan HAVING sum(price) > 4
+        ),
+        b2 AS (
+          SELECT tool, plan, CAST(sum(qty) AS BIGINT) AS v
+          FROM tool_plans GROUP BY tool, plan HAVING sum(qty) >= 4
+        ),
+        b3 AS (
+          SELECT t.tool, max(p.plan) AS plan,
+                 CAST(count(p.tool) AS BIGINT) AS v
+          FROM tools t LEFT JOIN tool_plans p ON p.tool = t.tool
+          GROUP BY t.tool
+        ),
+        b4 AS (
+          SELECT DISTINCT tool, plan, CAST(price AS BIGINT) AS v
+          FROM tool_plans WHERE qty >= 3
+        ),
+        m AS (
+          SELECT * FROM b1 UNION ALL SELECT * FROM b2
+          UNION ALL SELECT * FROM b3 UNION ALL SELECT * FROM b4
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.tool) AS BIGINT) AS n_ua,
+               coalesce(
+                 array_to_string(
+                   list(coalesce(m.plan, '~N') || ':'
+                        || coalesce(CAST(m.v AS VARCHAR), '~N')
+                        ORDER BY coalesce(m.plan, '~N') || ':'
+                        || coalesce(CAST(m.v AS VARCHAR), '~N')),
+                   ','),
+                 '') AS ua_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_union_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: aggregates / GROUP BY / HAVING /
+    DISTINCT INSIDE UNION branches — each branch is a full query
+    specification, as Derby executes them verbatim (lookup.rb:131-147;
+    Derby-legality pinned natively in
+    tests/test_jdbc_derby.py::TestDerbyGrammarLegality). Branch 2's
+    aliases rename positionally to branch 1's with its HAVING
+    references remapped through the rename; branch 3 is a pure
+    aggregate branch that contributes its one empty-set row even for
+    tools with no plans (so the union never fires the default); branch
+    4 exercises per-branch DISTINCT over a CAST projection. Physically
+    still N broadcast probes over one shared fact scan — no fact-side
+    shuffle. Payload rows are compared order-insensitively (sorted
+    row-string join) because only the default contract orders the
+    combined union payload."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "ua",
+                "query": (
+                    "SELECT plan AS plan, sum(price) AS tot "
+                    "FROM tool_plans WHERE tool = :tool "
+                    "GROUP BY plan HAVING sum(price) > 4 "
+                    "UNION ALL "
+                    "SELECT plan AS p2, sum(qty) AS q2 "
+                    "FROM tool_plans WHERE tool = :tool "
+                    "GROUP BY plan HAVING sum(qty) >= 4 "
+                    "UNION ALL "
+                    "SELECT max(plan) AS mp, count(*) AS c3 "
+                    "FROM tool_plans WHERE tool = :tool "
+                    "UNION ALL "
+                    "SELECT DISTINCT plan AS p4, CAST(price AS BIGINT) "
+                    "AS pr4 FROM tool_plans "
+                    "WHERE tool = :tool AND qty >= 3"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("ua").cast("long").alias("n_ua"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.col("ua"),
+                    lambda r: F.concat(
+                        F.coalesce(r.getField("plan"), F.lit("~N")),
+                        F.lit(":"),
+                        F.coalesce(
+                            r.getField("tot").cast("string"), F.lit("~N")
+                        ),
+                    ),
+                )
+            ),
+            ",",
+        ).alias("ua_rows"),
+    )
+
+
+@register(
+    "lookup_quantified",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        m AS (
+          SELECT tool, plan, price FROM tool_plans t
+          WHERE price >= ALL (SELECT p2.price FROM tool_plans p2
+                              WHERE p2.tool = t.tool)
+            AND price > ANY (SELECT qty FROM tool_plans
+                             WHERE plan IS NOT NULL)
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(m.tool) AS BIGINT) AS n_qf,
+               coalesce(
+                 array_to_string(
+                   list(coalesce(m.plan, '~N') || ':'
+                        || CAST(m.price AS VARCHAR)
+                        ORDER BY coalesce(m.plan, '~N') || ':'
+                        || CAST(m.price AS VARCHAR)),
+                   ','),
+                 '') AS qf_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: quantified subquery comparisons —
+    ``price >= ALL (SELECT ... correlated)`` AND ``price > ANY
+    (SELECT ... uncorrelated)`` in one lookup WHERE. Derby runs these
+    verbatim (lookup.rb:131-147; legality pinned natively in
+    tests/test_jdbc_derby.py::TestDerbyGrammarLegality). Spark-first:
+    the correlated set rides the same per-group set/had-null/count dim
+    columns as correlated IN (built once per refresh snapshot,
+    broadcast-joined dim-side) with higher-order forall doing the
+    per-element comparison; the uncorrelated set collects once per
+    snapshot and folds over literal Kleene conjunctions/disjunctions —
+    the per-event plan stays the single broadcast-hash equi probe
+    (plan-asserted in tests/test_lookup_quantified.py)."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "qf",
+                "query": (
+                    "SELECT plan AS plan, price AS price FROM tool_plans "
+                    "WHERE tool = :tool "
+                    "AND price >= ALL (SELECT p2.price FROM tool_plans p2 "
+                    "WHERE p2.tool = tool_plans.tool) "
+                    "AND price > ANY (SELECT qty FROM tool_plans "
+                    "WHERE plan IS NOT NULL)"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("qf").cast("long").alias("n_qf"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.col("qf"),
+                    lambda r: F.concat(
+                        F.coalesce(r.getField("plan"), F.lit("~N")),
+                        F.lit(":"),
+                        r.getField("price").cast("string"),
+                    ),
+                )
+            ),
+            ",",
+        ).alias("qf_rows"),
+    )

@@ -1202,6 +1202,25 @@ class TestDerbyGrammarLegality:
     writer creates quoted lowercase columns — the grammar shape, not
     the quoting, is what each case pins."""
 
+    @pytest.fixture(scope="class", autouse=True)
+    def _fresh_servers(self, spark, derby_servers):
+        # re-seed: the module-scoped fixture seeds ONCE, and
+        # test_reload_sees_remote_changes appends a 4th row earlier in
+        # this module — the count assertions here pin the canonical 3
+        (
+            spark.createDataFrame(SERVERS_ROWS, SERVERS_SCHEMA)
+            .write.format("jdbc")
+            .option("url", URL)
+            .option("driver", DRIVER)
+            .option("dbtable", "servers")
+            .option(
+                "createTableColumnTypes",
+                "ip VARCHAR(64), name VARCHAR(64), location VARCHAR(64)",
+            )
+            .mode("overwrite")
+            .save()
+        )
+
     def _fetch(self, spark, sql):
         return jdbc_fetch(
             spark, _loader(sql, table="servers")
@@ -1314,3 +1333,55 @@ class TestDerbyGrammarLegality:
             'FROM gsubs WHERE DAY("since") <> 13',
         )
         assert [tuple(r) for r in rows] == [(2024, 2, 29, 15, 30, 45)]
+
+    def test_quantified_subquery_comparisons(self, spark, derby_servers):
+        # round-5 latest: <op> ALL / ANY / SOME (subquery) are Derby
+        # quantified comparisons (Derby ref manual, boolean
+        # expressions); correlated and uncorrelated both legal
+        rows = self._fetch(
+            spark,
+            'SELECT s."name" AS nm FROM servers s '
+            'WHERE s."ip" >= ALL (SELECT s2."ip" FROM servers s2 '
+            'WHERE s2."location" = s."location") '
+            'AND s."ip" <= ANY (SELECT "ip" FROM servers)',
+        )
+        assert len(rows) >= 1
+        rows2 = self._fetch(
+            spark,
+            'SELECT "name" FROM servers '
+            "WHERE \"ip\" > SOME (SELECT \"ip\" FROM servers "
+            "WHERE \"ip\" LIKE '10.%')",
+        )
+        assert isinstance(rows2, list)
+
+    def test_union_branch_aggregates_group_by_having_distinct(
+        self, spark, derby_servers
+    ):
+        # round-5 latest: each UNION branch is a full query
+        # specification on Derby — aggregates, GROUP BY, HAVING and
+        # DISTINCT are branch-level; an aggregate branch with no GROUP
+        # BY contributes exactly one row even over an empty match set.
+        # Raw JDBC: Spark's table-subquery wrapper cannot nest this
+        # union shape (as with the ORDER BY query expression above);
+        # the reference executes it standalone (lookup.rb:131-147).
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(URL)
+        try:
+            rs = conn.createStatement().executeQuery(
+                'SELECT "location" AS g, COUNT(*) AS n FROM servers '
+                'GROUP BY "location" HAVING COUNT(*) >= 1 '
+                "UNION ALL "
+                'SELECT DISTINCT "name" AS g2, LENGTH("name") AS n2 '
+                "FROM servers "
+                "UNION ALL "
+                "SELECT 'none' AS g3, COUNT(*) AS n3 FROM servers "
+                "WHERE \"ip\" = 'no-such-ip'"
+            )
+            rows = []
+            while rs.next():
+                rows.append((rs.getString(1), rs.getInt(2)))
+        finally:
+            conn.close()
+        # the empty-match aggregate branch still yields its one row
+        assert ("none", 0) in rows
+        assert len(rows) >= 4

@@ -204,12 +204,29 @@ class TestUnionValidation:
                 self._dims(spark),
             )
 
-    def test_branch_shaping_rejected(self, spark):
-        with pytest.raises(ValidationError, match="not supported inside"):
+    def test_branch_order_by_rejected(self, spark):
+        # Derby itself rejects ORDER BY inside a branch: the tail after
+        # the LAST branch shapes the whole union
+        with pytest.raises(ValidationError, match="not valid SQL"):
             LookupEnricher(
                 self._spec(
                     "SELECT name FROM s1 WHERE ip = :ip ORDER BY name "
                     "UNION ALL SELECT name FROM s2"
+                ),
+                self._dims(spark),
+            )
+
+    def test_interleaved_select_list_rejected(self, spark):
+        # payload order is group keys then aggregates regardless of
+        # SELECT order, so positional alignment can't honor a written
+        # order that interleaves them
+        with pytest.raises(ValidationError, match="follows an aggregate"):
+            LookupEnricher(
+                self._spec(
+                    "SELECT count(*) AS c, name AS nm FROM s1 "
+                    "WHERE ip = :ip GROUP BY name "
+                    "UNION ALL SELECT count(*) AS c2, name AS n2 "
+                    "FROM s2 GROUP BY name"
                 ),
                 self._dims(spark),
             )
@@ -233,6 +250,134 @@ class TestUnionValidation:
                 ),
                 self._dims(spark),
             )
+
+
+class TestUnionBranchAggregates:
+    """Round-5 late: aggregates / GROUP BY / HAVING / DISTINCT inside
+    UNION branches — Derby's own branch rules allow them (a query
+    expression body is a full <query specification> per branch). An
+    aggregate branch with no GROUP BY always contributes its one row
+    (SQL aggregates over the empty set), so the union is never empty
+    and default_hash never fires. Branch-2+ aliases rename positionally
+    to branch 1's (SQL rule) with HAVING references remapped through
+    the rename."""
+
+    _S1 = [("k1", "v1", 3), ("k2", "k2", 5), ("k1", "v2", 7)]
+    _S2 = [("k1", "w1", 1), ("k3", "v1", 2), ("k1", "v1", 9)]
+    _DIM = "ip string, name string, n int"
+
+    def _dims(self, spark):
+        return {
+            "s1": spark.createDataFrame(self._S1, self._DIM),
+            "s2": spark.createDataFrame(self._S2, self._DIM),
+        }
+
+    def _tables(self):
+        return {
+            t: [{"ip": a, "name": b, "n": c} for a, b, c in rows]
+            for t, rows in (("s1", self._S1), ("s2", self._S2))
+        }
+
+    def _run(self, spark, query, kw, default=None):
+        facts = [("c0", 0, "k1"), ("c1", 1, "k2"), ("c2", 2, None),
+                 ("c3", 3, "k9")]
+        lookup = {"id": "u", "query": query, "parameters": {"ip": "ip"}}
+        if default is not None:
+            lookup["default_hash"] = default
+        spec = PipelineSpec(lookups=[lookup])
+        out = LookupEnricher(spec, self._dims(spark), **kw).apply(
+            spark.createDataFrame(facts, FACT)
+        )
+        got = {
+            r["turn_idx"]: (
+                None if r["u"] is None
+                else [tuple(d.asDict().values()) for d in r["u"]],
+                r["matched"],
+            )
+            for r in out.collect()
+        }
+        # row-at-a-time oracle agreement on every shape
+        spec2 = PipelineSpec(lookups=[dict(lookup)])
+        for conv_id, turn_idx, ip in facts:
+            event = {"conv_id": conv_id, "turn_idx": turn_idx}
+            if ip is not None:
+                event["ip"] = ip
+            oracle.enhance(event, spec2, self._tables())
+            v = event.get("u")
+            exp = (
+                None if v is None else [tuple(d.values()) for d in v],
+                event["matched"],
+            )
+            assert got[turn_idx] == exp, turn_idx
+        return got
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_agg_branches_always_one_row_each(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT count(*) AS c FROM s1 WHERE ip = :ip "
+            "UNION ALL SELECT count(*) AS c2 FROM s2 WHERE ip = :ip",
+            kw,
+        )
+        assert got[0] == ([(2,), (2,)], True)
+        assert got[1] == ([(0,), (1,)], True)
+        assert got[2] == (None, False)
+        # no match either side: two empty-set count rows, NOT the default
+        assert got[3] == ([(0,), (0,)], True)
+
+    def test_agg_branch_never_fires_default(self, spark):
+        got = self._run(
+            spark,
+            "SELECT count(*) AS c FROM s1 WHERE ip = :ip "
+            "UNION ALL SELECT count(*) AS c2 FROM s2 WHERE ip = :ip",
+            {},
+            default={"c": -1},
+        )
+        assert got[3] == ([(0,), (0,)], True)
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_group_by_having_and_alias_remap(self, spark, kw):
+        # branch 2's HAVING references its own agg alias t2; positional
+        # alignment renames t2 -> total and the HAVING must follow
+        got = self._run(
+            spark,
+            "SELECT name AS nm, sum(n) AS total FROM s1 "
+            "WHERE ip = :ip GROUP BY name "
+            "UNION ALL SELECT name AS n2, sum(n) AS t2 FROM s2 "
+            "GROUP BY name HAVING sum(n) > 2",
+            kw,
+        )
+        # k1: s1 groups v1:3, v2:7; s2 static groups w1:1, v1:11 -> HAVING
+        # keeps v1:11 only
+        assert got[0] == ([("v1", 3), ("v1", 11), ("v2", 7)], True)
+        assert got[1] == ([("k2", 5), ("v1", 11)], True)
+        assert got[3] == ([("v1", 11)], True)
+
+    def test_distinct_branch_and_plain_union(self, spark):
+        # DISTINCT inside branch 1; plain UNION dedupes across branches
+        got = self._run(
+            spark,
+            "SELECT DISTINCT name FROM s1 WHERE ip = :ip "
+            "UNION SELECT name FROM s2 WHERE ip = :ip",
+            {},
+        )
+        assert got[0] == ([("v1",), ("v2",), ("w1",)], True)
+
+    def test_empty_group_by_branch_can_default(self, spark):
+        # GROUP BY branches yield zero groups on empty match sets, so
+        # with both branches grouped the default CAN still fire
+        got = self._run(
+            spark,
+            "SELECT name AS nm, count(*) AS c FROM s1 "
+            "WHERE ip = :ip GROUP BY name "
+            "UNION ALL SELECT name AS n2, count(*) AS c2 FROM s2 "
+            "WHERE ip = :ip GROUP BY name",
+            {},
+            default={"nm": "dflt", "c": -1},
+        )
+        assert got[3] == ([("dflt", -1)], True)
+        # k2 matches only s1 (one group); branch 2 contributes none
+        assert got[1] == ([("k2", 1)], True)
 
 
 class TestUnionLevelTail:
@@ -347,12 +492,28 @@ class TestUnionLevelTail:
                 self._dims(spark),
             )
 
-    def test_group_by_after_union_rejected(self, spark):
-        with pytest.raises(ValidationError, match="GROUP BY cannot follow"):
+    def test_trailing_group_by_binds_to_last_branch(self, spark):
+        # union-level GROUP BY does not exist in SQL: a trailing GROUP
+        # BY belongs to the LAST BRANCH, so here the branch parser
+        # rejects the ungrouped price column — not the tail scanner
+        with pytest.raises(ValidationError, match="GROUP BY list"):
             LookupEnricher(
                 PipelineSpec(lookups=[{
                     "id": "u",
                     "query": self.BASE + "GROUP BY plan",
+                    "parameters": {"tool": "tool"},
+                }]),
+                self._dims(spark),
+            )
+
+    def test_group_by_inside_union_tail_rejected(self, spark):
+        # a GROUP BY written after the union-level ORDER BY tail is
+        # nonsense in any scope
+        with pytest.raises(ValidationError, match="trailing tokens"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "u",
+                    "query": self.BASE + "ORDER BY plan GROUP BY plan",
                     "parameters": {"tool": "tool"},
                 }]),
                 self._dims(spark),
@@ -370,7 +531,7 @@ class TestUnionLevelTail:
             )
 
     def test_mid_branch_shaping_still_rejected(self, spark):
-        with pytest.raises(ValidationError, match="not supported inside"):
+        with pytest.raises(ValidationError, match="not valid SQL"):
             LookupEnricher(
                 PipelineSpec(lookups=[{
                     "id": "u",

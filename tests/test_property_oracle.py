@@ -149,6 +149,16 @@ WIDE_TEMPLATES = [
     "WHERE s2.name = servers.name AND s2.ip <= servers.ip)",
     "ip >= (SELECT max(s2.ip) FROM servers s2 "
     "WHERE s2.ip < servers.ip) AND ip = :ip",
+    # round-5 latest: quantified subquery comparisons — ALL/ANY/SOME
+    # with the empty-set, NULL-value and correlated-group corners
+    "ip = :ip AND ip >= ALL (SELECT ip FROM servers WHERE name = 'v1')",
+    "ip < ANY (SELECT ip FROM servers WHERE name <> 'v2') OR ip = :ip",
+    "ip = ANY (SELECT ip FROM servers WHERE name = 'v9') OR ip = :ip",
+    "ip = :ip AND NOT ip < ALL (SELECT ip FROM servers WHERE name = 'v1')",
+    "ip <= ALL (SELECT s2.ip FROM servers s2 "
+    "WHERE s2.name = servers.name) AND ip = :ip",
+    "ip <> ALL (SELECT s2.ip FROM servers s2 "
+    "WHERE s2.name = servers.name AND s2.ip < 'k3') OR ip = :ip",
 ]
 
 
@@ -544,6 +554,21 @@ FULLQ_TEMPLATES = [
      "UNION ALL SELECT nm AS nm FROM "
      "(SELECT ip AS ip2, lower(name) AS nm FROM servers) d "
      "WHERE d.ip2 = :ip",
+     {"name": "dflt"}),
+    # round-5 latest: aggregates / GROUP BY / HAVING / DISTINCT inside
+    # UNION branches (each branch is a full query specification, as in
+    # Derby); an agg branch with no GROUP BY always yields one row so
+    # the default never fires on the first template
+    ("SELECT count(*) AS c FROM servers WHERE ip = :ip "
+     "UNION ALL SELECT count(*) AS c2 FROM servers WHERE name = 'v1'",
+     {"c": -1}),
+    ("SELECT name AS nm, count(*) AS n FROM servers WHERE ip <= :ip "
+     "GROUP BY name HAVING count(*) > 1 "
+     "UNION SELECT name AS x, count(*) AS y FROM servers "
+     "WHERE ip = :ip GROUP BY name",
+     {"nm": "dflt", "n": -1}),
+    ("SELECT DISTINCT name AS name FROM servers WHERE ip LIKE :ip "
+     "UNION ALL SELECT name AS name FROM servers WHERE ip = :ip",
      {"name": "dflt"}),
 ]
 
