@@ -3538,11 +3538,53 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         computed.append((name, ast))
         return name
 
-    order_by = tuple(
-        (_tail_expr_col(c, "ORDER BY"), asc) for c, asc in order_by
-    )
     group_by = tuple(_tail_expr_col(c, "GROUP BY") for c in group_by)
-    if order_by:
+    if group_by or aggregates:
+        # grouped/aggregate query (round-5 latest: ORDER BY/LIMIT/OFFSET
+        # combine with GROUP BY — Derby's top-N-per-key shape): ORDER BY
+        # items name PAYLOAD fields (SELECT output aliases, or the bare/
+        # qualified source spelling of a projected group key), because
+        # the sort runs over the aggregated payload rows, not dim rows
+        if any(
+            isinstance(c, tuple) and c and c[0] == "expr"
+            for c, _ in order_by
+        ):
+            raise ValidationError(
+                ["lookup ORDER BY on a grouped/aggregate query must "
+                 "name a selected column or alias — alias the "
+                 "expression in the SELECT list and order by the alias"]
+            )
+        payload_names = [alias for _, alias in (projection or [])] + [
+            a for _, _, a in aggregates
+        ]
+        src_to_alias = {src: alias for src, alias in (projection or [])}
+        resolved_order = []
+        for col, asc in order_by:
+            if col in payload_names:
+                resolved_order.append((col, asc))
+                continue
+            target = src_to_alias.get(col)
+            if target is None:
+                try:
+                    r = _resolve_qualified(
+                        col, table, base_alias, quals, "ORDER BY"
+                    )
+                except ValidationError:
+                    r = None
+                target = src_to_alias.get(r) if r is not None else None
+            if target is None:
+                raise ValidationError(
+                    [f"lookup ORDER BY: {col!r} is not a selected "
+                     f"column or alias of this grouped/aggregate query "
+                     f"(available: {sorted(payload_names)})"]
+                )
+            resolved_order.append((target, asc))
+        order_by = tuple(resolved_order)
+    else:
+        order_by = tuple(
+            (_tail_expr_col(c, "ORDER BY"), asc) for c, asc in order_by
+        )
+    if order_by and not (group_by or aggregates):
         # SQL resolution order: a SELECT output alias first, then a base
         # column (qualified names validated/stripped like the projection).
         alias_to_src = {
@@ -3568,11 +3610,13 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                  f"SELECT list when DISTINCT is used"]
             )
     if group_by:
-        if distinct or order_by or limit is not None or offset is not None:
+        if distinct:
+            # projection may name a strict SUBSET of the group keys, so
+            # group rows are not necessarily distinct — but Derby's own
+            # DISTINCT-over-grouped corner is rare; keep it closed
             raise ValidationError(
-                ["lookup GROUP BY cannot combine with DISTINCT/"
-                 "ORDER BY/LIMIT/OFFSET (payload rows are "
-                 "deterministically sorted)"]
+                ["lookup GROUP BY cannot combine with DISTINCT "
+                 "(pre-shape the dim with a loader query)"]
             )
         if projection is None:
             raise ValidationError(
@@ -3684,12 +3728,14 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                              f"(available: {sorted(payload_names)})"]
                         )
     if aggregates and not group_by:
-        if distinct or order_by or limit is not None or offset is not None:
+        if distinct:
             raise ValidationError(
                 ["lookup aggregate projection cannot combine with "
-                 "DISTINCT/ORDER BY/LIMIT/OFFSET (the result is a "
-                 "single row)"]
+                 "DISTINCT (the result is a single row)"]
             )
+        # ORDER BY is a validated no-op over the single aggregate row;
+        # OFFSET can empty the result set (Derby returns zero rows and
+        # the default branch runs) — both accepted, round-5 latest
     # qualifier resolution runs for grouped aggregates too (the HAVING
     # rewrite above already normalized both sides the same way)
     aggregates = [
@@ -3838,7 +3884,12 @@ def build_join_dim(
         for t in p.terms
         if t.kind == "column"
     ]
-    order_cols = [c for c, _ in parsed.order_by]
+    # grouped/aggregate ORDER BY names payload ALIASES, not dim columns
+    order_cols = (
+        []
+        if (parsed.group_by or parsed.aggregates)
+        else [c for c, _ in parsed.order_by]
+    )
     agg_cols = [c for _, c, _ in parsed.aggregates if c is not None]
     group_cols = list(parsed.group_by)
     expr_cols = [
@@ -3935,7 +3986,12 @@ def build_join_dim(
                 [f"lookup GROUP BY: projected column(s) {bad} must "
                  f"appear in the GROUP BY list (or be aggregated)"]
             )
-    new_order = tuple((res(c), asc) for c, asc in parsed.order_by)
+    if parsed.group_by or parsed.aggregates:
+        # grouped/aggregate ORDER BY names payload ALIASES (parse-time
+        # resolution) — flat-safe exactly like HAVING, no remap
+        new_order = parsed.order_by
+    else:
+        new_order = tuple((res(c), asc) for c, asc in parsed.order_by)
     if parsed.distinct and new_order:
         # join-mode twin of the parse-time single-table check: on flat
         # names, qualified-vs-bare spellings of the same column compare
@@ -4126,12 +4182,15 @@ class CompiledLookup:
                         [f"lookup '{spec.id}': predicate comparand column "
                          f"'{t.value}' not in table '{self.query.table}'"]
                     )
-        for c, _ in self.query.order_by:
-            if c not in dim_fields:
-                raise ValidationError(
-                    [f"lookup '{spec.id}': ORDER BY column '{c}' "
-                     f"not in table '{self.query.table}'"]
-                )
+        if not (self.query.group_by or self.query.aggregates):
+            # grouped/aggregate ORDER BY names PAYLOAD aliases (already
+            # validated at parse); dim-row ORDER BY names dim columns
+            for c, _ in self.query.order_by:
+                if c not in dim_fields:
+                    raise ValidationError(
+                        [f"lookup '{spec.id}': ORDER BY column '{c}' "
+                         f"not in table '{self.query.table}'"]
+                    )
         # Map placeholder name -> event binding string.
         if spec.prepared_parameters is not None:
             self.bindings = {f"p{i}": v for i, v in enumerate(spec.prepared_parameters)}
@@ -4409,7 +4468,38 @@ class CompiledLookup:
             # miss semantics, and an emptied payload takes the normal
             # empty branch (Derby returns zero rows -> default can fire)
             raw = F.filter(raw, self._having_element_condition(params))
-        if self.query.aggregates and not self.query.group_by:
+        grouped_tail = (
+            (self.query.group_by or self.query.aggregates)
+            and (
+                self.query.order_by
+                or self.query.limit is not None
+                or self.query.offset is not None
+            )
+        )
+        if grouped_tail:
+            # grouped/aggregate ORDER BY + LIMIT/OFFSET (round-5 latest,
+            # Derby's top-N-per-key): sort the aggregated payload rows
+            # by their ALIAS fields under the Derby result-order
+            # contract, then slice — SQL clause order (after HAVING).
+            # A NULL payload (equi key miss) passes through array_sort/
+            # slice as NULL, preserving miss semantics; an ungrouped
+            # aggregate substitutes its empty-set row FIRST so OFFSET
+            # can empty it (Derby then returns zero rows -> default)
+            if self.query.aggregates and not self.query.group_by:
+                raw = F.when(raw.isNull(), self._empty_agg_array()).otherwise(
+                    raw
+                )
+            if self.query.order_by:
+                keys = list(self.query.order_by) + [
+                    (f.name, True) for f in self._payload_struct.fields
+                ]
+                raw = F.array_sort(raw, self._order_comparator(keys))
+            start = (self.query.offset or 0) + 1
+            if self.query.limit is not None:
+                raw = F.slice(raw, start, self.query.limit)
+            elif start > 1:
+                raw = F.slice(raw, start, F.size(raw))
+        if self.query.aggregates and not self.query.group_by and not grouped_tail:
             # an aggregate query always returns exactly ONE row (SQL
             # aggregates over an empty set still produce a row), so the
             # payload is never empty and default_hash never fires; only
@@ -4537,16 +4627,19 @@ class CompiledLookup:
                 names.append(c)
         return F.struct(*[row_field(n).alias(n) for n in names])
 
-    def _order_comparator(self):
+    def _order_comparator(self, keys: list[tuple[str, bool]] | None = None):
         """``array_sort`` comparator over dim-shaped elements: ORDER BY
         keys under Derby's result-order semantics — NULL sorts as the
         LARGEST value (nulls last ASC, nulls first DESC) — then a
         deterministic full-payload tiebreak in projection order under
         the same null-largest convention, matching the row-at-a-time
-        oracle's ``(v is None, v)`` sort key exactly."""
-        keys = list(self.query.order_by) + [
-            (src, True) for src, _ in self.out_fields
-        ]
+        oracle's ``(v is None, v)`` sort key exactly. ``keys``
+        overrides the field list for payload-shaped elements (grouped
+        top-N: ORDER BY aliases + all payload fields as tiebreak)."""
+        if keys is None:
+            keys = list(self.query.order_by) + [
+                (src, True) for src, _ in self.out_fields
+            ]
 
         def cmp(a: Column, b: Column) -> Column:
             result: Column | None = None

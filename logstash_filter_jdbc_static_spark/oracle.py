@@ -6,6 +6,7 @@ JRuby original) must agree row-for-row.
 
 from __future__ import annotations
 
+import functools
 import re
 from typing import Any
 
@@ -220,6 +221,47 @@ def _payload_sort_key(r: dict) -> list:
     the SMALLEST value (verified against Spark 4: a null field sorts
     before every non-null value)."""
     return [(v is not None, v) for v in r.values()]
+
+
+def _payload_cmp(order_by):
+    """Comparator over PAYLOAD rows (alias-keyed dicts) for grouped/
+    aggregate ORDER BY: named keys under Derby's result-order semantics
+    (NULL sorts as the LARGEST value — nulls last ASC, nulls first
+    DESC), then an all-field tiebreak in payload order under the same
+    convention — the mirror of the compiled ``_order_comparator`` over
+    payload-shaped elements."""
+
+    def cmp(a: dict, b: dict) -> int:
+        for col, asc in order_by:
+            ka, kb = a.get(col), b.get(col)
+            if ka is None and kb is None:
+                c = 0
+            elif ka is None:
+                c = 1
+            elif kb is None:
+                c = -1
+            else:
+                c = -1 if ka < kb else (1 if ka > kb else 0)
+            if not asc:
+                c = -c
+            if c:
+                return c
+        ta = [(v is None, v if v is not None else 0) for v in a.values()]
+        tb = [(v is None, v if v is not None else 0) for v in b.values()]
+        return -1 if ta < tb else (1 if ta > tb else 0)
+
+    return cmp
+
+
+def _slice_rows(rows: list[dict], q) -> list[dict]:
+    """OFFSET/LIMIT slice of already-ordered payload rows (SQL clause
+    order: after HAVING and ORDER BY)."""
+    start = q.offset or 0
+    if q.limit is not None:
+        return rows[start:start + q.limit]
+    if start:
+        return rows[start:]
+    return rows
 
 
 def _sub_rows(sq, tables: dict[str, list[dict]], _depth: int = 0) -> list[dict]:
@@ -989,7 +1031,14 @@ def run_lookup(
         # payload struct); zero groups on an empty match set, so the
         # post-shape default CAN fire below
         grows = _group_rows(q, matched, params)
-        grows.sort(key=_payload_sort_key)
+        if q.order_by:
+            # grouped top-N (round-5 latest): ORDER BY names payload
+            # aliases; Derby result order (NULL largest) + all-field
+            # tiebreak — the mirror of the compiled payload comparator
+            grows.sort(key=functools.cmp_to_key(_payload_cmp(q.order_by)))
+        else:
+            grows.sort(key=_payload_sort_key)
+        grows = _slice_rows(grows, q)
         if not grows and spec.use_default:
             event[spec.target] = [dict(spec.default_hash)]
             tags.extend(spec.tag_on_default_use)
@@ -999,15 +1048,20 @@ def run_lookup(
 
     if q.aggregates:
         # aggregate projection: exactly one payload row, even over an
-        # empty match set (count 0 / NULL) — default_hash never fires
-        event[spec.target] = [_agg_over([r for r, _ in matched])]
+        # empty match set (count 0 / NULL); ORDER BY is a no-op over
+        # the single row, but OFFSET can empty the result set — Derby
+        # then returns zero rows and the default CAN fire (round-5)
+        rows = _slice_rows([_agg_over([r for r, _ in matched])], q)
+        if not rows and spec.use_default:
+            event[spec.target] = [dict(spec.default_hash)]
+            tags.extend(spec.tag_on_default_use)
+            return True, tags
+        event[spec.target] = rows
         return True, tags
 
     if q.order_by:
         # ORDER BY under Derby result-order semantics (NULL largest),
         # full-payload tiebreak — the mirror of _order_comparator
-        import functools
-
         def cmp(a, b):
             for col, asc in q.order_by:
                 ka, kb = a[0].get(col), b[0].get(col)

@@ -139,6 +139,12 @@ _merge(
         # HAVING comparand (resolved to one literal per snapshot)
         ("lookup_having_subquery",
          [("tool", "hs_tool"), ("n_hs", "hs_n"), ("hs_rows", "hs_rows")]),
+        # round-5 latest widening: ORDER BY + LIMIT/OFFSET/FETCH over
+        # the grouped payload (Derby's top-N-per-key single SELECT);
+        # the *_rows strings are order-SENSITIVE
+        ("lookup_grouped_tail",
+         [("n_gt", "gt_n"), ("gt_rows", "gt_rows"),
+          ("n_go", "go_n"), ("go_rows", "go_rows")]),
     ],
 )
 

@@ -1635,3 +1635,138 @@ def lookup_quantified(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("qf_rows"),
     )
+
+
+@register(
+    "lookup_grouped_tail",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        g AS (
+          SELECT tool, plan,
+                 CAST(sum(price) AS BIGINT) AS tot,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM tool_plans GROUP BY 1, 2
+        )
+        """,
+        """
+        r1 AS (
+          SELECT tool, plan, tot,
+                 row_number() OVER (
+                   PARTITION BY tool
+                   ORDER BY tot DESC NULLS FIRST,
+                            plan ASC NULLS LAST, tot ASC NULLS LAST
+                 ) AS rn
+          FROM g
+        )
+        """,
+        """
+        m1 AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n1,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || CAST(tot AS VARCHAR) ORDER BY rn),
+                   '|') AS s1
+          FROM r1 WHERE rn <= 2 GROUP BY 1
+        )
+        """,
+        """
+        r2 AS (
+          SELECT tool, plan, n,
+                 row_number() OVER (
+                   PARTITION BY tool
+                   ORDER BY plan ASC NULLS LAST,
+                            plan ASC NULLS LAST, n ASC NULLS LAST
+                 ) AS rn
+          FROM g
+        )
+        """,
+        """
+        m2 AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n2,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || CAST(n AS VARCHAR) ORDER BY rn),
+                   '|') AS s2
+          FROM r2 WHERE rn >= 2 GROUP BY 1
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(coalesce(m1.n1, 0) AS BIGINT) AS n_gt,
+               coalesce(m1.s1, '') AS gt_rows,
+               CAST(coalesce(m2.n2, 0) AS BIGINT) AS n_go,
+               coalesce(m2.s2, '') AS go_rows
+        FROM transcripts t
+        LEFT JOIN m1 ON m1.tool = t.tool
+        LEFT JOIN m2 ON m2.tool = t.tool
+        """,
+    ),
+)
+def lookup_grouped_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: ORDER BY + LIMIT/OFFSET/FETCH combined
+    with GROUP BY — Derby's single-SELECT top-N-per-key lookup (the
+    reference executes it verbatim, lookup.rb:131-147; legality pinned
+    natively in test_jdbc_derby.py::TestDerbyGrammarLegality). The sort
+    runs over the AGGREGATED payload rows, so ORDER BY items name
+    SELECT output aliases; Derby result-order semantics (NULL largest)
+    plus the all-payload-field tiebreak keep the slice deterministic,
+    and the payload array PRESERVES the sorted order (asserted via the
+    order-sensitive ``array_join``s below against the oracle's
+    ``ORDER BY rn`` lists). Spark-first the sort+slice compile to
+    ``array_sort``+``slice`` over the per-key payload built once per
+    refresh snapshot — the per-event plan stays the single
+    broadcast-hash probe (tests/test_lookup_rhs.py::TestGroupedTail)."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "g1",
+                "query": (
+                    "SELECT plan AS plan, sum(price) AS tot "
+                    "FROM tool_plans WHERE tool = :tool GROUP BY plan "
+                    "ORDER BY tot DESC FETCH FIRST 2 ROWS ONLY"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "g2",
+                "query": (
+                    "SELECT plan AS plan, count(*) AS n "
+                    "FROM tool_plans WHERE tool = :tool GROUP BY plan "
+                    "ORDER BY plan OFFSET 1 ROWS"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+
+    def rows(col, vf):
+        # order-SENSITIVE join: the payload array order IS the gated
+        # contract here (ORDER BY tot DESC / plan ASC, then slice)
+        return F.array_join(
+            F.transform(
+                F.col(col),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit("="),
+                    r.getField(vf).cast("string"),
+                ),
+            ),
+            "|",
+        )
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("g1").cast("long").alias("n_gt"),
+        rows("g1", "tot").alias("gt_rows"),
+        F.size("g2").cast("long").alias("n_go"),
+        rows("g2", "n").alias("go_rows"),
+    )

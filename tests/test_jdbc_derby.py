@@ -1385,3 +1385,38 @@ class TestDerbyGrammarLegality:
         # the empty-match aggregate branch still yields its one row
         assert ("none", 0) in rows
         assert len(rows) >= 4
+
+    def test_group_by_with_order_by_and_fetch_offset(
+        self, spark, derby_servers
+    ):
+        # round-5 latest: ORDER BY + FETCH/OFFSET combine with GROUP BY
+        # in one SELECT on Derby (top-N-per-key), ordering by a SELECT
+        # output alias of an aggregate; and OFFSET past the single row
+        # of an ungrouped aggregate returns ZERO rows (so the lookup
+        # default can fire). Raw JDBC: Spark's table-subquery wrapper
+        # cannot nest an ORDER BY query expression (as above); the
+        # reference executes lookups standalone (lookup.rb:131-147).
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(URL)
+        try:
+            rs = conn.createStatement().executeQuery(
+                'SELECT "location" AS loc, COUNT(*) AS n FROM servers '
+                'GROUP BY "location" '
+                "ORDER BY n DESC FETCH FIRST 2 ROWS ONLY"
+            )
+            rows = []
+            while rs.next():
+                rows.append((rs.getString(1), rs.getInt(2)))
+            assert 1 <= len(rows) <= 2
+            assert [n for _, n in rows] == sorted(
+                (n for _, n in rows), reverse=True
+            )
+            rs2 = conn.createStatement().executeQuery(
+                "SELECT COUNT(*) AS n FROM servers OFFSET 1 ROWS"
+            )
+            n2 = 0
+            while rs2.next():
+                n2 += 1
+            assert n2 == 0  # aggregate's one row skipped -> empty set
+        finally:
+            conn.close()

@@ -897,14 +897,24 @@ class TestAggregateParser:
             "SELECT count(*) FROM hosts",                       # no alias
             "SELECT count(*) AS n, ip FROM hosts",              # mixed
             "SELECT sum(*) AS s FROM hosts",                    # sum(*)
-            "SELECT count(*) AS n FROM hosts ORDER BY n",       # order
-            "SELECT count(*) AS n FROM hosts LIMIT 1",          # limit
             "SELECT DISTINCT count(*) AS n FROM hosts",         # distinct
         ],
     )
     def test_malformed_aggregates_raise(self, bad):
         with pytest.raises(ValidationError):
             parse_lookup_query(bad)
+
+    def test_aggregate_tail_accepted(self):
+        # round-5 latest: ORDER BY (validated no-op over the single
+        # row) and LIMIT/OFFSET combine with an aggregate projection
+        q = parse_lookup_query(
+            "SELECT count(*) AS n FROM hosts ORDER BY n LIMIT 1"
+        )
+        assert q.order_by == (("n", True),) and q.limit == 1
+        with pytest.raises(ValidationError, match="not a selected"):
+            parse_lookup_query(
+                "SELECT count(*) AS n FROM hosts ORDER BY ip"
+            )
 
     def test_sum_requires_numeric_column(self, spark):
         spec = PipelineSpec(
@@ -1027,7 +1037,8 @@ class TestOffsetAndCountDistinct:
         [
             "SELECT max(DISTINCT ip) AS m FROM t",
             "SELECT count(DISTINCT *) AS n FROM t",
-            "SELECT count(*) AS n FROM t OFFSET 1 ROWS",
+            # (aggregate + OFFSET is accepted since the grouped-tail
+            # round-5 widening: it can empty the single-row result)
             "SELECT name FROM t OFFSET x ROWS",
         ],
     )

@@ -854,3 +854,242 @@ class TestHavingSubquery:
             )
             exp[tool] = sorted((d["plan"], d["n"]) for d in ev["h"])
         assert got == exp
+
+
+class TestGroupedTail:
+    """Round-5 latest: ORDER BY + LIMIT/OFFSET/FETCH combined with
+    GROUP BY or an aggregate projection — Derby's single-SELECT
+    top-N-per-key shape (the reference executes it verbatim,
+    lib/logstash/filters/jdbc/lookup.rb:131-147; legality pinned
+    natively in test_jdbc_derby.py::TestDerbyGrammarLegality). The
+    sort runs over the AGGREGATED payload rows, so ORDER BY items name
+    SELECT output aliases (or the source spelling of a projected group
+    key); Derby result-order semantics (NULL largest) with the
+    all-payload-field tiebreak keep the slice deterministic."""
+
+    GPLANS = T.StructType(
+        [
+            T.StructField("tool", T.StringType(), False),
+            T.StructField("price", T.IntegerType(), False),
+            T.StructField("qty", T.IntegerType(), False),
+            T.StructField("plan", T.StringType(), True),
+        ]
+    )
+    GPLAN_ROWS = [
+        ("t1", 10, 1, "basic"),
+        ("t1", 4, 1, "basic"),   # basic: tot 14
+        ("t1", 5, 1, None),      # NULL:  tot 5
+        ("t1", 3, 1, "pro"),
+        ("t1", 3, 1, "pro"),     # pro:   tot 6
+        ("t2", 7, 1, "pro"),
+        ("t3", 6, 1, "a"),       # equal tots: tiebreak on plan
+        ("t3", 6, 1, "b"),
+    ]
+
+    def _apply_ordered(self, spark, query, engines_kw, default=None):
+        """Like module-level _apply but PRESERVES payload row order —
+        the whole point of the grouped tail."""
+        facts = [
+            ("c0", 0, "t1"), ("c1", 1, "t2"), ("c2", 2, "t3"),
+            ("c3", 3, "t9"), ("c4", 4, None),
+        ]
+        fact_df = spark.createDataFrame(facts, FACT)
+        lk = {"id": "hit", "query": query, "parameters": {"tool": "tool"}}
+        if default is not None:
+            lk["default_hash"] = default
+        spec = PipelineSpec(lookups=[lk])
+        dims = {"gplans": spark.createDataFrame(self.GPLAN_ROWS, self.GPLANS)}
+        out = LookupEnricher(spec, dims, **engines_kw).apply(fact_df)
+        return {
+            r["turn_idx"]: (
+                None
+                if r["hit"] is None
+                else [tuple(d.asDict().items()) for d in r["hit"]]
+            )
+            for r in out.collect()
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_topn_per_group_all_paths(self, spark, kw):
+        got = self._apply_ordered(
+            spark,
+            "SELECT plan AS plan, sum(price) AS tot FROM gplans "
+            "WHERE tool = :tool GROUP BY plan "
+            "ORDER BY tot DESC FETCH FIRST 2 ROWS ONLY",
+            kw,
+        )
+        # t1 groups basic:14, pro:6, NULL:5 -> top-2 IN ORDER
+        assert got[0] == [
+            (("plan", "basic"), ("tot", 14)),
+            (("plan", "pro"), ("tot", 6)),
+        ]
+        assert got[1] == [(("plan", "pro"), ("tot", 7))]
+        assert got[3] == []       # valid-but-empty: zero groups
+        assert got[4] is None     # invalid param
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_offset_skips_top_group(self, spark, kw):
+        got = self._apply_ordered(
+            spark,
+            "SELECT plan AS plan, sum(price) AS tot FROM gplans "
+            "WHERE tool = :tool GROUP BY plan "
+            "ORDER BY tot DESC OFFSET 1 ROWS",
+            kw,
+        )
+        assert got[0] == [
+            (("plan", "pro"), ("tot", 6)),
+            (("plan", None), ("tot", 5)),
+        ]
+        assert got[1] == []  # single group, offset past end
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_null_group_key_sorts_largest(self, spark, kw):
+        asc = self._apply_ordered(
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM gplans "
+            "WHERE tool = :tool GROUP BY plan ORDER BY plan LIMIT 3",
+            kw,
+        )
+        # Derby result order: NULL is the LARGEST value (nulls last ASC)
+        assert [dict(r)["plan"] for r in asc[0]] == ["basic", "pro", None]
+        desc = self._apply_ordered(
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM gplans "
+            "WHERE tool = :tool GROUP BY plan ORDER BY plan DESC LIMIT 1",
+            kw,
+        )
+        assert [dict(r)["plan"] for r in desc[0]] == [None]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_equal_keys_tiebreak_on_payload_fields(self, spark, kw):
+        got = self._apply_ordered(
+            spark,
+            "SELECT plan AS plan, sum(price) AS tot FROM gplans "
+            "WHERE tool = :tool GROUP BY plan ORDER BY tot DESC LIMIT 2",
+            kw,
+        )
+        # t3: both groups tot=6 -> deterministic payload-field
+        # tiebreak (plan ASC, null-largest convention)
+        assert got[2] == [
+            (("plan", "a"), ("tot", 6)),
+            (("plan", "b"), ("tot", 6)),
+        ]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_offset_empties_grouped_result_fires_default(self, spark, kw):
+        got = self._apply_ordered(
+            spark,
+            "SELECT plan AS plan, sum(price) AS tot FROM gplans "
+            "WHERE tool = :tool GROUP BY plan "
+            "ORDER BY tot DESC OFFSET 5 ROWS",
+            kw,
+            default={"plan": "dflt", "tot": -1},
+        )
+        # Derby returns zero rows once OFFSET passes the end -> the
+        # default fires, exactly like an empty match set
+        assert got[0] == [(("plan", "dflt"), ("tot", -1))]
+        assert got[1] == [(("plan", "dflt"), ("tot", -1))]
+        assert got[3] == [(("plan", "dflt"), ("tot", -1))]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_ungrouped_aggregate_offset_can_empty(self, spark, kw):
+        # ORDER BY over the single aggregate row is a validated no-op;
+        # OFFSET 1 skips it -> zero rows -> default fires even though
+        # an aggregate over an empty set normally always yields a row
+        got = self._apply_ordered(
+            spark,
+            "SELECT count(*) AS n FROM gplans WHERE tool = :tool "
+            "ORDER BY n OFFSET 1 ROWS",
+            kw,
+            default={"n": -1},
+        )
+        assert got[0] == [(("n", -1),)]
+        assert got[4] is None  # invalid param still wins
+        kept = self._apply_ordered(
+            spark,
+            "SELECT count(*) AS n FROM gplans WHERE tool = :tool "
+            "ORDER BY n DESC LIMIT 1",
+            kw,
+        )
+        assert kept[0] == [(("n", 5),)]
+        assert kept[3] == [(("n", 0),)]  # empty set: one row, n=0
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_join_mode_grouped_tail(self, spark, kw):
+        tiers = spark.createDataFrame(
+            [("basic", 1), ("pro", 2)], "plan: string, tier: int"
+        )
+        facts = [("c0", 0, "t1"), ("c1", 1, "t2"), ("c3", 3, "t9")]
+        fact_df = spark.createDataFrame(facts, FACT)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "hit",
+                    "query": (
+                        "SELECT p.plan AS plan, sum(p.price * t.tier) "
+                        "AS wtot FROM gplans p JOIN tiers t "
+                        "ON p.plan = t.plan WHERE p.tool = :tool "
+                        "GROUP BY p.plan "
+                        "ORDER BY wtot DESC FETCH FIRST 1 ROWS ONLY"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }
+            ]
+        )
+        dims = {
+            "gplans": spark.createDataFrame(self.GPLAN_ROWS, self.GPLANS),
+            "tiers": tiers,
+        }
+        out = LookupEnricher(spec, dims, **kw).apply(fact_df)
+        got = {
+            r["turn_idx"]: (
+                None if r["hit"] is None
+                else [tuple(d.asDict().items()) for d in r["hit"]]
+            )
+            for r in out.collect()
+        }
+        # t1: basic 14*1=14, pro 6*2=12 (NULL plan drops in the join)
+        assert got[0] == [(("plan", "basic"), ("wtot", 14))]
+        assert got[1] == [(("plan", "pro"), ("wtot", 14))]
+        assert got[3] == []
+
+    def test_order_by_source_spelling_resolves_to_alias(self):
+        q = parse_lookup_query(
+            "SELECT plan AS p, count(*) AS n FROM gplans "
+            "GROUP BY plan ORDER BY plan DESC LIMIT 1"
+        )
+        assert q.order_by == (("p", False),)
+        qj = parse_lookup_query(
+            "SELECT g.plan AS p, count(*) AS n FROM gplans g "
+            "GROUP BY g.plan ORDER BY g.plan LIMIT 1"
+        )
+        assert qj.order_by == (("p", True),)
+
+    def test_order_by_expression_on_grouped_rejected(self):
+        # an aggregate spelled in ORDER BY is caught by the scalar
+        # expression layer (aggregates are whole projection items) ...
+        with pytest.raises(ValidationError, match="aggregate"):
+            parse_lookup_query(
+                "SELECT plan, sum(price) AS tot FROM gplans "
+                "GROUP BY plan ORDER BY sum(price) LIMIT 1"
+            )
+        # ... and a scalar expression over the grouped payload is
+        # directed to alias it in the SELECT list
+        with pytest.raises(ValidationError, match="alias the"):
+            parse_lookup_query(
+                "SELECT plan, sum(price) AS tot FROM gplans "
+                "GROUP BY plan ORDER BY plan || 'x' LIMIT 1"
+            )
+
+    def test_order_by_unselected_column_rejected(self):
+        with pytest.raises(ValidationError, match="not a selected"):
+            parse_lookup_query(
+                "SELECT plan, count(*) AS n FROM gplans "
+                "GROUP BY plan ORDER BY qty LIMIT 1"
+            )
+
+    def test_distinct_with_group_by_still_rejected(self):
+        with pytest.raises(ValidationError, match="DISTINCT"):
+            parse_lookup_query(
+                "SELECT DISTINCT plan FROM gplans GROUP BY plan"
+            )

@@ -570,6 +570,20 @@ FULLQ_TEMPLATES = [
     ("SELECT DISTINCT name AS name FROM servers WHERE ip LIKE :ip "
      "UNION ALL SELECT name AS name FROM servers WHERE ip = :ip",
      {"name": "dflt"}),
+    # round-5 latest: ORDER BY + FETCH/OFFSET over the GROUPED payload
+    # (Derby's top-N-per-key); the slice membership is order-dependent,
+    # so these validate the payload sort even though norm() re-sorts
+    ("SELECT name AS nm, count(*) AS n FROM servers WHERE ip <= :ip "
+     "GROUP BY name ORDER BY n DESC, nm FETCH FIRST 2 ROWS ONLY",
+     {"nm": "dflt", "n": -1}),
+    ("SELECT name AS nm, count(*) AS n FROM servers WHERE ip LIKE :ip "
+     "GROUP BY name ORDER BY nm OFFSET 1 ROWS",
+     {"nm": "dflt", "n": -1}),
+    # OFFSET past the ungrouped aggregate's single row empties the
+    # result set, so the default CAN fire on an aggregate lookup
+    ("SELECT count(*) AS c FROM servers WHERE ip = :ip "
+     "ORDER BY c OFFSET 1 ROWS",
+     {"c": -1}),
 ]
 
 
