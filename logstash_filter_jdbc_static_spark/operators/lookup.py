@@ -187,10 +187,14 @@ class _Term:
     kinds: ``param`` (bound placeholder), ``literal`` (Python literal),
     ``column`` (a dim column — possibly a synthetic ``__exprN`` computed
     column — so ``a = b + 1`` compares dim-side), ``subquery`` (a scalar
-    sub-select, resolved to a literal once per refresh snapshot)."""
+    sub-select, resolved to a literal once per refresh snapshot),
+    ``param_expr`` (round-5 latest: a scalar-expression AST over params
+    + literals ONLY — ``:lim * 2`` — compiled FACT-side per event by
+    substituting the bound event Columns)."""
 
-    kind: str  # 'param' | 'literal' | 'column' | 'subquery'
-    value: object  # placeholder name, Python literal, column name, or _Subquery
+    kind: str  # 'param' | 'literal' | 'column' | 'subquery' | 'param_expr'
+    value: object  # placeholder name, Python literal, column name,
+    #                _Subquery, or a sqlexpr AST (param_expr)
 
 
 @dataclass(frozen=True)
@@ -241,7 +245,16 @@ class _Predicate:
 
     @property
     def param_names(self) -> list[str]:
-        return [t.value for t in self.terms if t.kind == "param"]
+        out: list[str] = []
+        for t in self.terms:
+            if t.kind == "param":
+                if t.value not in out:
+                    out.append(t.value)
+            elif t.kind == "param_expr":
+                for n in sqlexpr.params_of(t.value):
+                    if n not in out:
+                        out.append(n)
+        return out
 
     # legacy single-operand accessors (index-coverage check, logging)
     @property
@@ -1701,35 +1714,54 @@ class _WhereParser:
 
     def _term(self) -> _Term:
         """One rhs operand: a ``:name``/``?`` placeholder, a literal, a
-        scalar subquery, or a dim-side column/expression. Non-param,
-        non-literal shapes are STATIC — evaluable against the dimension
-        alone — so ``a = b + 1`` rides dim-side on every physical path.
-        Params inside expressions stay rejected (``a = b + :k`` is not
-        a key any path can stage); bind the whole rhs instead."""
+        scalar subquery, a dim-side column/expression, or (round-5
+        latest) an expression over params+literals evaluated FACT-side
+        per event (``price > :lim * 2``). Non-param, non-literal shapes
+        are STATIC — evaluable against the dimension alone — so
+        ``a = b + 1`` rides dim-side on every physical path.
+        Expressions MIXING dim columns and params are rejected
+        (``a = b + :k`` is neither a dim constant nor a fact key any
+        path can stage)."""
         tok = self._peek()
         if tok is None:
             raise ValidationError(
                 ["unsupported lookup predicate: unexpected end of WHERE"]
             )
         kind, text = tok
-        if kind == "param":
-            self._next()
-            return _Term("param", text[1:])
-        if kind == "qmark":
-            self._next()
-            name = f"p{self.positional}"
-            self.positional += 1
-            return _Term("param", name)
+        if kind in ("param", "qmark"):
+            nxt = (
+                self.tokens[self.i + 1]
+                if self.i + 1 < len(self.tokens)
+                else None
+            )
+            if not (nxt and nxt[0] == "arith"):
+                # plain placeholder — the fast path every existing
+                # config takes (a trailing operator means the param is
+                # the FIRST leaf of an expression: fall through)
+                self._next()
+                if kind == "param":
+                    return _Term("param", text[1:])
+                name = f"p{self.positional}"
+                self.positional += 1
+                return _Term("param", name)
         if kind == "lparen":
             nxt = self.tokens[self.i + 1] if self.i + 1 < len(self.tokens) else None
             if nxt and nxt[0] == "word" and nxt[1].lower() == "select":
                 return self._subquery_term()
-        # Everything else is a scalar expression over dim columns and
-        # literals — the arithmetic grammar also lexes plain literals
-        # (signed numbers, concatenated strings), which fold back to
-        # literal terms below.
+        # Everything else is a scalar expression over dim columns,
+        # literals, and (round-5 latest) :name/? params — the
+        # arithmetic grammar also lexes plain literals (signed numbers,
+        # concatenated strings), which fold back to literal terms below.
+        def resolve_param(tkind: str, ttext: str) -> str:
+            if tkind == "param":
+                return ttext[1:]
+            name = f"p{self.positional}"
+            self.positional += 1
+            return name
+
         ep = sqlexpr.ExprParser(
-            self.tokens, self.i, resolve_col=self._strip_qualifier
+            self.tokens, self.i, resolve_col=self._strip_qualifier,
+            resolve_param=resolve_param,
         )
         try:
             ast = ep.parse()
@@ -1740,6 +1772,24 @@ class _WhereParser:
                  f"column/expression; {e.errors[0]})"]
             )
         self.i = ep.i
+        pnames = sqlexpr.params_of(ast)
+        if pnames:
+            # fact-side param expression: params + literals ONLY. A dim
+            # column in the same expression would be per-(dim row,
+            # event) work no snapshot-time plan can stage.
+            cols = sqlexpr.columns(ast)
+            if cols:
+                raise ValidationError(
+                    [f"unsupported lookup predicate rhs: expression mixes "
+                     f"dim column(s) {sorted(cols)} with parameter(s) "
+                     f"{pnames} — params evaluate fact-side, dim columns "
+                     f"dim-side; move the dim column to the left-hand "
+                     f"side (e.g. ``a - b > :k``) or pre-shape the dim "
+                     f"with a loader query"]
+                )
+            if isinstance(ast, sqlexpr.Param):
+                return _Term("param", ast.name)
+            return _Term("param_expr", ast)
         if isinstance(ast, sqlexpr.Lit):
             return _Term("literal", ast.value)
         if not sqlexpr.columns(ast):
@@ -4333,11 +4383,17 @@ class CompiledLookup:
     def _term_rhs(self, p: _Predicate, t: _Term, param_value) -> Column:
         """One rhs operand as a Column: literals inline (LIKE patterns
         compile to constant-folded regexes); params via
-        ``param_value(name)`` with the LIKE rewrite applied."""
+        ``param_value(name)`` — param EXPRESSIONS substitute the bound
+        Columns into the AST — with the LIKE rewrite applied."""
         if t.kind == "literal":
             lit = F.lit(t.value)
             return _like_regex(lit) if p.op in _LIKE_OPS else lit
-        v = param_value(t.value)
+        if t.kind == "param_expr":
+            v = sqlexpr.compile_expr(
+                sqlexpr.subst_params(t.value, param_value)
+            )
+        else:
+            v = param_value(t.value)
         return _like_regex(v) if p.op in _LIKE_OPS else v
 
     def _dnf_condition(self, lhs_for, rhs_for, indexed=None) -> Column:
@@ -4564,9 +4620,20 @@ class CompiledLookup:
         for i, p in enumerate(preds):
             if p.is_static:
                 continue
-            bp = params[p.param]
+            t0 = p.terms[0]
+            if t0.kind == "param_expr":
+                # fact-side param expression as the equi KEY (round-5
+                # latest: ``name = 'srv-' || :suffix``): the probe key
+                # column is the expression over the bound event Columns
+                val = sqlexpr.compile_expr(
+                    sqlexpr.subst_params(
+                        t0.value, lambda n: params[n].value
+                    )
+                )
+            else:
+                val = params[t0.value].value
             kc = f"__fk_{self.spec.id}_{i}"
-            with_keys = with_keys.withColumn(kc, bp.value)
+            with_keys = with_keys.withColumn(kc, val)
             conds.append(F.col(kc).eqNullSafe(grouped[f"__k{i}"]))
         cond = conds[0]
         for c in conds[1:]:
@@ -4871,6 +4938,23 @@ class CompiledLookup:
                 elif t.kind == "column":
                     col_terms.setdefault(f, {})[j] = t.value
                     rhs.append(None)
+                elif t.kind == "param_expr":
+                    # fact-side param expression: staged per occurrence
+                    # (cheap arithmetic over already-bound columns; the
+                    # dim-element re-eval trap the staging exists for
+                    # still cannot bite — it's a column, not a lambda
+                    # subtree)
+                    val = sqlexpr.compile_expr(
+                        sqlexpr.subst_params(
+                            t.value, lambda n: params[n].value
+                        )
+                    )
+                    if p.op in _LIKE_OPS:
+                        val = _like_regex(val)
+                    c = f"__pv_{sid}_pe_{f}_{j}"
+                    staged = staged.withColumn(c, val)
+                    tmp.append(c)
+                    rhs.append(F.col(c))
                 else:
                     key = (t.value, p.op in _LIKE_OPS)
                     c = stage_cache.get(key)
@@ -4967,15 +5051,28 @@ class CompiledLookup:
             )
         )
 
-        # LIKE predicates bound to a placeholder get their regex staged
-        # as a COLUMN on the tuple frame (once per distinct tuple) — an
-        # inline rewrite in the join condition would re-run per
-        # (tuple, dim) pair. Keyed by flat predicate index: the same
-        # placeholder may feed both a LIKE and an equality.
-        rx_specs: list[tuple[int, str]] = []
+        # LIKE predicates bound to a placeholder (or a param EXPRESSION)
+        # get their regex staged as a COLUMN on the tuple frame (once
+        # per distinct tuple) — an inline rewrite in the join condition
+        # would re-run per (tuple, dim) pair. Keyed by flat predicate
+        # index: the same placeholder may feed both a LIKE and an
+        # equality. Each spec carries a factory building the RAW
+        # pattern Column from the tuple's mk columns.
+        rx_specs: list[tuple[int, object]] = []
         for f, p in self._flat_indexed():
-            if p.op in _LIKE_OPS and p.terms and p.terms[0].kind == "param":
-                rx_specs.append((f, p.terms[0].value))
+            if p.op in _LIKE_OPS and p.terms:
+                t0 = p.terms[0]
+                if t0.kind == "param":
+                    rx_specs.append((f, lambda n=t0.value: F.col(mk[n])))
+                elif t0.kind == "param_expr":
+                    rx_specs.append((
+                        f,
+                        lambda a=t0.value: sqlexpr.compile_expr(
+                            sqlexpr.subst_params(
+                                a, lambda n: F.col(mk[n])
+                            )
+                        ),
+                    ))
 
         def rhs_for_probe(f: int, p: _Predicate) -> list[Column]:
             rhs: list[Column] = []
@@ -4991,6 +5088,17 @@ class CompiledLookup:
                     rhs.append(_like_regex(c) if p.op in _LIKE_OPS else c)
                 elif p.op in _LIKE_OPS:
                     rhs.append(F.col(f"__rx_{sid}_{f}"))
+                elif t.kind == "param_expr":
+                    # computed inline per (tuple, dim) pair: arithmetic
+                    # over the tuple's few mk columns, the same order of
+                    # work as the comparison itself
+                    rhs.append(
+                        sqlexpr.compile_expr(
+                            sqlexpr.subst_params(
+                                t.value, lambda n: F.col(mk[n])
+                            )
+                        )
+                    )
                 else:
                     rhs.append(F.col(mk[t.value]))
             return rhs
@@ -5098,8 +5206,8 @@ class CompiledLookup:
             tuples = tuples.select(
                 "*",
                 *[
-                    _like_regex(F.col(mk[pname])).alias(f"__rx_{sid}_{f}")
-                    for f, pname in rx_specs
+                    _like_regex(raw_pattern()).alias(f"__rx_{sid}_{f}")
+                    for f, raw_pattern in rx_specs
                 ],
             )
             probed = tuples.join(F.broadcast(dim), probe_cond, "left")

@@ -30,7 +30,10 @@ docs/index.asciidoc:455-458), searched ``CASE WHEN <cond> THEN <expr>
 (desugared to searched) where ``<cond>`` combines comparisons,
 ``IS [NOT] NULL``, ``[NOT] LIKE 'pat'``, ``[NOT] IN (items)`` and
 ``[NOT] BETWEEN lo AND hi`` with AND/OR/NOT. Parameters are rejected
-inside expressions — they belong to predicate right-hand sides.
+inside expressions by default — a caller that can evaluate them
+FACT-side (the predicate-RHS parser, round-5 latest) passes
+``resolve_param`` and gets :class:`Param` leaves back, substituted
+via :func:`subst_params` before compile/eval.
 """
 
 from __future__ import annotations
@@ -52,6 +55,19 @@ class Col:
 @dataclass(frozen=True)
 class Lit:
     value: object  # str | int | float
+
+
+@dataclass(frozen=True)
+class Param:
+    """A bound ``:name``/``?`` placeholder inside an expression
+    (round-5 latest). Only parsed when the caller supplies
+    ``resolve_param`` — predicate RHS expressions, which evaluate
+    FACT-side per event (``price > :lim * 2``). Substituted before
+    compile/eval via :func:`subst_params`: the compiled path swaps in
+    the bound event Column, the row oracle swaps in a ``Lit`` of the
+    event's value."""
+
+    name: str
 
 
 @dataclass(frozen=True)
@@ -262,7 +278,7 @@ def map_columns(ast, fn):
     is known."""
     if isinstance(ast, Col):
         return Col(fn(ast.name))
-    if isinstance(ast, Lit):
+    if isinstance(ast, (Lit, Param)):
         return ast
     if isinstance(ast, Bin):
         return Bin(ast.op, map_columns(ast.left, fn), map_columns(ast.right, fn))
@@ -306,11 +322,101 @@ def map_columns(ast, fn):
     raise TypeError(f"unknown expression node {ast!r}")
 
 
+def params_of(ast) -> list[str]:
+    """Every :class:`Param` name in the expression, first-use order,
+    deduplicated — drives binding validation and the map-probe's
+    distinct-tuple key order exactly like plain param terms."""
+    out: list[str] = []
+
+    def walk(node) -> None:
+        if isinstance(node, Param):
+            if node.name not in out:
+                out.append(node.name)
+            return
+        if isinstance(node, (Col, Lit)) or node is None:
+            return
+        if isinstance(node, (Bin, Cmp)):
+            walk(node.left), walk(node.right)
+        elif isinstance(node, (Neg, NotOp, Cast, NullTest, LikeTest)):
+            walk(node.operand)
+        elif isinstance(node, InList):
+            walk(node.operand)
+            for i in node.items:
+                walk(i)
+        elif isinstance(node, RangeTest):
+            walk(node.operand), walk(node.lo), walk(node.hi)
+        elif isinstance(node, Func):
+            for a in node.args:
+                walk(a)
+        elif isinstance(node, BoolOp):
+            for p in node.parts:
+                walk(p)
+        elif isinstance(node, Case):
+            for c, e in node.whens:
+                walk(c), walk(e)
+            walk(node.otherwise)
+        else:
+            raise TypeError(f"unknown expression node {node!r}")
+
+    walk(ast)
+    return out
+
+
+def subst_params(ast, fn):
+    """Rebuild the expression with every :class:`Param` replaced by
+    ``fn(name)`` — a pyspark ``Column`` (compiled path; compile_expr
+    passes raw Columns through) or a :class:`Lit` (row oracle)."""
+    if isinstance(ast, Param):
+        return fn(ast.name)
+    if isinstance(ast, (Col, Lit)):
+        return ast
+    if isinstance(ast, Bin):
+        return Bin(ast.op, subst_params(ast.left, fn), subst_params(ast.right, fn))
+    if isinstance(ast, Cmp):
+        return Cmp(ast.op, subst_params(ast.left, fn), subst_params(ast.right, fn))
+    if isinstance(ast, Neg):
+        return Neg(subst_params(ast.operand, fn))
+    if isinstance(ast, NotOp):
+        return NotOp(subst_params(ast.operand, fn))
+    if isinstance(ast, NullTest):
+        return NullTest(subst_params(ast.operand, fn), ast.negated)
+    if isinstance(ast, LikeTest):
+        return LikeTest(subst_params(ast.operand, fn), ast.pattern, ast.negated)
+    if isinstance(ast, InList):
+        return InList(
+            subst_params(ast.operand, fn),
+            tuple(subst_params(i, fn) for i in ast.items),
+            ast.negated,
+        )
+    if isinstance(ast, RangeTest):
+        return RangeTest(
+            subst_params(ast.operand, fn),
+            subst_params(ast.lo, fn),
+            subst_params(ast.hi, fn),
+            ast.negated,
+        )
+    if isinstance(ast, Func):
+        return Func(ast.name, tuple(subst_params(a, fn) for a in ast.args))
+    if isinstance(ast, Cast):
+        return Cast(subst_params(ast.operand, fn), ast.type_str)
+    if isinstance(ast, BoolOp):
+        return BoolOp(ast.op, tuple(subst_params(p, fn) for p in ast.parts))
+    if isinstance(ast, Case):
+        return Case(
+            tuple(
+                (subst_params(c, fn), subst_params(e, fn))
+                for c, e in ast.whens
+            ),
+            None if ast.otherwise is None else subst_params(ast.otherwise, fn),
+        )
+    raise TypeError(f"unknown expression node {ast!r}")
+
+
 def columns(ast) -> set[str]:
     """Every column name referenced by the expression."""
     if isinstance(ast, Col):
         return {ast.name}
-    if isinstance(ast, Lit):
+    if isinstance(ast, (Lit, Param)):
         return set()
     if isinstance(ast, (Bin, Cmp)):
         return columns(ast.left) | columns(ast.right)
@@ -358,14 +464,18 @@ class ExprParser:
     caller resumes with the predicate operator.
 
     ``resolve_col`` canonicalizes qualified names (the caller's
-    qualifier-strip rule); params/placeholders raise — expressions are
-    dim-static by contract.
+    qualifier-strip rule); params/placeholders raise unless the caller
+    passes ``resolve_param`` (a ``(token_kind, token_text) -> name``
+    callback — the predicate-RHS parser, which evaluates the resulting
+    :class:`Param` leaves fact-side and owns the ``?`` positional
+    counter). Everywhere else expressions stay dim-static by contract.
     """
 
-    def __init__(self, tokens, i=0, resolve_col=None):
+    def __init__(self, tokens, i=0, resolve_col=None, resolve_param=None):
         self.tokens = tokens
         self.i = i
         self.resolve_col = resolve_col or (lambda name: name)
+        self.resolve_param = resolve_param
 
     # -- cursor helpers
     def _peek(self):
@@ -453,11 +563,15 @@ class ExprParser:
         if kind == "string":
             return Lit(text[1:-1].replace("''", "'"))
         if kind in ("param", "qmark"):
-            raise ValidationError(
-                [f"unsupported lookup expression: parameter {text!r} inside "
-                 f"an expression (expressions are evaluated dim-side; bind "
-                 f"parameters on the predicate right-hand side)"]
-            )
+            if self.resolve_param is None:
+                raise ValidationError(
+                    [f"unsupported lookup expression: parameter {text!r} "
+                     f"inside an expression (expressions here are evaluated "
+                     f"dim-side; parameters may appear in predicate "
+                     f"right-hand-side expressions, which evaluate "
+                     f"fact-side)"]
+                )
+            return Param(self.resolve_param(kind, text))
         if kind == "lparen":
             node = self.parse()
             self._expect("rparen", "')'")
@@ -718,6 +832,15 @@ def compile_expr(ast) -> Column:
     Division follows Spark/DuckDB float-division semantics (Derby
     truncates int/int — documented divergence in the COVERAGE.md
     contract)."""
+    if isinstance(ast, Column):
+        # a pre-substituted Param operand (subst_params with a bound
+        # event Column) — already compiled, pass through
+        return ast
+    if isinstance(ast, Param):
+        raise TypeError(
+            f"unresolved parameter :{ast.name} at compile — callers "
+            f"substitute bound Columns via subst_params first"
+        )
     if isinstance(ast, Col):
         return F.col(ast.name)
     if isinstance(ast, Lit):
@@ -815,6 +938,11 @@ def eval_expr(ast, row: dict):
     """Row-at-a-time evaluation with SQL NULL semantics, for the
     property-test oracle (oracle.py pre-materializes computed columns
     on its dict rows with this)."""
+    if isinstance(ast, Param):
+        raise TypeError(
+            f"unresolved parameter :{ast.name} at eval — callers "
+            f"substitute Lit(bound value) via subst_params first"
+        )
     if isinstance(ast, Col):
         return row.get(ast.name)
     if isinstance(ast, Lit):

@@ -20,7 +20,11 @@ from logstash_filter_jdbc_static_spark.operators.lookup import (
     split_union_tail,
     strip_outer_parens,
 )
-from logstash_filter_jdbc_static_spark.operators.sqlexpr import eval_expr
+from logstash_filter_jdbc_static_spark.operators.sqlexpr import (
+    Lit,
+    eval_expr,
+    subst_params,
+)
 from logstash_filter_jdbc_static_spark.spec import (
     LookupSpec,
     PipelineSpec,
@@ -122,6 +126,15 @@ def _pred_match(p, row: dict, params: dict) -> bool:
             # static dim-side comparand (a = b + 1) / HAVING alias rhs:
             # read the other field off the same row
             vals.append(row.get(t.value))
+        elif t.kind == "param_expr":
+            # fact-side param expression (round-5 latest): substitute
+            # the event's bound values, then evaluate — the mirror of
+            # the compiled subst_params(-> bound Column) path
+            vals.append(
+                eval_expr(
+                    subst_params(t.value, lambda n: Lit(params[n])), {}
+                )
+            )
         else:
             vals.append(t.value)
     if p.op in ("in", "not in") and not vals:

@@ -232,6 +232,12 @@ _merge(
     [
         ("lookup_map_field_param", [("server_name", "server_name")]),
         ("lookup_int_ts_param", [("ts_hour", "ts_hour"), ("shift", "shift")]),
+        # round-5 latest widening: expressions over params + literals
+        # on the predicate rhs (equi key, arithmetic comparand,
+        # computed LIKE pattern), compiled fact-side per event
+        ("lookup_param_expr",
+         [("n_pe", "pe_n"), ("pe_rows", "pe_rows"),
+          ("n_pl", "pl_n"), ("pl_rows", "pl_rows")]),
     ],
 )
 

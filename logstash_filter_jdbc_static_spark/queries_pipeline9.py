@@ -24,7 +24,7 @@ driver registry stays at 50 entries.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
 from logstash_filter_jdbc_static_spark.queries import register
@@ -1769,4 +1769,123 @@ def lookup_grouped_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows("g1", "tot").alias("gt_rows"),
         F.size("g2").cast("long").alias("n_go"),
         rows("g2", "n").alias("go_rows"),
+    )
+
+
+CAP_ROWS = (
+    [(f"k-tool_{i}-a", 10 + i) for i in range(6)]
+    + [(f"k-tool_{i}-b", 40 + i) for i in range(6)]
+    + [("x-tool_0-a", 99)]  # decoy: prefix mismatch on every probe
+)
+CAP_SCHEMA = T.StructType(
+    [
+        T.StructField("tkey", T.StringType(), False),
+        T.StructField("cap", T.IntegerType(), False),
+    ]
+)
+_CAPS_CTE = values_cte(
+    "tool_caps", CAP_ROWS, ["tkey", "cap"], casts={"cap": "INTEGER"}
+)
+
+
+@register(
+    "lookup_param_expr",
+    with_ctes(
+        _CAPS_CTE,
+        TRANSCRIPTS_CTE,
+        # each lookup aggregates SEPARATELY before the final join —
+        # two LEFT JOINs in one aggregate would cross-multiply their
+        # match sets (the oracle fan-out trap)
+        """
+        ma AS (
+          SELECT t.conv_id, t.turn_idx, t.tool,
+                 CAST(count(a.cap) AS BIGINT) AS n_pe,
+                 coalesce(
+                   array_to_string(
+                     list(CAST(a.cap AS VARCHAR) ORDER BY a.cap), ','),
+                   '') AS pe_rows
+          FROM transcripts t
+          LEFT JOIN tool_caps a
+            ON a.tkey = 'k-' || t.tool || '-a'
+           AND a.cap > t.turn_idx * 2 - 20
+          GROUP BY 1, 2, 3
+        )
+        """,
+        """
+        ml AS (
+          SELECT t.conv_id, t.turn_idx,
+                 CAST(count(l.cap) AS BIGINT) AS n_pl,
+                 coalesce(
+                   array_to_string(
+                     list(CAST(l.cap AS VARCHAR) ORDER BY l.cap), ','),
+                   '') AS pl_rows
+          FROM transcripts t
+          LEFT JOIN tool_caps l
+            ON l.tkey LIKE 'k-' || t.tool || '-%'
+          GROUP BY 1, 2
+        )
+        """,
+        body="""
+        SELECT ma.conv_id, ma.turn_idx, ma.tool,
+               ma.n_pe, ma.pe_rows, ml.n_pl, ml.pl_rows
+        FROM ma
+        JOIN ml ON ml.conv_id = ma.conv_id AND ml.turn_idx = ma.turn_idx
+        """,
+    ),
+)
+def lookup_param_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: expressions over ``:name`` params +
+    literals on the predicate RIGHT-hand side — as the equi KEY
+    (``tkey = 'k-' || :tool || '-a'``), as an arithmetic comparand
+    (``cap > :ti * 2 - 20``), and as a computed LIKE pattern. Derby
+    binds and evaluates these per event (lookup.rb:131-147; prepared-
+    statement legality pinned in test_jdbc_derby.py); Spark-first the
+    bound event Columns substitute into the expression AST
+    (sqlexpr.subst_params) so the expression compiles FACT-side and
+    each physical path keeps its plan — the concat key stays a single
+    broadcast-hash probe (tests/test_lookup_rhs.py::
+    TestParamExpressions::test_equi_key_plan_stays_broadcast_hash)."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "pe",
+                "query": (
+                    "SELECT cap FROM tool_caps "
+                    "WHERE tkey = 'k-' || :tool || '-a' "
+                    "AND cap > :ti * 2 - 20"
+                ),
+                "parameters": {"tool": "tool", "ti": "turn_idx"},
+            },
+            {
+                "id": "pl",
+                "query": (
+                    "SELECT cap FROM tool_caps "
+                    "WHERE tkey LIKE 'k-' || :tool || '-%'"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_caps": spark.createDataFrame(CAP_ROWS, CAP_SCHEMA)}
+    )
+    out = enricher.apply(t)
+
+    def rows(col):
+        return F.array_join(
+            F.transform(
+                F.col(col), lambda r: r.getField("cap").cast("string")
+            ),
+            ",",
+        )
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("pe").cast("long").alias("n_pe"),
+        rows("pe").alias("pe_rows"),
+        F.size("pl").cast("long").alias("n_pl"),
+        rows("pl").alias("pl_rows"),
     )

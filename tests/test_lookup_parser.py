@@ -1181,9 +1181,8 @@ class TestGroupByParser:
         [
             # projected non-key, non-aggregated column
             "SELECT ip, num FROM hosts GROUP BY ip",
-            # no result shaping on top of GROUP BY
-            "SELECT ip, count(*) AS n FROM hosts GROUP BY ip ORDER BY ip",
-            "SELECT ip, count(*) AS n FROM hosts GROUP BY ip LIMIT 2",
+            # (GROUP BY + ORDER BY/LIMIT is accepted since the
+            # round-5 grouped-tail widening — TestGroupedTail)
             # SELECT * cannot be grouped
             "SELECT * FROM hosts GROUP BY ip",
             # GROUP not followed by BY
@@ -1478,11 +1477,17 @@ class TestHavingReviewRegressions:
         assert (p.dim_column, p.literal) == ("cat", "count(*)")
 
     def test_having_then_order_names_the_right_clause(self):
-        with pytest.raises(ValidationError, match="ORDER BY"):
-            parse_lookup_query(
-                "SELECT cat, count(*) AS n FROM hosts WHERE tool = :t "
-                "GROUP BY cat HAVING count(*) > 1 ORDER BY cat"
-            )
+        # round-5 latest: this shape is ACCEPTED (grouped top-N tail);
+        # the regression guarded here is clause ROUTING — the ORDER BY
+        # after HAVING must land in the tail (resolved to the projected
+        # group key) with the HAVING filter intact, not be swallowed
+        # into the HAVING comparand
+        q = parse_lookup_query(
+            "SELECT cat, count(*) AS n FROM hosts WHERE tool = :t "
+            "GROUP BY cat HAVING count(*) > 1 ORDER BY cat"
+        )
+        assert q.order_by == (("cat", True),)
+        assert q.having and q.group_by == ("cat",)
 
     def test_having_param_not_in_probe_tuple(self, spark):
         """A HAVING-only :param must not widen the map-probe's distinct

@@ -99,11 +99,15 @@ class TestParseColumnRhs:
         ).disjuncts[0]
         assert [t.kind for t in p.terms] == ["column", "literal", "param"]
 
-    def test_param_inside_expression_rejected(self):
-        with pytest.raises(ValidationError, match="trailing tokens"):
-            parse_lookup_query(
-                "SELECT tool FROM plans WHERE price = :k + 1"
-            )
+    def test_param_expression_rhs_accepted(self):
+        # round-5 latest: params + literals on the rhs compile
+        # fact-side (TestParamExpressions covers execution; expressions
+        # MIXING dim columns with params stay rejected there)
+        (p,) = parse_lookup_query(
+            "SELECT tool FROM plans WHERE price = :k + 1"
+        ).disjuncts[0]
+        assert p.terms[0].kind == "param_expr"
+        assert p.param_names == ["k"]
 
     def test_pure_equi_preserved_with_static_column_pred(self):
         q = parse_lookup_query(
@@ -1093,3 +1097,214 @@ class TestGroupedTail:
             parse_lookup_query(
                 "SELECT DISTINCT plan FROM gplans GROUP BY plan"
             )
+
+
+class TestParamExpressions:
+    """Round-5 latest: expressions over :name/? params + literals on
+    the predicate RIGHT-hand side (``price > :lim * 2``,
+    ``name LIKE 'srv-' || :suffix || '%'``). Derby binds and evaluates
+    these per event (lookup.rb:131-147; legality re-proven via prepared
+    statements in test_jdbc_derby.py); Spark-first they compile to
+    FACT-side Columns — the bound event Columns substituted into the
+    expression AST — so every physical path keeps its plan shape, and
+    a param-expression equality even works as the broadcast-hash equi
+    KEY. Expressions MIXING dim columns with params stay rejected
+    (neither a dim constant nor a fact key any path can stage)."""
+
+    PDIM = T.StructType(
+        [
+            T.StructField("tool", T.StringType(), False),
+            T.StructField("price", T.IntegerType(), False),
+            T.StructField("name", T.StringType(), False),
+        ]
+    )
+    PDIM_ROWS = [
+        ("t1", 10, "srv-a"),
+        ("t1", 4, "srv-b"),
+        ("t2", 7, "box-a"),
+        ("t2", 20, "srv-c"),
+        ("t3", 2, "srv-a1"),
+    ]
+    PFACT = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("lim", T.IntegerType(), True),
+            T.StructField("suffix", T.StringType(), True),
+        ]
+    )
+    PFACTS = [
+        ("c0", 0, "t1", 3, "a"),
+        ("c1", 1, "t2", 9, "c"),
+        ("c2", 2, "t3", 1, "z"),
+        ("c3", 3, "t1", None, "b"),   # NULL numeric param
+        ("c4", 4, None, 3, "a"),      # NULL string param
+    ]
+
+    def _apply(self, spark, query, kw, binds=None, prepared=None):
+        lk: dict = {"id": "x", "query": query}
+        if prepared is not None:
+            lk["prepared_parameters"] = prepared
+        else:
+            lk["parameters"] = binds or {
+                "tool": "tool", "lim": "lim", "suffix": "suffix"
+            }
+        spec = PipelineSpec(lookups=[lk])
+        out = LookupEnricher(
+            spec,
+            {"dim": spark.createDataFrame(self.PDIM_ROWS, self.PDIM)},
+            **kw,
+        ).apply(spark.createDataFrame(self.PFACTS, self.PFACT))
+        return {
+            r["turn_idx"]: (
+                None
+                if r["x"] is None
+                else sorted(tuple(d.asDict().items()) for d in r["x"])
+            )
+            for r in out.collect()
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_arith_rhs_inequality(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool "
+            "AND price > :lim * 2",
+            kw,
+        )
+        assert got[0] == [(("price", 10),)]          # 10 > 6, 4 is not
+        assert got[1] == [(("price", 20),)]          # 20 > 18, 7 is not
+        # t3 lim=1 -> price > 2: dim t3 has price 2 only -> []
+        assert got[2] == []
+        assert got[3] is None                        # NULL param -> invalid
+        assert got[4] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_param_expr_as_equi_key(self, spark, kw):
+        # only the used param is declared: EVERY declared parameter
+        # must bind (reference semantics — lookup.rb fails the event
+        # when any declared parameter is nil), so c3's NULL lim would
+        # otherwise invalidate a row this query never reads lim for
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE name = 'srv-' || :suffix",
+            kw,
+            binds={"suffix": "suffix"},
+        )
+        assert got[0] == [(("price", 10),)]          # srv-a
+        assert got[1] == [(("price", 20),)]          # srv-c
+        assert got[2] == []                          # srv-z: miss
+        assert got[3] == [(("price", 4),)]           # srv-b
+        assert got[4] == [(("price", 10),)]          # suffix 'a' again
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_between_param_expr_bounds(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT name FROM dim WHERE tool = :tool "
+            "AND price BETWEEN :lim - 2 AND :lim + 5",
+            kw,
+        )
+        assert got[0] == [(("name", "srv-b"),)]      # 1..8 hits 4
+        assert got[1] == [(("name", "box-a"),)]      # 7..14 hits 7
+        assert got[2] == [(("name", "srv-a1"),)]     # -1..6 hits 2
+        assert got[3] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_like_computed_pattern(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim "
+            "WHERE name LIKE 'srv-' || :suffix || '%'",
+            kw,
+        )
+        assert got[0] == [(("price", 2),), (("price", 10),)]  # srv-a, srv-a1
+        assert got[1] == [(("price", 20),)]
+        assert got[2] == []
+        assert got[4] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_in_list_param_exprs(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT name FROM dim WHERE price IN (:lim * 2, :lim + 1, 20)",
+            kw,
+        )
+        # lim=3 -> {6, 4, 20}: srv-b(4), srv-c(20)
+        assert got[0] == [(("name", "srv-b"),), (("name", "srv-c"),)]
+        # lim=9 -> {18, 10, 20}: srv-a(10), srv-c(20)
+        assert got[1] == [(("name", "srv-a"),), (("name", "srv-c"),)]
+        assert got[3] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_prepared_positional_in_expression(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = ? AND price > ? * 2",
+            kw,
+            prepared=["tool", "lim"],
+        )
+        assert got[0] == [(("price", 10),)]
+        assert got[1] == [(("price", 20),)]
+        assert got[3] is None
+
+    def test_parse_kinds_and_positional_order(self):
+        q = parse_lookup_query(
+            "SELECT price FROM dim WHERE tool = ? AND price > ? * 2 + ?"
+        )
+        p_eq, p_gt = q.disjuncts[0]
+        assert p_eq.terms[0].kind == "param"
+        assert p_eq.terms[0].value == "p0"
+        assert p_gt.terms[0].kind == "param_expr"
+        assert p_gt.param_names == ["p1", "p2"]
+
+    def test_mixed_dim_and_param_rejected(self):
+        with pytest.raises(ValidationError, match="mixes"):
+            parse_lookup_query(
+                "SELECT price FROM dim WHERE price = qty + :k"
+            )
+
+    def test_param_expr_inside_subquery_rejected(self):
+        with pytest.raises(ValidationError, match="parameter"):
+            parse_lookup_query(
+                "SELECT price FROM dim WHERE price > "
+                "(SELECT avg(price) FROM dim WHERE price > :k * 2)"
+            )
+
+    def test_param_in_lhs_expression_rejected(self):
+        with pytest.raises(ValidationError):
+            parse_lookup_query(
+                "SELECT price FROM dim WHERE price + :k > 10"
+            )
+
+    def test_equi_key_plan_stays_broadcast_hash(self, spark):
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "x",
+                    "query": (
+                        "SELECT price FROM dim "
+                        "WHERE name = 'srv-' || :suffix"
+                    ),
+                    "parameters": {"suffix": "suffix"},
+                }
+            ]
+        )
+        out = LookupEnricher(
+            spec,
+            {"dim": spark.createDataFrame(self.PDIM_ROWS, self.PDIM)},
+        ).apply(spark.createDataFrame(self.PFACTS, self.PFACT))
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        # the FACT side must not shuffle: any non-broadcast Exchange is
+        # the snapshot-time dim-side groupBy, carrying only dim/key
+        # columns — never a fact column
+        import re as _re
+
+        sigs = _re.findall(
+            r"(?<!Broadcast)Exchange hashpartitioning\(([^)]*)\)", plan
+        )
+        for sig in sigs:
+            for fact_col in ("conv_id", "turn_idx", "lim", "suffix"):
+                assert fact_col not in sig, (sig, plan)

@@ -159,6 +159,14 @@ WIDE_TEMPLATES = [
     "WHERE s2.name = servers.name) AND ip = :ip",
     "ip <> ALL (SELECT s2.ip FROM servers s2 "
     "WHERE s2.name = servers.name AND s2.ip < 'k3') OR ip = :ip",
+    # round-5 latest: param EXPRESSIONS on the predicate rhs — over
+    # params + literals only, compiled fact-side per event (incl. as
+    # the equi KEY, as a computed LIKE pattern, and in IN/BETWEEN)
+    "ip = :ip || ''",
+    "name LIKE :ip || '%' OR ip = :ip",
+    "ip BETWEEN substr(:ip, 1, 1) AND :ip || 'z'",
+    "ip IN (:ip || '', upper(:ip))",
+    "ip >= lower(:ip) AND ip = :ip",
 ]
 
 
