@@ -4517,44 +4517,8 @@ class CompiledLookup:
         # Outcome logic (lookup.rb:83-104): invalid => failed, target
         # untouched; valid+empty+default => default payload + default tag;
         # valid otherwise => payload ([] when empty, no default).
-        raw = F.col("__raw_payload")
-        if self.query.having:
-            # HAVING filters the aggregated group rows; a NULL payload
-            # (equi key miss) stays NULL through F.filter, preserving
-            # miss semantics, and an emptied payload takes the normal
-            # empty branch (Derby returns zero rows -> default can fire)
-            raw = F.filter(raw, self._having_element_condition(params))
-        grouped_tail = (
-            (self.query.group_by or self.query.aggregates)
-            and (
-                self.query.order_by
-                or self.query.limit is not None
-                or self.query.offset is not None
-            )
-        )
-        if grouped_tail:
-            # grouped/aggregate ORDER BY + LIMIT/OFFSET (round-5 latest,
-            # Derby's top-N-per-key): sort the aggregated payload rows
-            # by their ALIAS fields under the Derby result-order
-            # contract, then slice — SQL clause order (after HAVING).
-            # A NULL payload (equi key miss) passes through array_sort/
-            # slice as NULL, preserving miss semantics; an ungrouped
-            # aggregate substitutes its empty-set row FIRST so OFFSET
-            # can empty it (Derby then returns zero rows -> default)
-            if self.query.aggregates and not self.query.group_by:
-                raw = F.when(raw.isNull(), self._empty_agg_array()).otherwise(
-                    raw
-                )
-            if self.query.order_by:
-                keys = list(self.query.order_by) + [
-                    (f.name, True) for f in self._payload_struct.fields
-                ]
-                raw = F.array_sort(raw, self._order_comparator(keys))
-            start = (self.query.offset or 0) + 1
-            if self.query.limit is not None:
-                raw = F.slice(raw, start, self.query.limit)
-            elif start > 1:
-                raw = F.slice(raw, start, F.size(raw))
+        raw = self._shape_raw(F.col("__raw_payload"), params)
+        grouped_tail = self._grouped_tail
         if self.query.aggregates and not self.query.group_by and not grouped_tail:
             # an aggregate query always returns exactly ONE row (SQL
             # aggregates over an empty set still produce a row), so the
@@ -4589,6 +4553,57 @@ class CompiledLookup:
             .withColumn(ok_col, valid)
             .drop("__raw_payload")
         )
+
+    @property
+    def _grouped_tail(self) -> bool:
+        """ORDER BY / LIMIT / OFFSET over a grouped or aggregate
+        payload — shaped post-stage (``_shape_raw``), unlike plain-row
+        tails which assemble inside the payload stage."""
+        return bool(
+            (self.query.group_by or self.query.aggregates)
+            and (
+                self.query.order_by
+                or self.query.limit is not None
+                or self.query.offset is not None
+            )
+        )
+
+    def _shape_raw(
+        self, raw: Column, params: dict[str, BoundParam]
+    ) -> Column:
+        """Post-stage payload shaping shared by the single-query
+        ``apply()`` and each UNION branch: the HAVING filter, then the
+        grouped/aggregate ORDER BY + LIMIT/OFFSET tail."""
+        if self.query.having:
+            # HAVING filters the aggregated group rows; a NULL payload
+            # (equi key miss) stays NULL through F.filter, preserving
+            # miss semantics, and an emptied payload takes the normal
+            # empty branch (Derby returns zero rows -> default can fire)
+            raw = F.filter(raw, self._having_element_condition(params))
+        if self._grouped_tail:
+            # grouped/aggregate ORDER BY + LIMIT/OFFSET (round-5 latest,
+            # Derby's top-N-per-key): sort the aggregated payload rows
+            # by their ALIAS fields under the Derby result-order
+            # contract, then slice — SQL clause order (after HAVING).
+            # A NULL payload (equi key miss) passes through array_sort/
+            # slice as NULL, preserving miss semantics; an ungrouped
+            # aggregate substitutes its empty-set row FIRST so OFFSET
+            # can empty it (Derby then returns zero rows -> default)
+            if self.query.aggregates and not self.query.group_by:
+                raw = F.when(raw.isNull(), self._empty_agg_array()).otherwise(
+                    raw
+                )
+            if self.query.order_by:
+                keys = list(self.query.order_by) + [
+                    (f.name, True) for f in self._payload_struct.fields
+                ]
+                raw = F.array_sort(raw, self._order_comparator(keys))
+            start = (self.query.offset or 0) + 1
+            if self.query.limit is not None:
+                raw = F.slice(raw, start, self.query.limit)
+            elif start > 1:
+                raw = F.slice(raw, start, F.size(raw))
+        return raw
 
     def _payload_stage(
         self, fact: DataFrame, params: dict[str, BoundParam]
@@ -5336,7 +5351,9 @@ class CompiledUnionLookup:
         aliases0: list[str] | None = None
         for bi, text in enumerate(texts):
             label = f"lookup '{spec.id}' UNION branch {bi + 1}"
-            parsed = parse_lookup_query(strip_outer_parens(text))
+            stripped = strip_outer_parens(text)
+            parenthesized = stripped != text.strip()
+            parsed = parse_lookup_query(stripped)
             if parsed.projection is None:
                 raise ValidationError(
                     [f"{label}: SELECT * is not supported in UNION "
@@ -5345,14 +5362,20 @@ class CompiledUnionLookup:
             if (
                 parsed.order_by or parsed.limit is not None
                 or parsed.offset is not None
-            ):
-                # Derby itself rejects ORDER BY/FETCH inside a branch —
-                # a trailing tail after the LAST branch shapes the
-                # whole union (split_union_tail above)
+            ) and not parenthesized:
+                # Derby rejects a bare ORDER BY/FETCH inside a branch —
+                # an unparenthesized trailing tail after the LAST
+                # branch shapes the whole union (split_union_tail
+                # above). A PARENTHESIZED branch, round-5 latest, may
+                # carry its own tail (Derby-legal — pinned natively in
+                # test_jdbc_derby.py): the branch's ordered top-N is
+                # shaped before the set operation combines payloads.
                 raise ValidationError(
                     [f"{label}: ORDER BY/LIMIT/OFFSET inside a UNION "
-                     f"branch is not valid SQL — put the tail after "
-                     f"the last branch (it applies to the whole union)"]
+                     f"branch needs the branch parenthesized — "
+                     f"(SELECT ... ORDER BY ... FETCH ...) UNION ...; "
+                     f"an unparenthesized trailing tail applies to "
+                     f"the whole union"]
                 )
             if parsed.select_interleaved:
                 raise ValidationError(
@@ -5494,20 +5517,24 @@ class CompiledUnionLookup:
             # branches share spec bindings, so one bound-param set
             # drives every branch's physical path
             cur = b._payload_stage(cur, params)
-            if b.query.having or (
-                b.query.aggregates and not b.query.group_by
+            if (
+                b.query.having
+                or b._grouped_tail
+                or (b.query.aggregates and not b.query.group_by)
             ):
-                # the single-query apply() shaping, per branch: HAVING
-                # filters the aggregated group rows; a no-GROUP-BY
+                # the single-query apply() shaping, per branch: the
+                # HAVING filter + the grouped/aggregate branch tail
+                # (_shape_raw — a parenthesized branch may carry its
+                # own ORDER BY/FETCH, round-5 latest); a no-GROUP-BY
                 # aggregate branch always yields exactly one row (SQL
                 # aggregates over an empty set still return a row), so
                 # an equi-path key miss substitutes the empty-set row
-                raw = F.col("__raw_payload")
-                if b.query.having:
-                    raw = F.filter(
-                        raw, b._having_element_condition(params)
-                    )
-                if b.query.aggregates and not b.query.group_by:
+                raw = b._shape_raw(F.col("__raw_payload"), params)
+                if (
+                    b.query.aggregates
+                    and not b.query.group_by
+                    and not b._grouped_tail
+                ):
                     raw = (
                         F.when(raw.isNull(), b._empty_agg_array())
                         .otherwise(raw)

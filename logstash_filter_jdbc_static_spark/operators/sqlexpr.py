@@ -239,6 +239,25 @@ _FUNC_ALIASES: dict[str, tuple[str, tuple[int, ...]]] = {
     "locate": ("instr", (1, 0)),  # LOCATE(sub, s) == INSTR(s, sub)
 }
 
+# Derby's conversion FUNCTIONS (Derby ref manual: DATE, TIMESTAMP,
+# INTEGER, BIGINT, SMALLINT, DOUBLE, VARCHAR) — function-spelled CASTs,
+# desugared to Cast nodes at parse (round-5 latest; legality pinned
+# natively in test_jdbc_derby.py). Accepted as a slight superset:
+# Derby's per-function argument-type matrix (e.g. VARCHAR only takes
+# character operands) is not re-validated — the CAST semantics apply.
+# CHAR() is NOT mapped: Derby right-pads it to a fixed width, which a
+# plain string cast cannot mirror (use CAST(x AS CHAR(n)) explicitly).
+_CONVERSION_FUNCS: dict[str, str] = {
+    "date": "date",
+    "timestamp": "timestamp",
+    "integer": "int",
+    "int": "int",
+    "bigint": "bigint",
+    "smallint": "smallint",
+    "double": "double",
+    "varchar": "varchar",
+}
+
 # CAST targets: the Derby type surface local DDL already accepts,
 # minus binary/lob (no sensible text-protocol literal to cast from).
 _CAST_BASES = frozenset(
@@ -590,10 +609,19 @@ class ExprParser:
                          f"inside a scalar expression (aggregates appear as "
                          f"whole projection items: {w}(col) AS alias)"]
                     )
+                if w in _CONVERSION_FUNCS:
+                    # Derby conversion function: a function-spelled CAST
+                    self._next()  # (
+                    arg = self.parse()
+                    self._expect("rparen", "')'")
+                    return Cast(arg, _CONVERSION_FUNCS[w])
                 if w not in _FUNCS:
                     raise ValidationError(
                         [f"unsupported lookup expression: unknown function "
-                         f"{text!r} (supported: {', '.join(sorted(_FUNCS))})"]
+                         f"{text!r} (supported: "
+                         f"{', '.join(sorted(_FUNCS))}, and the Derby "
+                         f"conversion functions "
+                         f"{', '.join(sorted(_CONVERSION_FUNCS))})"]
                     )
                 self._next()  # (
                 args = [self.parse()]

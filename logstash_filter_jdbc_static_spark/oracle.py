@@ -266,6 +266,35 @@ def _payload_cmp(order_by):
     return cmp
 
 
+def _matched_cmp(order_by):
+    """Comparator over (dim row, projected row) pairs for plain-row
+    ORDER BY: keys read off the DIM row (ORDER BY columns need not be
+    projected), Derby result-order semantics (NULL largest),
+    full-projected-payload tiebreak — the mirror of the compiled
+    ``_order_comparator``."""
+
+    def cmp(a, b):
+        for col, asc in order_by:
+            ka, kb = a[0].get(col), b[0].get(col)
+            if ka is None and kb is None:
+                c = 0
+            elif ka is None:
+                c = 1
+            elif kb is None:
+                c = -1
+            else:
+                c = -1 if ka < kb else (1 if ka > kb else 0)
+            if not asc:
+                c = -c
+            if c:
+                return c
+        ta = [(v is None, v) for v in a[1].values()]
+        tb = [(v is None, v) for v in b[1].values()]
+        return -1 if ta < tb else (1 if ta > tb else 0)
+
+    return cmp
+
+
 def _slice_rows(rows: list[dict], q) -> list[dict]:
     """OFFSET/LIMIT slice of already-ordered payload rows (SQL clause
     order: after HAVING and ORDER BY)."""
@@ -929,13 +958,41 @@ def _run_union(
                 branch_table,
             )
         matched = _match_rows(q, branch_table, params)
+        # a PARENTHESIZED branch may carry its own ORDER BY/LIMIT/
+        # OFFSET tail (round-5 latest; Derby-legal): the branch's
+        # ordered top-N shapes BEFORE the set operation combines rows
+        btail = (
+            q.order_by or q.limit is not None or q.offset is not None
+        )
         if q.group_by:
             rows_b = _group_rows(q, matched, params)
+            if btail:
+                if q.order_by:
+                    rows_b.sort(
+                        key=functools.cmp_to_key(_payload_cmp(q.order_by))
+                    )
+                else:
+                    rows_b.sort(key=_payload_sort_key)
+                rows_b = _slice_rows(rows_b, q)
         elif q.aggregates:
             # one row even over an empty match set, exactly SQL
             rows_b = [_agg_over_rows(q.aggregates, [r for r, _ in matched])]
+            if btail:
+                rows_b = _slice_rows(rows_b, q)
         else:
-            rows_b = [proj for _, proj in matched]
+            if q.order_by:
+                matched.sort(
+                    key=functools.cmp_to_key(_matched_cmp(q.order_by))
+                )
+                rows_b = [proj for _, proj in matched]
+            elif btail:
+                # tail without ORDER BY: slice over the deterministic
+                # default-contract order (mirrors _assemble_payload)
+                rows_b = sorted(
+                    (proj for _, proj in matched), key=_payload_sort_key
+                )
+            else:
+                rows_b = [proj for _, proj in matched]
             if q.distinct:
                 seen_b: set = set()
                 uniq_b = []
@@ -945,6 +1002,8 @@ def _run_union(
                         seen_b.add(kb)
                         uniq_b.append(r)
                 rows_b = uniq_b
+            if btail:
+                rows_b = _slice_rows(rows_b, q)
         branch_rows.append(rows_b)
 
     def _key(r: dict) -> tuple:
@@ -1075,26 +1134,7 @@ def run_lookup(
     if q.order_by:
         # ORDER BY under Derby result-order semantics (NULL largest),
         # full-payload tiebreak — the mirror of _order_comparator
-        def cmp(a, b):
-            for col, asc in q.order_by:
-                ka, kb = a[0].get(col), b[0].get(col)
-                if ka is None and kb is None:
-                    c = 0
-                elif ka is None:
-                    c = 1
-                elif kb is None:
-                    c = -1
-                else:
-                    c = -1 if ka < kb else (1 if ka > kb else 0)
-                if not asc:
-                    c = -c
-                if c:
-                    return c
-            ta = [(v is None, v) for v in a[1].values()]
-            tb = [(v is None, v) for v in b[1].values()]
-            return -1 if ta < tb else (1 if ta > tb else 0)
-
-        matched.sort(key=functools.cmp_to_key(cmp))
+        matched.sort(key=functools.cmp_to_key(_matched_cmp(q.order_by)))
         rows = [proj for _, proj in matched]
     else:
         # deterministic ordering to mirror sort_array(collect_list(...)),

@@ -224,6 +224,10 @@ _merge(
         # (<op> ALL / ANY / SOME (SELECT ...), correlated and not)
         ("lookup_quantified",
          [("n_qf", "qf_n"), ("qf_rows", "qf_rows")]),
+        # round-5 latest widening: parenthesized set-op branches with
+        # their own ORDER BY/FETCH/OFFSET tails (order-sensitive rows)
+        ("lookup_branch_tail",
+         [("n_bt", "bt_n"), ("bt_rows", "bt_rows")]),
     ],
 )
 

@@ -1889,3 +1889,116 @@ def lookup_param_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("pl").cast("long").alias("n_pl"),
         rows("pl").alias("pl_rows"),
     )
+
+
+@register(
+    "lookup_branch_tail",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        g AS (
+          SELECT tool, plan, CAST(sum(price) AS BIGINT) AS v
+          FROM tool_plans GROUP BY 1, 2
+        )
+        """,
+        """
+        r1 AS (
+          SELECT tool, plan, v,
+                 row_number() OVER (
+                   PARTITION BY tool
+                   ORDER BY v DESC NULLS FIRST,
+                            plan ASC NULLS LAST, v ASC NULLS LAST
+                 ) AS rn
+          FROM g
+        )
+        """,
+        """
+        r2 AS (
+          SELECT tool, plan, CAST(price AS BIGINT) AS v,
+                 row_number() OVER (
+                   PARTITION BY tool
+                   ORDER BY price DESC NULLS FIRST,
+                            plan ASC NULLS LAST,
+                            CAST(price AS BIGINT) ASC NULLS LAST
+                 ) AS rn
+          FROM tool_plans
+        )
+        """,
+        """
+        ub AS (
+          SELECT tool, plan, v FROM r1 WHERE rn = 1
+          UNION ALL
+          SELECT tool, plan, v FROM r2 WHERE rn >= 2
+        )
+        """,
+        """
+        m AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || CAST(v AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, v NULLS FIRST),
+                   '|') AS s
+          FROM ub GROUP BY 1
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(coalesce(m.n, 0) AS BIGINT) AS n_bt,
+               coalesce(m.s, '') AS bt_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        """,
+    ),
+)
+def lookup_branch_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: PARENTHESIZED set-op branches carrying
+    their own ORDER BY + FETCH/OFFSET tails — branch 1 is a grouped
+    top-1 (sum per plan, highest total), branch 2 an all-but-highest
+    plain slice — combined with UNION ALL under the default payload
+    contract. Derby computes each parenthesized branch's ordered top-N
+    before the set op (legality pinned natively in test_jdbc_derby.py);
+    Spark-first each branch keeps its own broadcast probe and the tail
+    shapes its payload array (plain rows inside ``_assemble_payload``,
+    grouped rows via ``_shape_raw``) — still N broadcast probes, no
+    fact shuffle."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "bt",
+                "query": (
+                    "(SELECT plan AS plan, sum(price) AS v "
+                    "FROM tool_plans WHERE tool = :tool GROUP BY plan "
+                    "ORDER BY v DESC FETCH FIRST 1 ROWS ONLY) "
+                    "UNION ALL "
+                    "(SELECT plan AS plan, CAST(price AS BIGINT) AS v "
+                    "FROM tool_plans WHERE tool = :tool "
+                    "ORDER BY price DESC OFFSET 1 ROWS)"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("bt").cast("long").alias("n_bt"),
+        F.array_join(
+            F.transform(
+                F.col("bt"),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit("="),
+                    r.getField("v").cast("string"),
+                ),
+            ),
+            "|",
+        ).alias("bt_rows"),
+    )

@@ -1466,3 +1466,51 @@ class TestDerbyGrammarLegality:
             assert rs3.getInt(1) >= 1
         finally:
             conn.close()
+
+    def test_branch_level_tail_in_parenthesized_setop(
+        self, spark, derby_servers
+    ):
+        # round-5 latest: a PARENTHESIZED set-op branch may carry its
+        # own ORDER BY + FETCH on Derby — the branch's ordered top-N
+        # is computed before the set operation; a BARE branch tail is
+        # a syntax error there (and is rejected by our parser too).
+        # Raw JDBC, as with the other query-expression shapes above.
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(URL)
+        try:
+            rs = conn.createStatement().executeQuery(
+                '(SELECT "name" FROM servers ORDER BY "name" DESC '
+                "FETCH FIRST 1 ROWS ONLY) "
+                'UNION ALL (SELECT "name" FROM servers ORDER BY "name" '
+                "FETCH FIRST 1 ROWS ONLY)"
+            )
+            rows = []
+            while rs.next():
+                rows.append(rs.getString(1))
+            assert len(rows) == 2
+            rs2 = conn.createStatement().executeQuery(
+                '(SELECT "location" FROM servers ORDER BY "location" '
+                "OFFSET 1 ROWS) "
+                'INTERSECT SELECT "location" FROM servers'
+            )
+            n = 0
+            while rs2.next():
+                n += 1
+            assert n >= 1
+        finally:
+            conn.close()
+
+    def test_conversion_functions(self, spark, derby_servers):
+        # round-5 latest: Derby's function-spelled casts. VARCHAR()
+        # of a NON-character operand is a Derby type error (we accept
+        # it as a documented superset — plain CAST semantics).
+        rows = self._fetch(
+            spark,
+            "SELECT INTEGER('42') AS i, DOUBLE(LENGTH(\"ip\")) AS d, "
+            'BIGINT(LENGTH("name")) AS b, SMALLINT(LENGTH("ip")) AS s, '
+            'VARCHAR("name") AS v, DATE(\'2024-02-29\') AS dt, '
+            "TIMESTAMP('2024-03-01 15:30:45') AS ts FROM servers",
+        )
+        assert all(r["I"] == 42 for r in rows)
+        assert all(isinstance(r["D"], float) for r in rows)
+        assert all(str(r["DT"]) == "2024-02-29" for r in rows)

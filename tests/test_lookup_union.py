@@ -205,9 +205,10 @@ class TestUnionValidation:
             )
 
     def test_branch_order_by_rejected(self, spark):
-        # Derby itself rejects ORDER BY inside a branch: the tail after
-        # the LAST branch shapes the whole union
-        with pytest.raises(ValidationError, match="not valid SQL"):
+        # Derby itself rejects a BARE ORDER BY inside a branch: the
+        # tail after the LAST branch shapes the whole union; a
+        # parenthesized branch may carry its own (TestBranchTails)
+        with pytest.raises(ValidationError, match="parenthesized"):
             LookupEnricher(
                 self._spec(
                     "SELECT name FROM s1 WHERE ip = :ip ORDER BY name "
@@ -531,7 +532,8 @@ class TestUnionLevelTail:
             )
 
     def test_mid_branch_shaping_still_rejected(self, spark):
-        with pytest.raises(ValidationError, match="not valid SQL"):
+        # unparenthesized mid-branch tails stay rejected (Derby rule)
+        with pytest.raises(ValidationError, match="parenthesized"):
             LookupEnricher(
                 PipelineSpec(lookups=[{
                     "id": "u",
@@ -752,4 +754,111 @@ class TestParenthesizedBranches:
                 ev, PipelineSpec(lookups=[dict(lookup)]), tables
             )
             exp = [(d["name"],) for d in ev["u"]]
+            assert got[turn_idx][0] == exp, (turn_idx, got[turn_idx], exp)
+
+
+class TestBranchTails:
+    """Round-5 latest: a PARENTHESIZED set-op branch may carry its own
+    ORDER BY / LIMIT / OFFSET / FETCH tail — Derby-legal (pinned
+    natively in test_jdbc_derby.py::TestDerbyGrammarLegality): the
+    branch's ordered top-N shapes BEFORE the set operation combines
+    payloads. Unparenthesized branch tails stay rejected (Derby rule —
+    a bare trailing tail binds to the whole union). Each branch reuses
+    the single-query tail machinery (_assemble_payload for plain rows,
+    _shape_raw for grouped/aggregate payloads)."""
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_topn_per_branch(self, spark, kw):
+        got = _run(
+            spark,
+            "(SELECT name FROM s1 WHERE ip = :ip "
+            "ORDER BY name DESC FETCH FIRST 1 ROWS ONLY) "
+            "UNION ALL "
+            "(SELECT name FROM s2 WHERE ip = :ip "
+            "ORDER BY name ASC FETCH FIRST 1 ROWS ONLY)",
+            kw,
+        )
+        # k1: s1 desc top-1 = v2; s2 asc top-1 = v1; default-sorted
+        assert got[0] == ([("v1",), ("v2",)], True)
+        assert got[1] == ([("k2",)], True)   # s2 branch empty
+        assert got[3] == ([], True)
+        assert got[2] == (None, False)
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_grouped_branch_tail(self, spark, kw):
+        got = _run(
+            spark,
+            "(SELECT name AS name, count(*) AS n FROM s1 WHERE ip = :ip "
+            "GROUP BY name ORDER BY n DESC, name FETCH FIRST 1 ROWS ONLY) "
+            "UNION ALL "
+            "(SELECT name AS name, count(*) AS n FROM s2 WHERE ip = :ip "
+            "GROUP BY name ORDER BY name OFFSET 1 ROWS)",
+            kw,
+        )
+        # k1: s1 groups v1:1,v2:1 -> (v1,1); s2 groups v1:1,w1:1
+        # ordered by name, skip 1 -> (w1,1)
+        assert got[0] == ([("v1", 1), ("w1", 1)], True)
+        assert got[1] == ([("k2", 1)], True)
+        assert got[3] == ([], True)
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_sliced_left_branch_of_except(self, spark, kw):
+        got = _run(
+            spark,
+            "(SELECT name FROM s1 WHERE ip = :ip "
+            "ORDER BY name FETCH FIRST 2 ROWS ONLY) "
+            "EXCEPT SELECT name FROM s2 WHERE ip = :ip",
+            kw,
+        )
+        # k1: sliced left {v1, v2} minus {w1, v1} = {v2}
+        assert got[0] == ([("v2",)], True)
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_aggregate_branch_offset_empties(self, spark, kw):
+        got = _run(
+            spark,
+            "(SELECT count(*) AS c FROM s1 WHERE ip = :ip "
+            "ORDER BY c OFFSET 1 ROWS) "
+            "UNION ALL SELECT count(*) AS c FROM s2 WHERE ip = :ip",
+            kw,
+        )
+        # the offset skips the aggregate's single row: only branch 2
+        # contributes (incl. its count-0 row on a miss)
+        assert got[0] == ([(2,)], True)
+        assert got[3] == ([(0,)], True)
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_branch_tail_composes_with_union_tail(self, spark, kw):
+        got = _run(
+            spark,
+            "(SELECT name FROM s1 WHERE ip = :ip "
+            "ORDER BY name FETCH FIRST 2 ROWS ONLY) "
+            "UNION (SELECT name FROM s2 WHERE ip = :ip) "
+            "ORDER BY name DESC LIMIT 2",
+            kw,
+        )
+        # k1: branch1 {v1,v2}; branch2 {w1,v1}; union {v1,v2,w1};
+        # whole-union DESC limit 2 -> [w1, v2]
+        assert got[0] == ([("w1",), ("v2",)], True)
+
+    def test_matches_row_oracle(self, spark):
+        q = (
+            "(SELECT name AS name, count(*) AS n FROM s1 WHERE ip <= :ip "
+            "GROUP BY name ORDER BY n DESC, name FETCH FIRST 2 ROWS ONLY) "
+            "UNION "
+            "(SELECT name AS name, count(*) AS n FROM s2 WHERE ip = :ip "
+            "GROUP BY name ORDER BY name OFFSET 1 ROWS)"
+        )
+        lookup = {"id": "u", "query": q, "parameters": {"ip": "ip"}}
+        got = _run(spark, q, {})
+        tables = {
+            "s1": [{"ip": a, "name": b} for a, b in S1],
+            "s2": [{"ip": a, "name": b} for a, b in S2],
+        }
+        for turn_idx, ip in ((0, "k1"), (1, "k2"), (3, "k9")):
+            ev = {"conv_id": "c", "turn_idx": turn_idx, "ip": ip}
+            oracle.enhance(
+                ev, PipelineSpec(lookups=[dict(lookup)]), tables
+            )
+            exp = [tuple(d.values()) for d in ev["u"]]
             assert got[turn_idx][0] == exp, (turn_idx, got[turn_idx], exp)

@@ -159,6 +159,10 @@ WIDE_TEMPLATES = [
     "WHERE s2.name = servers.name) AND ip = :ip",
     "ip <> ALL (SELECT s2.ip FROM servers s2 "
     "WHERE s2.name = servers.name AND s2.ip < 'k3') OR ip = :ip",
+    # round-5 latest: Derby conversion functions (function-spelled
+    # CASTs), dim-side and folded-constant
+    "VARCHAR(length(name)) = '2' OR ip = :ip",
+    "length(ip) >= INTEGER('2') AND ip = :ip",
     # round-5 latest: param EXPRESSIONS on the predicate rhs — over
     # params + literals only, compiled fact-side per event (incl. as
     # the equi KEY, as a computed LIKE pattern, and in IN/BETWEEN)
@@ -592,6 +596,23 @@ FULLQ_TEMPLATES = [
     ("SELECT count(*) AS c FROM servers WHERE ip = :ip "
      "ORDER BY c OFFSET 1 ROWS",
      {"c": -1}),
+    # round-5 latest: PARENTHESIZED set-op branches carrying their own
+    # ORDER BY/FETCH/OFFSET tails (shaped before the set op combines)
+    ("(SELECT name AS name FROM servers WHERE ip <= :ip "
+     "ORDER BY name DESC FETCH FIRST 2 ROWS ONLY) "
+     "UNION ALL (SELECT name AS name FROM servers WHERE ip = :ip "
+     "ORDER BY name OFFSET 1 ROWS)",
+     {"name": "dflt"}),
+    ("(SELECT name AS nm, count(*) AS n FROM servers WHERE ip LIKE :ip "
+     "GROUP BY name ORDER BY n DESC, nm FETCH FIRST 1 ROWS ONLY) "
+     "UNION (SELECT name AS nm, count(*) AS n FROM servers "
+     "WHERE ip = :ip GROUP BY name) "
+     "ORDER BY n DESC, nm LIMIT 2",
+     {"nm": "dflt", "n": -1}),
+    ("(SELECT name AS name FROM servers WHERE ip >= :ip "
+     "ORDER BY name FETCH FIRST 2 ROWS ONLY) "
+     "EXCEPT SELECT name AS name FROM servers WHERE name = 'v1'",
+     {"name": "dflt"}),
 ]
 
 

@@ -678,3 +678,135 @@ class TestDateFuncs:
                 sv = spark_row[f"e{i}"]
                 pv = X.eval_expr(a, row)
                 assert sv == pv, (e, row, sv, pv)
+
+
+class TestConversionFunctions:
+    """Derby's conversion FUNCTIONS (round-5 latest): DATE, TIMESTAMP,
+    INTEGER, BIGINT, SMALLINT, DOUBLE, VARCHAR — function-spelled
+    CASTs, desugared to Cast nodes at parse (legality pinned natively
+    in test_jdbc_derby.py). CHAR() is deliberately NOT mapped: Derby
+    right-pads it to a fixed width, which a plain string cast cannot
+    mirror."""
+
+    def test_parse_desugars_to_cast(self):
+        toks_of = __import__(
+            "logstash_filter_jdbc_static_spark.operators.lookup",
+            fromlist=["_tokenize_where"],
+        )._tokenize_where
+        ep = sqlexpr.ExprParser(
+            toks_of("INTEGER(price) + BIGINT(qty)"), 0,
+            resolve_col=lambda n: n,
+        )
+        ast = ep.parse()
+        assert ast == sqlexpr.Bin(
+            "+",
+            sqlexpr.Cast(sqlexpr.Col("price"), "int"),
+            sqlexpr.Cast(sqlexpr.Col("qty"), "bigint"),
+        )
+
+    def test_char_not_mapped(self):
+        toks_of = __import__(
+            "logstash_filter_jdbc_static_spark.operators.lookup",
+            fromlist=["_tokenize_where"],
+        )._tokenize_where
+        with pytest.raises(ValidationError, match="unknown function"):
+            sqlexpr.ExprParser(
+                toks_of("CHAR(price)"), 0, resolve_col=lambda n: n
+            ).parse()
+
+    EXPRS = [
+        "DATE('2024-02-29')",
+        "TIMESTAMP('2024-03-01 15:30:45')",
+        "DATE(ts)",                      # timestamp -> its date part
+        "INTEGER('42') + 1",
+        "INTEGER(d2) * 2",               # double -> truncates (Spark/Derby)
+        "BIGINT(n) * 1000000",
+        "SMALLINT(n) - 1",
+        "DOUBLE(n) / 4",
+        "VARCHAR(s) || '!'",
+        "year(DATE(ts))",                # composition with extraction
+    ]
+
+    def test_spark_matches_row_eval(self, spark):
+        import datetime
+
+        from logstash_filter_jdbc_static_spark.operators.lookup import (
+            _tokenize_where,
+        )
+
+        rows = [
+            {"ts": datetime.datetime(2023, 7, 4, 15, 30, 45),
+             "n": 7, "d2": 2.9, "s": "ab"},
+            {"ts": datetime.datetime(2024, 2, 29, 0, 0, 0),
+             "n": -3, "d2": -2.9, "s": ""},
+            {"ts": None, "n": None, "d2": None, "s": None},
+        ]
+        df = spark.createDataFrame(
+            [(r["ts"], r["n"], r["d2"], r["s"]) for r in rows],
+            "ts: timestamp, n: int, d2: double, s: string",
+        )
+        asts = []
+        for e in self.EXPRS:
+            toks = _tokenize_where(e)
+            ep = sqlexpr.ExprParser(toks, 0, resolve_col=lambda n: n)
+            ast = ep.parse()
+            assert ep.i == len(toks), e
+            asts.append(ast)
+        got = df.select(
+            *[
+                sqlexpr.compile_expr(a).alias(f"e{i}")
+                for i, a in enumerate(asts)
+            ]
+        ).collect()
+        for row, spark_row in zip(rows, got):
+            for i, (e, a) in enumerate(zip(self.EXPRS, asts)):
+                sv = spark_row[f"e{i}"]
+                pv = sqlexpr.eval_expr(a, row)
+                assert sv == pv, (e, row, sv, pv)
+
+    def test_conversion_in_lookup_all_paths(self, spark):
+        dim = spark.createDataFrame(
+            [("t1", "10"), ("t1", "4"), ("t2", "7")],
+            "tool string, price_s string",
+        )
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "x",
+                    "query": (
+                        "SELECT INTEGER(price_s) AS p FROM d "
+                        "WHERE tool = :tool AND INTEGER(price_s) > 5"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }
+            ]
+        )
+        fact = spark.createDataFrame(
+            [("c0", 0, "t1"), ("c1", 1, "t2"), ("c2", 2, "t9")],
+            "conv_id string, turn_idx int, tool string",
+        )
+        for kw in (
+            {},
+            {"inline_threshold": 0, "pattern_strategy": "broadcast_map"},
+            {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+        ):
+            out = LookupEnricher(spec, {"d": dim}, **kw).apply(fact)
+            got = {
+                r["turn_idx"]: (
+                    None if r["x"] is None
+                    else sorted(d["p"] for d in r["x"])
+                )
+                for r in out.collect()
+            }
+            assert got == {0: [10], 1: [7], 2: []}, (kw, got)
+
+    def test_param_inside_conversion(self, spark):
+        # cross-feature: a param INSIDE a conversion function is a
+        # param_expr (the Derby-faithful CAST spelling has the same
+        # shape — test_jdbc_derby.py pins the LONG VARCHAR quirk)
+        q = parse_lookup_query(
+            "SELECT a FROM t WHERE n = INTEGER(:x) + 1"
+        )
+        (p,) = q.disjuncts[0]
+        assert p.terms[0].kind == "param_expr"
+        assert p.param_names == ["x"]
