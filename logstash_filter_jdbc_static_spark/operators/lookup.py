@@ -762,6 +762,42 @@ def resolve_subqueries_with_dim(
         lit_cache.append((sq, v))
         return _Term("literal", v)
 
+    # correlated scalar subqueries in HAVING (round-5 latest): the
+    # HAVING filter runs over the AGGREGATED payload rows, so the
+    # per-group subquery value must ride INTO the payload — a hidden
+    # ``max(__sq_corrN) AS __hsq{k}`` aggregate (exact: Derby requires
+    # the correlated column to be a grouping column, so the joined
+    # value is constant within each group), stripped from the payload
+    # after the HAVING filter (_shape_raw).
+    hidden_aggs: list[tuple[str, str, str]] = []
+
+    def having_value_term(sq: _Subquery) -> _Term:
+        if not sq.corr and not sq.ineq:
+            return value_term(sq)
+        if sq.ineq:
+            raise ValidationError(
+                [f"lookup HAVING subquery on {sq.table!r}: inequality "
+                 f"correlations are not supported in HAVING — filter "
+                 f"in the WHERE clause instead"]
+            )
+        bad = sorted(
+            {oc for _, oc in sq.corr} - set(parsed.group_by)
+        )
+        if bad:
+            raise ValidationError(
+                [f"lookup HAVING subquery on {sq.table!r}: correlated "
+                 f"column(s) {bad} must be GROUP BY keys (Derby's own "
+                 f"rule — the subquery value must be constant within "
+                 f"each group)"]
+            )
+        col = corr_col_of(sq)
+        for c0, _f0, n0 in hidden_aggs:
+            if c0 == col:
+                return _Term("column", n0)
+        name = f"__hsq{len(hidden_aggs)}"
+        hidden_aggs.append((col, "max", name))
+        return _Term("column", name)
+
     def corr_col_of(sq: _Subquery) -> str:
         if holder["dim"] is None:
             raise ValidationError(
@@ -1096,11 +1132,12 @@ def resolve_subqueries_with_dim(
                 [_Term("literal", v) for v in vals],
                 func=p.func,
             )
+        term_fn = having_value_term if in_having else value_term
         return _Predicate(
             p.dim_column,
             p.op,
             [
-                value_term(t.value) if t.kind == "subquery" else t
+                term_fn(t.value) if t.kind == "subquery" else t
                 for t in p.terms
             ],
             func=p.func,
@@ -1142,16 +1179,23 @@ def resolve_subqueries_with_dim(
             else:
                 lit = F.lit(v)
             holder["dim"] = holder["dim"].withColumn(name, lit)
+    new_disjuncts = [[fix_pred(p) for p in d] for d in parsed.disjuncts]
+    new_tree = (
+        None if parsed.where_tree is None else fix_tree(parsed.where_tree)
+    )
+    new_having = tuple(
+        tuple(fix_pred(p, in_having=True) for p in d)
+        for d in parsed.having
+    )
     parsed = dataclasses.replace(
         parsed,
-        disjuncts=[[fix_pred(p) for p in d] for d in parsed.disjuncts],
-        where_tree=(
-            None if parsed.where_tree is None else fix_tree(parsed.where_tree)
-        ),
-        having=tuple(
-            tuple(fix_pred(p, in_having=True) for p in d)
-            for d in parsed.having
-        ),
+        disjuncts=new_disjuncts,
+        where_tree=new_tree,
+        having=new_having,
+        # hidden per-group carriers for correlated HAVING subqueries
+        # (stripped from the payload after the HAVING filter)
+        aggregates=parsed.aggregates
+        + tuple((f, c, n) for c, f, n in hidden_aggs),
         proj_subqueries=(),
     )
     return parsed, holder["dim"]
@@ -3746,13 +3790,24 @@ def parse_lookup_query(query: str) -> ParsedQuery:
 
         def _having_corr(name: str) -> str:
             raise ValidationError(
-                [f"lookup HAVING: correlated reference {name!r} — "
-                 f"HAVING subqueries must be uncorrelated (filter in "
-                 f"the WHERE clause, or aggregate in a loader query)"]
+                [f"lookup HAVING: unknown qualifier in reference "
+                 f"{name!r} — HAVING references SELECT aliases; "
+                 f"subquery outer references resolve against the FROM "
+                 f"scope (correlated scalar subqueries on GROUP BY "
+                 f"keys are supported, round-5 latest)"]
             )
 
+        # FROM scope passed through (round-5 latest): outer references
+        # INSIDE a HAVING subquery resolve like WHERE-clause
+        # correlations (``... HAVING total > (SELECT avg(price) FROM
+        # t p2 WHERE p2.plan = t.plan)``); direct qualified refs were
+        # already canonicalized above, so the fallback only fires for
+        # genuinely unknown qualifiers
         having = tuple(
-            _WhereParser(htoks, qualifier_fallback=_having_corr).parse()
+            _WhereParser(
+                htoks, table=table, quals=quals, alias=base_alias,
+                qualifier_fallback=_having_corr,
+            ).parse()
         )
         payload_names = {alias for _, alias in projection} | {
             a for _, _, a in aggregates
@@ -4268,7 +4323,18 @@ class CompiledLookup:
                 if n not in where_needed:
                     where_needed.append(n)
         self._where_params = where_needed
-        self._payload_struct = self._payload_struct_type()
+        # internal struct = what the physical stages collect (incl. the
+        # hidden ``__hsq*`` per-group carriers for correlated HAVING
+        # subqueries); public struct = the user-visible payload shape
+        # (hidden fields stripped after the HAVING filter, _shape_raw)
+        self._internal_struct = self._payload_struct_type()
+        self._payload_struct = T.StructType(
+            [
+                f
+                for f in self._internal_struct.fields
+                if not f.name.startswith("__hsq")
+            ]
+        )
         self._default_array = self._build_default_array()
 
     # ---- payload/result shapes -------------------------------------
@@ -4580,6 +4646,19 @@ class CompiledLookup:
             # miss semantics, and an emptied payload takes the normal
             # empty branch (Derby returns zero rows -> default can fire)
             raw = F.filter(raw, self._having_element_condition(params))
+            if len(self._internal_struct.fields) != len(
+                self._payload_struct.fields
+            ):
+                # strip the hidden ``__hsq*`` per-group carriers the
+                # correlated HAVING subqueries rode in on — before the
+                # grouped tail sorts (its keys are public aliases)
+                pub = [f.name for f in self._payload_struct.fields]
+                raw = F.transform(
+                    raw,
+                    lambda r: F.struct(
+                        *[r.getField(n).alias(n) for n in pub]
+                    ),
+                )
         if self._grouped_tail:
             # grouped/aggregate ORDER BY + LIMIT/OFFSET (round-5 latest,
             # Derby's top-N-per-key): sort the aggregated payload rows

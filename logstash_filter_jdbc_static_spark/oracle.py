@@ -589,7 +589,25 @@ def _resolve_subqueries_rows(
         state["cache"].append((key, name))
         return name
 
-    def fix_pred(p):
+    # correlated HAVING subqueries (round-5 latest): the mirror of the
+    # compiled hidden ``max(__sq_corrN) AS __hsq{k}`` aggregate — the
+    # per-row correlated value rides into the GROUP row via a hidden
+    # aggregate, read by the HAVING predicate, stripped by _group_rows
+    hidden_aggs: list[tuple[str, str, str]] = []
+
+    def having_term_of(t):
+        sq = t.value
+        if not sq.corr and not sq.ineq:
+            return term_of(t)
+        base = term_of(t)  # attaches __sq_corrN to the probe rows
+        for c0, _f0, n0 in hidden_aggs:
+            if c0 == base.value:
+                return _Term("column", n0)
+        name = f"__hsq{len(hidden_aggs)}"
+        hidden_aggs.append((base.value, "max", name))
+        return _Term("column", name)
+
+    def fix_pred(p, in_having: bool = False):
         if not any(t.kind == "subquery" for t in p.terms):
             return p
         if p.op in ("exists", "not exists"):
@@ -633,10 +651,11 @@ def _resolve_subqueries_rows(
                 [_Term("literal", v) for v in vals],
                 func=p.func,
             )
+        tf = having_term_of if in_having else term_of
         return _Predicate(
             p.dim_column,
             p.op,
-            [term_of(t) if t.kind == "subquery" else t for t in p.terms],
+            [tf(t) if t.kind == "subquery" else t for t in p.terms],
             func=p.func,
         )
 
@@ -672,13 +691,18 @@ def _resolve_subqueries_rows(
                 }
                 for r in state["rows"]
             ]
+    new_disjuncts = [[fix_pred(p) for p in d] for d in q.disjuncts]
+    new_tree = None if q.where_tree is None else fix_tree(q.where_tree)
+    new_having = tuple(
+        tuple(fix_pred(p, in_having=True) for p in d) for d in q.having
+    )
     q = dataclasses.replace(
         q,
-        disjuncts=[[fix_pred(p) for p in d] for d in q.disjuncts],
-        where_tree=None if q.where_tree is None else fix_tree(q.where_tree),
-        having=tuple(
-            tuple(fix_pred(p) for p in d) for d in q.having
-        ),
+        disjuncts=new_disjuncts,
+        where_tree=new_tree,
+        having=new_having,
+        aggregates=q.aggregates
+        + tuple((f, c, n) for c, f, n in hidden_aggs),
         proj_subqueries=(),
     )
     return q, state["rows"]
@@ -787,6 +811,20 @@ def _group_rows(q, matched: list[tuple[dict, dict]], params: dict) -> list[dict]
             )
         ]
     return grows
+
+
+def _strip_hidden(rows: list[dict]) -> list[dict]:
+    """Drop the hidden ``__hsq*`` correlated-HAVING carriers (mirror of
+    the compiled _shape_raw strip). Callers strip at the same point the
+    compiled side does: after the collect-order sort (which runs over
+    the INTERNAL struct, hidden fields as trailing tiebreak), before
+    any grouped-tail sort (whose keys are public aliases)."""
+    if not any(k.startswith("__hsq") for g in rows[:1] for k in g):
+        return rows
+    return [
+        {k: v for k, v in g.items() if not k.startswith("__hsq")}
+        for g in rows
+    ]
 
 
 def _derived_rows(
@@ -968,12 +1006,16 @@ def _run_union(
             rows_b = _group_rows(q, matched, params)
             if btail:
                 if q.order_by:
+                    rows_b = _strip_hidden(rows_b)
                     rows_b.sort(
                         key=functools.cmp_to_key(_payload_cmp(q.order_by))
                     )
                 else:
                     rows_b.sort(key=_payload_sort_key)
+                    rows_b = _strip_hidden(rows_b)
                 rows_b = _slice_rows(rows_b, q)
+            else:
+                rows_b = _strip_hidden(rows_b)
         elif q.aggregates:
             # one row even over an empty match set, exactly SQL
             rows_b = [_agg_over_rows(q.aggregates, [r for r, _ in matched])]
@@ -1107,9 +1149,15 @@ def run_lookup(
             # grouped top-N (round-5 latest): ORDER BY names payload
             # aliases; Derby result order (NULL largest) + all-field
             # tiebreak — the mirror of the compiled payload comparator
+            # (which runs post-strip, over the PUBLIC fields)
+            grows = _strip_hidden(grows)
             grows.sort(key=functools.cmp_to_key(_payload_cmp(q.order_by)))
         else:
+            # collect-order sort over the INTERNAL rows (hidden
+            # trailing tiebreak), then strip — the compiled
+            # sort_array-then-_shape_raw order
             grows.sort(key=_payload_sort_key)
+            grows = _strip_hidden(grows)
         grows = _slice_rows(grows, q)
         if not grows and spec.use_default:
             event[spec.target] = [dict(spec.default_hash)]

@@ -145,6 +145,10 @@ _merge(
         ("lookup_grouped_tail",
          [("n_gt", "gt_n"), ("gt_rows", "gt_rows"),
           ("n_go", "go_n"), ("go_rows", "go_rows")]),
+        # round-5 latest widening: CORRELATED scalar subqueries as
+        # HAVING comparands (correlated column = GROUP BY key)
+        ("lookup_corr_having",
+         [("n_ch", "ch_n"), ("ch_rows", "ch_rows")]),
     ],
 )
 

@@ -2002,3 +2002,96 @@ def lookup_branch_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("bt_rows"),
     )
+
+
+@register(
+    "lookup_corr_having",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        pa AS (
+          SELECT plan, avg(price) AS pavg FROM tool_plans
+          WHERE plan IS NOT NULL GROUP BY 1
+        )
+        """,
+        """
+        g AS (
+          SELECT t.tool, t.plan, CAST(sum(t.price) AS BIGINT) AS total
+          FROM tool_plans t GROUP BY 1, 2
+        )
+        """,
+        """
+        k AS (
+          SELECT g.* FROM g LEFT JOIN pa ON pa.plan = g.plan
+          WHERE g.total >= pa.pavg
+        )
+        """,
+        """
+        m AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || CAST(total AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, total NULLS FIRST),
+                   '|') AS s
+          FROM k GROUP BY 1
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(coalesce(m.n, 0) AS BIGINT) AS n_ch,
+               coalesce(m.s, '') AS ch_rows
+        FROM transcripts t
+        LEFT JOIN m ON m.tool = t.tool
+        """,
+    ),
+)
+def lookup_corr_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: a CORRELATED scalar subquery as a
+    HAVING comparand — each per-tool plan group survives only when its
+    total meets the GLOBAL per-plan average (``HAVING total >= (SELECT
+    avg(price) FROM tool_plans p2 WHERE p2.plan = tool_plans.plan)``).
+    Derby-legal when the correlated column is a grouping column (pinned
+    natively in test_jdbc_derby.py). Spark-first the per-group value
+    joins onto the dim once per snapshot and rides into the payload
+    via a hidden ``max(__sq_corrN)`` aggregate, read by the HAVING
+    filter and stripped afterward — the per-event plan stays the
+    single broadcast-hash probe. A NULL-plan group correlates to
+    nothing (avg NULL -> dropped, SQL 3VL) on both engines."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "ch",
+                "query": (
+                    "SELECT plan AS plan, sum(price) AS total "
+                    "FROM tool_plans WHERE tool = :tool GROUP BY plan "
+                    "HAVING total >= (SELECT avg(p2.price) "
+                    "FROM tool_plans p2 WHERE p2.plan = tool_plans.plan)"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("ch").cast("long").alias("n_ch"),
+        F.array_join(
+            F.transform(
+                F.col("ch"),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit("="),
+                    r.getField("total").cast("string"),
+                ),
+            ),
+            "|",
+        ).alias("ch_rows"),
+    )

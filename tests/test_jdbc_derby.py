@@ -1514,3 +1514,36 @@ class TestDerbyGrammarLegality:
         assert all(r["I"] == 42 for r in rows)
         assert all(isinstance(r["D"], float) for r in rows)
         assert all(str(r["DT"]) == "2024-02-29" for r in rows)
+
+    def test_correlated_having_subquery(self, spark, derby_servers):
+        # round-5 latest: a correlated scalar subquery as a HAVING
+        # comparand is Derby-legal when the correlated column is a
+        # grouping column; correlating on a NON-grouping column is a
+        # Derby error (our parser rejects it with the same rule)
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(URL)
+        try:
+            rs = conn.createStatement().executeQuery(
+                'SELECT s."location", COUNT(*) FROM servers s '
+                'GROUP BY s."location" '
+                "HAVING COUNT(*) >= (SELECT COUNT(*) FROM servers s2 "
+                'WHERE s2."location" = s."location" '
+                "AND s2.\"ip\" LIKE '99.%')"
+            )
+            n = 0
+            while rs.next():
+                n += 1
+            assert n == 3  # zero-count correlated groups all pass
+            try:
+                conn.createStatement().executeQuery(
+                    'SELECT s."location", COUNT(*) FROM servers s '
+                    'GROUP BY s."location" '
+                    "HAVING COUNT(*) > (SELECT COUNT(*) FROM servers s2 "
+                    'WHERE s2."ip" = s."ip")'
+                )
+                raised = False
+            except Exception:
+                raised = True  # non-grouping correlated column
+            assert raised
+        finally:
+            conn.close()

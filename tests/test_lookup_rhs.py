@@ -770,12 +770,23 @@ class TestHavingSubquery:
         sq = q.having[0][0].terms[0].value
         assert (sq.func, sq.col) == ("avg", "price")
 
-    def test_correlated_having_subquery_rejected(self):
-        with pytest.raises(ValidationError, match="correlated reference"):
+    def test_correlated_having_subquery_parses(self):
+        # round-5 latest: correlated HAVING subqueries PARSE (the
+        # group-key rule is enforced at resolution —
+        # TestCorrelatedHavingSubquery); unknown qualifiers still raise
+        q = parse_lookup_query(
+            "SELECT plan AS plan, count(*) AS n FROM t WHERE a = :a "
+            "GROUP BY plan "
+            "HAVING n > (SELECT count(*) FROM u WHERE u.x = t.plan)"
+        )
+        ((p,),) = q.having
+        sq = p.terms[0].value
+        assert sq.corr == (("x", "plan"),)
+        with pytest.raises(ValidationError, match="unknown qualifier"):
             parse_lookup_query(
                 "SELECT plan AS plan, count(*) AS n FROM t WHERE a = :a "
                 "GROUP BY plan "
-                "HAVING n > (SELECT count(*) FROM u WHERE u.x = t.plan)"
+                "HAVING n > (SELECT count(*) FROM u WHERE u.x = zz.plan)"
             )
 
     def _run(self, spark, having, kw=None):
@@ -1308,3 +1319,144 @@ class TestParamExpressions:
         for sig in sigs:
             for fact_col in ("conv_id", "turn_idx", "lim", "suffix"):
                 assert fact_col not in sig, (sig, plan)
+
+
+class TestCorrelatedHavingSubquery:
+    """Round-5 latest: CORRELATED scalar subqueries as HAVING
+    comparands (``GROUP BY plan HAVING total > (SELECT avg(price)
+    FROM t p2 WHERE p2.plan = t.plan)``) — Derby-legal when the
+    correlated column is a grouping column (pinned natively in
+    test_jdbc_derby.py). Spark-first: the per-group subquery value
+    joins onto the dim once per snapshot (__sq_corrN, existing
+    machinery) and rides INTO the payload via a hidden
+    ``max(__sq_corrN) AS __hsq{k}`` aggregate — exact, since the
+    correlation key is a group key — read by the HAVING filter and
+    stripped from the payload afterward (_shape_raw)."""
+
+    CDIM = T.StructType(
+        [
+            T.StructField("tool", T.StringType(), False),
+            T.StructField("price", T.IntegerType(), False),
+            T.StructField("plan", T.StringType(), True),
+        ]
+    )
+    CDIM_ROWS = [
+        ("t1", 10, "basic"),
+        ("t1", 4, "basic"),
+        ("t1", 7, "pro"),
+        ("t1", 5, None),       # NULL plan: correlates to nothing
+        ("t2", 20, "basic"),
+        ("t2", 2, "pro"),
+    ]
+
+    def _apply(self, spark, query, kw):
+        facts = [("c0", 0, "t1"), ("c1", 1, "t2"), ("c2", 2, "t9")]
+        fact_df = spark.createDataFrame(facts, FACT)
+        spec = PipelineSpec(
+            lookups=[
+                {"id": "h", "query": query,
+                 "parameters": {"tool": "tool"}}
+            ]
+        )
+        dims = {"dim": spark.createDataFrame(self.CDIM_ROWS, self.CDIM)}
+        out = LookupEnricher(spec, dims, **kw).apply(fact_df)
+
+        def key(t):  # None-safe sort over (field, value) tuples
+            return [(k, v is not None, v) for k, v in t]
+
+        return {
+            r["turn_idx"]: (
+                None
+                if r["h"] is None
+                else sorted(
+                    (tuple(d.asDict().items()) for d in r["h"]), key=key
+                )
+            )
+            for r in out.collect()
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_corr_avg_comparand(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, sum(price) AS total FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING total > (SELECT avg(p2.price) FROM dim p2 "
+            "WHERE p2.plan = dim.plan)",
+            kw,
+        )
+        # t1: basic 14 > avg(10,4,20)=11.33 keep; pro 7 > avg(7,2)=4.5
+        # keep; NULL-plan 5 > avg(empty)=NULL -> unknown -> dropped
+        assert got[0] == [
+            (("plan", "basic"), ("total", 14)),
+            (("plan", "pro"), ("total", 7)),
+        ]
+        # t2: basic 20 > 11.33 keep; pro 2 > 4.5 drop
+        assert got[1] == [(("plan", "basic"), ("total", 20))]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_count_zero_on_empty_correlated_group(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING n >= (SELECT count(*) FROM dim p2 "
+            "WHERE p2.plan = dim.plan AND p2.price > 15)",
+            kw,
+        )
+        # NULL-plan group: correlated count over nothing = 0 -> kept
+        assert got[0] == [
+            (("plan", None), ("n", 1)),
+            (("plan", "basic"), ("n", 2)),
+            (("plan", "pro"), ("n", 1)),
+        ]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_composes_with_grouped_tail(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, sum(price) AS total FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING total >= (SELECT min(price) FROM dim p2 "
+            "WHERE p2.plan = dim.plan) "
+            "ORDER BY total DESC FETCH FIRST 1 ROWS ONLY",
+            kw,
+        )
+        assert got[0] == [(("plan", "basic"), ("total", 14))]
+        assert got[1] == [(("plan", "basic"), ("total", 20))]
+
+    def test_hidden_carrier_not_in_payload(self, spark):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, sum(price) AS total FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING total > (SELECT avg(p2.price) FROM dim p2 "
+            "WHERE p2.plan = dim.plan)",
+            {},
+        )
+        for rows in got.values():
+            for r in rows or []:
+                assert [k for k, _ in r] == ["plan", "total"]
+
+    def test_non_group_key_correlation_rejected(self, spark):
+        with pytest.raises(ValidationError, match="GROUP BY keys"):
+            self._apply(
+                spark,
+                "SELECT plan AS plan, count(*) AS n FROM dim "
+                "WHERE tool = :tool GROUP BY plan "
+                "HAVING n > (SELECT count(*) FROM dim p2 "
+                "WHERE p2.price = dim.price)",
+                {},
+            )
+
+    def test_ineq_correlation_in_having_rejected(self, spark):
+        with pytest.raises(ValidationError, match="inequality"):
+            self._apply(
+                spark,
+                "SELECT plan AS plan, sum(price) AS total FROM dim "
+                "WHERE tool = :tool GROUP BY plan "
+                "HAVING total > (SELECT count(*) FROM dim p2 "
+                "WHERE p2.plan = dim.plan AND p2.price < dim.price)",
+                {},
+            )

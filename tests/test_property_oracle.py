@@ -596,6 +596,17 @@ FULLQ_TEMPLATES = [
     ("SELECT count(*) AS c FROM servers WHERE ip = :ip "
      "ORDER BY c OFFSET 1 ROWS",
      {"c": -1}),
+    # round-5 latest: CORRELATED scalar subqueries as HAVING comparands
+    # (correlated column must be a GROUP BY key — Derby's rule)
+    ("SELECT name AS nm, count(*) AS n FROM servers WHERE ip <= :ip "
+     "GROUP BY name HAVING n >= (SELECT count(*) FROM servers s2 "
+     "WHERE s2.name = servers.name AND s2.ip = 'k1')",
+     {"nm": "dflt", "n": -1}),
+    ("SELECT name AS nm, count(*) AS n FROM servers WHERE ip LIKE :ip "
+     "GROUP BY name HAVING n >= (SELECT count(*) FROM servers s2 "
+     "WHERE s2.name = servers.name AND s2.ip <> 'k9') "
+     "ORDER BY n DESC, nm FETCH FIRST 2 ROWS ONLY",
+     {"nm": "dflt", "n": -1}),
     # round-5 latest: PARENTHESIZED set-op branches carrying their own
     # ORDER BY/FETCH/OFFSET tails (shaped before the set op combines)
     ("(SELECT name AS name FROM servers WHERE ip <= :ip "
