@@ -229,6 +229,12 @@ class _Subquery:
     # ``sub_col > x`` iff ``max(sub_col) > x``) — a single extremum
     # cannot witness two inequalities simultaneously, hence the cap.
     ineq: tuple = ()  # () | ((sub_col, op, outer_col),)
+    # OUTER-side correlation expressions (round-5 latest):
+    # ``WHERE p2.plan = upper(t.plan)`` — each (name, ast) is a scalar
+    # expression over OUTER columns only, materialized as a synthetic
+    # ``__sq_oexpr*`` column on the outer dim at resolution time; the
+    # matching ``corr`` pair's outer side references the name.
+    outer_exprs: tuple = ()  # tuple[(name, sqlexpr AST), ...]
 
 
 @dataclass
@@ -466,36 +472,75 @@ _SWAP_OPS = {"<": ">", ">": "<", "<=": ">=", ">=": "<="}
 
 def _extract_correlation(
     table: str, where: tuple, computed: list, allow_ineq: bool = False
-) -> tuple[tuple, tuple, tuple]:
+) -> tuple[tuple, tuple, tuple, tuple]:
     """Split a subquery WHERE into (static where, equality correlation
-    pairs, inequality correlations). Correlation is restricted to the
-    set-at-a-time-compilable shapes: plain ``sub_col = outer.col``
-    equalities in a pure conjunction — each becomes a groupBy key of
-    the per-group aggregation that is left-joined onto the outer dim —
-    plus (EXISTS only, ``allow_ineq``) at most ONE plain
+    pairs, inequality correlations, outer-side expressions).
+    Correlation is restricted to the set-at-a-time-compilable shapes:
+    ``sub_side = outer_side`` equalities in a pure conjunction — each
+    becomes a groupBy key of the per-group aggregation that is
+    left-joined onto the outer dim — where since round-5 latest EITHER
+    side may be an expression over ITS OWN scope's columns
+    (``substr(p2.plan,1,2) = t.plan``, ``p2.plan = upper(t.plan)``):
+    sub-side expressions ride as sub computed columns, outer-side ones
+    as ``__sq_oexpr*`` dim columns materialized at resolution. Plus
+    (EXISTS only, ``allow_ineq``) at most ONE plain
     ``sub_col <op> outer.col`` inequality, decorrelated to the group's
     max/min extremum (one extremum can witness one inequality, not
-    two). Anything else touching an outer reference (OR branches,
-    expressions over outer columns) raises: those would need per-row
-    nested execution, which no broadcast plan can stage."""
+    two). Anything MIXING scopes inside one expression, or OR branches
+    around a correlation, raises: those would need per-row nested
+    execution, which no broadcast plan can stage."""
     def is_outer(name: str) -> bool:
         return isinstance(name, str) and name.startswith(_OUTER_MARK)
 
+    # classify computed expressions by the scope their columns live in:
+    # all-sub -> ordinary sub computed column (stays in ``computed``);
+    # all-outer -> an outer-side expression, rehomed to a dim column
+    # name (the parser's __exprN names would collide with the OUTER
+    # query's own computed columns on the dim); mixed -> no single
+    # frame can evaluate it
+    outer_map: dict[str, tuple[str, object]] = {}
+    for cname, ast in list(computed):
+        cols = sqlexpr.columns(ast)
+        outer_cols = {c for c in cols if is_outer(c)}
+        if not outer_cols:
+            continue
+        if outer_cols != cols:
+            raise ValidationError(
+                [f"lookup subquery on {table!r}: an expression mixing "
+                 f"subquery and outer columns is not supported — "
+                 f"correlate with ``sub_expr = outer_expr`` where each "
+                 f"side uses one scope's columns"]
+            )
+        new = f"__sq_oexpr{len(outer_map)}"
+        outer_map[cname] = (
+            new,
+            sqlexpr.map_columns(ast, lambda c: c[len(_OUTER_MARK):]),
+        )
+        computed.remove((cname, ast))
+
+    def side_outer(name: str) -> bool:
+        return is_outer(name) or name in outer_map
+
+    def outer_name(name: str) -> str:
+        return (
+            outer_map[name][0]
+            if name in outer_map
+            else name[len(_OUTER_MARK):]
+        )
+
     has_outer = any(
-        is_outer(p.dim_column)
-        or any(t.kind == "column" and is_outer(t.value) for t in p.terms)
+        side_outer(p.dim_column)
+        or any(t.kind == "column" and side_outer(t.value) for t in p.terms)
         for d in where
         for p in d
     )
-    for cname, ast in computed:
-        if any(is_outer(c) for c in sqlexpr.columns(ast)):
-            raise ValidationError(
-                [f"lookup subquery on {table!r}: outer-column references "
-                 f"inside expressions are not supported — correlate with "
-                 f"a plain equality (sub_col = outer.col)"]
-            )
     if not has_outer:
-        return where, (), ()
+        if outer_map:
+            raise ValidationError(
+                [f"lookup subquery on {table!r}: outer-column "
+                 f"expression not used in any correlation predicate"]
+            )
+        return where, (), (), ()
     if len(where) != 1:
         raise ValidationError(
             [f"lookup subquery on {table!r}: correlated predicates must "
@@ -505,29 +550,69 @@ def _extract_correlation(
     corr: list[tuple[str, str]] = []
     ineq: list[tuple[str, str, str]] = []
     rest: list[_Predicate] = []
+    used_oexpr: set[str] = set()
     for p in where[0]:
-        lhs_outer = is_outer(p.dim_column)
+        lhs_outer = side_outer(p.dim_column)
         term_outer = any(
-            t.kind == "column" and is_outer(t.value) for t in p.terms
+            t.kind == "column" and side_outer(t.value) for t in p.terms
         )
         if not lhs_outer and not term_outer:
             rest.append(p)
+            continue
+        # a _LHS_FUNCS-wrapped side desugars into the expression form
+        # (round-5 latest): func over the SUB column joins the sub
+        # computed columns; func over the OUTER column joins outer_map
+        if (
+            p.func is not None
+            and len(p.terms) == 1
+            and p.terms[0].kind == "column"
+            and p.op == "="
+            and lhs_outer != side_outer(p.terms[0].value)
+        ):
+            fast = sqlexpr.Func(
+                p.func,
+                (sqlexpr.Col(
+                    p.dim_column[len(_OUTER_MARK):]
+                    if is_outer(p.dim_column)
+                    else p.dim_column
+                ),),
+            )
+            if lhs_outer:
+                new = f"__sq_oexpr{len(outer_map)}"
+                outer_map[f"\x00f{new}"] = (new, fast)
+                used_oexpr.add(new)
+                corr.append((p.terms[0].value, new))
+            else:
+                new = f"__sqlhs{len(computed)}"
+                computed.append((new, fast))
+                corr.append((new, outer_name(p.terms[0].value)))
+                if p.terms[0].value in outer_map:
+                    used_oexpr.add(outer_map[p.terms[0].value][0])
             continue
         plain = (
             p.func is None
             and len(p.terms) == 1
             and p.terms[0].kind == "column"
             # exactly ONE side references the outer scope
-            and lhs_outer != is_outer(p.terms[0].value)
+            and lhs_outer != side_outer(p.terms[0].value)
         )
         if plain and p.op == "=":
             t = p.terms[0]
             if lhs_outer:
-                corr.append((t.value, p.dim_column[len(_OUTER_MARK):]))
+                corr.append((t.value, outer_name(p.dim_column)))
+                if p.dim_column in outer_map:
+                    used_oexpr.add(outer_map[p.dim_column][0])
             else:
-                corr.append((p.dim_column, t.value[len(_OUTER_MARK):]))
+                corr.append((p.dim_column, outer_name(t.value)))
+                if t.value in outer_map:
+                    used_oexpr.add(outer_map[t.value][0])
             continue
-        if plain and allow_ineq and p.op in ("<", ">", "<=", ">="):
+        if (
+            plain
+            and allow_ineq
+            and p.op in ("<", ">", "<=", ">=")
+            and not (p.dim_column in outer_map or p.terms[0].value in outer_map)
+        ):
             t = p.terms[0]
             if lhs_outer:  # outer.col <op> sub_col -> sub_col <swap> outer
                 ineq.append(
@@ -558,7 +643,20 @@ def _extract_correlation(
              f"can witness one inequality, not several) — pre-shape "
              f"the dim with a loader query instead"]
         )
-    return ((tuple(rest),) if rest else (), tuple(corr), tuple(ineq))
+    unused = sorted(
+        new for new, _ in outer_map.values() if new not in used_oexpr
+    )
+    if unused:
+        raise ValidationError(
+            [f"lookup subquery on {table!r}: outer-column expression "
+             f"not used in any correlation equality"]
+        )
+    return (
+        ((tuple(rest),) if rest else ()),
+        tuple(corr),
+        tuple(ineq),
+        tuple(v for v in outer_map.values()),
+    )
 
 
 def _pred_terms(parsed: ParsedQuery) -> list[_Predicate]:
@@ -798,6 +896,31 @@ def resolve_subqueries_with_dim(
         hidden_aggs.append((col, "max", name))
         return _Term("column", name)
 
+    def ensure_outer_cols(sq: _Subquery) -> None:
+        """Materialize the subquery's OUTER-side correlation
+        expressions (round-5 latest: ``p2.plan = upper(t.plan)``) as
+        synthetic ``__sq_oexpr*`` columns on the probed dim — once per
+        snapshot, before any correlation join reads them; the ``__sq_``
+        prefix keeps them out of SELECT * payloads."""
+        if holder["dim"] is None:
+            return  # _need_dim raises the targeted message
+        for name, ast in sq.outer_exprs:
+            if name in holder["dim"].columns:
+                continue
+            missing = sorted(
+                c
+                for c in sqlexpr.columns(ast)
+                if c not in holder["dim"].columns
+            )
+            if missing:
+                raise ValidationError(
+                    [f"lookup subquery on {sq.table!r}: outer column(s) "
+                     f"{missing} not in table {parsed.table!r}"]
+                )
+            holder["dim"] = holder["dim"].withColumn(
+                name, sqlexpr.compile_expr(ast)
+            )
+
     def corr_col_of(sq: _Subquery) -> str:
         if holder["dim"] is None:
             raise ValidationError(
@@ -808,6 +931,7 @@ def resolve_subqueries_with_dim(
         for k, name in corr_cache:
             if k == sq:
                 return name
+        ensure_outer_cols(sq)
         dim = holder["dim"]
         missing = sorted(
             oc for _, oc in sq.corr if oc not in dim.columns
@@ -935,6 +1059,7 @@ def resolve_subqueries_with_dim(
         for k, name in exists_cache:
             if k == sq:
                 return name
+        ensure_outer_cols(sq)
         dim = _need_dim(sq, "EXISTS")
         name = f"__sq_exists{len(exists_cache)}"
         sub_df, _ = _sub_filtered_df(sq, dims)
@@ -1012,6 +1137,7 @@ def resolve_subqueries_with_dim(
         for k, names in in_group_cache:
             if k == sq:
                 return names
+        ensure_outer_cols(sq)
         dim = _need_dim(sq, "correlated IN")
         i = len(in_group_cache)
         names = (f"__sq_in{i}_set", f"__sq_in{i}_null", f"__sq_in{i}_cnt")
@@ -1912,14 +2038,15 @@ class _WhereParser:
             col = self._sub_head_column(
                 arg_toks, strip_sub_qual, computed, "aggregate argument"
             )
-        where, corr, ineq = self._sub_where(
+        where, corr, ineq, oexprs = self._sub_where(
             table, sub_alias, computed, allow_ineq=True
         )
         if distinct:
             func = "count_distinct"
         return _Term(
             "subquery",
-            _Subquery(func, col, table, where, tuple(computed), corr, ineq),
+            _Subquery(func, col, table, where, tuple(computed), corr, ineq,
+                      oexprs),
         )
 
     def _exists_predicate(self) -> _Predicate:
@@ -1975,7 +2102,7 @@ class _WhereParser:
                 proj_toks, strip_sub_qual, computed, "EXISTS projection"
             )
             computed.clear()  # projection expressions are never evaluated
-        where, corr, ineq = self._sub_where(
+        where, corr, ineq, oexprs = self._sub_where(
             table, sub_alias, computed, allow_ineq=True
         )
         return _Predicate(
@@ -1984,7 +2111,7 @@ class _WhereParser:
             [_Term(
                 "subquery",
                 _Subquery("__exists", None, table, where, tuple(computed),
-                          corr, ineq),
+                          corr, ineq, oexprs),
             )],
         )
 
@@ -2028,10 +2155,11 @@ class _WhereParser:
         col = self._sub_head_column(
             proj_toks, strip_sub_qual, computed, "projection"
         )
-        where, corr, _ = self._sub_where(table, sub_alias, computed)
+        where, corr, _, oexprs = self._sub_where(table, sub_alias, computed)
         return _Term(
             "subquery",
-            _Subquery("__values", col, table, where, tuple(computed), corr),
+            _Subquery("__values", col, table, where, tuple(computed), corr,
+                      outer_exprs=oexprs),
         )
 
     def _sub_head_column(
@@ -4056,15 +4184,26 @@ def build_join_dim(
             return _Term("column", res(t.value))
         if t.kind == "subquery" and (t.value.corr or t.value.ineq):
             # correlation keys flatten with the dim; the subquery's own
-            # columns (sub-relation scope) stay untouched
+            # columns (sub-relation scope) stay untouched. Outer-side
+            # expression names (__sq_oexpr*) are synthetic — their ASTs
+            # remap instead (materialized on the derived dim at
+            # resolution)
             sq = t.value
+            oe_names = {n for n, _ in sq.outer_exprs}
             return _Term(
                 "subquery",
                 dataclasses.replace(
                     sq,
-                    corr=tuple((sc, res(oc)) for sc, oc in sq.corr),
+                    corr=tuple(
+                        (sc, oc if oc in oe_names else res(oc))
+                        for sc, oc in sq.corr
+                    ),
                     ineq=tuple(
                         (sc, op, res(oc)) for sc, op, oc in sq.ineq
+                    ),
+                    outer_exprs=tuple(
+                        (n, sqlexpr.map_columns(a, res))
+                        for n, a in sq.outer_exprs
                     ),
                 ),
             )

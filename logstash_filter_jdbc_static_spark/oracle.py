@@ -420,6 +420,17 @@ def _resolve_subqueries_rows(
                 return False
         return True
 
+    def ensure_outer_rows(sq) -> None:
+        """Row-at-a-time twin of the compiled ensure_outer_cols: the
+        subquery's OUTER-side correlation expressions evaluate onto
+        each probe row before any correlation match reads them."""
+        for name, ast in sq.outer_exprs:
+            if state["rows"] and name in state["rows"][0]:
+                continue
+            state["rows"] = [
+                {**r, name: eval_expr(ast, r)} for r in state["rows"]
+            ]
+
     def term_of(t):
         sq = t.value
         if not sq.corr and not sq.ineq:
@@ -427,6 +438,7 @@ def _resolve_subqueries_rows(
         for k, name in state["cache"]:
             if k == sq:
                 return _Term("column", name)
+        ensure_outer_rows(sq)
         name = f"__sq_corr{len(state['cache'])}"
         sub = _sub_rows(sq, tables)
         state["rows"] = [
@@ -464,6 +476,7 @@ def _resolve_subqueries_rows(
         for k, name in state["cache"]:
             if k == ("exists", sq):
                 return name
+        ensure_outer_rows(sq)
         name = f"__sq_exists{len(state['cache'])}"
         sub = _sub_rows(sq, tables)
         cmp_of = {
@@ -511,6 +524,7 @@ def _resolve_subqueries_rows(
         for k, name in state["cache"]:
             if k == key:
                 return name
+        ensure_outer_rows(sq)
         name = f"__sq_in{len(state['cache'])}"
         sub = _sub_rows(sq, tables)
         new_rows = []
@@ -550,6 +564,7 @@ def _resolve_subqueries_rows(
         for k, name in state["cache"]:
             if k == key:
                 return name
+        ensure_outer_rows(sq)
         name = f"__sq_q{len(state['cache'])}"
         base, quant = p.op.split(" ")
         new_rows = []
@@ -672,6 +687,7 @@ def _resolve_subqueries_rows(
             v = _eval_subquery_rows(sq, tables)
             state["rows"] = [{**r, name: v} for r in state["rows"]]
         else:
+            ensure_outer_rows(sq)
             sub = _sub_rows(sq, tables)
             state["rows"] = [
                 {

@@ -232,6 +232,10 @@ _merge(
         # their own ORDER BY/FETCH/OFFSET tails (order-sensitive rows)
         ("lookup_branch_tail",
          [("n_bt", "bt_n"), ("bt_rows", "bt_rows")]),
+        # round-5 latest widening: expressions on both sides of a
+        # correlation equality (upper(p2.plan) = upper(t.plan))
+        ("lookup_expr_corr",
+         [("n_xc", "xc_n"), ("xc_rows", "xc_rows")]),
     ],
 )
 

@@ -2095,3 +2095,80 @@ def lookup_corr_having(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("ch_rows"),
     )
+
+
+@register(
+    "lookup_expr_corr",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        ga AS (
+          SELECT upper(plan) AS up, avg(price) AS a
+          FROM tool_plans WHERE plan IS NOT NULL GROUP BY 1
+        )
+        """,
+        """
+        m AS (
+          SELECT t.tool, t.price
+          FROM tool_plans t
+          JOIN ga ON ga.up = upper(t.plan)
+          WHERE t.price >= ga.a
+        )
+        """,
+        body="""
+        SELECT tr.conv_id, tr.turn_idx, tr.tool,
+               CAST(count(m.price) AS BIGINT) AS n_xc,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) ORDER BY m.price), ','),
+                 '') AS xc_rows
+        FROM transcripts tr
+        LEFT JOIN m ON m.tool = tr.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_expr_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: EXPRESSIONS on both sides of a
+    correlation equality — plans priced at or above the average of
+    their case-folded plan family (``price >= (SELECT avg(p2.price)
+    FROM tool_plans p2 WHERE upper(p2.plan) = upper(tool_plans.plan))``).
+    Derby nests the probe per outer row (lookup.rb:131-147; legality
+    pinned natively in test_jdbc_derby.py). Spark-first the sub-side
+    expression becomes the per-group aggregation's groupBy key and the
+    outer-side expression materializes once per snapshot as a
+    ``__sq_oexpr*`` dim column the correlation joins on — the per-event
+    plan stays the single broadcast-hash probe. A NULL plan correlates
+    to nothing on both engines (upper(NULL) never equals, avg NULL ->
+    dropped, SQL 3VL)."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "xc",
+                "query": (
+                    "SELECT price FROM tool_plans WHERE tool = :tool "
+                    "AND price >= (SELECT avg(p2.price) FROM tool_plans "
+                    "p2 WHERE upper(p2.plan) = upper(tool_plans.plan))"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("xc").cast("long").alias("n_xc"),
+        F.array_join(
+            F.transform(
+                F.col("xc"), lambda r: r.getField("price").cast("string")
+            ),
+            ",",
+        ).alias("xc_rows"),
+    )

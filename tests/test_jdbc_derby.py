@@ -1547,3 +1547,23 @@ class TestDerbyGrammarLegality:
             assert raised
         finally:
             conn.close()
+
+    def test_expression_correlations(self, spark, derby_servers):
+        # round-5 latest: expressions on either side of a correlation
+        # equality are Derby-legal — the sub-side function, the
+        # outer-side function, and both at once
+        rows = self._fetch(
+            spark,
+            'SELECT s."name" AS nm, (SELECT COUNT(*) FROM servers s2 '
+            'WHERE UCASE(s2."location") = UCASE(s."location")) AS n '
+            "FROM servers s",
+        )
+        assert len(rows) == 3 and all(r["N"] >= 1 for r in rows)
+        rows2 = self._fetch(
+            spark,
+            'SELECT s."name" FROM servers s WHERE EXISTS '
+            "(SELECT 1 FROM servers s2 "
+            'WHERE s2."location" = SUBSTR(s."location", 1) '
+            'AND s2."ip" = s."ip")',
+        )
+        assert len(rows2) == 3

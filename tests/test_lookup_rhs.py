@@ -1460,3 +1460,153 @@ class TestCorrelatedHavingSubquery:
                 "WHERE p2.plan = dim.plan AND p2.price < dim.price)",
                 {},
             )
+
+
+class TestExpressionCorrelations:
+    """Round-5 latest: EXPRESSIONS on either side of a correlation
+    equality (``substr(p2.plan,1,2) = t.plan``, ``p2.plan =
+    upper(t.plan)``) — Derby executes them verbatim per outer row
+    (lookup.rb:131-147; pinned natively in test_jdbc_derby.py).
+    Spark-first: sub-side expressions ride as sub computed columns
+    (groupBy keys of the per-group aggregation), outer-side ones
+    materialize once per snapshot as ``__sq_oexpr*`` dim columns the
+    correlation joins on — the per-event plan stays the broadcast
+    probe. Expressions MIXING the two scopes stay rejected."""
+
+    EDIM = T.StructType(
+        [
+            T.StructField("tool", T.StringType(), False),
+            T.StructField("price", T.IntegerType(), False),
+            T.StructField("plan", T.StringType(), True),
+        ]
+    )
+    EDIM_ROWS = [
+        ("t1", 10, "BA"),
+        ("t1", 4, "ba"),
+        ("t1", 7, "pro"),
+        ("t2", 20, "BA"),
+        ("t2", 2, "PRO"),
+    ]
+
+    def _apply(self, spark, query, kw):
+        facts = [("c0", 0, "t1"), ("c1", 1, "t2"), ("c2", 2, "t9")]
+        spec = PipelineSpec(
+            lookups=[
+                {"id": "x", "query": query,
+                 "parameters": {"tool": "tool"}}
+            ]
+        )
+        out = LookupEnricher(
+            spec,
+            {"dim": spark.createDataFrame(self.EDIM_ROWS, self.EDIM)},
+            **kw,
+        ).apply(spark.createDataFrame(facts, FACT))
+        return {
+            r["turn_idx"]: (
+                None if r["x"] is None
+                else sorted(d["price"] for d in r["x"])
+            )
+            for r in out.collect()
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_outer_side_expression(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND price >= "
+            "(SELECT avg(p2.price) FROM dim p2 "
+            "WHERE p2.plan = upper(dim.plan))",
+            kw,
+        )
+        # t1: BA(10) vs avg(BA)=15 no; ba(4) vs 15 no; pro(7) vs
+        # avg(PRO)=2 yes
+        assert got[0] == [7]
+        assert got[1] == [2, 20]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_sub_side_single_func(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND price <= "
+            "(SELECT max(p2.price) FROM dim p2 "
+            "WHERE upper(p2.plan) = dim.plan)",
+            kw,
+        )
+        # upper(sub plan) groups: BA -> max 20; PRO -> max 7... wait
+        # upper('pro')='PRO', upper('PRO')='PRO' -> max(7,2)=7.
+        # Outer rows: BA(10)<=20 yes; ba(4): no 'ba' group; pro(7): no
+        assert got[0] == [10]
+        assert got[1] == [2, 20]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_expressions_both_sides(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND price > "
+            "(SELECT min(p2.price) FROM dim p2 "
+            "WHERE lower(p2.plan) = lower(dim.plan))",
+            kw,
+        )
+        # lower groups: ba -> min 4; pro -> min 2
+        assert got[0] == [7, 10]
+        assert got[1] == [20]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_outer_expr_in_exists_and_in(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM dim p2 WHERE p2.plan = upper(dim.plan) "
+            "AND p2.price > 5)",
+            kw,
+        )
+        assert got[0] == [4, 10]   # BA group has 10,20 > 5; PRO max 2*
+        got2 = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND price IN "
+            "(SELECT p2.price FROM dim p2 "
+            "WHERE p2.plan = upper(dim.plan))",
+            kw,
+        )
+        assert got2[0] == [10]
+        assert got2[1] == [2, 20]
+
+    def test_mixed_scope_expression_rejected(self):
+        with pytest.raises(ValidationError, match="mixing"):
+            parse_lookup_query(
+                "SELECT price FROM dim WHERE price > "
+                "(SELECT avg(p2.price) FROM dim p2 "
+                "WHERE p2.plan = upper(dim.plan) || p2.plan)"
+            )
+
+    def test_outer_expression_outside_equality_rejected(self):
+        # an outer expression is only stageable as a correlation
+        # EQUALITY's side — a non-equality use raises
+        with pytest.raises(ValidationError, match="unsupported correlated"):
+            parse_lookup_query(
+                "SELECT price FROM dim WHERE price > "
+                "(SELECT avg(p2.price) FROM dim p2 "
+                "WHERE upper(dim.plan) > 'A')"
+            )
+
+    def test_ineq_with_outer_expression_rejected(self):
+        with pytest.raises(ValidationError):
+            parse_lookup_query(
+                "SELECT price FROM dim WHERE EXISTS "
+                "(SELECT 1 FROM dim p2 "
+                "WHERE p2.plan = dim.plan AND p2.price < length(dim.plan))"
+            )
+
+    def test_parse_shapes(self):
+        q = parse_lookup_query(
+            "SELECT price FROM dim WHERE price > "
+            "(SELECT avg(p2.price) FROM dim p2 "
+            "WHERE p2.plan = upper(dim.plan))"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.corr == (("plan", "__sq_oexpr0"),)
+        ((name, ast),) = sq.outer_exprs
+        assert name == "__sq_oexpr0"
+        import logstash_filter_jdbc_static_spark.operators.sqlexpr as X
+        assert ast == X.Func("upper", (X.Col("plan"),))

@@ -159,6 +159,17 @@ WIDE_TEMPLATES = [
     "WHERE s2.name = servers.name) AND ip = :ip",
     "ip <> ALL (SELECT s2.ip FROM servers s2 "
     "WHERE s2.name = servers.name AND s2.ip < 'k3') OR ip = :ip",
+    # round-5 latest: EXPRESSION correlations — sub-side computed,
+    # sub-side single-func, outer-side expression, and both at once
+    "ip = :ip AND length(ip) >= (SELECT count(*) FROM servers s2 "
+    "WHERE upper(s2.name) = upper(servers.name))",
+    "length(name) > (SELECT count(*) FROM servers s2 "
+    "WHERE s2.ip = substr(servers.ip, 1, 2)) OR ip = :ip",
+    "ip = :ip AND EXISTS (SELECT 1 FROM servers s2 "
+    "WHERE s2.name = lower(servers.name) AND s2.ip <> 'k9')",
+    "ip IN (SELECT s2.ip FROM servers s2 "
+    "WHERE substr(s2.name, 1, 1) = substr(servers.name, 1, 1)) "
+    "OR ip = :ip",
     # round-5 latest: Derby conversion functions (function-spelled
     # CASTs), dim-side and folded-constant
     "VARCHAR(length(name)) = '2' OR ip = :ip",
