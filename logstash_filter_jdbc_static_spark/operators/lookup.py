@@ -721,16 +721,72 @@ def _sub_filtered_df(
             )
         df = df.withColumn(cname, sqlexpr.compile_expr(ast))
         names.add(cname)
-    # nested subqueries in the sub-WHERE resolve first (depth-bounded)
+    # nested subqueries in the sub-WHERE resolve first (depth-bounded):
+    # uncorrelated -> a literal; correlated to THIS subquery's scope
+    # (round-5 latest, ``... WHERE p2.qty > (SELECT min(p3.qty) FROM t
+    # p3 WHERE p3.plan = p2.plan)``) -> the same per-group hoist as
+    # outer-level correlations, left-joined onto the SUB frame as a
+    # synthetic ``__nsq*`` column — dim-sized snapshot work, recursive
+    # over the depth bound
+    nested_state = {"df": df, "n": 0}
+
+    def _resolve_nested(t: _Term) -> _Term:
+        inner = t.value
+        if not inner.corr and not inner.ineq:
+            return _Term(
+                "literal", _eval_subquery(inner, dims, _depth + 1)
+            )
+        if inner.func in ("__values", "__exists"):
+            raise ValidationError(
+                [f"lookup subquery on {inner.table!r}: correlated "
+                 f"IN/EXISTS subqueries cannot nest inside another "
+                 f"subquery"]
+            )
+        if inner.ineq:
+            raise ValidationError(
+                [f"lookup subquery on {inner.table!r}: inequality "
+                 f"correlations cannot nest inside another subquery — "
+                 f"pre-shape the dim with a loader query"]
+            )
+        d2 = nested_state["df"]
+        for oe_name, ast in inner.outer_exprs:
+            if oe_name not in d2.columns:
+                d2 = d2.withColumn(oe_name, sqlexpr.compile_expr(ast))
+        bad = sorted(
+            oc for _, oc in inner.corr if oc not in d2.columns
+        )
+        if bad:
+            raise ValidationError(
+                [f"lookup subquery on {inner.table!r}: outer column(s) "
+                 f"{bad} not in table {sq.table!r} (nested correlations "
+                 f"resolve against the ENCLOSING subquery's relation)"]
+            )
+        in_df, in_agg = _sub_filtered_df(inner, dims, _depth + 1)
+        name = f"__nsq{nested_state['n']}"
+        nested_state["n"] += 1
+        keys = [f"__nk{i}_{name}" for i in range(len(inner.corr))]
+        agg_df = in_df.groupBy(
+            *[F.col(sc).alias(k) for (sc, _), k in zip(inner.corr, keys)]
+        ).agg(in_agg.alias(name))
+        cond = None
+        for (_, oc), k in zip(inner.corr, keys):
+            piece = d2[oc] == agg_df[k]
+            cond = piece if cond is None else (cond & piece)
+        d2 = d2.join(F.broadcast(agg_df), cond, "left").drop(*keys)
+        if inner.func in ("count", "count_distinct"):
+            # empty correlated group counts 0, not NULL
+            d2 = d2.withColumn(name, F.coalesce(F.col(name), F.lit(0)))
+        nested_state["df"] = d2
+        names.add(name)
+        return _Term("column", name)
+
     where = [
         [
             _Predicate(
                 p.dim_column,
                 p.op,
                 [
-                    _Term("literal", _eval_subquery(t.value, dims, _depth + 1))
-                    if t.kind == "subquery"
-                    else t
+                    _resolve_nested(t) if t.kind == "subquery" else t
                     for t in p.terms
                 ],
                 func=p.func,
@@ -739,6 +795,7 @@ def _sub_filtered_df(
         ]
         for d in sq.where
     ]
+    df = nested_state["df"]
     for d in where:
         for p in d:
             if p.dim_column not in names:

@@ -306,9 +306,22 @@ def _slice_rows(rows: list[dict], q) -> list[dict]:
     return rows
 
 
+def _corr_eq_vals(a, b) -> bool:
+    left, right = _coerce_pair(a, b)
+    return left is not None and right is not None and left == right
+
+
 def _sub_rows(sq, tables: dict[str, list[dict]], _depth: int = 0) -> list[dict]:
     """The subquery's source rows — computed columns materialized,
-    static WHERE applied, nested (uncorrelated) subqueries resolved."""
+    static WHERE applied, nested subqueries resolved (uncorrelated ->
+    literal; correlated to THIS scope -> a per-row ``__nsq*`` value,
+    the mirror of the compiled per-group join onto the sub frame,
+    round-5 latest)."""
+    from logstash_filter_jdbc_static_spark.operators.lookup import (
+        _Predicate,
+        _Term,
+    )
+
     if _depth > 8:
         raise ValueError("lookup subquery: nesting deeper than 8 levels")
     rows = tables[sq.table]
@@ -317,13 +330,50 @@ def _sub_rows(sq, tables: dict[str, list[dict]], _depth: int = 0) -> list[dict]:
             {**r, **{n: eval_expr(a, r) for n, a in sq.computed}}
             for r in rows
         ]
-    where = [
-        [
-            _replace_nested_subqueries(p, tables, _depth + 1)
-            for p in d
-        ]
-        for d in sq.where
-    ]
+    state = {"rows": rows, "n": 0}
+
+    def fix(p):
+        if not any(t.kind == "subquery" for t in p.terms):
+            return p
+        terms = []
+        for t in p.terms:
+            if t.kind != "subquery":
+                terms.append(t)
+                continue
+            inner = t.value
+            if not inner.corr and not inner.ineq:
+                terms.append(
+                    _Term(
+                        "literal",
+                        _eval_subquery_rows(inner, tables, _depth + 1),
+                    )
+                )
+                continue
+            name = f"__nsq{state['n']}"
+            state["n"] += 1
+            sub = _sub_rows(inner, tables, _depth + 1)
+            new_rows = []
+            for r in state["rows"]:
+                rr = dict(r)
+                for oe_name, ast in inner.outer_exprs:
+                    if oe_name not in rr:
+                        rr[oe_name] = eval_expr(ast, rr)
+                grp = [
+                    s
+                    for s in sub
+                    if all(
+                        _corr_eq_vals(s.get(sc), rr.get(oc))
+                        for sc, oc in inner.corr
+                    )
+                ]
+                rr[name] = _agg_rows(inner, grp)
+                new_rows.append(rr)
+            state["rows"] = new_rows
+            terms.append(_Term("column", name))
+        return _Predicate(p.dim_column, p.op, terms, func=p.func)
+
+    where = [[fix(p) for p in d] for d in sq.where]
+    rows = state["rows"]
     if where:
         rows = [
             r
@@ -362,27 +412,6 @@ def _eval_subquery_rows(sq, tables: dict[str, list[dict]], _depth: int = 0):
     if sq.func == "__values":
         raise ValueError("lookup subquery: IN-subqueries cannot nest")
     return _agg_rows(sq, _sub_rows(sq, tables, _depth))
-
-
-def _replace_nested_subqueries(p, tables: dict[str, list[dict]], _depth: int = 0):
-    from logstash_filter_jdbc_static_spark.operators.lookup import (
-        _Predicate,
-        _Term,
-    )
-
-    if not any(t.kind == "subquery" for t in p.terms):
-        return p
-    return _Predicate(
-        p.dim_column,
-        p.op,
-        [
-            _Term("literal", _eval_subquery_rows(t.value, tables, _depth))
-            if t.kind == "subquery"
-            else t
-            for t in p.terms
-        ],
-        func=p.func,
-    )
 
 
 def _resolve_subqueries_rows(

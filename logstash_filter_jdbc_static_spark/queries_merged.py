@@ -236,6 +236,10 @@ _merge(
         # correlation equality (upper(p2.plan) = upper(t.plan))
         ("lookup_expr_corr",
          [("n_xc", "xc_n"), ("xc_rows", "xc_rows")]),
+        # round-5 latest widening: nested correlated scalar subqueries
+        # (inner correlates to the enclosing subquery's relation)
+        ("lookup_nested_corr",
+         [("n_nc", "nc_n"), ("nc_rows", "nc_rows")]),
     ],
 )
 

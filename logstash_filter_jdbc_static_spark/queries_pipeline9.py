@@ -2172,3 +2172,86 @@ def lookup_expr_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("xc_rows"),
     )
+
+
+@register(
+    "lookup_nested_corr",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        qa AS (
+          SELECT plan, avg(qty) AS aq FROM tool_plans
+          WHERE plan IS NOT NULL GROUP BY 1
+        )
+        """,
+        """
+        ok_plans AS (
+          SELECT DISTINCT p2.plan
+          FROM tool_plans p2 JOIN qa ON qa.plan = p2.plan
+          WHERE p2.qty >= qa.aq
+        )
+        """,
+        """
+        m AS (
+          SELECT t.tool, t.price
+          FROM tool_plans t JOIN ok_plans k ON k.plan = t.plan
+        )
+        """,
+        body="""
+        SELECT tr.conv_id, tr.turn_idx, tr.tool,
+               CAST(count(m.price) AS BIGINT) AS n_nc,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) ORDER BY m.price), ','),
+                 '') AS nc_rows
+        FROM transcripts tr
+        LEFT JOIN m ON m.tool = tr.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_nested_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: NESTED correlated scalar subqueries —
+    an EXISTS whose sub-WHERE compares against an inner per-plan
+    average (``EXISTS (SELECT 1 FROM tool_plans p2 WHERE p2.plan =
+    tool_plans.plan AND p2.qty >= (SELECT avg(p3.qty) FROM tool_plans
+    p3 WHERE p3.plan = p2.plan))``). Derby executes the whole chain per
+    outer row (lookup.rb:131-147; pinned natively in
+    test_jdbc_derby.py). Spark-first the INNER per-group aggregate
+    left-joins onto the SUB frame as a ``__nsq*`` column once per
+    snapshot (recursive hoist), then the EXISTS flag builds as usual —
+    the per-event plan stays the single broadcast-hash probe. A NULL
+    plan correlates to nothing at both levels."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "nc",
+                "query": (
+                    "SELECT price FROM tool_plans WHERE tool = :tool "
+                    "AND EXISTS (SELECT 1 FROM tool_plans p2 "
+                    "WHERE p2.plan = tool_plans.plan AND p2.qty >= "
+                    "(SELECT avg(p3.qty) FROM tool_plans p3 "
+                    "WHERE p3.plan = p2.plan))"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("nc").cast("long").alias("n_nc"),
+        F.array_join(
+            F.transform(
+                F.col("nc"), lambda r: r.getField("price").cast("string")
+            ),
+            ",",
+        ).alias("nc_rows"),
+    )

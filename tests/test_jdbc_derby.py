@@ -1567,3 +1567,17 @@ class TestDerbyGrammarLegality:
             'AND s2."ip" = s."ip")',
         )
         assert len(rows2) == 3
+
+    def test_nested_correlated_subquery(self, spark, derby_servers):
+        # round-5 latest: a scalar subquery nested inside another
+        # subquery's WHERE, correlated to the ENCLOSING subquery's
+        # relation — Derby executes the whole chain per outer row
+        rows = self._fetch(
+            spark,
+            'SELECT s."name" AS nm FROM servers s '
+            "WHERE EXISTS (SELECT 1 FROM servers s2 "
+            'WHERE s2."location" = s."location" '
+            'AND LENGTH(s2."ip") >= (SELECT MIN(LENGTH(s3."ip")) '
+            'FROM servers s3 WHERE s3."location" = s2."location"))',
+        )
+        assert len(rows) == 3

@@ -1610,3 +1610,132 @@ class TestExpressionCorrelations:
         assert name == "__sq_oexpr0"
         import logstash_filter_jdbc_static_spark.operators.sqlexpr as X
         assert ast == X.Func("upper", (X.Col("plan"),))
+
+
+class TestNestedCorrelatedSubqueries:
+    """Round-5 latest: a scalar subquery NESTED inside another
+    subquery's WHERE may correlate to its ENCLOSING subquery's scope
+    (``... WHERE p2.plan = t.plan AND p2.qty > (SELECT min(p3.qty)
+    FROM t p3 WHERE p3.plan = p2.plan)``) — Derby executes the whole
+    chain per outer row (lookup.rb:131-147; pinned natively in
+    test_jdbc_derby.py). Spark-first the inner per-group aggregate
+    left-joins onto the SUB frame as a ``__nsq*`` column once per
+    snapshot (recursive over the depth bound); correlated IN/EXISTS
+    nesting and inequality correlations stay rejected."""
+
+    NDIM = T.StructType(
+        [
+            T.StructField("tool", T.StringType(), False),
+            T.StructField("price", T.IntegerType(), False),
+            T.StructField("qty", T.IntegerType(), False),
+            T.StructField("plan", T.StringType(), True),
+        ]
+    )
+    NDIM_ROWS = [
+        ("t1", 10, 3, "basic"),
+        ("t1", 4, 9, "basic"),
+        ("t1", 7, 2, "pro"),
+        ("t1", 5, 4, None),
+        ("t2", 20, 1, "basic"),
+        ("t2", 2, 5, "pro"),
+    ]
+
+    def _apply(self, spark, query, kw):
+        facts = [("c0", 0, "t1"), ("c1", 1, "t2"), ("c2", 2, "t9")]
+        spec = PipelineSpec(
+            lookups=[
+                {"id": "x", "query": query,
+                 "parameters": {"tool": "tool"}}
+            ]
+        )
+        out = LookupEnricher(
+            spec,
+            {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
+            **kw,
+        ).apply(spark.createDataFrame(facts, FACT))
+        return {
+            r["turn_idx"]: (
+                None if r["x"] is None
+                else sorted(d["price"] for d in r["x"])
+            )
+            for r in out.collect()
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_in_correlated_scalar(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND price > "
+            "(SELECT avg(p2.price) FROM dim p2 WHERE p2.plan = dim.plan "
+            "AND p2.qty >= (SELECT min(p3.qty) FROM dim p3 "
+            "WHERE p3.plan = p2.plan))",
+            kw,
+        )
+        assert got[0] == [7]
+        assert got[1] == [20]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_in_correlated_exists_and_in(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM dim p2 WHERE p2.plan = dim.plan AND "
+            "p2.qty > (SELECT avg(p3.qty) FROM dim p3 "
+            "WHERE p3.plan = p2.plan))",
+            kw,
+        )
+        assert got[0] == [4, 7, 10]
+        assert got[1] == [2, 20]
+        got2 = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND price IN "
+            "(SELECT p2.price FROM dim p2 WHERE p2.plan = dim.plan AND "
+            "p2.qty <= (SELECT max(p3.qty) FROM dim p3 "
+            "WHERE p3.plan = p2.plan AND p3.price > 3))",
+            kw,
+        )
+        assert got2[0] == [4, 7, 10]
+        assert got2[1] == [20]
+
+    def test_nested_correlated_in_rejected(self, spark):
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "x",
+                    "query": (
+                        "SELECT price FROM dim WHERE price > "
+                        "(SELECT max(p2.price) FROM dim p2 "
+                        "WHERE p2.plan IN (SELECT p3.plan FROM dim p3 "
+                        "WHERE p3.qty = p2.qty))"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        with pytest.raises(ValidationError, match="cannot nest"):
+            LookupEnricher(
+                spec,
+                {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
+            )
+
+    def test_nested_ineq_correlation_rejected(self, spark):
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "x",
+                    "query": (
+                        "SELECT price FROM dim WHERE price > "
+                        "(SELECT max(p2.price) FROM dim p2 "
+                        "WHERE p2.qty > (SELECT min(p3.qty) FROM dim p3 "
+                        "WHERE p3.qty < p2.qty))"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        with pytest.raises(ValidationError, match="inequality"):
+            LookupEnricher(
+                spec,
+                {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
+            )

@@ -159,6 +159,14 @@ WIDE_TEMPLATES = [
     "WHERE s2.name = servers.name) AND ip = :ip",
     "ip <> ALL (SELECT s2.ip FROM servers s2 "
     "WHERE s2.name = servers.name AND s2.ip < 'k3') OR ip = :ip",
+    # round-5 latest: NESTED correlated scalar subqueries (the inner
+    # one correlates to the ENCLOSING subquery's relation)
+    "ip = :ip AND length(ip) > (SELECT count(*) FROM servers s2 "
+    "WHERE s2.name = servers.name AND s2.ip <= (SELECT max(s3.ip) "
+    "FROM servers s3 WHERE s3.name = s2.name))",
+    "EXISTS (SELECT 1 FROM servers s2 WHERE s2.name = servers.name "
+    "AND length(s2.ip) >= (SELECT min(length(s3.ip)) FROM servers s3 "
+    "WHERE s3.name = s2.name)) AND ip = :ip",
     # round-5 latest: EXPRESSION correlations — sub-side computed,
     # sub-side single-func, outer-side expression, and both at once
     "ip = :ip AND length(ip) >= (SELECT count(*) FROM servers s2 "
