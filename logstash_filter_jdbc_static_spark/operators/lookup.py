@@ -3721,20 +3721,20 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                 if aggregates:
                     select_interleaved = True
                 projection.append((name, alias))
+        if proj_subqueries and aggregates and not group_by:
+            # the empty-set global-aggregate row would still have to
+            # carry the subquery's value (SQL evaluates it even over
+            # zero rows), which the empty-agg substitution path cannot
+            # synthesize lazily — keep this one corner closed
+            raise ValidationError(
+                ["lookup projection: a scalar-subquery projection "
+                 "cannot combine with a GLOBAL aggregate (no GROUP "
+                 "BY) — aggregate inside the subquery or add GROUP BY"]
+            )
         if aggregates and projection and not group_by:
             raise ValidationError(
                 ["lookup projection cannot mix aggregates with plain "
                  "columns without GROUP BY"]
-            )
-        if proj_subqueries and (aggregates or group_by):
-            # a grouped query would need the subquery column in GROUP
-            # BY (it is constant per group only when uncorrelated) —
-            # Derby-legal but a corner; keep the contract closed
-            raise ValidationError(
-                ["lookup projection: a scalar-subquery projection "
-                 "cannot combine with aggregates or GROUP BY — "
-                 "aggregate inside the subquery or pre-shape the dim "
-                 "with a loader query"]
             )
     if projection is not None and joins:
         # keep in-scope qualifiers on sources (lowercased alias);
@@ -3919,6 +3919,52 @@ def parse_lookup_query(query: str) -> ParsedQuery:
             _resolve_qualified(c, table, base_alias, quals, "GROUP BY")
             for c in group_by
         )
+        if proj_subqueries:
+            # projection scalar subqueries under GROUP BY (round-5
+            # latest): accepted when group-CONSTANT — uncorrelated
+            # ones are global constants; correlated ones must
+            # correlate on GROUP BY keys (the standard-SQL grouped-
+            # projection rule), so the resolved ``__psq{n}`` dim
+            # column is a function of the group keys and FOLDS INTO
+            # the grouping without changing the groups. Every physical
+            # path then handles it as one more grouping column. NOTE:
+            # this is a documented EXTENSION over Derby, which rejects
+            # ANY scalar subquery in a grouped SELECT list (ERROR
+            # 42Y30, pinned natively in test_jdbc_derby.py) — like the
+            # GROUP-BY-alias extension, no semantics conflict is
+            # possible on a query Derby cannot run.
+            for _n, sq in proj_subqueries:
+                if sq.ineq:
+                    raise ValidationError(
+                        ["lookup projection: an inequality-correlated "
+                         "scalar subquery cannot combine with GROUP BY "
+                         "(its value is per-ROW, not per-group) — "
+                         "aggregate inside the subquery or pre-shape "
+                         "the dim with a loader query"]
+                    )
+                if sq.outer_exprs:
+                    raise ValidationError(
+                        ["lookup projection: an expression-correlated "
+                         "scalar subquery cannot combine with GROUP BY "
+                         "— correlate on plain GROUP BY columns"]
+                    )
+                if not joins:
+                    bad_corr = sorted(
+                        {oc for _, oc in sq.corr} - set(group_by)
+                    )
+                    if bad_corr:
+                        raise ValidationError(
+                            [f"lookup projection subquery: correlated "
+                             f"column(s) {bad_corr} must be GROUP BY "
+                             f"keys (a projected subquery must be "
+                             f"constant per group)"]
+                        )
+                # join mode defers the corr-key check to
+                # build_join_dim, where qualified and bare spellings
+                # of one column unify on flat names
+            group_by = group_by + tuple(
+                n for n, _ in proj_subqueries if n not in group_by
+            )
         if not joins:
             # join mode defers to build_join_dim's flat names, where
             # qualified and bare spellings of one column compare equal
@@ -4287,6 +4333,20 @@ def build_join_dim(
                 [f"lookup GROUP BY: projected column(s) {bad} must "
                  f"appear in the GROUP BY list (or be aggregated)"]
             )
+        # join-mode twin of the parse-time check: a projected
+        # subquery's correlation keys must be GROUP BY keys (compared
+        # on flat names, where qualified and bare spellings unify)
+        for _n, sq in parsed.proj_subqueries:
+            bad_corr = sorted(
+                {res(oc) for _, oc in sq.corr} - set(new_group)
+            )
+            if bad_corr:
+                raise ValidationError(
+                    [f"lookup projection subquery: correlated "
+                     f"column(s) {bad_corr} must be GROUP BY keys "
+                     f"(a projected subquery must be constant per "
+                     f"group)"]
+                )
     if parsed.group_by or parsed.aggregates:
         # grouped/aggregate ORDER BY names payload ALIASES (parse-time
         # resolution) — flat-safe exactly like HAVING, no remap

@@ -149,6 +149,11 @@ _merge(
         # HAVING comparands (correlated column = GROUP BY key)
         ("lookup_corr_having",
          [("n_ch", "ch_n"), ("ch_rows", "ch_rows")]),
+        # round-5 latest widening: projection scalar subqueries
+        # combined with GROUP BY (the __psq column folds into the
+        # grouping — group-constant by the corr-on-group-keys rule)
+        ("lookup_psq_group",
+         [("n_pg", "pg_n"), ("pg_rows", "pg_rows")]),
     ],
 )
 

@@ -2255,3 +2255,107 @@ def lookup_nested_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("nc_rows"),
     )
+
+
+@register(
+    "lookup_psq_group",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        ps AS (
+          SELECT plan, CAST(sum(price) AS BIGINT) AS tot
+          FROM tool_plans WHERE plan IS NOT NULL GROUP BY 1
+        )
+        """,
+        """
+        g AS (
+          SELECT t.tool, t.plan, CAST(count(*) AS BIGINT) AS n
+          FROM tool_plans t GROUP BY 1, 2
+        )
+        """,
+        """
+        k AS (
+          SELECT g.tool, g.plan, ps.tot, g.n
+          FROM g LEFT JOIN ps ON ps.plan = g.plan
+        )
+        """,
+        """
+        m AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS cnt,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || coalesce(CAST(tot AS VARCHAR), '~N') || '#'
+                        || CAST(n AS VARCHAR)
+                        ORDER BY plan NULLS FIRST),
+                   '|') AS s
+          FROM k GROUP BY 1
+        )
+        """,
+        body="""
+        SELECT tr.conv_id, tr.turn_idx, tr.tool,
+               CAST(coalesce(m.cnt, 0) AS BIGINT) AS n_pg,
+               coalesce(m.s, '') AS pg_rows
+        FROM transcripts tr
+        LEFT JOIN m ON m.tool = tr.tool
+        """,
+    ),
+)
+def lookup_psq_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: a projection scalar subquery combined
+    with GROUP BY — each per-tool plan group carries the GLOBAL
+    per-plan price total next to its own count (``SELECT plan, (SELECT
+    sum(p2.price) FROM tool_plans p2 WHERE p2.plan = tool_plans.plan)
+    AS tot, count(*) AS n ... GROUP BY plan``). This is a documented
+    standard-SQL EXTENSION over Derby, which rejects ANY scalar
+    subquery in a grouped SELECT list (ERROR 42Y30, pinned natively
+    in test_jdbc_derby.py) — accepted here because the correlation
+    keys are GROUP BY keys, so the value is group-constant and no
+    Derby-semantics conflict is possible. Spark-first the ``__psq0``
+    per-group
+    aggregate left-joins onto the dim once per snapshot and FOLDS INTO
+    the grouping columns (it is a function of the group keys, so the
+    groups are unchanged) — the per-event plan stays the single
+    broadcast-hash probe. The NULL-plan group correlates to nothing
+    (tot NULL) on both engines."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "pg",
+                "query": (
+                    "SELECT plan AS plan, "
+                    "(SELECT sum(p2.price) FROM tool_plans p2 "
+                    "WHERE p2.plan = tool_plans.plan) AS tot, "
+                    "count(*) AS n "
+                    "FROM tool_plans WHERE tool = :tool GROUP BY plan"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("pg").cast("long").alias("n_pg"),
+        F.array_join(
+            F.transform(
+                F.col("pg"),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit("="),
+                    F.coalesce(
+                        r.getField("tot").cast("string"), F.lit("~N")
+                    ),
+                    F.lit("#"),
+                    r.getField("n").cast("string"),
+                ),
+            ),
+            "|",
+        ).alias("pg_rows"),
+    )

@@ -1568,6 +1568,37 @@ class TestDerbyGrammarLegality:
         )
         assert len(rows2) == 3
 
+    def test_grouped_projection_subquery_is_a_derby_superset(
+        self, spark, derby_servers
+    ):
+        # round-5 latest quirk pin: Derby REJECTS any scalar subquery
+        # in the SELECT list of a grouped query (ERROR 42Y30 — its
+        # grouped-projection rule admits only grouping and aggregate
+        # expressions), correlated or not, even though it accepts the
+        # same subquery as a HAVING comparand. The engine accepts the
+        # shape as a documented standard-SQL EXTENSION (the __psq
+        # column folds into the grouping) — like the GROUP-BY-alias
+        # extension, no Derby-semantics conflict is possible on a
+        # query Derby cannot run.
+        for sql in (
+            'SELECT s."location" AS loc, (SELECT count(*) FROM servers '
+            's2 WHERE s2."location" = s."location") AS c, count(*) AS n '
+            'FROM servers s GROUP BY s."location"',
+            'SELECT s."location" AS loc, (SELECT count(*) FROM servers '
+            's2) AS c, count(*) AS n FROM servers s GROUP BY s."location"',
+        ):
+            with pytest.raises(Exception, match="42Y30"):
+                self._fetch(spark, sql)
+        # ...while the HAVING spelling of the same correlation IS legal
+        rows = self._fetch(
+            spark,
+            'SELECT s."location" AS loc, count(*) AS n FROM servers s '
+            'GROUP BY s."location" HAVING count(*) >= '
+            '(SELECT count(*) FROM servers s2 '
+            'WHERE s2."location" = s."location")',
+        )
+        assert len(rows) == 3
+
     def test_nested_correlated_subquery(self, spark, derby_servers):
         # round-5 latest: a scalar subquery nested inside another
         # subquery's WHERE, correlated to the ENCLOSING subquery's

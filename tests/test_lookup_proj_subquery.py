@@ -111,18 +111,51 @@ class TestParser:
                 "SELECT (SELECT price FROM u) AS p FROM t WHERE a = :a"
             )
 
-    def test_rejected_with_aggregates_and_group_by(self):
-        # without GROUP BY the generic aggregate/plain-mix check
-        # already fires; the subquery-specific one covers GROUP BY
-        with pytest.raises(ValidationError, match="cannot mix aggregates"):
+    def test_rejected_with_global_aggregate(self):
+        # SQL still evaluates the subquery over an empty set; the
+        # lazy empty-agg substitution row cannot carry it — the one
+        # combination that stays closed (round-5 latest: GROUP BY
+        # combinations are accepted, TestGroupedProjection)
+        with pytest.raises(ValidationError, match="GLOBAL aggregate"):
             parse_lookup_query(
                 "SELECT count(*) AS n, (SELECT max(x) FROM u) AS m "
                 "FROM t WHERE a = :a"
             )
-        with pytest.raises(ValidationError, match="cannot combine"):
+
+    def test_group_by_folds_psq_into_grouping(self):
+        # round-5 latest: a projected subquery under GROUP BY is
+        # group-constant (uncorrelated, or correlated on GROUP BY
+        # keys) and folds into the grouping columns
+        q = parse_lookup_query(
+            "SELECT plan AS plan, (SELECT max(x) FROM u) AS m, "
+            "count(*) AS n FROM t WHERE a = :a GROUP BY plan"
+        )
+        ((name, _),) = q.proj_subqueries
+        assert q.group_by == ("plan", name)
+        assert q.projection == [("plan", "plan"), (name, "m")]
+
+    def test_group_by_correlation_must_be_group_key(self):
+        with pytest.raises(ValidationError, match="GROUP BY keys"):
             parse_lookup_query(
-                "SELECT plan AS plan, (SELECT max(x) FROM u) AS m "
+                "SELECT plan AS plan, (SELECT max(u.x) FROM u "
+                "WHERE u.k = t.other) AS m, count(*) AS n "
                 "FROM t WHERE a = :a GROUP BY plan"
+            )
+
+    def test_group_by_ineq_correlation_rejected(self):
+        with pytest.raises(ValidationError, match="per-ROW"):
+            parse_lookup_query(
+                "SELECT plan AS plan, (SELECT count(*) FROM u "
+                "WHERE u.x < t.plan) AS m, count(*) AS n "
+                "FROM t WHERE a = :a GROUP BY plan"
+            )
+
+    def test_group_by_expression_correlation_rejected(self):
+        with pytest.raises(ValidationError, match="expression-correlated"):
+            parse_lookup_query(
+                "SELECT plan AS plan, (SELECT max(u.x) FROM u "
+                "WHERE upper(u.k) = upper(t.plan)) AS m, "
+                "count(*) AS n FROM t WHERE a = :a GROUP BY plan"
             )
 
     def test_join_mode_correlation_keeps_qualified_spelling(self):
@@ -408,3 +441,158 @@ class TestUnionBranches:
         )
         with pytest.raises(ValidationError, match="does not match"):
             LookupEnricher(spec, self._dims(spark))
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+class TestGroupedProjection:
+    """Round-5 latest: projection subqueries combined with GROUP BY.
+    The ``__psq{n}`` column is group-constant (uncorrelated, or
+    correlated on GROUP BY keys — the standard-SQL grouped-projection
+    rule), so it folds into the grouping columns at parse and every
+    physical path groups by it unchanged. A documented EXTENSION over
+    Derby, which rejects ANY scalar subquery in a grouped SELECT list
+    (ERROR 42Y30, pinned natively in test_jdbc_derby.py)."""
+
+    def _run(self, spark, query, kw, tools=("t1", "t2", "t3", "t9")):
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        spec = PipelineSpec(
+            lookups=[{"id": "u", "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        facts = spark.createDataFrame(
+            [(f"c{i}", i, t) for i, t in enumerate(tools)], FACT
+        )
+        out = LookupEnricher(spec, dims, **kw).apply(facts)
+        got = {
+            r["tool"]: sorted(
+                tuple(d.asDict().values()) for d in r["u"]
+            )
+            for r in out.select("tool", "u").collect()
+        }
+        # row-at-a-time oracle agreement on the same shapes
+        from logstash_filter_jdbc_static_spark import oracle
+
+        tables = {
+            "plans": [
+                {"tool": t, "plan": p, "price": pr}
+                for t, p, pr in PLAN_ROWS
+            ]
+        }
+        for tool, exp in got.items():
+            ev = {"tool": tool}
+            oracle.enhance(ev, spec, tables)
+            assert sorted(
+                tuple(d.values()) for d in ev["u"]
+            ) == exp, f"oracle disagrees for {tool!r}"
+        return got
+
+    def test_uncorrelated_with_group_and_count(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT plan AS plan, (SELECT max(price) FROM plans) AS mx, "
+            "count(*) AS n FROM plans WHERE tool = :tool GROUP BY plan",
+            kw,
+        )
+        assert got == {
+            "t1": [("basic", 10, 2)],
+            "t2": [("pro", 10, 1)],
+            "t3": [(None, 10, 1)],
+            "t9": [],
+        }
+
+    def test_correlated_on_group_key(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT plan AS plan, (SELECT sum(p2.price) FROM plans p2 "
+            "WHERE p2.plan = plans.plan) AS tot, count(*) AS n "
+            "FROM plans WHERE tool = :tool GROUP BY plan",
+            kw,
+        )
+        # the NULL plan correlates to nothing: sum over empty -> NULL
+        assert got == {
+            "t1": [("basic", 12, 2)],
+            "t2": [("pro", 7, 1)],
+            "t3": [(None, None, 1)],
+            "t9": [],
+        }
+
+    def test_group_by_without_aggregates(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT plan AS plan, (SELECT count(*) FROM plans) AS n "
+            "FROM plans WHERE tool = :tool GROUP BY plan",
+            kw,
+        )
+        assert got == {
+            "t1": [("basic", 5)],
+            "t2": [("pro", 5)],
+            "t3": [(None, 5)],
+            "t9": [],
+        }
+
+    def test_having_over_psq_alias(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT plan AS plan, (SELECT sum(p2.price) FROM plans p2 "
+            "WHERE p2.plan = plans.plan) AS tot, count(*) AS n "
+            "FROM plans WHERE tool = :tool GROUP BY plan "
+            "HAVING count(*) >= 1 AND tot > 8",
+            kw,
+        )
+        assert got == {
+            "t1": [("basic", 12, 2)],
+            "t2": [],
+            "t3": [],
+            "t9": [],
+        }
+
+    def test_join_mode_grouped_psq(self, spark, kw):
+        dims = {
+            "plans": spark.createDataFrame(PLAN_ROWS, PLANS),
+            "bands": spark.createDataFrame(
+                [(0, 6, "low"), (6, 11, "high")],
+                "lo: int, hi: int, band: string",
+            ),
+        }
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "u",
+                "query": (
+                    "SELECT b.band AS band, "
+                    "(SELECT count(*) FROM plans p2) AS total, "
+                    "count(*) AS n "
+                    "FROM plans p JOIN bands b "
+                    "ON p.price >= b.lo AND p.price < b.hi "
+                    "WHERE p.tool = :tool GROUP BY b.band"
+                ),
+                "parameters": {"tool": "tool"},
+            }]
+        )
+        facts = spark.createDataFrame([("c1", 1, "t1")], FACT)
+        (row,) = LookupEnricher(spec, dims, **kw).apply(facts).collect()
+        # t1 prices 10 (high) and 2 (low)
+        assert sorted((d["band"], d["total"], d["n"]) for d in row["u"]) == [
+            ("high", 5, 1), ("low", 5, 1),
+        ]
+
+    def test_grouped_tail_orders_by_psq_alias(self, spark, kw):
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "u",
+                "query": (
+                    "SELECT plan AS plan, (SELECT sum(p2.price) FROM "
+                    "plans p2 WHERE p2.plan = plans.plan) AS tot, "
+                    "count(*) AS n FROM plans GROUP BY plan "
+                    "ORDER BY tot DESC FETCH FIRST 2 ROWS ONLY"
+                ),
+                "parameters": {},
+            }]
+        )
+        facts = spark.createDataFrame([("c1", 1, "t1")], FACT)
+        (row,) = LookupEnricher(spec, dims, **kw).apply(facts).collect()
+        # groups: basic tot 12, pro 7, trial 1, NULL-plan tot NULL;
+        # DESC puts NULLs first (Derby order), then 12
+        assert [(d["plan"], d["tot"], d["n"]) for d in row["u"]] == [
+            (None, None, 1), ("basic", 12, 2),
+        ]

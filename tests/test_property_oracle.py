@@ -626,6 +626,18 @@ FULLQ_TEMPLATES = [
      "WHERE s2.name = servers.name AND s2.ip <> 'k9') "
      "ORDER BY n DESC, nm FETCH FIRST 2 ROWS ONLY",
      {"nm": "dflt", "n": -1}),
+    # round-5 latest: projection scalar subqueries combined with GROUP
+    # BY (the __psq column folds into the grouping; correlation keys
+    # must be GROUP BY keys — Derby's projection rule)
+    ("SELECT name AS nm, (SELECT max(s2.ip) FROM servers s2 "
+     "WHERE s2.name = servers.name) AS mx, count(*) AS n "
+     "FROM servers WHERE ip <= :ip GROUP BY name",
+     {"nm": "dflt", "mx": "dflt", "n": -1}),
+    ("SELECT name AS nm, (SELECT count(*) FROM servers s2 "
+     "WHERE s2.ip = 'k1') AS k1s, count(*) AS n "
+     "FROM servers WHERE ip LIKE :ip GROUP BY name "
+     "ORDER BY n DESC, nm FETCH FIRST 2 ROWS ONLY",
+     {"nm": "dflt", "k1s": -1, "n": -1}),
     # round-5 latest: PARENTHESIZED set-op branches carrying their own
     # ORDER BY/FETCH/OFFSET tails (shaped before the set op combines)
     ("(SELECT name AS name FROM servers WHERE ip <= :ip "
