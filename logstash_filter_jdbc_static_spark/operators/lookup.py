@@ -2941,21 +2941,16 @@ def _rewrite_having_aggregates(
     return out
 
 
-def split_top_level_setop(text: str) -> tuple[list[str], str, bool]:
-    """Split a lookup query on top-level ``UNION [ALL]`` / ``EXCEPT`` /
-    ``INTERSECT`` joints (quote- and paren-aware, so subqueries and
-    string literals never split). Returns (branch texts, op, dedupe)
-    with op one of ``"union"``/``"except"``/``"intersect"`` (op is
-    ``"union"`` for a single-branch query); dedupe is True for every
-    set op except ``UNION ALL`` — plain set ops de-duplicate by SQL
-    semantics.
-
-    Mixing different joints in one query is rejected: SQL gives them
-    position-dependent precedence (INTERSECT binds tighter), and a
-    config that needs a mixed pipeline should pre-shape via a loader
-    query. ``EXCEPT ALL`` / ``INTERSECT ALL`` (multiset semantics) are
-    likewise rejected — Derby accepts them, but the compiled
-    set-semantics surface is the distinct variant only."""
+def _split_setop_raw(
+    text: str,
+) -> tuple[list[str], list[tuple[str, bool]]]:
+    """Quote- and paren-aware scan for top-level ``UNION [ALL]`` /
+    ``EXCEPT [ALL]`` / ``INTERSECT [ALL]`` joints. Returns (branch
+    texts, joints) with ``joints[i] = (op, all)`` connecting branches
+    ``i`` and ``i+1`` — no homogeneity rules applied here: the
+    per-event set-op compile (:func:`split_top_level_setop`) restricts
+    the surface further, while a derived table accepts the full mixed/
+    multiset surface (:func:`_materialize_derived_setop`)."""
     parts: list[str] = []
     joints: list[tuple[str, bool]] = []  # (op, all)
     i, n, depth, start = 0, len(text), 0, 0
@@ -2992,6 +2987,29 @@ def split_top_level_setop(text: str) -> tuple[list[str], str, bool]:
                 continue
         i += 1
     parts.append(text[start:])
+    return parts, joints
+
+
+def split_top_level_setop(text: str) -> tuple[list[str], str, bool]:
+    """Split a lookup query on top-level ``UNION [ALL]`` / ``EXCEPT`` /
+    ``INTERSECT`` joints (quote- and paren-aware, so subqueries and
+    string literals never split). Returns (branch texts, op, dedupe)
+    with op one of ``"union"``/``"except"``/``"intersect"`` (op is
+    ``"union"`` for a single-branch query); dedupe is True for every
+    set op except ``UNION ALL`` — plain set ops de-duplicate by SQL
+    semantics.
+
+    Mixing different joints in one query is rejected: SQL gives them
+    position-dependent precedence (INTERSECT binds tighter), and a
+    config that needs a mixed pipeline should wrap the set op in a
+    derived table — ``FROM (A UNION B INTERSECT C) d`` accepts the
+    full mixed surface since round-5 latest — or pre-shape via a
+    loader query. ``EXCEPT ALL`` / ``INTERSECT ALL`` (multiset
+    semantics) are likewise rejected at the top level — Derby accepts
+    them, but the compiled per-event set-semantics surface is the
+    distinct variant only; a derived table accepts the ALL variants
+    too (exact multiset built-ins exist on a materialized relation)."""
+    parts, joints = _split_setop_raw(text)
     if len(parts) == 1:
         return parts, "union", False
     ops = {op for op, _ in joints}
@@ -2999,7 +3017,8 @@ def split_top_level_setop(text: str) -> tuple[list[str], str, bool]:
         raise ValidationError(
             ["lookup set ops: mixing UNION/EXCEPT/INTERSECT in one "
              "query is not supported (SQL precedence differs per "
-             "joint) — pre-shape the dim via a loader query instead"]
+             "joint) — wrap the set op in a derived table "
+             "(FROM (...) d) or pre-shape via a loader query"]
         )
     op = ops.pop()
     alls = [a for _, a in joints]
@@ -3007,8 +3026,10 @@ def split_top_level_setop(text: str) -> tuple[list[str], str, bool]:
         if any(alls):
             raise ValidationError(
                 [f"lookup set ops: {op.upper()} ALL (multiset "
-                 f"semantics) is not supported — use plain "
-                 f"{op.upper()}, or pre-shape via a loader query"]
+                 f"semantics) is not supported at the top level — use "
+                 f"plain {op.upper()}, wrap the set op in a derived "
+                 f"table (FROM (...) d), or pre-shape via a loader "
+                 f"query"]
             )
         return parts, op, True
     if any(alls) and not all(alls):
@@ -3132,7 +3153,13 @@ def extract_derived_tables(
                     [f"lookup FROM: unbalanced parenthesis in {query!r}"]
                 )
             inner = query[i + 1:j].strip()
-            if not re.match(r"(select|values)\b", inner, re.IGNORECASE):
+            # a derived table's body may itself open with a
+            # parenthesized set-op branch — ((SELECT ...) UNION ...) d
+            # (round-5 latest); validate the first keyword past any
+            # balanced leading parens
+            if not re.match(
+                r"[(\s]*(select|values)\b", inner, re.IGNORECASE
+            ):
                 raise ValidationError(
                     [f"lookup FROM: expected a derived table "
                      f"(SELECT ...) or (VALUES ...) after "
@@ -3319,10 +3346,14 @@ def materialize_derived(
     inline ``VALUES (lit, ...), ...`` table (literals only; ``cols``
     names the columns, Derby's correlation-name column list). ``cols``
     on a SELECT derived table renames the output positionally.
+    Set ops — ``UNION [ALL]`` / ``EXCEPT [ALL]`` / ``INTERSECT
+    [ALL]``, mixed under SQL precedence — combine branch relations
+    with exact DataFrame set semantics (round-5 latest,
+    :func:`_materialize_derived_setop`), and ``ORDER BY ... LIMIT/
+    OFFSET/FETCH`` selects an ordered top-N row set (round-5 late).
     Rejected with targeted messages: :param/? placeholders (they would
-    re-bind per event — bind them in the OUTER query), set ops, and
-    ORDER BY/LIMIT/OFFSET (a derived table is an unordered relation —
-    shape the outer query)."""
+    re-bind per event — bind them in the OUTER query) and LIMIT/OFFSET
+    without an ORDER BY (nondeterministic row set)."""
     label = "lookup derived table"
     if re.match(r"\s*values\b", inner, re.IGNORECASE):
         if cols is None:
@@ -3337,13 +3368,10 @@ def materialize_derived(
         for name, sub, sub_cols in nested:
             dims[name] = materialize_derived(sub, dims, sub_cols)
         inner = inner2
-    texts, _, _ = split_top_level_setop(inner)
+    texts, joints = _split_setop_raw(inner)
     if len(texts) > 1:
-        raise ValidationError(
-            [f"{label}: set ops (UNION/EXCEPT/INTERSECT) inside a "
-             f"derived table are not supported — pre-shape via a "
-             f"loader query"]
-        )
+        df = _materialize_derived_setop(texts, joints, dims, cols, label)
+        return _rename_positional(df, cols, label)
     parsed = parse_lookup_query(inner)
     if (
         parsed.limit is not None or parsed.offset is not None
@@ -3418,47 +3446,176 @@ def materialize_derived(
         )
     if parsed.distinct:
         df = df.distinct()
-    if parsed.limit is not None or parsed.offset is not None:
-        # ordered top-N dim (round-5 late): ORDER BY keys in Derby
-        # result order (ASC puts NULLs last, DESC first) + every other
-        # output column NULL-first ASC as a total-order tiebreak —
-        # Derby leaves tie selection unspecified; this engine pins the
-        # same canonical order the payload contract uses, so the
-        # selected row SET is deterministic and oracle-comparable
-        keys = [c for c, _ in parsed.order_by]
-        missing = [c for c in keys if c not in df.columns]
-        if missing:
-            raise ValidationError(
-                [f"{label}: ORDER BY column(s) {missing} are not in "
-                 f"the derived output {df.columns} — order by "
-                 f"projected aliases"]
-            )
-        sort_cols = [
-            (F.col(c).asc_nulls_last() if asc else F.col(c).desc_nulls_first())
-            for c, asc in parsed.order_by
-        ]
-        sort_cols += [
-            F.col(c).asc_nulls_first()
-            for c in df.columns
-            if c not in keys
-        ]
-        df = df.orderBy(*sort_cols)
-        if parsed.offset:
-            df = df.offset(parsed.offset)
-        if parsed.limit is not None:
-            df = df.limit(parsed.limit)
-    # a bare ORDER BY (no LIMIT/OFFSET) has no effect — a derived
-    # table is an unordered relation, exactly as on Derby
-    if cols is not None:
-        # correlation-name column list renames the output positionally
-        if len(cols) != len(df.columns):
-            raise ValidationError(
-                [f"{label}: column list {list(cols)} has {len(cols)} "
-                 f"name(s) but the derived select projects "
-                 f"{len(df.columns)}"]
-            )
-        df = df.toDF(*cols)
+    df = _derived_topn(
+        df, parsed.order_by, parsed.limit, parsed.offset, label
+    )
+    return _rename_positional(df, cols, label)
+
+
+def _derived_topn(
+    df: DataFrame,
+    order_by: tuple,
+    limit: int | None,
+    offset: int | None,
+    label: str,
+) -> DataFrame:
+    """Ordered top-N shaping of a derived relation (round-5 late):
+    ORDER BY keys in Derby result order (ASC puts NULLs last, DESC
+    first) + every other output column NULL-first ASC as a total-order
+    tiebreak — Derby leaves tie selection unspecified; this engine pins
+    the same canonical order the payload contract uses, so the selected
+    row SET is deterministic and oracle-comparable. A bare ORDER BY
+    (no LIMIT/OFFSET) has no effect — a derived table is an unordered
+    relation, exactly as on Derby."""
+    if limit is None and offset is None:
+        return df
+    keys = [c for c, _ in order_by]
+    missing = [c for c in keys if c not in df.columns]
+    if missing:
+        raise ValidationError(
+            [f"{label}: ORDER BY column(s) {missing} are not in "
+             f"the derived output {df.columns} — order by "
+             f"projected aliases"]
+        )
+    sort_cols = [
+        (F.col(c).asc_nulls_last() if asc else F.col(c).desc_nulls_first())
+        for c, asc in order_by
+    ]
+    sort_cols += [
+        F.col(c).asc_nulls_first()
+        for c in df.columns
+        if c not in keys
+    ]
+    df = df.orderBy(*sort_cols)
+    if offset:
+        df = df.offset(offset)
+    if limit is not None:
+        df = df.limit(limit)
     return df
+
+
+def _rename_positional(
+    df: DataFrame, cols: tuple[str, ...] | None, label: str
+) -> DataFrame:
+    """Apply a derived table's correlation-name column list — it
+    renames the output positionally (Derby's rule)."""
+    if cols is None:
+        return df
+    if len(cols) != len(df.columns):
+        raise ValidationError(
+            [f"{label}: column list {list(cols)} has {len(cols)} "
+             f"name(s) but the derived select projects "
+             f"{len(df.columns)}"]
+        )
+    return df.toDF(*cols)
+
+
+def _materialize_derived_setop(
+    parts: list[str],
+    joints: list[tuple[str, bool]],
+    dims: dict[str, DataFrame],
+    cols: tuple[str, ...] | None,
+    label: str,
+) -> DataFrame:
+    """Set ops INSIDE a derived table (round-5 latest). Unlike the
+    per-event top-level compile — restricted to homogeneous joints and
+    distinct-only EXCEPT/INTERSECT because it combines per-event
+    payload ARRAYS — a derived table materializes ONCE per snapshot as
+    a DataFrame, where Derby's full query-expression surface
+    (lookup.rb:131-147 executes it verbatim) maps 1:1 onto exact
+    built-ins: ``UNION [ALL]`` (union [+ distinct]), ``EXCEPT [ALL]``
+    (subtract / exceptAll), ``INTERSECT [ALL]`` (intersect /
+    intersectAll) — NULL is not distinct from NULL on all of them,
+    exactly as SQL set ops require (verified empirically; the Derby
+    legality of the shapes is pinned natively in test_jdbc_derby.py).
+    Mixed joints combine under SQL precedence: INTERSECT binds
+    tighter, then left-to-right; a PARENTHESIZED branch may itself be
+    a set-op group, giving explicit grouping. Branches align
+    POSITIONALLY and take branch 1's column names (Derby requires the
+    branches to agree on a name for it to be referencable; taking
+    branch 1's names is the same documented superset the per-event
+    union uses), with Spark widening union-compatible types
+    (int -> bigint) as Derby does. A trailing unparenthesized
+    ``ORDER BY``/``LIMIT``/``OFFSET`` shapes the WHOLE set-op result
+    (ordered top-N, Derby result order); a parenthesized branch may
+    carry its own tail; a bare branch may not (Derby rejects that)."""
+    parts, order_by, limit, offset = split_union_tail(parts)
+    frames: list[DataFrame] = []
+    for bi, p in enumerate(parts):
+        blabel = f"{label} set-op branch {bi + 1}"
+        stripped = strip_outer_parens(p)
+        parenthesized = stripped != p.strip()
+        if re.match(r"\s*values\b", stripped, re.IGNORECASE):
+            rows = _parse_values_rows(stripped)
+            if bi == 0 and cols is None:
+                raise ValidationError(
+                    [f"{blabel}: a VALUES first branch needs a column "
+                     f"list on the derived table — (VALUES ...) "
+                     f"UNION ... AS t (c1, c2) — it names the set-op "
+                     f"output columns"]
+                )
+            width = len(rows[0]) if rows else 0
+            frames.append(
+                _values_dataframe(
+                    rows, tuple(f"c{i}" for i in range(width)), dims
+                )
+            )
+            continue
+        if not parenthesized and _find_tail(
+            stripped,
+            by_words=("order",),
+            bare_words=("limit", "fetch", "offset"),
+        ) is not None:
+            # mirror of the per-event union rule: Derby rejects a bare
+            # ORDER BY/FETCH inside a branch — an unparenthesized
+            # trailing tail after the LAST branch shapes the whole
+            # set-op result (split_union_tail above); a PARENTHESIZED
+            # branch may carry its own ordered top-N
+            raise ValidationError(
+                [f"{blabel}: ORDER BY/LIMIT/OFFSET inside a set-op "
+                 f"branch needs the branch parenthesized — "
+                 f"(SELECT ... ORDER BY ... FETCH ...) UNION ...; an "
+                 f"unparenthesized trailing tail applies to the whole "
+                 f"set-op result"]
+            )
+        frames.append(materialize_derived(stripped, dims))
+
+    def _combine(a: DataFrame, b: DataFrame, op: str, all_: bool) -> DataFrame:
+        if len(b.columns) != len(a.columns):
+            raise ValidationError(
+                [f"{label}: set-op branches project {len(a.columns)} "
+                 f"vs {len(b.columns)} column(s) — branches align "
+                 f"positionally"]
+            )
+        b = b.toDF(*a.columns)
+        if op == "union":
+            u = a.union(b)
+            return u if all_ else u.distinct()
+        if op == "except":
+            return a.exceptAll(b) if all_ else a.subtract(b)
+        return a.intersectAll(b) if all_ else a.intersect(b)
+
+    vals = list(frames)
+    ops = list(joints)
+    i = 0
+    while i < len(ops):
+        # SQL precedence: INTERSECT binds tighter than UNION/EXCEPT —
+        # reduce INTERSECT runs first, then fold left-to-right
+        if ops[i][0] == "intersect":
+            op, all_ = ops.pop(i)
+            vals[i] = _combine(vals[i], vals.pop(i + 1), op, all_)
+        else:
+            i += 1
+    df = vals[0]
+    for (op, all_), b in zip(ops, vals[1:]):
+        df = _combine(df, b, op, all_)
+    if (limit is not None or offset is not None) and not order_by:
+        raise ValidationError(
+            [f"{label}: LIMIT/OFFSET on a set-op derived table "
+             f"requires an ORDER BY — the selected row set would be "
+             f"nondeterministic otherwise"]
+        )
+    return _derived_topn(df, order_by, limit, offset, label)
 
 
 def split_union_tail(

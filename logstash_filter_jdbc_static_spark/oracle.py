@@ -12,6 +12,7 @@ from typing import Any
 
 from logstash_filter_jdbc_static_spark.operators.lookup import (
     _remap_having_aliases,
+    _split_setop_raw,
     extract_derived_tables,
     has_subqueries,
     parse_lookup_query,
@@ -879,10 +880,11 @@ def _derived_rows(
     """Row-at-a-time twin of lookup.materialize_derived: evaluate a
     derived table's inner SELECT (static WHERE, expressions, joins,
     aggregates + GROUP BY + static HAVING, DISTINCT, nested derived
-    tables) or inline VALUES table against the dict-row tables, once
-    per enhance call. The Spark compile enforces the rejections
-    (params/subqueries/set ops/tails); this twin just evaluates the
-    accepted surface. ``cols`` renames the output positionally."""
+    tables, set ops, ordered top-N) or inline VALUES table against the
+    dict-row tables, once per enhance call. The Spark compile enforces
+    the rejections (params inside, bare-branch tails, LIMIT without
+    ORDER BY); this twin just evaluates the accepted surface. ``cols``
+    renames the output positionally."""
     import re as _re
 
     if _re.match(r"\s*values\b", inner, _re.IGNORECASE):
@@ -898,6 +900,12 @@ def _derived_rows(
         for name, sub, sub_cols in nested:
             tables[name] = _derived_rows(sub, tables, sub_cols)
         inner = inner2
+    parts, joints = _split_setop_raw(inner)
+    if len(parts) > 1:
+        rows = _derived_rows_setop(parts, joints, tables)
+        if cols is not None:
+            rows = [dict(zip(cols, r.values())) for r in rows]
+        return rows
     q = parse_lookup_query(inner)
     table = _join_rows(q, tables) if q.joins else tables[q.table]
     if has_subqueries(q) or q.proj_subqueries:
@@ -936,38 +944,146 @@ def _derived_rows(
                 seen.add(key)
                 uniq.append(r)
         rows = uniq
-    if q.limit is not None or q.offset is not None:
-        # ordered top-N dim: mirror of materialize_derived — Derby
-        # key order (ASC nulls last, DESC nulls first) with the
-        # all-other-columns NULL-first ASC tiebreak, via stable sorts
-        # in reverse priority
-        keys = [c for c, _ in q.order_by]
-        if rows:
-            tiebreak = [c for c in rows[0] if c not in keys]
-            rows.sort(
-                key=lambda r: [
-                    (r.get(c) is not None,
-                     r.get(c) if r.get(c) is not None else 0)
-                    for c in tiebreak
-                ]
-            )
-        for c, asc in reversed(q.order_by):
-            rows.sort(
-                key=lambda r, cc=c: (
-                    r.get(cc) is None,
-                    r.get(cc) if r.get(cc) is not None else 0,
-                ),
-                reverse=not asc,
-            )
-        start = q.offset or 0
-        rows = (
-            rows[start:start + q.limit] if q.limit is not None
-            else rows[start:]
-        )
+    rows = _rows_topn(rows, q.order_by, q.limit, q.offset)
     if cols is not None:
         # positional rename (dicts preserve projection insertion order)
         rows = [dict(zip(cols, r.values())) for r in rows]
     return rows
+
+
+def _rows_topn(
+    rows: list[dict], order_by: tuple, limit: int | None,
+    offset: int | None,
+) -> list[dict]:
+    """Ordered top-N row selection: mirror of lookup._derived_topn —
+    Derby key order (ASC nulls last, DESC nulls first) with the
+    all-other-columns NULL-first ASC tiebreak, via stable sorts in
+    reverse priority."""
+    if limit is None and offset is None:
+        return rows
+    keys = [c for c, _ in order_by]
+    if rows:
+        tiebreak = [c for c in rows[0] if c not in keys]
+        rows.sort(
+            key=lambda r: [
+                (r.get(c) is not None,
+                 r.get(c) if r.get(c) is not None else 0)
+                for c in tiebreak
+            ]
+        )
+    for c, asc in reversed(order_by):
+        rows.sort(
+            key=lambda r, cc=c: (
+                r.get(cc) is None,
+                r.get(cc) if r.get(cc) is not None else 0,
+            ),
+            reverse=not asc,
+        )
+    start = offset or 0
+    return (
+        rows[start:start + limit] if limit is not None
+        else rows[start:]
+    )
+
+
+def _derived_rows_setop(
+    parts: list[str], joints: list[tuple[str, bool]],
+    tables: dict[str, list[dict]],
+) -> list[dict]:
+    """Row twin of lookup._materialize_derived_setop: evaluate each
+    branch (recursively — a parenthesized branch may itself be a
+    set-op group), align positionally to the left operand's keys, and
+    combine with SQL set semantics — NULL is not distinct from NULL,
+    plain ops de-duplicate, ALL variants are multisets (EXCEPT ALL
+    removes one occurrence per right-side row, INTERSECT ALL keeps the
+    minimum count) — INTERSECT binding tighter than UNION/EXCEPT, then
+    left-to-right; finally the trailing ordered top-N. The Spark
+    compile enforces the rejections (bare-branch tails, arity, LIMIT
+    without ORDER BY); this twin just evaluates the accepted surface.
+    Key names: output dicts carry branch 1's keys when branch 1
+    produced rows (as on Spark, where the schema is static); an EMPTY
+    branch 1 falls back to the first non-empty operand's keys — gated
+    queries and templates use branches with agreeing aliases, where
+    the fallback is identical."""
+    from collections import Counter
+
+    parts, order_by, limit, offset = split_union_tail(parts)
+    branch_rows: list[list[dict]] = []
+    for p in parts:
+        stripped = strip_outer_parens(p)
+        if re.match(r"\s*values\b", stripped, re.IGNORECASE):
+            from logstash_filter_jdbc_static_spark.operators.lookup import (
+                _parse_values_rows,
+            )
+
+            vrows = _parse_values_rows(stripped)
+            branch_rows.append(
+                [
+                    {f"c{i}": v for i, v in enumerate(r)}
+                    for r in vrows
+                ]
+            )
+        else:
+            branch_rows.append(_derived_rows(stripped, tables))
+
+    def _key(r: dict) -> tuple:
+        return tuple(r.values())
+
+    def _dedup(rows: list[dict]) -> list[dict]:
+        seen, out = set(), []
+        for r in rows:
+            k = _key(r)
+            if k not in seen:
+                seen.add(k)
+                out.append(r)
+        return out
+
+    def _combine(
+        a: list[dict], b: list[dict], op: str, all_: bool
+    ) -> list[dict]:
+        if a:
+            keys0 = list(a[0].keys())
+            b = [dict(zip(keys0, r.values())) for r in b]
+        if op == "union":
+            out = a + b
+            return out if all_ else _dedup(out)
+        bc = Counter(_key(r) for r in b)
+        if op == "except":
+            if all_:
+                out = []
+                for r in a:
+                    k = _key(r)
+                    if bc[k] > 0:
+                        bc[k] -= 1
+                    else:
+                        out.append(r)
+                return out
+            return [r for r in _dedup(a) if _key(r) not in bc]
+        if all_:
+            out = []
+            for r in a:
+                k = _key(r)
+                if bc[k] > 0:
+                    bc[k] -= 1
+                    out.append(r)
+            return out
+        return [r for r in _dedup(a) if _key(r) in bc]
+
+    vals = list(branch_rows)
+    ops = list(joints)
+    i = 0
+    while i < len(ops):
+        # SQL precedence: INTERSECT binds tighter — reduce its runs
+        # first, then fold left-to-right
+        if ops[i][0] == "intersect":
+            op, all_ = ops.pop(i)
+            vals[i] = _combine(vals[i], vals.pop(i + 1), op, all_)
+        else:
+            i += 1
+    rows = vals[0]
+    for (op, all_), b in zip(ops, vals[1:]):
+        rows = _combine(rows, b, op, all_)
+    return _rows_topn(rows, order_by, limit, offset)
 
 
 def _run_union(

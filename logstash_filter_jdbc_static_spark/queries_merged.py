@@ -245,6 +245,13 @@ _merge(
         # (inner correlates to the enclosing subquery's relation)
         ("lookup_nested_corr",
          [("n_nc", "nc_n"), ("nc_rows", "nc_rows")]),
+        # round-5 latest widening: set ops INSIDE derived tables —
+        # mixed joints under SQL precedence, EXCEPT/INTERSECT ALL
+        # multisets, bare VALUES branch, trailing ordered top-N
+        ("lookup_derived_setop",
+         [("n_s1", "ds1_n"), ("s1_rows", "ds1_rows"),
+          ("n_s2", "ds2_n"), ("s2_rows", "ds2_rows"),
+          ("n_s3", "ds3_n"), ("s3_rows", "ds3_rows")]),
     ],
 )
 

@@ -2359,3 +2359,167 @@ def lookup_psq_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("pg_rows"),
     )
+
+
+@register(
+    "lookup_derived_setop",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        s1 AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n1,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || CAST(price AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, price),
+                   ',') AS r1
+          FROM (
+            SELECT tool, plan, price FROM tool_plans WHERE qty >= 2
+            UNION ALL
+            SELECT tool, plan, price FROM tool_plans WHERE price > 6
+            EXCEPT ALL
+            SELECT tool, plan, price FROM tool_plans WHERE plan = 'pro'
+          ) d GROUP BY tool
+        )
+        """,
+        """
+        s2 AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n2,
+                 array_to_string(
+                   list(coalesce(plan, '~N') ORDER BY plan NULLS FIRST),
+                   ',') AS r2
+          FROM (
+            SELECT tool, plan FROM tool_plans WHERE price >= 8
+            UNION
+            SELECT tool, plan FROM tool_plans WHERE qty >= 3
+            INTERSECT
+            SELECT tool, plan FROM tool_plans WHERE plan IS NOT NULL
+          ) d GROUP BY tool
+        )
+        """,
+        """
+        s3 AS (
+          SELECT tl AS tool, CAST(count(*) AS BIGINT) AS n3,
+                 array_to_string(
+                   list(CAST(p AS VARCHAR) ORDER BY p), ',') AS r3
+          FROM (
+            SELECT tool, price FROM tool_plans WHERE qty <= 4
+            UNION ALL
+            VALUES ('tool_5', 42)
+            ORDER BY price DESC, tool LIMIT 4
+          ) AS d (tl, p)
+          GROUP BY tl
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(s1.n1, 0) AS n_s1,
+               coalesce(s1.r1, '') AS s1_rows,
+               coalesce(s2.n2, 0) AS n_s2,
+               coalesce(s2.r2, '') AS s2_rows,
+               coalesce(s3.n3, 0) AS n_s3,
+               coalesce(s3.r3, '') AS s3_rows
+        FROM transcripts t
+        LEFT JOIN s1 ON s1.tool = t.tool
+        LEFT JOIN s2 ON s2.tool = t.tool
+        LEFT JOIN s3 ON s3.tool = t.tool
+        """,
+    ),
+)
+def lookup_derived_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: SET OPS inside derived tables — Derby
+    executes the full query expression verbatim inside ``FROM (...)``
+    (lookup.rb:131-147; mixed ALL joints + bare VALUES branches pinned
+    natively in test_jdbc_derby.py::test_setops_inside_derived_table).
+    Three lookups: (1) mixed ``UNION ALL`` then ``EXCEPT ALL`` —
+    multiset semantics via exceptAll; (2) ``UNION`` with an
+    ``INTERSECT`` that binds TIGHTER (SQL precedence: A UNION (B
+    INTERSECT C)); (3) a bare ``VALUES`` branch with a trailing
+    ordered top-N over the WHOLE set-op result plus a positional
+    column list. Each combination materializes ONCE per refresh
+    snapshot (dim-sized exceptAll/intersect shuffles; the fact side
+    keeps its broadcast-hash probe). NULL plans exercise
+    NULL-not-distinct set semantics on both engines."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "s1",
+                "query": (
+                    "SELECT d.plan AS plan, d.price AS price FROM "
+                    "(SELECT tool AS tool, plan AS plan, price AS price "
+                    "FROM tool_plans WHERE qty >= 2 "
+                    "UNION ALL SELECT tool AS tool, plan AS plan, "
+                    "price AS price FROM tool_plans WHERE price > 6 "
+                    "EXCEPT ALL SELECT tool AS tool, plan AS plan, "
+                    "price AS price FROM tool_plans WHERE plan = 'pro') d "
+                    "WHERE d.tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "s2",
+                "query": (
+                    "SELECT d.plan AS plan FROM "
+                    "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+                    "WHERE price >= 8 "
+                    "UNION SELECT tool AS tool, plan AS plan "
+                    "FROM tool_plans WHERE qty >= 3 "
+                    "INTERSECT SELECT tool AS tool, plan AS plan "
+                    "FROM tool_plans WHERE plan IS NOT NULL) d "
+                    "WHERE d.tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "s3",
+                "query": (
+                    "SELECT d.p AS p FROM "
+                    "(SELECT tool AS tool, price AS price FROM tool_plans "
+                    "WHERE qty <= 4 "
+                    "UNION ALL VALUES ('tool_5', 42) "
+                    "ORDER BY price DESC "
+                    "FETCH FIRST 4 ROWS ONLY) AS d (tl, p) "
+                    "WHERE d.tl = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("s1").cast("long").alias("n_s1"),
+        F.array_join(
+            F.transform(
+                F.col("s1"),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit(":"),
+                    r.getField("price").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("s1_rows"),
+        F.size("s2").cast("long").alias("n_s2"),
+        F.array_join(
+            F.transform(
+                F.col("s2"),
+                lambda r: F.coalesce(r.getField("plan"), F.lit("~N")),
+            ),
+            ",",
+        ).alias("s2_rows"),
+        F.size("s3").cast("long").alias("n_s3"),
+        F.array_join(
+            F.transform(
+                F.col("s3"), lambda r: r.getField("p").cast("string")
+            ),
+            ",",
+        ).alias("s3_rows"),
+    )

@@ -1421,6 +1421,74 @@ class TestDerbyGrammarLegality:
         finally:
             conn.close()
 
+    def test_setops_inside_derived_table(self, spark, derby_servers):
+        # round-5 latest: a derived table's body is a full query
+        # EXPRESSION on Derby — mixed UNION ALL / EXCEPT ALL joints
+        # and the multiset ALL variants are legal inside FROM (...),
+        # and a parenthesized VALUES branch may join a SELECT branch
+        # (column list naming the set-op output)
+        ten = self._fetch(
+            spark, 'SELECT "name" FROM servers WHERE "ip" LIKE \'10.%\''
+        )
+        rows = self._fetch(
+            spark,
+            'SELECT d."name" AS nm FROM '
+            '(SELECT "name" FROM servers '
+            'UNION ALL SELECT "name" FROM servers '
+            'EXCEPT ALL SELECT "name" FROM servers '
+            "WHERE \"ip\" LIKE '10.%') d",
+        )
+        # doubled names minus one copy per 10.%-row: 6 - |ten|
+        assert len(rows) == 6 - len(ten)
+        # a BARE VALUES branch is a Derby query primary (no parens);
+        # the column list names the set-op output positionally
+        rows2 = self._fetch(
+            spark,
+            'SELECT d.nm AS nm FROM (SELECT "name" FROM servers '
+            "UNION ALL VALUES ('zz')) AS d (nm)",
+        )
+        assert len(rows2) == 4
+        assert any(r["NM"].strip() == "zz" for r in rows2)
+
+    def test_parenthesized_branch_in_derived_is_derby_superset(
+        self, spark, derby_servers
+    ):
+        # Derby REJECTS parenthesized branches INSIDE a derived table
+        # (42X01 — though it accepts them at the top level, pinned in
+        # test_parenthesized_union_with_fetch), so this engine's
+        # acceptance — ((SELECT ...) UNION ALL (VALUES ...)) d, with
+        # branch-level ordered top-N tails — is a documented
+        # standard-SQL EXTENSION: no semantics conflict is possible on
+        # a query Derby cannot run
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(URL)
+        try:
+            with pytest.raises(Exception, match="42X01|Syntax"):
+                conn.createStatement().executeQuery(
+                    'SELECT d.nm FROM ((SELECT "name" FROM servers) '
+                    'UNION ALL (SELECT "name" FROM servers)) AS d (nm)'
+                )
+        finally:
+            conn.close()
+
+    def test_intersect_binds_tighter_than_union(self, spark, derby_servers):
+        # SQL precedence pinned natively: A UNION ALL (B INTERSECT B)
+        # keeps all of A plus B once — were UNION ALL applied first,
+        # the INTERSECT would collapse duplicates and drop non-B rows
+        ten = self._fetch(
+            spark, 'SELECT "name" FROM servers WHERE "ip" LIKE \'10.%\''
+        )
+        rows = self._fetch(
+            spark,
+            'SELECT d."name" AS nm FROM '
+            '(SELECT "name" FROM servers '
+            'UNION ALL SELECT "name" FROM servers '
+            "WHERE \"ip\" LIKE '10.%' "
+            'INTERSECT SELECT "name" FROM servers '
+            "WHERE \"ip\" LIKE '10.%') d",
+        )
+        assert len(rows) == 3 + len(ten)
+
     def test_params_inside_expressions(self, spark, derby_servers):
         # round-5 latest: bound placeholders INSIDE expressions are
         # Derby-legal prepared-statement shapes — as an arithmetic

@@ -292,10 +292,30 @@ class TestDerivedRejections:
              "FROM tool_plans GROUP BY tool HAVING count(*) > :tool) g "
              "WHERE g.tool = :tool",
              "placeholders inside a derived table"),
+            # set ops inside a derived table are ACCEPTED since
+            # round-5 latest (TestDerivedSetOps); the residual
+            # rejections are the per-branch shape rules:
+            ("SELECT p AS p FROM (SELECT tool AS tool, plan AS p "
+             "FROM tool_plans ORDER BY p UNION SELECT tool AS tool, "
+             "plan AS p FROM tool_plans) d WHERE d.tool = :tool",
+             "needs the branch parenthesized"),
+            ("SELECT p AS p FROM (SELECT tool AS tool, plan AS p "
+             "FROM tool_plans UNION SELECT tool AS tool "
+             "FROM tool_plans) d WHERE d.tool = :tool",
+             "branches align positionally"),
             ("SELECT p AS p FROM (SELECT tool AS tool, plan AS p "
              "FROM tool_plans UNION SELECT tool AS tool, plan AS p "
-             "FROM tool_plans) d WHERE d.tool = :tool",
-             "set ops .* inside a derived table"),
+             "FROM tool_plans LIMIT 2) d WHERE d.tool = :tool",
+             "requires an ORDER BY"),
+            ("SELECT p AS p FROM ((VALUES ('t1', 'x')) UNION "
+             "SELECT tool AS tool, plan AS p FROM tool_plans) d "
+             "WHERE d.tool = :tool",
+             "VALUES first branch needs a column list"),
+            ("SELECT p AS p FROM (SELECT tool AS tool, plan AS p "
+             "FROM tool_plans WHERE tool = :tool UNION "
+             "SELECT tool AS tool, plan AS p FROM tool_plans) d "
+             "WHERE d.tool = :tool",
+             "placeholders inside a derived table"),
         ],
     )
     def test_rejections(self, spark, query, msg):
@@ -490,10 +510,24 @@ class TestOrderedDerived:
         assert got["t1"] == [(("price", 4),), (("price", 7),)]
         assert got["t2"] == []  # its only price (2) fell to the offset
 
+    def test_topn_groups_in_one_select(self, spark):
+        # GROUP BY + ORDER BY + FETCH in ONE inner select: the
+        # aggregate materializes first, then the ordered top-N selects
+        # among the groups (alias-resolved keys) — same result as the
+        # nested spelling below
+        got = _run(
+            spark,
+            "SELECT mx AS mx FROM "
+            "(SELECT tool AS tool, max(price) AS mx FROM tool_plans "
+            "GROUP BY tool ORDER BY mx DESC "
+            "FETCH FIRST 2 ROWS ONLY) g WHERE g.tool = :tool",
+        )
+        assert got["t1"] == [(("mx", 10),)]
+        assert got["t2"] == []
+
     def test_topn_groups_via_nesting(self, spark):
-        # GROUP BY cannot combine with ORDER BY/LIMIT in one SELECT
-        # (the payload-path rule holds inside derived tables too) —
-        # top-N groups spell as a derived table OVER the aggregate one
+        # the equivalent nested spelling: a derived table OVER the
+        # aggregate one
         got = _run(
             spark,
             "SELECT mx AS mx FROM "
@@ -514,3 +548,228 @@ class TestOrderedDerived:
             "ORDER BY plan DESC) d WHERE d.tool = :tool",
         )
         assert got["t2"] == [(("plan", "basic"),)]
+
+
+class TestDerivedSetOps:
+    """Set ops INSIDE a derived table (round-5 latest): Derby executes
+    the full query-expression surface verbatim (lookup.rb:131-147) and
+    a derived table materializes once per snapshot as a DataFrame, so
+    — unlike the per-event top-level compile, which combines payload
+    ARRAYS and restricts to homogeneous distinct joints — the full
+    surface maps onto exact built-ins: UNION [ALL], EXCEPT [ALL]
+    (subtract/exceptAll), INTERSECT [ALL] (intersect/intersectAll),
+    mixed under SQL precedence (INTERSECT binds tighter), NULL not
+    distinct from NULL throughout. Spark-vs-row-oracle on every shape
+    via the shared _run harness; Derby legality pinned natively in
+    test_jdbc_derby.py::TestDerbyGrammarLegality."""
+
+    def test_union_distinct_dedupes_with_null_keys(self, spark):
+        # branch 2 re-selects the same rows: UNION dedupes, and the
+        # NULL-plan row collapses too (NULL not distinct from NULL)
+        got = _run(
+            spark,
+            "SELECT d.plan AS plan FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "UNION SELECT tool AS tool, plan AS plan FROM tool_plans) d "
+            "WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("plan", None),), (("plan", "basic"),),
+                             (("plan", "pro"),)]
+
+    def test_union_all_keeps_duplicates(self, spark):
+        got = _run(
+            spark,
+            "SELECT d.plan AS plan FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "WHERE price > 5 UNION ALL SELECT tool AS tool, "
+            "plan AS plan FROM tool_plans WHERE qty < 4) d "
+            "WHERE d.tool = :tool",
+        )
+        # t1: price>5 gives {basic, pro}; qty<4 gives {basic, pro} —
+        # UNION ALL keeps all four
+        assert got["t1"] == [(("plan", "basic"),), (("plan", "basic"),),
+                             (("plan", "pro"),), (("plan", "pro"),)]
+
+    def test_except_distinct_and_null_semantics(self, spark):
+        # EXCEPT removes the NULL-plan row via NULL-not-distinct match
+        got = _run(
+            spark,
+            "SELECT d.plan AS plan FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "EXCEPT SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "WHERE price < 8) d WHERE d.tool = :tool",
+        )
+        # t1 rows: basic(10) pro(7) NULL(4); right side (price<8):
+        # (t1,pro),(t1,NULL),(t2,basic) -> t1 keeps only basic
+        assert got["t1"] == [(("plan", "basic"),)]
+        assert got["t2"] == []
+
+    def test_except_all_multiset(self, spark):
+        # doubled left side minus single right side leaves ONE copy of
+        # each right-matched row (multiset difference), two of others
+        got = _run(
+            spark,
+            "SELECT d.plan AS plan FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "UNION ALL SELECT tool AS tool, plan AS plan "
+            "FROM tool_plans EXCEPT ALL SELECT tool AS tool, "
+            "plan AS plan FROM tool_plans WHERE price < 8) d "
+            "WHERE d.tool = :tool",
+        )
+        # t1 doubled: 2x basic, 2x pro, 2x NULL; right removes one pro,
+        # one NULL -> basic x2, pro x1, NULL x1
+        assert got["t1"] == [(("plan", None),), (("plan", "basic"),),
+                             (("plan", "basic"),), (("plan", "pro"),)]
+
+    def test_intersect_all_multiset(self, spark):
+        # parenthesized so the union happens FIRST (bare, INTERSECT
+        # would bind tighter): doubled ∩all single = single (min count)
+        got = _run(
+            spark,
+            "SELECT d.plan AS plan FROM "
+            "((SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "UNION ALL SELECT tool AS tool, plan AS plan "
+            "FROM tool_plans) INTERSECT ALL (SELECT tool AS tool, "
+            "plan AS plan FROM tool_plans)) d WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("plan", None),), (("plan", "basic"),),
+                             (("plan", "pro"),)]
+
+    def test_intersect_all_precedence_unparenthesized(self, spark):
+        # bare A UNION ALL A INTERSECT ALL A = A UNION ALL (A ∩all A)
+        # = A doubled — INTERSECT binds tighter
+        got = _run(
+            spark,
+            "SELECT d.plan AS plan FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "UNION ALL SELECT tool AS tool, plan AS plan "
+            "FROM tool_plans INTERSECT ALL SELECT tool AS tool, "
+            "plan AS plan FROM tool_plans) d WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("plan", None),), (("plan", None),),
+                             (("plan", "basic"),), (("plan", "basic"),),
+                             (("plan", "pro"),), (("plan", "pro"),)]
+
+    def test_mixed_precedence_intersect_binds_tighter(self, spark):
+        # A UNION B INTERSECT C == A UNION (B INTERSECT C)
+        got = _run(
+            spark,
+            "SELECT d.plan AS plan FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "WHERE price > 9 "
+            "UNION SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "WHERE price > 5 "
+            "INTERSECT SELECT tool AS tool, plan AS plan "
+            "FROM tool_plans WHERE qty < 3) d WHERE d.tool = :tool",
+        )
+        # B∩C for t1: price>5 {basic,pro} ∩ qty<3 {pro} = {pro};
+        # A adds basic(10) -> {basic, pro}
+        assert got["t1"] == [(("plan", "basic"),), (("plan", "pro"),)]
+
+    def test_parenthesized_group_overrides_precedence(self, spark):
+        # ((A UNION B) INTERSECT C) forces the union first
+        got = _run(
+            spark,
+            "SELECT d.plan AS plan FROM "
+            "(((SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "WHERE price > 9) "
+            "UNION (SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "WHERE price > 5)) "
+            "INTERSECT (SELECT tool AS tool, plan AS plan "
+            "FROM tool_plans WHERE qty < 3)) d WHERE d.tool = :tool",
+        )
+        # (A∪B) for t1 = {basic,pro}; ∩ qty<3 {pro} = {pro}
+        assert got["t1"] == [(("plan", "pro"),)]
+
+    def test_trailing_tail_shapes_whole_setop(self, spark):
+        got = _run(
+            spark,
+            "SELECT d.price AS price FROM "
+            "(SELECT tool AS tool, price AS price FROM tool_plans "
+            "WHERE qty > 1 UNION ALL SELECT tool AS tool, "
+            "price AS price FROM tool_plans WHERE price > 7 "
+            "ORDER BY price DESC FETCH FIRST 3 ROWS ONLY) d "
+            "WHERE d.tool = :tool",
+        )
+        # combined: qty>1 {10,7,4,2} + price>7 {10,8} -> top-3 by
+        # price {10,10,8}: two t1 rows, one t3
+        assert got["t1"] == [(("price", 10),), (("price", 10),)]
+        assert got["t2"] == []
+
+    def test_parenthesized_branch_own_tail_and_values_branch(self, spark):
+        got = _run(
+            spark,
+            "SELECT d.plan AS plan, d.price AS price FROM "
+            "((SELECT tool AS tool, plan AS plan, price AS price "
+            "FROM tool_plans ORDER BY price DESC "
+            "FETCH FIRST 2 ROWS ONLY) "
+            "UNION ALL (VALUES ('t9', 'zz', 0))) d WHERE d.tool = :tool",
+        )
+        # branch 1 top-2 by price: (t1,basic,10), (t3,solo,8)
+        assert got["t1"] == [(("plan", "basic"), ("price", 10))]
+        assert got["t9"] == [(("plan", "zz"), ("price", 0))]
+
+    def test_setop_derived_joined_with_values_derived(self, spark):
+        got = _run(
+            spark,
+            "SELECT d.plan AS plan, c.cat AS cat FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "WHERE price > 3 EXCEPT SELECT tool AS tool, plan AS plan "
+            "FROM tool_plans WHERE qty > 4) d "
+            "JOIN (VALUES ('basic', 'core'), ('pro', 'paid')) "
+            "AS c (plan, cat) ON d.plan = c.plan WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("plan", "basic"), ("cat", "core")),
+                             (("plan", "pro"), ("cat", "paid"))]
+
+    def test_bare_values_branch(self, spark):
+        # Derby's own spelling: VALUES is a query PRIMARY, legal as an
+        # unparenthesized branch (pinned natively in
+        # test_jdbc_derby.py::test_setops_inside_derived_table)
+        got = _run(
+            spark,
+            "SELECT d.b AS b FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "UNION ALL VALUES ('t9', 'zz')) AS d (a, b) "
+            "WHERE d.a = :tool",
+        )
+        assert got["t9"] == [(("b", "zz"),)]
+        assert got["t2"] == [(("b", "basic"),)]
+
+    def test_column_list_renames_setop_output(self, spark):
+        got = _run(
+            spark,
+            "SELECT d.b AS b FROM "
+            "(SELECT tool AS tool, plan AS plan FROM tool_plans "
+            "UNION ALL (VALUES ('t9', 'zz'))) AS d (a, b) "
+            "WHERE d.a = :tool",
+        )
+        assert got["t9"] == [(("b", "zz"),)]
+
+    def test_aggregate_branches_combine(self, spark):
+        # per-branch GROUP BY aggregates, then set-combined
+        got = _run(
+            spark,
+            "SELECT d.n AS n FROM "
+            "(SELECT tool AS tool, count(*) AS n FROM tool_plans "
+            "GROUP BY tool EXCEPT ALL SELECT tool AS tool, "
+            "max(qty) AS n FROM tool_plans GROUP BY tool) d "
+            "WHERE d.tool = :tool",
+        )
+        # counts: t1 3, t2 1, t3 1; max qty: t1 5, t2 9, t3 1 ->
+        # except all removes (t3,1); keeps (t1,3),(t2,1)
+        assert got["t1"] == [(("n", 3),)]
+        assert got["t2"] == [(("n", 1),)]
+
+    def test_widened_type_alignment(self, spark):
+        # int count vs bigint-typed VALUES literal: Spark widens the
+        # union sides exactly as Derby does
+        got = _run(
+            spark,
+            "SELECT d.n AS n FROM "
+            "(SELECT tool AS tool, count(*) AS n FROM tool_plans "
+            "GROUP BY tool UNION ALL (VALUES ('t9', 42))) d "
+            "WHERE d.tool = :tool",
+        )
+        assert got["t1"] == [(("n", 3),)]
+        assert got["t9"] == [(("n", 42),)]

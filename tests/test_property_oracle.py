@@ -567,6 +567,19 @@ FULLQ_TEMPLATES = [
     ("SELECT nm AS nm FROM (SELECT ip AS ip2, upper(name) AS nm "
      "FROM servers WHERE name <> 'v9') d WHERE d.ip2 = :ip",
      {"nm": "dflt"}),
+    # round-5 latest: set ops INSIDE a derived table — mixed joints
+    # under SQL precedence (INTERSECT binds tighter) and the EXCEPT
+    # ALL multiset variant
+    ("SELECT d.nm AS nm FROM (SELECT ip AS ip, name AS nm "
+     "FROM servers UNION SELECT ip AS ip, name AS nm FROM servers "
+     "WHERE name <> 'v1' INTERSECT SELECT ip AS ip, name AS nm "
+     "FROM servers WHERE name <> 'v2') d WHERE d.ip = :ip",
+     {"nm": "dflt"}),
+    ("SELECT d.nm AS nm FROM (SELECT ip AS ip, name AS nm "
+     "FROM servers UNION ALL SELECT ip AS ip, name AS nm FROM servers "
+     "EXCEPT ALL SELECT ip AS ip, name AS nm FROM servers "
+     "WHERE name = 'v1') d WHERE d.ip = :ip",
+     {"nm": "dflt"}),
     ("SELECT c AS c FROM (SELECT ip AS ip, count(*) AS c "
      "FROM servers GROUP BY ip) g WHERE g.ip = :ip",
      {"c": -1}),
