@@ -235,6 +235,16 @@ class _Subquery:
     # ``__sq_oexpr*`` column on the outer dim at resolution time; the
     # matching ``corr`` pair's outer side references the name.
     outer_exprs: tuple = ()  # tuple[(name, sqlexpr AST), ...]
+    # PARAMETER correlations (round-5 latest): ``WHERE sub_col = :p``
+    # equalities extracted from the sub-WHERE — the subquery value then
+    # depends on the EVENT, not the dim, so it compiles as a per-group
+    # aggregate frame keyed by the sub columns, broadcast-joined onto
+    # the FACT at probe time (the set-at-a-time hoist of Derby's
+    # per-event prepared-statement re-execution, lookup.rb:131-147);
+    # the term then rides every physical path as an ordinary bound
+    # param. Each entry is (sub_col, _Term) with term kind 'param' or
+    # 'param_expr'. Scalar predicate-RHS subqueries only.
+    param_corr: tuple = ()  # tuple[(sub_col, _Term), ...]
 
 
 @dataclass
@@ -252,7 +262,8 @@ class _Predicate:
     @property
     def param_names(self) -> list[str]:
         out: list[str] = []
-        for t in self.terms:
+
+        def add_term(t) -> None:
             if t.kind == "param":
                 if t.value not in out:
                     out.append(t.value)
@@ -260,6 +271,14 @@ class _Predicate:
                 for n in sqlexpr.params_of(t.value):
                     if n not in out:
                         out.append(n)
+            elif t.kind == "subquery":
+                # parameterized subqueries (round-5 latest) bind event
+                # params through their param correlations
+                for _, pt in t.value.param_corr:
+                    add_term(pt)
+
+        for t in self.terms:
+            add_term(t)
         return out
 
     # legacy single-operand accessors (index-coverage check, logging)
@@ -905,9 +924,33 @@ def resolve_subqueries_with_dim(
         return parsed, dim_df
     lit_cache: list[tuple[_Subquery, object]] = []
     corr_cache: list[tuple[_Subquery, str]] = []
+    param_subs: list[tuple] = []
     holder = {"dim": dim_df}
 
+    def param_term_of(sq: _Subquery) -> _Term:
+        """A PARAMETERIZED subquery (round-5 latest): group the sub
+        frame by its param-correlation keys ONCE per refresh snapshot
+        (dim-sized work); CompiledLookup broadcast-joins the aggregate
+        frame onto the FACT per probe and the term compiles as an
+        ordinary bound param on every physical path — the
+        set-at-a-time hoist of Derby re-executing the prepared
+        subquery per event (lookup.rb:131-147)."""
+        for entry in param_subs:
+            if entry[5] == sq:
+                return _Term("param", entry[0])
+        name = f"__psub{len(param_subs)}"
+        sub_df, agg = _sub_filtered_df(sq, dims)
+        keys = tuple(f"{name}_k{i}" for i in range(len(sq.param_corr)))
+        frame = sub_df.groupBy(
+            *[F.col(sc).alias(k) for (sc, _), k in zip(sq.param_corr, keys)]
+        ).agg(agg.alias(name))
+        terms = tuple(t for _, t in sq.param_corr)
+        param_subs.append((name, keys, terms, frame, sq.func, sq))
+        return _Term("param", name)
+
     def value_term(sq: _Subquery) -> _Term:
+        if sq.param_corr:
+            return param_term_of(sq)
         if sq.corr or sq.ineq:
             return _Term("column", corr_col_of(sq))
         for k, v in lit_cache:
@@ -927,6 +970,12 @@ def resolve_subqueries_with_dim(
     hidden_aggs: list[tuple[str, str, str]] = []
 
     def having_value_term(sq: _Subquery) -> _Term:
+        if sq.param_corr:
+            raise ValidationError(
+                [f"lookup HAVING subquery on {sq.table!r}: parameterized "
+                 f"subqueries are not supported in HAVING — filter in "
+                 f"the WHERE clause instead"]
+            )
         if not sq.corr and not sq.ineq:
             return value_term(sq)
         if sq.ineq:
@@ -1338,6 +1387,13 @@ def resolve_subqueries_with_dim(
     # aggregate's result type, and a NullType payload field would
     # poison the struct schema).
     for name, sq in parsed.proj_subqueries:
+        if sq.param_corr:
+            raise ValidationError(
+                [f"lookup subquery on {sq.table!r}: parameterized "
+                 f"subqueries are not supported in the PROJECTION — "
+                 f"the payload struct is typed per snapshot, not per "
+                 f"event; use a predicate comparand instead"]
+            )
         if holder["dim"] is None:
             raise ValidationError(
                 [f"lookup subquery on {sq.table!r}: projection "
@@ -1380,6 +1436,10 @@ def resolve_subqueries_with_dim(
         aggregates=parsed.aggregates
         + tuple((f, c, n) for c, f, n in hidden_aggs),
         proj_subqueries=(),
+        # parameterized-subquery aggregate frames, consumed fact-side
+        # by CompiledLookup._attach_param_subs (the cached _Subquery
+        # tail element is resolution-internal and stripped here)
+        param_subs=tuple(e[:5] for e in param_subs),
     )
     return parsed, holder["dim"]
 
@@ -1468,6 +1528,15 @@ class ParsedQuery:
     # positional UNION-branch alignment rejects interleaved lists —
     # they would align against the reordered payload, not the SQL.
     select_interleaved: bool = False
+    # PARAMETERIZED subqueries (round-5 latest): filled by
+    # resolve_subqueries_with_dim — each entry is (synthetic param
+    # name, key column names on the aggregate frame, the fact-side
+    # param terms those keys equal, the per-group aggregate DataFrame
+    # built once per refresh snapshot, the aggregate func). The
+    # compiled lookup broadcast-joins each frame onto the FACT at
+    # probe time and the term rides as an ordinary bound param
+    # (CompiledLookup._attach_param_subs).
+    param_subs: tuple = ()
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -2095,15 +2164,29 @@ class _WhereParser:
             col = self._sub_head_column(
                 arg_toks, strip_sub_qual, computed, "aggregate argument"
             )
-        where, corr, ineq, oexprs = self._sub_where(
+        where, corr, ineq, oexprs, pcorr = self._sub_where(
             table, sub_alias, computed, allow_ineq=True
         )
+        if pcorr and self.in_subquery:
+            raise ValidationError(
+                [f"unsupported lookup subquery on {table!r}: parameters "
+                 f"inside a NESTED subquery are not supported — "
+                 f"parameterize the outer subquery instead"]
+            )
+        if pcorr and (corr or ineq):
+            raise ValidationError(
+                [f"unsupported lookup subquery on {table!r}: a subquery "
+                 f"that is BOTH correlated and parameterized is not "
+                 f"supported — no single snapshot-or-probe frame can "
+                 f"key on the dim and the event at once; pre-shape via "
+                 f"a loader query"]
+            )
         if distinct:
             func = "count_distinct"
         return _Term(
             "subquery",
             _Subquery(func, col, table, where, tuple(computed), corr, ineq,
-                      oexprs),
+                      oexprs, tuple(pcorr)),
         )
 
     def _exists_predicate(self) -> _Predicate:
@@ -2159,9 +2242,17 @@ class _WhereParser:
                 proj_toks, strip_sub_qual, computed, "EXISTS projection"
             )
             computed.clear()  # projection expressions are never evaluated
-        where, corr, ineq, oexprs = self._sub_where(
+        where, corr, ineq, oexprs, pcorr = self._sub_where(
             table, sub_alias, computed, allow_ineq=True
         )
+        if pcorr:
+            raise ValidationError(
+                [f"unsupported lookup EXISTS subquery on {table!r}: "
+                 f"parameters inside an EXISTS sub-WHERE are not "
+                 f"supported — move the parameter predicate to the "
+                 f"outer WHERE or use a scalar count(*) subquery "
+                 f"comparison"]
+            )
         return _Predicate(
             "",  # EXISTS has no lhs column; resolved to a flag column
             "exists",
@@ -2212,7 +2303,15 @@ class _WhereParser:
         col = self._sub_head_column(
             proj_toks, strip_sub_qual, computed, "projection"
         )
-        where, corr, _, oexprs = self._sub_where(table, sub_alias, computed)
+        where, corr, _, oexprs, pcorr = self._sub_where(
+            table, sub_alias, computed
+        )
+        if pcorr:
+            raise ValidationError(
+                [f"unsupported lookup IN-subquery on {table!r}: "
+                 f"parameters inside an IN sub-WHERE are not supported "
+                 f"— move the parameter predicate to the outer WHERE"]
+            )
         return _Term(
             "subquery",
             _Subquery("__values", col, table, where, tuple(computed), corr,
@@ -2281,10 +2380,15 @@ class _WhereParser:
     def _sub_where(
         self, table: str, sub_alias: str, computed: list,
         allow_ineq: bool = False,
-    ) -> tuple[tuple, tuple, tuple]:
+    ) -> tuple[tuple, tuple, tuple, tuple, tuple]:
         """``[WHERE ...] )`` tail of a subquery: static predicates plus
         correlation pairs extracted from outer-qualified equalities
-        (and, for EXISTS, at most one outer-qualified inequality)."""
+        (and, for EXISTS, at most one outer-qualified inequality), plus
+        — round-5 latest — PARAMETER correlations: ``sub_col = :p``
+        equalities, each a groupBy key of a per-event aggregate frame
+        broadcast-joined onto the FACT at probe time (scalar subqueries
+        only; the callers reject other contexts). Returns (static
+        where, corr, ineq, outer exprs, param corr)."""
         where: tuple = ()
         if self._peek_word() == "where":
             self._next()
@@ -2320,22 +2424,54 @@ class _WhereParser:
             )
             where = tuple(tuple(d) for d in sub.parse())
             self.i = j
-            for d in where:
-                for p in d:
-                    if p.param_names:
-                        raise ValidationError(
-                            [f"unsupported lookup subquery on {table!r}: "
-                             f"parameter :{p.param_names[0]} inside the "
-                             f"subquery WHERE (parameterized subqueries "
-                             f"are not supported — the subquery is "
-                             f"evaluated once per refresh snapshot)"]
-                        )
         tok = self._next()
         if tok[0] != "rparen":
             raise ValidationError(
                 [f"unsupported lookup subquery: expected ')', got {tok[1]!r}"]
             )
-        return _extract_correlation(table, where, computed, allow_ineq)
+        # parameter correlations (round-5 latest): pull ``sub_col = :p``
+        # equalities out of the static WHERE before the outer-correlation
+        # extractor sees it. The shapes that would need per-event
+        # nested execution stay rejected with targeted messages.
+        param_corr: list[tuple[str, _Term]] = []
+        if any(p.param_names for d in where for p in d):
+            if len(where) > 1:
+                raise ValidationError(
+                    [f"unsupported lookup subquery on {table!r}: OR "
+                     f"around a parameter predicate — parameterized "
+                     f"subqueries must be pure AND conjunctions"]
+                )
+            keep: list[_Predicate] = []
+            for p in where[0]:
+                if not p.param_names:
+                    keep.append(p)
+                    continue
+                ok = (
+                    p.op == "="
+                    and len(p.terms) == 1
+                    and p.terms[0].kind in ("param", "param_expr")
+                )
+                if not ok:
+                    raise ValidationError(
+                        [f"unsupported lookup subquery on {table!r}: "
+                         f"parameter :{p.param_names[0]} in a "
+                         f"{p.op!r} predicate — parameters inside a "
+                         f"subquery WHERE must be plain equalities "
+                         f"(sub_col = :param), which compile as "
+                         f"per-event aggregate keys"]
+                    )
+                key = p.dim_column
+                if p.func is not None:
+                    # func(sub_col) = :p desugars to a computed sub
+                    # column, exactly like the correlation extractor
+                    key = f"__sqpf{len(computed)}"
+                    computed.append(
+                        (key, sqlexpr.Func(p.func, (sqlexpr.Col(p.dim_column),)))
+                    )
+                param_corr.append((key, p.terms[0]))
+            where = (tuple(keep),) if keep else ()
+        out = _extract_correlation(table, where, computed, allow_ineq)
+        return out + (tuple(param_corr),)
 
     def _new_computed(self, ast) -> str:
         """Register a dim-side expression lhs, returning its synthetic
@@ -2947,10 +3083,11 @@ def _split_setop_raw(
     """Quote- and paren-aware scan for top-level ``UNION [ALL]`` /
     ``EXCEPT [ALL]`` / ``INTERSECT [ALL]`` joints. Returns (branch
     texts, joints) with ``joints[i] = (op, all)`` connecting branches
-    ``i`` and ``i+1`` — no homogeneity rules applied here: the
-    per-event set-op compile (:func:`split_top_level_setop`) restricts
-    the surface further, while a derived table accepts the full mixed/
-    multiset surface (:func:`_materialize_derived_setop`)."""
+    ``i`` and ``i+1`` — no homogeneity rules applied here: both the
+    per-event set-op compile (:func:`parse_setop_tree` →
+    CompiledUnionLookup) and a derived table
+    (:func:`_materialize_derived_setop`) accept the full mixed/
+    multiset surface (round-5 latest)."""
     parts: list[str] = []
     joints: list[tuple[str, bool]] = []  # (op, all)
     i, n, depth, start = 0, len(text), 0, 0
@@ -2990,62 +3127,73 @@ def _split_setop_raw(
     return parts, joints
 
 
-def split_top_level_setop(text: str) -> tuple[list[str], str, bool]:
-    """Split a lookup query on top-level ``UNION [ALL]`` / ``EXCEPT`` /
-    ``INTERSECT`` joints (quote- and paren-aware, so subqueries and
-    string literals never split). Returns (branch texts, op, dedupe)
-    with op one of ``"union"``/``"except"``/``"intersect"`` (op is
-    ``"union"`` for a single-branch query); dedupe is True for every
-    set op except ``UNION ALL`` — plain set ops de-duplicate by SQL
-    semantics.
+@dataclasses.dataclass
+class SetOpGroup:
+    """One node of the top-level set-op tree: ``children`` are leaf
+    indexes (into :func:`parse_setop_tree`'s leaf list) or nested
+    groups (a PARENTHESIZED set op — explicit grouping); ``joints[i]``
+    is the ``(op, all)`` joint connecting children ``i`` and ``i+1``.
+    A group may carry its own trailing ``ORDER BY`` / ``LIMIT`` /
+    ``OFFSET`` / ``FETCH`` tail (shapes the group's result BEFORE the
+    enclosing set op combines it). Precedence is applied at fold time:
+    ``INTERSECT [ALL]`` binds tighter, then left-to-right — exactly
+    Derby (pinned natively in test_jdbc_derby.py)."""
 
-    Mixing different joints in one query is rejected: SQL gives them
-    position-dependent precedence (INTERSECT binds tighter), and a
-    config that needs a mixed pipeline should wrap the set op in a
-    derived table — ``FROM (A UNION B INTERSECT C) d`` accepts the
-    full mixed surface since round-5 latest — or pre-shape via a
-    loader query. ``EXCEPT ALL`` / ``INTERSECT ALL`` (multiset
-    semantics) are likewise rejected at the top level — Derby accepts
-    them, but the compiled per-event set-semantics surface is the
-    distinct variant only; a derived table accepts the ALL variants
-    too (exact multiset built-ins exist on a materialized relation)."""
-    parts, joints = _split_setop_raw(text)
-    if len(parts) == 1:
-        return parts, "union", False
-    ops = {op for op, _ in joints}
-    if len(ops) > 1:
-        raise ValidationError(
-            ["lookup set ops: mixing UNION/EXCEPT/INTERSECT in one "
-             "query is not supported (SQL precedence differs per "
-             "joint) — wrap the set op in a derived table "
-             "(FROM (...) d) or pre-shape via a loader query"]
+    children: list
+    joints: list[tuple[str, bool]]
+    order_by: tuple = ()
+    limit: int | None = None
+    offset: int | None = None
+
+    def has_tail(self) -> bool:
+        return bool(
+            self.order_by or self.limit is not None
+            or self.offset is not None
         )
-    op = ops.pop()
-    alls = [a for _, a in joints]
-    if op in ("except", "intersect"):
-        if any(alls):
-            raise ValidationError(
-                [f"lookup set ops: {op.upper()} ALL (multiset "
-                 f"semantics) is not supported at the top level — use "
-                 f"plain {op.upper()}, wrap the set op in a derived "
-                 f"table (FROM (...) d), or pre-shape via a loader "
-                 f"query"]
-            )
-        return parts, op, True
-    if any(alls) and not all(alls):
-        raise ValidationError(
-            ["lookup UNION: mixing UNION and UNION ALL in one query is "
-             "not supported — use SELECT DISTINCT branches with UNION "
-             "ALL instead"]
-        )
-    return parts, "union", not alls[0]
 
 
-def split_top_level_union(text: str) -> tuple[list[str], bool]:
-    """Back-compat wrapper over :func:`split_top_level_setop` for
-    UNION-only call sites: returns (branch texts, dedupe)."""
-    parts, _, dedupe = split_top_level_setop(text)
-    return parts, dedupe
+def parse_setop_tree(text: str) -> tuple[list[str], "SetOpGroup | None"]:
+    """Parse a lookup query's top-level set-op structure — ``UNION
+    [ALL]`` / ``EXCEPT [ALL]`` / ``INTERSECT [ALL]`` joints, quote- and
+    paren-aware, with PARENTHESIZED sub-set-ops as nested groups and
+    per-group trailing tails. Returns (leaf SELECT texts in
+    left-to-right order, root group); root is ``None`` for a
+    single-SELECT query. The reference hands these to Derby verbatim
+    (lookup.rb:131-147); since round-5 latest the WHOLE surface —
+    mixed joints under SQL precedence, the multiset ALL variants, and
+    explicit parenthesized grouping — is accepted at the top level,
+    matching what a derived table already accepted
+    (:func:`_materialize_derived_setop`). Leaf texts keep their
+    original spelling (a parenthesized leaf may carry its own ordered
+    top-N tail — the branch compiler strips and shapes it)."""
+    leaves: list[str] = []
+
+    def build(t: str) -> "SetOpGroup | int":
+        parts, joints = _split_setop_raw(t)
+        if len(parts) == 1:
+            leaves.append(t)
+            return len(leaves) - 1
+        parts, order_by, limit, offset = split_union_tail(parts)
+        children: list = []
+        for p in parts:
+            stripped = strip_outer_parens(p)
+            if len(_split_setop_raw(stripped)[0]) > 1:
+                children.append(build(stripped))
+            else:
+                children.append(build(p))
+        return SetOpGroup(children, joints, order_by, limit, offset)
+
+    node = build(text.strip())
+    if isinstance(node, int):
+        return leaves, None
+    return leaves, node
+
+
+def is_setop_query(text: str) -> bool:
+    """True when the query splits on at least one top-level set-op
+    joint — the CompiledUnionLookup vs CompiledLookup dispatch test
+    (no validation: the tree compiler owns the full surface)."""
+    return len(_split_setop_raw(text)[0]) > 1
 
 
 def strip_outer_parens(text: str) -> str:
@@ -3667,8 +3815,8 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     or uncorrelated scalar subqueries; GROUP BY/HAVING/ORDER BY/LIMIT/
     OFFSET tails (expressions allowed in GROUP BY/ORDER BY). Normalized
     to OR-of-conjunctions (raw tree kept past the 64-disjunct cap).
-    ``UNION`` splitting happens ABOVE this parser
-    (split_top_level_union / CompiledUnionLookup); the full grammar
+    Set-op splitting happens ABOVE this parser
+    (parse_setop_tree / CompiledUnionLookup); the full grammar
     lives in COVERAGE.md."""
     parts = _split_select(query)
     if parts is None:
@@ -4720,7 +4868,14 @@ class CompiledLookup:
             for n in p.param_names:
                 if n not in needed:
                     needed.append(n)
-        missing = [n for n in needed if n not in self.bindings]
+        missing = [
+            n
+            for n in needed
+            if n not in self.bindings
+            # __psub* are the synthetic parameterized-subquery params:
+            # bound at probe time by _attach_param_subs, not the event
+            and not n.startswith("__psub")
+        ]
         if missing:
             raise ValidationError(
                 [f"lookup '{spec.id}': no binding for placeholder(s) {missing}"]
@@ -5097,6 +5252,44 @@ class CompiledLookup:
                 raw = F.slice(raw, start, F.size(raw))
         return raw
 
+    def _attach_param_subs(
+        self, fact: DataFrame, params: dict[str, BoundParam]
+    ) -> tuple[DataFrame, dict[str, BoundParam], list[str]]:
+        """PARAMETERIZED subqueries (round-5 latest): broadcast-join
+        each snapshot-built per-group aggregate frame onto the FACT by
+        the bound event params, then expose the joined value as a
+        synthetic BoundParam so the subquery term compiles as an
+        ordinary param on every physical path — the set-at-a-time
+        hoist of Derby re-executing the prepared subquery per event
+        (lookup.rb:131-147). A join miss leaves the value NULL — SQL's
+        empty scalar subquery — except count/count(DISTINCT), which
+        coalesce to 0. The fact side gains one exchange-free broadcast
+        hash join per distinct parameterized subquery; the synthetic
+        columns are dropped after the payload stage."""
+        params = dict(params)
+        drops: list[str] = []
+        for name, keys, terms, frame, func in self.query.param_subs:
+            cond = None
+            for k, t in zip(keys, terms):
+                if t.kind == "param":
+                    fexpr = params[t.value].value
+                else:  # param_expr over params + literals only
+                    fexpr = sqlexpr.compile_expr(
+                        sqlexpr.subst_params(
+                            t.value, lambda n: params[n].value
+                        )
+                    )
+                piece = frame[k] == fexpr
+                cond = piece if cond is None else cond & piece
+            fact = fact.join(F.broadcast(frame), cond, "left").drop(*keys)
+            val = F.col(name)
+            if func in ("count", "count_distinct"):
+                # SQL: a count over an empty/missing group is 0, not NULL
+                val = F.coalesce(val, F.lit(0))
+            params[name] = BoundParam(name, val, F.lit(True))
+            drops.append(name)
+        return fact, params, drops
+
     def _payload_stage(
         self, fact: DataFrame, params: dict[str, BoundParam]
     ) -> DataFrame:
@@ -5104,13 +5297,21 @@ class CompiledLookup:
         an equi key miss, [] on a theta empty match) — the
         pre-outcome-shaping stage, reused by CompiledUnionLookup to
         evaluate each branch independently."""
+        drops: list[str] = []
+        if self.query.param_subs:
+            fact, params, drops = self._attach_param_subs(fact, params)
         if self.query.is_pure_equi:
-            return self._apply_equi(fact, params)
-        if self.inline_threshold > 0 and self._dim_count() <= self.inline_threshold:
+            out = self._apply_equi(fact, params)
+        elif (
+            self.inline_threshold > 0
+            and self._dim_count() <= self.inline_threshold
+        ):
             # threshold 0 pins the map-probe path WITHOUT paying the
             # eager dim count the comparison would otherwise need
-            return self._apply_inline(fact, params)
-        return self._apply_bnlj(fact, params)
+            out = self._apply_inline(fact, params)
+        else:
+            out = self._apply_bnlj(fact, params)
+        return out.drop(*drops) if drops else out
 
     def _dim_count(self) -> int:
         if not hasattr(self, "_dim_count_cache"):
@@ -5794,15 +5995,20 @@ def _remap_having_aliases(having: tuple, ren: dict[str, str]) -> tuple:
 
 
 class CompiledUnionLookup:
-    """``SELECT ... UNION [ALL] SELECT ...`` lookups — Derby executes
-    them verbatim per event (lookup.rb:131-147). Each branch compiles as
-    its own CompiledLookup over its own dim (different tables and joined
-    dims are fine) and runs its physical path in sequence over the fact;
-    the combined payload is the concatenation (``UNION ALL``) or set
-    union (plain ``UNION`` — de-duplicated) of the branch payloads,
-    re-sorted under the default deterministic contract. Scale shape: N
-    broadcast probes instead of one — each branch keeps its own
-    exchange-free plan, nothing new shuffles.
+    """Set-op lookups — ``SELECT ... UNION [ALL] | EXCEPT [ALL] |
+    INTERSECT [ALL] SELECT ...`` — Derby executes them verbatim per
+    event (lookup.rb:131-147). Each leaf branch compiles as its own
+    CompiledLookup over its own dim (different tables and joined dims
+    are fine) and runs its physical path in sequence over the fact; the
+    per-event payload arrays then fold through the joint tree under
+    SQL precedence (INTERSECT binds tighter, then left-to-right;
+    parenthesized groups give explicit grouping and may carry their
+    own ordered top-N tails — round-5 latest, pinned natively on
+    Derby). Plain joints use SQL set semantics (distinct result, NULL
+    not distinct from NULL); the ALL variants are exact multisets.
+    Scale shape: N broadcast probes instead of one — each branch keeps
+    its own exchange-free plan, nothing new shuffles, and the fold is
+    per-event array arithmetic inside whole-stage codegen.
 
     Branch surface: explicit projections + WHERE (the full predicate
     grammar incl. expressions/subqueries), plus — round-5 late, matching
@@ -5829,16 +6035,19 @@ class CompiledUnionLookup:
     ):
         spec.raise_if_invalid()
         self.spec = spec
-        texts, self.setop, self.dedupe = split_top_level_setop(spec.query)
-        if len(texts) < 2:
+        texts, tree = parse_setop_tree(spec.query)
+        if tree is None:
             raise ValidationError(
-                [f"lookup '{spec.id}': not a UNION query"]
+                [f"lookup '{spec.id}': not a set-op query"]
             )
-        # UNION-LEVEL result shaping (round-5): SQL attaches a trailing
-        # ORDER BY / LIMIT / OFFSET / FETCH to the whole union
-        texts, self.union_order, self.union_limit, self.union_offset = (
-            split_union_tail(texts)
-        )
+        # the joint tree carries mixed UNION [ALL] / EXCEPT [ALL] /
+        # INTERSECT [ALL] joints (SQL precedence applied at fold time),
+        # nested parenthesized groups, and per-group tails; the ROOT
+        # tail — SQL attaches a trailing ORDER BY / LIMIT / OFFSET /
+        # FETCH to the whole set-op result — shapes after the fold
+        self.tree = tree
+        self.union_order = tree.order_by
+        self.union_limit, self.union_offset = tree.limit, tree.offset
         self.branches: list[CompiledLookup] = []
         aliases0: list[str] | None = None
         for bi, text in enumerate(texts):
@@ -5954,48 +6163,148 @@ class CompiledUnionLookup:
                      f"match branch 1's {t0.simpleString()}"]
                 )
         self._payload_struct = t0
-        bad = [c for c, _ in self.union_order if c not in (aliases0 or [])]
-        if bad:
-            raise ValidationError(
-                [f"lookup '{spec.id}' UNION ORDER BY: column(s) {bad} "
-                 f"are not branch-1 output aliases "
-                 f"(available: {aliases0})"]
-            )
+        def _check_tail_keys(node: SetOpGroup) -> None:
+            bad = [c for c, _ in node.order_by if c not in (aliases0 or [])]
+            if bad:
+                raise ValidationError(
+                    [f"lookup '{spec.id}' set-op ORDER BY: column(s) "
+                     f"{bad} are not branch-1 output aliases "
+                     f"(available: {aliases0})"]
+                )
+            for ch in node.children:
+                if isinstance(ch, SetOpGroup):
+                    _check_tail_keys(ch)
+
+        _check_tail_keys(tree)
         # advisory surface (index-coverage hints) reads .query
         self.query = self.branches[0].query
 
-    def _union_comparator(self, a: Column, b: Column) -> Column:
-        """array_sort comparator for UNION-level ORDER BY: the named
-        keys first (Derby result order — NULL sorts LARGEST, so ASC
-        puts NULLs last and DESC first), then the default payload
+    def _order_comparator(self, order: tuple):
+        """array_sort comparator for a set-op-level ORDER BY tail: the
+        named keys first (Derby result order — NULL sorts LARGEST, so
+        ASC puts NULLs last and DESC first), then the default payload
         contract over every field (NULL smallest) as a total-order
         tiebreak, so equal-key rows stay deterministic for the hash
         compare — Derby itself leaves tie order unspecified."""
-        expr: Column = F.lit(0)
-        for fld in reversed(self._payload_struct.fields):
-            av, bv = a.getField(fld.name), b.getField(fld.name)
-            raw = (
-                F.when(av.isNull() & bv.isNull(), F.lit(0))
-                .when(av.isNull(), F.lit(-1))
-                .when(bv.isNull(), F.lit(1))
-                .when(av < bv, F.lit(-1))
-                .when(av > bv, F.lit(1))
-                .otherwise(F.lit(0))
+
+        def cmp(a: Column, b: Column) -> Column:
+            expr: Column = F.lit(0)
+            for fld in reversed(self._payload_struct.fields):
+                av, bv = a.getField(fld.name), b.getField(fld.name)
+                raw = (
+                    F.when(av.isNull() & bv.isNull(), F.lit(0))
+                    .when(av.isNull(), F.lit(-1))
+                    .when(bv.isNull(), F.lit(1))
+                    .when(av < bv, F.lit(-1))
+                    .when(av > bv, F.lit(1))
+                    .otherwise(F.lit(0))
+                )
+                expr = F.when(raw != F.lit(0), raw).otherwise(expr)
+            for col, asc in reversed(order):
+                av, bv = a.getField(col), b.getField(col)
+                raw = (
+                    F.when(av.isNull() & bv.isNull(), F.lit(0))
+                    .when(av.isNull(), F.lit(1))
+                    .when(bv.isNull(), F.lit(-1))
+                    .when(av < bv, F.lit(-1))
+                    .when(av > bv, F.lit(1))
+                    .otherwise(F.lit(0))
+                )
+                signed = raw if asc else (-raw)
+                expr = F.when(signed != F.lit(0), signed).otherwise(expr)
+            return expr
+
+        return cmp
+
+    @staticmethod
+    def _combine_arrays(a: Column, b: Column, op: str, all_: bool) -> Column:
+        """One set-op joint over two per-event payload arrays, SQL
+        semantics (NULL is not distinct from NULL — array_intersect /
+        array_except treat NULL struct fields as equal, and the
+        multiset membership test below reuses array_intersect for
+        exactly that equality). Plain ops yield distinct results; the
+        ALL variants are multisets: EXCEPT ALL keeps ``max(0, cntA -
+        cntB)`` occurrences, INTERSECT ALL ``min(cntA, cntB)`` —
+        Derby's multiset rules. Payload arrays are per-event (dim-row
+        fan-in sized), so the O(|a|·(|a|+|b|)) count scan is constant
+        work per event and stays whole-stage-codegen'd JVM-side."""
+        if op == "union":
+            out = F.concat(a, b)
+            return out if all_ else F.array_distinct(out)
+        if not all_:
+            if op == "intersect":
+                return F.array_intersect(a, b)
+            return F.array_except(a, b)  # distinct by definition
+
+        def cnt(arr: Column, v: Column) -> Column:
+            return F.size(
+                F.filter(
+                    arr,
+                    lambda x: F.size(
+                        F.array_intersect(F.array(x), F.array(v))
+                    )
+                    == 1,
+                )
             )
-            expr = F.when(raw != F.lit(0), raw).otherwise(expr)
-        for col, asc in reversed(self.union_order):
-            av, bv = a.getField(col), b.getField(col)
-            raw = (
-                F.when(av.isNull() & bv.isNull(), F.lit(0))
-                .when(av.isNull(), F.lit(1))
-                .when(bv.isNull(), F.lit(-1))
-                .when(av < bv, F.lit(-1))
-                .when(av > bv, F.lit(1))
-                .otherwise(F.lit(0))
+
+        if op == "except":
+            def mult(v: Column) -> Column:
+                return F.greatest(F.lit(0), cnt(a, v) - cnt(b, v))
+        else:  # intersect all
+            def mult(v: Column) -> Column:
+                return F.least(cnt(a, v), cnt(b, v))
+
+        return F.flatten(
+            F.transform(
+                F.array_distinct(a), lambda v: F.array_repeat(v, mult(v))
             )
-            signed = raw if asc else (-raw)
-            expr = F.when(signed != F.lit(0), signed).otherwise(expr)
-        return expr
+        )
+
+    def _fold_group(
+        self, node: SetOpGroup, arrs: list[Column]
+    ) -> Column:
+        """Fold one tree node over the staged per-leaf payload arrays:
+        SQL precedence — reduce INTERSECT [ALL] joints first, then the
+        UNION/EXCEPT level left-to-right; a non-root group's own tail
+        (ordered top-N) shapes its result BEFORE the enclosing joint
+        combines it (the root tail is applied by apply() after the
+        whole fold, where the default-fire check needs the final
+        array)."""
+        vals = [
+            arrs[ch] if isinstance(ch, int) else self._fold_group(ch, arrs)
+            for ch in node.children
+        ]
+        ops = list(node.joints)
+        i = 0
+        while i < len(ops):
+            if ops[i][0] == "intersect":
+                op, all_ = ops.pop(i)
+                vals[i] = self._combine_arrays(
+                    vals[i], vals.pop(i + 1), op, all_
+                )
+            else:
+                i += 1
+        out = vals[0]
+        for (op, all_), b in zip(ops, vals[1:]):
+            out = self._combine_arrays(out, b, op, all_)
+        if node is not self.tree and node.has_tail():
+            if node.order_by:
+                out = F.array_sort(
+                    out, self._order_comparator(node.order_by)
+                )
+            else:
+                # slice without ORDER BY runs over the deterministic
+                # default-contract order, as at the root
+                out = F.sort_array(out)
+            if node.offset is not None or node.limit is not None:
+                out = F.slice(
+                    out,
+                    F.lit((node.offset or 0) + 1),
+                    F.lit(node.limit)
+                    if node.limit is not None
+                    else F.size(out),
+                )
+        return out
 
     def apply(self, fact: DataFrame) -> DataFrame:
         sid = self.spec.id
@@ -6036,23 +6345,15 @@ class CompiledUnionLookup:
             cur = cur.withColumnRenamed("__raw_payload", name)
             tmp.append(name)
         arrs = [F.coalesce(F.col(n), F.array().cast(arr_t)) for n in tmp]
-        if self.setop == "union":
-            combined = F.concat(*arrs)
-            if self.dedupe:
-                combined = F.array_distinct(combined)
-        elif self.setop == "intersect":
-            # SQL set semantics: distinct rows present in EVERY branch;
-            # array_intersect dedupes and treats NULL fields as equal
-            # (verified: NULL is not distinct from NULL in set ops)
-            combined = arrs[0]
-            for nxt in arrs[1:]:
-                combined = F.array_intersect(combined, nxt)
-        else:  # except — left-associative: ((A EXCEPT B) EXCEPT C)
-            combined = F.array_distinct(arrs[0])
-            for nxt in arrs[1:]:
-                combined = F.array_except(combined, nxt)
+        # fold the joint tree — mixed UNION [ALL] / EXCEPT [ALL] /
+        # INTERSECT [ALL] under SQL precedence, nested parenthesized
+        # groups with their own tails (round-5 latest; semantics
+        # pinned natively on Derby in test_jdbc_derby.py)
+        combined = self._fold_group(self.tree, arrs)
         if self.union_order:
-            combined = F.array_sort(combined, self._union_comparator)
+            combined = F.array_sort(
+                combined, self._order_comparator(self.union_order)
+            )
         else:
             combined = F.sort_array(combined)
         if self.union_offset is not None or self.union_limit is not None:

@@ -95,9 +95,9 @@ class LookupEnricher:
                 build_join_dim,
                 extract_derived_tables,
                 materialize_derived,
+                is_setop_query,
                 parse_lookup_query,
                 resolve_subqueries_with_dim,
-                split_top_level_union,
             )
 
             # Derived tables (round-5 late): each FROM/JOIN (SELECT ...)
@@ -117,9 +117,10 @@ class LookupEnricher:
                         dt_inner, dims, dt_cols
                     )
 
-            if len(split_top_level_union(lk.query)[0]) > 1:
-                # UNION [ALL]: each branch compiles against its own dim;
-                # the union wrapper shares this spec's binding/target/
+            if is_setop_query(lk.query):
+                # set ops (UNION/EXCEPT/INTERSECT [ALL], mixed under SQL
+                # precedence): each leaf compiles against its own dim;
+                # the set-op wrapper shares this spec's binding/target/
                 # default machinery across branches
                 self.compiled.append(
                     CompiledUnionLookup(

@@ -11,13 +11,13 @@ import re
 from typing import Any
 
 from logstash_filter_jdbc_static_spark.operators.lookup import (
+    SetOpGroup,
     _remap_having_aliases,
     _split_setop_raw,
     extract_derived_tables,
     has_subqueries,
     parse_lookup_query,
-    split_top_level_setop,
-    split_top_level_union,
+    parse_setop_tree,
     split_union_tail,
     strip_outer_parens,
 )
@@ -463,6 +463,11 @@ def _resolve_subqueries_rows(
 
     def term_of(t):
         sq = t.value
+        if sq.param_corr:
+            # parameterized subquery (round-5 latest): its value binds
+            # per EVENT — deferred to _resolve_param_subqueries_rows,
+            # which runs after param binding
+            return t
         if not sq.corr and not sq.ineq:
             return _Term("literal", _eval_subquery_rows(sq, tables))
         for k, name in state["cache"]:
@@ -752,6 +757,78 @@ def _resolve_subqueries_rows(
         proj_subqueries=(),
     )
     return q, state["rows"]
+
+
+def _resolve_param_subqueries_rows(
+    q, tables: dict[str, list[dict]], params: dict
+):
+    """Row-at-a-time twin of CompiledLookup._attach_param_subs: each
+    PARAMETERIZED subquery term evaluates with THIS event's bound
+    param values (exactly Derby re-executing the prepared subquery per
+    event, lookup.rb:131-147) and substitutes a literal. Runs after
+    param binding, before _match_rows; no-op when the query carries no
+    parameterized subqueries."""
+    import dataclasses
+
+    from logstash_filter_jdbc_static_spark.operators.lookup import (
+        _Predicate,
+        _Term,
+    )
+
+    def pv(term):
+        if term.kind == "param":
+            return params.get(term.value)
+        # param_expr over params + literals only: substitute the bound
+        # values and fold — mirrors the compiled fact-side substitution
+        return eval_expr(
+            subst_params(term.value, lambda n: Lit(params.get(n))), {}
+        )
+
+    def term_of(t):
+        if t.kind != "subquery" or not t.value.param_corr:
+            return t
+        sq = t.value
+        grp = [
+            s
+            for s in _sub_rows(sq, tables)
+            if all(
+                _corr_eq_vals(s.get(sc), pv(pt))
+                for sc, pt in sq.param_corr
+            )
+        ]
+        return _Term("literal", _agg_rows(sq, grp))
+
+    def fix_pred(p):
+        if not any(
+            t.kind == "subquery" and t.value.param_corr for t in p.terms
+        ):
+            return p
+        return _Predicate(
+            p.dim_column, p.op, [term_of(t) for t in p.terms], func=p.func
+        )
+
+    def fix_tree(node):
+        if node[0] == "pred":
+            return ("pred", fix_pred(node[1]))
+        return (node[0], [fix_tree(c) for c in node[1]])
+
+    return dataclasses.replace(
+        q,
+        disjuncts=[[fix_pred(p) for p in d] for d in q.disjuncts],
+        where_tree=None if q.where_tree is None else fix_tree(q.where_tree),
+    )
+
+
+def _has_param_subqueries(q) -> bool:
+    from logstash_filter_jdbc_static_spark.operators.lookup import (
+        _pred_terms,
+    )
+
+    return any(
+        t.kind == "subquery" and t.value.param_corr
+        for p in _pred_terms(q)
+        for t in p.terms
+    )
 
 
 def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:
@@ -1087,19 +1164,19 @@ def _derived_rows_setop(
 
 
 def _run_union(
-    event: dict, spec: LookupSpec, texts: list[str], dedupe: bool,
+    event: dict, spec: LookupSpec, texts: list[str], tree: SetOpGroup,
     table: list[dict], tables: dict[str, list[dict]] | None,
-    order: tuple = (), limit: int | None = None, offset: int | None = None,
-    op: str = "union",
 ) -> tuple[bool, list[str]]:
-    """Set-op twin of run_lookup (UNION [ALL] / EXCEPT / INTERSECT):
-    per-branch match+project with the shared bindings, then concatenate
-    (UNION ALL), set-union (plain UNION), set-difference (EXCEPT,
-    left-associative) or set-intersection (INTERSECT) — NULL is not
-    distinct from NULL, as in SQL set ops — sorted under the default
-    payload contract or the trailing ORDER BY keys (Derby result order,
-    NULL largest), then OFFSET/LIMIT (round-5), then the usual
-    default/tags outcome."""
+    """Set-op twin of run_lookup (UNION [ALL] / EXCEPT [ALL] /
+    INTERSECT [ALL], mixed under SQL precedence — INTERSECT binds
+    tighter, then left-to-right, parenthesized groups explicit):
+    per-leaf match+project with the shared bindings, then fold the
+    joint tree — plain joints with SQL set semantics (distinct result,
+    NULL not distinct from NULL), ALL variants as exact multisets
+    (EXCEPT ALL removes one occurrence per right row, INTERSECT ALL
+    keeps the minimum count); group tails shape before the enclosing
+    joint, the root tail after the fold (Derby result order, NULL
+    largest), then the usual default/tags outcome."""
     import dataclasses
 
     bindings = (
@@ -1155,6 +1232,12 @@ def _run_union(
                 q,
                 tables if tables is not None else {q.table: table},
                 branch_table,
+            )
+        if _has_param_subqueries(q):
+            q = _resolve_param_subqueries_rows(
+                q,
+                tables if tables is not None else {q.table: table},
+                params,
             )
         matched = _match_rows(q, branch_table, params)
         # a PARENTHESIZED branch may carry its own ORDER BY/LIMIT/
@@ -1222,36 +1305,78 @@ def _run_union(
                 uniq.append(r)
         return uniq
 
-    if op == "union":
-        rows = [r for rs in branch_rows for r in rs]
-        if dedupe:
-            rows = _distinct(rows)
-    elif op == "intersect":
-        rows = _distinct(branch_rows[0])
-        for rs in branch_rows[1:]:
-            keys = {_key(r) for r in rs}
-            rows = [r for r in rows if _key(r) in keys]
-    else:  # except — left-associative
-        rows = _distinct(branch_rows[0])
-        for rs in branch_rows[1:]:
-            keys = {_key(r) for r in rs}
-            rows = [r for r in rows if _key(r) not in keys]
-    rows.sort(key=_payload_sort_key)
-    # UNION-level ORDER BY: stable re-sorts by each key, least
-    # significant first, over the default-contract order (the
-    # compiled side's comparator tiebreak). NULL sorts LARGEST
-    # (Derby): ASC puts NULLs last, DESC first.
-    for col, asc in reversed(order):
-        rows.sort(
-            key=lambda r, c=col: (
-                r.get(c) is None,
-                r.get(c) if r.get(c) is not None else 0,
-            ),
-            reverse=not asc,
-        )
-    if order or limit is not None or offset is not None:
+    from collections import Counter
+
+    def _combine(
+        a: list[dict], b: list[dict], op: str, all_: bool
+    ) -> list[dict]:
+        if op == "union":
+            out = a + b
+            return out if all_ else _distinct(out)
+        bc = Counter(_key(r) for r in b)
+        if op == "except":
+            if all_:
+                out = []
+                for r in a:
+                    k = _key(r)
+                    if bc[k] > 0:
+                        bc[k] -= 1
+                    else:
+                        out.append(r)
+                return out
+            return [r for r in _distinct(a) if _key(r) not in bc]
+        if all_:
+            out = []
+            for r in a:
+                k = _key(r)
+                if bc[k] > 0:
+                    bc[k] -= 1
+                    out.append(r)
+            return out
+        return [r for r in _distinct(a) if _key(r) in bc]
+
+    def _shape(
+        rows: list[dict], order: tuple,
+        limit: int | None, offset: int | None,
+    ) -> list[dict]:
+        # default-contract sort first, then stable re-sorts by each
+        # ORDER BY key, least significant first (the compiled side's
+        # comparator tiebreak). NULL sorts LARGEST (Derby): ASC puts
+        # NULLs last, DESC first. Then the OFFSET/LIMIT slice.
+        rows = sorted(rows, key=_payload_sort_key)
+        for col, asc in reversed(order):
+            rows.sort(
+                key=lambda r, c=col: (
+                    r.get(c) is None,
+                    r.get(c) if r.get(c) is not None else 0,
+                ),
+                reverse=not asc,
+            )
         start = offset or 0
-        rows = rows[start:] if limit is None else rows[start:start + limit]
+        return rows[start:] if limit is None else rows[start:start + limit]
+
+    def _fold(node: SetOpGroup) -> list[dict]:
+        vals = [
+            branch_rows[ch] if isinstance(ch, int) else _fold(ch)
+            for ch in node.children
+        ]
+        ops = list(node.joints)
+        i = 0
+        while i < len(ops):
+            # SQL precedence: INTERSECT [ALL] binds tighter
+            if ops[i][0] == "intersect":
+                op, all_ = ops.pop(i)
+                vals[i] = _combine(vals[i], vals.pop(i + 1), op, all_)
+            else:
+                i += 1
+        rows = vals[0]
+        for (op, all_), b in zip(ops, vals[1:]):
+            rows = _combine(rows, b, op, all_)
+        if node is not tree and node.has_tail():
+            rows = _shape(rows, node.order_by, node.limit, node.offset)
+        return rows
+
+    rows = _shape(_fold(tree), tree.order_by, tree.limit, tree.offset)
     if not rows and spec.use_default:
         event[spec.target] = [dict(spec.default_hash)]
         tags.extend(spec.tag_on_default_use)
@@ -1268,13 +1393,9 @@ def run_lookup(
     Returns (ok, tags_appended). ``tables`` supplies the full local
     table dict for scalar-subquery resolution (defaults to just the
     probed table)."""
-    texts, op, dedupe = split_top_level_setop(spec.query)
-    if len(texts) > 1:
-        texts, order, limit, offset = split_union_tail(texts)
-        return _run_union(
-            event, spec, texts, dedupe, table, tables,
-            order=order, limit=limit, offset=offset, op=op,
-        )
+    texts, tree = parse_setop_tree(spec.query)
+    if tree is not None:
+        return _run_union(event, spec, texts, tree, table, tables)
     q = parse_lookup_query(spec.query)
     if has_subqueries(q):
         q, table = _resolve_subqueries_rows(
@@ -1295,6 +1416,10 @@ def run_lookup(
     if not valid:
         tags.extend(spec.tag_on_failure)
         return False, tags
+    if _has_param_subqueries(q):
+        q = _resolve_param_subqueries_rows(
+            q, tables if tables is not None else {q.table: table}, params
+        )
     matched = _match_rows(q, table, params)
 
     def _agg_over(rows_raw: list[dict]) -> dict:
@@ -1449,10 +1574,10 @@ def enhance(event: dict, spec: PipelineSpec, tables: dict[str, list[dict]]) -> d
             tbls = dict(tables)
             for dt_name, dt_inner, dt_cols in derived:
                 tbls[dt_name] = _derived_rows(dt_inner, tables, dt_cols)
-        texts, _ = split_top_level_union(lk.query)
-        if len(texts) > 1:
-            # union: run_lookup resolves each branch's table itself
-            q = parse_lookup_query(strip_outer_parens(texts[0]))
+        leaves, _tree = parse_setop_tree(lk.query)
+        if len(leaves) > 1:
+            # set op: run_lookup resolves each leaf's table itself
+            q = parse_lookup_query(strip_outer_parens(leaves[0]))
             table = tbls[q.table] if not q.joins else []
         else:
             q = parse_lookup_query(lk.query)

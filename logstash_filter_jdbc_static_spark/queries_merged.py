@@ -252,6 +252,19 @@ _merge(
          [("n_s1", "ds1_n"), ("s1_rows", "ds1_rows"),
           ("n_s2", "ds2_n"), ("s2_rows", "ds2_rows"),
           ("n_s3", "ds3_n"), ("s3_rows", "ds3_rows")]),
+        # round-5 latest widening: the FULL set-op surface at the TOP
+        # level too — mixed joints under SQL precedence, EXCEPT ALL /
+        # INTERSECT ALL multisets (per-event HOF fold), parenthesized
+        # groups with their own ordered top-N tails
+        ("lookup_setops_all",
+         [("n_xa", "xa_n"), ("xa_rows", "xa_rows"),
+          ("n_gi", "gi_n"), ("gi_rows", "gi_rows")]),
+        # round-5 latest widening: PARAMETERIZED subqueries — :param
+        # equalities inside the sub-WHERE, compiled as per-event
+        # aggregate frames broadcast-joined onto the fact
+        ("lookup_param_subquery",
+         [("n_ps", "psub_n"), ("ps_rows", "psub_rows"),
+          ("n_pc", "pcnt_n"), ("pc_rows", "pcnt_rows")]),
     ],
 )
 

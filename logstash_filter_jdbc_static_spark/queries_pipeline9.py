@@ -1086,6 +1086,265 @@ def lookup_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lookup_setops_all",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        mxa AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_xa,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || CAST(price AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, price),
+                   ',') AS xa_rows
+          FROM (
+            SELECT tool, plan, price FROM tool_plans
+            UNION ALL
+            SELECT tool, plan, price FROM tool_plans WHERE qty >= 3
+            EXCEPT ALL
+            SELECT tool, plan, price FROM tool_plans WHERE price >= 8
+          ) GROUP BY tool
+        )
+        """,
+        """
+        mgi AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_gi,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || CAST(price AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, price),
+                   ',') AS gi_rows
+          FROM (
+            SELECT g.tool, g.plan, g.price FROM (
+              SELECT u.*, row_number() OVER (
+                PARTITION BY tool
+                ORDER BY price DESC, plan NULLS FIRST
+              ) AS rn
+              FROM (
+                SELECT tool, plan, price FROM tool_plans
+                UNION ALL
+                SELECT tool, plan, price FROM tool_plans WHERE price >= 5
+              ) u
+            ) g WHERE g.rn <= 3
+            INTERSECT ALL
+            SELECT tool, plan, price FROM tool_plans
+          ) GROUP BY tool
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(mxa.n_xa, 0) AS n_xa,
+               coalesce(mxa.xa_rows, '') AS xa_rows,
+               coalesce(mgi.n_gi, 0) AS n_gi,
+               coalesce(mgi.gi_rows, '') AS gi_rows
+        FROM transcripts t
+        LEFT JOIN mxa ON mxa.tool = t.tool
+        LEFT JOIN mgi ON mgi.tool = t.tool
+        """,
+    ),
+)
+def lookup_setops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: the FULL top-level set-op surface —
+    mixed joints under SQL precedence (left-to-right at the UNION/
+    EXCEPT level), the multiset ``EXCEPT ALL`` / ``INTERSECT ALL``
+    variants (Derby-legal, pinned natively in test_jdbc_derby.py), and
+    a parenthesized GROUP carrying its own ordered top-N tail (a
+    standard-SQL extension — Derby's own attempt dies in an internal
+    NPE). Compiled as N broadcast probes whose per-event payload
+    arrays fold through the joint tree with array built-ins; the
+    multiset counts are nested higher-order functions over the
+    (dim-fan-in-sized) arrays — zero fact shuffle, zero Python.
+
+    The ``xa`` lookup is ``(A UNION ALL B) EXCEPT ALL C`` — duplicate
+    payload rows survive the union and lose exactly one occurrence per
+    right-side row; ``gi`` is ``(A UNION ALL B ORDER BY price DESC
+    FETCH FIRST 3) INTERSECT ALL A`` — the group's top-3 shapes before
+    the multiset intersection keeps min-count occurrences. The DuckDB
+    twin carries the tool key through every branch and computes the
+    group tail as a per-tool row_number window (ties at the cut are
+    between IDENTICAL rows by construction, so the pick is
+    multiset-stable)."""
+    t = load_transcripts(spark, sf_dir)
+    branch = (
+        "SELECT plan AS plan, price AS price FROM tool_plans "
+        "WHERE tool = :tool{pred}"
+    )
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "xa",
+                "query": (
+                    branch.format(pred="")
+                    + " UNION ALL "
+                    + branch.format(pred=" AND qty >= 3")
+                    + " EXCEPT ALL "
+                    + branch.format(pred=" AND price >= 8")
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "gi",
+                "query": (
+                    "(" + branch.format(pred="")
+                    + " UNION ALL "
+                    + branch.format(pred=" AND price >= 5")
+                    + " ORDER BY price DESC FETCH FIRST 3 ROWS ONLY)"
+                    + " INTERSECT ALL "
+                    + branch.format(pred="")
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+
+    def _rows(col):
+        return F.array_join(
+            F.transform(
+                F.col(col),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit(":"),
+                    r.getField("price").cast("string"),
+                ),
+            ),
+            ",",
+        )
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("xa").cast("long").alias("n_xa"),
+        _rows("xa").alias("xa_rows"),
+        F.size("gi").cast("long").alias("n_gi"),
+        _rows("gi").alias("gi_rows"),
+    )
+
+
+@register(
+    "lookup_param_subquery",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        mps AS (
+          SELECT p.tool, CAST(count(*) AS BIGINT) AS n_ps,
+                 array_to_string(
+                   list(coalesce(p.plan, '~N') || ':'
+                        || CAST(p.price AS VARCHAR)
+                        ORDER BY p.plan NULLS FIRST, p.price),
+                   ',') AS ps_rows
+          FROM tool_plans p
+          JOIN (SELECT tool, avg(price) AS a FROM tool_plans
+                GROUP BY tool) g ON g.tool = p.tool
+          WHERE p.price >= g.a
+          GROUP BY p.tool
+        )
+        """,
+        """
+        mpc AS (
+          SELECT p.tool, CAST(count(*) AS BIGINT) AS n_pc,
+                 array_to_string(
+                   list(coalesce(p.plan, '~N') || ':'
+                        || CAST(p.qty AS VARCHAR)
+                        ORDER BY p.plan NULLS FIRST, p.qty),
+                   ',') AS pc_rows
+          FROM tool_plans p
+          JOIN (SELECT tool, count(*) AS c FROM tool_plans
+                GROUP BY tool) g ON g.tool = p.tool
+          WHERE p.qty < g.c
+          GROUP BY p.tool
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(mps.n_ps, 0) AS n_ps,
+               coalesce(mps.ps_rows, '') AS ps_rows,
+               coalesce(mpc.n_pc, 0) AS n_pc,
+               coalesce(mpc.pc_rows, '') AS pc_rows
+        FROM transcripts t
+        LEFT JOIN mps ON mps.tool = t.tool
+        LEFT JOIN mpc ON mpc.tool = t.tool
+        """,
+    ),
+)
+def lookup_param_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: PARAMETERIZED scalar subqueries —
+    ``:param`` equalities inside a subquery's WHERE, the last big
+    residue of the reference's execute-anything contract (it re-binds
+    and re-executes the prepared subquery per event,
+    lookup.rb:131-147). Spark-first compile: the subquery becomes a
+    per-group aggregate frame built ONCE per refresh snapshot
+    (dim-sized groupBy), broadcast-joined onto the FACT by the bound
+    event param (CompiledLookup._attach_param_subs); the term then
+    rides every physical path as an ordinary bound param — one extra
+    exchange-free broadcast hash join on the fact, zero shuffles,
+    zero Python.
+
+    ``ps`` compares against the per-tool avg (a join miss leaves the
+    scalar NULL — SQL's empty subquery — so unknown tools get clean
+    empty payloads); ``pc`` uses count(*), whose miss coalesces to 0
+    (SQL: a count over an empty group is 0, pinned in
+    tests/test_lookup_param_subquery.py and on live Derby in
+    test_jdbc_derby.py)."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "ps",
+                "query": (
+                    "SELECT plan AS plan, price AS price FROM tool_plans "
+                    "WHERE tool = :tool AND price >= "
+                    "(SELECT avg(price) FROM tool_plans WHERE tool = :tool)"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "pc",
+                "query": (
+                    "SELECT plan AS plan, qty AS qty FROM tool_plans "
+                    "WHERE tool = :tool AND qty < "
+                    "(SELECT count(*) FROM tool_plans WHERE tool = :tool)"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+
+    def _rows(col, vf):
+        return F.array_join(
+            F.transform(
+                F.col(col),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit(":"),
+                    r.getField(vf).cast("string"),
+                ),
+            ),
+            ",",
+        )
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("ps").cast("long").alias("n_ps"),
+        _rows("ps", "price").alias("ps_rows"),
+        F.size("pc").cast("long").alias("n_pc"),
+        _rows("pc", "qty").alias("pc_rows"),
+    )
+
+
 def _sub_rows():
     """Subscription dim for the date-function part: (tool, since DATE,
     seen TIMESTAMP) with a leap day, a pre-epoch row (filtered by the

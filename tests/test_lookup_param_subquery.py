@@ -1,0 +1,289 @@
+"""PARAMETERIZED lookup subqueries (round-5 latest): ``:param``
+equalities inside a scalar subquery's WHERE — the reference re-executes
+the prepared subquery per event against Derby
+(lib/logstash/filters/jdbc/lookup.rb:131-147); here the subquery
+compiles ONCE per refresh snapshot into a per-group aggregate frame
+keyed by its param-correlated columns, broadcast-joined onto the FACT
+at probe time (CompiledLookup._attach_param_subs), and the term rides
+every physical path as an ordinary bound param. Every golden run
+cross-checks the row-at-a-time oracle."""
+
+from __future__ import annotations
+
+import pytest
+
+from logstash_filter_jdbc_static_spark import oracle
+from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
+from logstash_filter_jdbc_static_spark.spec import PipelineSpec, ValidationError
+
+PLANS = [
+    ("t1", "basic", 10, 3),
+    ("t1", "pro", 7, 2),
+    ("t1", None, 4, 9),
+    ("t2", "basic", 2, 1),
+    ("t2", "gold", 99, 5),
+]
+SCHEMA = "tool: string, plan: string, price: int, qty: int"
+
+ENGINES = [
+    {},
+    {"inline_threshold": 0, "pattern_strategy": "broadcast_map"},
+    {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+]
+
+
+def _dims(spark):
+    return {"plans": spark.createDataFrame(PLANS, SCHEMA)}
+
+
+def _tables():
+    return {
+        "plans": [
+            {"tool": t, "plan": p, "price": pr, "qty": q}
+            for t, p, pr, q in PLANS
+        ]
+    }
+
+
+def _run(spark, query, kw, default=None, parameters=None, prepared=None):
+    """Enrich four fact rows (two live tools, a miss, a NULL) and
+    assert Spark == row oracle on every one; returns {tool: payload}."""
+    lookup: dict = {"id": "u", "query": query}
+    if prepared is not None:
+        lookup["prepared_parameters"] = prepared
+    else:
+        lookup["parameters"] = parameters or {"tool": "tool"}
+    if default is not None:
+        lookup["default_hash"] = default
+    facts = spark.createDataFrame(
+        [("t1",), ("t2",), ("t9",), (None,)], "tool: string"
+    )
+    out = LookupEnricher(
+        PipelineSpec(lookups=[dict(lookup)]), _dims(spark), **kw
+    ).apply(facts)
+    got = {
+        r["tool"]: (
+            None
+            if r["u"] is None
+            else [tuple(d.asDict().values()) for d in r["u"]]
+        )
+        for r in out.collect()
+    }
+    for tool in ("t1", "t2", "t9", None):
+        ev = {} if tool is None else {"tool": tool}
+        oracle.enhance(ev, PipelineSpec(lookups=[dict(lookup)]), _tables())
+        u = ev.get("u")
+        exp = None if u is None else [tuple(d.values()) for d in u]
+        assert got[tool] == exp, (
+            f"{tool!r}: spark={got[tool]} oracle={exp}"
+        )
+    return got
+
+
+class TestGoldenParamSubquery:
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_avg_keyed_by_param(self, spark, kw):
+        # t1 avg(price)=7.0 -> basic(10), pro(7); t2 avg=50.5 -> gold;
+        # t9 has no group -> avg NULL -> comparison unknown -> default
+        got = _run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM plans "
+            "WHERE tool = :tool AND price >= "
+            "(SELECT avg(price) FROM plans WHERE tool = :tool)",
+            kw,
+            default={"plan": "dflt", "price": -1},
+        )
+        assert got["t1"] == [("basic", 10), ("pro", 7)]
+        assert got["t2"] == [("gold", 99)]
+        assert got["t9"] == [("dflt", -1)]
+        assert got[None] is None  # invalid param binding
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_count_misses_coalesce_to_zero(self, spark, kw):
+        # count over a missing group is 0, not NULL (SQL): qty < 0 is
+        # FALSE, so t9 gets a clean empty payload, not a failure
+        got = _run(
+            spark,
+            "SELECT plan AS plan, qty AS qty FROM plans "
+            "WHERE tool = :tool AND qty < "
+            "(SELECT count(*) FROM plans WHERE tool = :tool)",
+            kw,
+        )
+        assert got["t1"] == [("pro", 2)]
+        assert got["t2"] == [("basic", 1)]
+        assert got["t9"] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_subquery_as_equi_key(self, spark, kw):
+        # the subquery value participates in an EQUALITY -> it becomes
+        # part of the broadcast-hash equi probe key on the default path
+        got = _run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM plans "
+            "WHERE tool = :tool AND qty = "
+            "(SELECT min(qty) FROM plans WHERE tool = :tool)",
+            kw,
+        )
+        assert got["t1"] == [("pro", 7)]
+        assert got["t2"] == [("basic", 2)]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_static_filter_and_param_expr_key(self, spark, kw):
+        # the sub-WHERE keeps its static predicates, and the param key
+        # may be an expression over params + literals ('' || :tool)
+        got = _run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM plans "
+            "WHERE tool = :tool AND price > "
+            "(SELECT min(price) FROM plans "
+            "WHERE qty >= 2 AND tool = '' || :tool)",
+            kw,
+        )
+        # t1: min(price | qty>=2) = 4 -> basic, pro; t2: min = 99 -> none
+        assert got["t1"] == [("basic", 10), ("pro", 7)]
+        assert got["t2"] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_func_wrapped_key(self, spark, kw):
+        # func(sub_col) = :param desugars to a computed sub column
+        got = _run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM plans "
+            "WHERE tool = :tool AND price >= "
+            "(SELECT avg(price) FROM plans WHERE upper(tool) = :utool)",
+            kw,
+            parameters={"tool": "tool", "utool": "utool"},
+        )
+        # utool binds a missing event field -> every row invalid
+        assert all(v is None for v in got.values())
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_prepared_positional_param_in_subquery(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM plans "
+            "WHERE tool = ? AND price >= "
+            "(SELECT avg(price) FROM plans WHERE tool = ?)",
+            kw,
+            prepared=["tool", "tool"],
+        )
+        assert got["t1"] == [("basic", 10), ("pro", 7)]
+        assert got["t2"] == [("gold", 99)]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_inside_union_branch(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM plans "
+            "WHERE tool = :tool AND price >= "
+            "(SELECT avg(price) FROM plans WHERE tool = :tool) "
+            "UNION ALL "
+            "SELECT plan AS plan, price AS price FROM plans "
+            "WHERE tool = :tool AND qty = "
+            "(SELECT max(qty) FROM plans WHERE tool = :tool)",
+            kw,
+        )
+        # t1: branch1 basic,pro; branch2 max qty 9 -> (None,4)
+        assert got["t1"] == [(None, 4), ("basic", 10), ("pro", 7)]
+
+
+class TestParamSubqueryPlan:
+    def test_fact_side_stays_exchange_free(self, spark):
+        """The param-subquery frame rides a broadcast hash join onto
+        the fact — the FACT lineage must stay shuffle-free (the 100 TB
+        contract). The only shuffle exchange allowed is the dim-sized
+        per-group aggregation that BUILDS the frame once per snapshot
+        (partial_avg over the tiny dim). The fact column is named
+        distinctively so the exchange-signature check cannot be fooled
+        by the dim's same-named key."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        facts = spark.createDataFrame(
+            [(f"t{i % 3 + 1}",) for i in range(64)], "ftool: string"
+        )
+        out = LookupEnricher(
+            PipelineSpec(lookups=[{
+                "id": "u",
+                "query": (
+                    "SELECT plan AS plan, price AS price FROM plans "
+                    "WHERE tool = :tool AND price >= "
+                    "(SELECT avg(price) FROM plans WHERE tool = :tool)"
+                ),
+                "parameters": {"tool": "ftool"},
+            }]),
+            _dims(spark),
+        ).apply(facts)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan
+        sigs = re.findall(
+            r"(?<!Broadcast)Exchange hashpartitioning\(([^)]*)\)", plan
+        )
+        for sig in sigs:
+            assert "ftool" not in sig, (sig, plan)  # never the fact
+        assert "Exchange rangepartitioning" not in plan
+        # and it actually runs
+        assert out.agg(F.count(F.lit(1))).collect()[0][0] == 64
+
+
+class TestParamSubqueryRejections:
+    def _compile(self, spark, query, parameters=None):
+        LookupEnricher(
+            PipelineSpec(lookups=[{
+                "id": "u", "query": query,
+                "parameters": parameters or {"tool": "tool"},
+            }]),
+            _dims(spark),
+        )
+
+    def test_exists_param_rejected(self, spark):
+        with pytest.raises(ValidationError, match="EXISTS sub-WHERE"):
+            self._compile(
+                spark,
+                "SELECT plan FROM plans WHERE EXISTS "
+                "(SELECT 1 FROM plans p2 WHERE p2.tool = :tool)",
+            )
+
+    def test_in_subquery_param_rejected(self, spark):
+        with pytest.raises(ValidationError, match="IN sub-WHERE"):
+            self._compile(
+                spark,
+                "SELECT plan FROM plans WHERE plan IN "
+                "(SELECT plan FROM plans p2 WHERE p2.tool = :tool)",
+            )
+
+    def test_or_around_param_rejected(self, spark):
+        with pytest.raises(ValidationError, match="OR"):
+            self._compile(
+                spark,
+                "SELECT plan FROM plans WHERE price >= "
+                "(SELECT avg(price) FROM plans "
+                "WHERE tool = :tool OR qty > 5)",
+            )
+
+    def test_having_param_subquery_rejected(self, spark):
+        with pytest.raises(ValidationError, match="HAVING"):
+            self._compile(
+                spark,
+                "SELECT tool AS tool, count(*) AS n FROM plans "
+                "WHERE price > 0 GROUP BY tool HAVING n >= "
+                "(SELECT count(*) FROM plans WHERE tool = :tool)",
+            )
+
+    def test_projection_param_subquery_rejected(self, spark):
+        with pytest.raises(ValidationError, match="PROJECTION"):
+            self._compile(
+                spark,
+                "SELECT plan AS plan, (SELECT avg(price) FROM plans "
+                "WHERE tool = :tool) AS ap FROM plans WHERE tool = :tool",
+            )
+
+    def test_nested_param_subquery_rejected(self, spark):
+        with pytest.raises(ValidationError, match="NESTED"):
+            self._compile(
+                spark,
+                "SELECT plan FROM plans WHERE price >= "
+                "(SELECT avg(price) FROM plans WHERE qty > "
+                "(SELECT min(qty) FROM plans WHERE tool = :tool))",
+            )

@@ -1566,7 +1566,10 @@ class TestRound5ConfigEndToEnd:
         out = LookupEnricher(spec, dims).apply(
             spark.createDataFrame(facts, fact_schema)
         )
-        targets = ("server_derived", "not_a_location", "tool_tier", "ip_rank")
+        targets = (
+            "server_derived", "not_a_location", "mixed_multiset",
+            "tool_tier", "ip_rank", "at_least_mine",
+        )
 
         def norm(v):
             if v is None:

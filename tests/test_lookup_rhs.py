@@ -146,14 +146,37 @@ class TestParseSubquery:
         assert sq.col.startswith("__sq_expr")
         assert len(sq.computed) == 1
 
-    def test_parameterized_subquery_rejected(self):
-        # :params inside a subquery would re-bind per event — no
-        # snapshot-time plan can stage that (outer COLUMN correlation
-        # is supported; see TestCorrelatedSubquery)
-        with pytest.raises(ValidationError, match="parameterized"):
+    def test_parameterized_subquery_accepted(self):
+        # round-5 latest: an equality :param inside a subquery WHERE is
+        # ACCEPTED — it compiles as a per-group aggregate frame
+        # broadcast-joined onto the FACT by the bound param (the
+        # set-at-a-time hoist of Derby re-executing the prepared
+        # subquery per event); the param correlation rides the term
+        q = parse_lookup_query(
+            "SELECT tool FROM plans WHERE price >= "
+            "(SELECT avg(price) FROM plans WHERE tool = :tool)"
+        )
+        (p,) = q.disjuncts[0]
+        (t,) = p.terms
+        assert t.kind == "subquery"
+        assert t.value.param_corr and t.value.param_corr[0][0] == "tool"
+        assert p.param_names == ["tool"]
+
+    def test_parameterized_subquery_non_equality_rejected(self):
+        # non-equality param predicates inside a subquery stay rejected
+        # (no per-event aggregate key can stage a range re-bind)
+        with pytest.raises(ValidationError, match="plain equalities"):
             parse_lookup_query(
                 "SELECT tool FROM plans WHERE price >= "
-                "(SELECT avg(price) FROM plans WHERE tool = :tool)"
+                "(SELECT avg(price) FROM plans WHERE price > :lim)"
+            )
+
+    def test_parameterized_plus_correlated_rejected(self):
+        with pytest.raises(ValidationError, match="BOTH correlated"):
+            parse_lookup_query(
+                "SELECT tool FROM plans p WHERE price >= "
+                "(SELECT avg(price) FROM plans p2 "
+                "WHERE p2.tool = p.tool AND p2.plan = :plan)"
             )
 
     def test_non_aggregate_subquery_rejected(self):

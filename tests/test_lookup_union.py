@@ -13,8 +13,18 @@ from pyspark.sql import types as T
 
 from logstash_filter_jdbc_static_spark import oracle
 from logstash_filter_jdbc_static_spark.operators.lookup import (
-    split_top_level_union,
+    parse_setop_tree,
 )
+
+
+def split_top_level_union(text):
+    """Leaf-splitting shim for the splitter tests below: (leaf texts,
+    dedupe-at-root) from the round-5-latest set-op tree parser."""
+    leaves, tree = parse_setop_tree(text)
+    dedupe = bool(tree and all(
+        op == "union" and not all_ for op, all_ in tree.joints
+    ))
+    return leaves, dedupe
 from logstash_filter_jdbc_static_spark.operators.processor import LookupEnricher
 from logstash_filter_jdbc_static_spark.spec import PipelineSpec, ValidationError
 
@@ -63,12 +73,15 @@ class TestSplitter:
         assert len(parts) == 2
         assert "(SELECT count(*) FROM u)" in parts[0]
 
-    def test_mixed_union_kinds_rejected(self):
-        with pytest.raises(ValidationError, match="mixing UNION"):
-            split_top_level_union(
-                "SELECT a FROM t UNION SELECT a FROM u "
-                "UNION ALL SELECT a FROM v"
-            )
+    def test_mixed_union_kinds_accepted(self):
+        # round-5 latest: mixed UNION / UNION ALL is legal SQL — the
+        # joints apply node-wise, left-to-right
+        leaves, tree = parse_setop_tree(
+            "SELECT a FROM t UNION SELECT a FROM u "
+            "UNION ALL SELECT a FROM v"
+        )
+        assert len(leaves) == 3
+        assert tree.joints == [("union", False), ("union", True)]
 
 
 def _run(spark, query, kw, default=None):
@@ -555,7 +568,11 @@ class TestSetOps:
     machinery: per-branch payload arrays folded with
     ``array_except`` / ``array_intersect`` (SQL set semantics —
     distinct result, NULL is not distinct from NULL, EXCEPT is
-    left-associative). ALL variants and mixed joints are rejected."""
+    left-associative). Round-5 latest: the ALL variants (exact
+    multisets), mixed joints under SQL precedence (INTERSECT binds
+    tighter, then left-to-right), and parenthesized groups with their
+    own tails are accepted too; every run cross-checks the row
+    oracle."""
 
     _A = [("t1", "basic", 10), ("t1", "basic", 10), ("t1", "pro", 7),
           ("t1", None, 4)]
@@ -599,24 +616,43 @@ class TestSetOps:
             assert got[tool] == exp, f"{tool}: spark {got[tool]} != {exp}"
         return got
 
-    def test_splitter_returns_op(self):
-        from logstash_filter_jdbc_static_spark.operators.lookup import (
-            split_top_level_setop,
-        )
-
-        parts, op, dedupe = split_top_level_setop(
+    def test_tree_parser_returns_joints(self):
+        leaves, tree = parse_setop_tree(
             "SELECT a FROM t EXCEPT SELECT a FROM u"
         )
-        assert (len(parts), op, dedupe) == (2, "except", True)
-        parts, op, dedupe = split_top_level_setop(
+        assert len(leaves) == 2
+        assert tree.joints == [("except", False)]
+        leaves, tree = parse_setop_tree(
             "SELECT a FROM t INTERSECT SELECT a FROM u "
-            "INTERSECT SELECT a FROM v"
+            "INTERSECT ALL SELECT a FROM v"
         )
-        assert (len(parts), op, dedupe) == (3, "intersect", True)
-        parts, op, dedupe = split_top_level_setop(
+        assert len(leaves) == 3
+        assert tree.joints == [("intersect", False), ("intersect", True)]
+        leaves, tree = parse_setop_tree(
             "SELECT a FROM t WHERE s = 'x except y'"
         )
-        assert (len(parts), op) == (1, "union")
+        assert len(leaves) == 1 and tree is None
+
+    def test_tree_parser_nested_groups(self):
+        leaves, tree = parse_setop_tree(
+            "(SELECT a FROM t UNION SELECT a FROM u) "
+            "EXCEPT ALL SELECT a FROM v"
+        )
+        assert len(leaves) == 3
+        assert tree.joints == [("except", True)]
+        inner = tree.children[0]
+        assert not isinstance(inner, int)
+        assert inner.joints == [("union", False)]
+        assert inner.children == [0, 1] and tree.children[1] == 2
+        # a group tail stays on the GROUP, the root tail on the root
+        leaves, tree = parse_setop_tree(
+            "(SELECT a FROM t UNION SELECT a FROM u "
+            "ORDER BY a FETCH FIRST 2 ROWS ONLY) "
+            "INTERSECT SELECT a FROM v ORDER BY a DESC"
+        )
+        inner = tree.children[0]
+        assert inner.order_by == (("a", True),) and inner.limit == 2
+        assert tree.order_by == (("a", False),)
 
     def test_except_distinct_and_null_equality(self, spark):
         got = self._run(
@@ -665,30 +701,77 @@ class TestSetOps:
         assert got["t1"] == [("none", -1)]
         assert got["t2"] == [("none", -1)]
 
-    @pytest.mark.parametrize(
-        "query,msg",
-        [
-            ("SELECT plan AS p, price AS q FROM a WHERE tool = :tool "
-             "EXCEPT ALL SELECT plan AS p, price AS q FROM b "
-             "WHERE tool = :tool", "EXCEPT ALL"),
-            ("SELECT plan AS p, price AS q FROM a WHERE tool = :tool "
-             "INTERSECT ALL SELECT plan AS p, price AS q FROM b "
-             "WHERE tool = :tool", "INTERSECT ALL"),
-            ("SELECT plan AS p, price AS q FROM a WHERE tool = :tool "
-             "UNION SELECT plan AS p, price AS q FROM b WHERE tool = :tool "
-             "EXCEPT SELECT plan AS p, price AS q FROM c "
-             "WHERE tool = :tool", "mixing UNION/EXCEPT/INTERSECT"),
-        ],
-    )
-    def test_rejections(self, spark, query, msg):
-        with pytest.raises(ValidationError, match=msg):
-            LookupEnricher(
-                PipelineSpec(lookups=[{
-                    "id": "u", "query": query,
-                    "parameters": {"tool": "tool"},
-                }]),
-                self._dims(spark),
-            )
+    def test_except_all_multiset(self, spark):
+        # round-5 latest: EXCEPT ALL is an exact multiset — the
+        # duplicate (basic,10) in A loses ONE occurrence to B's single
+        # copy and keeps the other; (None,4) cancels (NULL not
+        # distinct from NULL); (pro,7) survives
+        got = self._run(
+            spark,
+            self.BRANCH.format(t="a") + " EXCEPT ALL "
+            + self.BRANCH.format(t="b"),
+        )
+        assert got["t1"] == [("basic", 10), ("pro", 7)]
+        assert got["t2"] == []
+
+    def test_intersect_all_multiset(self, spark):
+        # INTERSECT ALL keeps min(cntA, cntB) occurrences: one
+        # (basic,10) (B has one) and one (None,4)
+        got = self._run(
+            spark,
+            self.BRANCH.format(t="a") + " INTERSECT ALL "
+            + self.BRANCH.format(t="b"),
+        )
+        assert got["t1"] == [(None, 4), ("basic", 10)]
+
+    def test_mixed_joints_sql_precedence(self, spark):
+        # A UNION ALL B INTERSECT C = A UNION ALL (B INTERSECT C):
+        # INTERSECT binds tighter (pinned natively on Derby). B∩C = {}
+        # (C = [(pro,7)], B has none) → the result is A verbatim
+        got = self._run(
+            spark,
+            self.BRANCH.format(t="a") + " UNION ALL "
+            + self.BRANCH.format(t="b") + " INTERSECT "
+            + self.BRANCH.format(t="c"),
+        )
+        assert got["t1"] == [(None, 4), ("basic", 10),
+                             ("basic", 10), ("pro", 7)]
+
+    def test_mixed_union_then_except(self, spark):
+        # left-to-right at the UNION/EXCEPT level:
+        # (A UNION B) EXCEPT C — distinct(A∪B) minus C's (pro,7)
+        got = self._run(
+            spark,
+            self.BRANCH.format(t="a") + " UNION "
+            + self.BRANCH.format(t="b") + " EXCEPT "
+            + self.BRANCH.format(t="c"),
+        )
+        assert got["t1"] == [(None, 4), ("basic", 10), ("gold", 99)]
+
+    def test_parenthesized_group_overrides_precedence(self, spark):
+        # explicit grouping beats precedence: (A EXCEPT B) INTERSECT A
+        # — without the parens, B INTERSECT A would reduce first
+        got = self._run(
+            spark,
+            "(" + self.BRANCH.format(t="a") + " EXCEPT "
+            + self.BRANCH.format(t="b") + ") INTERSECT "
+            + self.BRANCH.format(t="a"),
+        )
+        assert got["t1"] == [("pro", 7)]
+
+    def test_group_with_own_tail(self, spark):
+        # a parenthesized GROUP may carry its own ordered top-N tail,
+        # shaped before the enclosing joint combines it: top-2 by
+        # price desc of distinct(A∪B) = [(gold,99),(basic,10)], then
+        # EXCEPT ALL C removes nothing (C = [(pro,7)])
+        got = self._run(
+            spark,
+            "(" + self.BRANCH.format(t="a") + " UNION "
+            + self.BRANCH.format(t="b")
+            + " ORDER BY price DESC FETCH FIRST 2 ROWS ONLY) "
+            "EXCEPT ALL " + self.BRANCH.format(t="c"),
+        )
+        assert got["t1"] == [("basic", 10), ("gold", 99)]
 
 
 class TestParenthesizedBranches:

@@ -668,6 +668,43 @@ FULLQ_TEMPLATES = [
      "ORDER BY name FETCH FIRST 2 ROWS ONLY) "
      "EXCEPT SELECT name AS name FROM servers WHERE name = 'v1'",
      {"name": "dflt"}),
+    # round-5 latest: TOP-LEVEL multiset ALL variants, mixed joints
+    # under SQL precedence (INTERSECT binds tighter, then left-to-
+    # right), and parenthesized groups with their own tails — the
+    # per-event payload-array fold twin of the derived-table surface
+    ("SELECT name AS name FROM servers WHERE ip <= :ip "
+     "EXCEPT ALL SELECT name AS name FROM servers WHERE name = 'v1'",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE ip <= :ip "
+     "INTERSECT ALL SELECT name AS name FROM servers WHERE ip >= :ip",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE ip = :ip "
+     "UNION ALL SELECT name AS name FROM servers WHERE ip <= :ip "
+     "INTERSECT SELECT name AS name FROM servers WHERE name <> 'v1'",
+     {"name": "dflt"}),
+    ("(SELECT name AS name FROM servers WHERE ip <= :ip "
+     "UNION ALL SELECT name AS name FROM servers "
+     "ORDER BY name FETCH FIRST 3 ROWS ONLY) "
+     "EXCEPT ALL SELECT name AS name FROM servers WHERE name = 'v1'",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE ip <= :ip "
+     "UNION SELECT name AS name FROM servers WHERE name = 'v1' "
+     "UNION ALL SELECT name AS name FROM servers WHERE ip = :ip",
+     {"name": "dflt"}),
+    # round-5 latest: PARAMETERIZED subqueries — the :param equality
+    # inside the sub-WHERE keys a per-event aggregate broadcast-joined
+    # onto the fact (Derby re-executes the prepared subquery per
+    # event, lookup.rb:131-147)
+    ("SELECT name AS name FROM servers WHERE ip >= "
+     "(SELECT min(ip) FROM servers WHERE ip = :ip)",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE ip = :ip AND name <= "
+     "(SELECT max(name) FROM servers WHERE ip = :ip)",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE ip = :ip "
+     "UNION ALL SELECT name AS name FROM servers WHERE name >= "
+     "(SELECT max(name) FROM servers WHERE ip = :ip)",
+     {"name": "dflt"}),
 ]
 
 
