@@ -222,13 +222,16 @@ class _Subquery:
     # aggregation left-joined onto the outer dim per refresh snapshot —
     # the set-at-a-time hoist of Derby's per-row nested execution.
     corr: tuple = ()  # tuple[(sub_col, outer_col), ...]
-    # at most ONE inequality correlation (sub_col, op, outer_col),
-    # EXISTS subqueries only: ``EXISTS (... WHERE sub.k = t.k AND
-    # sub.price > t.price)`` decorrelates to the per-group max/min
-    # aggregate compared against the outer column (one row satisfies
-    # ``sub_col > x`` iff ``max(sub_col) > x``) — a single extremum
-    # cannot witness two inequalities simultaneously, hence the cap.
-    ineq: tuple = ()  # () | ((sub_col, op, outer_col),)
+    # inequality correlations (sub_col, op, outer_col) — scalar and
+    # EXISTS subqueries: ``EXISTS (... WHERE sub.k = t.k AND
+    # sub.price > t.price)``. ONE inequality on an EXISTS decorrelates
+    # to the per-group max/min extremum compared against the outer
+    # column (one row satisfies ``sub_col > x`` iff ``max(sub_col) >
+    # x``); SEVERAL (round-5 latest — no single extremum can witness
+    # two inequalities) and all scalar-aggregate cases decorrelate via
+    # the snapshot-time rid THETA JOIN (dim-sized work, like a
+    # non-equi ON).
+    ineq: tuple = ()  # tuple[(sub_col, op, outer_col), ...]
     # OUTER-side correlation expressions (round-5 latest):
     # ``WHERE p2.plan = upper(t.plan)`` — each (name, ast) is a scalar
     # expression over OUTER columns only, materialized as a synthetic
@@ -502,10 +505,11 @@ def _extract_correlation(
     (``substr(p2.plan,1,2) = t.plan``, ``p2.plan = upper(t.plan)``):
     sub-side expressions ride as sub computed columns, outer-side ones
     as ``__sq_oexpr*`` dim columns materialized at resolution. Plus
-    (EXISTS only, ``allow_ineq``) at most ONE plain
-    ``sub_col <op> outer.col`` inequality, decorrelated to the group's
-    max/min extremum (one extremum can witness one inequality, not
-    two). Anything MIXING scopes inside one expression, or OR branches
+    (``allow_ineq`` — scalar and EXISTS subqueries) plain
+    ``sub_col <op> outer.col`` inequalities: ONE on an EXISTS
+    decorrelates to the group's max/min extremum; several (round-5
+    latest), and scalar aggregates, take the snapshot-time rid theta
+    join. Anything MIXING scopes inside one expression, or OR branches
     around a correlation, raises: those would need per-row nested
     execution, which no broadcast plan can stage."""
     def is_outer(name: str) -> bool:
@@ -646,7 +650,7 @@ def _extract_correlation(
             raise ValidationError(
                 [f"lookup subquery on {table!r}: unsupported correlated "
                  f"predicate — only plain equalities (sub_col = "
-                 f"outer.col) plus at most one plain inequality "
+                 f"outer.col) plus plain inequalities "
                  f"(sub_col < <= > >= outer.col) are supported"]
             )
         raise ValidationError(
@@ -654,13 +658,6 @@ def _extract_correlation(
              f"predicate — only plain equalities between one subquery "
              f"column and one outer column (sub_col = outer.col) are "
              f"supported"]
-        )
-    if len(ineq) > 1:
-        raise ValidationError(
-            [f"lookup subquery on {table!r}: at most ONE correlated "
-             f"inequality is supported (a per-group extremum "
-             f"can witness one inequality, not several) — pre-shape "
-             f"the dim with a loader query instead"]
         )
     unused = sorted(
         new for new, _ in outer_map.values() if new not in used_oexpr
@@ -1060,17 +1057,21 @@ def resolve_subqueries_with_dim(
             # sub rows, aggregate per row id, left-join back. With
             # equality keys Spark hash-joins and post-filters the
             # inequality; without any it is a dim-sized nested loop.
-            (isc, iop, ioc) = sq.ineq[0]
-            if ioc not in dim.columns:
+            missing_i = sorted(
+                {ioc for _, _, ioc in sq.ineq} - set(dim.columns)
+            )
+            if missing_i:
                 raise ValidationError(
                     [f"lookup subquery on {sq.table!r}: outer column(s) "
-                     f"['{ioc}'] not in table {parsed.table!r}"]
+                     f"{missing_i} not in table {parsed.table!r}"]
                 )
             rid = f"__rid_{name}"
             dim = dim.withColumn(
                 rid, F.monotonically_increasing_id()
             ).localCheckpoint(eager=True)
-            need = [sc for sc, _ in sq.corr] + [isc]
+            need = [sc for sc, _ in sq.corr] + [
+                isc for isc, _, _ in sq.ineq
+            ]
             if sq.col is not None:
                 need.append(sq.col)
             need = list(dict.fromkeys(need))
@@ -1087,14 +1088,18 @@ def resolve_subqueries_with_dim(
             for sc, oc in sq.corr:
                 piece = F.col(f"__s_{sc}") == F.col(oc)
                 cond = piece if cond is None else (cond & piece)
-            left, right = F.col(f"__s_{isc}"), F.col(ioc)
-            ipiece = {
-                "<": left < right, "<=": left <= right,
-                ">": left > right, ">=": left >= right,
-            }[iop]
-            cond = ipiece if cond is None else (cond & ipiece)
+            for isc, iop, ioc in sq.ineq:
+                left, right = F.col(f"__s_{isc}"), F.col(ioc)
+                ipiece = {
+                    "<": left < right, "<=": left <= right,
+                    ">": left > right, ">=": left >= right,
+                }[iop]
+                cond = ipiece if cond is None else (cond & ipiece)
             outer_cols = list(
-                dict.fromkeys([oc for _, oc in sq.corr] + [ioc])
+                dict.fromkeys(
+                    [oc for _, oc in sq.corr]
+                    + [ioc for _, _, ioc in sq.ineq]
+                )
             )
             pairs = dim.select(rid, *outer_cols).join(sub_r, cond, "inner")
             agg_df = pairs.groupBy(rid).agg(agg2.alias(name))
@@ -1173,7 +1178,48 @@ def resolve_subqueries_with_dim(
             "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
             ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
         }
-        if sq.ineq:
+        if len(sq.ineq) > 1:
+            # SEVERAL inequality correlations (round-5 latest): no
+            # single extremum can witness two inequalities at once —
+            # a row with the group's max price need not be the row
+            # with its max qty — so the EXISTS flag decorrelates via
+            # the same snapshot-time rid THETA JOIN the scalar
+            # aggregates use: pair each dim row with its matching sub
+            # rows (hash join on the equality keys, post-filtered
+            # inequalities; dim-sized work, once per refresh) and
+            # flag the rows with at least one witness
+            rid = f"__rid_{name}"
+            dim = dim.withColumn(
+                rid, F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            need = list(dict.fromkeys(
+                [sc for sc, _ in sq.corr] + [isc for isc, _, _ in sq.ineq]
+            ))
+            sub_r = sub_df.select(
+                *[F.col(c).alias(f"__s_{c}") for c in need]
+            )
+            cond = None
+            for sc, oc in sq.corr:
+                piece = F.col(f"__s_{sc}") == F.col(oc)
+                cond = piece if cond is None else (cond & piece)
+            for isc, iop, ioc in sq.ineq:
+                piece = cmp_of[iop](F.col(f"__s_{isc}"), F.col(ioc))
+                cond = piece if cond is None else (cond & piece)
+            outer_cols = list(dict.fromkeys(
+                [oc for _, oc in sq.corr] + [ioc for _, _, ioc in sq.ineq]
+            ))
+            flags = (
+                dim.select(rid, *outer_cols)
+                .join(sub_r, cond, "inner")
+                .groupBy(rid)
+                .agg(F.lit(True).alias(name))
+            )
+            dim = (
+                dim.join(F.broadcast(flags), rid, "left")
+                .drop(rid)
+                .withColumn(name, F.coalesce(F.col(name), F.lit(False)))
+            )
+        elif sq.ineq:
             (sub_col, op, outer_col) = sq.ineq[0]
             # one inequality witness per group: > >= need the group max,
             # < <= the group min

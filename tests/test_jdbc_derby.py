@@ -1721,6 +1721,25 @@ class TestDerbyGrammarLegality:
         finally:
             conn.close()
 
+    def test_exists_with_two_inequality_correlations(
+        self, spark, derby_servers
+    ):
+        # round-5 latest: SEVERAL inequality correlations in one
+        # EXISTS (pareto dominance) — plain SQL, Derby-legal; our
+        # engine decorrelates it to the snapshot-time rid theta flag
+        rows = self._fetch(
+            spark,
+            'SELECT "name" FROM servers WHERE NOT EXISTS '
+            '(SELECT 1 FROM servers s2 WHERE s2."ip" > servers."ip" '
+            'AND s2."name" > servers."name")',
+        )
+        # seeded rows: ips ascend 10.1<10.2<10.3 while names go
+        # ldn < nyc but mv-serv'r-1 < nyc; dominance on (ip, name):
+        # ldn (10.1) is dominated by nyc (10.2, nyc>ldn); nyc (10.2)
+        # needs ip>10.2 AND name>nyc -> mv fails the name test; mv
+        # (10.3) has no higher ip — frontier = {nyc, mv}
+        assert sorted(r[0] for r in rows) == ["mv-serv'r-1", "nyc-server-1"]
+
     def test_param_inside_subquery_where(self, spark, derby_servers):
         # round-5 latest: a bound placeholder inside a scalar
         # subquery's WHERE is a Derby-legal prepared-statement shape —

@@ -411,12 +411,18 @@ class TestIneqCorrelation:
         sq = q.disjuncts[0][0].terms[0].value
         assert sq.ineq == (("price", ">", "price"),)
 
-    def test_two_inequalities_rejected(self):
-        with pytest.raises(ValidationError, match="at most ONE"):
-            parse_lookup_query(
-                "SELECT price FROM t WHERE EXISTS (SELECT 1 FROM t p2 "
-                "WHERE p2.price > t.price AND p2.qty < t.qty)"
-            )
+    def test_two_inequalities_accepted(self):
+        # round-5 latest: SEVERAL inequality correlations are accepted
+        # — no single extremum can witness two at once, so the EXISTS
+        # flag decorrelates via the snapshot-time rid theta join
+        q = parse_lookup_query(
+            "SELECT price FROM t WHERE EXISTS (SELECT 1 FROM t p2 "
+            "WHERE p2.price > t.price AND p2.qty < t.qty)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.ineq == (
+            ("price", ">", "price"), ("qty", "<", "qty"),
+        )
 
     def test_ineq_accepted_in_scalar_subquery(self):
         # round-5 late: a single inequality correlation in a scalar
@@ -491,6 +497,69 @@ class TestIneqGolden:
         )
         assert got == {
             "t0": [10], "t1": [], "t2": [8], "t3": [], "t4": [], "t5": [],
+        }
+
+    def test_two_inequalities_dominance(self, spark, kw):
+        # round-5 latest: TWO inequality correlations — "a row that
+        # strictly dominates mine on price AND qty exists" (the rid
+        # theta flag; an extremum rewrite cannot express this: the
+        # max-price row need not be the max-qty row). Dominated rows
+        # across the whole dim: (5,4)<(8,8), (7,2)<(10,3),
+        # (8,1)<(10,3), (1,5)<(8,8).
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.price > tool_plans.price "
+            "AND p2.qty > tool_plans.qty)",
+        )
+        assert got == {
+            "t0": [5], "t1": [7], "t2": [8], "t3": [], "t4": [1], "t5": [],
+        }
+
+    def test_two_inequalities_pareto_frontier(self, spark, kw):
+        # NOT EXISTS over the same two inequalities = the pareto
+        # frontier (flag coalesces FALSE on theta-join misses)
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool "
+            "AND NOT EXISTS (SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.price > tool_plans.price "
+            "AND p2.qty > tool_plans.qty)",
+        )
+        assert got == {
+            "t0": [10], "t1": [], "t2": [2], "t3": [8], "t4": [], "t5": [],
+        }
+
+    def test_scalar_with_two_inequalities(self, spark, kw):
+        # the scalar rid-theta aggregate takes several inequalities
+        # too: count of strict dominators, compared against 0
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND 0 < "
+            "(SELECT count(*) FROM tool_plans p2 "
+            "WHERE p2.price > tool_plans.price "
+            "AND p2.qty > tool_plans.qty)",
+        )
+        assert got == {
+            "t0": [5], "t1": [7], "t2": [8], "t3": [], "t4": [1], "t5": [],
+        }
+
+    def test_equality_plus_two_inequalities(self, spark, kw):
+        # equality keys hash-join first, inequalities post-filter: a
+        # same-PLAN strict dominator — no plan group contains one
+        # ((10,3)/(2,9) basic and (7,2)/(8,1) pro trade off), so every
+        # payload is empty
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan "
+            "AND p2.price > tool_plans.price "
+            "AND p2.qty > tool_plans.qty)",
+        )
+        assert got == {
+            "t0": [], "t1": [], "t2": [], "t3": [], "t4": [], "t5": [],
         }
 
 

@@ -705,6 +705,16 @@ FULLQ_TEMPLATES = [
      "UNION ALL SELECT name AS name FROM servers WHERE name >= "
      "(SELECT max(name) FROM servers WHERE ip = :ip)",
      {"name": "dflt"}),
+    # round-5 latest: SEVERAL inequality correlations (pareto
+    # dominance via the rid theta flag) in EXISTS and scalar shapes
+    ("SELECT name AS name FROM servers WHERE ip <= :ip AND NOT EXISTS "
+     "(SELECT 1 FROM servers s2 WHERE s2.ip > servers.ip "
+     "AND s2.name > servers.name)",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE ip = :ip AND 0 < "
+     "(SELECT count(*) FROM servers s2 WHERE s2.ip >= servers.ip "
+     "AND s2.name >= servers.name)",
+     {"name": "dflt"}),
 ]
 
 
