@@ -1321,12 +1321,36 @@ def resolve_subqueries_with_dim(
         if not any(t.kind == "subquery" for t in p.terms):
             return p
         if p.op in ("exists", "not exists"):
+            sq0 = p.terms[0].value
             if in_having:
-                raise ValidationError(
-                    ["lookup HAVING: EXISTS subqueries are not supported "
-                     "in HAVING — filter in the WHERE clause instead"]
+                # HAVING [NOT] EXISTS (round-5 latest, Derby-legal):
+                # the flag is group-CONSTANT when every correlated
+                # column is a GROUP BY key, so it rides into the
+                # payload as a hidden max(__sq_exists*) aggregate —
+                # exactly the correlated-scalar __hsq mechanism
+                outer_cols = {oc for _, oc in sq0.corr} | {
+                    oc for _, _, oc in sq0.ineq
+                }
+                bad = sorted(outer_cols - set(parsed.group_by))
+                if bad:
+                    raise ValidationError(
+                        [f"lookup HAVING EXISTS subquery on "
+                         f"{sq0.table!r}: correlated column(s) {bad} "
+                         f"must be GROUP BY keys (the flag must be "
+                         f"constant within each group)"]
+                    )
+                col = exists_col_of(sq0)
+                for c0, _f0, n0 in hidden_aggs:
+                    if c0 == col:
+                        return _Predicate(
+                            n0, "=", [_Term("literal", p.op == "exists")]
+                        )
+                hn = f"__hsq{len(hidden_aggs)}"
+                hidden_aggs.append((col, "max", hn))
+                return _Predicate(
+                    hn, "=", [_Term("literal", p.op == "exists")]
                 )
-            name = exists_col_of(p.terms[0].value)
+            name = exists_col_of(sq0)
             return _Predicate(
                 name, "=", [_Term("literal", p.op == "exists")]
             )
@@ -2246,12 +2270,10 @@ class _WhereParser:
         resolve_subqueries_with_dim.exists_col_of), an uncorrelated one
         folds to a constant — so every physical path keeps its plan.
         NOT EXISTS arrives via _negate (op complement, EXISTS is
-        two-valued)."""
-        if self.computed is None:
-            raise ValidationError(
-                ["lookup HAVING: EXISTS subqueries are not supported in "
-                 "HAVING — filter in the WHERE clause instead"]
-            )
+        two-valued). In HAVING (round-5 latest, Derby-legal) the flag
+        must be group-constant — resolve validates the correlated
+        columns are GROUP BY keys and rides the flag into the payload
+        as a hidden ``max(__sq_exists*)`` aggregate."""
         if self.in_subquery:
             raise ValidationError(
                 ["lookup subquery: EXISTS cannot nest inside another "
@@ -4396,6 +4418,12 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         }
         for d in having:
             for p in d:
+                if p.op in ("exists", "not exists"):
+                    # [NOT] EXISTS has no payload lhs — the flag column
+                    # resolves per snapshot and resolve validates its
+                    # correlated columns are GROUP BY keys (round-5
+                    # latest, Derby-legal)
+                    continue
                 if p.func is not None:
                     raise ValidationError(
                         [f"lookup HAVING: function-wrapped fields are not "

@@ -662,6 +662,20 @@ def _resolve_subqueries_rows(
             return p
         if p.op in ("exists", "not exists"):
             name = exists_col_of(p.terms[0].value)
+            if in_having:
+                # HAVING [NOT] EXISTS (round-5 latest): the
+                # group-constant flag rides into the payload as a
+                # hidden max aggregate, the compiled __hsq mirror
+                for c0, _f0, n0 in hidden_aggs:
+                    if c0 == name:
+                        return _Predicate(
+                            n0, "=", [_Term("literal", p.op == "exists")]
+                        )
+                hn = f"__hsq{len(hidden_aggs)}"
+                hidden_aggs.append((name, "max", hn))
+                return _Predicate(
+                    hn, "=", [_Term("literal", p.op == "exists")]
+                )
             return _Predicate(name, "=", [_Term("literal", p.op == "exists")])
         if (
             p.op.endswith((" all", " any"))

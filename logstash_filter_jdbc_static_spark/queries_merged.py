@@ -149,6 +149,11 @@ _merge(
         # HAVING comparands (correlated column = GROUP BY key)
         ("lookup_corr_having",
          [("n_ch", "ch_n"), ("ch_rows", "ch_rows")]),
+        # round-5 latest widening: [NOT] EXISTS in HAVING, correlated
+        # on GROUP BY keys (group-constant flag via hidden max agg)
+        ("lookup_having_exists",
+         [("n_hx", "hx_n"), ("hx_rows", "hx_rows"),
+          ("n_hnx", "hnx_n"), ("hnx_rows", "hnx_rows")]),
         # round-5 latest widening: projection scalar subqueries
         # combined with GROUP BY (the __psq column folds into the
         # grouping — group-constant by the corr-on-group-keys rule)

@@ -2357,6 +2357,132 @@ def lookup_corr_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lookup_having_exists",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        hg AS (
+          SELECT tool, plan, CAST(count(*) AS BIGINT) AS n
+          FROM tool_plans GROUP BY 1, 2
+        )
+        """,
+        """
+        hkx AS (
+          SELECT hg.* FROM hg WHERE EXISTS (
+            SELECT 1 FROM tool_plans p2
+            WHERE p2.plan = hg.plan AND p2.qty >= 4)
+        )
+        """,
+        """
+        hknx AS (
+          SELECT hg.* FROM hg WHERE hg.n >= 1 AND NOT EXISTS (
+            SELECT 1 FROM tool_plans p2
+            WHERE p2.plan = hg.plan AND p2.qty >= 4)
+        )
+        """,
+        """
+        mhx AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_hx,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || CAST(n AS VARCHAR)
+                        ORDER BY plan NULLS FIRST), '|') AS hx_rows
+          FROM hkx GROUP BY 1
+        )
+        """,
+        """
+        mhnx AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_hnx,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || CAST(n AS VARCHAR)
+                        ORDER BY plan NULLS FIRST), '|') AS hnx_rows
+          FROM hknx GROUP BY 1
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(coalesce(mhx.n_hx, 0) AS BIGINT) AS n_hx,
+               coalesce(mhx.hx_rows, '') AS hx_rows,
+               CAST(coalesce(mhnx.n_hnx, 0) AS BIGINT) AS n_hnx,
+               coalesce(mhnx.hnx_rows, '') AS hnx_rows
+        FROM transcripts t
+        LEFT JOIN mhx ON mhx.tool = t.tool
+        LEFT JOIN mhnx ON mhnx.tool = t.tool
+        """,
+    ),
+)
+def lookup_having_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: ``[NOT] EXISTS`` subqueries in HAVING,
+    correlated on GROUP BY keys — Derby-legal (pinned natively in
+    test_jdbc_derby.py); the reference would hand the whole statement
+    to Derby verbatim (lookup.rb:131-147). Spark-first the
+    group-constant EXISTS flag resolves once per refresh snapshot as a
+    boolean dim column and rides into the payload as a hidden
+    ``max(__sq_exists*)`` aggregate read by the HAVING filter and
+    stripped afterward — the same ``__hsq`` mechanism as correlated
+    scalar HAVING comparands; the per-event plan stays the single
+    broadcast-hash probe. A NULL-plan group correlates to nothing:
+    EXISTS false, NOT EXISTS true, 3VL on both engines. The DuckDB
+    twin states the HAVING as a literal correlated EXISTS over the
+    grouped rows — an independent derivation."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "hx",
+                "query": (
+                    "SELECT plan AS plan, count(*) AS n FROM tool_plans "
+                    "WHERE tool = :tool GROUP BY plan "
+                    "HAVING EXISTS (SELECT 1 FROM tool_plans p2 "
+                    "WHERE p2.plan = tool_plans.plan AND p2.qty >= 4)"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "hnx",
+                "query": (
+                    "SELECT plan AS plan, count(*) AS n FROM tool_plans "
+                    "WHERE tool = :tool GROUP BY plan "
+                    "HAVING n >= 1 AND NOT EXISTS "
+                    "(SELECT 1 FROM tool_plans p2 "
+                    "WHERE p2.plan = tool_plans.plan AND p2.qty >= 4)"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+
+    def _rows(col):
+        return F.array_join(
+            F.transform(
+                F.col(col),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit("="),
+                    r.getField("n").cast("string"),
+                ),
+            ),
+            "|",
+        )
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("hx").cast("long").alias("n_hx"),
+        _rows("hx").alias("hx_rows"),
+        F.size("hnx").cast("long").alias("n_hnx"),
+        _rows("hnx").alias("hnx_rows"),
+    )
+
+
+@register(
     "lookup_expr_corr",
     with_ctes(
         _PLANS_CTE,

@@ -1721,6 +1721,31 @@ class TestDerbyGrammarLegality:
         finally:
             conn.close()
 
+    def test_having_exists_correlated_on_group_key(
+        self, spark, derby_servers
+    ):
+        # round-5 latest: [NOT] EXISTS in HAVING, correlated on a
+        # grouping column, is Derby-legal — our engine rides the
+        # group-constant flag into the payload as a hidden max agg
+        rows = self._fetch(
+            spark,
+            'SELECT "location" AS loc, COUNT(*) AS n FROM servers '
+            'GROUP BY "location" HAVING EXISTS '
+            '(SELECT 1 FROM servers s2 WHERE '
+            's2."location" = servers."location" '
+            "AND s2.\"ip\" LIKE '10.%')",
+        )
+        assert len(rows) == 3  # every seeded location has a 10.* ip
+        rows = self._fetch(
+            spark,
+            'SELECT "location" AS loc, COUNT(*) AS n FROM servers '
+            'GROUP BY "location" HAVING NOT EXISTS '
+            '(SELECT 1 FROM servers s2 WHERE '
+            's2."location" = servers."location" '
+            "AND s2.\"ip\" LIKE '192.%')",
+        )
+        assert len(rows) == 3  # none has a 192.* sibling
+
     def test_exists_with_two_inequality_correlations(
         self, spark, derby_servers
     ):

@@ -563,6 +563,113 @@ class TestIneqGolden:
         }
 
 
+class TestHavingExists:
+    """Round-5 latest: ``[NOT] EXISTS`` in HAVING, correlated on GROUP
+    BY keys (Derby-legal, pinned natively) — the group-constant flag
+    rides into the payload as a hidden ``max(__sq_exists*)`` aggregate,
+    the same ``__hsq`` mechanism as correlated scalar comparands.
+    Every run cross-checks the row oracle."""
+
+    def _tables(self):
+        return {
+            "tool_plans": [
+                {"tool": t, "price": p, "qty": q, "plan": pl}
+                for t, p, q, pl in PLAN_ROWS
+            ]
+        }
+
+    def _run(self, spark, kw, query):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        lookup = {"id": "u", "query": query, "parameters": {"tool": "tool"}}
+        facts = spark.createDataFrame(
+            [(f"t{i}",) for i in range(6)], "tool: string"
+        )
+        out = LookupEnricher(
+            PipelineSpec(lookups=[dict(lookup)]),
+            {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)},
+            **kw,
+        ).apply(facts)
+        got = {
+            r["tool"]: [tuple(d.asDict().values()) for d in r["u"]]
+            for r in out.collect()
+        }
+        for tool in got:
+            ev = {"tool": tool}
+            oracle.enhance(
+                ev, PipelineSpec(lookups=[dict(lookup)]), self._tables()
+            )
+            exp = [tuple(d.values()) for d in ev["u"]]
+            assert got[tool] == exp, f"{tool}: {got[tool]} != {exp}"
+        return got
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_having_exists_on_group_key(self, spark, kw):
+        # plans with a qty>=4 sibling anywhere: basic (2,9), trial
+        # (1,5); NULL-plan groups correlate to nothing -> EXISTS false
+        got = self._run(
+            spark, kw,
+            "SELECT plan AS plan, count(*) AS n FROM tool_plans "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING EXISTS (SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan AND p2.qty >= 4)",
+        )
+        assert got == {
+            "t0": [("basic", 1)], "t1": [], "t2": [("basic", 1)],
+            "t3": [], "t4": [("trial", 1)], "t5": [],
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_having_not_exists_combines_with_predicates(self, spark, kw):
+        # NOT EXISTS flips: NULL-plan groups pass (flag coalesces
+        # FALSE); the n >= 1 conjunct exercises mixing with ordinary
+        # HAVING predicates
+        got = self._run(
+            spark, kw,
+            "SELECT plan AS plan, count(*) AS n FROM tool_plans "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING n >= 1 AND NOT EXISTS "
+            "(SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan AND p2.qty >= 4)",
+        )
+        assert got == {
+            "t0": [(None, 1)], "t1": [("pro", 1)], "t2": [("pro", 1)],
+            "t3": [(None, 1)], "t4": [], "t5": [],
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES[:1])
+    def test_having_exists_uncorrelated_is_a_constant_gate(self, spark, kw):
+        got = self._run(
+            spark, kw,
+            "SELECT plan AS plan, count(*) AS n FROM tool_plans "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING EXISTS (SELECT 1 FROM tool_plans p2 "
+            "WHERE p2.price >= 10)",
+        )
+        assert got["t0"] == [(None, 1), ("basic", 1)]  # gate TRUE
+
+    def test_correlation_on_non_group_key_rejected(self, spark):
+        with pytest.raises(ValidationError, match="GROUP BY keys"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "u",
+                    "query": (
+                        "SELECT plan AS plan, count(*) AS n "
+                        "FROM tool_plans WHERE tool = :tool "
+                        "GROUP BY plan HAVING EXISTS "
+                        "(SELECT 1 FROM tool_plans p2 "
+                        "WHERE p2.qty = tool_plans.qty)"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }]),
+                {
+                    "tool_plans": spark.createDataFrame(
+                        PLAN_ROWS, PLAN_SCHEMA
+                    )
+                },
+            )
+
+
 BAND_ROWS = [(0, 5, "low"), (5, 9, "mid")]
 BAND_SCHEMA = T.StructType(
     [

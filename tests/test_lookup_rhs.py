@@ -514,21 +514,23 @@ class TestCorrelatedSubquery:
         assert len(sq.where) == 1  # the static residue u.x = 1
 
     def test_non_equi_correlation_accepted(self):
-        # round-5 late: a single plain inequality correlation is
-        # accepted in scalar subqueries (theta-join decorrelation);
-        # TWO inequalities still reject
+        # round-5 late: plain inequality correlations are accepted in
+        # scalar subqueries (theta-join decorrelation); SEVERAL at
+        # once too, since round-5 latest — the rid theta join takes
+        # the whole conjunction
         q = parse_lookup_query(
             "SELECT name FROM t WHERE num > "
             "(SELECT avg(num) FROM u WHERE u.cat > t.cat)"
         )
         sq = q.disjuncts[0][0].terms[0].value
         assert sq.ineq == (("cat", ">", "cat"),)
-        with pytest.raises(ValidationError, match="at most ONE"):
-            parse_lookup_query(
-                "SELECT name FROM t WHERE num > "
-                "(SELECT avg(num) FROM u "
-                "WHERE u.cat > t.cat AND u.x < t.num)"
-            )
+        q = parse_lookup_query(
+            "SELECT name FROM t WHERE num > "
+            "(SELECT avg(num) FROM u "
+            "WHERE u.cat > t.cat AND u.x < t.num)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.ineq == (("cat", ">", "cat"), ("x", "<", "num"))
 
     def test_or_around_correlation_rejected(self):
         with pytest.raises(ValidationError, match="pure AND"):
