@@ -2314,12 +2314,37 @@ class _WhereParser:
             table, sub_alias, computed, allow_ineq=True
         )
         if pcorr:
-            raise ValidationError(
-                [f"unsupported lookup EXISTS subquery on {table!r}: "
-                 f"parameters inside an EXISTS sub-WHERE are not "
-                 f"supported — move the parameter predicate to the "
-                 f"outer WHERE or use a scalar count(*) subquery "
-                 f"comparison"]
+            if corr or ineq:
+                raise ValidationError(
+                    [f"unsupported lookup EXISTS subquery on {table!r}: "
+                     f"an EXISTS that is BOTH correlated and "
+                     f"parameterized is not supported — no single "
+                     f"snapshot-or-probe frame can key on the dim and "
+                     f"the event at once; pre-shape via a loader query"]
+                )
+            if self.computed is None:
+                raise ValidationError(
+                    ["lookup HAVING: parameterized EXISTS subqueries "
+                     "are not supported in HAVING — filter in the "
+                     "WHERE clause instead"]
+                )
+            # params-only EXISTS (round-5 latest): existence of rows in
+            # the param-keyed group is exactly ``0 < (SELECT count(*)
+            # ...)`` — rewrite onto the parameterized-scalar machinery
+            # (per-group count frame broadcast-joined onto the fact;
+            # count misses coalesce to 0, so a missing key is FALSE).
+            # NOT EXISTS negates via _negate's op complement (0 >= n).
+            zero = self._new_computed(sqlexpr.Lit(0))
+            return _Predicate(
+                zero,
+                "<",
+                [_Term(
+                    "subquery",
+                    _Subquery(
+                        "count", None, table, where, tuple(computed),
+                        param_corr=tuple(pcorr),
+                    ),
+                )],
             )
         return _Predicate(
             "",  # EXISTS has no lhs column; resolved to a flag column

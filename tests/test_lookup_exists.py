@@ -78,12 +78,17 @@ class TestParser:
         assert pred.op == "in"
         assert pred.terms[0].value.corr == (("plan", "plan"),)
 
-    def test_exists_rejected_in_having(self):
-        with pytest.raises(ValidationError, match="HAVING.*EXISTS"):
-            parse_lookup_query(
-                "SELECT plan, count(*) AS n FROM t GROUP BY plan "
-                "HAVING EXISTS (SELECT 1 FROM b)"
-            )
+    def test_exists_accepted_in_having(self):
+        # round-5 latest: [NOT] EXISTS parses in HAVING — resolve
+        # validates its correlated columns are GROUP BY keys and rides
+        # the group-constant flag as a hidden max aggregate
+        q = parse_lookup_query(
+            "SELECT plan, count(*) AS n FROM t GROUP BY plan "
+            "HAVING EXISTS (SELECT 1 FROM b)"
+        )
+        (p,) = q.having[0]
+        assert p.op == "exists"
+        assert p.terms[0].value.func == "__exists"
 
     def test_exists_rejected_nested_in_subquery(self):
         with pytest.raises(ValidationError, match="EXISTS cannot nest"):

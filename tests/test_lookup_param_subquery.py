@@ -171,6 +171,36 @@ class TestGoldenParamSubquery:
         assert got["t2"] == [("gold", 99)]
 
     @pytest.mark.parametrize("kw", ENGINES)
+    def test_params_only_exists_rewrites_to_count(self, spark, kw):
+        # round-5 latest: a params-only [NOT] EXISTS rewrites at parse
+        # to 0 < (SELECT count(*) ...) on the parameterized-scalar
+        # machinery — a per-event boolean gate over the whole payload
+        got = _run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM plans "
+            "WHERE EXISTS (SELECT 1 FROM plans p2 "
+            "WHERE p2.tool = :tool AND p2.price >= 99)",
+            kw,
+        )
+        assert got["t1"] == []  # no t1 row reaches 99
+        assert len(got["t2"]) == len(PLANS)  # gate TRUE -> whole dim
+        assert got["t9"] == []  # missing group: count 0 -> FALSE
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_params_only_not_exists(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM plans "
+            "WHERE tool = :tool AND NOT EXISTS "
+            "(SELECT 1 FROM plans p2 "
+            "WHERE p2.tool = :tool AND p2.price >= 99)",
+            kw,
+        )
+        assert len(got["t1"]) == 3  # t1 has no 99-row: gate TRUE
+        assert got["t2"] == []  # gold 99 exists: gate FALSE
+        assert got["t9"] == []  # gate TRUE but no t9 dim rows
+
+    @pytest.mark.parametrize("kw", ENGINES)
     def test_inside_union_branch(self, spark, kw):
         got = _run(
             spark,
@@ -237,12 +267,13 @@ class TestParamSubqueryRejections:
             _dims(spark),
         )
 
-    def test_exists_param_rejected(self, spark):
-        with pytest.raises(ValidationError, match="EXISTS sub-WHERE"):
+    def test_exists_correlated_and_parameterized_rejected(self, spark):
+        with pytest.raises(ValidationError, match="BOTH correlated"):
             self._compile(
                 spark,
                 "SELECT plan FROM plans WHERE EXISTS "
-                "(SELECT 1 FROM plans p2 WHERE p2.tool = :tool)",
+                "(SELECT 1 FROM plans p2 WHERE p2.plan = plans.plan "
+                "AND p2.tool = :tool)",
             )
 
     def test_in_subquery_param_rejected(self, spark):
