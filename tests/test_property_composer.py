@@ -50,6 +50,8 @@ JOINTS = [
     "INTERSECT", "INTERSECT ALL",
 ]
 
+TAG_ROWS = [("k0", "hot"), ("k1", "hot"), ("k1", "cold"), ("k3", "x")]
+
 ENGINES = [
     {},
     {"inline_threshold": 0, "pattern_strategy": "broadcast_map"},
@@ -71,14 +73,43 @@ def where_tree(draw, depth: int = 0):
     return f"({left}) {op} ({right})"
 
 
+# alternative branch bodies: JOIN mode (correlations/expressions map
+# through the flat rewrite), derived tables (incl. set ops inside),
+# and a bare VALUES branch — all projecting one string column so
+# set-op alignment always holds
+ALT_BRANCHES = [
+    "SELECT s.name AS name FROM servers s "
+    "JOIN tags g ON s.ip = g.ip WHERE s.ip = :ip",
+    "SELECT s.name AS name FROM servers s "
+    "LEFT JOIN tags g ON s.ip = g.ip AND g.tag = 'hot' "
+    "WHERE s.ip <= :ip AND length(s.name) >= 1",
+    "SELECT d.nm AS name FROM "
+    "(SELECT ip AS ip2, upper(name) AS nm FROM servers "
+    "WHERE name <> 'zz') d WHERE d.ip2 = :ip",
+    "SELECT d.nm AS name FROM "
+    "(SELECT ip AS ip, name AS nm FROM servers "
+    "UNION ALL SELECT ip AS ip, tag AS nm FROM tags "
+    "EXCEPT ALL SELECT ip AS ip, tag AS nm FROM tags "
+    "WHERE tag = 'hot') d WHERE d.ip = :ip",
+    "SELECT v.nm AS name FROM (VALUES ('k1', 'vv'), ('k2', 'ww')) "
+    "AS v (ip, nm) WHERE v.ip = :ip",
+]
+
+
 @st.composite
 def lookup_query(draw):
-    """1-3 SELECT branches over random WHERE trees, chained with random
-    set-op joints; sometimes an explicit parenthesized group and/or a
-    trailing ordered top-N tail."""
+    """1-3 SELECT branches over random WHERE trees — or JOIN / derived
+    / VALUES bodies — chained with random set-op joints; sometimes an
+    explicit parenthesized group and/or a trailing ordered top-N
+    tail."""
     n_branches = draw(st.integers(1, 3))
     branches = [
-        f"SELECT name AS name FROM servers WHERE {draw(where_tree())}"
+        draw(st.sampled_from(ALT_BRANCHES))
+        if draw(st.integers(0, 3)) == 0
+        else (
+            f"SELECT name AS name FROM servers "
+            f"WHERE {draw(where_tree())}"
+        )
         for _ in range(n_branches)
     ]
     if n_branches == 1:
@@ -177,12 +208,14 @@ def test_composed_queries_match_row_oracle(
     dims = {
         "servers": spark.createDataFrame(
             rows or [("zz", "zz")], "ip string, name string"
-        )
+        ),
+        "tags": spark.createDataFrame(TAG_ROWS, "ip string, tag string"),
     }
     tables = {
         "servers": [
             {"ip": i, "name": n} for i, n in (rows or [("zz", "zz")])
-        ]
+        ],
+        "tags": [{"ip": i, "tag": t} for i, t in TAG_ROWS],
     }
     facts = spark.createDataFrame(
         [(f"c{i}", i, ip) for i, ip in enumerate(ips)],
