@@ -603,6 +603,11 @@ class ExprParser:
             if nxt and nxt[0] == "lparen" and "." not in text:
                 if w == "cast":
                     return self._cast()
+                if w == "trim":
+                    full = self._trim_full()
+                    if full is not None:
+                        return full
+                    # plain TRIM(expr) falls through to the generic path
                 if w in _AGG_NAMES:
                     raise ValidationError(
                         [f"unsupported lookup expression: aggregate {w}(...) "
@@ -655,6 +660,77 @@ class ExprParser:
         raise ValidationError(
             [f"unsupported lookup expression: unexpected token {text!r}"]
         )
+
+    def _trim_full(self):
+        """Derby's full TRIM syntax (Derby ref manual, round-5 latest):
+        ``TRIM([BOTH|LEADING|TRAILING] [char] FROM expr)`` — the TRIM
+        word is consumed, the '(' is peeked but not. Returns None when
+        the parens hold a plain expression (``TRIM(expr)`` — the
+        generic one-arg path handles it). The trim character must be a
+        SINGLE-CHARACTER string literal: Derby raises at runtime on
+        longer ones, while Spark/DuckDB trim a character SET — pinning
+        the literal at parse keeps the engines agreeing by
+        construction; it defaults to a space, as SQL."""
+        # lookahead without consuming: the '(' then the shape inside
+        save = self.i
+        self._next()  # (
+        mode = None
+        t = self._peek()
+        if t and t[0] == "word" and t[1].lower() in (
+            "both", "leading", "trailing"
+        ):
+            mode = t[1].lower()
+            self._next()
+        char = " "
+        t = self._peek()
+        if t and t[0] == "string":
+            nxt = self.tokens[self.i + 1] if self.i + 1 < len(self.tokens) else None
+            if nxt and nxt[0] == "word" and nxt[1].lower() == "from":
+                raw = t[1][1:-1].replace("''", "'")
+                if len(raw) != 1:
+                    raise ValidationError(
+                        [f"unsupported lookup expression: TRIM character "
+                         f"{raw!r} must be a single-character string "
+                         f"literal (Derby raises on longer ones at "
+                         f"runtime)"]
+                    )
+                char = raw
+                self._next()  # the literal
+                self._next()  # FROM
+            elif mode is not None:
+                raise ValidationError(
+                    ["unsupported lookup expression: TRIM(<type> <char> "
+                     "FROM expr) — expected FROM after the trim "
+                     "character"]
+                )
+            else:
+                # TRIM('x') — a plain one-arg trim of a literal
+                self.i = save
+                return None
+        elif t and t[0] == "word" and t[1].lower() == "from":
+            if mode is None:
+                # a column literally named "from" cannot appear here
+                # (reserved); treat as the FROM separator with the
+                # default BOTH + space — Derby's TRIM(FROM x) is not
+                # legal, so require an explicit type
+                raise ValidationError(
+                    ["unsupported lookup expression: TRIM(FROM expr) "
+                     "needs an explicit BOTH/LEADING/TRAILING"]
+                )
+            self._next()  # FROM
+        elif mode is None:
+            # plain TRIM(expr)
+            self.i = save
+            return None
+        else:
+            raise ValidationError(
+                ["unsupported lookup expression: TRIM(BOTH|LEADING|"
+                 "TRAILING [char] FROM expr) — expected a trim "
+                 "character or FROM"]
+            )
+        arg = self.parse()
+        self._expect("rparen", "')'")
+        return Func(f"trim_{mode or 'both'}", (arg, Lit(char)))
 
     def _cast(self):
         """``CAST(expr AS type)`` — the CAST word is consumed, the '('
@@ -903,6 +979,19 @@ def compile_expr(ast) -> Column:
             return F.instr(args[0], args[1])
         if name == "mod":
             return args[0] % args[1]
+        if name in ("trim_both", "trim_leading", "trim_trailing"):
+            # Derby's full TRIM syntax; the char is a pinned
+            # single-char literal, regex-quoted (\Q..\E) so metachars
+            # trim literally. regexp_replace keeps NULL -> NULL.
+            c = ast.args[1].value  # guaranteed Lit by the parser
+            quoted = f"(?:\\Q{c}\\E)"
+            if name == "trim_both":
+                pat = f"^{quoted}+|{quoted}+$"
+            elif name == "trim_leading":
+                pat = f"^{quoted}+"
+            else:
+                pat = f"{quoted}+$"
+            return F.regexp_replace(args[0], F.lit(pat), F.lit(""))
         if name in ("substr", "substring"):
             return F.substring(args[0], args[1], *(args[2:] or []))
         if name in ("ceil", "ceiling"):
@@ -1050,6 +1139,11 @@ def eval_expr(ast, row: dict):
         if name == "instr":
             # 1-based position of the first occurrence; 0 when absent
             return args[0].find(args[1]) + 1
+        if name in ("trim_both", "trim_leading", "trim_trailing"):
+            s, c = args
+            if name == "trim_both":
+                return s.strip(c)
+            return s.lstrip(c) if name == "trim_leading" else s.rstrip(c)
         if name in ("year", "month", "day", "hour", "minute", "second"):
             import datetime
 

@@ -1721,6 +1721,24 @@ class TestDerbyGrammarLegality:
         finally:
             conn.close()
 
+    def test_full_trim_syntax(self, spark, derby_servers):
+        # round-5 latest: Derby's full TRIM syntax —
+        # TRIM([BOTH|LEADING|TRAILING] [char] FROM expr)
+        rows = self._fetch(
+            spark,
+            "SELECT TRIM(LEADING '1' FROM \"ip\") AS t FROM servers "
+            "WHERE \"ip\" LIKE '10.%'",
+        )
+        assert len(rows) == 3 and all(
+            not r[0].startswith("1") for r in rows
+        )
+        rows = self._fetch(
+            spark,
+            'SELECT "name" FROM servers '
+            "WHERE TRIM(BOTH '1' FROM \"ip\") = '0.1.1.'",
+        )
+        assert [r[0] for r in rows] == ["ldn-server-1"]
+
     def test_having_exists_correlated_on_group_key(
         self, spark, derby_servers
     ):

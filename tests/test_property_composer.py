@@ -43,6 +43,7 @@ PREDICATES = [
     "name IN (SELECT s2.name FROM servers s2 WHERE s2.ip = servers.ip)",
     "name NOT IN (SELECT name FROM servers WHERE ip = 'k1')",
     "0 < (SELECT count(*) FROM servers WHERE ip = :ip)",
+    "TRIM(LEADING 'v' FROM name) <> name",
 ]
 
 JOINTS = [

@@ -810,3 +810,94 @@ class TestConversionFunctions:
         (p,) = q.disjuncts[0]
         assert p.terms[0].kind == "param_expr"
         assert p.param_names == ["x"]
+
+
+class TestFullTrimSyntax:
+    """Derby's full ``TRIM([BOTH|LEADING|TRAILING] [char] FROM expr)``
+    (Derby ref manual; round-5 latest). The trim character is pinned
+    to a SINGLE-CHAR string literal at parse: Derby raises on longer
+    ones at runtime while Spark/DuckDB trim a character SET, so the
+    restriction keeps the engines agreeing by construction. Compiled
+    as an anchored regexp_replace with a \\Q..\\E-quoted char."""
+
+    @staticmethod
+    def _parse(text):
+        from logstash_filter_jdbc_static_spark.operators.lookup import (
+            _tokenize_where,
+        )
+
+        return sqlexpr.ExprParser(
+            _tokenize_where(text), 0, resolve_col=lambda n: n
+        ).parse()
+
+    def test_parse_shapes(self):
+        ast = self._parse("TRIM(BOTH 'x' FROM name)")
+        assert ast == sqlexpr.Func(
+            "trim_both", (sqlexpr.Col("name"), sqlexpr.Lit("x"))
+        )
+        ast = self._parse("TRIM(LEADING '.' FROM name)")
+        assert ast.name == "trim_leading"
+        ast = self._parse("TRIM(TRAILING FROM name)")
+        assert ast == sqlexpr.Func(
+            "trim_trailing", (sqlexpr.Col("name"), sqlexpr.Lit(" "))
+        )
+        # char defaulting and FROM-less plain forms
+        ast = self._parse("TRIM('x' FROM name)")
+        assert ast.name == "trim_both"
+        ast = self._parse("TRIM(name)")
+        assert ast == sqlexpr.Func("trim", (sqlexpr.Col("name"),))
+        ast = self._parse("TRIM('  padded  ')")
+        assert ast == sqlexpr.Func("trim", (sqlexpr.Lit("  padded  "),))
+
+    def test_multichar_trim_char_rejected(self):
+        with pytest.raises(ValidationError, match="single-character"):
+            self._parse("TRIM(BOTH 'xy' FROM name)")
+
+    def test_eval_matches_python_semantics(self):
+        row = {"name": "xxv1xx"}
+        for text, exp in [
+            ("TRIM(BOTH 'x' FROM name)", "v1"),
+            ("TRIM(LEADING 'x' FROM name)", "v1xx"),
+            ("TRIM(TRAILING 'x' FROM name)", "xxv1"),
+        ]:
+            ast = self._parse(text)
+            assert sqlexpr.eval_expr(ast, row) == exp
+        # NULL propagates
+        ast = self._parse("TRIM(BOTH 'x' FROM name)")
+        assert sqlexpr.eval_expr(ast, {"name": None}) is None
+
+    def test_lookup_end_to_end_all_modes(self, spark):
+        rows = [
+            ("k1", "xxv1xx"), ("k2", "..v2"), ("k3", "v3.."),
+            ("k1", " v4 "), ("k9", ".x."),
+        ]
+        dims = {"s": spark.createDataFrame(rows, "ip string, name string")}
+        tables = {"s": [{"ip": i, "name": n} for i, n in rows]}
+        for q in [
+            "SELECT TRIM(BOTH 'x' FROM name) AS t FROM s WHERE ip = :ip",
+            "SELECT TRIM(LEADING '.' FROM name) AS t FROM s WHERE ip = :ip",
+            "SELECT TRIM(TRAILING '.' FROM name) AS t FROM s "
+            "WHERE ip = :ip",
+            "SELECT TRIM(BOTH FROM name) AS t FROM s WHERE ip = :ip",
+            "SELECT name AS t FROM s "
+            "WHERE TRIM(BOTH 'x' FROM name) = 'v1' AND ip = :ip",
+            # a regex METACHAR as the trim char (the \\Q..\\E quoting)
+            "SELECT TRIM(BOTH '.' FROM name) AS t FROM s WHERE ip = :ip",
+        ]:
+            lookup = {"id": "u", "query": q, "parameters": {"ip": "ip"}}
+            facts = spark.createDataFrame(
+                [("k1",), ("k2",), ("k3",), ("k9",)], "ip: string"
+            )
+            out = LookupEnricher(
+                PipelineSpec(lookups=[dict(lookup)]), dims
+            ).apply(facts)
+            got = {
+                r["ip"]: [d["t"] for d in r["u"]] for r in out.collect()
+            }
+            for ip in ("k1", "k2", "k3", "k9"):
+                ev = {"ip": ip}
+                oracle.enhance(
+                    ev, PipelineSpec(lookups=[dict(lookup)]), tables
+                )
+                exp = [d["t"] for d in ev["u"]]
+                assert got[ip] == exp, (q, ip, got[ip], exp)
