@@ -261,6 +261,10 @@ class _Predicate:
     #          'between', 'not between', 'is null', 'is not null'
     terms: list[_Term] = field(default_factory=list)
     func: str | None = None
+    # [NOT] LIKE ... ESCAPE 'c' (round-5 latest, Derby-legal): the
+    # single-char escape literal; e% / e_ / ee in the pattern match
+    # literally. None == no ESCAPE clause.
+    like_escape: str | None = None
 
     @property
     def param_names(self) -> list[str]:
@@ -351,7 +355,10 @@ def _negate(node):
     """NOT over a parsed boolean tree: flip AND/OR, complement leaf ops."""
     if node[0] == "pred":
         p = node[1]
-        return ("pred", _Predicate(p.dim_column, _NEG_OPS[p.op], p.terms, func=p.func))
+        return ("pred", _Predicate(
+            p.dim_column, _NEG_OPS[p.op], p.terms, func=p.func,
+            like_escape=p.like_escape,
+        ))
     kind = "and" if node[0] == "or" else "or"
     return (kind, [_negate(c) for c in node[1]])
 
@@ -479,7 +486,7 @@ def _static_operand(p: _Predicate, t: _Term) -> Column:
              "resolve_subqueries must run before CompiledLookup"]
         )
     base = F.col(t.value) if t.kind == "column" else F.lit(t.value)
-    return _like_regex(base) if p.op in _LIKE_OPS else base
+    return _like_regex(base, p.like_escape) if p.op in _LIKE_OPS else base
 
 
 # Sentinel prefix marking a column resolved through the ENCLOSING
@@ -1443,6 +1450,7 @@ def resolve_subqueries_with_dim(
                 for t in p.terms
             ],
             func=p.func,
+            like_escape=p.like_escape,
         )
 
     def fix_tree(node):
@@ -2660,7 +2668,29 @@ class _WhereParser:
             word = self._peek_word()
         if word == "like":
             self._next()
-            return _Predicate(col, "not like" if negate else "like", [self._term()], func=func)
+            t = self._term()
+            esc: str | None = None
+            if self._peek_word() == "escape":
+                # LIKE ... ESCAPE 'c' (round-5 latest, Derby-legal)
+                self._next()
+                et = self._next()
+                if et is None or et[0] != "string":
+                    raise ValidationError(
+                        [f"unsupported lookup predicate: ESCAPE on "
+                         f"{col!r} takes a string literal"]
+                    )
+                raw = et[1][1:-1].replace("''", "'")
+                if len(raw) != 1 or raw in ("%", "_"):
+                    raise ValidationError(
+                        [f"unsupported lookup predicate: ESCAPE "
+                         f"character {raw!r} must be a single character "
+                         f"other than the LIKE wildcards"]
+                    )
+                esc = raw
+            return _Predicate(
+                col, "not like" if negate else "like", [t], func=func,
+                like_escape=esc,
+            )
         if word == "between":
             self._next()
             lo = self._term()
@@ -5120,14 +5150,14 @@ class CompiledLookup:
         Columns into the AST — with the LIKE rewrite applied."""
         if t.kind == "literal":
             lit = F.lit(t.value)
-            return _like_regex(lit) if p.op in _LIKE_OPS else lit
+            return _like_regex(lit, p.like_escape) if p.op in _LIKE_OPS else lit
         if t.kind == "param_expr":
             v = sqlexpr.compile_expr(
                 sqlexpr.subst_params(t.value, param_value)
             )
         else:
             v = param_value(t.value)
-        return _like_regex(v) if p.op in _LIKE_OPS else v
+        return _like_regex(v, p.like_escape) if p.op in _LIKE_OPS else v
 
     def _dnf_condition(self, lhs_for, rhs_for, indexed=None) -> Column:
         """OR over disjuncts of AND over predicates. ``lhs_for(p)`` and
@@ -5686,7 +5716,7 @@ class CompiledLookup:
                     # HAVING comparand naming another payload field
                     # (``HAVING total > cnt``)
                     c = r.getField(t.value)
-                    return _like_regex(c) if p.op in _LIKE_OPS else c
+                    return _like_regex(c, p.like_escape) if p.op in _LIKE_OPS else c
                 return self._term_rhs(p, t, lambda n: params[n].value)
 
             return self._dnf_condition(
@@ -5741,7 +5771,7 @@ class CompiledLookup:
                 if t.kind == "literal":
                     lit = F.lit(t.value)
                     # literal LIKE patterns compile here (constant-folded)
-                    rhs.append(_like_regex(lit) if p.op in _LIKE_OPS else lit)
+                    rhs.append(_like_regex(lit, p.like_escape) if p.op in _LIKE_OPS else lit)
                 elif t.kind == "column":
                     col_terms.setdefault(f, {})[j] = t.value
                     rhs.append(None)
@@ -5757,7 +5787,7 @@ class CompiledLookup:
                         )
                     )
                     if p.op in _LIKE_OPS:
-                        val = _like_regex(val)
+                        val = _like_regex(val, p.like_escape)
                     c = f"__pv_{sid}_pe_{f}_{j}"
                     staged = staged.withColumn(c, val)
                     tmp.append(c)
@@ -5768,7 +5798,7 @@ class CompiledLookup:
                     if c is None:
                         val = params[t.value].value
                         if p.op in _LIKE_OPS:
-                            val = _like_regex(val)
+                            val = _like_regex(val, p.like_escape)
                         c = f"__pv_{sid}_{len(stage_cache)}"
                         staged = staged.withColumn(c, val)
                         stage_cache[key] = c
@@ -5786,7 +5816,7 @@ class CompiledLookup:
                     c = r.getField(name)
                     # a column LIKE pattern derives its regex per
                     # element — dim-sized work inside the inline array
-                    out[j] = _like_regex(c) if p.op in _LIKE_OPS else c
+                    out[j] = _like_regex(c, p.like_escape) if p.op in _LIKE_OPS else c
                 return out
             return fn
 
@@ -5865,12 +5895,14 @@ class CompiledLookup:
         # index: the same placeholder may feed both a LIKE and an
         # equality. Each spec carries a factory building the RAW
         # pattern Column from the tuple's mk columns.
-        rx_specs: list[tuple[int, object]] = []
+        rx_specs: list[tuple[int, object, str | None]] = []
         for f, p in self._flat_indexed():
             if p.op in _LIKE_OPS and p.terms:
                 t0 = p.terms[0]
                 if t0.kind == "param":
-                    rx_specs.append((f, lambda n=t0.value: F.col(mk[n])))
+                    rx_specs.append(
+                        (f, lambda n=t0.value: F.col(mk[n]), p.like_escape)
+                    )
                 elif t0.kind == "param_expr":
                     rx_specs.append((
                         f,
@@ -5879,6 +5911,7 @@ class CompiledLookup:
                                 a, lambda n: F.col(mk[n])
                             )
                         ),
+                        p.like_escape,
                     ))
 
         def rhs_for_probe(f: int, p: _Predicate) -> list[Column]:
@@ -5887,12 +5920,12 @@ class CompiledLookup:
                 if t.kind == "literal":
                     lit = F.lit(t.value)
                     # literal pattern compiles here; Catalyst constant-folds
-                    rhs.append(_like_regex(lit) if p.op in _LIKE_OPS else lit)
+                    rhs.append(_like_regex(lit, p.like_escape) if p.op in _LIKE_OPS else lit)
                 elif t.kind == "column":
                     # static dim-side comparand (a = b + 1): both sides
                     # come from the broadcast dim struct
                     c = F.col(dim_alias).getField(t.value)
-                    rhs.append(_like_regex(c) if p.op in _LIKE_OPS else c)
+                    rhs.append(_like_regex(c, p.like_escape) if p.op in _LIKE_OPS else c)
                 elif p.op in _LIKE_OPS:
                     rhs.append(F.col(f"__rx_{sid}_{f}"))
                 elif t.kind == "param_expr":
@@ -6013,8 +6046,10 @@ class CompiledLookup:
             tuples = tuples.select(
                 "*",
                 *[
-                    _like_regex(raw_pattern()).alias(f"__rx_{sid}_{f}")
-                    for f, raw_pattern in rx_specs
+                    _like_regex(raw_pattern(), esc).alias(
+                        f"__rx_{sid}_{f}"
+                    )
+                    for f, raw_pattern, esc in rx_specs
                 ],
             )
             probed = tuples.join(F.broadcast(dim), probe_cond, "left")
@@ -6490,16 +6525,40 @@ class CompiledUnionLookup:
         )
 
 
-def _like_regex(pattern: Column) -> Column:
+def _like_regex(pattern: Column, escape: str | None = None) -> Column:
     """Compile a SQL-LIKE pattern column to an anchored regex: % -> .*,
     _ -> . (with regex-quoting of the rest). Column.like() requires a
     literal pattern, so dynamic patterns go through rlike; the attested
     suffix/prefix shapes (`%X`, `X%`, spec/filters/jdbc_static_spec.rb:
-    21-22,85) stay inside codegen."""
-    quoted = F.regexp_replace(pattern, r"([\\^$.|?*+()\[\]{}])", r"\\$1")
-    return F.concat(
-        F.lit("^"),
-        F.regexp_replace(F.regexp_replace(quoted, "%", ".*"), "_", "."),
-        F.lit("$"),
-    )
+    21-22,85) stay inside codegen.
+
+    ``escape`` (round-5 latest: LIKE ... ESCAPE 'c', Derby-legal):
+    ``e%`` / ``e_`` / ``ee`` in the pattern match literally. Escaped
+    occurrences hide behind NUL sentinels (never valid in a LIKE
+    pattern) before the quoting and wildcard rewrite, then re-emerge
+    as regex-quoted literals; a trailing lone escape matches itself
+    literally (Derby raises 22025 — our superset is documented)."""
+    if escape is None:
+        quoted = F.regexp_replace(
+            pattern, r"([\\^$.|?*+()\[\]{}])", r"\\$1"
+        )
+        return F.concat(
+            F.lit("^"),
+            F.regexp_replace(F.regexp_replace(quoted, "%", ".*"), "_", "."),
+            F.lit("$"),
+        )
+    s_e, s_p, s_u = "\x00E\x00", "\x00P\x00", "\x00U\x00"
+    eq = re.escape(escape)
+    p0 = F.regexp_replace(pattern, eq + eq, s_e)
+    p1 = F.regexp_replace(p0, eq + "%", s_p)
+    p2 = F.regexp_replace(p1, eq + "_", s_u)
+    quoted = F.regexp_replace(p2, r"([\\^$.|?*+()\[\]{}])", r"\\$1")
+    body = F.regexp_replace(F.regexp_replace(quoted, "%", ".*"), "_", ".")
+    # replacement-string escaping: regexp_replace treats \ specially
+    # in the REPLACEMENT, so the regex-quoted escape char doubles its
+    # backslashes ('.' -> replacement '\\.' -> regex '\.')
+    body = F.regexp_replace(body, s_p, "%")
+    body = F.regexp_replace(body, s_u, "_")
+    body = F.regexp_replace(body, s_e, eq.replace("\\", "\\\\"))
+    return F.concat(F.lit("^"), body, F.lit("$"))
 

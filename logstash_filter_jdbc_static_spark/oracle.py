@@ -65,15 +65,26 @@ def _bind(event: dict, binding: str) -> tuple[Any, bool]:
     return v, True
 
 
-def _like(value: str, pattern: str) -> bool:
+def _like(value: str, pattern: str, escape: str | None = None) -> bool:
+    """SQL LIKE with optional ESCAPE (round-5 latest): an escaped
+    wildcard/escape char matches literally; a trailing lone escape
+    matches itself (the compiled side's documented superset of
+    Derby's 22025 error)."""
     rx = "^"
-    for ch in pattern:
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if escape is not None and ch == escape and i + 1 < len(pattern):
+            rx += re.escape(pattern[i + 1])
+            i += 2
+            continue
         if ch == "%":
             rx += ".*"
         elif ch == "_":
             rx += "."
         else:
             rx += re.escape(ch)
+        i += 1
     rx += "$"
     return re.match(rx, value) is not None
 
@@ -191,9 +202,13 @@ def _pred_match(p, row: dict, params: dict) -> bool:
     if p.op == "<>":
         return vals[0] is not None and eq3(vals[0]) is False
     if p.op == "like":
-        return vals[0] is not None and _like(str(lhs), str(vals[0]))
+        return vals[0] is not None and _like(
+            str(lhs), str(vals[0]), p.like_escape
+        )
     if p.op == "not like":
-        return vals[0] is not None and not _like(str(lhs), str(vals[0]))
+        return vals[0] is not None and not _like(
+            str(lhs), str(vals[0]), p.like_escape
+        )
     if p.op == "in":
         return any(v is not None and eq3(v) is True for v in vals)
     if p.op == "not in":
@@ -721,6 +736,7 @@ def _resolve_subqueries_rows(
             p.op,
             [tf(t) if t.kind == "subquery" else t for t in p.terms],
             func=p.func,
+            like_escape=p.like_escape,
         )
 
     def fix_tree(node):
@@ -818,7 +834,8 @@ def _resolve_param_subqueries_rows(
         ):
             return p
         return _Predicate(
-            p.dim_column, p.op, [term_of(t) for t in p.terms], func=p.func
+            p.dim_column, p.op, [term_of(t) for t in p.terms],
+            func=p.func, like_escape=p.like_escape,
         )
 
     def fix_tree(node):

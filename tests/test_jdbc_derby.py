@@ -1721,6 +1721,22 @@ class TestDerbyGrammarLegality:
         finally:
             conn.close()
 
+    def test_like_escape(self, spark, derby_servers):
+        # round-5 latest: LIKE ... ESCAPE 'c' — escaped wildcards
+        # match literally (Derby ref manual)
+        rows = self._fetch(
+            spark,
+            'SELECT "name" FROM servers '
+            "WHERE \"ip\" LIKE '10!.%' ESCAPE '!'",
+        )
+        assert len(rows) == 3  # literal "10." prefix
+        rows = self._fetch(
+            spark,
+            'SELECT "name" FROM servers '
+            "WHERE \"ip\" LIKE '10!_%' ESCAPE '!'",
+        )
+        assert len(rows) == 0  # literal "10_" prefix matches nothing
+
     def test_full_trim_syntax(self, spark, derby_servers):
         # round-5 latest: Derby's full TRIM syntax —
         # TRIM([BOTH|LEADING|TRAILING] [char] FROM expr)

@@ -1601,3 +1601,137 @@ class TestRound5ConfigEndToEnd:
                 sorted(ev["tags"]), ev["matched"],
             )
             assert got[turn_idx] == exp, (turn_idx, got[turn_idx], exp)
+
+
+class TestLikeEscape:
+    """``[NOT] LIKE ... ESCAPE 'c'`` (round-5 latest, Derby-legal —
+    pinned natively in test_jdbc_derby.py): escaped ``%``/``_``/escape
+    chars match literally. Compiled by hiding escaped occurrences
+    behind NUL sentinels before the wildcard rewrite; the row oracle
+    translates with an escape-aware scanner — every run cross-checks
+    both."""
+
+    ROWS = [
+        ("k1", "100%"), ("k1", "100x"), ("k2", "a_b"),
+        ("k2", "axb"), ("k3", "e!e"), ("k3", "!raw"),
+    ]
+
+    def _run(self, spark, query, kw=None):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        dims = {
+            "s": spark.createDataFrame(self.ROWS, "ip string, v string")
+        }
+        tables = {"s": [{"ip": i, "v": v} for i, v in self.ROWS]}
+        lookup = {"id": "u", "query": query, "parameters": {"ip": "ip"}}
+        facts = spark.createDataFrame(
+            [("k1",), ("k2",), ("k3",)], "ip: string"
+        )
+        out = LookupEnricher(
+            PipelineSpec(lookups=[dict(lookup)]), dims, **(kw or {})
+        ).apply(facts)
+        got = {
+            r["ip"]: sorted(d["v"] for d in r["u"]) for r in out.collect()
+        }
+        for ip in ("k1", "k2", "k3"):
+            ev = {"ip": ip}
+            oracle.enhance(
+                ev, PipelineSpec(lookups=[dict(lookup)]), tables
+            )
+            exp = sorted(d["v"] for d in ev["u"])
+            assert got[ip] == exp, (query, ip, got[ip], exp)
+        return got
+
+    @pytest.mark.parametrize(
+        "kw",
+        [
+            {},
+            {"inline_threshold": 0, "pattern_strategy": "broadcast_map"},
+            {"inline_threshold": 0, "pattern_strategy": "shuffle_map"},
+        ],
+    )
+    def test_escaped_wildcards_match_literally(self, spark, kw):
+        # %!%% ESCAPE ! == contains a literal percent
+        got = self._run(
+            spark,
+            "SELECT v AS v FROM s WHERE ip = :ip "
+            "AND v LIKE '%!%%' ESCAPE '!'",
+            kw,
+        )
+        assert got == {"k1": ["100%"], "k2": [], "k3": []}
+        # a!_b ESCAPE ! == the literal string a_b (not a-any-b)
+        got = self._run(
+            spark,
+            "SELECT v AS v FROM s WHERE ip = :ip "
+            "AND v LIKE 'a!_b' ESCAPE '!'",
+            kw,
+        )
+        assert got == {"k1": [], "k2": ["a_b"], "k3": []}
+
+    def test_doubled_escape_and_not_like(self, spark):
+        # e!!e ESCAPE ! == the literal e!e
+        got = self._run(
+            spark,
+            "SELECT v AS v FROM s WHERE ip = :ip "
+            "AND v LIKE 'e!!e' ESCAPE '!'",
+        )
+        assert got == {"k1": [], "k2": [], "k3": ["e!e"]}
+        got = self._run(
+            spark,
+            "SELECT v AS v FROM s WHERE ip = :ip "
+            "AND v NOT LIKE '%!%%' ESCAPE '!'",
+        )
+        assert got == {
+            "k1": ["100x"], "k2": ["a_b", "axb"], "k3": ["!raw", "e!e"],
+        }
+
+    def test_param_pattern_with_escape(self, spark):
+        # the ESCAPE applies to a BOUND pattern too (regex built at
+        # runtime from the param column)
+        from logstash_filter_jdbc_static_spark import oracle
+
+        dims = {
+            "s": spark.createDataFrame(self.ROWS, "ip string, v string")
+        }
+        tables = {"s": [{"ip": i, "v": v} for i, v in self.ROWS]}
+        lookup = {
+            "id": "u",
+            "query": "SELECT v AS v FROM s WHERE v LIKE :pat ESCAPE '!'",
+            "parameters": {"pat": "pat"},
+        }
+        facts = spark.createDataFrame(
+            [("%!%%",), ("a!_b",), ("e!!e",)], "pat: string"
+        )
+        out = LookupEnricher(
+            PipelineSpec(lookups=[dict(lookup)]), dims
+        ).apply(facts)
+        got = {
+            r["pat"]: sorted(d["v"] for d in r["u"])
+            for r in out.collect()
+        }
+        for pat in ("%!%%", "a!_b", "e!!e"):
+            ev = {"pat": pat}
+            oracle.enhance(
+                ev, PipelineSpec(lookups=[dict(lookup)]), tables
+            )
+            assert got[pat] == sorted(d["v"] for d in ev["u"])
+        assert got["%!%%"] == ["100%"]
+
+    def test_escape_validation(self):
+        from logstash_filter_jdbc_static_spark.operators.lookup import (
+            parse_lookup_query,
+        )
+
+        q = parse_lookup_query(
+            "SELECT v FROM s WHERE v LIKE 'x!%' ESCAPE '!'"
+        )
+        (p,) = q.disjuncts[0]
+        assert p.like_escape == "!"
+        with pytest.raises(ValidationError, match="single character"):
+            parse_lookup_query(
+                "SELECT v FROM s WHERE v LIKE 'x' ESCAPE '!!'"
+            )
+        with pytest.raises(ValidationError, match="single character"):
+            parse_lookup_query(
+                "SELECT v FROM s WHERE v LIKE 'x' ESCAPE '%'"
+            )

@@ -44,6 +44,7 @@ PREDICATES = [
     "name NOT IN (SELECT name FROM servers WHERE ip = 'k1')",
     "0 < (SELECT count(*) FROM servers WHERE ip = :ip)",
     "TRIM(LEADING 'v' FROM name) <> name",
+    "name NOT LIKE 'v!_%' ESCAPE '!'",
 ]
 
 JOINTS = [
