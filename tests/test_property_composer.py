@@ -45,6 +45,9 @@ PREDICATES = [
     "0 < (SELECT count(*) FROM servers WHERE ip = :ip)",
     "TRIM(LEADING 'v' FROM name) <> name",
     "name NOT LIKE 'v!_%' ESCAPE '!'",
+    "name BETWEEN (SELECT min(name) FROM servers) AND "
+    "(SELECT max(name) FROM servers WHERE ip = :ip)",
+    "ip IN ('k0', :ip, 'k9')",
 ]
 
 JOINTS = [
