@@ -941,7 +941,7 @@ def resolve_subqueries_with_dim(
         subquery per event (lookup.rb:131-147)."""
         for entry in param_subs:
             if entry[5] == sq:
-                return _Term("param", entry[0])
+                return _Term("param", entry[0][0])
         name = f"__psub{len(param_subs)}"
         sub_df, agg = _sub_filtered_df(sq, dims)
         keys = tuple(f"{name}_k{i}" for i in range(len(sq.param_corr)))
@@ -949,8 +949,44 @@ def resolve_subqueries_with_dim(
             *[F.col(sc).alias(k) for (sc, _), k in zip(sq.param_corr, keys)]
         ).agg(agg.alias(name))
         terms = tuple(t for _, t in sq.param_corr)
-        param_subs.append((name, keys, terms, frame, sq.func, sq))
+        param_subs.append(((name,), keys, terms, frame, (sq.func,), sq))
         return _Term("param", name)
+
+    def set_param_cols_of(sq: _Subquery) -> tuple[str, str, str]:
+        """A PARAMETERIZED [NOT] IN / quantified subquery (round-5
+        latest): per-param-group (sorted value set, had-NULL, count)
+        columns, aggregated once per refresh snapshot and
+        broadcast-joined onto the FACT — the predicate then compiles
+        as the same ``in_set`` / ``{cmp} {quant}_set`` ops the
+        correlated machinery uses, with the three columns bound as
+        synthetic params. Honors the _IN_SUBQUERY_CAP against the
+        largest group, like correlated IN."""
+        for entry in param_subs:
+            if entry[5] == sq:
+                return entry[0]
+        base = f"__psub{len(param_subs)}"
+        names = (f"{base}_set", f"{base}_null", f"{base}_cnt")
+        sub_df, _ = _sub_filtered_df(sq, dims)
+        keys = tuple(f"{base}_k{i}" for i in range(len(sq.param_corr)))
+        grouped = sub_df.groupBy(
+            *[F.col(sc).alias(k) for (sc, _), k in zip(sq.param_corr, keys)]
+        ).agg(
+            F.sort_array(F.collect_set(F.col(sq.col))).alias(names[0]),
+            F.max(F.col(sq.col).isNull()).alias(names[1]),
+            F.count(F.lit(1)).alias(names[2]),
+        )
+        biggest = grouped.agg(F.max(F.size(names[0]))).collect()[0][0]
+        if biggest is not None and biggest > _IN_SUBQUERY_CAP:
+            raise ValidationError(
+                [f"lookup IN-subquery on {sq.table!r}: a parameter "
+                 f"group exceeds {_IN_SUBQUERY_CAP} distinct values — "
+                 f"pre-shape the dim with a loader query instead"]
+            )
+        param_subs.append(
+            (names, keys, tuple(t for _, t in sq.param_corr), grouped,
+             (None, None, None), sq)
+        )
+        return names
 
     def value_term(sq: _Subquery) -> _Term:
         if sq.param_corr:
@@ -1373,6 +1409,23 @@ def resolve_subqueries_with_dim(
             # distinct collect keeps its one NULL — a NULL set value
             # must keep making comparisons UNKNOWN)
             sq = p.terms[0].value
+            if sq.param_corr:
+                # PARAMETERIZED (round-5 latest): per-param-group set
+                # columns broadcast-joined onto the FACT, same ops
+                if in_having:
+                    raise ValidationError(
+                        ["lookup HAVING: parameterized quantified "
+                         "subqueries are not supported in HAVING — "
+                         "filter in the WHERE clause instead"]
+                    )
+                s, n, c = set_param_cols_of(sq)
+                return _Predicate(
+                    p.dim_column,
+                    f"{p.op}_set",
+                    [_Term("param", s), _Term("param", n),
+                     _Term("param", c)],
+                    func=p.func,
+                )
             if sq.corr:
                 if in_having:
                     raise ValidationError(
@@ -1409,6 +1462,25 @@ def resolve_subqueries_with_dim(
             and p.terms[0].value.func == "__values"
         ):
             sq = p.terms[0].value
+            if sq.param_corr:
+                # PARAMETERIZED [NOT] IN (round-5 latest): per-param-
+                # group (set, had-null, count) columns broadcast-joined
+                # onto the FACT; the predicate compiles as the same
+                # in_set op the correlated machinery uses
+                if in_having:
+                    raise ValidationError(
+                        ["lookup HAVING: parameterized IN-subqueries "
+                         "are not supported in HAVING — filter in the "
+                         "WHERE clause instead"]
+                    )
+                s, n, c = set_param_cols_of(sq)
+                return _Predicate(
+                    p.dim_column,
+                    "in_set" if p.op == "in" else "not in_set",
+                    [_Term("param", s), _Term("param", n),
+                     _Term("param", c)],
+                    func=p.func,
+                )
             if sq.corr:
                 if in_having:
                     raise ValidationError(
@@ -2407,16 +2479,23 @@ class _WhereParser:
         where, corr, _, oexprs, pcorr = self._sub_where(
             table, sub_alias, computed
         )
-        if pcorr:
+        if pcorr and corr:
+            raise ValidationError(
+                [f"unsupported lookup IN-subquery on {table!r}: a "
+                 f"subquery that is BOTH correlated and parameterized "
+                 f"is not supported — no single snapshot-or-probe "
+                 f"frame can key on the dim and the event at once"]
+            )
+        if pcorr and self.in_subquery:
             raise ValidationError(
                 [f"unsupported lookup IN-subquery on {table!r}: "
-                 f"parameters inside an IN sub-WHERE are not supported "
-                 f"— move the parameter predicate to the outer WHERE"]
+                 f"parameters inside a NESTED subquery are not "
+                 f"supported"]
             )
         return _Term(
             "subquery",
             _Subquery("__values", col, table, where, tuple(computed), corr,
-                      outer_exprs=oexprs),
+                      outer_exprs=oexprs, param_corr=tuple(pcorr)),
         )
 
     def _sub_head_column(
@@ -5397,7 +5476,7 @@ class CompiledLookup:
         columns are dropped after the payload stage."""
         params = dict(params)
         drops: list[str] = []
-        for name, keys, terms, frame, func in self.query.param_subs:
+        for names, keys, terms, frame, funcs in self.query.param_subs:
             cond = None
             for k, t in zip(keys, terms):
                 if t.kind == "param":
@@ -5411,12 +5490,17 @@ class CompiledLookup:
                 piece = frame[k] == fexpr
                 cond = piece if cond is None else cond & piece
             fact = fact.join(F.broadcast(frame), cond, "left").drop(*keys)
-            val = F.col(name)
-            if func in ("count", "count_distinct"):
-                # SQL: a count over an empty/missing group is 0, not NULL
-                val = F.coalesce(val, F.lit(0))
-            params[name] = BoundParam(name, val, F.lit(True))
-            drops.append(name)
+            for name, func in zip(names, funcs):
+                val = F.col(name)
+                if func in ("count", "count_distinct"):
+                    # SQL: a count over an empty/missing group is 0,
+                    # not NULL. The [NOT] IN / quantified set columns
+                    # (func None) stay NULL on a miss — the in_set ops
+                    # read a NULL count as "empty group", exactly like
+                    # the correlated left-join machinery.
+                    val = F.coalesce(val, F.lit(0))
+                params[name] = BoundParam(name, val, F.lit(True))
+                drops.append(name)
         return fact, params, drops
 
     def _payload_stage(

@@ -699,6 +699,10 @@ def _resolve_subqueries_rows(
             and p.terms[0].value.func == "__values"
         ):
             sq = p.terms[0].value
+            if sq.param_corr:
+                # parameterized: binds per EVENT — deferred to
+                # _resolve_param_subqueries_rows, after param binding
+                return p
             if sq.corr:
                 name = quant_col_of(p)
                 return _Predicate(name, "=", [_Term("literal", True)])
@@ -718,6 +722,9 @@ def _resolve_subqueries_rows(
             and p.terms[0].value.func == "__values"
         ):
             sq = p.terms[0].value
+            if sq.param_corr:
+                # parameterized: deferred to the per-event resolver
+                return p
             if sq.corr:
                 name = corr_in_col_of(p)
                 return _Predicate(name, "=", [_Term("literal", True)])
@@ -833,6 +840,32 @@ def _resolve_param_subqueries_rows(
             t.kind == "subquery" and t.value.param_corr for t in p.terms
         ):
             return p
+        sq0 = p.terms[0].value
+        if (
+            len(p.terms) == 1
+            and p.terms[0].kind == "subquery"
+            and sq0.func == "__values"
+        ):
+            # PARAMETERIZED [NOT] IN / quantified subquery (round-5
+            # latest): expand THIS event's param group to a literal
+            # value list — the distinct collect keeps its one NULL, so
+            # 3VL falls out of _pred_match exactly like the
+            # uncorrelated expansion
+            grp = [
+                s.get(sq0.col)
+                for s in _sub_rows(sq0, tables)
+                if all(
+                    _corr_eq_vals(s.get(sc), pv(pt))
+                    for sc, pt in sq0.param_corr
+                )
+            ]
+            vals = list(dict.fromkeys(grp))
+            return _Predicate(
+                p.dim_column,
+                p.op,
+                [_Term("literal", v) for v in vals],
+                func=p.func,
+            )
         return _Predicate(
             p.dim_column, p.op, [term_of(t) for t in p.terms],
             func=p.func, like_escape=p.like_escape,

@@ -1818,6 +1818,28 @@ class TestDerbyGrammarLegality:
             while rs.next():
                 n += 1
             assert n == 3  # all seeded ips share length 8
+            # params inside [NOT] IN and quantified subqueries are
+            # prepared-statement shapes too (round-5 latest)
+            ps2 = conn.prepareStatement(
+                'SELECT "name" FROM servers WHERE "location" IN '
+                '(SELECT "location" FROM servers WHERE "ip" = ?)'
+            )
+            ps2.setString(1, "10.1.1.1")
+            rs2 = ps2.executeQuery()
+            n = 0
+            while rs2.next():
+                n += 1
+            assert n == 1
+            ps3 = conn.prepareStatement(
+                'SELECT "name" FROM servers WHERE "ip" >= ALL '
+                '(SELECT "ip" FROM servers WHERE "ip" LIKE ?)'
+            )
+            ps3.setString(1, "10.%")
+            rs3 = ps3.executeQuery()
+            n = 0
+            while rs3.next():
+                n += 1
+            assert n == 1  # only the max ip satisfies >= ALL
         finally:
             conn.close()
 

@@ -276,13 +276,21 @@ class TestParamSubqueryRejections:
                 "AND p2.tool = :tool)",
             )
 
-    def test_in_subquery_param_rejected(self, spark):
-        with pytest.raises(ValidationError, match="IN sub-WHERE"):
-            self._compile(
-                spark,
-                "SELECT plan FROM plans WHERE plan IN "
-                "(SELECT plan FROM plans p2 WHERE p2.tool = :tool)",
-            )
+    def test_in_subquery_param_accepted(self, spark):
+        # round-5 latest: params-only [NOT] IN subqueries are accepted
+        # (per-param-group set columns; see TestParamSetSubqueries) —
+        # this pins that the old rejection is gone
+        LookupEnricher(
+            PipelineSpec(lookups=[{
+                "id": "u",
+                "query": (
+                    "SELECT plan FROM plans WHERE plan IN "
+                    "(SELECT plan FROM plans p2 WHERE p2.tool = :tool)"
+                ),
+                "parameters": {"tool": "tool"},
+            }]),
+            _dims(spark),
+        )
 
     def test_or_around_param_rejected(self, spark):
         with pytest.raises(ValidationError, match="OR"):
@@ -317,4 +325,126 @@ class TestParamSubqueryRejections:
                 "SELECT plan FROM plans WHERE price >= "
                 "(SELECT avg(price) FROM plans WHERE qty > "
                 "(SELECT min(qty) FROM plans WHERE tool = :tool))",
+            )
+
+
+class TestParamSetSubqueries:
+    """PARAMETERIZED [NOT] IN and quantified subqueries (round-5
+    latest): the per-param-group (sorted value set, had-NULL, count)
+    columns broadcast-join onto the FACT and the predicate compiles as
+    the same ``in_set`` / ``{cmp} {quant}_set`` ops the correlated
+    machinery uses. Every run cross-checks the row oracle on all three
+    physical paths."""
+
+    ROWS = [
+        ("t1", "basic", 10, 3), ("t1", "pro", 7, 2), ("t1", None, 4, 9),
+        ("t2", "basic", 2, 1), ("t2", "gold", 99, 5), ("t2", None, 3, 2),
+    ]
+
+    def _run(self, spark, query, kw):
+        dims = {
+            "p": spark.createDataFrame(
+                self.ROWS, "tool string, plan string, price int, qty int"
+            )
+        }
+        tables = {
+            "p": [
+                {"tool": t, "plan": pl, "price": pr, "qty": q}
+                for t, pl, pr, q in self.ROWS
+            ]
+        }
+        lookup = {"id": "u", "query": query, "parameters": {"tool": "tool"}}
+        facts = spark.createDataFrame(
+            [("t1",), ("t2",), ("t9",)], "tool: string"
+        )
+        out = LookupEnricher(
+            PipelineSpec(lookups=[dict(lookup)]), dims, **kw
+        ).apply(facts)
+
+        def key(t):
+            return tuple((v is None, v) for v in t)
+
+        got = {
+            r["tool"]: sorted((tuple(d) for d in r["u"]), key=key)
+            for r in out.collect()
+        }
+        for tool in ("t1", "t2", "t9"):
+            ev = {"tool": tool}
+            oracle.enhance(
+                ev, PipelineSpec(lookups=[dict(lookup)]), tables
+            )
+            exp = sorted((tuple(d.values()) for d in ev["u"]), key=key)
+            assert got[tool] == exp, (query, tool, got[tool], exp)
+        return {k: len(v) for k, v in got.items()}
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_param_in_subquery(self, spark, kw):
+        n = self._run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM p "
+            "WHERE price IN (SELECT price FROM p WHERE tool = :tool)",
+            kw,
+        )
+        # t9: empty param group -> IN () FALSE
+        assert n == {"t1": 3, "t2": 3, "t9": 0}
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_param_not_in_with_null_in_group(self, spark, kw):
+        # both live groups contain a NULL plan -> NOT IN never TRUE
+        # (3VL); the EMPTY t9 group is vacuously TRUE for every row
+        n = self._run(
+            spark,
+            "SELECT tool AS tool, price AS price FROM p "
+            "WHERE plan NOT IN (SELECT plan FROM p WHERE tool = :tool)",
+            kw,
+        )
+        assert n == {"t1": 0, "t2": 0, "t9": 6}
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_param_quantified_all_and_any(self, spark, kw):
+        n = self._run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM p "
+            "WHERE price >= ALL (SELECT qty FROM p WHERE tool = :tool)",
+            kw,
+        )
+        # t9: ALL over the empty group is vacuously TRUE
+        assert n == {"t1": 2, "t2": 3, "t9": 6}
+        n = self._run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM p "
+            "WHERE price < ANY (SELECT price FROM p WHERE tool = :tool)",
+            kw,
+        )
+        assert n == {"t1": 4, "t2": 5, "t9": 0}
+
+    def test_param_in_combined_with_other_predicates(self, spark):
+        n = self._run(
+            spark,
+            "SELECT plan AS plan, price AS price FROM p "
+            "WHERE qty >= 2 AND price IN "
+            "(SELECT price FROM p WHERE tool = :tool) "
+            "AND plan IS NOT NULL",
+            {},
+        )
+        assert n == {"t1": 2, "t2": 1, "t9": 0}
+
+    def test_correlated_and_parameterized_in_rejected(self, spark):
+        with pytest.raises(ValidationError, match="BOTH correlated"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "u",
+                    "query": (
+                        "SELECT plan FROM p WHERE price IN "
+                        "(SELECT p2.price FROM p p2 "
+                        "WHERE p2.plan = p.plan AND p2.tool = :tool)"
+                    ),
+                    "parameters": {"tool": "tool"},
+                }]),
+                {
+                    "p": spark.createDataFrame(
+                        self.ROWS,
+                        "tool string, plan string, price int, qty int",
+                    )
+                },
             )

@@ -48,6 +48,8 @@ PREDICATES = [
     "name BETWEEN (SELECT min(name) FROM servers) AND "
     "(SELECT max(name) FROM servers WHERE ip = :ip)",
     "ip IN ('k0', :ip, 'k9')",
+    "name IN (SELECT s2.name FROM servers s2 WHERE s2.ip = :ip)",
+    "name <= ALL (SELECT s2.name FROM servers s2 WHERE s2.ip = :ip)",
 ]
 
 JOINTS = [
