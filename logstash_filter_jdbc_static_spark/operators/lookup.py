@@ -190,9 +190,15 @@ class _Term:
     sub-select, resolved to a literal once per refresh snapshot),
     ``param_expr`` (round-5 latest: a scalar-expression AST over params
     + literals ONLY — ``:lim * 2`` — compiled FACT-side per event by
-    substituting the bound event Columns)."""
+    substituting the bound event Columns), ``mixed_expr`` (round-5
+    latest: an AST mixing dim columns WITH params — ``a = b + :k`` —
+    evaluable only where both scopes are in play at once, so it routes
+    off the pure-equi path and compiles inside the theta probe
+    condition: params substitute to the tuple/event Columns, dim
+    columns to the array element's or broadcast dim struct's fields)."""
 
-    kind: str  # 'param' | 'literal' | 'column' | 'subquery' | 'param_expr'
+    kind: str  # 'param' | 'literal' | 'column' | 'subquery' |
+    #            'param_expr' | 'mixed_expr'
     value: object  # placeholder name, Python literal, column name,
     #                _Subquery, or a sqlexpr AST (param_expr)
 
@@ -274,7 +280,7 @@ class _Predicate:
             if t.kind == "param":
                 if t.value not in out:
                     out.append(t.value)
-            elif t.kind == "param_expr":
+            elif t.kind in ("param_expr", "mixed_expr"):
                 for n in sqlexpr.params_of(t.value):
                     if n not in out:
                         out.append(n)
@@ -1708,7 +1714,14 @@ class ParsedQuery:
         for p in self.disjuncts[0]:
             if p.is_static:
                 continue
-            if p.op == "=" and len(p.terms) == 1:
+            if (
+                p.op == "="
+                and len(p.terms) == 1
+                # a mixed dim+param expression (a = b + :k) depends on
+                # the dim ROW, so it cannot be a probe key — route to
+                # the theta paths, which evaluate both scopes at once
+                and p.terms[0].kind != "mixed_expr"
+            ):
                 has_key = True
             else:
                 return False
@@ -2220,19 +2233,29 @@ class _WhereParser:
         self.i = ep.i
         pnames = sqlexpr.params_of(ast)
         if pnames:
-            # fact-side param expression: params + literals ONLY. A dim
-            # column in the same expression would be per-(dim row,
-            # event) work no snapshot-time plan can stage.
             cols = sqlexpr.columns(ast)
             if cols:
-                raise ValidationError(
-                    [f"unsupported lookup predicate rhs: expression mixes "
-                     f"dim column(s) {sorted(cols)} with parameter(s) "
-                     f"{pnames} — params evaluate fact-side, dim columns "
-                     f"dim-side; move the dim column to the left-hand "
-                     f"side (e.g. ``a - b > :k``) or pre-shape the dim "
-                     f"with a loader query"]
-                )
+                # mixed dim+param expression (round-5 latest: ``a = b +
+                # :k``): legal in the MAIN WHERE, where the theta probe
+                # evaluates dim row and event tuple together. A
+                # subquery's WHERE resolves once per snapshot and
+                # HAVING runs over payload aliases — neither has a dim
+                # row in scope, so those contexts keep the rejection.
+                if self.in_subquery or self.computed is None:
+                    ctx = (
+                        "a subquery WHERE" if self.in_subquery
+                        else "HAVING"
+                    )
+                    raise ValidationError(
+                        [f"unsupported lookup predicate rhs: expression "
+                         f"mixes column(s) {sorted(cols)} with "
+                         f"parameter(s) {pnames} in {ctx} — params "
+                         f"evaluate fact-side and these columns have no "
+                         f"per-row scope here; move the mix to the "
+                         f"outer WHERE or pre-shape the dim with a "
+                         f"loader query"]
+                    )
+                return _Term("mixed_expr", ast)
             if isinstance(ast, sqlexpr.Param):
                 return _Term("param", ast.name)
             return _Term("param_expr", ast)
@@ -4743,6 +4766,14 @@ def build_join_dim(
     group_cols = list(parsed.group_by)
     expr_cols = [
         r for _, a in parsed.computed for r in sorted(sqlexpr.columns(a))
+    ] + [
+        # mixed dim+param rhs expressions reference dim columns of the
+        # derived dim too (round-5 latest: ``WHERE p.price > b.lo + :k``)
+        r
+        for p in parsed.predicates
+        for t in p.terms
+        if t.kind == "mixed_expr"
+        for r in sorted(sqlexpr.columns(t.value))
     ]
     # correlated-subquery outer references ("alias.col", kept qualified
     # by the parser) are dim columns of the derived dim too: the
@@ -4798,6 +4829,10 @@ def build_join_dim(
     def flat_term(t: _Term) -> _Term:
         if t.kind == "column":
             return _Term("column", res(t.value))
+        if t.kind == "mixed_expr":
+            # the AST's (possibly alias-qualified) dim references remap
+            # onto the derived dim's flat names; Param nodes untouched
+            return _Term("mixed_expr", sqlexpr.map_columns(t.value, res))
         if t.kind == "subquery" and (t.value.corr or t.value.ineq):
             # correlation keys flatten with the dim; the subquery's own
             # columns (sub-relation scope) stay untouched. Outer-side
@@ -5056,6 +5091,18 @@ class CompiledLookup:
                         [f"lookup '{spec.id}': predicate comparand column "
                          f"'{t.value}' not in table '{self.query.table}'"]
                     )
+                if t.kind == "mixed_expr":
+                    missing = sorted(
+                        c
+                        for c in sqlexpr.columns(t.value)
+                        if c not in dim_fields
+                    )
+                    if missing:
+                        raise ValidationError(
+                            [f"lookup '{spec.id}': predicate expression "
+                             f"references unknown column(s) {missing} in "
+                             f"table '{self.query.table}'"]
+                        )
         if not (self.query.group_by or self.query.aggregates):
             # grouped/aggregate ORDER BY names PAYLOAD aliases (already
             # validated at parse); dim-row ORDER BY names dim columns
@@ -5849,6 +5896,9 @@ class CompiledLookup:
         # left as None placeholders: their operand is the ARRAY ELEMENT's
         # field, only in scope inside the filter lambda below
         col_terms: dict[int, dict[int, str]] = {}
+        # mixed dim+param expressions (``a = b + :k``) likewise resolve
+        # their dim fields per element; their params are staged raw here
+        mixed_terms: dict[int, dict[int, object]] = {}
         for f, p in self._flat_indexed():
             rhs: list[Column | None] = []
             for j, t in enumerate(p.terms):
@@ -5858,6 +5908,20 @@ class CompiledLookup:
                     rhs.append(_like_regex(lit, p.like_escape) if p.op in _LIKE_OPS else lit)
                 elif t.kind == "column":
                     col_terms.setdefault(f, {})[j] = t.value
+                    rhs.append(None)
+                elif t.kind == "mixed_expr":
+                    # stage each referenced param ONCE (raw — the LIKE
+                    # rewrite, if any, applies to the whole evaluated
+                    # expression per element); the cache key is shared
+                    # with plain-param equality staging
+                    for n in sqlexpr.params_of(t.value):
+                        key = (n, False)
+                        if key not in stage_cache:
+                            c = f"__pv_{sid}_{len(stage_cache)}"
+                            staged = staged.withColumn(c, params[n].value)
+                            stage_cache[key] = c
+                            tmp.append(c)
+                    mixed_terms.setdefault(f, {})[j] = t.value
                     rhs.append(None)
                 elif t.kind == "param_expr":
                     # fact-side param expression: staged per occurrence
@@ -5893,13 +5957,26 @@ class CompiledLookup:
 
         def rhs_for_element(r):
             def fn(f: int, p: _Predicate) -> list[Column]:
-                if f not in col_terms:
+                if f not in col_terms and f not in mixed_terms:
                     return rhs_map[f]
                 out = list(rhs_map[f])
-                for j, name in col_terms[f].items():
+                for j, name in col_terms.get(f, {}).items():
                     c = r.getField(name)
                     # a column LIKE pattern derives its regex per
                     # element — dim-sized work inside the inline array
+                    out[j] = _like_regex(c, p.like_escape) if p.op in _LIKE_OPS else c
+                for j, ast in mixed_terms.get(f, {}).items():
+                    # mixed dim+param expression: staged param columns
+                    # substitute in, dim fields read off THIS element
+                    c = sqlexpr.compile_expr(
+                        sqlexpr.subst_columns(
+                            sqlexpr.subst_params(
+                                ast,
+                                lambda n: F.col(stage_cache[(n, False)]),
+                            ),
+                            r.getField,
+                        )
+                    )
                     out[j] = _like_regex(c, p.like_escape) if p.op in _LIKE_OPS else c
                 return out
             return fn
@@ -6009,6 +6086,22 @@ class CompiledLookup:
                     # static dim-side comparand (a = b + 1): both sides
                     # come from the broadcast dim struct
                     c = F.col(dim_alias).getField(t.value)
+                    rhs.append(_like_regex(c, p.like_escape) if p.op in _LIKE_OPS else c)
+                elif t.kind == "mixed_expr":
+                    # mixed dim+param expression (a = b + :k): params
+                    # read off the tuple's mk columns, dim columns off
+                    # the broadcast dim struct — evaluated inline per
+                    # (tuple, dim) pair, the same order of work as the
+                    # comparison itself (a mixed LIKE derives its regex
+                    # per pair too, like a column pattern)
+                    c = sqlexpr.compile_expr(
+                        sqlexpr.subst_columns(
+                            sqlexpr.subst_params(
+                                t.value, lambda n: F.col(mk[n])
+                            ),
+                            lambda nm: F.col(dim_alias).getField(nm),
+                        )
+                    )
                     rhs.append(_like_regex(c, p.like_escape) if p.op in _LIKE_OPS else c)
                 elif p.op in _LIKE_OPS:
                     rhs.append(F.col(f"__rx_{sid}_{f}"))

@@ -431,6 +431,61 @@ def subst_params(ast, fn):
     raise TypeError(f"unknown expression node {ast!r}")
 
 
+def subst_columns(ast, fn):
+    """Rebuild the expression with every :class:`Col` replaced by
+    ``fn(name)`` — a pyspark ``Column`` for scopes where a dim column
+    is not ``F.col``-addressable (an inline array element's field, the
+    broadcast dim struct of the map probe). Runs AFTER
+    :func:`subst_params`, so raw Columns already substituted for params
+    pass through untouched."""
+    if isinstance(ast, Column):
+        return ast
+    if isinstance(ast, Col):
+        return fn(ast.name)
+    if isinstance(ast, (Lit, Param)):
+        return ast
+    if isinstance(ast, Bin):
+        return Bin(ast.op, subst_columns(ast.left, fn), subst_columns(ast.right, fn))
+    if isinstance(ast, Cmp):
+        return Cmp(ast.op, subst_columns(ast.left, fn), subst_columns(ast.right, fn))
+    if isinstance(ast, Neg):
+        return Neg(subst_columns(ast.operand, fn))
+    if isinstance(ast, NotOp):
+        return NotOp(subst_columns(ast.operand, fn))
+    if isinstance(ast, NullTest):
+        return NullTest(subst_columns(ast.operand, fn), ast.negated)
+    if isinstance(ast, LikeTest):
+        return LikeTest(subst_columns(ast.operand, fn), ast.pattern, ast.negated)
+    if isinstance(ast, InList):
+        return InList(
+            subst_columns(ast.operand, fn),
+            tuple(subst_columns(i, fn) for i in ast.items),
+            ast.negated,
+        )
+    if isinstance(ast, RangeTest):
+        return RangeTest(
+            subst_columns(ast.operand, fn),
+            subst_columns(ast.lo, fn),
+            subst_columns(ast.hi, fn),
+            ast.negated,
+        )
+    if isinstance(ast, Func):
+        return Func(ast.name, tuple(subst_columns(a, fn) for a in ast.args))
+    if isinstance(ast, Cast):
+        return Cast(subst_columns(ast.operand, fn), ast.type_str)
+    if isinstance(ast, BoolOp):
+        return BoolOp(ast.op, tuple(subst_columns(p, fn) for p in ast.parts))
+    if isinstance(ast, Case):
+        return Case(
+            tuple(
+                (subst_columns(c, fn), subst_columns(e, fn))
+                for c, e in ast.whens
+            ),
+            None if ast.otherwise is None else subst_columns(ast.otherwise, fn),
+        )
+    raise TypeError(f"unknown expression node {ast!r}")
+
+
 def columns(ast) -> set[str]:
     """Every column name referenced by the expression."""
     if isinstance(ast, Col):

@@ -147,6 +147,15 @@ def _pred_match(p, row: dict, params: dict) -> bool:
                     subst_params(t.value, lambda n: Lit(params[n])), {}
                 )
             )
+        elif t.kind == "mixed_expr":
+            # mixed dim+param expression (round-5 latest: a = b + :k):
+            # params substitute as literals, dim columns read off THIS
+            # row — the mirror of the compiled theta-probe evaluation
+            vals.append(
+                eval_expr(
+                    subst_params(t.value, lambda n: Lit(params[n])), row
+                )
+            )
         else:
             vals.append(t.value)
     if p.op in ("in", "not in") and not vals:

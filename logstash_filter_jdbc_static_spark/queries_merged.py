@@ -270,6 +270,13 @@ _merge(
         ("lookup_param_subquery",
          [("n_ps", "psub_n"), ("ps_rows", "psub_rows"),
           ("n_pc", "pcnt_n"), ("pc_rows", "pcnt_rows")]),
+        # round-5 latest widening: MIXED dim+param expressions on the
+        # predicate rhs (cap > length(tkey) + :ti), incl. a mixed LIKE
+        # pattern and a mixed IN item — compiled inside the theta probe
+        ("lookup_mixed_expr",
+         [("n_mx", "mx_n"), ("mx_rows", "mx_rows"),
+          ("n_ml", "ml_n"), ("ml_rows", "ml_rows"),
+          ("n_mi", "mi_n"), ("mi_rows", "mi_rows")]),
     ],
 )
 

@@ -2908,3 +2908,129 @@ def lookup_derived_setop(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("s3_rows"),
     )
+
+
+@register(
+    "lookup_mixed_expr",
+    with_ctes(
+        _CAPS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        ma AS (
+          SELECT t.conv_id, t.turn_idx,
+                 CAST(count(a.cap) AS BIGINT) AS n_mx,
+                 coalesce(
+                   array_to_string(
+                     list(CAST(a.cap AS VARCHAR) ORDER BY a.cap), ','),
+                   '') AS mx_rows
+          FROM transcripts t
+          LEFT JOIN tool_caps a
+            ON a.tkey = 'k-' || t.tool || '-a'
+           AND a.cap > length(a.tkey) + t.turn_idx
+          GROUP BY 1, 2
+        )
+        """,
+        """
+        ml AS (
+          SELECT t.conv_id, t.turn_idx,
+                 CAST(count(l.cap) AS BIGINT) AS n_ml,
+                 coalesce(
+                   array_to_string(
+                     list(CAST(l.cap AS VARCHAR) ORDER BY l.cap), ','),
+                   '') AS ml_rows
+          FROM transcripts t
+          LEFT JOIN tool_caps l
+            ON l.tkey LIKE substr(l.tkey, 1, 2) || t.tool || '-%'
+          GROUP BY 1, 2
+        )
+        """,
+        """
+        mi AS (
+          SELECT t.conv_id, t.turn_idx,
+                 CAST(count(i.cap) AS BIGINT) AS n_mi,
+                 coalesce(
+                   array_to_string(
+                     list(CAST(i.cap AS VARCHAR) ORDER BY i.cap), ','),
+                   '') AS mi_rows
+          FROM transcripts t
+          LEFT JOIN tool_caps i
+            ON i.tkey LIKE 'k-%'
+           AND i.cap IN (length(i.tkey) * t.turn_idx, 42)
+          GROUP BY 1, 2
+        )
+        """,
+        body="""
+        SELECT ma.conv_id, ma.turn_idx, ma.n_mx, ma.mx_rows,
+               ml.n_ml, ml.ml_rows, mi.n_mi, mi.mi_rows
+        FROM ma
+        JOIN ml ON ml.conv_id = ma.conv_id AND ml.turn_idx = ma.turn_idx
+        JOIN mi ON mi.conv_id = ma.conv_id AND mi.turn_idx = ma.turn_idx
+        """,
+    ),
+)
+def lookup_mixed_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: predicate-rhs expressions MIXING dim
+    columns with :params (``cap > length(tkey) + :ti``), including a
+    mixed LIKE pattern (``tkey LIKE substr(tkey, 1, 2) || :tool ||
+    '-%'`` — the decoy 'x-' row matches only its own prefix) and a
+    mixed IN item. Derby evaluates these per (row, binding)
+    (lookup.rb:131-147; prepared-statement legality pinned in
+    test_jdbc_derby.py); Spark-first the expression compiles INSIDE
+    the theta probe condition — params substitute to the distinct
+    tuple's columns, dim columns to the broadcast dim struct — so a
+    mixed equality routes OFF the pure-equi path and the fact side
+    stays shuffle-free on the broadcast paths
+    (tests/test_lookup_rhs.py::TestMixedExpressions)."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "mx",
+                "query": (
+                    "SELECT cap FROM tool_caps "
+                    "WHERE tkey = 'k-' || :tool || '-a' "
+                    "AND cap > length(tkey) + :ti"
+                ),
+                "parameters": {"tool": "tool", "ti": "turn_idx"},
+            },
+            {
+                "id": "ml",
+                "query": (
+                    "SELECT cap FROM tool_caps "
+                    "WHERE tkey LIKE substr(tkey, 1, 2) || :tool || '-%'"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "mi",
+                "query": (
+                    "SELECT cap FROM tool_caps WHERE tkey LIKE 'k-%' "
+                    "AND cap IN (length(tkey) * :ti, 42)"
+                ),
+                "parameters": {"ti": "turn_idx"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_caps": spark.createDataFrame(CAP_ROWS, CAP_SCHEMA)}
+    )
+    out = enricher.apply(t)
+
+    def rows(col):
+        return F.array_join(
+            F.transform(
+                F.col(col), lambda r: r.getField("cap").cast("string")
+            ),
+            ",",
+        )
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        F.size("mx").cast("long").alias("n_mx"),
+        rows("mx").alias("mx_rows"),
+        F.size("ml").cast("long").alias("n_ml"),
+        rows("ml").alias("ml_rows"),
+        F.size("mi").cast("long").alias("n_mi"),
+        rows("mi").alias("mi_rows"),
+    )

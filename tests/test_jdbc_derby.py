@@ -787,6 +787,44 @@ class TestDerbyRound5Shapes:
             lo: expect(lo) for lo in locs + ["NOWHERE"]
         }
 
+    def test_mixed_dim_param_expression_on_derby_dim(
+        self, spark, derby_servers
+    ):
+        # round-5 latest: a predicate rhs MIXING a dim column with a
+        # bound param (``length(ip) > length(location) + :k``) — Derby
+        # evaluates these per (row, binding); here the theta probe
+        # evaluates both scopes at once. Expectations derive from the
+        # live Derby rows (robust to the reload test's 4th row).
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "mx",
+                    "query": (
+                        "SELECT name FROM servers "
+                        "WHERE length(ip) > length(location) + :k"
+                    ),
+                    "parameters": {"k": "k"},
+                }
+            ]
+        )
+        rows = store.dims()["servers"].collect()
+        fact = spark.createDataFrame(
+            [("e0", -1), ("e1", 0)], ["event", "k"]
+        )
+        out = {
+            r["k"]: sorted(x["name"] for x in r["mx"])
+            for r in LookupEnricher(spec, store.dims()).apply(fact).collect()
+        }
+        assert out == {
+            k: sorted(
+                r["name"]
+                for r in rows
+                if len(r["ip"]) > len(r["location"]) + k
+            )
+            for k in (-1, 0)
+        }
+
     def test_correlated_in_on_derby_dim(self, spark, derby_servers):
         store = self._store(spark)
         spec = PipelineSpec(
@@ -1718,6 +1756,37 @@ class TestDerbyGrammarLegality:
             rs3 = ps3.executeQuery()
             rs3.next()
             assert rs3.getInt(1) >= 1
+        finally:
+            conn.close()
+
+    def test_mixed_column_param_expressions(self, spark, derby_servers):
+        # round-5 latest: expressions MIXING table columns with bound
+        # placeholders in ONE rhs are Derby-legal prepared-statement
+        # shapes — an arithmetic mix and a computed LIKE pattern over
+        # a column and a param (lookup.rb:131-147 hands them verbatim)
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(URL)
+        try:
+            ps = conn.prepareStatement(
+                'SELECT COUNT(*) FROM servers '
+                'WHERE LENGTH("ip") > LENGTH("location") + ?'
+            )
+            ps.setInt(1, -1)
+            rs = ps.executeQuery()
+            rs.next()
+            assert rs.getInt(1) == sum(
+                1 for ip, _, loc in SERVERS_ROWS
+                if len(ip) > len(loc) - 1
+            )
+
+            ps2 = conn.prepareStatement(
+                'SELECT COUNT(*) FROM servers WHERE "ip" LIKE '
+                "SUBSTR(\"ip\", 1, 3) || CAST(? AS VARCHAR(8)) || '%'"
+            )
+            ps2.setString(1, "")
+            rs2 = ps2.executeQuery()
+            rs2.next()
+            assert rs2.getInt(1) == 3  # each ip matches its own prefix
         finally:
             conn.close()
 

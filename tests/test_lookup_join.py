@@ -516,6 +516,43 @@ class TestJoinExpressions:
             )
         assert got == exp
 
+    @pytest.mark.parametrize(
+        "kw", [{}, {"inline_threshold": 0},
+               {"inline_threshold": 0, "pattern_strategy": "shuffle_map"}]
+    )
+    def test_mixed_dim_param_expression_across_relations(self, spark, kw):
+        # round-5 latest: a mixed dim+param rhs whose dim columns span
+        # BOTH joined relations — build_join_dim flat-rewrites the AST's
+        # qualified references, then the theta probe evaluates it with
+        # the tuple's param columns substituted in
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "mx",
+                "query": (
+                    "SELECT coalesce(p.plan, '?') AS plan "
+                    "FROM tool_plans p "
+                    "JOIN price_bands b "
+                    "ON p.price >= b.lo AND p.price < b.hi "
+                    "WHERE p.tool = :tool AND p.price > b.lo + p.qty * :k"
+                ),
+                "parameters": {"tool": "tool", "k": "k"},
+            }]
+        )
+        enr = LookupEnricher(spec, self._dims(spark), **kw)
+        fact = spark.createDataFrame(
+            [("t0", 2), ("t1", 1), ("t2", 0)], "tool string, k int"
+        )
+        got = {
+            r["tool"]: sorted(d["plan"] for d in r["mx"])
+            for r in enr.apply(fact).select("tool", "mx").collect()
+        }
+        # all plans fall in the low band (lo=0): price > qty * k
+        assert got == {
+            "t0": ["basic"],        # 10 > 6; 5 > 8 fails
+            "t1": ["pro"],          # 7 > 2
+            "t2": ["basic"],        # 2 > 0
+        }
+
 
 class TestOnLiterals:
     """Round-5 late widening: literal ON operands. Derby accepts them

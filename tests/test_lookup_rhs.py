@@ -1144,8 +1144,9 @@ class TestParamExpressions:
     FACT-side Columns — the bound event Columns substituted into the
     expression AST — so every physical path keeps its plan shape, and
     a param-expression equality even works as the broadcast-hash equi
-    KEY. Expressions MIXING dim columns with params stay rejected
-    (neither a dim constant nor a fact key any path can stage)."""
+    KEY. Expressions MIXING dim columns with params are accepted too
+    (round-5 latest, TestMixedExpressions) — they compile inside the
+    theta probe condition instead."""
 
     PDIM = T.StructType(
         [
@@ -1295,11 +1296,15 @@ class TestParamExpressions:
         assert p_gt.terms[0].kind == "param_expr"
         assert p_gt.param_names == ["p1", "p2"]
 
-    def test_mixed_dim_and_param_rejected(self):
-        with pytest.raises(ValidationError, match="mixes"):
-            parse_lookup_query(
-                "SELECT price FROM dim WHERE price = qty + :k"
-            )
+    def test_mixed_dim_and_param_parses_as_mixed_term(self):
+        # round-5 latest: no longer rejected — the mix compiles inside
+        # the theta probe (TestMixedExpressions); here just pin the
+        # parse representation
+        q = parse_lookup_query(
+            "SELECT price FROM dim WHERE price = qty + :k"
+        )
+        (preds,) = q.disjuncts
+        assert [t.kind for p in preds for t in p.terms] == ["mixed_expr"]
 
     def test_param_expr_inside_subquery_rejected(self):
         with pytest.raises(ValidationError, match="parameter"):
@@ -1763,4 +1768,178 @@ class TestNestedCorrelatedSubqueries:
             LookupEnricher(
                 spec,
                 {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
+            )
+
+
+class TestMixedExpressions:
+    """Round-5 latest: predicate-rhs expressions MIXING dim columns
+    with :name/? params (``price = base + :k``, ``name LIKE pfx ||
+    :sfx || '%'``). Derby evaluates these per (row, binding) when the
+    config hands them over verbatim (lookup.rb:131-147); Spark-first
+    they compile INSIDE the theta probe condition — params substitute
+    to the tuple/event Columns, dim columns to the array element's or
+    broadcast dim struct's fields — so the fact side stays
+    shuffle-free on the broadcast paths. A mixed equality cannot be a
+    broadcast-hash KEY (its value depends on the dim row), so the
+    query routes off the pure-equi path; subquery-WHERE and HAVING
+    contexts keep the rejection (no per-row dual scope there)."""
+
+    MDIM = T.StructType(
+        [
+            T.StructField("tool", T.StringType(), False),
+            T.StructField("price", T.IntegerType(), False),
+            T.StructField("base", T.IntegerType(), False),
+            T.StructField("pfx", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+        ]
+    )
+    MDIM_ROWS = [
+        ("t1", 10, 3, "srv-", "srv-a"),
+        ("t1", 4, 1, "srv-", "srv-b"),
+        ("t2", 7, 9, "box-", "box-a"),
+        ("t2", 20, 5, "srv-", "srv-c"),
+        ("t3", 2, 0, "srv-", "srv-a1"),
+    ]
+    MFACT = T.StructType(
+        [
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("k", T.IntegerType(), True),
+            T.StructField("sfx", T.StringType(), True),
+        ]
+    )
+    MFACTS = [
+        (0, "t1", 7, "a"),
+        (1, "t2", 2, "c"),
+        (2, "t1", 3, "b"),
+        (3, "t3", None, "z"),   # NULL numeric param
+        (4, None, 1, "a"),      # NULL string param
+    ]
+
+    def _apply(self, spark, query, kw, binds=None, prepared=None):
+        lk: dict = {"id": "x", "query": query}
+        if prepared is not None:
+            lk["prepared_parameters"] = prepared
+        else:
+            lk["parameters"] = binds or {"tool": "tool", "k": "k"}
+        spec = PipelineSpec(lookups=[lk])
+        out = LookupEnricher(
+            spec,
+            {"dim": spark.createDataFrame(self.MDIM_ROWS, self.MDIM)},
+            **kw,
+        ).apply(spark.createDataFrame(self.MFACTS, self.MFACT))
+        return {
+            r["turn_idx"]: (
+                None
+                if r["x"] is None
+                else sorted(d["name"] for d in r["x"])
+            )
+            for r in out.collect()
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_mixed_equality(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT name FROM dim WHERE tool = :tool "
+            "AND price = base + :k",
+            kw,
+        )
+        assert got[0] == ["srv-a"]       # 10 = 3+7
+        assert got[1] == []              # 7 != 9+2, 20 != 5+2
+        assert got[2] == ["srv-b"]       # 4 = 1+3
+        assert got[3] is None            # NULL param -> invalid
+        assert got[4] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_mixed_inequality(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT name FROM dim WHERE tool = :tool "
+            "AND price > base * :k",
+            kw,
+        )
+        assert got[0] == []                      # 10>21, 4>7: no
+        assert got[1] == ["srv-c"]               # 20 > 10
+        assert got[2] == ["srv-a", "srv-b"]      # 10>9, 4>3
+        assert got[3] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_mixed_between_bound(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT name FROM dim WHERE tool = :tool "
+            "AND price BETWEEN base AND base + :k",
+            kw,
+        )
+        assert got[0] == ["srv-a", "srv-b"]      # 10 in [3,10], 4 in [1,8]
+        assert got[1] == []                      # 7 in [9,11]? no; 20 in [5,7]? no
+        assert got[2] == ["srv-b"]               # 10 in [3,6]? no; 4 in [1,4]
+        assert got[3] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_mixed_in_item(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT name FROM dim WHERE tool = :tool "
+            "AND price IN (base + :k, 999)",
+            kw,
+        )
+        assert got[0] == ["srv-a"]
+        assert got[1] == []
+        assert got[2] == ["srv-b"]
+        assert got[3] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_mixed_like_pattern(self, spark, kw):
+        # the pattern itself mixes a dim column with the param: its
+        # regex derives per (tuple, dim) pair, like a column pattern
+        got = self._apply(
+            spark,
+            "SELECT name FROM dim WHERE name LIKE pfx || :sfx || '%'",
+            kw,
+            binds={"sfx": "sfx"},
+        )
+        assert got[0] == ["box-a", "srv-a", "srv-a1"]
+        assert got[1] == ["srv-c"]
+        assert got[2] == ["srv-b"]
+        assert got[3] == []            # 'srv-z%' etc: no match (sfx bound)
+        assert got[4] == ["box-a", "srv-a", "srv-a1"]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_mixed_prepared_positional(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT name FROM dim WHERE tool = ? AND price = base + ?",
+            kw,
+            prepared=["tool", "k"],
+        )
+        assert got[0] == ["srv-a"]
+        assert got[1] == []
+        assert got[2] == ["srv-b"]
+        assert got[3] is None
+
+    def test_mixed_equality_is_not_pure_equi(self):
+        q = parse_lookup_query(
+            "SELECT name FROM dim WHERE tool = :tool AND price = base + :k"
+        )
+        assert not q.is_pure_equi
+        (preds,) = q.disjuncts
+        kinds = {p.dim_column: [t.kind for t in p.terms] for p in preds}
+        assert kinds["tool"] == ["param"]
+        assert kinds["price"] == ["mixed_expr"]
+
+    def test_mixed_rejected_in_subquery_where(self):
+        with pytest.raises(ValidationError, match="subquery WHERE"):
+            parse_lookup_query(
+                "SELECT name FROM dim WHERE price > "
+                "(SELECT max(p2.price) FROM dim p2 "
+                "WHERE p2.price = p2.base + :k)"
+            )
+
+    def test_mixed_rejected_in_having(self):
+        with pytest.raises(ValidationError, match="HAVING"):
+            parse_lookup_query(
+                "SELECT tool, sum(price) AS s, max(base) AS m FROM dim "
+                "GROUP BY tool HAVING s > m + :k"
             )

@@ -190,6 +190,15 @@ WIDE_TEMPLATES = [
     "ip BETWEEN substr(:ip, 1, 1) AND :ip || 'z'",
     "ip IN (:ip || '', upper(:ip))",
     "ip >= lower(:ip) AND ip = :ip",
+    # round-5 latest: MIXED dim+param expressions on the rhs — dim
+    # columns and params in ONE expression, evaluated inside the theta
+    # probe (incl. as a LIKE pattern, an IN item, a BETWEEN bound)
+    "ip = substr(name, 1, 1) || substr(:ip, 2, 2)",
+    "length(ip) > length(name) - length(:ip) OR ip = :ip",
+    "name LIKE substr(name, 1, 1) || substr(:ip, 2, 1) || '%' OR ip = :ip",
+    "ip IN (lower(name), :ip || substr(name, 9, 1))",
+    "ip BETWEEN substr(name, 2, 1) AND :ip || name",
+    "name = CASE WHEN ip = :ip THEN 'v1' ELSE name END AND ip IS NOT NULL",
 ]
 
 
