@@ -1542,6 +1542,7 @@ def resolve_subqueries_with_dim(
     # one TYPED literal (Derby types a NULL aggregate by the
     # aggregate's result type, and a NullType payload field would
     # poison the struct schema).
+    psq_lit: dict[str, object] = {}
     for name, sq in parsed.proj_subqueries:
         if sq.param_corr:
             raise ValidationError(
@@ -1574,6 +1575,7 @@ def resolve_subqueries_with_dim(
             else:
                 lit = F.lit(v)
             holder["dim"] = holder["dim"].withColumn(name, lit)
+            psq_lit[name] = v
     new_disjuncts = [[fix_pred(p) for p in d] for d in parsed.disjuncts]
     new_tree = (
         None if parsed.where_tree is None else fix_tree(parsed.where_tree)
@@ -1596,6 +1598,15 @@ def resolve_subqueries_with_dim(
         # by CompiledLookup._attach_param_subs (the cached _Subquery
         # tail element is resolution-internal and stripped here)
         param_subs=tuple(e[:5] for e in param_subs),
+        # GLOBAL-aggregate case (no GROUP BY): the parse converted each
+        # projected uncorrelated subquery into a max(__psq{n})
+        # aggregate — record its resolved literal so the empty-set
+        # aggregate row carries the subquery value, as SQL requires
+        agg_empty=tuple(
+            (alias, psq_lit[col])
+            for _f, col, alias in parsed.aggregates
+            if col in psq_lit and not parsed.group_by
+        ),
     )
     return parsed, holder["dim"]
 
@@ -1693,6 +1704,13 @@ class ParsedQuery:
     # probe time and the term rides as an ordinary bound param
     # (CompiledLookup._attach_param_subs).
     param_subs: tuple = ()
+    # GLOBAL-aggregate empty-set overrides (round-5 latest): (alias,
+    # literal) pairs for aggregates that carry a projected UNCORRELATED
+    # scalar subquery (parsed as ``max(__psq{n})``) — SQL evaluates the
+    # subquery even over zero matched rows, so the one empty-set
+    # aggregate row substitutes the snapshot-resolved literal instead
+    # of max()'s NULL. Filled at subquery resolution.
+    agg_empty: tuple[tuple[str, object], ...] = ()
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -3805,6 +3823,22 @@ def materialize_derived(
                 df = df.filter(hcond)
         else:
             df = df.agg(*aggs)
+            if parsed.agg_empty:
+                # projected-subquery carriers (max(__psq)) must yield
+                # the subquery's literal even over an EMPTY inner
+                # relation; coalesce is exact — over a non-empty one
+                # max() already equals the (constant) literal
+                empty = {
+                    a: v for a, v in parsed.agg_empty if v is not None
+                }
+                df = df.select(
+                    *[
+                        F.coalesce(F.col(a), F.lit(empty[a])).alias(a)
+                        if a in empty
+                        else F.col(a)
+                        for a in df.columns
+                    ]
+                )
     elif parsed.group_by:
         # GROUP BY with no aggregates == SELECT DISTINCT of the keys
         df = df.select(
@@ -4102,6 +4136,10 @@ def parse_lookup_query(query: str) -> ParsedQuery:
     aggregates: list[tuple[str, str | None, str]] = []
     computed: list[tuple[str, object]] = []
     proj_subqueries: list[tuple[str, _Subquery]] = []
+    # (aggregates-scanned-so-far, __psq name, alias) per projected
+    # subquery — SELECT-order bookkeeping for the global-aggregate
+    # conversion below
+    psq_agg_pos: list[tuple[int, str, str]] = []
     select_interleaved = False
     if proj_raw == "*":
         if joins:
@@ -4219,6 +4257,11 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                     proj_subqueries.append((name, sq))
                 if aggregates:
                     select_interleaved = True
+                # SELECT position relative to the aggregates scanned so
+                # far — the global-aggregate conversion below re-inserts
+                # the subquery's hidden aggregate at this spot, so the
+                # payload keeps the written column order
+                psq_agg_pos.append((len(aggregates), name, alias))
                 projection.append((name, alias))
             else:
                 # scalar expression projection (arithmetic / CASE /
@@ -4252,15 +4295,46 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                     select_interleaved = True
                 projection.append((name, alias))
         if proj_subqueries and aggregates and not group_by:
-            # the empty-set global-aggregate row would still have to
-            # carry the subquery's value (SQL evaluates it even over
-            # zero rows), which the empty-agg substitution path cannot
-            # synthesize lazily — keep this one corner closed
-            raise ValidationError(
-                ["lookup projection: a scalar-subquery projection "
-                 "cannot combine with a GLOBAL aggregate (no GROUP "
-                 "BY) — aggregate inside the subquery or add GROUP BY"]
-            )
+            # round-5 latest: a GLOBAL aggregate (no GROUP BY) may
+            # carry UNCORRELATED scalar-subquery projections — the
+            # subquery resolves to one snapshot literal, so each
+            # projected subquery becomes a hidden ``max(__psq{n})``
+            # aggregate re-inserted at its SELECT position, and the
+            # empty-set aggregate row substitutes the resolved literal
+            # (ParsedQuery.agg_empty, filled at resolution) — SQL
+            # evaluates the subquery even over zero matched rows.
+            # Correlated ones stay rejected: with no groups, a
+            # per-group value is per-ROW, which no single aggregate
+            # row can carry.
+            for _n, sq in proj_subqueries:
+                if sq.corr or sq.ineq:
+                    raise ValidationError(
+                        ["lookup projection: a CORRELATED scalar-"
+                         "subquery projection cannot combine with a "
+                         "GLOBAL aggregate (no GROUP BY) — its value "
+                         "is per-row; add the correlation columns to "
+                         "a GROUP BY or aggregate inside the subquery"]
+                    )
+            psq_names = {n for n, _ in proj_subqueries}
+            projection = [
+                (src, alias)
+                for src, alias in projection
+                if src not in psq_names
+            ]
+            new_aggs: list[tuple[str, str | None, str]] = []
+            for i, agg in enumerate(aggregates + [None]):
+                new_aggs.extend(
+                    ("max", name, alias)
+                    for pos, name, alias in psq_agg_pos
+                    if pos == i
+                )
+                if agg is not None:
+                    new_aggs.append(agg)
+            aggregates = new_aggs
+            if not projection:
+                # everything in the SELECT list is now an aggregate —
+                # positional UNION alignment sees the written order
+                select_interleaved = False
         if aggregates and projection and not group_by:
             raise ValidationError(
                 ["lookup projection cannot mix aggregates with plain "
@@ -5860,9 +5934,17 @@ class CompiledLookup:
 
     def _empty_agg_array(self) -> Column:
         """The one-row payload an aggregate query yields over an empty
-        match set: count columns 0, everything else NULL."""
+        match set: count columns 0, everything else NULL — except a
+        projected-subquery carrier (``max(__psq{n})``), which
+        substitutes its snapshot-resolved literal (SQL evaluates the
+        subquery even over zero rows)."""
+        empty = dict(self.query.agg_empty)
         cols = [
-            (F.lit(0) if func.startswith("count") else F.lit(None))
+            (
+                F.lit(empty[alias]) if alias in empty
+                else F.lit(0) if func.startswith("count")
+                else F.lit(None)
+            )
             .cast(fld.dataType)
             .alias(alias)
             for (func, _, alias), fld in zip(

@@ -763,10 +763,12 @@ def _resolve_subqueries_rows(
     # projection scalar subqueries (round-5): each ``__psq{n}`` becomes
     # a per-row column — the row-at-a-time mirror of the compiled
     # typed-literal / per-group-aggregate dim column
+    psq_lit: dict[str, object] = {}
     for name, sq in q.proj_subqueries:
         if not sq.corr and not sq.ineq:
             v = _eval_subquery_rows(sq, tables)
             state["rows"] = [{**r, name: v} for r in state["rows"]]
+            psq_lit[name] = v
         else:
             ensure_outer_rows(sq)
             sub = _sub_rows(sq, tables)
@@ -801,6 +803,14 @@ def _resolve_subqueries_rows(
         aggregates=q.aggregates
         + tuple((f, c, n) for c, f, n in hidden_aggs),
         proj_subqueries=(),
+        # GLOBAL-aggregate empty-set overrides, the twin of the
+        # compiled resolution's agg_empty (max(__psq) over zero rows
+        # must still carry the subquery's value)
+        agg_empty=tuple(
+            (alias, psq_lit[col])
+            for _f, col, alias in q.aggregates
+            if col in psq_lit and not q.group_by
+        ),
     )
     return q, state["rows"]
 
@@ -951,10 +961,14 @@ def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:
     return matched
 
 
-def _agg_over_rows(aggregates, rows_raw: list[dict]) -> dict:
+def _agg_over_rows(aggregates, rows_raw: list[dict], empty=()) -> dict:
     """SQL aggregate projection over already-matched rows (shared by
-    run_lookup and the derived-table materializer)."""
+    run_lookup and the derived-table materializer). ``empty`` =
+    ParsedQuery.agg_empty — (alias, literal) overrides for projected-
+    subquery carriers, applied over a ZERO-row match set (SQL
+    evaluates the subquery even then)."""
     row_out: dict = {}
+    overlay = dict(empty) if not rows_raw else {}
     for func, col, alias in aggregates:
         if func == "count" and col is None:
             row_out[alias] = len(rows_raw)
@@ -975,6 +989,8 @@ def _agg_over_rows(aggregates, rows_raw: list[dict]) -> dict:
             row_out[alias] = sum(vals)
         else:  # avg
             row_out[alias] = sum(float(v) for v in vals) / len(vals)
+        if alias in overlay:
+            row_out[alias] = overlay[alias]
     return row_out
 
 
@@ -1062,7 +1078,8 @@ def _derived_rows(
         q, table = _resolve_subqueries_rows(q, tables, table)
     matched = _match_rows(q, table, {})
     if q.aggregates and not q.group_by:
-        return [_agg_over_rows(q.aggregates, [r for r, _ in matched])]
+        return [_agg_over_rows(q.aggregates, [r for r, _ in matched],
+                                q.agg_empty)]
     if q.group_by:
         groups: dict[tuple, list[dict]] = {}
         for r, _ in matched:
@@ -1335,7 +1352,8 @@ def _run_union(
                 rows_b = _strip_hidden(rows_b)
         elif q.aggregates:
             # one row even over an empty match set, exactly SQL
-            rows_b = [_agg_over_rows(q.aggregates, [r for r, _ in matched])]
+            rows_b = [_agg_over_rows(q.aggregates, [r for r, _ in matched],
+                                     q.agg_empty)]
             if btail:
                 rows_b = _slice_rows(rows_b, q)
         else:
@@ -1496,7 +1514,7 @@ def run_lookup(
     matched = _match_rows(q, table, params)
 
     def _agg_over(rows_raw: list[dict]) -> dict:
-        return _agg_over_rows(q.aggregates, rows_raw)
+        return _agg_over_rows(q.aggregates, rows_raw, q.agg_empty)
 
     if q.group_by:
         # one payload row per distinct group-key tuple among the

@@ -158,7 +158,10 @@ _merge(
         # combined with GROUP BY (the __psq column folds into the
         # grouping — group-constant by the corr-on-group-keys rule)
         ("lookup_psq_group",
-         [("n_pg", "pg_n"), ("pg_rows", "pg_rows")]),
+         [("n_pg", "pg_n"), ("pg_rows", "pg_rows"),
+          # round-5 latest: the GLOBAL-aggregate combination (hidden
+          # max(__psq) aggregate; empty-set row carries the literal)
+          ("mx_ga", "mx_ga"), ("n_ga", "n_ga"), ("s_ga", "s_ga")]),
     ],
 )
 

@@ -2677,12 +2677,25 @@ def lookup_nested_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM k GROUP BY 1
         )
         """,
+        """
+        ga AS (
+          SELECT tr.conv_id, tr.turn_idx,
+                 CAST(count(p.tool) AS BIGINT) AS n_ga,
+                 CAST(sum(p.price) AS BIGINT) AS s_ga
+          FROM transcripts tr
+          LEFT JOIN tool_plans p ON p.tool = tr.tool
+          GROUP BY 1, 2
+        )
+        """,
         body="""
         SELECT tr.conv_id, tr.turn_idx, tr.tool,
                CAST(coalesce(m.cnt, 0) AS BIGINT) AS n_pg,
-               coalesce(m.s, '') AS pg_rows
+               coalesce(m.s, '') AS pg_rows,
+               (SELECT max(price) FROM tool_plans) AS mx_ga,
+               ga.n_ga, ga.s_ga
         FROM transcripts tr
         LEFT JOIN m ON m.tool = tr.tool
+        JOIN ga ON ga.conv_id = tr.conv_id AND ga.turn_idx = tr.turn_idx
         """,
     ),
 )
@@ -2716,13 +2729,28 @@ def lookup_psq_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "FROM tool_plans WHERE tool = :tool GROUP BY plan"
                 ),
                 "parameters": {"tool": "tool"},
-            }
+            },
+            {
+                # round-5 latest: the GLOBAL-aggregate combination —
+                # the projected subquery becomes a hidden max(__psq0)
+                # aggregate and the empty-set row (tool_ghost probes)
+                # still carries the snapshot literal, as SQL requires
+                # (Derby rejects the shape outright: 42Y35, pinned)
+                "id": "pga",
+                "query": (
+                    "SELECT (SELECT max(price) FROM tool_plans) AS mx, "
+                    "count(*) AS n, sum(price) AS s "
+                    "FROM tool_plans WHERE tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            },
         ]
     )
     enricher = LookupEnricher(
         spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
     )
     out = enricher.apply(t)
+    ga = F.get(F.col("pga"), 0)  # a global aggregate always yields 1 row
     return out.select(
         "conv_id",
         "turn_idx",
@@ -2743,6 +2771,9 @@ def lookup_psq_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "|",
         ).alias("pg_rows"),
+        ga.getField("mx").alias("mx_ga"),
+        ga.getField("n").cast("long").alias("n_ga"),
+        ga.getField("s").cast("long").alias("s_ga"),
     )
 
 

@@ -2043,6 +2043,17 @@ class TestDerbyGrammarLegality:
             'WHERE s2."location" = s."location")',
         )
         assert len(rows) == 3
+        # ...and the GLOBAL-aggregate combination (round-5 latest,
+        # no GROUP BY) is equally a Derby rejection — 42Y35, the
+        # non-grouped-query flavor of the same rule — so accepting it
+        # (the subquery resolves to a snapshot literal the empty-set
+        # aggregate row can carry) is the same documented extension
+        with pytest.raises(Exception, match="42Y35|invalid expression"):
+            self._fetch(
+                spark,
+                'SELECT (SELECT max("ip") FROM servers) AS mx, '
+                "count(*) AS n FROM servers",
+            )
 
     def test_nested_correlated_subquery(self, spark, derby_servers):
         # round-5 latest: a scalar subquery nested inside another

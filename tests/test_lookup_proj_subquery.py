@@ -111,15 +111,29 @@ class TestParser:
                 "SELECT (SELECT price FROM u) AS p FROM t WHERE a = :a"
             )
 
-    def test_rejected_with_global_aggregate(self):
-        # SQL still evaluates the subquery over an empty set; the
-        # lazy empty-agg substitution row cannot carry it — the one
-        # combination that stays closed (round-5 latest: GROUP BY
-        # combinations are accepted, TestGroupedProjection)
-        with pytest.raises(ValidationError, match="GLOBAL aggregate"):
+    def test_global_aggregate_converts_psq_to_hidden_max(self):
+        # round-5 latest: an UNCORRELATED projected subquery combines
+        # with a GLOBAL aggregate — parsed into a hidden max(__psq)
+        # aggregate at its SELECT position; the empty-set row later
+        # substitutes the resolved literal (TestGlobalAggregate)
+        q = parse_lookup_query(
+            "SELECT count(*) AS n, (SELECT max(x) FROM u) AS m, "
+            "sum(p) AS s FROM t WHERE a = :a"
+        )
+        assert q.projection == []
+        assert [(f, a) for f, _c, a in q.aggregates] == [
+            ("count", "n"), ("max", "m"), ("sum", "s")
+        ]
+        assert q.aggregates[1][1].startswith("__psq")
+        assert not q.select_interleaved
+
+    def test_correlated_with_global_aggregate_rejected(self):
+        # a correlated subquery's value is per-ROW — with no groups,
+        # no single aggregate row can carry it
+        with pytest.raises(ValidationError, match="CORRELATED"):
             parse_lookup_query(
-                "SELECT count(*) AS n, (SELECT max(x) FROM u) AS m "
-                "FROM t WHERE a = :a"
+                "SELECT count(*) AS n, (SELECT max(u.x) FROM u "
+                "WHERE u.k = t.k) AS m FROM t WHERE a = :a"
             )
 
     def test_group_by_folds_psq_into_grouping(self):
@@ -596,3 +610,128 @@ class TestGroupedProjection:
         assert [(d["plan"], d["tot"], d["n"]) for d in row["u"]] == [
             (None, None, 1), ("basic", 12, 2),
         ]
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+class TestGlobalAggregate:
+    """Round-5 latest: UNCORRELATED projection subqueries combined with
+    a GLOBAL aggregate (no GROUP BY) — the subquery becomes a hidden
+    ``max(__psq)`` aggregate at its SELECT position, and the one
+    empty-set aggregate row substitutes the snapshot-resolved literal
+    (SQL evaluates the subquery even over zero matched rows). A
+    documented standard-SQL EXTENSION: Derby rejects ANY scalar
+    subquery in a non-grouped aggregate SELECT list (42Y35, pinned
+    natively in test_jdbc_derby.py)."""
+
+    def _run(self, spark, query, kw, extra_dims=None):
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        if extra_dims:
+            dims.update(extra_dims)
+        spec = PipelineSpec(
+            lookups=[{"id": "u", "query": query,
+                      "parameters": {"tool": "tool"}}]
+        )
+        facts = spark.createDataFrame(
+            [(f"c{i}", i, f"t{i}") for i in range(5)], FACT
+        )
+        out = LookupEnricher(spec, dims, **kw).apply(facts)
+        return {
+            r["tool"]: (
+                None if r["u"] is None
+                else [tuple(d.asDict().values()) for d in r["u"]]
+            )
+            for r in out.select("tool", "u").collect()
+        }
+
+    def test_literal_carried_through_empty_set(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT (SELECT max(price) FROM plans) AS mx, "
+            "count(*) AS n, sum(price) AS s "
+            "FROM plans WHERE tool = :tool",
+            kw,
+        )
+        # t0 matches nothing: the empty-set row still carries mx=10
+        assert got == {
+            "t0": [(10, 0, None)],
+            "t1": [(10, 2, 12)],
+            "t2": [(10, 1, 7)],
+            "t3": [(10, 1, 8)],
+            "t4": [(10, 1, 1)],
+        }
+
+    def test_null_subquery_value_stays_null(self, spark, kw):
+        empty = spark.createDataFrame([], "x: int")
+        got = self._run(
+            spark,
+            "SELECT (SELECT max(x) FROM empty) AS mx, count(*) AS n "
+            "FROM plans WHERE tool = :tool",
+            kw,
+            extra_dims={"empty": empty},
+        )
+        assert got["t0"] == [(None, 0)]
+        assert got["t1"] == [(None, 2)]
+
+    def test_select_order_preserved(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT count(*) AS n, (SELECT min(price) FROM plans) AS mn "
+            "FROM plans WHERE tool = :tool",
+            kw,
+        )
+        assert got["t1"] == [(2, 1)]     # (n, mn) — written order
+        assert got["t0"] == [(0, 1)]
+
+    def test_union_branches_each_carry_their_literal(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT (SELECT max(price) FROM plans) AS mx, count(*) AS n "
+            "FROM plans WHERE tool = :tool "
+            "UNION ALL SELECT (SELECT min(price) FROM plans) AS mn, "
+            "count(*) AS n2 FROM plans WHERE tool = :tool",
+            kw,
+        )
+        # both branches yield their one row even on the t0 miss
+        assert sorted(got["t0"]) == [(1, 0), (10, 0)]
+        assert sorted(got["t1"]) == [(1, 2), (10, 2)]
+
+    def test_offset_past_the_row_fires_default(self, spark, kw):
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "u",
+                "query": (
+                    "SELECT (SELECT max(price) FROM plans) AS mx, "
+                    "count(*) AS n FROM plans WHERE tool = :tool "
+                    "ORDER BY n OFFSET 1 ROWS"
+                ),
+                "parameters": {"tool": "tool"},
+                "default_hash": {"mx": -1, "n": -1},
+            }]
+        )
+        facts = spark.createDataFrame([("c1", 1, "t1")], FACT)
+        (row,) = LookupEnricher(spec, dims, **kw).apply(facts).collect()
+        assert [(d["mx"], d["n"]) for d in row["u"]] == [(-1, -1)]
+
+    def test_matches_row_oracle(self, spark, kw):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        query = (
+            "SELECT (SELECT max(price) FROM plans WHERE plan = 'basic') "
+            "AS mb, count(*) AS n FROM plans WHERE tool = :tool"
+        )
+        got = self._run(spark, query, kw)
+        tables = {
+            "plans": [
+                dict(zip(("tool", "plan", "price"), r)) for r in PLAN_ROWS
+            ]
+        }
+        for i in range(5):
+            ev = {"conv_id": f"c{i}", "turn_idx": i, "tool": f"t{i}"}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{"id": "u", "query": query,
+                                       "parameters": {"tool": "tool"}}]),
+                tables,
+            )
+            assert [tuple(d.values()) for d in ev["u"]] == got[f"t{i}"]

@@ -700,6 +700,22 @@ FULLQ_TEMPLATES = [
      "UNION SELECT name AS name FROM servers WHERE name = 'v1' "
      "UNION ALL SELECT name AS name FROM servers WHERE ip = :ip",
      {"name": "dflt"}),
+    # round-5 latest: projection scalar subqueries combined with a
+    # GLOBAL aggregate (no GROUP BY) — the subquery becomes a hidden
+    # max(__psq) aggregate and the empty-set row carries its literal
+    ("SELECT (SELECT max(name) FROM servers) AS mx, count(*) AS n "
+     "FROM servers WHERE ip = :ip",
+     {"mx": "dflt", "n": -1}),
+    ("SELECT count(*) AS n, "
+     "(SELECT min(ip) FROM servers WHERE name = 'v1') AS mn "
+     "FROM servers WHERE ip = :ip "
+     "UNION ALL SELECT count(*) AS n2, "
+     "(SELECT max(ip) FROM servers) AS mx2 FROM servers "
+     "WHERE name = 'v2'",
+     {"n": -1, "mn": "dflt"}),
+    ("SELECT (SELECT min(name) FROM servers) AS mn, count(*) AS c "
+     "FROM servers WHERE ip = :ip ORDER BY c OFFSET 1 ROWS",
+     {"mn": "dflt", "c": -1}),
     # round-5 latest: PARAMETERIZED subqueries — the :param equality
     # inside the sub-WHERE keys a per-event aggregate broadcast-joined
     # onto the fact (Derby re-executes the prepared subquery per
