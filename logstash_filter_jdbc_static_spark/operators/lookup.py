@@ -1014,14 +1014,35 @@ def resolve_subqueries_with_dim(
     # value is constant within each group), stripped from the payload
     # after the HAVING filter (_shape_raw).
     hidden_aggs: list[tuple[str, str, str]] = []
+    # PARAMETERIZED HAVING subqueries (round-5 latest): hidden-carrier
+    # alias -> synthetic ``__psub{k}`` param, consumed by the same
+    # post-stage overlay as projection subqueries (psq_params)
+    having_psq: dict[str, str] = {}
 
     def having_value_term(sq: _Subquery) -> _Term:
         if sq.param_corr:
-            raise ValidationError(
-                [f"lookup HAVING subquery on {sq.table!r}: parameterized "
-                 f"subqueries are not supported in HAVING — filter in "
-                 f"the WHERE clause instead"]
+            # PARAMETERIZED HAVING subquery (round-5 latest): the
+            # HAVING filter reads aggregated PAYLOAD fields, so the
+            # per-event value must ride INTO the payload — a typed
+            # NULL placeholder dim column + hidden ``max(__hsq*)``
+            # carrier (stripped post-filter like the correlated ones),
+            # OVERLAID with the broadcast-joined per-event value inside
+            # the payload stage (_overlay_psq_params). Derby runs the
+            # shape natively as a prepared statement.
+            term = param_term_of(sq)
+            pname = term.value
+            for n0, p0 in having_psq.items():
+                if p0 == pname:
+                    return _Term("column", n0)
+            frame = next(e[3] for e in param_subs if e[0][0] == pname)
+            col = f"__sq_hp{len(having_psq)}"
+            holder["dim"] = holder["dim"].withColumn(
+                col, F.lit(None).cast(frame.schema[pname].dataType)
             )
+            name = f"__hsq{len(hidden_aggs)}"
+            hidden_aggs.append((col, "max", name))
+            having_psq[name] = pname
+            return _Term("column", name)
         if not sq.corr and not sq.ineq:
             return value_term(sq)
         if sq.ineq:
@@ -1343,6 +1364,61 @@ def resolve_subqueries_with_dim(
         i = len(in_group_cache)
         names = (f"__sq_in{i}_set", f"__sq_in{i}_null", f"__sq_in{i}_cnt")
         sub_df, _ = _sub_filtered_df(sq, dims)
+        if sq.ineq:
+            # INEQUALITY correlations (round-5 latest): the value set
+            # is per dim ROW, not per correlation-key group, so
+            # decorrelate via the same snapshot-time rid THETA JOIN as
+            # scalar aggregates — pair each pinned dim row with its
+            # matching sub rows (hash join + inequality post-filter
+            # with eq keys; dim-sized nested loop without), collect
+            # the per-rid (set, had-NULL, count) columns, left-join
+            # back. A rid with no matching sub rows stays NULL — the
+            # in_set ops read that as "empty group", exactly like an
+            # eq-key left-join miss.
+            rid = f"__rid_in{i}"
+            dim = dim.withColumn(
+                rid, F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            need = list(dict.fromkeys(
+                [sc for sc, _ in sq.corr]
+                + [isc for isc, _, _ in sq.ineq]
+                + [sq.col]
+            ))
+            sub_r = sub_df.select(
+                *[F.col(c).alias(f"__s_{c}") for c in need]
+            )
+            cond = None
+            for sc, oc in sq.corr:
+                piece = F.col(f"__s_{sc}") == F.col(oc)
+                cond = piece if cond is None else (cond & piece)
+            for isc, iop, ioc in sq.ineq:
+                left, right = F.col(f"__s_{isc}"), F.col(ioc)
+                ipiece = {
+                    "<": left < right, "<=": left <= right,
+                    ">": left > right, ">=": left >= right,
+                }[iop]
+                cond = ipiece if cond is None else (cond & ipiece)
+            outer_cols = list(dict.fromkeys(
+                [oc for _, oc in sq.corr] + [ioc for _, _, ioc in sq.ineq]
+            ))
+            pairs = dim.select(rid, *outer_cols).join(sub_r, cond, "inner")
+            grouped = pairs.groupBy(rid).agg(
+                F.collect_set(F.col(f"__s_{sq.col}")).alias(names[0]),
+                F.max(F.col(f"__s_{sq.col}").isNull()).alias(names[1]),
+                F.count(F.lit(1)).alias(names[2]),
+            )
+            biggest = grouped.agg(F.max(F.size(names[0]))).collect()[0][0]
+            if biggest is not None and biggest > _IN_SUBQUERY_CAP:
+                raise ValidationError(
+                    [f"lookup IN-subquery on {sq.table!r}: a correlation "
+                     f"group exceeds {_IN_SUBQUERY_CAP} distinct values — "
+                     f"pre-shape the dim with a loader query instead"]
+                )
+            holder["dim"] = dim.join(
+                F.broadcast(grouped), rid, "left"
+            ).drop(rid)
+            in_group_cache.append((sq, names))
+            return names
         keys = [f"__ik{j}_{i}" for j in range(len(sq.corr))]
         grouped = sub_df.groupBy(
             *[F.col(sc).alias(k) for (sc, _), k in zip(sq.corr, keys)]
@@ -1432,7 +1508,7 @@ def resolve_subqueries_with_dim(
                      _Term("param", c)],
                     func=p.func,
                 )
-            if sq.corr:
+            if sq.corr or sq.ineq:
                 if in_having:
                     raise ValidationError(
                         ["lookup HAVING: correlated quantified "
@@ -1487,7 +1563,7 @@ def resolve_subqueries_with_dim(
                      _Term("param", c)],
                     func=p.func,
                 )
-            if sq.corr:
+            if sq.corr or sq.ineq:
                 if in_having:
                     raise ValidationError(
                         ["lookup HAVING: correlated IN-subqueries are not "
@@ -1543,21 +1619,32 @@ def resolve_subqueries_with_dim(
     # aggregate's result type, and a NullType payload field would
     # poison the struct schema).
     psq_lit: dict[str, object] = {}
+    psq_param: dict[str, str] = {}
     for name, sq in parsed.proj_subqueries:
-        if sq.param_corr:
-            raise ValidationError(
-                [f"lookup subquery on {sq.table!r}: parameterized "
-                 f"subqueries are not supported in the PROJECTION — "
-                 f"the payload struct is typed per snapshot, not per "
-                 f"event; use a predicate comparand instead"]
-            )
         if holder["dim"] is None:
             raise ValidationError(
                 [f"lookup subquery on {sq.table!r}: projection "
                  f"subqueries need the probed dimension in scope — "
                  f"use resolve_subqueries_with_dim"]
             )
-        if sq.corr or sq.ineq:
+        if sq.param_corr:
+            # PARAMETERIZED projection subquery (round-5 latest): the
+            # per-event value rides the predicate machinery — the
+            # snapshot-built per-param-group aggregate frame broadcast-
+            # joins onto the FACT (_attach_param_subs) and the payload
+            # field is OVERLAID post-stage (_overlay_psq_params); the
+            # dim carries a typed NULL placeholder so every physical
+            # path keeps its snapshot-typed payload struct
+            term = param_term_of(sq)
+            pname = term.value
+            frame = next(
+                e[3] for e in param_subs if e[0][0] == pname
+            )
+            holder["dim"] = holder["dim"].withColumn(
+                name, F.lit(None).cast(frame.schema[pname].dataType)
+            )
+            psq_param[name] = pname
+        elif sq.corr or sq.ineq:
             col = corr_col_of(sq)  # joins the aggregate onto holder["dim"]
             holder["dim"] = holder["dim"].withColumn(name, F.col(col))
         else:
@@ -1607,6 +1694,17 @@ def resolve_subqueries_with_dim(
             for _f, col, alias in parsed.aggregates
             if col in psq_lit and not parsed.group_by
         ),
+        # PARAMETERIZED projection subqueries (round-5 latest): the
+        # (payload alias, synthetic param) pairs the post-stage
+        # overlay substitutes into the typed NULL placeholders
+        psq_params=tuple(
+            (alias, psq_param[src])
+            for src, alias in (parsed.projection or [])
+            if src in psq_param
+        )
+        # hidden carriers for PARAMETERIZED HAVING subqueries — same
+        # overlay, stripped from the payload after the HAVING filter
+        + tuple(having_psq.items()),
     )
     return parsed, holder["dim"]
 
@@ -1711,6 +1809,14 @@ class ParsedQuery:
     # aggregate row substitutes the snapshot-resolved literal instead
     # of max()'s NULL. Filled at subquery resolution.
     agg_empty: tuple[tuple[str, object], ...] = ()
+    # PARAMETERIZED projection subqueries (round-5 latest): (payload
+    # alias, synthetic ``__psub{k}`` param) pairs. The dim carries a
+    # typed NULL placeholder under the ``__psq{n}`` projection source
+    # (so every physical path keeps its snapshot-typed payload struct)
+    # and CompiledLookup overlays the per-event broadcast-joined value
+    # into the payload field post-stage (_overlay_psq_params). Filled
+    # at subquery resolution.
+    psq_params: tuple[tuple[str, str], ...] = ()
 
     @property
     def predicates(self) -> list[_Predicate]:
@@ -2517,10 +2623,13 @@ class _WhereParser:
         col = self._sub_head_column(
             proj_toks, strip_sub_qual, computed, "projection"
         )
-        where, corr, _, oexprs, pcorr = self._sub_where(
-            table, sub_alias, computed
+        # inequality correlations are legal here since round-5 latest:
+        # the set subquery decorrelates via the same snapshot-time rid
+        # theta join as scalar aggregates (in_group_cols_of)
+        where, corr, ineq, oexprs, pcorr = self._sub_where(
+            table, sub_alias, computed, allow_ineq=True
         )
-        if pcorr and corr:
+        if pcorr and (corr or ineq):
             raise ValidationError(
                 [f"unsupported lookup IN-subquery on {table!r}: a "
                  f"subquery that is BOTH correlated and parameterized "
@@ -2536,7 +2645,7 @@ class _WhereParser:
         return _Term(
             "subquery",
             _Subquery("__values", col, table, where, tuple(computed), corr,
-                      outer_exprs=oexprs, param_corr=tuple(pcorr)),
+                      ineq, outer_exprs=oexprs, param_corr=tuple(pcorr)),
         )
 
     def _sub_head_column(
@@ -3780,6 +3889,14 @@ def materialize_derived(
                      f"table are not supported (they would re-bind per "
                      f"event) — bind parameters in the outer WHERE"]
                 )
+    for _n, sq in parsed.proj_subqueries:
+        if sq.param_corr:
+            raise ValidationError(
+                [f"{label}: :param/? placeholders inside a derived "
+                 f"table's projection subquery are not supported "
+                 f"(they would re-bind per event) — bind parameters "
+                 f"in the outer query"]
+            )
     if parsed.joins:
         dim_df, parsed = build_join_dim(parsed, dims)
     else:
@@ -4314,6 +4431,15 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                          "GLOBAL aggregate (no GROUP BY) — its value "
                          "is per-row; add the correlation columns to "
                          "a GROUP BY or aggregate inside the subquery"]
+                    )
+                if sq.param_corr:
+                    raise ValidationError(
+                        ["lookup projection: a PARAMETERIZED scalar-"
+                         "subquery projection cannot combine with a "
+                         "GLOBAL aggregate (no GROUP BY) — the empty-"
+                         "set aggregate row is typed per snapshot and "
+                         "cannot carry a per-event value; add GROUP "
+                         "BY or aggregate inside the subquery"]
                     )
             psq_names = {n for n, _ in proj_subqueries}
             projection = [
@@ -5197,6 +5323,17 @@ class CompiledLookup:
             for n in p.param_names:
                 if n not in needed:
                     needed.append(n)
+        # a PROJECTION-only parameterized subquery's event params reach
+        # no predicate — collect them from the resolved frames' terms
+        for _ns, _ks, terms, _fr, _fs in self.query.param_subs:
+            for t in terms:
+                names = (
+                    [t.value] if t.kind == "param"
+                    else sqlexpr.params_of(t.value)
+                )
+                for n in names:
+                    if n not in needed:
+                        needed.append(n)
         missing = [
             n
             for n in needed
@@ -5645,7 +5782,36 @@ class CompiledLookup:
             out = self._apply_inline(fact, params)
         else:
             out = self._apply_bnlj(fact, params)
+        if self.query.psq_params:
+            out = out.withColumn(
+                "__raw_payload",
+                self._overlay_psq_params(F.col("__raw_payload"), params),
+            )
         return out.drop(*drops) if drops else out
+
+    def _overlay_psq_params(
+        self, raw: Column, params: dict[str, BoundParam]
+    ) -> Column:
+        """PARAMETERIZED projection subqueries (round-5 latest):
+        substitute each per-event value (a synthetic BoundParam
+        broadcast-joined onto the fact by _attach_param_subs) into its
+        typed NULL placeholder payload field. Runs inside the payload
+        stage, while the synthetic ``__psub*`` columns are still in
+        scope; a NULL payload (equi key miss) passes through
+        F.transform untouched, preserving miss semantics."""
+        repl = dict(self.query.psq_params)
+        fields = self._internal_struct.fields
+        return F.transform(
+            raw,
+            lambda r: F.struct(
+                *[
+                    params[repl[f.name]].value.cast(f.dataType).alias(f.name)
+                    if f.name in repl
+                    else r.getField(f.name).alias(f.name)
+                    for f in fields
+                ]
+            ),
+        )
 
     def _dim_count(self) -> int:
         if not hasattr(self, "_dim_count_cache"):

@@ -592,6 +592,7 @@ def _resolve_subqueries_rows(
                 s.get(sq.col)
                 for s in sub
                 if all(corr_eq(s.get(sc), r.get(oc)) for sc, oc in sq.corr)
+                and ineq_match(sq, s, r)
             ]
             nonnull = [v for v in grp if v is not None]
             has_null = len(nonnull) < len(grp)
@@ -633,6 +634,7 @@ def _resolve_subqueries_rows(
                 s.get(sq.col)
                 for s in sub
                 if all(corr_eq(s.get(sc), r.get(oc)) for sc, oc in sq.corr)
+                and ineq_match(sq, s, r)
             ]
             nonnull = [v for v in grp if v is not None]
             has_null = len(nonnull) < len(grp)
@@ -712,7 +714,7 @@ def _resolve_subqueries_rows(
                 # parameterized: binds per EVENT — deferred to
                 # _resolve_param_subqueries_rows, after param binding
                 return p
-            if sq.corr:
+            if sq.corr or sq.ineq:
                 name = quant_col_of(p)
                 return _Predicate(name, "=", [_Term("literal", True)])
             vals = list(
@@ -734,7 +736,7 @@ def _resolve_subqueries_rows(
             if sq.param_corr:
                 # parameterized: deferred to the per-event resolver
                 return p
-            if sq.corr:
+            if sq.corr or sq.ineq:
                 name = corr_in_col_of(p)
                 return _Predicate(name, "=", [_Term("literal", True)])
             vals = list(
@@ -764,8 +766,13 @@ def _resolve_subqueries_rows(
     # a per-row column — the row-at-a-time mirror of the compiled
     # typed-literal / per-group-aggregate dim column
     psq_lit: dict[str, object] = {}
+    psq_deferred: list[tuple[str, object]] = []
     for name, sq in q.proj_subqueries:
-        if not sq.corr and not sq.ineq:
+        if sq.param_corr:
+            # parameterized: binds per EVENT — deferred to
+            # _resolve_param_subqueries_rows, after param binding
+            psq_deferred.append((name, sq))
+        elif not sq.corr and not sq.ineq:
             v = _eval_subquery_rows(sq, tables)
             state["rows"] = [{**r, name: v} for r in state["rows"]]
             psq_lit[name] = v
@@ -802,7 +809,7 @@ def _resolve_subqueries_rows(
         having=new_having,
         aggregates=q.aggregates
         + tuple((f, c, n) for c, f, n in hidden_aggs),
-        proj_subqueries=(),
+        proj_subqueries=tuple(psq_deferred),
         # GLOBAL-aggregate empty-set overrides, the twin of the
         # compiled resolution's agg_empty (max(__psq) over zero rows
         # must still carry the subquery's value)
@@ -816,14 +823,17 @@ def _resolve_subqueries_rows(
 
 
 def _resolve_param_subqueries_rows(
-    q, tables: dict[str, list[dict]], params: dict
+    q, tables: dict[str, list[dict]], params: dict,
+    table: list[dict] | None = None,
 ):
     """Row-at-a-time twin of CompiledLookup._attach_param_subs: each
     PARAMETERIZED subquery term evaluates with THIS event's bound
     param values (exactly Derby re-executing the prepared subquery per
-    event, lookup.rb:131-147) and substitutes a literal. Runs after
-    param binding, before _match_rows; no-op when the query carries no
-    parameterized subqueries."""
+    event, lookup.rb:131-147) and substitutes a literal. A
+    parameterized PROJECTION subquery (round-5 latest) attaches its
+    per-event value as a ``__psq{n}`` column on ``table`` — the twin
+    of the compiled post-stage overlay. Runs after param binding,
+    before _match_rows; returns ``(q, table)``."""
     import dataclasses
 
     from logstash_filter_jdbc_static_spark.operators.lookup import (
@@ -895,10 +905,34 @@ def _resolve_param_subqueries_rows(
             return ("pred", fix_pred(node[1]))
         return (node[0], [fix_tree(c) for c in node[1]])
 
-    return dataclasses.replace(
-        q,
-        disjuncts=[[fix_pred(p) for p in d] for d in q.disjuncts],
-        where_tree=None if q.where_tree is None else fix_tree(q.where_tree),
+    for name, sq in q.proj_subqueries:
+        grp = [
+            s
+            for s in _sub_rows(sq, tables)
+            if all(
+                _corr_eq_vals(s.get(sc), pv(pt))
+                for sc, pt in sq.param_corr
+            )
+        ]
+        v = _agg_rows(sq, grp)
+        table = [{**r, name: v} for r in (table or [])]
+    return (
+        dataclasses.replace(
+            q,
+            disjuncts=[[fix_pred(p) for p in d] for d in q.disjuncts],
+            where_tree=(
+                None if q.where_tree is None else fix_tree(q.where_tree)
+            ),
+            # PARAMETERIZED HAVING subqueries (round-5 latest): the
+            # per-event literal substitutes exactly like a WHERE
+            # comparand (the compiled side rides a hidden overlaid
+            # ``__hsq*`` carrier instead)
+            having=tuple(
+                tuple(fix_pred(p) for p in d) for d in q.having
+            ),
+            proj_subqueries=(),
+        ),
+        table,
     )
 
 
@@ -911,7 +945,7 @@ def _has_param_subqueries(q) -> bool:
         t.kind == "subquery" and t.value.param_corr
         for p in _pred_terms(q)
         for t in p.terms
-    )
+    ) or any(sq.param_corr for _, sq in q.proj_subqueries)
 
 
 def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:
@@ -1324,10 +1358,11 @@ def _run_union(
                 branch_table,
             )
         if _has_param_subqueries(q):
-            q = _resolve_param_subqueries_rows(
+            q, branch_table = _resolve_param_subqueries_rows(
                 q,
                 tables if tables is not None else {q.table: table},
                 params,
+                branch_table,
             )
         matched = _match_rows(q, branch_table, params)
         # a PARENTHESIZED branch may carry its own ORDER BY/LIMIT/
@@ -1508,8 +1543,9 @@ def run_lookup(
         tags.extend(spec.tag_on_failure)
         return False, tags
     if _has_param_subqueries(q):
-        q = _resolve_param_subqueries_rows(
-            q, tables if tables is not None else {q.table: table}, params
+        q, table = _resolve_param_subqueries_rows(
+            q, tables if tables is not None else {q.table: table},
+            params, table,
         )
     matched = _match_rows(q, table, params)
 

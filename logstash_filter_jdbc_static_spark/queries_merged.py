@@ -161,7 +161,13 @@ _merge(
          [("n_pg", "pg_n"), ("pg_rows", "pg_rows"),
           # round-5 latest: the GLOBAL-aggregate combination (hidden
           # max(__psq) aggregate; empty-set row carries the literal)
-          ("mx_ga", "mx_ga"), ("n_ga", "n_ga"), ("s_ga", "s_ga")]),
+          ("mx_ga", "mx_ga"), ("n_ga", "n_ga"), ("s_ga", "s_ga"),
+          # round-5 latest: PARAMETERIZED projection subquery (per-
+          # event value overlaid into the payload post-stage)
+          ("n_pp", "n_pp"), ("pp_rows", "pp_rows"),
+          # round-5 latest: PARAMETERIZED scalar subquery as a HAVING
+          # comparand (hidden overlaid carrier, read post-aggregation)
+          ("n_ph", "n_ph"), ("ph_rows", "ph_rows")]),
     ],
 )
 
@@ -191,6 +197,11 @@ _merge(
          [("n_nx", "nx_n"), ("nx_prices", "nx_prices")]),
         ("lookup_corr_in",
          [("n_ci", "ci_n"), ("ci_prices", "ci_prices")]),
+        # round-5 latest: INEQUALITY correlations in [NOT] IN /
+        # quantified set subqueries (per-row sets via rid theta join)
+        ("lookup_ineq_set",
+         [("n_is", "is_n"), ("is_prices", "is_prices"),
+          ("n_qs", "qs_n"), ("qs_prices", "qs_prices")]),
         ("lookup_cast_funcs",
          [("n_cf", "cf_n"), ("cf_rows", "cf_rows")]),
         ("lookup_exists_range",

@@ -168,6 +168,112 @@ def lookup_corr_in(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lookup_ineq_set",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        mis AS (
+          SELECT t.tool, t.price FROM tool_plans t
+          WHERE t.plan IN (SELECT p2.plan FROM tool_plans p2
+                           WHERE p2.price < t.price)
+        )
+        """,
+        """
+        mqs AS (
+          SELECT t.tool, t.price FROM tool_plans t
+          WHERE t.price > ALL (SELECT p2.price FROM tool_plans p2
+                               WHERE p2.plan = t.plan
+                               AND p2.qty >= t.qty)
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(count(DISTINCT mis.price) AS BIGINT) AS n_is,
+               coalesce(
+                 array_to_string(
+                   list(DISTINCT CAST(mis.price AS VARCHAR)
+                        ORDER BY CAST(mis.price AS VARCHAR)),
+                   ','),
+                 '') AS is_prices,
+               CAST(count(DISTINCT mqs.price) AS BIGINT) AS n_qs,
+               coalesce(
+                 array_to_string(
+                   list(DISTINCT CAST(mqs.price AS VARCHAR)
+                        ORDER BY CAST(mqs.price AS VARCHAR)),
+                   ','),
+                 '') AS qs_prices
+        FROM transcripts t
+        LEFT JOIN mis ON mis.tool = t.tool
+        LEFT JOIN mqs ON mqs.tool = t.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_ineq_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest: INEQUALITY correlations in set subqueries —
+    ``plan IN (SELECT p2.plan ... WHERE p2.price < t.price)`` (the
+    per-row value set via the snapshot rid THETA JOIN) and a mixed
+    eq+ineq quantified comparison ``price > ALL (...)``. Both
+    decorrelate once per refresh snapshot into per-rid (set, had-NULL,
+    count) columns; the predicates compile as the unchanged ``in_set``
+    / ``> all_set`` ops, so the fact side keeps its single
+    broadcast-hash probe. DISTINCT value strings make the flattened
+    CSV independent of the two oracles' join multiplicities."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "mis",
+                "query": (
+                    "SELECT price FROM tool_plans WHERE tool = :tool "
+                    "AND plan IN (SELECT p2.plan FROM tool_plans p2 "
+                    "WHERE p2.price < tool_plans.price)"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "mqs",
+                "query": (
+                    "SELECT price FROM tool_plans WHERE tool = :tool "
+                    "AND price > ALL (SELECT p2.price FROM tool_plans "
+                    "p2 WHERE p2.plan = tool_plans.plan "
+                    "AND p2.qty >= tool_plans.qty)"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+
+    def _csv(col):
+        return F.array_join(
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        F.col(col),
+                        lambda r: r.getField("price").cast("string"),
+                    )
+                )
+            ),
+            ",",
+        )
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size(F.array_distinct("mis")).cast("long").alias("n_is"),
+        _csv("mis").alias("is_prices"),
+        F.size(F.array_distinct("mqs")).cast("long").alias("n_qs"),
+        _csv("mqs").alias("qs_prices"),
+    )
+
+
+@register(
     "lookup_cast_funcs",
     with_ctes(
         _PLANS_CTE,
@@ -2687,15 +2793,69 @@ def lookup_nested_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY 1, 2
         )
         """,
+        """
+        pq AS (
+          SELECT tool, CAST(sum(qty) AS BIGINT) AS tq
+          FROM tool_plans GROUP BY 1
+        )
+        """,
+        """
+        pps AS (
+          SELECT k.tool,
+                 coalesce(k.plan, '~N') || ':'
+                 || CAST(k.price AS VARCHAR) || '='
+                 || CAST(pq.tq AS VARCHAR) AS s
+          FROM tool_plans k JOIN pq ON pq.tool = k.tool
+        )
+        """,
+        """
+        pp AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n_pp,
+                 array_to_string(list(s ORDER BY s), '|') AS s_pp
+          FROM pps GROUP BY 1
+        )
+        """,
+        """
+        tc AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS c
+          FROM tool_plans GROUP BY 1
+        )
+        """,
+        """
+        pgrp AS (
+          SELECT coalesce(plan, '~N') || '#'
+                 || CAST(count(*) AS VARCHAR) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM tool_plans GROUP BY plan
+        )
+        """,
+        """
+        ph AS (
+          SELECT tt.tool,
+                 CAST(count(pgrp.s) AS BIGINT) AS n_ph,
+                 coalesce(array_to_string(
+                   list(pgrp.s ORDER BY pgrp.s)
+                     FILTER (WHERE pgrp.s IS NOT NULL), '|'), '') AS s_ph
+          FROM (SELECT DISTINCT tool FROM transcripts) tt
+          LEFT JOIN tc ON tc.tool = tt.tool
+          LEFT JOIN pgrp ON pgrp.n > coalesce(tc.c, 0)
+          GROUP BY tt.tool
+        )
+        """,
         body="""
         SELECT tr.conv_id, tr.turn_idx, tr.tool,
                CAST(coalesce(m.cnt, 0) AS BIGINT) AS n_pg,
                coalesce(m.s, '') AS pg_rows,
                (SELECT max(price) FROM tool_plans) AS mx_ga,
-               ga.n_ga, ga.s_ga
+               ga.n_ga, ga.s_ga,
+               CAST(coalesce(pp.n_pp, 0) AS BIGINT) AS n_pp,
+               coalesce(pp.s_pp, '') AS pp_rows,
+               ph.n_ph, ph.s_ph AS ph_rows
         FROM transcripts tr
         LEFT JOIN m ON m.tool = tr.tool
         JOIN ga ON ga.conv_id = tr.conv_id AND ga.turn_idx = tr.turn_idx
+        LEFT JOIN pp ON pp.tool = tr.tool
+        JOIN ph ON ph.tool = tr.tool
         """,
     ),
 )
@@ -2744,6 +2904,37 @@ def lookup_psq_group(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "parameters": {"tool": "tool"},
             },
+            {
+                # round-5 latest: a PARAMETERIZED projection subquery
+                # — the per-event per-tool qty total rides next to
+                # each plan row (Derby-native prepared shape, e2e in
+                # test_jdbc_derby.py); the snapshot per-tool aggregate
+                # frame broadcast-joins onto the fact and the value
+                # overlays the typed NULL placeholder post-stage
+                "id": "ppp",
+                "query": (
+                    "SELECT plan AS plan, price AS price, "
+                    "(SELECT sum(qty) FROM tool_plans p2 "
+                    "WHERE p2.tool = :tool) AS tq "
+                    "FROM tool_plans WHERE tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                # round-5 latest: a PARAMETERIZED scalar subquery as a
+                # HAVING comparand — the per-event value rides into the
+                # aggregated payload as a hidden overlaid carrier and
+                # the HAVING filter reads it post-aggregation (Derby-
+                # native prepared shape, e2e in test_jdbc_derby.py)
+                "id": "phv",
+                "query": (
+                    "SELECT plan AS plan, count(*) AS n "
+                    "FROM tool_plans GROUP BY plan "
+                    "HAVING count(*) > (SELECT count(*) "
+                    "FROM tool_plans p2 WHERE p2.tool = :tool)"
+                ),
+                "parameters": {"tool": "tool"},
+            },
         ]
     )
     enricher = LookupEnricher(
@@ -2774,6 +2965,36 @@ def lookup_psq_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         ga.getField("mx").alias("mx_ga"),
         ga.getField("n").cast("long").alias("n_ga"),
         ga.getField("s").cast("long").alias("s_ga"),
+        F.size("ppp").cast("long").alias("n_pp"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.col("ppp"),
+                    lambda r: F.concat(
+                        F.coalesce(r.getField("plan"), F.lit("~N")),
+                        F.lit(":"),
+                        r.getField("price").cast("string"),
+                        F.lit("="),
+                        r.getField("tq").cast("string"),
+                    ),
+                )
+            ),
+            "|",
+        ).alias("pp_rows"),
+        F.size("phv").cast("long").alias("n_ph"),
+        F.array_join(
+            F.array_sort(
+                F.transform(
+                    F.col("phv"),
+                    lambda r: F.concat(
+                        F.coalesce(r.getField("plan"), F.lit("~N")),
+                        F.lit("#"),
+                        r.getField("n").cast("string"),
+                    ),
+                )
+            ),
+            "|",
+        ).alias("ph_rows"),
     )
 
 

@@ -787,6 +787,90 @@ class TestDerbyRound5Shapes:
             lo: expect(lo) for lo in locs + ["NOWHERE"]
         }
 
+    def test_param_projection_subquery_on_derby_dim(
+        self, spark, derby_servers
+    ):
+        # round-5 latest: a :param inside a PROJECTION scalar
+        # subquery — Derby runs the prepared shape natively (pinned
+        # in TestDerbyGrammarLegality); here the per-event value
+        # broadcast-joins onto the fact and overlays the payload field
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "pp",
+                    "query": (
+                        "SELECT name AS nm, "
+                        "(SELECT count(*) FROM servers "
+                        "WHERE location = :loc) AS n_loc "
+                        "FROM servers WHERE location = :loc"
+                    ),
+                    "parameters": {"loc": "loc"},
+                }
+            ]
+        )
+        rows = store.dims()["servers"].collect()
+        locs = sorted({r["location"] for r in rows})
+        fact = spark.createDataFrame(
+            [(f"e{i}", lo) for i, lo in enumerate(locs + ["NOWHERE"])],
+            ["event", "loc"],
+        )
+        out = {
+            r["loc"]: sorted((x["nm"], x["n_loc"]) for x in r["pp"])
+            for r in LookupEnricher(spec, store.dims()).apply(fact).collect()
+        }
+        assert out == {
+            lo: sorted(
+                (r["name"], sum(1 for s in rows if s["location"] == lo))
+                for r in rows
+                if r["location"] == lo
+            )
+            for lo in locs + ["NOWHERE"]
+        }
+
+    def test_param_having_subquery_on_derby_dim(self, spark, derby_servers):
+        # round-5 latest: a :param scalar subquery as a HAVING
+        # comparand — Derby runs the prepared shape natively; here the
+        # per-event value rides into the payload as a hidden overlaid
+        # carrier and the HAVING filter reads it post-aggregation
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "ph",
+                    "query": (
+                        "SELECT location AS loc, count(*) AS n "
+                        "FROM servers GROUP BY location "
+                        "HAVING count(*) >= "
+                        "(SELECT count(*) FROM servers "
+                        "WHERE location = :loc)"
+                    ),
+                    "parameters": {"loc": "loc"},
+                }
+            ]
+        )
+        rows = store.dims()["servers"].collect()
+        locs = sorted({r["location"] for r in rows})
+        fact = spark.createDataFrame(
+            [(f"e{i}", lo) for i, lo in enumerate(locs + ["NOWHERE"])],
+            ["event", "loc"],
+        )
+        counts: dict[str, int] = {}
+        for r in rows:
+            counts[r["location"]] = counts.get(r["location"], 0) + 1
+        out = {
+            r["loc"]: sorted((x["loc"], x["n"]) for x in r["ph"])
+            for r in LookupEnricher(spec, store.dims()).apply(fact).collect()
+        }
+        assert out == {
+            lo: sorted(
+                (gl, gn)
+                for gl, gn in counts.items()
+                if gn >= counts.get(lo, 0)
+            )
+            for lo in locs + ["NOWHERE"]
+        }
+
     def test_mixed_dim_param_expression_on_derby_dim(
         self, spark, derby_servers
     ):
@@ -855,6 +939,36 @@ class TestDerbyRound5Shapes:
         )
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         assert sorted(x["name"] for x in row["ci"]) == live
+
+    def test_ineq_correlated_in_on_derby_dim(self, spark, derby_servers):
+        # round-5 latest: an INEQUALITY correlation inside an
+        # IN-subquery (standard SQL, Derby runs it natively) — here
+        # the per-row value set comes from the snapshot rid theta join
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "qi",
+                    "query": (
+                        "SELECT name FROM servers WHERE location IN "
+                        "(SELECT s2.location FROM servers s2 "
+                        "WHERE s2.ip < servers.ip)"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = store.dims()["servers"].collect()
+        live = sorted(
+            r["name"]
+            for r in rows
+            if r["location"] in {
+                s["location"] for s in rows if s["ip"] < r["ip"]
+            }
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["name"] for x in row["qi"]) == live
 
     def test_cast_and_scalar_funcs_on_derby_dim(self, spark, derby_servers):
         store = self._store(spark)
@@ -1361,6 +1475,18 @@ class TestDerbyGrammarLegality:
         return jdbc_fetch(
             spark, _loader(sql, table="servers")
         ).collect()
+
+    def test_ineq_correlated_in_native(self, spark, derby_servers):
+        # round-5 latest: an inequality correlation inside an
+        # IN-subquery is standard SQL Derby runs natively — pinned so
+        # the accepted grammar stays a Derby subset here
+        rows = self._fetch(
+            spark,
+            'SELECT "name" FROM servers WHERE "ip" IN '
+            '(SELECT s2."ip" FROM servers s2 '
+            'WHERE s2."ip" <= servers."ip")',
+        )
+        assert len(rows) == 3  # every row matches itself
 
     def test_derived_table_with_group_by_having(self, spark, derby_servers):
         rows = self._fetch(
@@ -1909,6 +2035,34 @@ class TestDerbyGrammarLegality:
             while rs3.next():
                 n += 1
             assert n == 1  # only the max ip satisfies >= ALL
+            # a param inside a PROJECTION scalar subquery is a Derby
+            # prepared-statement shape too (round-5 latest) — legal in
+            # a NON-aggregate SELECT list (the aggregate combinations
+            # are 42Y30/42Y35, pinned elsewhere)
+            ps4 = conn.prepareStatement(
+                'SELECT "name", (SELECT COUNT(*) FROM servers '
+                'WHERE "location" = ?) FROM servers'
+            )
+            ps4.setString(1, "lga")
+            rs4 = ps4.executeQuery()
+            n = 0
+            while rs4.next():
+                assert rs4.getInt(2) >= 0
+                n += 1
+            assert n == 3
+            # ...and a param scalar subquery as a HAVING comparand
+            # (round-5 latest) is equally a prepared shape on Derby
+            ps5 = conn.prepareStatement(
+                'SELECT "location", COUNT(*) FROM servers '
+                'GROUP BY "location" HAVING COUNT(*) >= '
+                '(SELECT COUNT(*) FROM servers WHERE "location" = ?)'
+            )
+            ps5.setString(1, "lga")
+            rs5 = ps5.executeQuery()
+            n = 0
+            while rs5.next():
+                n += 1
+            assert n >= 1
         finally:
             conn.close()
 

@@ -441,12 +441,16 @@ class TestIneqCorrelation:
         assert sq.func == "avg"
         assert sq.ineq == (("price", ">", "price"),)
 
-    def test_ineq_rejected_in_in_subquery(self):
-        with pytest.raises(ValidationError, match="only plain equalities"):
-            parse_lookup_query(
-                "SELECT price FROM t WHERE price IN (SELECT p2.price "
-                "FROM t p2 WHERE p2.qty > t.qty)"
-            )
+    def test_ineq_accepted_in_in_subquery(self):
+        # round-5 latest: inequality correlations are ACCEPTED in set
+        # subqueries — per-row value sets via the rid theta join
+        # (TestIneqSetGolden)
+        q = parse_lookup_query(
+            "SELECT price FROM t WHERE price IN (SELECT p2.price "
+            "FROM t p2 WHERE p2.qty > t.qty)"
+        )
+        sq = q.predicates[0].terms[0].value
+        assert sq.ineq == (("qty", ">", "qty"),)
 
 
 @pytest.mark.parametrize("kw", ENGINES)
@@ -1003,3 +1007,148 @@ class TestIneqScalarGolden:
             )
             exp = sorted((d["price"], d["rk"]) for d in ev["x"])
             assert got[f"t{i}"] == exp, (i, got[f"t{i}"], exp)
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+class TestIneqSetGolden:
+    """Round-5 latest: INEQUALITY correlations in [NOT] IN and
+    quantified set subqueries (``plan IN (SELECT p2.plan FROM t p2
+    WHERE p2.price < t.price)``) — the value set is per dim ROW, so
+    in_group_cols_of decorrelates via the same snapshot-time rid theta
+    join as scalar aggregates, collecting per-rid (set, had-NULL,
+    count) columns; the predicate compiles as the unchanged ``in_set``
+    / ``{cmp} {quant}_set`` ops. Hand-verified over PLAN_ROWS (by
+    price: 1 trial, 2 basic, 5 NULL, 7 pro, 8 pro, 8 NULL, 10
+    basic)."""
+
+    _run = TestGolden._run
+
+    def test_in_with_inequality_only(self, spark, kw):
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND "
+            "plan IN (SELECT p2.plan FROM tool_plans p2 "
+            "WHERE p2.price < tool_plans.price)",
+        )
+        # (10,basic): cheaper plans include basic -> TRUE; (7,pro):
+        # cheaper = {trial,basic,NULL} -> UNKNOWN (NULL in set);
+        # (2,basic): {trial} -> FALSE; (1,trial): empty -> IN () FALSE;
+        # NULL-plan lhs rows always drop
+        assert got == {
+            "t0": [10], "t1": [], "t2": [8],
+            "t3": [], "t4": [], "t5": [],
+        }
+
+    def test_not_in_with_inequality_only(self, spark, kw):
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND "
+            "plan NOT IN (SELECT p2.plan FROM tool_plans p2 "
+            "WHERE p2.price < tool_plans.price)",
+        )
+        # (2,basic): cheaper = {trial}, no NULL, no match -> TRUE;
+        # (1,trial): empty set -> NOT IN () TRUE; NULL in the set or a
+        # member -> dropped
+        assert got == {
+            "t0": [], "t1": [], "t2": [2],
+            "t3": [], "t4": [1], "t5": [],
+        }
+
+    def test_quantified_mixed_eq_and_ineq(self, spark, kw):
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND "
+            "price > ALL (SELECT p2.price FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan "
+            "AND p2.qty >= tool_plans.qty)",
+        )
+        # every same-plan row with qty >= this row's qty includes the
+        # row ITSELF -> price > price is FALSE everywhere; NULL-plan
+        # rows correlate to nothing -> > ALL () vacuously TRUE
+        assert got == {
+            "t0": [5], "t1": [], "t2": [],
+            "t3": [8], "t4": [], "t5": [],
+        }
+
+    def test_quantified_any_inequality_only(self, spark, kw):
+        got = self._run(
+            spark, kw,
+            "SELECT price FROM tool_plans WHERE tool = :tool AND "
+            "price < ANY (SELECT p2.price FROM tool_plans p2 "
+            "WHERE p2.price > tool_plans.price)",
+        )
+        # TRUE iff some strictly-greater price exists (the set is
+        # exactly the greater prices) — only the global max (10) fails
+        assert got == {
+            "t0": [5], "t1": [7], "t2": [2, 8],
+            "t3": [8], "t4": [1], "t5": [],
+        }
+
+    def test_matches_row_oracle(self, spark, kw):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        q = (
+            "SELECT price FROM tool_plans WHERE tool = :tool AND "
+            "qty IN (SELECT p2.qty FROM tool_plans p2 "
+            "WHERE p2.plan = tool_plans.plan "
+            "AND p2.price <= tool_plans.price)"
+        )
+        got = self._run(spark, kw, q)
+        tables = {
+            "tool_plans": [
+                dict(zip(("tool", "price", "qty", "plan"), r))
+                for r in PLAN_ROWS
+            ]
+        }
+        for i in range(6):
+            ev = {"tool": f"t{i}"}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{
+                    "id": "x", "query": q, "parameters": {"tool": "tool"},
+                }]),
+                tables,
+            )
+            exp = sorted(d["price"] for d in ev["x"])
+            assert got[f"t{i}"] == exp, (i, got[f"t{i}"], exp)
+
+
+class TestIneqSetValidation:
+    def _compile(self, spark, query):
+        LookupEnricher(
+            PipelineSpec(lookups=[{
+                "id": "x", "query": query,
+                "parameters": {"tool": "tool"},
+            }]),
+            {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)},
+        )
+
+    def test_parser_extracts_set_ineq(self):
+        q = parse_lookup_query(
+            "SELECT price FROM tool_plans WHERE plan IN "
+            "(SELECT p2.plan FROM tool_plans p2 "
+            "WHERE p2.price < tool_plans.price)"
+        )
+        sq = q.predicates[0].terms[0].value
+        assert sq.func == "__values"
+        assert sq.ineq == (("price", "<", "price"),)
+
+    def test_param_plus_ineq_rejected(self, spark):
+        with pytest.raises(ValidationError, match="BOTH correlated"):
+            self._compile(
+                spark,
+                "SELECT price FROM tool_plans WHERE plan IN "
+                "(SELECT p2.plan FROM tool_plans p2 "
+                "WHERE p2.price < tool_plans.price "
+                "AND p2.tool = :tool)",
+            )
+
+    def test_ineq_in_still_rejected_in_having(self, spark):
+        with pytest.raises(ValidationError, match="HAVING"):
+            self._compile(
+                spark,
+                "SELECT plan AS plan, count(*) AS n FROM tool_plans "
+                "GROUP BY plan HAVING plan IN "
+                "(SELECT p2.plan FROM tool_plans p2 "
+                "WHERE p2.price < tool_plans.price)",
+            )

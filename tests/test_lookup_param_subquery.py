@@ -301,21 +301,34 @@ class TestParamSubqueryRejections:
                 "WHERE tool = :tool OR qty > 5)",
             )
 
-    def test_having_param_subquery_rejected(self, spark):
-        with pytest.raises(ValidationError, match="HAVING"):
-            self._compile(
-                spark,
-                "SELECT tool AS tool, count(*) AS n FROM plans "
-                "WHERE price > 0 GROUP BY tool HAVING n >= "
-                "(SELECT count(*) FROM plans WHERE tool = :tool)",
-            )
+    def test_having_param_subquery_accepted(self, spark):
+        # round-5 latest: SCALAR param subqueries in HAVING are
+        # ACCEPTED — the per-event value rides a hidden overlaid
+        # carrier (TestParamHavingSubquery); set-shaped ones stay
+        # rejected (TestParamHavingRejections)
+        self._compile(  # compiles without raising
+            spark,
+            "SELECT tool AS tool, count(*) AS n FROM plans "
+            "WHERE price > 0 GROUP BY tool HAVING n >= "
+            "(SELECT count(*) FROM plans WHERE tool = :tool)",
+        )
 
-    def test_projection_param_subquery_rejected(self, spark):
-        with pytest.raises(ValidationError, match="PROJECTION"):
+    def test_projection_param_subquery_accepted(self, spark):
+        # round-5 latest: PROJECTION param subqueries are ACCEPTED —
+        # the per-event value overlays a typed NULL placeholder
+        # (TestParamProjection in test_lookup_proj_subquery.py); only
+        # the GLOBAL-aggregate combination stays closed
+        self._compile(  # compiles without raising
+            spark,
+            "SELECT plan AS plan, (SELECT avg(price) FROM plans "
+            "WHERE tool = :tool) AS ap FROM plans WHERE tool = :tool",
+        )
+        with pytest.raises(ValidationError, match="GLOBAL aggregate"):
             self._compile(
                 spark,
-                "SELECT plan AS plan, (SELECT avg(price) FROM plans "
-                "WHERE tool = :tool) AS ap FROM plans WHERE tool = :tool",
+                "SELECT count(*) AS n, (SELECT avg(price) FROM plans "
+                "WHERE tool = :tool) AS ap FROM plans "
+                "WHERE tool = :tool",
             )
 
     def test_nested_param_subquery_rejected(self, spark):
@@ -447,4 +460,151 @@ class TestParamSetSubqueries:
                         "tool string, plan string, price int, qty int",
                     )
                 },
+            )
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+class TestParamHavingSubquery:
+    """Round-5 latest: SCALAR parameterized subqueries as HAVING
+    comparands (``HAVING sum(price) >= (SELECT max(price) FROM t WHERE
+    tool = :tool)``) — the HAVING filter reads aggregated PAYLOAD
+    fields, so the per-event value rides INTO the payload as a hidden
+    ``max(__hsq*)`` carrier over a typed NULL dim placeholder, overlaid
+    with the broadcast-joined value inside the payload stage and
+    stripped post-filter (the same machinery as correlated HAVING
+    subqueries + parameterized projection subqueries). Derby runs the
+    shape natively as a prepared statement. Set-shaped parameterized
+    subqueries (EXISTS / IN / quantified) stay rejected in HAVING with
+    targeted messages."""
+
+    def test_max_comparand_null_on_empty_group(self, spark, kw):
+        # ORDER BY pins the payload order for the exact compare in _run
+        got = _run(
+            spark,
+            "SELECT plan AS plan, sum(price) AS s FROM plans "
+            "WHERE price > 0 GROUP BY plan "
+            "HAVING sum(price) >= "
+            "(SELECT max(price) FROM plans p2 WHERE p2.tool = :tool) "
+            "ORDER BY plan",
+            kw,
+        )
+        # t1: max=10 -> groups with s>=10 (basic 12, gold 99);
+        # t2: max=99 -> gold only; t9/NULL: empty group -> max NULL ->
+        # comparison UNKNOWN -> zero rows survive ([] payload)
+        assert got["t1"] == [("basic", 12), ("gold", 99)]
+        assert got["t2"] == [("gold", 99)]
+        assert got["t9"] == []
+
+    def test_count_comparand_zero_on_empty_group(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM plans "
+            "GROUP BY plan "
+            "HAVING count(*) > "
+            "(SELECT count(*) FROM plans p2 "
+            "WHERE p2.tool = :tool AND p2.plan = 'gold') "
+            "ORDER BY plan",
+            kw,
+        )
+        # t2 has one gold row -> only groups with n>1 survive (none:
+        # every plan group here has exactly 1-2 rows; basic has 2)
+        assert got["t2"] == [("basic", 2)]
+        # t1/t9: subquery count is 0 -> every group survives
+        assert got["t1"] == [
+            ("basic", 2), ("gold", 1), ("pro", 1), (None, 1)
+        ]
+        assert got["t9"] == got["t1"]
+
+    def test_default_fires_when_having_empties(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, sum(price) AS s FROM plans "
+            "GROUP BY plan "
+            "HAVING sum(price) >= "
+            "(SELECT max(price) FROM plans p2 WHERE p2.tool = :tool)",
+            kw,
+            default={"plan": "none", "s": -1},
+        )
+        assert got["t9"] == [("none", -1)]
+
+    def test_subquery_on_both_comparison_sides_of_having(self, spark, kw):
+        # two DISTINCT parameterized subqueries in one HAVING clause —
+        # each gets its own hidden carrier and frame
+        got = _run(
+            spark,
+            "SELECT plan AS plan, sum(price) AS s FROM plans "
+            "GROUP BY plan "
+            "HAVING sum(price) >= "
+            "(SELECT min(price) FROM plans p2 WHERE p2.tool = :tool) "
+            "AND sum(price) <= "
+            "(SELECT max(price) FROM plans p2 WHERE p2.tool = :tool) "
+            "ORDER BY plan",
+            kw,
+        )
+        # t1: min=4, max=10 -> groups with 4<=s<=10 (pro 7, NULL 4)
+        assert got["t1"] == [("pro", 7), (None, 4)]
+        assert got["t9"] == []
+
+    def test_combines_with_where_param_subquery(self, spark, kw):
+        # the same parameterized frame machinery serves WHERE and
+        # HAVING at once (distinct subqueries -> distinct frames)
+        got = _run(
+            spark,
+            "SELECT plan AS plan, sum(price) AS s FROM plans "
+            "WHERE price <= "
+            "(SELECT max(price) FROM plans p2 WHERE p2.tool = :tool) "
+            "GROUP BY plan "
+            "HAVING sum(price) > "
+            "(SELECT min(price) FROM plans p2 WHERE p2.tool = :tool) "
+            "ORDER BY plan",
+            kw,
+        )
+        # t1: WHERE price<=10 keeps (10,7,4,2); groups basic 12, pro 7,
+        # NULL 4, then HAVING s>4 -> basic, pro
+        assert got["t1"] == [("basic", 12), ("pro", 7)]
+
+
+class TestParamHavingRejections:
+    def _compile(self, spark, query):
+        LookupEnricher(
+            PipelineSpec(lookups=[{
+                "id": "u", "query": query,
+                "parameters": {"tool": "tool"},
+            }]),
+            _dims(spark),
+        )
+
+    def test_exists_still_rejected(self, spark):
+        with pytest.raises(ValidationError, match="EXISTS"):
+            self._compile(
+                spark,
+                "SELECT plan AS plan, count(*) AS n FROM plans "
+                "GROUP BY plan HAVING EXISTS "
+                "(SELECT 1 FROM plans p2 WHERE p2.tool = :tool)",
+            )
+
+    def test_quantified_still_rejected(self, spark):
+        with pytest.raises(ValidationError, match="quantified"):
+            self._compile(
+                spark,
+                "SELECT plan AS plan, max(price) AS m FROM plans "
+                "GROUP BY plan HAVING max(price) >= ALL "
+                "(SELECT price FROM plans p2 WHERE p2.tool = :tool)",
+            )
+
+    def test_prepared_positional_still_rejected_in_having(self, spark):
+        # pre-existing HAVING rule: '?' placeholders are WHERE-only
+        with pytest.raises(ValidationError, match="positional"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "u",
+                    "query": (
+                        "SELECT plan AS plan, sum(price) AS s "
+                        "FROM plans WHERE tool = ? GROUP BY plan "
+                        "HAVING sum(price) >= (SELECT max(price) "
+                        "FROM plans p2 WHERE p2.tool = ?)"
+                    ),
+                    "prepared_parameters": ["tool", "tool"],
+                }]),
+                _dims(spark),
             )

@@ -735,3 +735,214 @@ class TestGlobalAggregate:
                 tables,
             )
             assert [tuple(d.values()) for d in ev["u"]] == got[f"t{i}"]
+
+
+FACT_OTHER = T.StructType(
+    FACT.fields + [T.StructField("other", T.StringType(), True)]
+)
+
+
+@pytest.mark.parametrize("kw", ENGINES)
+class TestParamProjection:
+    """Round-5 latest: PARAMETERIZED projection subqueries
+    (``SELECT plan, (SELECT sum(price) FROM p2 WHERE p2.tool = :tool)
+    AS tot ...``) — the per-event value rides the predicate param-
+    subquery machinery (snapshot per-param-group aggregate frame,
+    broadcast-joined onto the FACT) and is OVERLAID into the payload
+    field post-stage; the dim carries a typed NULL placeholder so
+    every physical path keeps its snapshot-typed payload struct.
+    Derby runs the shape natively as a prepared statement
+    (lookup.rb:131-147) — e2e in test_jdbc_derby.py."""
+
+    def _run(self, spark, query, kw, params=None, rows=None):
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        spec = PipelineSpec(
+            lookups=[{"id": "u", "query": query,
+                      "parameters": params or {"tool": "tool"}}]
+        )
+        facts = spark.createDataFrame(
+            rows if rows is not None
+            else [(f"c{i}", i, f"t{i}") for i in range(5)],
+            FACT if rows is None else FACT_OTHER,
+        )
+        out = LookupEnricher(spec, dims, **kw).apply(facts)
+        return {
+            r["tool"]: (
+                None if r["u"] is None
+                else sorted(
+                    (tuple(d.asDict().values()) for d in r["u"]),
+                    key=lambda t: tuple(
+                        (v is not None, v) for v in t
+                    ),
+                )
+            )
+            for r in out.select("tool", "u").collect()
+        }
+
+    def test_plain_projection_per_event_value(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT plan, (SELECT sum(price) FROM plans p2 "
+            "WHERE p2.tool = :tool) AS tot "
+            "FROM plans WHERE tool = :tool",
+            kw,
+        )
+        assert got == {
+            "t0": [],
+            "t1": [("basic", 12), ("basic", 12)],
+            "t2": [("pro", 7)],
+            "t3": [(None, 8)],
+            "t4": [("trial", 1)],
+        }
+
+    def test_count_over_empty_param_group_is_zero(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT plan, (SELECT count(*) FROM plans p2 "
+            "WHERE p2.tool = :other) AS c "
+            "FROM plans WHERE tool = :tool",
+            kw,
+            params={"tool": "tool", "other": "other"},
+            rows=[("c1", 1, "t1", "t9"), ("c2", 2, "t2", "t3")],
+        )
+        # t9 matches no sub group: SQL count over the empty set is 0;
+        # t3 matches one row
+        assert got == {
+            "t1": [("basic", 0), ("basic", 0)],
+            "t2": [("pro", 1)],
+        }
+
+    def test_non_count_over_empty_param_group_is_null(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT plan, (SELECT max(price) FROM plans p2 "
+            "WHERE p2.tool = :other) AS m "
+            "FROM plans WHERE tool = :tool",
+            kw,
+            params={"tool": "tool", "other": "other"},
+            rows=[("c1", 1, "t1", "t9")],
+        )
+        assert got == {"t1": [("basic", None), ("basic", None)]}
+
+    def test_group_by_combination(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT plan, (SELECT count(*) FROM plans p2 "
+            "WHERE p2.tool = :tool) AS c, sum(price) AS s "
+            "FROM plans WHERE tool = :tool GROUP BY plan",
+            kw,
+        )
+        assert got == {
+            "t0": [],
+            "t1": [("basic", 2, 12)],
+            "t2": [("pro", 1, 7)],
+            "t3": [(None, 1, 8)],
+            "t4": [("trial", 1, 1)],
+        }
+
+    def test_union_branches_each_overlay_their_value(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT plan, (SELECT max(price) FROM plans p2 "
+            "WHERE p2.tool = :tool) AS v "
+            "FROM plans WHERE tool = :tool "
+            "UNION ALL SELECT plan AS plan, price AS v "
+            "FROM plans WHERE tool = 't4'",
+            kw,
+        )
+        assert got["t1"] == [("basic", 10), ("basic", 10), ("trial", 1)]
+        assert got["t2"] == [("pro", 7), ("trial", 1)]
+        # miss on the parameterized branch still unions the static one
+        assert got["t0"] == [("trial", 1)]
+
+    def test_probe_miss_fires_default(self, spark, kw):
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "u",
+                "query": (
+                    "SELECT plan, (SELECT max(price) FROM plans p2 "
+                    "WHERE p2.tool = :tool) AS m "
+                    "FROM plans WHERE tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+                "default_hash": {"plan": "none", "m": -1},
+            }]
+        )
+        facts = spark.createDataFrame([("c0", 0, "t0")], FACT)
+        (row,) = LookupEnricher(spec, dims, **kw).apply(facts).collect()
+        assert [(d["plan"], d["m"]) for d in row["u"]] == [("none", -1)]
+
+    def test_matches_row_oracle(self, spark, kw):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        query = (
+            "SELECT plan, (SELECT sum(price) FROM plans p2 "
+            "WHERE p2.tool = :tool) AS tot, price "
+            "FROM plans WHERE tool = :tool"
+        )
+        got = self._run(spark, query, kw)
+        tables = {
+            "plans": [
+                dict(zip(("tool", "plan", "price"), r)) for r in PLAN_ROWS
+            ]
+        }
+        for i in range(5):
+            ev = {"conv_id": f"c{i}", "turn_idx": i, "tool": f"t{i}"}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{"id": "u", "query": query,
+                                       "parameters": {"tool": "tool"}}]),
+                tables,
+            )
+            assert sorted(
+                (tuple(d.values()) for d in ev["u"]),
+                key=lambda t: tuple((v is not None, v) for v in t),
+            ) == got[f"t{i}"]
+
+
+class TestParamProjectionValidation:
+    def test_rejected_with_global_aggregate(self):
+        with pytest.raises(ValidationError, match="PARAMETERIZED"):
+            parse_lookup_query(
+                "SELECT count(*) AS n, (SELECT max(x) FROM u "
+                "WHERE u.p = :p) AS m FROM t WHERE a = :a"
+            )
+
+    def test_rejected_when_also_correlated(self):
+        with pytest.raises(ValidationError, match="BOTH correlated"):
+            parse_lookup_query(
+                "SELECT (SELECT max(u.x) FROM u WHERE u.k = t.k "
+                "AND u.p = :p) AS m FROM t WHERE a = :a"
+            )
+
+    def test_rejected_inside_derived_table(self, spark):
+        from logstash_filter_jdbc_static_spark.operators.lookup import (
+            materialize_derived,
+        )
+
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        with pytest.raises(ValidationError, match="derived"):
+            materialize_derived(
+                "SELECT plan, (SELECT max(price) FROM plans p2 "
+                "WHERE p2.tool = :tool) AS m FROM plans",
+                dims,
+                "derived table 'd'",
+            )
+
+    def test_missing_binding_detected(self, spark):
+        dims = {"plans": spark.createDataFrame(PLAN_ROWS, PLANS)}
+        spec = PipelineSpec(
+            lookups=[{
+                "id": "u",
+                "query": (
+                    "SELECT plan, (SELECT max(price) FROM plans p2 "
+                    "WHERE p2.tool = :missing) AS m "
+                    "FROM plans WHERE tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            }]
+        )
+        facts = spark.createDataFrame([("c0", 0, "t0")], FACT)
+        with pytest.raises(ValidationError, match="missing"):
+            LookupEnricher(spec, dims).apply(facts)

@@ -199,6 +199,17 @@ WIDE_TEMPLATES = [
     "ip IN (lower(name), :ip || substr(name, 9, 1))",
     "ip BETWEEN substr(name, 2, 1) AND :ip || name",
     "name = CASE WHEN ip = :ip THEN 'v1' ELSE name END AND ip IS NOT NULL",
+    # round-5 latest: INEQUALITY correlations in [NOT] IN / quantified
+    # set subqueries — per-row value sets via the snapshot rid theta
+    # join (incl. the empty-set, NULL-in-set and mixed eq+ineq corners)
+    "ip IN (SELECT s2.ip FROM servers s2 WHERE s2.name < servers.name) "
+    "OR ip = :ip",
+    "ip = :ip AND name NOT IN (SELECT s2.name FROM servers s2 "
+    "WHERE s2.ip < servers.ip)",
+    "ip >= ALL (SELECT s2.ip FROM servers s2 "
+    "WHERE s2.name = servers.name AND s2.ip <= servers.ip) AND ip = :ip",
+    "ip < ANY (SELECT s2.ip FROM servers s2 "
+    "WHERE s2.ip > servers.ip) OR ip = :ip",
 ]
 
 
@@ -740,6 +751,27 @@ FULLQ_TEMPLATES = [
      "(SELECT count(*) FROM servers s2 WHERE s2.ip >= servers.ip "
      "AND s2.name >= servers.name)",
      {"name": "dflt"}),
+    # round-5 latest: PARAMETERIZED projection subqueries — the
+    # per-event value broadcast-joins onto the fact and overlays the
+    # payload field post-stage (typed NULL placeholder on the dim)
+    ("SELECT name, (SELECT count(*) FROM servers s2 "
+     "WHERE s2.ip = :ip) AS c FROM servers WHERE ip = :ip",
+     {"name": "dflt", "c": -1}),
+    ("SELECT name, (SELECT min(s2.name) FROM servers s2 "
+     "WHERE s2.ip = :ip) AS mn, count(*) AS n "
+     "FROM servers WHERE ip >= :ip GROUP BY name",
+     {"name": "dflt", "mn": "d2", "n": -1}),
+    ("SELECT name, (SELECT max(s2.name) FROM servers s2 "
+     "WHERE s2.ip = :ip) AS v FROM servers WHERE ip = :ip "
+     "UNION ALL SELECT name AS name, name AS v FROM servers "
+     "WHERE name = 'v1'",
+     {"name": "dflt", "v": "d2"}),
+    # round-5 latest: PARAMETERIZED scalar subquery as a HAVING
+    # comparand (hidden overlaid carrier read post-aggregation)
+    ("SELECT name, count(*) AS n FROM servers GROUP BY name "
+     "HAVING count(*) >= "
+     "(SELECT count(*) FROM servers s2 WHERE s2.ip = :ip)",
+     {"name": "dflt", "n": -1}),
 ]
 
 
