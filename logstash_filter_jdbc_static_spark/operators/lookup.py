@@ -809,21 +809,147 @@ def _sub_filtered_df(
         names.add(name)
         return _Term("column", name)
 
-    where = [
-        [
-            _Predicate(
+    def _nested_corr_join(inner: _Subquery, what: str):
+        """Shared plumbing for nested EXISTS/IN (round-5 latest):
+        materialize the inner relation + the enclosing frame's outer
+        expressions, validate scopes, reject the still-unsupported
+        combinations with targeted messages. Returns (in_df, d2)."""
+        if inner.ineq:
+            raise ValidationError(
+                [f"lookup subquery on {inner.table!r}: inequality "
+                 f"correlations cannot nest inside another subquery — "
+                 f"pre-shape the dim with a loader query"]
+            )
+        d2 = nested_state["df"]
+        for oe_name, ast in inner.outer_exprs:
+            if oe_name not in d2.columns:
+                d2 = d2.withColumn(oe_name, sqlexpr.compile_expr(ast))
+        bad = sorted(oc for _, oc in inner.corr if oc not in d2.columns)
+        if bad:
+            raise ValidationError(
+                [f"lookup {what} on {inner.table!r}: outer column(s) "
+                 f"{bad} not in table {sq.table!r} (nested correlations "
+                 f"resolve against the ENCLOSING subquery's relation)"]
+            )
+        in_df, _ = _sub_filtered_df(inner, dims, _depth + 1)
+        return in_df, d2
+
+    def nested_exists_col(inner: _Subquery) -> str:
+        """Nested [NOT] EXISTS (round-5 latest): a semi-join boolean
+        flag on the ENCLOSING sub frame — uncorrelated folds to a
+        constant (one snapshot-time take(1)), eq-correlated left-joins
+        the distinct correlation-key set, misses coalesce FALSE
+        (EXISTS is two-valued)."""
+        in_df, d2 = _nested_corr_join(inner, "EXISTS subquery")
+        name = f"__nsqx{nested_state['n']}"
+        nested_state["n"] += 1
+        if not inner.corr:
+            d2 = d2.withColumn(name, F.lit(bool(in_df.take(1))))
+        else:
+            keys = [f"__xk{i}_{name}" for i in range(len(inner.corr))]
+            keyset = (
+                in_df.select(
+                    *[
+                        F.col(sc).alias(k)
+                        for (sc, _), k in zip(inner.corr, keys)
+                    ]
+                )
+                .distinct()
+                .withColumn(name, F.lit(True))
+            )
+            cond = None
+            for (_, oc), k in zip(inner.corr, keys):
+                piece = d2[oc] == keyset[k]
+                cond = piece if cond is None else (cond & piece)
+            d2 = d2.join(F.broadcast(keyset), cond, "left").drop(*keys)
+            d2 = d2.withColumn(
+                name, F.coalesce(F.col(name), F.lit(False))
+            )
+        nested_state["df"] = d2
+        names.add(name)
+        return name
+
+    def nested_in_cols(inner: _Subquery) -> tuple[str, str, str]:
+        """Nested correlated [NOT] IN / quantified (round-5 latest):
+        per-group (value set, had-NULL, count) columns left-joined
+        onto the ENCLOSING sub frame by the correlation keys — the
+        nested twin of in_group_cols_of, honoring _IN_SUBQUERY_CAP."""
+        in_df, d2 = _nested_corr_join(inner, "IN-subquery")
+        base = f"__nsqi{nested_state['n']}"
+        nested_state["n"] += 1
+        names3 = (f"{base}_set", f"{base}_null", f"{base}_cnt")
+        keys = [f"__ik{i}_{base}" for i in range(len(inner.corr))]
+        grouped = in_df.groupBy(
+            *[F.col(sc).alias(k) for (sc, _), k in zip(inner.corr, keys)]
+        ).agg(
+            F.collect_set(F.col(inner.col)).alias(names3[0]),
+            F.max(F.col(inner.col).isNull()).alias(names3[1]),
+            F.count(F.lit(1)).alias(names3[2]),
+        )
+        biggest = grouped.agg(F.max(F.size(names3[0]))).collect()[0][0]
+        if biggest is not None and biggest > _IN_SUBQUERY_CAP:
+            raise ValidationError(
+                [f"lookup IN-subquery on {inner.table!r}: a correlation "
+                 f"group exceeds {_IN_SUBQUERY_CAP} distinct values — "
+                 f"pre-shape the dim with a loader query instead"]
+            )
+        cond = None
+        for (_, oc), k in zip(inner.corr, keys):
+            piece = d2[oc] == grouped[k]
+            cond = piece if cond is None else (cond & piece)
+        d2 = d2.join(F.broadcast(grouped), cond, "left").drop(*keys)
+        nested_state["df"] = d2
+        names.update(names3)
+        return names3
+
+    def fix_nested_pred(p: _Predicate) -> _Predicate:
+        if not any(t.kind == "subquery" for t in p.terms):
+            return p
+        if p.op in ("exists", "not exists"):
+            name = nested_exists_col(p.terms[0].value)
+            return _Predicate(
+                name, "=", [_Term("literal", p.op == "exists")]
+            )
+        if (
+            len(p.terms) == 1
+            and p.terms[0].kind == "subquery"
+            and p.terms[0].value.func == "__values"
+        ):
+            inner = p.terms[0].value
+            if inner.corr or inner.ineq:
+                s, nn, c = nested_in_cols(inner)
+                mapped = (
+                    f"{p.op}_set"
+                    if p.op in _QUANT_OPS
+                    else ("in_set" if p.op == "in" else "not in_set")
+                )
+                return _Predicate(
+                    p.dim_column,
+                    mapped,
+                    [_Term("column", s), _Term("column", nn),
+                     _Term("column", c)],
+                    func=p.func,
+                )
+            # uncorrelated nested row set: a literal value list, with
+            # the same cap the outer expansion honors
+            vals = _collect_in_values(inner, dims)
+            return _Predicate(
                 p.dim_column,
                 p.op,
-                [
-                    _resolve_nested(t) if t.kind == "subquery" else t
-                    for t in p.terms
-                ],
+                [_Term("literal", v) for v in vals],
                 func=p.func,
             )
-            for p in d
-        ]
-        for d in sq.where
-    ]
+        return _Predicate(
+            p.dim_column,
+            p.op,
+            [
+                _resolve_nested(t) if t.kind == "subquery" else t
+                for t in p.terms
+            ],
+            func=p.func,
+        )
+
+    where = [[fix_nested_pred(p) for p in d] for d in sq.where]
     df = nested_state["df"]
     for d in where:
         for p in d:
@@ -2501,11 +2627,10 @@ class _WhereParser:
         must be group-constant — resolve validates the correlated
         columns are GROUP BY keys and rides the flag into the payload
         as a hidden ``max(__sq_exists*)`` aggregate."""
-        if self.in_subquery:
-            raise ValidationError(
-                ["lookup subquery: EXISTS cannot nest inside another "
-                 "subquery's WHERE"]
-            )
+        # nested EXISTS (round-5 latest): legal inside another
+        # subquery's WHERE — _sub_filtered_df compiles it as a
+        # semi-join flag on the ENCLOSING sub frame (fix_nested_pred);
+        # param/inequality combinations reject at resolution
         self._expect_word("select")
         # slice the projection tokens up to the depth-0 FROM
         depth, j = 0, self.i

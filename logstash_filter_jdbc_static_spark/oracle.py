@@ -138,6 +138,11 @@ def _pred_match(p, row: dict, params: dict) -> bool:
             # static dim-side comparand (a = b + 1) / HAVING alias rhs:
             # read the other field off the same row
             vals.append(row.get(t.value))
+        elif t.kind == "column_set":
+            # nested correlated IN/quantified (round-5 latest): the
+            # row carries its per-row value LIST — expand it as the
+            # comparison set (NULLs kept for exact 3VL)
+            vals.extend(dict.fromkeys(row.get(t.value) or []))
         elif t.kind == "param_expr":
             # fact-side param expression (round-5 latest): substitute
             # the event's bound values, then evaluate — the mirror of
@@ -357,9 +362,83 @@ def _sub_rows(sq, tables: dict[str, list[dict]], _depth: int = 0) -> list[dict]:
         ]
     state = {"rows": rows, "n": 0}
 
+    def _per_row_group(inner, rr: dict) -> list:
+        """Matching inner-subquery rows for ONE enclosing-frame row
+        (nested EXISTS/IN, round-5 latest)."""
+        sub = _sub_rows(inner, tables, _depth + 1)
+        return [
+            s
+            for s in sub
+            if all(
+                _corr_eq_vals(s.get(sc), rr.get(oc))
+                for sc, oc in inner.corr
+            )
+        ]
+
+    def _outer_exprs_applied(inner, r: dict) -> dict:
+        rr = dict(r)
+        for oe_name, ast in inner.outer_exprs:
+            if oe_name not in rr:
+                rr[oe_name] = eval_expr(ast, rr)
+        return rr
+
     def fix(p):
         if not any(t.kind == "subquery" for t in p.terms):
             return p
+        if p.op in ("exists", "not exists"):
+            # nested [NOT] EXISTS (round-5 latest): a per-row boolean
+            # flag — the row-at-a-time twin of the compiled semi-join
+            # flag on the enclosing sub frame
+            inner = p.terms[0].value
+            name = f"__nsqx{state['n']}"
+            state["n"] += 1
+            new_rows = []
+            for r in state["rows"]:
+                rr = _outer_exprs_applied(inner, r)
+                rr[name] = bool(_per_row_group(inner, rr))
+                new_rows.append(rr)
+            state["rows"] = new_rows
+            return _Predicate(
+                name, "=", [_Term("literal", p.op == "exists")]
+            )
+        if (
+            len(p.terms) == 1
+            and p.terms[0].kind == "subquery"
+            and p.terms[0].value.func == "__values"
+        ):
+            inner = p.terms[0].value
+            if inner.corr:
+                # nested correlated [NOT] IN / quantified (round-5
+                # latest): per-row value LIST column — _pred_match
+                # reads a "column" term holding a list as the expanded
+                # value set (same 3VL as the literal expansion)
+                name = f"__nsqv{state['n']}"
+                state["n"] += 1
+                new_rows = []
+                for r in state["rows"]:
+                    rr = _outer_exprs_applied(inner, r)
+                    rr[name] = [
+                        s.get(inner.col)
+                        for s in _per_row_group(inner, rr)
+                    ]
+                    new_rows.append(rr)
+                state["rows"] = new_rows
+                return _Predicate(
+                    p.dim_column, p.op, [_Term("column_set", name)],
+                    func=p.func,
+                )
+            vals = list(
+                dict.fromkeys(
+                    s.get(inner.col)
+                    for s in _sub_rows(inner, tables, _depth + 1)
+                )
+            )
+            return _Predicate(
+                p.dim_column,
+                p.op,
+                [_Term("literal", v) for v in vals],
+                func=p.func,
+            )
         terms = []
         for t in p.terms:
             if t.kind != "subquery":

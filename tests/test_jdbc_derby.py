@@ -940,6 +940,38 @@ class TestDerbyRound5Shapes:
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         assert sorted(x["name"] for x in row["ci"]) == live
 
+    def test_nested_exists_on_derby_dim(self, spark, derby_servers):
+        # round-5 latest: a nested EXISTS against the Derby-loaded dim
+        # — the semi-join flag joins onto the enclosing sub frame
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "nx",
+                    "query": (
+                        "SELECT name FROM servers WHERE ip <= "
+                        "(SELECT max(s2.ip) FROM servers s2 "
+                        "WHERE EXISTS (SELECT 1 FROM servers s3 "
+                        "WHERE s3.location = s2.location "
+                        "AND s3.ip LIKE '10.%'))"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = store.dims()["servers"].collect()
+        locs10 = {r["location"] for r in rows if r["ip"].startswith("10.")}
+        mx = max(
+            (r["ip"] for r in rows if r["location"] in locs10),
+            default=None,
+        )
+        live = sorted(
+            r["name"] for r in rows if mx is not None and r["ip"] <= mx
+        )
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["name"] for x in row["nx"]) == live
+
     def test_ineq_correlated_in_on_derby_dim(self, spark, derby_servers):
         # round-5 latest: an INEQUALITY correlation inside an
         # IN-subquery (standard SQL, Derby runs it natively) — here
@@ -1475,6 +1507,26 @@ class TestDerbyGrammarLegality:
         return jdbc_fetch(
             spark, _loader(sql, table="servers")
         ).collect()
+
+    def test_nested_exists_and_in_native(self, spark, derby_servers):
+        # round-5 latest: EXISTS / correlated IN nested inside another
+        # subquery's WHERE — standard SQL Derby runs natively
+        rows = self._fetch(
+            spark,
+            'SELECT "name" FROM servers WHERE "ip" <= '
+            '(SELECT max(s2."ip") FROM servers s2 WHERE EXISTS '
+            '(SELECT 1 FROM servers s3 '
+            'WHERE s3."location" = s2."location"))',
+        )
+        assert len(rows) == 3  # every row has itself as witness
+        rows2 = self._fetch(
+            spark,
+            'SELECT "name" FROM servers WHERE "ip" >= '
+            '(SELECT min(s2."ip") FROM servers s2 WHERE s2."ip" IN '
+            '(SELECT s3."ip" FROM servers s3 '
+            'WHERE s3."location" = s2."location"))',
+        )
+        assert len(rows2) == 3
 
     def test_ineq_correlated_in_native(self, spark, derby_servers):
         # round-5 latest: an inequality correlation inside an

@@ -669,7 +669,10 @@ class TestInSubquery:
         assert pred.op == "in"
         assert pred.terms[0].value.corr == (("k", "k"),)
 
-    def test_nested_in_subquery_rejected(self, spark):
+    def test_nested_in_subquery_accepted(self, spark):
+        # round-5 latest: an uncorrelated IN nested inside another
+        # subquery expands to a literal list at resolution
+        # (TestNestedSetSubqueries covers the correlated forms)
         dims = {
             "plans": spark.createDataFrame(self.CAT_ROWS, self.CAT_PLANS),
             "allow": spark.createDataFrame([("a", 1)], self.ALLOW),
@@ -687,8 +690,7 @@ class TestInSubquery:
                 }
             ]
         )
-        with pytest.raises(ValidationError, match="cannot nest"):
-            LookupEnricher(spec, dims)
+        LookupEnricher(spec, dims)  # compiles without raising
 
     @pytest.mark.parametrize("kw", ENGINES)
     @pytest.mark.parametrize("neg", ["", "NOT "])
@@ -1728,7 +1730,10 @@ class TestNestedCorrelatedSubqueries:
         assert got2[0] == [4, 7, 10]
         assert got2[1] == [20]
 
-    def test_nested_correlated_in_rejected(self, spark):
+    def test_nested_correlated_in_accepted(self, spark):
+        # round-5 latest: a correlated IN nested inside another
+        # subquery's WHERE is ACCEPTED — per-group set columns join
+        # onto the ENCLOSING sub frame (TestNestedSetSubqueries)
         spec = PipelineSpec(
             lookups=[
                 {
@@ -1743,11 +1748,10 @@ class TestNestedCorrelatedSubqueries:
                 }
             ]
         )
-        with pytest.raises(ValidationError, match="cannot nest"):
-            LookupEnricher(
-                spec,
-                {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
-            )
+        LookupEnricher(  # compiles without raising
+            spec,
+            {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
+        )
 
     def test_nested_ineq_correlation_rejected(self, spark):
         spec = PipelineSpec(
@@ -1759,6 +1763,148 @@ class TestNestedCorrelatedSubqueries:
                         "(SELECT max(p2.price) FROM dim p2 "
                         "WHERE p2.qty > (SELECT min(p3.qty) FROM dim p3 "
                         "WHERE p3.qty < p2.qty))"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        with pytest.raises(ValidationError, match="inequality"):
+            LookupEnricher(
+                spec,
+                {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
+            )
+
+
+class TestNestedSetSubqueries:
+    """Round-5 latest: [NOT] EXISTS and correlated [NOT] IN /
+    quantified subqueries NESTED inside another subquery's WHERE —
+    Derby nests arbitrarily (standard SQL); Spark-first the nested
+    EXISTS becomes a semi-join flag and the nested IN per-group
+    (set, had-NULL, count) columns, each joined onto the ENCLOSING
+    sub frame once per snapshot (fix_nested_pred). Nested INEQUALITY
+    correlations stay rejected. Dim: t1 (10,3,basic) (4,9,basic)
+    (7,2,pro) (5,4,NULL); t2 (20,1,basic) (2,5,pro)."""
+
+    NDIM = TestNestedCorrelatedSubqueries.NDIM
+    NDIM_ROWS = TestNestedCorrelatedSubqueries.NDIM_ROWS
+    _apply = TestNestedCorrelatedSubqueries._apply
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_not_exists(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND price <= "
+            "(SELECT max(p2.price) FROM dim p2 WHERE NOT EXISTS "
+            "(SELECT 1 FROM dim p3 WHERE p3.plan = p2.plan "
+            "AND p3.qty >= 5))",
+            kw,
+        )
+        # plans lacking a qty>=5 row: only the NULL plan (correlates
+        # to nothing, NOT EXISTS vacuously TRUE) -> max price 5
+        assert got[0] == [4, 5]
+        assert got[1] == [2]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_exists_inside_exists(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM dim p2 WHERE p2.plan = dim.plan AND EXISTS "
+            "(SELECT 1 FROM dim p3 WHERE p3.qty = p2.qty "
+            "AND p3.price < 5))",
+            kw,
+        )
+        # qtys with a sub-5-price row: 9 (price 4) and 5 (price 2) ->
+        # p2 rows (4,9,basic) and (2,5,pro); NULL-plan outer rows
+        # correlate to nothing
+        assert got[0] == [4, 7, 10]
+        assert got[1] == [2, 20]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_correlated_in_inside_exists(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM dim p2 WHERE p2.plan = dim.plan AND "
+            "p2.price IN (SELECT p3.price FROM dim p3 "
+            "WHERE p3.qty = p2.qty))",
+            kw,
+        )
+        # every row's price is in its own qty group -> EXISTS is TRUE
+        # exactly when the outer plan correlates to anything (NULL
+        # plans never do)
+        assert got[0] == [4, 7, 10]
+        assert got[1] == [2, 20]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_quantified_in_scalar_host(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND price > "
+            "(SELECT count(*) FROM dim p2 WHERE p2.price >= ALL "
+            "(SELECT p3.price FROM dim p3 WHERE p3.plan = p2.plan))",
+            kw,
+        )
+        # per-plan maxima: (20,basic), (7,pro), and the NULL-plan row
+        # (vacuous >= ALL ()) -> count 3 -> price > 3
+        assert got[0] == [4, 5, 7, 10]
+        assert got[1] == [20]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_uncorrelated_in_expands(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND price >= "
+            "(SELECT max(p2.price) FROM dim p2 WHERE p2.plan IN "
+            "(SELECT p3.plan FROM dim p3 WHERE p3.qty >= 5))",
+            kw,
+        )
+        # plans with a qty>=5 row: {basic, pro} -> max price 20
+        assert got[0] == []
+        assert got[1] == [20]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_matches_row_oracle(self, spark, kw):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        q = (
+            "SELECT price FROM dim WHERE tool = :tool AND price <= "
+            "(SELECT sum(p2.price) FROM dim p2 WHERE p2.qty IN "
+            "(SELECT p3.qty FROM dim p3 WHERE p3.plan = p2.plan "
+            "AND p3.price > 3) AND NOT EXISTS "
+            "(SELECT 1 FROM dim p4 WHERE p4.plan = p2.plan "
+            "AND p4.price >= 20))"
+        )
+        got = self._apply(spark, q, kw)
+        tables = {
+            "dim": [
+                dict(zip(("tool", "price", "qty", "plan"), r))
+                for r in self.NDIM_ROWS
+            ]
+        }
+        for i, tool in enumerate(("t1", "t2", "t9")):
+            ev = {"conv_id": f"c{i}", "turn_idx": i, "tool": tool}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{
+                    "id": "x", "query": q, "parameters": {"tool": "tool"},
+                }]),
+                tables,
+            )
+            exp = sorted(d["price"] for d in ev["x"])
+            assert got[i] == exp, (tool, got[i], exp)
+
+    def test_nested_ineq_in_exists_still_rejected(self, spark):
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "x",
+                    "query": (
+                        "SELECT price FROM dim WHERE price > "
+                        "(SELECT max(p2.price) FROM dim p2 WHERE EXISTS "
+                        "(SELECT 1 FROM dim p3 WHERE p3.plan = p2.plan "
+                        "AND p3.qty > p2.qty))"
                     ),
                     "parameters": {},
                 }

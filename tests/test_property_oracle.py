@@ -210,6 +210,20 @@ WIDE_TEMPLATES = [
     "WHERE s2.name = servers.name AND s2.ip <= servers.ip) AND ip = :ip",
     "ip < ANY (SELECT s2.ip FROM servers s2 "
     "WHERE s2.ip > servers.ip) OR ip = :ip",
+    # round-5 latest: NESTED set subqueries — EXISTS / correlated IN /
+    # quantified inside another subquery's WHERE (semi-join flag /
+    # per-group set columns on the ENCLOSING sub frame)
+    "ip = :ip AND ip <= (SELECT max(s2.ip) FROM servers s2 "
+    "WHERE EXISTS (SELECT 1 FROM servers s3 WHERE s3.name = s2.name))",
+    "length(ip) >= (SELECT count(*) FROM servers s2 "
+    "WHERE s2.ip IN (SELECT s3.ip FROM servers s3 "
+    "WHERE s3.name = s2.name)) OR ip = :ip",
+    "ip = :ip AND ip >= (SELECT min(s2.ip) FROM servers s2 "
+    "WHERE NOT EXISTS (SELECT 1 FROM servers s3 "
+    "WHERE s3.name = s2.name AND s3.ip < 'k2'))",
+    "length(name) > (SELECT count(*) FROM servers s2 "
+    "WHERE s2.ip >= ALL (SELECT s3.ip FROM servers s3 "
+    "WHERE s3.name = s2.name)) OR ip = :ip",
 ]
 
 
