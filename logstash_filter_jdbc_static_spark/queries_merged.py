@@ -264,6 +264,11 @@ _merge(
         # (inner correlates to the enclosing subquery's relation)
         ("lookup_nested_corr",
          [("n_nc", "nc_n"), ("nc_rows", "nc_rows")]),
+        # round-5 latest widening: SET subqueries nested inside
+        # another subquery's WHERE (correlated IN + NOT EXISTS under
+        # a top-level EXISTS)
+        ("lookup_nested_set",
+         [("n_ns", "ns_n"), ("ns_rows", "ns_rows")]),
         # round-5 latest widening: set ops INSIDE derived tables —
         # mixed joints under SQL precedence, EXCEPT/INTERSECT ALL
         # multisets, bare VALUES branch, trailing ordered top-N

@@ -3286,3 +3286,88 @@ def lookup_mixed_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("mi").cast("long").alias("n_mi"),
         rows("mi").alias("mi_rows"),
     )
+
+
+@register(
+    "lookup_nested_set",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        ok AS (
+          SELECT DISTINCT p2.plan FROM tool_plans p2
+          WHERE p2.plan IS NOT NULL
+            AND p2.qty IN (SELECT p3.qty FROM tool_plans p3
+                           WHERE p3.plan = p2.plan AND p3.price > 4)
+            AND NOT EXISTS (SELECT 1 FROM tool_plans p4
+                            WHERE p4.plan = p2.plan AND p4.price >= 10)
+        )
+        """,
+        """
+        m AS (
+          SELECT t.tool, t.price
+          FROM tool_plans t JOIN ok ON ok.plan = t.plan
+        )
+        """,
+        body="""
+        SELECT tr.conv_id, tr.turn_idx, tr.tool,
+               CAST(count(m.price) AS BIGINT) AS n_ns,
+               coalesce(
+                 array_to_string(
+                   list(CAST(m.price AS VARCHAR) ORDER BY m.price), ','),
+                 '') AS ns_rows
+        FROM transcripts tr
+        LEFT JOIN m ON m.tool = tr.tool
+        GROUP BY 1, 2, 3
+        """,
+    ),
+)
+def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: SET subqueries NESTED inside another
+    subquery's WHERE — a correlated ``IN`` and a ``NOT EXISTS`` both
+    one level down, inside the sub-WHERE of a top-level ``EXISTS``.
+    Derby evaluates the whole chain per outer row (lookup.rb:131-147;
+    grammar-pinned natively in test_jdbc_derby.py). Spark-first each
+    nested set subquery joins onto the ENCLOSING sub frame once per
+    refresh snapshot (``fix_nested_pred``): the nested NOT EXISTS as a
+    broadcast semi-join boolean flag (misses coalesce FALSE — EXISTS
+    is two-valued), the nested correlated IN as per-group (value set,
+    had-NULL, count) columns riding the same ``in_set`` 3VL op the
+    top-level machinery uses — then the top-level EXISTS flag builds
+    as usual, so the per-event plan stays the single broadcast-hash
+    probe with zero fact-side shuffle. NULL outer plans correlate to
+    nothing at every level (SQL 3VL on both engines)."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "ns",
+                "query": (
+                    "SELECT price FROM tool_plans WHERE tool = :tool "
+                    "AND EXISTS (SELECT 1 FROM tool_plans p2 "
+                    "WHERE p2.plan = tool_plans.plan AND p2.qty IN "
+                    "(SELECT p3.qty FROM tool_plans p3 "
+                    "WHERE p3.plan = p2.plan AND p3.price > 4) "
+                    "AND NOT EXISTS (SELECT 1 FROM tool_plans p4 "
+                    "WHERE p4.plan = p2.plan AND p4.price >= 10))"
+                ),
+                "parameters": {"tool": "tool"},
+            }
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("ns").cast("long").alias("n_ns"),
+        F.array_join(
+            F.transform(
+                F.col("ns"), lambda r: r.getField("price").cast("string")
+            ),
+            ",",
+        ).alias("ns_rows"),
+    )
