@@ -759,6 +759,72 @@ def _sub_filtered_df(
     # over the depth bound
     nested_state = {"df": df, "n": 0}
 
+    def _nested_theta_pairs(inner: _Subquery, in_df, d2, name: str):
+        """Nested INEQUALITY correlations (round-5 latest): the nested
+        twin of the top-level rid THETA JOIN — pin each ENCLOSING sub
+        frame row with a row id (monotonically_increasing_id is
+        plan-dependent and the id is read on both sides of the rejoin,
+        hence the localCheckpoint), pair it with its matching inner
+        rows (Spark hash-joins any equality keys and post-filters the
+        inequalities; without eq keys it is a dim-sized nested loop,
+        once per refresh snapshot), and return (pinned d2, rid, pairs)
+        for the caller's per-rid aggregate + broadcast join-back."""
+        rid = f"__nrid_{name}"
+        d2 = d2.withColumn(
+            rid, F.monotonically_increasing_id()
+        ).localCheckpoint(eager=True)
+        need = [sc for sc, _ in inner.corr] + [
+            isc for isc, _, _ in inner.ineq
+        ]
+        if inner.col is not None:
+            need.append(inner.col)
+        need = list(dict.fromkeys(need))
+        sub_r = in_df.select(
+            *[F.col(c).alias(f"__s_{c}") for c in need]
+        )
+        cond = None
+        for sc, oc in inner.corr:
+            piece = F.col(f"__s_{sc}") == F.col(oc)
+            cond = piece if cond is None else (cond & piece)
+        for isc, iop, ioc in inner.ineq:
+            left, right = F.col(f"__s_{isc}"), F.col(ioc)
+            ipiece = {
+                "<": left < right, "<=": left <= right,
+                ">": left > right, ">=": left >= right,
+            }[iop]
+            cond = ipiece if cond is None else (cond & ipiece)
+        outer_cols = list(
+            dict.fromkeys(
+                [oc for _, oc in inner.corr]
+                + [ioc for _, _, ioc in inner.ineq]
+            )
+        )
+        pairs = d2.select(rid, *outer_cols).join(sub_r, cond, "inner")
+        return d2, rid, pairs
+
+    def _validate_nested_scope(inner: _Subquery, what: str):
+        """Materialize the enclosing frame's outer expressions and
+        validate every correlation target (equality AND inequality)
+        against the ENCLOSING subquery's relation."""
+        d2 = nested_state["df"]
+        for oe_name, ast in inner.outer_exprs:
+            if oe_name not in d2.columns:
+                d2 = d2.withColumn(oe_name, sqlexpr.compile_expr(ast))
+        bad = sorted(
+            (
+                {oc for _, oc in inner.corr}
+                | {ioc for _, _, ioc in inner.ineq}
+            )
+            - set(d2.columns)
+        )
+        if bad:
+            raise ValidationError(
+                [f"lookup {what} on {inner.table!r}: outer column(s) "
+                 f"{bad} not in table {sq.table!r} (nested correlations "
+                 f"resolve against the ENCLOSING subquery's relation)"]
+            )
+        return d2
+
     def _resolve_nested(t: _Term) -> _Term:
         inner = t.value
         if not inner.corr and not inner.ineq:
@@ -771,28 +837,30 @@ def _sub_filtered_df(
                  f"IN/EXISTS subqueries cannot nest inside another "
                  f"subquery"]
             )
-        if inner.ineq:
-            raise ValidationError(
-                [f"lookup subquery on {inner.table!r}: inequality "
-                 f"correlations cannot nest inside another subquery — "
-                 f"pre-shape the dim with a loader query"]
-            )
-        d2 = nested_state["df"]
-        for oe_name, ast in inner.outer_exprs:
-            if oe_name not in d2.columns:
-                d2 = d2.withColumn(oe_name, sqlexpr.compile_expr(ast))
-        bad = sorted(
-            oc for _, oc in inner.corr if oc not in d2.columns
-        )
-        if bad:
-            raise ValidationError(
-                [f"lookup subquery on {inner.table!r}: outer column(s) "
-                 f"{bad} not in table {sq.table!r} (nested correlations "
-                 f"resolve against the ENCLOSING subquery's relation)"]
-            )
+        d2 = _validate_nested_scope(inner, "subquery")
         in_df, in_agg = _sub_filtered_df(inner, dims, _depth + 1)
         name = f"__nsq{nested_state['n']}"
         nested_state["n"] += 1
+        if inner.ineq:
+            # nested scalar aggregate over a per-ROW moving range
+            # (round-5 latest): rid theta join + per-rid aggregate,
+            # the nested twin of corr_col_of's inequality path
+            d2, rid, pairs = _nested_theta_pairs(inner, in_df, d2, name)
+            if inner.func == "count" and inner.col is None:
+                agg2 = F.count(F.lit(1))
+            elif inner.func == "count_distinct":
+                agg2 = F.count_distinct(F.col(f"__s_{inner.col}"))
+            else:
+                agg2 = getattr(F, inner.func)(F.col(f"__s_{inner.col}"))
+            agg_df = pairs.groupBy(rid).agg(agg2.alias(name))
+            d2 = d2.join(F.broadcast(agg_df), rid, "left").drop(rid)
+            if inner.func in ("count", "count_distinct"):
+                d2 = d2.withColumn(
+                    name, F.coalesce(F.col(name), F.lit(0))
+                )
+            nested_state["df"] = d2
+            names.add(name)
+            return _Term("column", name)
         keys = [f"__nk{i}_{name}" for i in range(len(inner.corr))]
         agg_df = in_df.groupBy(
             *[F.col(sc).alias(k) for (sc, _), k in zip(inner.corr, keys)]
@@ -812,25 +880,9 @@ def _sub_filtered_df(
     def _nested_corr_join(inner: _Subquery, what: str):
         """Shared plumbing for nested EXISTS/IN (round-5 latest):
         materialize the inner relation + the enclosing frame's outer
-        expressions, validate scopes, reject the still-unsupported
-        combinations with targeted messages. Returns (in_df, d2)."""
-        if inner.ineq:
-            raise ValidationError(
-                [f"lookup subquery on {inner.table!r}: inequality "
-                 f"correlations cannot nest inside another subquery — "
-                 f"pre-shape the dim with a loader query"]
-            )
-        d2 = nested_state["df"]
-        for oe_name, ast in inner.outer_exprs:
-            if oe_name not in d2.columns:
-                d2 = d2.withColumn(oe_name, sqlexpr.compile_expr(ast))
-        bad = sorted(oc for _, oc in inner.corr if oc not in d2.columns)
-        if bad:
-            raise ValidationError(
-                [f"lookup {what} on {inner.table!r}: outer column(s) "
-                 f"{bad} not in table {sq.table!r} (nested correlations "
-                 f"resolve against the ENCLOSING subquery's relation)"]
-            )
+        expressions and validate scopes (equality AND inequality
+        correlations, round-5 latest). Returns (in_df, d2)."""
+        d2 = _validate_nested_scope(inner, what)
         in_df, _ = _sub_filtered_df(inner, dims, _depth + 1)
         return in_df, d2
 
@@ -843,7 +895,18 @@ def _sub_filtered_df(
         in_df, d2 = _nested_corr_join(inner, "EXISTS subquery")
         name = f"__nsqx{nested_state['n']}"
         nested_state["n"] += 1
-        if not inner.corr:
+        if inner.ineq:
+            # inequality-correlated nested EXISTS (round-5 latest):
+            # rid theta join, flag the enclosing rows with at least
+            # one witness — misses coalesce FALSE (two-valued)
+            d2, rid, pairs = _nested_theta_pairs(inner, in_df, d2, name)
+            flags = pairs.groupBy(rid).agg(F.lit(True).alias(name))
+            d2 = (
+                d2.join(F.broadcast(flags), rid, "left")
+                .drop(rid)
+                .withColumn(name, F.coalesce(F.col(name), F.lit(False)))
+            )
+        elif not inner.corr:
             d2 = d2.withColumn(name, F.lit(bool(in_df.take(1))))
         else:
             keys = [f"__xk{i}_{name}" for i in range(len(inner.corr))]
@@ -878,6 +941,30 @@ def _sub_filtered_df(
         base = f"__nsqi{nested_state['n']}"
         nested_state["n"] += 1
         names3 = (f"{base}_set", f"{base}_null", f"{base}_cnt")
+        if inner.ineq:
+            # inequality-correlated nested set subquery (round-5
+            # latest): the value set is per enclosing ROW, not per
+            # eq-key group — rid theta join, per-rid (set, had-NULL,
+            # count), left-join back; a rid with no matching rows
+            # stays NULL, which the in_set ops read as "empty group"
+            d2, rid, pairs = _nested_theta_pairs(inner, in_df, d2, base)
+            grouped = pairs.groupBy(rid).agg(
+                F.collect_set(F.col(f"__s_{inner.col}")).alias(names3[0]),
+                F.max(F.col(f"__s_{inner.col}").isNull()).alias(names3[1]),
+                F.count(F.lit(1)).alias(names3[2]),
+            )
+            biggest = grouped.agg(F.max(F.size(names3[0]))).collect()[0][0]
+            if biggest is not None and biggest > _IN_SUBQUERY_CAP:
+                raise ValidationError(
+                    [f"lookup IN-subquery on {inner.table!r}: a "
+                     f"correlation group exceeds {_IN_SUBQUERY_CAP} "
+                     f"distinct values — pre-shape the dim with a "
+                     f"loader query instead"]
+                )
+            d2 = d2.join(F.broadcast(grouped), rid, "left").drop(rid)
+            nested_state["df"] = d2
+            names.update(names3)
+            return names3
         keys = [f"__ik{i}_{base}" for i in range(len(inner.corr))]
         grouped = in_df.groupBy(
             *[F.col(sc).alias(k) for (sc, _), k in zip(inner.corr, keys)]
@@ -1171,14 +1258,16 @@ def resolve_subqueries_with_dim(
             return _Term("column", name)
         if not sq.corr and not sq.ineq:
             return value_term(sq)
-        if sq.ineq:
-            raise ValidationError(
-                [f"lookup HAVING subquery on {sq.table!r}: inequality "
-                 f"correlations are not supported in HAVING — filter "
-                 f"in the WHERE clause instead"]
-            )
+        # round-5 latest: INEQUALITY correlations are legal here too —
+        # the rid theta path's per-row values coincide within a group
+        # once every outer column (equality or inequality) is a GROUP
+        # BY key, so the hidden max carrier stays exact
         bad = sorted(
-            {oc for _, oc in sq.corr} - set(parsed.group_by)
+            (
+                {oc for _, oc in sq.corr}
+                | {oc for _, _, oc in sq.ineq}
+            )
+            - set(parsed.group_by)
         )
         if bad:
             raise ValidationError(
@@ -1568,6 +1657,44 @@ def resolve_subqueries_with_dim(
         in_group_cache.append((sq, names))
         return names
 
+    def hidden_carrier_of(col: str) -> str:
+        """Get-or-create the hidden ``max(col) AS __hsq{n}`` payload
+        carrier a HAVING predicate reads (group-constant by the GROUP
+        BY-key validation, so max is exact; stripped from the payload
+        after the HAVING filter, _shape_raw)."""
+        for c0, _f0, n0 in hidden_aggs:
+            if c0 == col:
+                return n0
+        name = f"__hsq{len(hidden_aggs)}"
+        hidden_aggs.append((col, "max", name))
+        return name
+
+    def having_set_cols_of(sq: _Subquery, what: str) -> tuple[str, str, str]:
+        """A CORRELATED [NOT] IN / quantified subquery in HAVING
+        (round-5 latest, Derby-legal when every correlated column —
+        equality or inequality — is a GROUP BY key, so the value set
+        is constant within each group): the per-group (set, had-NULL,
+        count) dim columns ride into the payload as hidden max
+        carriers the HAVING filter's ``in_set`` / ``{cmp} {quant}_set``
+        ops then read. collect_set order varies per row on the rid
+        theta path, but the ops are membership tests — order-blind."""
+        outer_cols = {oc for _, oc in sq.corr} | {
+            oc for _, _, oc in sq.ineq
+        }
+        bad = sorted(outer_cols - set(parsed.group_by))
+        if bad:
+            raise ValidationError(
+                [f"lookup HAVING {what} subquery on {sq.table!r}: "
+                 f"correlated column(s) {bad} must be GROUP BY keys "
+                 f"(the value set must be constant within each group)"]
+            )
+        s, n, c = in_group_cols_of(sq)
+        return (
+            hidden_carrier_of(s),
+            hidden_carrier_of(n),
+            hidden_carrier_of(c),
+        )
+
     def fix_pred(p: _Predicate, in_having: bool = False) -> _Predicate:
         if not any(t.kind == "subquery" for t in p.terms):
             return p
@@ -1636,12 +1763,11 @@ def resolve_subqueries_with_dim(
                 )
             if sq.corr or sq.ineq:
                 if in_having:
-                    raise ValidationError(
-                        ["lookup HAVING: correlated quantified "
-                         "subqueries are not supported in HAVING — "
-                         "filter in the WHERE clause instead"]
-                    )
-                s, n, c = in_group_cols_of(sq)
+                    # round-5 latest, Derby-legal: the per-group set
+                    # rides as hidden max carriers (having_set_cols_of)
+                    s, n, c = having_set_cols_of(sq, "quantified")
+                else:
+                    s, n, c = in_group_cols_of(sq)
                 return _Predicate(
                     p.dim_column,
                     f"{p.op}_set",
@@ -1691,12 +1817,11 @@ def resolve_subqueries_with_dim(
                 )
             if sq.corr or sq.ineq:
                 if in_having:
-                    raise ValidationError(
-                        ["lookup HAVING: correlated IN-subqueries are not "
-                         "supported in HAVING — filter in the WHERE "
-                         "clause instead"]
-                    )
-                s, n, c = in_group_cols_of(sq)
+                    # round-5 latest, Derby-legal: the per-group set
+                    # rides as hidden max carriers (having_set_cols_of)
+                    s, n, c = having_set_cols_of(sq, "IN")
+                else:
+                    s, n, c = in_group_cols_of(sq)
                 return _Predicate(
                     p.dim_column,
                     "in_set" if p.op == "in" else "not in_set",

@@ -341,6 +341,23 @@ def _corr_eq_vals(a, b) -> bool:
     return left is not None and right is not None and left == right
 
 
+_CMP_OF = {
+    "<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+}
+
+
+def _corr_ineq_vals(ineq, s: dict, r: dict) -> bool:
+    """Inequality-correlation match (round-5 latest): every
+    ``sub_col <op> outer_col`` triple must hold; a NULL on either
+    side compares unknown -> no match (SQL 3VL)."""
+    for sc, op, oc in ineq:
+        left, right = _coerce_pair(s.get(sc), r.get(oc))
+        if left is None or right is None or not _CMP_OF[op](left, right):
+            return False
+    return True
+
+
 def _sub_rows(sq, tables: dict[str, list[dict]], _depth: int = 0) -> list[dict]:
     """The subquery's source rows — computed columns materialized,
     static WHERE applied, nested subqueries resolved (uncorrelated ->
@@ -364,7 +381,8 @@ def _sub_rows(sq, tables: dict[str, list[dict]], _depth: int = 0) -> list[dict]:
 
     def _per_row_group(inner, rr: dict) -> list:
         """Matching inner-subquery rows for ONE enclosing-frame row
-        (nested EXISTS/IN, round-5 latest)."""
+        (nested EXISTS/IN/scalar, round-5 latest) — equality AND
+        inequality correlations, both against the ENCLOSING row."""
         sub = _sub_rows(inner, tables, _depth + 1)
         return [
             s
@@ -373,6 +391,7 @@ def _sub_rows(sq, tables: dict[str, list[dict]], _depth: int = 0) -> list[dict]:
                 _corr_eq_vals(s.get(sc), rr.get(oc))
                 for sc, oc in inner.corr
             )
+            and _corr_ineq_vals(inner.ineq, s, rr)
         ]
 
     def _outer_exprs_applied(inner, r: dict) -> dict:
@@ -458,10 +477,7 @@ def _sub_rows(sq, tables: dict[str, list[dict]], _depth: int = 0) -> list[dict]:
             sub = _sub_rows(inner, tables, _depth + 1)
             new_rows = []
             for r in state["rows"]:
-                rr = dict(r)
-                for oe_name, ast in inner.outer_exprs:
-                    if oe_name not in rr:
-                        rr[oe_name] = eval_expr(ast, rr)
+                rr = _outer_exprs_applied(inner, r)
                 grp = [
                     s
                     for s in sub
@@ -469,6 +485,7 @@ def _sub_rows(sq, tables: dict[str, list[dict]], _depth: int = 0) -> list[dict]:
                         _corr_eq_vals(s.get(sc), rr.get(oc))
                         for sc, oc in inner.corr
                     )
+                    and _corr_ineq_vals(inner.ineq, s, rr)
                 ]
                 rr[name] = _agg_rows(inner, grp)
                 new_rows.append(rr)
@@ -750,6 +767,41 @@ def _resolve_subqueries_rows(
     # aggregate, read by the HAVING predicate, stripped by _group_rows
     hidden_aggs: list[tuple[str, str, str]] = []
 
+    def having_set_col_of(sq) -> str:
+        """Correlated [NOT] IN / quantified subquery in HAVING
+        (round-5 latest, group keys validated by the compile): the
+        group's raw value LIST rides into the group row as a hidden
+        ``__hsq*`` max carrier (group-constant — every row in a group
+        shares the correlation key values, so the per-row lists are
+        identical); the predicate then expands it per GROUP row via a
+        ``column_set`` term, same 3VL as the literal expansion."""
+        key = ("having_set", sq)
+        for k, name in state["cache"]:
+            if k == key:
+                return name
+        ensure_outer_rows(sq)
+        src = f"__sq_hset{len(state['cache'])}"
+        sub = _sub_rows(sq, tables)
+        state["rows"] = [
+            {
+                **r,
+                src: [
+                    s.get(sq.col)
+                    for s in sub
+                    if all(
+                        corr_eq(s.get(sc), r.get(oc))
+                        for sc, oc in sq.corr
+                    )
+                    and ineq_match(sq, s, r)
+                ],
+            }
+            for r in state["rows"]
+        ]
+        name = f"__hsq{len(hidden_aggs)}"
+        hidden_aggs.append((src, "max", name))
+        state["cache"].append((key, name))
+        return name
+
     def having_term_of(t):
         sq = t.value
         if not sq.corr and not sq.ineq:
@@ -794,6 +846,14 @@ def _resolve_subqueries_rows(
                 # _resolve_param_subqueries_rows, after param binding
                 return p
             if sq.corr or sq.ineq:
+                if in_having:
+                    # round-5 latest: the per-group value list rides
+                    # as a hidden max carrier into the group row
+                    name = having_set_col_of(sq)
+                    return _Predicate(
+                        p.dim_column, p.op,
+                        [_Term("column_set", name)], func=p.func,
+                    )
                 name = quant_col_of(p)
                 return _Predicate(name, "=", [_Term("literal", True)])
             vals = list(
@@ -816,6 +876,14 @@ def _resolve_subqueries_rows(
                 # parameterized: deferred to the per-event resolver
                 return p
             if sq.corr or sq.ineq:
+                if in_having:
+                    # round-5 latest: same hidden-carrier mirror as
+                    # the quantified HAVING branch
+                    name = having_set_col_of(sq)
+                    return _Predicate(
+                        p.dim_column, p.op,
+                        [_Term("column_set", name)], func=p.func,
+                    )
                 name = corr_in_col_of(p)
                 return _Predicate(name, "=", [_Term("literal", True)])
             vals = list(

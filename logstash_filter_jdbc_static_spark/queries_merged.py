@@ -149,6 +149,12 @@ _merge(
         # HAVING comparands (correlated column = GROUP BY key)
         ("lookup_corr_having",
          [("n_ch", "ch_n"), ("ch_rows", "ch_rows")]),
+        # round-5 latest widening: correlated [NOT] IN and quantified
+        # subqueries in HAVING (per-group set columns via hidden max
+        # carriers; Derby-pinned)
+        ("lookup_having_set",
+         [("n_hi", "hi_n"), ("hi_rows", "hi_rows"),
+          ("n_hq", "hq_n"), ("hq_rows", "hq_rows")]),
         # round-5 latest widening: [NOT] EXISTS in HAVING, correlated
         # on GROUP BY keys (group-constant flag via hidden max agg)
         ("lookup_having_exists",
@@ -266,9 +272,11 @@ _merge(
          [("n_nc", "nc_n"), ("nc_rows", "nc_rows")]),
         # round-5 latest widening: SET subqueries nested inside
         # another subquery's WHERE (correlated IN + NOT EXISTS under
-        # a top-level EXISTS)
+        # a top-level EXISTS) + nested INEQUALITY correlations (the
+        # nested rid theta join)
         ("lookup_nested_set",
-         [("n_ns", "ns_n"), ("ns_rows", "ns_rows")]),
+         [("n_ns", "ns_n"), ("ns_rows", "ns_rows"),
+          ("n_ni", "ni_n"), ("ni_rows", "ni_rows")]),
         # round-5 latest widening: set ops INSIDE derived tables —
         # mixed joints under SQL precedence, EXCEPT/INTERSECT ALL
         # multisets, bare VALUES branch, trailing ordered top-N

@@ -2463,6 +2463,138 @@ def lookup_corr_having(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lookup_having_set",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        g1 AS (
+          SELECT t.tool, t.plan, CAST(max(t.price) AS BIGINT) AS mx
+          FROM tool_plans t GROUP BY 1, 2
+        )
+        """,
+        """
+        k1 AS (
+          SELECT g1.* FROM g1
+          WHERE g1.mx NOT IN (SELECT p2.price FROM tool_plans p2
+                              WHERE p2.plan = g1.plan AND p2.price > 7)
+        )
+        """,
+        """
+        m1 AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || CAST(mx AS VARCHAR)
+                        ORDER BY plan NULLS FIRST),
+                   '|') AS s
+          FROM k1 GROUP BY 1
+        )
+        """,
+        """
+        g2 AS (
+          SELECT t.tool, t.plan, CAST(sum(t.price) AS BIGINT) AS total
+          FROM tool_plans t GROUP BY 1, 2
+        )
+        """,
+        """
+        k2 AS (
+          SELECT g2.* FROM g2
+          WHERE g2.total >= ALL (SELECT p2.price FROM tool_plans p2
+                                 WHERE p2.plan = g2.plan)
+        )
+        """,
+        """
+        m2 AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || CAST(total AS VARCHAR)
+                        ORDER BY plan NULLS FIRST),
+                   '|') AS s
+          FROM k2 GROUP BY 1
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               CAST(coalesce(m1.n, 0) AS BIGINT) AS n_hi,
+               coalesce(m1.s, '') AS hi_rows,
+               CAST(coalesce(m2.n, 0) AS BIGINT) AS n_hq,
+               coalesce(m2.s, '') AS hq_rows
+        FROM transcripts t
+        LEFT JOIN m1 ON m1.tool = t.tool
+        LEFT JOIN m2 ON m2.tool = t.tool
+        """,
+    ),
+)
+def lookup_having_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 latest widening: CORRELATED set subqueries in HAVING —
+    ``hi`` a correlated ``NOT IN`` (empty correlated group vacuously
+    TRUE; a NULL-plan group correlates to nothing), ``hq`` a
+    correlated ``>= ALL`` quantified comparison. Derby runs both
+    natively when the correlated column is a grouping column (pinned
+    in test_jdbc_derby.py). Spark-first the per-group (set, had-NULL,
+    count) dim columns ride into the payload as hidden ``max(...)
+    AS __hsq*`` carriers — exact, group-constant by the GROUP BY-key
+    validation — read by the HAVING filter's ``in_set`` /
+    ``{cmp} {quant}_set`` 3VL ops and stripped afterward; the
+    per-event plan stays the single broadcast-hash probe."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "hi",
+                "query": (
+                    "SELECT plan AS plan, max(price) AS mx "
+                    "FROM tool_plans WHERE tool = :tool GROUP BY plan "
+                    "HAVING mx NOT IN (SELECT p2.price FROM "
+                    "tool_plans p2 WHERE p2.plan = tool_plans.plan "
+                    "AND p2.price > 7)"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                "id": "hq",
+                "query": (
+                    "SELECT plan AS plan, sum(price) AS total "
+                    "FROM tool_plans WHERE tool = :tool GROUP BY plan "
+                    "HAVING total >= ALL (SELECT p2.price FROM "
+                    "tool_plans p2 WHERE p2.plan = tool_plans.plan)"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+
+    def rows(col, val):
+        return F.array_join(
+            F.transform(
+                F.col(col),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit("="),
+                    r.getField(val).cast("string"),
+                ),
+            ),
+            "|",
+        )
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("hi").cast("long").alias("n_hi"),
+        rows("hi", "mx").alias("hi_rows"),
+        F.size("hq").cast("long").alias("n_hq"),
+        rows("hq", "total").alias("hq_rows"),
+    )
+
+
+@register(
     "lookup_having_exists",
     with_ctes(
         _PLANS_CTE,
@@ -3309,16 +3441,48 @@ def lookup_mixed_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM tool_plans t JOIN ok ON ok.plan = t.plan
         )
         """,
+        """
+        pa AS (
+          SELECT p2.price, p2.qty,
+                 (SELECT avg(p3.qty) FROM tool_plans p3
+                  WHERE p3.price > p2.price) AS aq
+          FROM tool_plans p2
+        )
+        """,
+        """
+        mx AS (SELECT max(price) AS mp FROM pa WHERE qty > aq)
+        """,
+        """
+        mni AS (
+          SELECT t.tool, t.price FROM tool_plans t, mx
+          WHERE t.price >= mx.mp
+        )
+        """,
+        """
+        ma AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n,
+                 array_to_string(
+                   list(CAST(price AS VARCHAR) ORDER BY price), ',') AS s
+          FROM m GROUP BY 1
+        )
+        """,
+        """
+        mnia AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n,
+                 array_to_string(
+                   list(CAST(price AS VARCHAR) ORDER BY price), ',') AS s
+          FROM mni GROUP BY 1
+        )
+        """,
         body="""
         SELECT tr.conv_id, tr.turn_idx, tr.tool,
-               CAST(count(m.price) AS BIGINT) AS n_ns,
-               coalesce(
-                 array_to_string(
-                   list(CAST(m.price AS VARCHAR) ORDER BY m.price), ','),
-                 '') AS ns_rows
+               coalesce(ma.n, 0) AS n_ns,
+               coalesce(ma.s, '') AS ns_rows,
+               coalesce(mnia.n, 0) AS n_ni,
+               coalesce(mnia.s, '') AS ni_rows
         FROM transcripts tr
-        LEFT JOIN m ON m.tool = tr.tool
-        GROUP BY 1, 2, 3
+        LEFT JOIN ma ON ma.tool = tr.tool
+        LEFT JOIN mnia ON mnia.tool = tr.tool
         """,
     ),
 )
@@ -3336,7 +3500,12 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-level machinery uses — then the top-level EXISTS flag builds
     as usual, so the per-event plan stays the single broadcast-hash
     probe with zero fact-side shuffle. NULL outer plans correlate to
-    nothing at every level (SQL 3VL on both engines)."""
+    nothing at every level (SQL 3VL on both engines). The second
+    lookup (``ni``) adds a nested INEQUALITY correlation —
+    ``p3.price > p2.price`` one level down — decorrelated via the
+    nested rid THETA JOIN (``_nested_theta_pairs``): pin the enclosing
+    sub frame with a row id, pair with matching inner rows, aggregate
+    per rid, broadcast-join back; dim-sized snapshot work."""
     t = load_transcripts(spark, sf_dir)
     spec = PipelineSpec(
         lookups=[
@@ -3352,22 +3521,39 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "WHERE p4.plan = p2.plan AND p4.price >= 10))"
                 ),
                 "parameters": {"tool": "tool"},
-            }
+            },
+            {
+                "id": "ni",
+                "query": (
+                    "SELECT price FROM tool_plans WHERE tool = :tool "
+                    "AND price >= (SELECT max(p2.price) FROM "
+                    "tool_plans p2 WHERE p2.qty > "
+                    "(SELECT avg(p3.qty) FROM tool_plans p3 "
+                    "WHERE p3.price > p2.price))"
+                ),
+                "parameters": {"tool": "tool"},
+            },
         ]
     )
     enricher = LookupEnricher(
         spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
     )
     out = enricher.apply(t)
+
+    def rows(col):
+        return F.array_join(
+            F.transform(
+                F.col(col), lambda r: r.getField("price").cast("string")
+            ),
+            ",",
+        )
+
     return out.select(
         "conv_id",
         "turn_idx",
         "tool",
         F.size("ns").cast("long").alias("n_ns"),
-        F.array_join(
-            F.transform(
-                F.col("ns"), lambda r: r.getField("price").cast("string")
-            ),
-            ",",
-        ).alias("ns_rows"),
+        rows("ns").alias("ns_rows"),
+        F.size("ni").cast("long").alias("n_ni"),
+        rows("ni").alias("ni_rows"),
     )

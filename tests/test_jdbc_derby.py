@@ -972,6 +972,34 @@ class TestDerbyRound5Shapes:
         (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
         assert sorted(x["name"] for x in row["nx"]) == live
 
+    def test_nested_ineq_on_derby_dim(self, spark, derby_servers):
+        # round-5 latest: a NESTED inequality correlation against the
+        # Derby-loaded dim — the nested rid theta join pairs each
+        # enclosing sub row with its strictly-lower inner rows
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "ni",
+                    "query": (
+                        "SELECT name FROM servers WHERE ip >= "
+                        "(SELECT min(s2.ip) FROM servers s2 "
+                        "WHERE EXISTS (SELECT 1 FROM servers s3 "
+                        "WHERE s3.ip < s2.ip))"
+                    ),
+                    "parameters": {},
+                }
+            ]
+        )
+        fact = spark.createDataFrame([("e1",)], ["event"])
+        rows = store.dims()["servers"].collect()
+        ips = sorted(r["ip"] for r in rows)
+        # s2 qualifies iff some row is strictly below it -> all but
+        # the global minimum; min of those = the second-lowest ip
+        live = sorted(r["name"] for r in rows if r["ip"] >= ips[1])
+        (row,) = LookupEnricher(spec, store.dims()).apply(fact).collect()
+        assert sorted(x["name"] for x in row["ni"]) == live
+
     def test_ineq_correlated_in_on_derby_dim(self, spark, derby_servers):
         # round-5 latest: an INEQUALITY correlation inside an
         # IN-subquery (standard SQL, Derby runs it natively) — here
@@ -1525,6 +1553,57 @@ class TestDerbyGrammarLegality:
             '(SELECT min(s2."ip") FROM servers s2 WHERE s2."ip" IN '
             '(SELECT s3."ip" FROM servers s3 '
             'WHERE s3."location" = s2."location"))',
+        )
+        assert len(rows2) == 3
+
+    def test_corr_set_subquery_in_having_native(self, spark, derby_servers):
+        # round-5 latest: correlated [NOT] IN and quantified
+        # subqueries in HAVING, correlated on GROUP BY keys — Derby
+        # runs them natively, pinned so the accepted grammar stays a
+        # Derby subset
+        rows = self._fetch(
+            spark,
+            'SELECT "location", max("ip") AS mx FROM servers '
+            'GROUP BY "location" HAVING max("ip") IN '
+            '(SELECT s2."ip" FROM servers s2 '
+            'WHERE s2."location" = servers."location")',
+        )
+        assert len(rows) == 3  # every group's max is in its own set
+        rows2 = self._fetch(
+            spark,
+            'SELECT "location", max("ip") AS mx FROM servers '
+            'GROUP BY "location" HAVING max("ip") >= ALL '
+            '(SELECT s2."ip" FROM servers s2 '
+            'WHERE s2."location" = servers."location")',
+        )
+        assert len(rows2) == 3
+        # inequality-correlated SCALAR comparand on a group key
+        rows3 = self._fetch(
+            spark,
+            'SELECT "location", count(*) AS n FROM servers '
+            'GROUP BY "location" HAVING count(*) <= '
+            '(SELECT count(*) FROM servers s2 '
+            'WHERE s2."location" >= servers."location")',
+        )
+        assert len(rows3) == 3
+
+    def test_nested_ineq_correlation_native(self, spark, derby_servers):
+        # round-5 latest: INEQUALITY correlations nested inside
+        # another subquery's WHERE — standard SQL Derby runs natively,
+        # pinned so the accepted grammar stays a Derby subset
+        rows = self._fetch(
+            spark,
+            'SELECT "name" FROM servers WHERE "ip" <= '
+            '(SELECT max(s2."ip") FROM servers s2 WHERE EXISTS '
+            '(SELECT 1 FROM servers s3 WHERE s3."ip" >= s2."ip"))',
+        )
+        assert len(rows) == 3  # every row has itself as witness
+        rows2 = self._fetch(
+            spark,
+            'SELECT "name" FROM servers WHERE "ip" >= '
+            '(SELECT min(s2."ip") FROM servers s2 WHERE s2."ip" IN '
+            '(SELECT s3."ip" FROM servers s3 '
+            'WHERE s3."ip" <= s2."ip"))',
         )
         assert len(rows2) == 3
 

@@ -90,13 +90,21 @@ class TestParser:
         assert p.op == "exists"
         assert p.terms[0].value.func == "__exists"
 
-    def test_exists_rejected_nested_in_subquery(self):
-        with pytest.raises(ValidationError, match="EXISTS cannot nest"):
-            parse_lookup_query(
-                "SELECT price FROM t WHERE price >= "
-                "(SELECT min(price) FROM t p2 WHERE EXISTS "
-                "(SELECT 1 FROM b))"
-            )
+    def test_exists_accepted_nested_in_subquery(self):
+        # round-5 latest: EXISTS may nest inside another subquery's
+        # WHERE — it compiles as a semi-join flag on the ENCLOSING
+        # sub frame (TestNestedSetSubqueries in test_lookup_rhs.py)
+        q = parse_lookup_query(
+            "SELECT price FROM t WHERE price >= "
+            "(SELECT min(price) FROM t p2 WHERE EXISTS "
+            "(SELECT 1 FROM b))"
+        )
+        (p1,) = q.disjuncts[0]
+        (sub,) = (t.value for t in p1.terms if t.kind == "subquery")
+        (nested,) = (
+            p for d in sub.where for p in d if p.op == "exists"
+        )
+        assert nested.terms[0].value.func == "__exists"
 
     def test_join_correlation_keeps_qualified_spelling(self):
         # round-5: correlated subqueries in JOIN queries — the outer

@@ -1482,8 +1482,10 @@ class TestCorrelatedHavingSubquery:
                 {},
             )
 
-    def test_ineq_correlation_in_having_rejected(self, spark):
-        with pytest.raises(ValidationError, match="inequality"):
+    def test_non_key_ineq_correlation_in_having_rejected(self, spark):
+        # round-5 latest: inequality correlations ARE legal in HAVING,
+        # but only on GROUP BY keys — `price` is not one here
+        with pytest.raises(ValidationError, match="GROUP BY keys"):
             self._apply(
                 spark,
                 "SELECT plan AS plan, sum(price) AS total FROM dim "
@@ -1492,6 +1494,189 @@ class TestCorrelatedHavingSubquery:
                 "WHERE p2.plan = dim.plan AND p2.price < dim.price)",
                 {},
             )
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_ineq_correlation_on_group_key_accepted(self, spark, kw):
+        # round-5 latest: an inequality correlation whose outer column
+        # IS the group key — per-row rid-theta values coincide within
+        # a group, so the hidden max carrier is exact (Derby-pinned)
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING n <= (SELECT count(*) FROM dim p2 "
+            "WHERE p2.plan <= dim.plan)",
+            kw,
+        )
+        # whole-dim counts: plans <= 'basic' -> 3, <= 'pro' -> 5; the
+        # NULL-plan group compares unknown -> count 0 -> 1 <= 0 drops
+        assert got[0] == [
+            (("plan", "basic"), ("n", 2)),
+            (("plan", "pro"), ("n", 1)),
+        ]
+        assert got[1] == [
+            (("plan", "basic"), ("n", 1)),
+            (("plan", "pro"), ("n", 1)),
+        ]
+        assert got[2] == []
+
+
+class TestCorrelatedSetHavingSubquery:
+    """Round-5 latest: CORRELATED [NOT] IN and quantified subqueries
+    in HAVING (``GROUP BY plan HAVING mx IN (SELECT p2.price FROM t
+    p2 WHERE p2.plan = t.plan)``) — Derby-legal when every correlated
+    column (equality or inequality) is a grouping column (pinned
+    natively in test_jdbc_derby.py). Spark-first: the per-group
+    (set, had-NULL, count) dim columns (in_group_cols_of — the rid
+    theta join for inequality correlations) ride into the payload as
+    hidden ``max(...) AS __hsq{k}`` carriers — exact, since the
+    correlation keys are group keys — read by the HAVING filter's
+    ``in_set`` / ``{cmp} {quant}_set`` ops and stripped afterward.
+    Dim: t1 (10,basic) (4,basic) (7,pro) (5,NULL); t2 (20,basic)
+    (2,pro)."""
+
+    CDIM = TestCorrelatedHavingSubquery.CDIM
+    CDIM_ROWS = TestCorrelatedHavingSubquery.CDIM_ROWS
+    _apply = TestCorrelatedHavingSubquery._apply
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_corr_in_having(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, max(price) AS mx FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING mx IN (SELECT p2.price FROM dim p2 "
+            "WHERE p2.plan = dim.plan)",
+            kw,
+        )
+        # per-plan sets over the WHOLE dim: basic {10,4,20}, pro
+        # {7,2}; the NULL-plan group correlates to nothing -> IN over
+        # the empty set is FALSE -> dropped
+        assert got[0] == [
+            (("plan", "basic"), ("mx", 10)),
+            (("plan", "pro"), ("mx", 7)),
+        ]
+        assert got[1] == [
+            (("plan", "basic"), ("mx", 20)),
+            (("plan", "pro"), ("mx", 2)),
+        ]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_corr_not_in_having_empty_group(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, max(price) AS mx FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING mx NOT IN (SELECT p2.price FROM dim p2 "
+            "WHERE p2.plan = dim.plan AND p2.price > 15)",
+            kw,
+        )
+        # sets: basic {20}, pro {} (vacuous NOT IN -> TRUE), NULL
+        # group {} -> TRUE; t2 basic 20 NOT IN {20} -> FALSE
+        assert got[0] == [
+            (("plan", None), ("mx", 5)),
+            (("plan", "basic"), ("mx", 10)),
+            (("plan", "pro"), ("mx", 7)),
+        ]
+        assert got[1] == [(("plan", "pro"), ("mx", 2))]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_corr_quantified_having(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, sum(price) AS total FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING total >= ALL (SELECT p2.price FROM dim p2 "
+            "WHERE p2.plan = dim.plan)",
+            kw,
+        )
+        # basic 14 >= ALL {10,4,20} fails; pro 7 >= ALL {7,2} keeps;
+        # NULL group: >= ALL over the empty set is vacuously TRUE
+        assert got[0] == [
+            (("plan", None), ("total", 5)),
+            (("plan", "pro"), ("total", 7)),
+        ]
+        assert got[1] == [(("plan", "basic"), ("total", 20))]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_ineq_corr_quantified_having(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, max(price) AS mx FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING mx >= ANY (SELECT p2.price FROM dim p2 "
+            "WHERE p2.plan < dim.plan)",
+            kw,
+        )
+        # INEQUALITY correlation on the group key (rid theta path):
+        # basic -> plans < 'basic' = {} -> ANY FALSE; pro -> basic's
+        # prices {10,4,20}, 7 >= 4 keeps; t2 pro mx 2 matches none
+        assert got[0] == [(("plan", "pro"), ("mx", 7))]
+        assert got[1] == []
+        assert got[2] == []
+
+    def test_hidden_carriers_not_in_payload(self, spark):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, max(price) AS mx FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING mx IN (SELECT p2.price FROM dim p2 "
+            "WHERE p2.plan = dim.plan)",
+            {},
+        )
+        for rows in got.values():
+            for r in rows or []:
+                assert [k for k, _ in r] == ["plan", "mx"]
+
+    def test_non_group_key_set_correlation_rejected(self, spark):
+        with pytest.raises(ValidationError, match="GROUP BY keys"):
+            self._apply(
+                spark,
+                "SELECT plan AS plan, max(price) AS mx FROM dim "
+                "WHERE tool = :tool GROUP BY plan "
+                "HAVING mx IN (SELECT p2.price FROM dim p2 "
+                "WHERE p2.price = dim.price)",
+                {},
+            )
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_matches_row_oracle(self, spark, kw):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        q = (
+            "SELECT plan AS plan, max(price) AS mx FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING mx NOT IN (SELECT p2.price FROM dim p2 "
+            "WHERE p2.plan = dim.plan AND p2.price > 15) "
+            "AND mx <= ALL (SELECT p3.price + 15 FROM dim p3 "
+            "WHERE p3.plan = dim.plan)"
+        )
+        got = self._apply(spark, q, kw)
+        tables = {
+            "dim": [
+                dict(zip(("tool", "price", "plan"), r))
+                for r in self.CDIM_ROWS
+            ]
+        }
+
+        def key(t):
+            return [(k, v is not None, v) for k, v in t]
+
+        for i, tool in enumerate(("t1", "t2", "t9")):
+            ev = {"conv_id": f"c{i}", "turn_idx": i, "tool": tool}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{
+                    "id": "h", "query": q, "parameters": {"tool": "tool"},
+                }]),
+                tables,
+            )
+            exp = sorted(
+                (tuple(d.items()) for d in ev["h"]), key=key
+            )
+            assert got[i] == exp, (tool, got[i], exp)
 
 
 class TestExpressionCorrelations:
@@ -1652,8 +1837,9 @@ class TestNestedCorrelatedSubqueries:
     chain per outer row (lookup.rb:131-147; pinned natively in
     test_jdbc_derby.py). Spark-first the inner per-group aggregate
     left-joins onto the SUB frame as a ``__nsq*`` column once per
-    snapshot (recursive over the depth bound); correlated IN/EXISTS
-    nesting and inequality correlations stay rejected."""
+    snapshot (recursive over the depth bound); nested IN/EXISTS live
+    in TestNestedSetSubqueries, nested INEQUALITY correlations in
+    TestNestedIneqCorrelations (round-5 latest)."""
 
     NDIM = T.StructType(
         [
@@ -1753,7 +1939,10 @@ class TestNestedCorrelatedSubqueries:
             {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
         )
 
-    def test_nested_ineq_correlation_rejected(self, spark):
+    def test_nested_ineq_correlation_accepted(self, spark):
+        # round-5 latest: nested INEQUALITY correlations compile via
+        # the nested rid theta join (TestNestedIneqCorrelations has
+        # the value-level coverage)
         spec = PipelineSpec(
             lookups=[
                 {
@@ -1768,11 +1957,10 @@ class TestNestedCorrelatedSubqueries:
                 }
             ]
         )
-        with pytest.raises(ValidationError, match="inequality"):
-            LookupEnricher(
-                spec,
-                {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
-            )
+        LookupEnricher(  # compiles without raising
+            spec,
+            {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
+        )
 
 
 class TestNestedSetSubqueries:
@@ -1895,26 +2083,119 @@ class TestNestedSetSubqueries:
             exp = sorted(d["price"] for d in ev["x"])
             assert got[i] == exp, (tool, got[i], exp)
 
-    def test_nested_ineq_in_exists_still_rejected(self, spark):
-        spec = PipelineSpec(
-            lookups=[
-                {
-                    "id": "x",
-                    "query": (
-                        "SELECT price FROM dim WHERE price > "
-                        "(SELECT max(p2.price) FROM dim p2 WHERE EXISTS "
-                        "(SELECT 1 FROM dim p3 WHERE p3.plan = p2.plan "
-                        "AND p3.qty > p2.qty))"
-                    ),
-                    "parameters": {},
-                }
-            ]
+class TestNestedIneqCorrelations:
+    """Round-5 latest: INEQUALITY correlations inside NESTED
+    subqueries — ``p3.qty > p2.qty`` one level down, against the
+    ENCLOSING subquery's relation. Derby evaluates the chain per
+    outer row (lookup.rb:131-147); Spark-first each flavor
+    decorrelates via the nested rid THETA JOIN (_nested_theta_pairs):
+    pin the enclosing sub frame with a row id, pair it with matching
+    inner rows (hash join on any eq keys, inequality post-filter;
+    dim-sized nested loop without), aggregate per rid — scalar ->
+    per-rid aggregate, EXISTS -> witness flag, IN/quantified ->
+    per-rid (set, had-NULL, count) — then broadcast-join back. All
+    snapshot-time dim-sized work; the per-event plan stays the single
+    broadcast-hash probe. Dim: t1 (10,3,basic) (4,9,basic) (7,2,pro)
+    (5,4,NULL); t2 (20,1,basic) (2,5,pro)."""
+
+    NDIM = TestNestedCorrelatedSubqueries.NDIM
+    NDIM_ROWS = TestNestedCorrelatedSubqueries.NDIM_ROWS
+    _apply = TestNestedCorrelatedSubqueries._apply
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_scalar_ineq(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND price >= "
+            "(SELECT max(p2.price) FROM dim p2 WHERE p2.qty > "
+            "(SELECT avg(p3.qty) FROM dim p3 WHERE p3.price > p2.price))",
+            kw,
         )
-        with pytest.raises(ValidationError, match="inequality"):
-            LookupEnricher(
-                spec,
-                {"dim": spark.createDataFrame(self.NDIM_ROWS, self.NDIM)},
+        # per p2, avg qty of strictly-pricier rows: (10,3)->1, (4,9)
+        # ->2.5, (7,2)->2, (5,4)->2, (20,1)->NULL (empty, 1>NULL
+        # unknown), (2,5)->3.8 -> qualifying prices {10,4,5,2}, max 10
+        assert got[0] == [10]
+        assert got[1] == [20]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_exists_two_ineq(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM dim p2 WHERE p2.plan = dim.plan AND EXISTS "
+            "(SELECT 1 FROM dim p3 WHERE p3.price > p2.price "
+            "AND p3.qty > p2.qty))",
+            kw,
+        )
+        # rows strictly dominated on BOTH axes: (2,5)<(4,9) and
+        # (7,2)<(10,3) -> plans {pro}; NULL plans correlate to nothing
+        assert got[0] == [7]
+        assert got[1] == [2]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_in_ineq(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM dim p2 WHERE p2.plan = dim.plan AND "
+            "p2.qty IN (SELECT p3.qty - 1 FROM dim p3 "
+            "WHERE p3.price > p2.price))",
+            kw,
+        )
+        # only p2=(7,2,pro): pricier rows {(10,3),(20,1)} -> {2,0},
+        # qty 2 in the set -> plan pro
+        assert got[0] == [7]
+        assert got[1] == [2]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_quantified_ineq(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT price FROM dim WHERE tool = :tool AND EXISTS "
+            "(SELECT 1 FROM dim p2 WHERE p2.plan = dim.plan AND "
+            "p2.price >= ALL (SELECT p3.price FROM dim p3 "
+            "WHERE p3.qty <= p2.qty))",
+            kw,
+        )
+        # p2 qualifies iff its price tops every row with qty <= its
+        # own: only (20,1,basic) -> plan basic
+        assert got[0] == [4, 10]
+        assert got[1] == [20]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_matches_row_oracle(self, spark, kw):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        q = (
+            "SELECT price FROM dim WHERE tool = :tool AND price <= "
+            "(SELECT sum(p2.price) FROM dim p2 WHERE p2.plan = dim.plan "
+            "AND NOT EXISTS (SELECT 1 FROM dim p3 "
+            "WHERE p3.price > p2.price AND p3.qty > p2.qty) "
+            "AND p2.qty > (SELECT min(p4.qty) FROM dim p4 "
+            "WHERE p4.price < p2.price))"
+        )
+        got = self._apply(spark, q, kw)
+        tables = {
+            "dim": [
+                dict(zip(("tool", "price", "qty", "plan"), r))
+                for r in self.NDIM_ROWS
+            ]
+        }
+        for i, tool in enumerate(("t1", "t2", "t9")):
+            ev = {"conv_id": f"c{i}", "turn_idx": i, "tool": tool}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{
+                    "id": "x", "query": q, "parameters": {"tool": "tool"},
+                }]),
+                tables,
             )
+            exp = sorted(d["price"] for d in ev["x"])
+            assert got[i] == exp, (tool, got[i], exp)
 
 
 class TestMixedExpressions:

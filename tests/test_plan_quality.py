@@ -498,6 +498,39 @@ class TestExprLookupPlans:
         assert "avg(" not in fact_side, plan
         assert "HashAggregate" not in fact_side, plan
 
+    def test_nested_ineq_uncorrelated_host_folds_to_literal(self, spark):
+        # round-5 latest: a nested INEQUALITY correlation under an
+        # UNCORRELATED top subquery still folds the whole chain to a
+        # snapshot literal — the nested rid theta join runs inside the
+        # driver-side _eval_subquery, never in the per-event plan
+        plan = self._plan_for(
+            spark,
+            "SELECT ip FROM hosts WHERE tool = :t AND num >= "
+            "(SELECT max(h2.num) FROM hosts h2 WHERE h2.num > "
+            "(SELECT avg(h3.num) FROM hosts h3 WHERE h3.num < h2.num))",
+        )
+        assert plan.count("BroadcastHashJoin") == 1, plan
+        assert "Subquery" not in plan, plan
+        assert "NestedLoop" not in plan, plan
+
+    def test_nested_ineq_under_correlated_host_keeps_fact_clean(self, spark):
+        # round-5 latest: under a CORRELATED top subquery the nested
+        # theta join rides the dim BUILD side (snapshot-time, dim-
+        # sized; without eq keys it is a broadcast nested loop there)
+        # — the fact side stays exchange- and aggregate-free
+        plan = self._plan_for(
+            spark,
+            "SELECT ip FROM hosts WHERE tool = :t AND num >= "
+            "(SELECT avg(h2.num) FROM hosts h2 "
+            "WHERE h2.tool = hosts.tool AND h2.num > "
+            "(SELECT min(h3.num) FROM hosts h3 WHERE h3.num < h2.num))",
+        )
+        assert "Subquery" not in plan, plan
+        fact_side = plan.split("BroadcastHashJoin")[0]
+        assert "NestedLoop" not in fact_side, plan
+        assert "HashAggregate" not in fact_side, plan
+        assert "avg(" not in fact_side, plan
+
 
 class TestGroupedLookupPlan:
     def test_equi_group_by_stays_single_broadcast_join(self, spark):

@@ -224,6 +224,17 @@ WIDE_TEMPLATES = [
     "length(name) > (SELECT count(*) FROM servers s2 "
     "WHERE s2.ip >= ALL (SELECT s3.ip FROM servers s3 "
     "WHERE s3.name = s2.name)) OR ip = :ip",
+    # round-5 latest: nested INEQUALITY correlations — the nested rid
+    # theta join (scalar / EXISTS / IN flavors)
+    "ip = :ip AND ip <= (SELECT max(s2.ip) FROM servers s2 "
+    "WHERE s2.ip >= (SELECT min(s3.ip) FROM servers s3 "
+    "WHERE s3.ip < s2.ip))",
+    "ip = :ip AND ip >= (SELECT min(s2.ip) FROM servers s2 "
+    "WHERE EXISTS (SELECT 1 FROM servers s3 "
+    "WHERE s3.ip < s2.ip AND s3.name <= s2.name))",
+    "length(ip) >= (SELECT count(*) FROM servers s2 "
+    "WHERE s2.ip IN (SELECT s3.ip FROM servers s3 "
+    "WHERE s3.ip <= s2.ip AND s3.name = s2.name)) OR ip = :ip",
 ]
 
 
@@ -672,6 +683,27 @@ FULLQ_TEMPLATES = [
      "GROUP BY name HAVING n >= (SELECT count(*) FROM servers s2 "
      "WHERE s2.name = servers.name AND s2.ip <> 'k9') "
      "ORDER BY n DESC, nm FETCH FIRST 2 ROWS ONLY",
+     {"nm": "dflt", "n": -1}),
+    # round-5 latest: correlated [NOT] IN / quantified subqueries in
+    # HAVING (per-group set columns ride as hidden max carriers;
+    # correlated columns must be GROUP BY keys)
+    ("SELECT name AS nm, max(ip) AS mx FROM servers WHERE ip <= :ip "
+     "GROUP BY name HAVING mx IN (SELECT s2.ip FROM servers s2 "
+     "WHERE s2.name = servers.name)",
+     {"nm": "dflt", "mx": "dflt"}),
+    ("SELECT name AS nm, min(ip) AS mn FROM servers WHERE ip LIKE :ip "
+     "GROUP BY name HAVING mn NOT IN (SELECT s2.ip FROM servers s2 "
+     "WHERE s2.name = servers.name AND s2.ip > 'k5')",
+     {"nm": "dflt", "mn": "dflt"}),
+    ("SELECT name AS nm, max(ip) AS mx FROM servers WHERE ip <= :ip "
+     "GROUP BY name HAVING mx >= ALL (SELECT s2.ip FROM servers s2 "
+     "WHERE s2.name <= servers.name)",
+     {"nm": "dflt", "mx": "dflt"}),
+    # round-5 latest: inequality-correlated SCALAR subquery as a
+    # HAVING comparand (outer column a GROUP BY key)
+    ("SELECT name AS nm, count(*) AS n FROM servers WHERE ip <= :ip "
+     "GROUP BY name HAVING n <= (SELECT count(*) FROM servers s2 "
+     "WHERE s2.name <= servers.name)",
      {"nm": "dflt", "n": -1}),
     # round-5 latest: projection scalar subqueries combined with GROUP
     # BY (the __psq column folds into the grouping; correlation keys
