@@ -1232,30 +1232,35 @@ def resolve_subqueries_with_dim(
     # post-stage overlay as projection subqueries (psq_params)
     having_psq: dict[str, str] = {}
 
+    def having_param_carrier(pname: str) -> str:
+        """Ride a synthetic per-event param (a broadcast-joined
+        subquery value, scalar OR one of the three set columns) INTO
+        the payload: a typed NULL placeholder dim column + hidden
+        ``max(__hsq*)`` carrier (stripped post-filter like the
+        correlated ones), OVERLAID with the per-event value inside the
+        payload stage (_overlay_psq_params)."""
+        for n0, p0 in having_psq.items():
+            if p0 == pname:
+                return n0
+        frame = next(e[3] for e in param_subs if pname in e[0])
+        col = f"__sq_hp{len(having_psq)}"
+        holder["dim"] = holder["dim"].withColumn(
+            col, F.lit(None).cast(frame.schema[pname].dataType)
+        )
+        name = f"__hsq{len(hidden_aggs)}"
+        hidden_aggs.append((col, "max", name))
+        having_psq[name] = pname
+        return name
+
     def having_value_term(sq: _Subquery) -> _Term:
         if sq.param_corr:
             # PARAMETERIZED HAVING subquery (round-5 latest): the
             # HAVING filter reads aggregated PAYLOAD fields, so the
-            # per-event value must ride INTO the payload — a typed
-            # NULL placeholder dim column + hidden ``max(__hsq*)``
-            # carrier (stripped post-filter like the correlated ones),
-            # OVERLAID with the broadcast-joined per-event value inside
-            # the payload stage (_overlay_psq_params). Derby runs the
-            # shape natively as a prepared statement.
+            # per-event value must ride INTO the payload via the
+            # hidden-carrier overlay. Derby runs the shape natively
+            # as a prepared statement.
             term = param_term_of(sq)
-            pname = term.value
-            for n0, p0 in having_psq.items():
-                if p0 == pname:
-                    return _Term("column", n0)
-            frame = next(e[3] for e in param_subs if e[0][0] == pname)
-            col = f"__sq_hp{len(having_psq)}"
-            holder["dim"] = holder["dim"].withColumn(
-                col, F.lit(None).cast(frame.schema[pname].dataType)
-            )
-            name = f"__hsq{len(hidden_aggs)}"
-            hidden_aggs.append((col, "max", name))
-            having_psq[name] = pname
-            return _Term("column", name)
+            return _Term("column", having_param_carrier(term.value))
         if not sq.corr and not sq.ineq:
             return value_term(sq)
         # round-5 latest: INEQUALITY correlations are legal here too —
@@ -1700,6 +1705,21 @@ def resolve_subqueries_with_dim(
             return p
         if p.op in ("exists", "not exists"):
             sq0 = p.terms[0].value
+            if in_having and sq0.param_corr:
+                # params-only EXISTS in HAVING (round-5 latest,
+                # Derby-prepared-legal): existence of the param-keyed
+                # group is exactly ``0 < count(*)`` — the per-event
+                # count rides the scalar hidden-carrier overlay
+                # (misses coalesce to 0) and the HAVING filter
+                # compares the payload field
+                count_sq = dataclasses.replace(
+                    sq0, func="count", col=None
+                )
+                name = having_value_term(count_sq).value
+                return _Predicate(
+                    name, ">" if p.op == "exists" else "<=",
+                    [_Term("literal", 0)],
+                )
             if in_having:
                 # HAVING [NOT] EXISTS (round-5 latest, Derby-legal):
                 # the flag is group-CONSTANT when every correlated
@@ -1747,13 +1767,20 @@ def resolve_subqueries_with_dim(
             if sq.param_corr:
                 # PARAMETERIZED (round-5 latest): per-param-group set
                 # columns broadcast-joined onto the FACT, same ops
-                if in_having:
-                    raise ValidationError(
-                        ["lookup HAVING: parameterized quantified "
-                         "subqueries are not supported in HAVING — "
-                         "filter in the WHERE clause instead"]
-                    )
                 s, n, c = set_param_cols_of(sq)
+                if in_having:
+                    # round-5 latest, Derby-prepared-legal: the three
+                    # per-event set columns ride into the payload via
+                    # the hidden-carrier overlay, read as payload
+                    # fields by the HAVING filter's set ops
+                    return _Predicate(
+                        p.dim_column,
+                        f"{p.op}_set",
+                        [_Term("column", having_param_carrier(s)),
+                         _Term("column", having_param_carrier(n)),
+                         _Term("column", having_param_carrier(c))],
+                        func=p.func,
+                    )
                 return _Predicate(
                     p.dim_column,
                     f"{p.op}_set",
@@ -1801,13 +1828,18 @@ def resolve_subqueries_with_dim(
                 # group (set, had-null, count) columns broadcast-joined
                 # onto the FACT; the predicate compiles as the same
                 # in_set op the correlated machinery uses
-                if in_having:
-                    raise ValidationError(
-                        ["lookup HAVING: parameterized IN-subqueries "
-                         "are not supported in HAVING — filter in the "
-                         "WHERE clause instead"]
-                    )
                 s, n, c = set_param_cols_of(sq)
+                if in_having:
+                    # round-5 latest, Derby-prepared-legal: hidden-
+                    # carrier overlay, like the quantified branch
+                    return _Predicate(
+                        p.dim_column,
+                        "in_set" if p.op == "in" else "not in_set",
+                        [_Term("column", having_param_carrier(s)),
+                         _Term("column", having_param_carrier(n)),
+                         _Term("column", having_param_carrier(c))],
+                        func=p.func,
+                    )
                 return _Predicate(
                     p.dim_column,
                     "in_set" if p.op == "in" else "not in_set",
@@ -2800,10 +2832,21 @@ class _WhereParser:
                      f"the event at once; pre-shape via a loader query"]
                 )
             if self.computed is None:
-                raise ValidationError(
-                    ["lookup HAVING: parameterized EXISTS subqueries "
-                     "are not supported in HAVING — filter in the "
-                     "WHERE clause instead"]
+                # HAVING context (round-5 latest): no dim-side
+                # computed-zero lhs exists here, so keep the generic
+                # EXISTS predicate — resolution rewrites it onto the
+                # per-event count through the hidden-carrier overlay
+                # (fix_pred), the oracle's per-event resolver mirrors
+                return _Predicate(
+                    "",
+                    "exists",
+                    [_Term(
+                        "subquery",
+                        _Subquery(
+                            "__exists", None, table, where,
+                            tuple(computed), param_corr=tuple(pcorr),
+                        ),
+                    )],
                 )
             # params-only EXISTS (round-5 latest): existence of rows in
             # the param-keyed group is exactly ``0 < (SELECT count(*)

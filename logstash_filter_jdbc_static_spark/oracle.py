@@ -818,6 +818,10 @@ def _resolve_subqueries_rows(
         if not any(t.kind == "subquery" for t in p.terms):
             return p
         if p.op in ("exists", "not exists"):
+            if p.terms[0].value.param_corr:
+                # params-only EXISTS in HAVING (round-5 latest): binds
+                # per EVENT — deferred to the per-event resolver
+                return p
             name = exists_col_of(p.terms[0].value)
             if in_having:
                 # HAVING [NOT] EXISTS (round-5 latest): the
@@ -1017,6 +1021,26 @@ def _resolve_param_subqueries_rows(
         ):
             return p
         sq0 = p.terms[0].value
+        if p.op in ("exists", "not exists"):
+            # params-only EXISTS in HAVING (round-5 latest): evaluate
+            # THIS event's param group and fold to a constant — the
+            # row-at-a-time twin of the compiled per-event count
+            # carrier compare. ``__no_such_column`` is never a real
+            # field, so ``is [not] null`` encodes TRUE/FALSE.
+            grp = [
+                s
+                for s in _sub_rows(sq0, tables)
+                if all(
+                    _corr_eq_vals(s.get(sc), pv(pt))
+                    for sc, pt in sq0.param_corr
+                )
+            ]
+            hit = bool(grp) == (p.op == "exists")
+            return _Predicate(
+                "__no_such_column",
+                "is null" if hit else "is not null",
+                [],
+            )
         if (
             len(p.terms) == 1
             and p.terms[0].kind == "subquery"

@@ -154,7 +154,8 @@ _merge(
         # carriers; Derby-pinned)
         ("lookup_having_set",
          [("n_hi", "hi_n"), ("hi_rows", "hi_rows"),
-          ("n_hq", "hq_n"), ("hq_rows", "hq_rows")]),
+          ("n_hq", "hq_n"), ("hq_rows", "hq_rows"),
+          ("n_hp", "hp_n"), ("hp_rows", "hp_rows")]),
         # round-5 latest widening: [NOT] EXISTS in HAVING, correlated
         # on GROUP BY keys (group-constant flag via hidden max agg)
         ("lookup_having_exists",

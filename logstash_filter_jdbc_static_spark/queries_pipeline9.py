@@ -2515,15 +2515,43 @@ def lookup_corr_having(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM k2 GROUP BY 1
         )
         """,
+        """
+        g3 AS (
+          SELECT plan, CAST(max(price) AS BIGINT) AS m
+          FROM tool_plans GROUP BY 1
+        )
+        """,
+        """
+        k3 AS (
+          SELECT tt.tool, g3.plan, g3.m
+          FROM (SELECT DISTINCT tool FROM transcripts) tt, g3
+          WHERE g3.m IN (SELECT p2.price FROM tool_plans p2
+                         WHERE p2.tool = tt.tool)
+        )
+        """,
+        """
+        m3 AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || CAST(m AS VARCHAR)
+                        ORDER BY plan NULLS LAST),
+                   '|') AS s
+          FROM k3 GROUP BY 1
+        )
+        """,
         body="""
         SELECT t.conv_id, t.turn_idx, t.tool,
                CAST(coalesce(m1.n, 0) AS BIGINT) AS n_hi,
                coalesce(m1.s, '') AS hi_rows,
                CAST(coalesce(m2.n, 0) AS BIGINT) AS n_hq,
-               coalesce(m2.s, '') AS hq_rows
+               coalesce(m2.s, '') AS hq_rows,
+               CAST(coalesce(m3.n, 0) AS BIGINT) AS n_hp,
+               coalesce(m3.s, '') AS hp_rows
         FROM transcripts t
         LEFT JOIN m1 ON m1.tool = t.tool
         LEFT JOIN m2 ON m2.tool = t.tool
+        LEFT JOIN m3 ON m3.tool = t.tool
         """,
     ),
 )
@@ -2563,6 +2591,19 @@ def lookup_having_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "parameters": {"tool": "tool"},
             },
+            {
+                # PARAMETERIZED IN in HAVING (round-5 latest): the
+                # per-event set rides the hidden-carrier overlay;
+                # ORDER BY pins the payload order (Derby null-largest)
+                "id": "hp",
+                "query": (
+                    "SELECT plan AS plan, max(price) AS m "
+                    "FROM tool_plans GROUP BY plan "
+                    "HAVING m IN (SELECT p2.price FROM tool_plans p2 "
+                    "WHERE p2.tool = :tool) ORDER BY plan"
+                ),
+                "parameters": {"tool": "tool"},
+            },
         ]
     )
     enricher = LookupEnricher(
@@ -2591,6 +2632,8 @@ def lookup_having_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows("hi", "mx").alias("hi_rows"),
         F.size("hq").cast("long").alias("n_hq"),
         rows("hq", "total").alias("hq_rows"),
+        F.size("hp").cast("long").alias("n_hp"),
+        rows("hp", "m").alias("hp_rows"),
     )
 
 

@@ -2016,6 +2016,39 @@ class TestDerbyGrammarLegality:
         finally:
             conn.close()
 
+    def test_param_set_subqueries_in_having_native(self, spark, derby_servers):
+        # round-5 latest: parameterized [NOT] IN / quantified / EXISTS
+        # subqueries in HAVING are Derby-legal PREPARED shapes —
+        # pinned so the accepted grammar stays a Derby subset
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(URL)
+        try:
+            for sql, want in [
+                ('SELECT "location", max("ip") FROM servers '
+                 'GROUP BY "location" HAVING max("ip") IN '
+                 '(SELECT s2."ip" FROM servers s2 WHERE s2."name" = ?)',
+                 None),
+                ('SELECT "location", count(*) FROM servers '
+                 'GROUP BY "location" HAVING count(*) >= ALL '
+                 '(SELECT LENGTH(s2."ip") - 9 FROM servers s2 '
+                 'WHERE s2."name" = ?)',
+                 None),
+                ('SELECT "location", count(*) FROM servers '
+                 'GROUP BY "location" HAVING EXISTS '
+                 '(SELECT 1 FROM servers s2 WHERE s2."name" = ?)',
+                 None),
+            ]:
+                ps = conn.prepareStatement(sql)
+                ps.setString(1, SERVERS_ROWS[0][1])
+                rs = ps.executeQuery()
+                n = 0
+                while rs.next():
+                    n += 1
+                # grammar-legality pin: each prepared shape executes
+                assert n >= 0
+        finally:
+            conn.close()
+
     def test_mixed_column_param_expressions(self, spark, derby_servers):
         # round-5 latest: expressions MIXING table columns with bound
         # placeholders in ONE rhs are Derby-legal prepared-statement

@@ -304,8 +304,8 @@ class TestParamSubqueryRejections:
     def test_having_param_subquery_accepted(self, spark):
         # round-5 latest: SCALAR param subqueries in HAVING are
         # ACCEPTED — the per-event value rides a hidden overlaid
-        # carrier (TestParamHavingSubquery); set-shaped ones stay
-        # rejected (TestParamHavingRejections)
+        # carrier (TestParamHavingSubquery); set-shaped ones ride the
+        # same overlay (TestParamSetHavingSubquery)
         self._compile(  # compiles without raising
             spark,
             "SELECT tool AS tool, count(*) AS n FROM plans "
@@ -474,8 +474,8 @@ class TestParamHavingSubquery:
     stripped post-filter (the same machinery as correlated HAVING
     subqueries + parameterized projection subqueries). Derby runs the
     shape natively as a prepared statement. Set-shaped parameterized
-    subqueries (EXISTS / IN / quantified) stay rejected in HAVING with
-    targeted messages."""
+    subqueries (EXISTS / IN / quantified) are accepted too since
+    round-5 latest — TestParamSetHavingSubquery."""
 
     def test_max_comparand_null_on_empty_group(self, spark, kw):
         # ORDER BY pins the payload order for the exact compare in _run
@@ -564,6 +564,122 @@ class TestParamHavingSubquery:
         assert got["t1"] == [("basic", 12), ("pro", 7)]
 
 
+class TestParamSetHavingSubquery:
+    """Round-5 latest: SET-shaped parameterized subqueries in HAVING —
+    ``[NOT] IN``, quantified, and ``[NOT] EXISTS``, all param-keyed
+    per event (Derby runs each natively as a prepared statement,
+    pinned in test_jdbc_derby.py). The HAVING filter reads aggregated
+    PAYLOAD fields, so the per-event values ride INTO the payload via
+    the same hidden-carrier overlay the scalar shapes use
+    (``having_param_carrier``): IN/quantified carry their three
+    per-param-group (set, had-NULL, count) columns as three carriers
+    read by the ``in_set`` / ``{cmp} {quant}_set`` 3VL ops; EXISTS
+    rewrites at resolution to a per-event count carrier compared
+    against 0 (misses coalesce to 0). Every run cross-checks the
+    row-at-a-time oracle (_run)."""
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_param_in_having(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, max(price) AS m FROM plans "
+            "GROUP BY plan HAVING max(price) IN "
+            "(SELECT p2.price FROM plans p2 WHERE p2.tool = :tool) "
+            "ORDER BY plan",
+            kw,
+        )
+        # per-event sets: t1 {10,7,4}, t2 {2,99}, t9/NULL {} (IN ()
+        # FALSE); groups basic m10, gold m99, pro m7, NULL m4
+        assert got["t1"] == [("basic", 10), ("pro", 7), (None, 4)]
+        assert got["t2"] == [("gold", 99)]
+        assert got["t9"] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_param_not_in_having_empty_set(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, max(price) AS m FROM plans "
+            "GROUP BY plan HAVING max(price) NOT IN "
+            "(SELECT p2.price FROM plans p2 "
+            "WHERE p2.tool = :tool AND p2.price > 50) "
+            "ORDER BY plan",
+            kw,
+        )
+        # t1 set {} -> NOT IN () vacuously TRUE for every group;
+        # t2 set {99} drops gold only
+        assert got["t1"] == [
+            ("basic", 10), ("gold", 99), ("pro", 7), (None, 4)
+        ]
+        assert got["t2"] == [("basic", 10), ("pro", 7), (None, 4)]
+        assert got["t9"] == got["t1"]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_param_quantified_having(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, sum(price) AS s FROM plans "
+            "GROUP BY plan HAVING sum(price) >= ALL "
+            "(SELECT p2.price FROM plans p2 WHERE p2.tool = :tool) "
+            "ORDER BY plan",
+            kw,
+        )
+        # sums: basic 12, gold 99, pro 7, NULL 4. t1 needs >= 10;
+        # t2 needs >= 99; t9 empty set -> vacuously TRUE
+        assert got["t1"] == [("basic", 12), ("gold", 99)]
+        assert got["t2"] == [("gold", 99)]
+        assert got["t9"] == [
+            ("basic", 12), ("gold", 99), ("pro", 7), (None, 4)
+        ]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_param_exists_having(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM plans "
+            "GROUP BY plan HAVING EXISTS "
+            "(SELECT 1 FROM plans p2 "
+            "WHERE p2.tool = :tool AND p2.price > 50) "
+            "ORDER BY plan",
+            kw,
+        )
+        # a per-event boolean gate: only t2 has a >50 row
+        assert got["t1"] == []
+        assert got["t2"] == [
+            ("basic", 2), ("gold", 1), ("pro", 1), (None, 1)
+        ]
+        assert got["t9"] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_param_not_exists_having(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM plans "
+            "GROUP BY plan HAVING NOT EXISTS "
+            "(SELECT 1 FROM plans p2 "
+            "WHERE p2.tool = :tool AND p2.price > 50) "
+            "ORDER BY plan",
+            kw,
+        )
+        assert got["t1"] == [
+            ("basic", 2), ("gold", 1), ("pro", 1), (None, 1)
+        ]
+        assert got["t2"] == []
+        assert got["t9"] == got["t1"]
+
+    def test_hidden_carriers_not_in_payload(self, spark):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, max(price) AS m FROM plans "
+            "GROUP BY plan HAVING max(price) IN "
+            "(SELECT p2.price FROM plans p2 WHERE p2.tool = :tool) "
+            "ORDER BY plan",
+            {},
+        )
+        for rows in got.values():
+            for r in rows or []:
+                assert len(r) == 2  # (plan, m) only
+
+
 class TestParamHavingRejections:
     def _compile(self, spark, query):
         LookupEnricher(
@@ -573,24 +689,6 @@ class TestParamHavingRejections:
             }]),
             _dims(spark),
         )
-
-    def test_exists_still_rejected(self, spark):
-        with pytest.raises(ValidationError, match="EXISTS"):
-            self._compile(
-                spark,
-                "SELECT plan AS plan, count(*) AS n FROM plans "
-                "GROUP BY plan HAVING EXISTS "
-                "(SELECT 1 FROM plans p2 WHERE p2.tool = :tool)",
-            )
-
-    def test_quantified_still_rejected(self, spark):
-        with pytest.raises(ValidationError, match="quantified"):
-            self._compile(
-                spark,
-                "SELECT plan AS plan, max(price) AS m FROM plans "
-                "GROUP BY plan HAVING max(price) >= ALL "
-                "(SELECT price FROM plans p2 WHERE p2.tool = :tool)",
-            )
 
     def test_prepared_positional_still_rejected_in_having(self, spark):
         # pre-existing HAVING rule: '?' placeholders are WHERE-only

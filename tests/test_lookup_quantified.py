@@ -247,14 +247,26 @@ class TestValidation:
             dims,
         )
 
-    def test_correlated_quantified_in_having_rejected(self, spark):
-        with pytest.raises(ValidationError, match="HAVING"):
+    def test_correlated_quantified_in_having_accepted(self, spark):
+        # round-5 latest: correlated quantified subqueries in HAVING
+        # compile via hidden max carriers when correlated on GROUP BY
+        # keys (TestCorrelatedSetHavingSubquery in test_lookup_rhs.py)
+        self._enricher(  # compiles without raising
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM plans p "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING count(*) > ALL (SELECT p2.price FROM plans p2 "
+            "WHERE p2.plan = p.plan)",
+        )
+
+    def test_non_key_quantified_in_having_rejected(self, spark):
+        with pytest.raises(ValidationError, match="GROUP BY keys"):
             self._enricher(
                 spark,
                 "SELECT plan AS plan, count(*) AS n FROM plans p "
                 "WHERE tool = :tool GROUP BY plan "
                 "HAVING count(*) > ALL (SELECT p2.price FROM plans p2 "
-                "WHERE p2.plan = p.plan)",
+                "WHERE p2.tool = p.tool)",
             ).apply  # construction raises
 
 
