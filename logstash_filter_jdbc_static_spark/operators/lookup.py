@@ -1985,6 +1985,15 @@ def resolve_subqueries_with_dim(
             for src, alias in (parsed.projection or [])
             if src in psq_param
         )
+        # GLOBAL-aggregate combination (round-5 latest): the parse
+        # converted the projected subquery into a max(__psq{n})
+        # aggregate — map its ALIAS onto the synthetic param so the
+        # overlay (and the in-stage empty-row substitution) reach it
+        + tuple(
+            (alias, psq_param[col])
+            for _f, col, alias in parsed.aggregates
+            if col in psq_param and not parsed.group_by
+        )
         # hidden carriers for PARAMETERIZED HAVING subqueries — same
         # overlay, stripped from the payload after the HAVING filter
         + tuple(having_psq.items()),
@@ -2047,6 +2056,14 @@ class ParsedQuery:
     # an aggregate not in the SELECT list is rejected with a pointer to
     # add it.
     having: tuple = ()
+    # Expression LEFT-HAND SIDES in HAVING (round-5 latest, Derby runs
+    # them verbatim: ``HAVING total * 2 > n + 1``): (name, sqlexpr AST)
+    # pairs whose Cols are PAYLOAD aliases (aggregate calls already
+    # rewritten to their aliases); the matching predicate's dim_column
+    # is the synthetic name, and every evaluator computes the
+    # expression over the group row at filter time — never a payload
+    # field.
+    having_exprs: tuple = ()
     # Dim-side scalar expressions (arithmetic / CASE / COALESCE in the
     # projection or a predicate lhs), each materialized as a synthetic
     # dim column named ``__expr{n}``: (name, sqlexpr AST) pairs. The
@@ -2435,9 +2452,14 @@ class _WhereParser:
         computed: list[tuple[str, object]] | None = None,
         qualifier_fallback=None,
         in_subquery: bool = False,
+        in_having: bool = False,
     ):
         self.tokens = tokens
         self.table = table
+        # True when parsing a HAVING clause: lhs expressions register
+        # in the PAYLOAD-level computed list (ParsedQuery.having_exprs)
+        # and param/mixed rejections use HAVING-specific messages
+        self.in_having = in_having
         # True when parsing a subquery's own WHERE: EXISTS cannot nest
         # there (no set-at-a-time plan can stage doubly-nested
         # existence), so the parser rejects it with a direct message.
@@ -2648,7 +2670,7 @@ class _WhereParser:
                 # subquery's WHERE resolves once per snapshot and
                 # HAVING runs over payload aliases — neither has a dim
                 # row in scope, so those contexts keep the rejection.
-                if self.in_subquery or self.computed is None:
+                if self.in_subquery or self.in_having:
                     ctx = (
                         "a subquery WHERE" if self.in_subquery
                         else "HAVING"
@@ -2831,7 +2853,7 @@ class _WhereParser:
                      f"snapshot-or-probe frame can key on the dim and "
                      f"the event at once; pre-shape via a loader query"]
                 )
-            if self.computed is None:
+            if self.in_having:
                 # HAVING context (round-5 latest): no dim-side
                 # computed-zero lhs exists here, so keep the generic
                 # EXISTS predicate — resolution rewrites it onto the
@@ -3142,9 +3164,11 @@ class _WhereParser:
             col = simple
         else:
             fc = sqlexpr.single_func_column(ast)
-            if fc is not None:
+            if fc is not None and not self.in_having:
                 func, col = fc
             else:
+                # HAVING (round-5 latest): func-wrapped and compound
+                # lhs shapes both register as payload-level expressions
                 col = self._new_computed(ast)
         tok = self._peek()
         if tok is None:
@@ -4227,10 +4251,16 @@ def materialize_derived(
             )
             # HAVING is STATIC inside a derived table (params are
             # rejected above), so it is just a filter over the
-            # aggregated rows — unlike the per-event payload HAVING
+            # aggregated rows — unlike the per-event payload HAVING.
+            # Expression LHS columns (round-5 latest) materialize over
+            # the aggregated frame for the filter and drop after it.
+            for hx_name, hx_ast in parsed.having_exprs:
+                df = df.withColumn(hx_name, sqlexpr.compile_expr(hx_ast))
             hcond = _static_where_condition(parsed.having)
             if hcond is not None:
                 df = df.filter(hcond)
+            if parsed.having_exprs:
+                df = df.drop(*[n for n, _ in parsed.having_exprs])
         else:
             df = df.agg(*aggs)
             if parsed.agg_empty:
@@ -4725,15 +4755,12 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                          "is per-row; add the correlation columns to "
                          "a GROUP BY or aggregate inside the subquery"]
                     )
-                if sq.param_corr:
-                    raise ValidationError(
-                        ["lookup projection: a PARAMETERIZED scalar-"
-                         "subquery projection cannot combine with a "
-                         "GLOBAL aggregate (no GROUP BY) — the empty-"
-                         "set aggregate row is typed per snapshot and "
-                         "cannot carry a per-event value; add GROUP "
-                         "BY or aggregate inside the subquery"]
-                    )
+                # PARAMETERIZED ones are legal too (round-5 latest):
+                # the hidden max(__psq) aggregate reads the typed NULL
+                # placeholder and the per-event value overlays the
+                # payload field — including the EMPTY-set row, which
+                # substitutes inside the payload stage while the
+                # broadcast-joined per-event columns are in scope
             psq_names = {n for n, _ in proj_subqueries}
             projection = [
                 (src, alias)
@@ -4998,6 +5025,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                      f"appear in the GROUP BY list (or be aggregated)"]
                 )
     having: tuple = ()
+    having_exprs: tuple = ()
     if having_text is not None:
         if not group_by:
             raise ValidationError(["lookup HAVING requires GROUP BY"])
@@ -5057,15 +5085,30 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         # t p2 WHERE p2.plan = t.plan)``); direct qualified refs were
         # already canonicalized above, so the fallback only fires for
         # genuinely unknown qualifiers
+        # expression LHS support (round-5 latest): the HAVING parser
+        # gets its OWN computed list — entries are payload-level
+        # expressions over SELECT aliases, evaluated at filter time
+        hx: list[tuple[str, object]] = []
         having = tuple(
             _WhereParser(
                 htoks, table=table, quals=quals, alias=base_alias,
-                qualifier_fallback=_having_corr,
+                qualifier_fallback=_having_corr, computed=hx,
+                in_having=True,
             ).parse()
         )
+        having_exprs = tuple(hx)
+        hx_names = {n for n, _ in hx}
         payload_names = {alias for _, alias in projection} | {
             a for _, _, a in aggregates
         }
+        for name, ast in hx:
+            bad = sorted(sqlexpr.columns(ast) - payload_names)
+            if bad:
+                raise ValidationError(
+                    [f"lookup HAVING: expression references {bad} — "
+                     f"not selected column aliases "
+                     f"(available: {sorted(payload_names)})"]
+                )
         for d in having:
             for p in d:
                 if p.op in ("exists", "not exists"):
@@ -5079,14 +5122,21 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                         [f"lookup HAVING: function-wrapped fields are not "
                          f"supported ({p.func}({p.dim_column}))"]
                     )
-                if p.dim_column not in payload_names:
+                if (
+                    p.dim_column not in payload_names
+                    and p.dim_column not in hx_names
+                ):
                     raise ValidationError(
                         [f"lookup HAVING: {p.dim_column!r} is not a "
                          f"selected column alias "
                          f"(available: {sorted(payload_names)})"]
                     )
                 for t in p.terms:
-                    if t.kind == "column" and t.value not in payload_names:
+                    if (
+                        t.kind == "column"
+                        and t.value not in payload_names
+                        and t.value not in hx_names
+                    ):
                         raise ValidationError(
                             [f"lookup HAVING: comparand {t.value!r} is "
                              f"not a selected column alias "
@@ -5142,6 +5192,7 @@ def parse_lookup_query(query: str) -> ParsedQuery:
         projection, table, disjuncts, base_alias, joins,
         order_by=order_by, limit=limit, offset=offset, distinct=distinct,
         aggregates=tuple(aggregates), group_by=group_by, having=having,
+        having_exprs=having_exprs,
         computed=tuple(computed), where_tree=where_tree,
         proj_subqueries=tuple(proj_subqueries),
         select_interleaved=select_interleaved,
@@ -5417,6 +5468,7 @@ def build_join_dim(
         ),
         group_by=new_group,
         having=parsed.having,  # references payload ALIASES — flat-safe
+        having_exprs=parsed.having_exprs,  # likewise alias-based
         # expression ASTs remapped onto the derived dim's flat names;
         # CompiledLookup materializes them there like any single-table
         # computed column (round 5: expressions in JOIN lookups)
@@ -6080,6 +6132,20 @@ class CompiledLookup:
                 "__raw_payload",
                 self._overlay_psq_params(F.col("__raw_payload"), params),
             )
+            if self.query.aggregates and not self.query.group_by:
+                # GLOBAL-aggregate + parameterized projection subquery
+                # (round-5 latest): the empty-set aggregate row must
+                # carry the PER-EVENT value, so substitute it HERE —
+                # while the broadcast-joined ``__psub*`` columns are
+                # still in scope (downstream isNull substitutions
+                # become no-ops on an already-materialized row)
+                raw = F.col("__raw_payload")
+                out = out.withColumn(
+                    "__raw_payload",
+                    F.when(
+                        raw.isNull(), self._empty_agg_array(params)
+                    ).otherwise(raw),
+                )
         return out.drop(*drops) if drops else out
 
     def _overlay_psq_params(
@@ -6373,41 +6439,73 @@ class CompiledLookup:
         indexed = [
             [(0, p) for p in d] for d in self.query.having
         ]
+        hx = dict(self.query.having_exprs)
 
         def fn(r: Column) -> Column:
+            def lhs_one(p: _Predicate) -> Column:
+                if p.dim_column in hx:
+                    # expression LHS (round-5 latest): evaluate over
+                    # the group row's payload fields at filter time
+                    return sqlexpr.compile_expr(
+                        sqlexpr.subst_columns(
+                            hx[p.dim_column], lambda n: r.getField(n)
+                        )
+                    )
+                return r.getField(p.dim_column)
+
             def rhs_one(p: _Predicate, t: _Term) -> Column:
                 if t.kind == "column":
                     # HAVING comparand naming another payload field
-                    # (``HAVING total > cnt``)
-                    c = r.getField(t.value)
+                    # (``HAVING total > cnt``) — or a payload-level
+                    # EXPRESSION (``> n + 12``, round-5 latest)
+                    c = (
+                        sqlexpr.compile_expr(
+                            sqlexpr.subst_columns(
+                                hx[t.value], lambda n: r.getField(n)
+                            )
+                        )
+                        if t.value in hx
+                        else r.getField(t.value)
+                    )
                     return _like_regex(c, p.like_escape) if p.op in _LIKE_OPS else c
                 return self._term_rhs(p, t, lambda n: params[n].value)
 
             return self._dnf_condition(
-                lambda p: r.getField(p.dim_column),
+                lhs_one,
                 lambda _f, p: [rhs_one(p, t) for t in p.terms],
                 indexed=indexed,
             )
 
         return fn
 
-    def _empty_agg_array(self) -> Column:
+    def _empty_agg_array(self, params: dict | None = None) -> Column:
         """The one-row payload an aggregate query yields over an empty
         match set: count columns 0, everything else NULL — except a
         projected-subquery carrier (``max(__psq{n})``), which
         substitutes its snapshot-resolved literal (SQL evaluates the
-        subquery even over zero rows)."""
+        subquery even over zero rows). With ``params`` (round-5
+        latest, the in-stage call only — the broadcast-joined
+        ``__psub*`` columns must still be in scope), a PARAMETERIZED
+        carrier substitutes its per-event value instead."""
         empty = dict(self.query.agg_empty)
+        repl = dict(self.query.psq_params) if params is not None else {}
+        # the in-stage call runs BEFORE the HAVING filter strips the
+        # hidden carriers, so its row must have the INTERNAL shape
+        struct = (
+            self._internal_struct if params is not None
+            else self._payload_struct
+        )
         cols = [
             (
-                F.lit(empty[alias]) if alias in empty
+                params[repl[alias]].value if alias in repl
+                else F.lit(empty[alias]) if alias in empty
                 else F.lit(0) if func.startswith("count")
                 else F.lit(None)
             )
             .cast(fld.dataType)
             .alias(alias)
             for (func, _, alias), fld in zip(
-                self.query.aggregates, self._payload_struct.fields
+                self.query.aggregates, struct.fields
             )
         ]
         return F.array(F.struct(*cols))
@@ -6975,6 +7073,15 @@ class CompiledUnionLookup:
                     having=_remap_having_aliases(parsed.having, ren)
                     if ren
                     else parsed.having,
+                    # expression LHS ASTs reference the same aliases
+                    having_exprs=tuple(
+                        (n, sqlexpr.map_columns(
+                            a, lambda c: ren.get(c, c)
+                        ))
+                        for n, a in parsed.having_exprs
+                    )
+                    if ren
+                    else parsed.having_exprs,
                 )
             if parsed.joins:
                 # flat-rewrite first: correlated subqueries left-join

@@ -1076,6 +1076,7 @@ def _resolve_param_subqueries_rows(
             return ("pred", fix_pred(node[1]))
         return (node[0], [fix_tree(c) for c in node[1]])
 
+    psq_vals: dict[str, object] = {}
     for name, sq in q.proj_subqueries:
         grp = [
             s
@@ -1086,6 +1087,7 @@ def _resolve_param_subqueries_rows(
             )
         ]
         v = _agg_rows(sq, grp)
+        psq_vals[name] = v
         table = [{**r, name: v} for r in (table or [])]
     return (
         dataclasses.replace(
@@ -1100,6 +1102,16 @@ def _resolve_param_subqueries_rows(
             # ``__hsq*`` carrier instead)
             having=tuple(
                 tuple(fix_pred(p) for p in d) for d in q.having
+            ),
+            # GLOBAL-aggregate + parameterized projection subquery
+            # (round-5 latest): the empty-set aggregate row carries
+            # THIS event's value — the twin of the compiled in-stage
+            # substitution
+            agg_empty=q.agg_empty
+            + tuple(
+                (alias, psq_vals[col])
+                for _f, col, alias in q.aggregates
+                if col in psq_vals and not q.group_by
             ),
             proj_subqueries=(),
         ),
@@ -1215,6 +1227,10 @@ def _group_rows(q, matched: list[tuple[dict, dict]], params: dict) -> list[dict]
         # join mode, and _join_rows rows carry both spellings
         d = {alias: rs[0].get(src) for src, alias in (q.projection or [])}
         d.update(_agg_over_rows(q.aggregates, rs))
+        # expression LHS in HAVING (round-5 latest): evaluate each
+        # payload-level expression onto the group row for the filter
+        for hx_name, hx_ast in q.having_exprs:
+            d[hx_name] = eval_expr(hx_ast, d)
         grows.append(d)
     if q.having:
         # HAVING predicates reference payload aliases, so the group
@@ -1226,6 +1242,12 @@ def _group_rows(q, matched: list[tuple[dict, dict]], params: dict) -> list[dict]
                 all(_pred_match(p, g, params) for p in disjunct)
                 for disjunct in q.having
             )
+        ]
+    if q.having_exprs:
+        hx_names = {n for n, _ in q.having_exprs}
+        grows = [
+            {k: v for k, v in g.items() if k not in hx_names}
+            for g in grows
         ]
     return grows
 
@@ -1295,6 +1317,9 @@ def _derived_rows(
         for _, rs in groups.items():
             d = {alias: rs[0].get(src) for src, alias in (q.projection or [])}
             d.update(_agg_over_rows(q.aggregates, rs))
+            # expression LHS in HAVING (round-5 latest)
+            for hx_name, hx_ast in q.having_exprs:
+                d[hx_name] = eval_expr(hx_ast, d)
             rows.append(d)
         if q.having:
             # static inside a derived table (params rejected at compile)
@@ -1304,6 +1329,12 @@ def _derived_rows(
                     all(_pred_match(p, g, {}) for p in disjunct)
                     for disjunct in q.having
                 )
+            ]
+        if q.having_exprs:
+            hx_names = {n for n, _ in q.having_exprs}
+            rows = [
+                {k: v for k, v in g.items() if k not in hx_names}
+                for g in rows
             ]
     else:
         rows = [proj for _, proj in matched]

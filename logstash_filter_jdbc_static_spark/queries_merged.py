@@ -155,7 +155,8 @@ _merge(
         ("lookup_having_set",
          [("n_hi", "hi_n"), ("hi_rows", "hi_rows"),
           ("n_hq", "hq_n"), ("hq_rows", "hq_rows"),
-          ("n_hp", "hp_n"), ("hp_rows", "hp_rows")]),
+          ("n_hp", "hp_n"), ("hp_rows", "hp_rows"),
+          ("n_he", "he_n"), ("he_rows", "he_rows")]),
         # round-5 latest widening: [NOT] EXISTS in HAVING, correlated
         # on GROUP BY keys (group-constant flag via hidden max agg)
         ("lookup_having_exists",

@@ -2516,6 +2516,27 @@ def lookup_corr_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
         """
+        g4 AS (
+          SELECT tool, plan, CAST(sum(price) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM tool_plans GROUP BY 1, 2
+        )
+        """,
+        """
+        k4 AS (SELECT * FROM g4 WHERE total * 2 > n + 12)
+        """,
+        """
+        m4 AS (
+          SELECT tool, CAST(count(*) AS BIGINT) AS n,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || '='
+                        || CAST(total AS VARCHAR)
+                        ORDER BY plan NULLS FIRST),
+                   '|') AS s
+          FROM k4 GROUP BY 1
+        )
+        """,
+        """
         g3 AS (
           SELECT plan, CAST(max(price) AS BIGINT) AS m
           FROM tool_plans GROUP BY 1
@@ -2547,11 +2568,14 @@ def lookup_corr_having(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(coalesce(m2.n, 0) AS BIGINT) AS n_hq,
                coalesce(m2.s, '') AS hq_rows,
                CAST(coalesce(m3.n, 0) AS BIGINT) AS n_hp,
-               coalesce(m3.s, '') AS hp_rows
+               coalesce(m3.s, '') AS hp_rows,
+               CAST(coalesce(m4.n, 0) AS BIGINT) AS n_he,
+               coalesce(m4.s, '') AS he_rows
         FROM transcripts t
         LEFT JOIN m1 ON m1.tool = t.tool
         LEFT JOIN m2 ON m2.tool = t.tool
         LEFT JOIN m3 ON m3.tool = t.tool
+        LEFT JOIN m4 ON m4.tool = t.tool
         """,
     ),
 )
@@ -2588,6 +2612,20 @@ def lookup_having_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "FROM tool_plans WHERE tool = :tool GROUP BY plan "
                     "HAVING total >= ALL (SELECT p2.price FROM "
                     "tool_plans p2 WHERE p2.plan = tool_plans.plan)"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+            {
+                # expression LEFT-HAND SIDES in HAVING (round-5
+                # latest): payload-level expressions over SELECT
+                # aliases on BOTH comparison sides, evaluated over the
+                # group row at filter time
+                "id": "he",
+                "query": (
+                    "SELECT plan AS plan, sum(price) AS total, "
+                    "count(*) AS n FROM tool_plans "
+                    "WHERE tool = :tool GROUP BY plan "
+                    "HAVING total * 2 > n + 12"
                 ),
                 "parameters": {"tool": "tool"},
             },
@@ -2634,6 +2672,8 @@ def lookup_having_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows("hq", "total").alias("hq_rows"),
         F.size("hp").cast("long").alias("n_hp"),
         rows("hp", "m").alias("hp_rows"),
+        F.size("he").cast("long").alias("n_he"),
+        rows("he", "total").alias("he_rows"),
     )
 
 

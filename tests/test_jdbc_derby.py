@@ -1587,6 +1587,25 @@ class TestDerbyGrammarLegality:
         )
         assert len(rows3) == 3
 
+    def test_having_expression_lhs_native(self, spark, derby_servers):
+        # round-5 latest: expression left-hand sides in HAVING are
+        # standard SQL Derby runs natively — pinned so the accepted
+        # grammar stays a Derby subset
+        rows = self._fetch(
+            spark,
+            'SELECT "location", count(*) AS n FROM servers '
+            'GROUP BY "location" '
+            'HAVING count(*) * 2 > LENGTH("location") - 50',
+        )
+        assert len(rows) == 3
+        rows2 = self._fetch(
+            spark,
+            'SELECT "location", max("ip") AS mx FROM servers '
+            'GROUP BY "location" '
+            "HAVING max(\"ip\") || '!' <> 'nope'",
+        )
+        assert len(rows2) == 3
+
     def test_nested_ineq_correlation_native(self, spark, derby_servers):
         # round-5 latest: INEQUALITY correlations nested inside
         # another subquery's WHERE — standard SQL Derby runs natively,

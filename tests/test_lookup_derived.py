@@ -155,6 +155,24 @@ class TestGoldenDerived:
         assert got["t2"] == []  # count 1 fails HAVING
         assert got["t9"] == []
 
+    def test_having_expression_lhs_inside(self, spark):
+        # round-5 latest: expression LHS in a derived table's HAVING —
+        # materialized over the aggregated frame for the filter,
+        # dropped after it
+        got = _run(
+            spark,
+            "SELECT n AS n, mx AS mx FROM "
+            "(SELECT tool AS tool, count(*) AS n, max(price) AS mx "
+            "FROM tool_plans GROUP BY tool "
+            "HAVING n * 10 > mx + 15) g "
+            "WHERE g.tool = :tool",
+        )
+        # t1: n=3 mx=10 -> 30 > 25 keep; t2: n=1 mx=9? -> check data:
+        # t2 has one row (price 8) -> 10 > 23 drop
+        assert got["t1"] == [(("n", 3), ("mx", 10))]
+        assert got["t2"] == []
+        assert got["t9"] == []
+
     @pytest.mark.parametrize("kw", ENGINES)
     def test_group_by_aggregate_inside(self, spark, kw):
         got = _run(

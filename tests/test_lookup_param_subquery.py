@@ -316,20 +316,39 @@ class TestParamSubqueryRejections:
     def test_projection_param_subquery_accepted(self, spark):
         # round-5 latest: PROJECTION param subqueries are ACCEPTED —
         # the per-event value overlays a typed NULL placeholder
-        # (TestParamProjection in test_lookup_proj_subquery.py); only
-        # the GLOBAL-aggregate combination stays closed
+        # (TestParamProjection in test_lookup_proj_subquery.py),
+        # including the GLOBAL-aggregate combination (round-5 latest,
+        # TestParamProjectionGlobalAgg)
         self._compile(  # compiles without raising
             spark,
             "SELECT plan AS plan, (SELECT avg(price) FROM plans "
             "WHERE tool = :tool) AS ap FROM plans WHERE tool = :tool",
         )
-        with pytest.raises(ValidationError, match="GLOBAL aggregate"):
-            self._compile(
-                spark,
-                "SELECT count(*) AS n, (SELECT avg(price) FROM plans "
-                "WHERE tool = :tool) AS ap FROM plans "
-                "WHERE tool = :tool",
-            )
+        self._compile(  # compiles without raising
+            spark,
+            "SELECT count(*) AS n, (SELECT avg(price) FROM plans "
+            "WHERE tool = :tool) AS ap FROM plans "
+            "WHERE tool = :tool",
+        )
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_global_agg_param_psq_matches_oracle(self, spark, kw):
+        # round-5 latest: GLOBAL aggregate + parameterized projection
+        # subquery, cross-checked against the row oracle (incl. the
+        # empty-set row carrying the per-event value)
+        got = _run(
+            spark,
+            "SELECT count(*) AS n, (SELECT max(price) FROM plans p2 "
+            "WHERE p2.tool = :tool) AS m FROM plans "
+            "WHERE plan = 'basic' AND price > 5",
+            kw,
+        )
+        # basic rows with price>5: only (t1, basic, 10) -> n=1 for
+        # every valid event; m binds per event (t9 -> NULL)
+        assert got["t1"] == [(1, 10)]
+        assert got["t2"] == [(1, 99)]
+        assert got["t9"] == [(1, None)]
+        assert got[None] is None  # invalid binding
 
     def test_nested_param_subquery_rejected(self, spark):
         with pytest.raises(ValidationError, match="NESTED"):

@@ -901,13 +901,59 @@ class TestParamProjection:
             ) == got[f"t{i}"]
 
 
+class TestParamProjectionGlobalAgg:
+    """Round-5 latest: a PARAMETERIZED projection subquery combined
+    with a GLOBAL aggregate (no GROUP BY) — the hidden ``max(__psq)``
+    aggregate reads a typed NULL placeholder and the per-event value
+    overlays the payload field; the EMPTY-set aggregate row
+    substitutes INSIDE the payload stage, while the broadcast-joined
+    per-event columns are still in scope, so it too carries the
+    event's value (a standard-SQL extension over Derby, which rejects
+    any scalar subquery in an aggregate SELECT list — 42Y35,
+    pinned)."""
+
+    _run = TestParamProjection._run
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_global_agg_with_param_psq(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT count(*) AS n, (SELECT sum(price) FROM plans p2 "
+            "WHERE p2.tool = :tool) AS tot "
+            "FROM plans WHERE tool = :tool",
+            kw,
+        )
+        # t0: EMPTY match set -> the one empty-set row still carries
+        # the per-event subquery value (NULL: empty t0 group)
+        assert got == {
+            "t0": [(0, None)],
+            "t1": [(2, 12)],
+            "t2": [(1, 7)],
+            "t3": [(1, 8)],
+            "t4": [(1, 1)],
+        }
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_empty_set_row_carries_event_value(self, spark, kw):
+        got = self._run(
+            spark,
+            "SELECT count(*) AS n, (SELECT count(*) FROM plans p2 "
+            "WHERE p2.tool = :tool) AS c "
+            "FROM plans WHERE price > 50",
+            kw,
+        )
+        # no dim row has price > 50 -> every event takes the
+        # empty-set row; the subquery count still binds per event
+        assert got == {
+            "t0": [(0, 0)],
+            "t1": [(0, 2)],
+            "t2": [(0, 1)],
+            "t3": [(0, 1)],
+            "t4": [(0, 1)],
+        }
+
+
 class TestParamProjectionValidation:
-    def test_rejected_with_global_aggregate(self):
-        with pytest.raises(ValidationError, match="PARAMETERIZED"):
-            parse_lookup_query(
-                "SELECT count(*) AS n, (SELECT max(x) FROM u "
-                "WHERE u.p = :p) AS m FROM t WHERE a = :a"
-            )
 
     def test_rejected_when_also_correlated(self):
         with pytest.raises(ValidationError, match="BOTH correlated"):

@@ -1679,6 +1679,139 @@ class TestCorrelatedSetHavingSubquery:
             assert got[i] == exp, (tool, got[i], exp)
 
 
+class TestHavingExpressionLhs:
+    """Round-5 latest: EXPRESSION left-hand sides in HAVING
+    (``HAVING total * 2 > n + 12``, ``HAVING length(plan) > 3``) —
+    Derby runs them verbatim (pinned natively in test_jdbc_derby.py).
+    Each lhs registers as a payload-level expression over SELECT
+    aliases (``ParsedQuery.having_exprs``; aggregate calls rewritten
+    to their aliases first) and every evaluator computes it over the
+    group row at filter time — the compiled HAVING filter via
+    subst_columns -> getField, the row oracle via eval_expr, derived
+    tables via a materialize-filter-drop. Dim: t1 (10,basic)
+    (4,basic) (7,pro) (5,NULL); t2 (20,basic) (2,pro)."""
+
+    CDIM = TestCorrelatedHavingSubquery.CDIM
+    CDIM_ROWS = TestCorrelatedHavingSubquery.CDIM_ROWS
+    _apply = TestCorrelatedHavingSubquery._apply
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_arith_lhs(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, sum(price) AS total, count(*) AS n "
+            "FROM dim WHERE tool = :tool GROUP BY plan "
+            "HAVING total * 2 > n + 12",
+            kw,
+        )
+        # t1: basic 28>14 keep, pro 14>13 keep, NULL 10>13 drop
+        assert got[0] == [
+            (("plan", "basic"), ("total", 14), ("n", 2)),
+            (("plan", "pro"), ("total", 7), ("n", 1)),
+        ]
+        assert got[1] == [(("plan", "basic"), ("total", 20), ("n", 1))]
+        assert got[2] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_func_wrapped_lhs(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING length(plan) > 3",
+            kw,
+        )
+        # length('basic')=5 keeps; 'pro'=3 drops; NULL -> unknown
+        assert got[0] == [(("plan", "basic"), ("n", 2))]
+        assert got[1] == [(("plan", "basic"), ("n", 1))]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_coalesce_concat_lhs(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING coalesce(plan, 'zz') || '!' = 'zz!'",
+            kw,
+        )
+        # only the NULL-plan group survives
+        assert got[0] == [(("plan", None), ("n", 1))]
+        assert got[1] == []
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_expr_lhs_with_subquery_comparand(self, spark, kw):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, sum(price) AS total FROM dim "
+            "WHERE tool = :tool GROUP BY plan "
+            "HAVING total - 1 >= (SELECT avg(p2.price) FROM dim p2 "
+            "WHERE p2.plan = dim.plan)",
+            kw,
+        )
+        # basic avg 11.33: 13 >= keep; pro avg 4.5: 6 >= keep; NULL
+        # group: avg NULL -> unknown -> drop
+        assert got[0] == [
+            (("plan", "basic"), ("total", 14)),
+            (("plan", "pro"), ("total", 7)),
+        ]
+        assert got[1] == [(("plan", "basic"), ("total", 20))]
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_matches_row_oracle(self, spark, kw):
+        from logstash_filter_jdbc_static_spark import oracle
+
+        q = (
+            "SELECT plan AS plan, sum(price) AS total, count(*) AS n "
+            "FROM dim WHERE tool = :tool GROUP BY plan "
+            "HAVING total + n > 8 AND length(coalesce(plan, 'xx')) "
+            "* 2 >= n + 5"
+        )
+        got = self._apply(spark, q, kw)
+        tables = {
+            "dim": [
+                dict(zip(("tool", "price", "plan"), r))
+                for r in self.CDIM_ROWS
+            ]
+        }
+
+        def key(t):
+            return [(k, v is not None, v) for k, v in t]
+
+        for i, tool in enumerate(("t1", "t2", "t9")):
+            ev = {"conv_id": f"c{i}", "turn_idx": i, "tool": tool}
+            oracle.enhance(
+                ev,
+                PipelineSpec(lookups=[{
+                    "id": "h", "query": q, "parameters": {"tool": "tool"},
+                }]),
+                tables,
+            )
+            exp = sorted((tuple(d.items()) for d in ev["h"]), key=key)
+            assert got[i] == exp, (tool, got[i], exp)
+
+    def test_unknown_alias_in_expr_rejected(self, spark):
+        with pytest.raises(ValidationError, match="references"):
+            self._apply(
+                spark,
+                "SELECT plan AS plan, count(*) AS n FROM dim "
+                "WHERE tool = :tool GROUP BY plan "
+                "HAVING zz * 2 > 1",
+                {},
+            )
+
+    def test_expr_not_in_payload(self, spark):
+        got = self._apply(
+            spark,
+            "SELECT plan AS plan, sum(price) AS total, count(*) AS n "
+            "FROM dim WHERE tool = :tool GROUP BY plan "
+            "HAVING total * 2 > n + 12",
+            {},
+        )
+        for rows in got.values():
+            for r in rows or []:
+                assert [k for k, _ in r] == ["plan", "total", "n"]
+
+
 class TestExpressionCorrelations:
     """Round-5 latest: EXPRESSIONS on either side of a correlation
     equality (``substr(p2.plan,1,2) = t.plan``, ``p2.plan =

@@ -705,6 +705,12 @@ FULLQ_TEMPLATES = [
      "GROUP BY name HAVING n <= (SELECT count(*) FROM servers s2 "
      "WHERE s2.name <= servers.name)",
      {"nm": "dflt", "n": -1}),
+    # round-5 latest: expression LEFT-HAND SIDES in HAVING (payload-
+    # level expressions over SELECT aliases, both comparison sides)
+    ("SELECT name AS nm, count(*) AS n, max(ip) AS mx FROM servers "
+     "WHERE ip LIKE :ip GROUP BY name "
+     "HAVING n * 2 >= length(mx) - 3 AND length(nm) + n > 2",
+     {"nm": "dflt", "n": -1, "mx": "dflt"}),
     # round-5 latest: projection scalar subqueries combined with GROUP
     # BY (the __psq column folds into the grouping; correlation keys
     # must be GROUP BY keys — Derby's projection rule)

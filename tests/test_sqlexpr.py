@@ -115,12 +115,17 @@ class TestExprParser:
         assert q.projection == [(name, "d")]
         assert sqlexpr.columns(ast) == {"a.x"}  # qualified until flat rewrite
 
-    def test_expressions_rejected_in_having(self):
-        with pytest.raises(ValidationError, match="HAVING"):
-            parse_lookup_query(
-                "SELECT cat, count(*) AS n FROM t GROUP BY cat "
-                "HAVING n + 1 > 2"
-            )
+    def test_expressions_accepted_in_having(self):
+        # round-5 latest: expression LHS in HAVING registers as a
+        # payload-level having_exprs entry (TestHavingExpressionLhs in
+        # test_lookup_rhs.py has the value-level coverage)
+        q = parse_lookup_query(
+            "SELECT cat AS cat, count(*) AS n FROM t GROUP BY cat "
+            "HAVING n + 1 > 2"
+        )
+        (name, _ast), = q.having_exprs
+        (p,) = q.having[0]
+        assert p.dim_column == name
 
     def test_select_star_with_where_expression_hides_synthetic(self, spark):
         dim = spark.createDataFrame(
