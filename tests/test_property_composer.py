@@ -50,6 +50,14 @@ PREDICATES = [
     "ip IN ('k0', :ip, 'k9')",
     "name IN (SELECT s2.name FROM servers s2 WHERE s2.ip = :ip)",
     "name <= ALL (SELECT s2.name FROM servers s2 WHERE s2.ip = :ip)",
+    # round-5 latest: NESTED set subqueries and nested inequality
+    # correlations inside another subquery's WHERE
+    "ip <= (SELECT max(s2.ip) FROM servers s2 WHERE EXISTS "
+    "(SELECT 1 FROM servers s3 WHERE s3.name = s2.name))",
+    "length(ip) >= (SELECT count(*) FROM servers s2 WHERE s2.ip IN "
+    "(SELECT s3.ip FROM servers s3 WHERE s3.name = s2.name))",
+    "ip >= (SELECT min(s2.ip) FROM servers s2 WHERE EXISTS "
+    "(SELECT 1 FROM servers s3 WHERE s3.ip < s2.ip))",
 ]
 
 JOINTS = [
@@ -154,6 +162,16 @@ HAVING_PREDICATES = [
     "AND s2.ip = 'k1')",
     "NOT EXISTS (SELECT 1 FROM servers s2 WHERE s2.name = servers.name "
     "AND s2.ip = 'k9')",
+    # round-5 latest: correlated / parameterized set subqueries and
+    # expression LHS in HAVING
+    "nm IN (SELECT s2.name FROM servers s2 "
+    "WHERE s2.name <= servers.name)",
+    "nm >= ALL (SELECT s2.name FROM servers s2 "
+    "WHERE s2.name = servers.name)",
+    "nm NOT IN (SELECT s2.name FROM servers s2 WHERE s2.ip = :ip)",
+    "EXISTS (SELECT 1 FROM servers s2 WHERE s2.ip = :ip)",
+    "n * 2 >= length(nm) - 1",
+    "length(nm) + n > 2",
 ]
 
 
