@@ -254,6 +254,20 @@ class _Subquery:
     # param. Each entry is (sub_col, _Term) with term kind 'param' or
     # 'param_expr'. Scalar predicate-RHS subqueries only.
     param_corr: tuple = ()  # tuple[(sub_col, _Term), ...]
+    # THETA parameter shapes (round-5 latest): the ENTIRE sub-WHERE,
+    # kept as a DNF of _Predicate, when its parameter predicates are
+    # NOT all plain equalities — inequality/BETWEEN/IN/LIKE params, OR
+    # around a param predicate, or expressions mixing SUB columns with
+    # params (``WHERE price > :lim`` / ``qty = base + :k``). No
+    # snapshot groupBy can key such a frame, so the aggregate frame is
+    # built AT PROBE TIME from the fact's distinct bound-param tuples
+    # (the same capped distinct-tuple design as the LIKE map-probe):
+    # tuples theta-join the dim-sized sub frame, aggregate per tuple,
+    # broadcast-join back onto the FACT — Derby re-executes the
+    # prepared subquery per event (lookup.rb:131-147); this is the
+    # per-DISTINCT-tuple hoist. Mutually exclusive with param_corr and
+    # with outer correlations (corr/ineq).
+    param_theta: tuple = ()  # tuple[tuple[_Predicate, ...], ...] (DNF)
 
 
 @dataclass
@@ -286,9 +300,13 @@ class _Predicate:
                         out.append(n)
             elif t.kind == "subquery":
                 # parameterized subqueries (round-5 latest) bind event
-                # params through their param correlations
+                # params through their param correlations / theta WHERE
                 for _, pt in t.value.param_corr:
                     add_term(pt)
+                for dj in t.value.param_theta:
+                    for pp in dj:
+                        for tt in pp.terms:
+                            add_term(tt)
 
         for t in self.terms:
             add_term(t)
@@ -1116,6 +1134,186 @@ def _collect_in_values(sq: _Subquery, dims: dict[str, DataFrame]) -> list:
     return [r[0] for r in rows]
 
 
+@dataclass
+class _ThetaParamFrame:
+    """Probe-time aggregate frame for a THETA-parameterized subquery
+    (round-5 final): the sub-WHERE's parameter predicates are not plain
+    equalities (``price > :lim``, OR around a param predicate, mixed
+    sub-column+param expressions), so no snapshot groupBy can key the
+    frame. Instead, at probe time, the fact's DISTINCT bound-param
+    tuples (slim select + distinct + localCheckpoint — the LIKE
+    map-probe's design, and the same per-apply eagerness contract)
+    theta-join the dim-sized sub frame on the full DNF with params
+    substituted to tuple columns, aggregate per tuple, and the result
+    broadcast-joins back onto the FACT by the same bound expressions —
+    the per-DISTINCT-tuple hoist of Derby re-executing the prepared
+    subquery per event (lib/logstash/filters/jdbc/lookup.rb:131-147).
+    Cost: |distinct tuples| x |sub table| pair evaluations, constant in
+    fact count; past AUTO_TUPLE_BROADCAST_LIMIT tuples the join-back
+    degrades to a shuffle join instead of overflowing the driver."""
+
+    sub_df: DataFrame  # snapshot sub frame, computed columns applied
+    where: tuple  # param_theta DNF
+    func: str  # scalar aggregate | '__values'
+    col: str | None
+    keys: tuple  # tuple-frame key column names (__psubN_kI)
+    pnames: tuple  # event param name per key
+    names: tuple  # output value column name(s): (v,) | (set, null, cnt)
+    sub_cols: tuple  # referenced sub columns (validated at resolution)
+    table: str
+
+    def _term_col(self, p: _Predicate, t: _Term, sub_col, tup) -> Column:
+        if t.kind == "literal":
+            base = F.lit(t.value)
+        elif t.kind == "column":
+            base = sub_col(t.value)
+        elif t.kind == "param":
+            base = tup(t.value)
+        elif t.kind in ("param_expr", "mixed_expr"):
+            base = sqlexpr.compile_expr(
+                sqlexpr.subst_columns(
+                    sqlexpr.subst_params(t.value, tup),
+                    sub_col,
+                )
+            )
+        else:  # pragma: no cover — parser guarantees
+            raise ValidationError(
+                [f"internal: unexpected term kind {t.kind!r} in a "
+                 f"theta-parameterized subquery WHERE"]
+            )
+        return _like_regex(base, p.like_escape) if p.op in _LIKE_OPS else base
+
+    def _cond(self, sub_col, tup) -> Column:
+        parts: list[Column] = []
+        for d in self.where:
+            c: Column | None = None
+            for p in d:
+                lhs = _apply_lhs_func(p, sub_col(p.dim_column))
+                rhs = [self._term_col(p, t, sub_col, tup) for t in p.terms]
+                pc = _pred_column_condition(p, lhs, rhs)
+                c = pc if c is None else c & pc
+            parts.append(c if c is not None else F.lit(True))
+        out = parts[0]
+        for c in parts[1:]:
+            out = out | c
+        return out
+
+    def build(self, fact: DataFrame, params: dict) -> tuple[DataFrame, bool]:
+        """Materialize the per-tuple aggregate frame against ``fact``'s
+        distinct bound-param tuples. Returns (frame keyed by ``keys``,
+        broadcastable) — eager (localCheckpoint + exact count), like
+        the map-probe's "auto" strategy."""
+        key_of = dict(zip(self.pnames, self.keys))
+        tuples = fact.select(
+            *[
+                params[n].value.alias(k)
+                for n, k in zip(self.pnames, self.keys)
+            ]
+        ).distinct().localCheckpoint(eager=True)
+        n_tuples = tuples.count()
+        broadcastable = (
+            n_tuples <= CompiledLookup.AUTO_TUPLE_BROADCAST_LIMIT
+        )
+
+        def sub_col(name: str) -> Column:
+            return F.col(f"__s_{name}")
+
+        def tup(name: str) -> Column:
+            return F.col(key_of[name])
+
+        sub = self.sub_df.select(
+            *[F.col(c).alias(f"__s_{c}") for c in self.sub_cols],
+            F.lit(1).alias("__s__m"),
+        )
+        probed = tuples.join(
+            F.broadcast(sub), self._cond(sub_col, tup), "left"
+        )
+        g = probed.groupBy(*[F.col(k) for k in self.keys])
+        if self.func == "__values":
+            s_name, n_name, c_name = self.names
+            scol = sub_col(self.col)
+            raw = g.agg(
+                F.sort_array(F.collect_set(scol)).alias(s_name),
+                F.max(
+                    F.when(F.col("__s__m").isNotNull(), scol.isNull())
+                ).alias(n_name),
+                F.count(F.col("__s__m")).alias(c_name),
+            )
+            # an EMPTY per-tuple group must look exactly like a
+            # fact-join MISS (all three columns NULL) so the in_set /
+            # quantified ops read "empty set" identically to the
+            # snapshot-grouped frames
+            frame = raw.select(
+                *self.keys,
+                F.when(F.col(c_name) > 0, F.col(s_name)).alias(s_name),
+                F.when(F.col(c_name) > 0, F.col(n_name)).alias(n_name),
+                F.when(F.col(c_name) > 0, F.col(c_name)).alias(c_name),
+            )
+            biggest = frame.agg(F.max(F.size(s_name))).collect()[0][0]
+            if biggest is not None and biggest > _IN_SUBQUERY_CAP:
+                raise ValidationError(
+                    [f"lookup IN-subquery on {self.table!r}: a "
+                     f"parameter group exceeds {_IN_SUBQUERY_CAP} "
+                     f"distinct values — pre-shape the dim with a "
+                     f"loader query instead"]
+                )
+            return frame, broadcastable
+        name = self.names[0]
+        if self.func == "count" and self.col is None:
+            agg = F.count(F.col("__s__m"))  # never counts join-miss rows
+        elif self.func == "count":
+            agg = F.count(sub_col(self.col))
+        elif self.func == "count_distinct":
+            agg = F.count_distinct(sub_col(self.col))
+        else:
+            agg = getattr(F, self.func)(sub_col(self.col))
+        return g.agg(agg.alias(name)), broadcastable
+
+
+def _theta_frame_of(
+    sq: _Subquery, dims: dict[str, DataFrame], base: str, names: tuple
+) -> _ThetaParamFrame:
+    """Resolution-time constructor: validates the theta WHERE's column
+    references against the sub frame (computed columns included) and
+    fixes the param-tuple key order; the frame itself builds at probe
+    time, once per apply()."""
+    sub_df, _ = _sub_filtered_df(sq, dims)  # where=(): unfiltered frame
+    avail = set(sub_df.columns)
+    refs: set[str] = set()
+    pnames: list[str] = []
+    for d in sq.param_theta:
+        for p in d:
+            refs.add(p.dim_column)
+            for t in p.terms:
+                if t.kind == "column":
+                    refs.add(t.value)
+                elif t.kind in ("param_expr", "mixed_expr"):
+                    refs.update(sqlexpr.columns(t.value))
+            for n in p.param_names:
+                if n not in pnames:
+                    pnames.append(n)
+    if sq.col is not None:
+        refs.add(sq.col)
+    missing = sorted(r for r in refs if r not in avail)
+    if missing:
+        raise ValidationError(
+            [f"lookup subquery on {sq.table!r}: predicate column(s) "
+             f"{missing} not in table"]
+        )
+    keys = tuple(f"{base}_k{i}" for i in range(len(pnames)))
+    return _ThetaParamFrame(
+        sub_df=sub_df,
+        where=sq.param_theta,
+        func=sq.func,
+        col=sq.col,
+        keys=keys,
+        pnames=tuple(pnames),
+        names=names,
+        sub_cols=tuple(sorted(refs)),
+        table=sq.table,
+    )
+
+
 def resolve_subqueries(
     parsed: ParsedQuery, dims: dict[str, DataFrame]
 ) -> ParsedQuery:
@@ -1162,6 +1360,17 @@ def resolve_subqueries_with_dim(
             if entry[5] == sq:
                 return _Term("param", entry[0][0])
         name = f"__psub{len(param_subs)}"
+        if sq.param_theta:
+            # THETA shape (round-5 final): the frame builds at probe
+            # time from the fact's distinct bound-param tuples
+            # (_ThetaParamFrame.build); the entry's terms carry the
+            # raw event param names the tuple keys bind to
+            frame = _theta_frame_of(sq, dims, name, (name,))
+            terms = tuple(_Term("param", n) for n in frame.pnames)
+            param_subs.append(
+                ((name,), frame.keys, terms, frame, (sq.func,), sq)
+            )
+            return _Term("param", name)
         sub_df, agg = _sub_filtered_df(sq, dims)
         keys = tuple(f"{name}_k{i}" for i in range(len(sq.param_corr)))
         frame = sub_df.groupBy(
@@ -1185,6 +1394,17 @@ def resolve_subqueries_with_dim(
                 return entry[0]
         base = f"__psub{len(param_subs)}"
         names = (f"{base}_set", f"{base}_null", f"{base}_cnt")
+        if sq.param_theta:
+            # THETA set shape (round-5 final): probe-time per-tuple
+            # (sorted set, had-NULL, count) frame; the cap checks
+            # against the built frame inside build()
+            frame = _theta_frame_of(sq, dims, base, names)
+            terms = tuple(_Term("param", n) for n in frame.pnames)
+            param_subs.append(
+                (names, frame.keys, terms, frame,
+                 (None, None, None), sq)
+            )
+            return names
         sub_df, _ = _sub_filtered_df(sq, dims)
         keys = tuple(f"{base}_k{i}" for i in range(len(sq.param_corr)))
         grouped = sub_df.groupBy(
@@ -1208,7 +1428,7 @@ def resolve_subqueries_with_dim(
         return names
 
     def value_term(sq: _Subquery) -> _Term:
-        if sq.param_corr:
+        if sq.param_corr or sq.param_theta:
             return param_term_of(sq)
         if sq.corr or sq.ineq:
             return _Term("column", corr_col_of(sq))
@@ -1253,6 +1473,16 @@ def resolve_subqueries_with_dim(
         return name
 
     def having_value_term(sq: _Subquery) -> _Term:
+        if sq.param_theta:
+            # the hidden-carrier overlay casts a typed NULL placeholder
+            # from the frame's schema — a probe-time theta frame has no
+            # snapshot schema to type it from
+            raise ValidationError(
+                [f"lookup HAVING subquery on {sq.table!r}: non-equality "
+                 f"parameter predicates are not supported in a HAVING "
+                 f"comparand subquery — use plain ``sub_col = :param`` "
+                 f"equalities or pre-shape via a loader query"]
+            )
         if sq.param_corr:
             # PARAMETERIZED HAVING subquery (round-5 latest): the
             # HAVING filter reads aggregated PAYLOAD fields, so the
@@ -1764,9 +1994,10 @@ def resolve_subqueries_with_dim(
             # distinct collect keeps its one NULL — a NULL set value
             # must keep making comparisons UNKNOWN)
             sq = p.terms[0].value
-            if sq.param_corr:
+            if sq.param_corr or sq.param_theta:
                 # PARAMETERIZED (round-5 latest): per-param-group set
                 # columns broadcast-joined onto the FACT, same ops
+                # (theta shapes build their frame at probe time)
                 s, n, c = set_param_cols_of(sq)
                 if in_having:
                     # round-5 latest, Derby-prepared-legal: the three
@@ -1823,11 +2054,12 @@ def resolve_subqueries_with_dim(
             and p.terms[0].value.func == "__values"
         ):
             sq = p.terms[0].value
-            if sq.param_corr:
+            if sq.param_corr or sq.param_theta:
                 # PARAMETERIZED [NOT] IN (round-5 latest): per-param-
                 # group (set, had-null, count) columns broadcast-joined
                 # onto the FACT; the predicate compiles as the same
-                # in_set op the correlated machinery uses
+                # in_set op the correlated machinery uses (theta
+                # shapes build their frame at probe time)
                 s, n, c = set_param_cols_of(sq)
                 if in_having:
                     # round-5 latest, Derby-prepared-legal: hidden-
@@ -1909,6 +2141,16 @@ def resolve_subqueries_with_dim(
                 [f"lookup subquery on {sq.table!r}: projection "
                  f"subqueries need the probed dimension in scope — "
                  f"use resolve_subqueries_with_dim"]
+            )
+        if sq.param_theta:
+            # the typed NULL placeholder needs the frame's snapshot
+            # schema — a probe-time theta frame has none
+            raise ValidationError(
+                [f"lookup projection subquery on {sq.table!r}: "
+                 f"non-equality parameter predicates are not supported "
+                 f"in a projection subquery — use plain "
+                 f"``sub_col = :param`` equalities or pre-shape via a "
+                 f"loader query"]
             )
         if sq.param_corr:
             # PARAMETERIZED projection subquery (round-5 latest): the
@@ -2666,19 +2908,18 @@ class _WhereParser:
             if cols:
                 # mixed dim+param expression (round-5 latest: ``a = b +
                 # :k``): legal in the MAIN WHERE, where the theta probe
-                # evaluates dim row and event tuple together. A
-                # subquery's WHERE resolves once per snapshot and
-                # HAVING runs over payload aliases — neither has a dim
-                # row in scope, so those contexts keep the rejection.
-                if self.in_subquery or self.in_having:
-                    ctx = (
-                        "a subquery WHERE" if self.in_subquery
-                        else "HAVING"
-                    )
+                # evaluates dim row and event tuple together, and —
+                # round-5 final — in a predicate-RHS subquery's WHERE,
+                # where the THETA-parameterized frame evaluates sub row
+                # and distinct param tuple together (_ThetaParamFrame;
+                # _sub_where classifies the shape). HAVING runs over
+                # payload aliases with no per-row scope, so it keeps
+                # the rejection.
+                if self.in_having:
                     raise ValidationError(
                         [f"unsupported lookup predicate rhs: expression "
                          f"mixes column(s) {sorted(cols)} with "
-                         f"parameter(s) {pnames} in {ctx} — params "
+                         f"parameter(s) {pnames} in HAVING — params "
                          f"evaluate fact-side and these columns have no "
                          f"per-row scope here; move the mix to the "
                          f"outer WHERE or pre-shape the dim with a "
@@ -2766,10 +3007,10 @@ class _WhereParser:
             col = self._sub_head_column(
                 arg_toks, strip_sub_qual, computed, "aggregate argument"
             )
-        where, corr, ineq, oexprs, pcorr = self._sub_where(
+        where, corr, ineq, oexprs, pcorr, ptheta = self._sub_where(
             table, sub_alias, computed, allow_ineq=True
         )
-        if pcorr and self.in_subquery:
+        if (pcorr or ptheta) and self.in_subquery:
             raise ValidationError(
                 [f"unsupported lookup subquery on {table!r}: parameters "
                  f"inside a NESTED subquery are not supported — "
@@ -2788,7 +3029,7 @@ class _WhereParser:
         return _Term(
             "subquery",
             _Subquery(func, col, table, where, tuple(computed), corr, ineq,
-                      oexprs, tuple(pcorr)),
+                      oexprs, tuple(pcorr), param_theta=ptheta),
         )
 
     def _exists_predicate(self) -> _Predicate:
@@ -2841,9 +3082,36 @@ class _WhereParser:
                 proj_toks, strip_sub_qual, computed, "EXISTS projection"
             )
             computed.clear()  # projection expressions are never evaluated
-        where, corr, ineq, oexprs, pcorr = self._sub_where(
+        where, corr, ineq, oexprs, pcorr, ptheta = self._sub_where(
             table, sub_alias, computed, allow_ineq=True
         )
+        if ptheta and self.in_having:
+            raise ValidationError(
+                [f"unsupported lookup EXISTS subquery on {table!r}: "
+                 f"non-equality parameter predicates in a HAVING "
+                 f"EXISTS are not supported — the hidden-carrier "
+                 f"overlay needs a snapshot-typed frame; use plain "
+                 f"``sub_col = :param`` equalities"]
+            )
+        if ptheta:
+            # THETA-parameterized EXISTS (round-5 final): existence of
+            # rows matching the per-event theta WHERE is exactly
+            # ``0 < count(*)`` — the same rewrite as params-only
+            # EXISTS, on the probe-time distinct-tuple frame (count
+            # misses coalesce to 0, so FALSE; NOT EXISTS negates via
+            # _negate's op complement).
+            zero = self._new_computed(sqlexpr.Lit(0))
+            return _Predicate(
+                zero,
+                "<",
+                [_Term(
+                    "subquery",
+                    _Subquery(
+                        "count", None, table, (), tuple(computed),
+                        param_theta=ptheta,
+                    ),
+                )],
+            )
         if pcorr:
             if corr or ineq:
                 raise ValidationError(
@@ -2941,7 +3209,7 @@ class _WhereParser:
         # inequality correlations are legal here since round-5 latest:
         # the set subquery decorrelates via the same snapshot-time rid
         # theta join as scalar aggregates (in_group_cols_of)
-        where, corr, ineq, oexprs, pcorr = self._sub_where(
+        where, corr, ineq, oexprs, pcorr, ptheta = self._sub_where(
             table, sub_alias, computed, allow_ineq=True
         )
         if pcorr and (corr or ineq):
@@ -2951,16 +3219,28 @@ class _WhereParser:
                  f"is not supported — no single snapshot-or-probe "
                  f"frame can key on the dim and the event at once"]
             )
-        if pcorr and self.in_subquery:
+        if (pcorr or ptheta) and self.in_subquery:
             raise ValidationError(
                 [f"unsupported lookup IN-subquery on {table!r}: "
                  f"parameters inside a NESTED subquery are not "
                  f"supported"]
             )
+        if (pcorr or ptheta) and self.in_having:
+            # the plain-equality shapes ride the hidden-carrier overlay
+            # (resolution handles them); theta shapes cannot — the
+            # typed placeholder needs a snapshot-typed frame
+            if ptheta:
+                raise ValidationError(
+                    [f"unsupported lookup IN-subquery on {table!r}: "
+                     f"non-equality parameter predicates in a HAVING "
+                     f"set subquery are not supported — use plain "
+                     f"``sub_col = :param`` equalities"]
+                )
         return _Term(
             "subquery",
             _Subquery("__values", col, table, where, tuple(computed), corr,
-                      ineq, outer_exprs=oexprs, param_corr=tuple(pcorr)),
+                      ineq, outer_exprs=oexprs, param_corr=tuple(pcorr),
+                      param_theta=ptheta),
         )
 
     def _sub_head_column(
@@ -3025,15 +3305,21 @@ class _WhereParser:
     def _sub_where(
         self, table: str, sub_alias: str, computed: list,
         allow_ineq: bool = False,
-    ) -> tuple[tuple, tuple, tuple, tuple, tuple]:
+    ) -> tuple[tuple, tuple, tuple, tuple, tuple, tuple]:
         """``[WHERE ...] )`` tail of a subquery: static predicates plus
         correlation pairs extracted from outer-qualified equalities
         (and, for EXISTS, at most one outer-qualified inequality), plus
         — round-5 latest — PARAMETER correlations: ``sub_col = :p``
         equalities, each a groupBy key of a per-event aggregate frame
         broadcast-joined onto the FACT at probe time (scalar subqueries
-        only; the callers reject other contexts). Returns (static
-        where, corr, ineq, outer exprs, param corr)."""
+        only; the callers reject other contexts). Round-5 final: when
+        the parameter predicates are NOT all plain equalities —
+        inequality/BETWEEN/IN/LIKE params, OR around them, or a
+        mixed sub-column+param expression — the WHOLE sub-WHERE is
+        kept as a THETA DNF (``param_theta``) and the aggregate frame
+        is built at probe time from the fact's distinct bound-param
+        tuples (_ThetaParamFrame). Returns (static where, corr, ineq,
+        outer exprs, param corr, param theta)."""
         where: tuple = ()
         if self._peek_word() == "where":
             self._next()
@@ -3076,47 +3362,96 @@ class _WhereParser:
             )
         # parameter correlations (round-5 latest): pull ``sub_col = :p``
         # equalities out of the static WHERE before the outer-correlation
-        # extractor sees it. The shapes that would need per-event
-        # nested execution stay rejected with targeted messages.
+        # extractor sees it. Round-5 final: shapes that are NOT pure-AND
+        # plain equalities — ``sub_col > :p``, BETWEEN/IN/LIKE params,
+        # OR around a param predicate, mixed sub-column+param
+        # expressions — take the THETA path instead of rejecting: the
+        # ENTIRE sub-WHERE rides as a DNF into a probe-time frame built
+        # from the fact's distinct bound-param tuples (_ThetaParamFrame).
         param_corr: list[tuple[str, _Term]] = []
+        param_theta: tuple = ()
         if any(p.param_names for d in where for p in d):
-            if len(where) > 1:
-                raise ValidationError(
-                    [f"unsupported lookup subquery on {table!r}: OR "
-                     f"around a parameter predicate — parameterized "
-                     f"subqueries must be pure AND conjunctions"]
-                )
-            keep: list[_Predicate] = []
-            for p in where[0]:
-                if not p.param_names:
-                    keep.append(p)
-                    continue
-                ok = (
+            plain = len(where) == 1 and all(
+                (not p.param_names)
+                or (
                     p.op == "="
                     and len(p.terms) == 1
                     and p.terms[0].kind in ("param", "param_expr")
                 )
-                if not ok:
-                    raise ValidationError(
-                        [f"unsupported lookup subquery on {table!r}: "
-                         f"parameter :{p.param_names[0]} in a "
-                         f"{p.op!r} predicate — parameters inside a "
-                         f"subquery WHERE must be plain equalities "
-                         f"(sub_col = :param), which compile as "
-                         f"per-event aggregate keys"]
-                    )
-                key = p.dim_column
-                if p.func is not None:
-                    # func(sub_col) = :p desugars to a computed sub
-                    # column, exactly like the correlation extractor
-                    key = f"__sqpf{len(computed)}"
-                    computed.append(
-                        (key, sqlexpr.Func(p.func, (sqlexpr.Col(p.dim_column),)))
-                    )
-                param_corr.append((key, p.terms[0]))
-            where = (tuple(keep),) if keep else ()
+                for p in where[0]
+            )
+            if plain:
+                keep: list[_Predicate] = []
+                for p in where[0]:
+                    if not p.param_names:
+                        keep.append(p)
+                        continue
+                    key = p.dim_column
+                    if p.func is not None:
+                        # func(sub_col) = :p desugars to a computed sub
+                        # column, exactly like the correlation extractor
+                        key = f"__sqpf{len(computed)}"
+                        computed.append(
+                            (key, sqlexpr.Func(p.func, (sqlexpr.Col(p.dim_column),)))
+                        )
+                    param_corr.append((key, p.terms[0]))
+                where = (tuple(keep),) if keep else ()
+            else:
+                self._check_theta_where(table, where, computed)
+                param_theta = where
+                where = ()
         out = _extract_correlation(table, where, computed, allow_ineq)
-        return out + (tuple(param_corr),)
+        return out + (tuple(param_corr), param_theta)
+
+    def _check_theta_where(
+        self, table: str, where: tuple, computed: list
+    ) -> None:
+        """Validate a THETA-parameterized sub-WHERE (round-5 final):
+        the probe-time frame evaluates (distinct param tuple, sub row)
+        pairs, so every name must live in ONE of those two scopes —
+        outer correlations (a third scope) and nested subquery terms
+        (no snapshot to resolve against, the static resolver never
+        sees a theta WHERE) reject with targeted messages."""
+        def names_of(p: _Predicate):
+            yield p.dim_column
+            for t in p.terms:
+                if t.kind == "column":
+                    yield t.value
+                elif t.kind in ("param_expr", "mixed_expr"):
+                    yield from sqlexpr.columns(t.value)
+
+        outer = sorted(
+            {
+                n[len(_OUTER_MARK):]
+                for d in where
+                for p in d
+                for n in names_of(p)
+                if isinstance(n, str) and n.startswith(_OUTER_MARK)
+            }
+            | {
+                c[len(_OUTER_MARK):]
+                for _n, ast in computed
+                for c in sqlexpr.columns(ast)
+                if c.startswith(_OUTER_MARK)
+            }
+        )
+        if outer:
+            raise ValidationError(
+                [f"unsupported lookup subquery on {table!r}: outer "
+                 f"column(s) {outer} combined with non-equality "
+                 f"parameter predicates — no single probe frame can "
+                 f"key on the dim and the event at once; pre-shape "
+                 f"via a loader query"]
+            )
+        for d in where:
+            for p in d:
+                if any(t.kind == "subquery" for t in p.terms):
+                    raise ValidationError(
+                        [f"unsupported lookup subquery on {table!r}: a "
+                         f"nested subquery combined with non-equality "
+                         f"parameter predicates — flatten the nesting "
+                         f"or use plain ``sub_col = :param`` equalities"]
+                    )
 
     def _new_computed(self, ast) -> str:
         """Register a dim-side expression lhs, returning its synthetic
@@ -4207,7 +4542,7 @@ def materialize_derived(
                      f"event) — bind parameters in the outer WHERE"]
                 )
     for _n, sq in parsed.proj_subqueries:
-        if sq.param_corr:
+        if sq.param_corr or sq.param_theta:
             raise ValidationError(
                 [f"{label}: :param/? placeholders inside a derived "
                  f"table's projection subquery are not supported "
@@ -6080,6 +6415,14 @@ class CompiledLookup:
         params = dict(params)
         drops: list[str] = []
         for names, keys, terms, frame, funcs in self.query.param_subs:
+            broadcastable = True
+            if isinstance(frame, _ThetaParamFrame):
+                # THETA shape (round-5 final): materialize the
+                # per-tuple aggregate frame from THIS fact's distinct
+                # bound-param tuples (eager — localCheckpoint + exact
+                # count, the map-probe "auto" contract); past the
+                # broadcast cap the join-back degrades to a shuffle
+                frame, broadcastable = frame.build(fact, params)
             cond = None
             for k, t in zip(keys, terms):
                 if t.kind == "param":
@@ -6092,7 +6435,10 @@ class CompiledLookup:
                     )
                 piece = frame[k] == fexpr
                 cond = piece if cond is None else cond & piece
-            fact = fact.join(F.broadcast(frame), cond, "left").drop(*keys)
+            fact = fact.join(
+                F.broadcast(frame) if broadcastable else frame,
+                cond, "left",
+            ).drop(*keys)
             for name, func in zip(names, funcs):
                 val = F.col(name)
                 if func in ("count", "count_distinct"):

@@ -583,7 +583,7 @@ def _resolve_subqueries_rows(
 
     def term_of(t):
         sq = t.value
-        if sq.param_corr:
+        if sq.param_corr or sq.param_theta:
             # parameterized subquery (round-5 latest): its value binds
             # per EVENT — deferred to _resolve_param_subqueries_rows,
             # which runs after param binding
@@ -818,7 +818,7 @@ def _resolve_subqueries_rows(
         if not any(t.kind == "subquery" for t in p.terms):
             return p
         if p.op in ("exists", "not exists"):
-            if p.terms[0].value.param_corr:
+            if p.terms[0].value.param_corr or p.terms[0].value.param_theta:
                 # params-only EXISTS in HAVING (round-5 latest): binds
                 # per EVENT — deferred to the per-event resolver
                 return p
@@ -845,7 +845,7 @@ def _resolve_subqueries_rows(
             and p.terms[0].value.func == "__values"
         ):
             sq = p.terms[0].value
-            if sq.param_corr:
+            if sq.param_corr or sq.param_theta:
                 # parameterized: binds per EVENT — deferred to
                 # _resolve_param_subqueries_rows, after param binding
                 return p
@@ -876,7 +876,7 @@ def _resolve_subqueries_rows(
             and p.terms[0].value.func == "__values"
         ):
             sq = p.terms[0].value
-            if sq.param_corr:
+            if sq.param_corr or sq.param_theta:
                 # parameterized: deferred to the per-event resolver
                 return p
             if sq.corr or sq.ineq:
@@ -919,7 +919,7 @@ def _resolve_subqueries_rows(
     psq_lit: dict[str, object] = {}
     psq_deferred: list[tuple[str, object]] = []
     for name, sq in q.proj_subqueries:
-        if sq.param_corr:
+        if sq.param_corr or sq.param_theta:
             # parameterized: binds per EVENT — deferred to
             # _resolve_param_subqueries_rows, after param binding
             psq_deferred.append((name, sq))
@@ -1001,23 +1001,42 @@ def _resolve_param_subqueries_rows(
             subst_params(term.value, lambda n: Lit(params.get(n))), {}
         )
 
-    def term_of(t):
-        if t.kind != "subquery" or not t.value.param_corr:
-            return t
-        sq = t.value
-        grp = [
+    def _grp(sq):
+        rows = _sub_rows(sq, tables)
+        if sq.param_theta:
+            # THETA shape (round-5 final): evaluate the full DNF per
+            # (event params, sub row) pair — the row-at-a-time twin of
+            # the compiled probe-time distinct-tuple frame
+            return [
+                s
+                for s in rows
+                if any(
+                    all(_pred_match(p, s, params) for p in dj)
+                    for dj in sq.param_theta
+                )
+            ]
+        return [
             s
-            for s in _sub_rows(sq, tables)
+            for s in rows
             if all(
                 _corr_eq_vals(s.get(sc), pv(pt))
                 for sc, pt in sq.param_corr
             )
         ]
-        return _Term("literal", _agg_rows(sq, grp))
+
+    def term_of(t):
+        if t.kind != "subquery" or not (
+            t.value.param_corr or t.value.param_theta
+        ):
+            return t
+        sq = t.value
+        return _Term("literal", _agg_rows(sq, _grp(sq)))
 
     def fix_pred(p):
         if not any(
-            t.kind == "subquery" and t.value.param_corr for t in p.terms
+            t.kind == "subquery"
+            and (t.value.param_corr or t.value.param_theta)
+            for t in p.terms
         ):
             return p
         sq0 = p.terms[0].value
@@ -1027,14 +1046,7 @@ def _resolve_param_subqueries_rows(
             # row-at-a-time twin of the compiled per-event count
             # carrier compare. ``__no_such_column`` is never a real
             # field, so ``is [not] null`` encodes TRUE/FALSE.
-            grp = [
-                s
-                for s in _sub_rows(sq0, tables)
-                if all(
-                    _corr_eq_vals(s.get(sc), pv(pt))
-                    for sc, pt in sq0.param_corr
-                )
-            ]
+            grp = _grp(sq0)
             hit = bool(grp) == (p.op == "exists")
             return _Predicate(
                 "__no_such_column",
@@ -1051,15 +1063,9 @@ def _resolve_param_subqueries_rows(
             # value list — the distinct collect keeps its one NULL, so
             # 3VL falls out of _pred_match exactly like the
             # uncorrelated expansion
-            grp = [
-                s.get(sq0.col)
-                for s in _sub_rows(sq0, tables)
-                if all(
-                    _corr_eq_vals(s.get(sc), pv(pt))
-                    for sc, pt in sq0.param_corr
-                )
-            ]
-            vals = list(dict.fromkeys(grp))
+            vals = list(
+                dict.fromkeys(s.get(sq0.col) for s in _grp(sq0))
+            )
             return _Predicate(
                 p.dim_column,
                 p.op,
@@ -1078,15 +1084,7 @@ def _resolve_param_subqueries_rows(
 
     psq_vals: dict[str, object] = {}
     for name, sq in q.proj_subqueries:
-        grp = [
-            s
-            for s in _sub_rows(sq, tables)
-            if all(
-                _corr_eq_vals(s.get(sc), pv(pt))
-                for sc, pt in sq.param_corr
-            )
-        ]
-        v = _agg_rows(sq, grp)
+        v = _agg_rows(sq, _grp(sq))
         psq_vals[name] = v
         table = [{**r, name: v} for r in (table or [])]
     return (
@@ -1125,10 +1123,14 @@ def _has_param_subqueries(q) -> bool:
     )
 
     return any(
-        t.kind == "subquery" and t.value.param_corr
+        t.kind == "subquery"
+        and (t.value.param_corr or t.value.param_theta)
         for p in _pred_terms(q)
         for t in p.terms
-    ) or any(sq.param_corr for _, sq in q.proj_subqueries)
+    ) or any(
+        sq.param_corr or sq.param_theta
+        for _, sq in q.proj_subqueries
+    )
 
 
 def _match_rows(q, table: list[dict], params: dict) -> list[tuple[dict, dict]]:

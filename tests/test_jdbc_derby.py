@@ -787,6 +787,86 @@ class TestDerbyRound5Shapes:
             lo: expect(lo) for lo in locs + ["NOWHERE"]
         }
 
+    def test_theta_param_subquery_on_derby_dim(self, spark, derby_servers):
+        # round-5 final: a NON-equality param predicate inside the
+        # subquery WHERE (``ip < :iplim``) — the THETA path builds the
+        # per-event aggregate from the fact's distinct bound tuples;
+        # Derby runs the same SQL as a prepared statement
+        # (TestDerbyGrammarLegality.test_theta_param_shapes_native)
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "th",
+                    "query": (
+                        "SELECT name AS nm FROM servers "
+                        "WHERE ip <= "
+                        "(SELECT max(ip) FROM servers WHERE ip < :iplim)"
+                    ),
+                    "parameters": {"iplim": "iplim"},
+                }
+            ]
+        )
+        rows = store.dims()["servers"].collect()
+        ips = sorted(r["ip"] for r in rows)
+        bounds = ips + ["0", "zzz"]  # below-all and above-all bounds
+        fact = spark.createDataFrame(
+            [(f"e{i}", b) for i, b in enumerate(bounds)],
+            ["event", "iplim"],
+        )
+
+        def expect(bound):
+            below = [ip for ip in ips if ip < bound]
+            if not below:
+                return []  # max over empty -> NULL -> unknown
+            mx = max(below)
+            return sorted(r["name"] for r in rows if r["ip"] <= mx)
+
+        out = {
+            r["iplim"]: sorted(x["nm"] for x in r["th"])
+            for r in LookupEnricher(spec, store.dims()).apply(fact).collect()
+        }
+        assert out == {b: expect(b) for b in bounds}
+
+    def test_theta_or_param_subquery_on_derby_dim(
+        self, spark, derby_servers
+    ):
+        # round-5 final: OR around the param predicate inside the
+        # subquery WHERE — the whole DNF evaluates in the theta frame
+        store = self._store(spark)
+        spec = PipelineSpec(
+            lookups=[
+                {
+                    "id": "cnt",
+                    "query": (
+                        "SELECT name AS nm FROM servers "
+                        "WHERE length(name) > "
+                        "(SELECT count(*) FROM servers "
+                        "WHERE ip < :iplim OR location = 'lga')"
+                    ),
+                    "parameters": {"iplim": "iplim"},
+                }
+            ]
+        )
+        rows = store.dims()["servers"].collect()
+        fact = spark.createDataFrame(
+            [("e1", "10.2"), ("e2", "zzz")], ["event", "iplim"]
+        )
+
+        def expect(bound):
+            n = sum(
+                1
+                for r in rows
+                if r["ip"] < bound or r["location"] == "lga"
+            )
+            return sorted(r["name"] for r in rows if len(r["name"]) > n)
+
+        out = {
+            r["iplim"]: sorted(x["nm"] for x in r["cnt"])
+            for r in LookupEnricher(spec, store.dims()).apply(fact).collect()
+        }
+        assert out == {b: expect(b) for b in ("10.2", "zzz")}
+
     def test_param_projection_subquery_on_derby_dim(
         self, spark, derby_servers
     ):
@@ -2246,6 +2326,49 @@ class TestDerbyGrammarLegality:
             while rs5.next():
                 n += 1
             assert n >= 1
+        finally:
+            conn.close()
+
+    def test_theta_param_shapes_native(self, spark, derby_servers):
+        # round-5 final: the THETA-parameterized subquery shapes are
+        # Derby prepared-statement shapes — a NON-equality param
+        # predicate, OR around a param predicate, and an expression
+        # mixing a sub column with a param, all inside a subquery WHERE
+        jvm = spark._jvm
+        conn = jvm.java.sql.DriverManager.getConnection(URL)
+        try:
+            ps = conn.prepareStatement(
+                'SELECT "name" FROM servers WHERE "ip" <= '
+                '(SELECT MAX("ip") FROM servers WHERE "ip" < ?)'
+            )
+            ps.setString(1, "10.3")
+            rs = ps.executeQuery()
+            n = 0
+            while rs.next():
+                n += 1
+            assert n == 2  # ips <= max(ip < '10.3') = 10.2.1.1
+            ps2 = conn.prepareStatement(
+                'SELECT "name" FROM servers WHERE LENGTH("name") > '
+                '(SELECT COUNT(*) FROM servers '
+                'WHERE "ip" < ? OR "location" = \'lga\')'
+            )
+            ps2.setString(1, "10.2")
+            rs2 = ps2.executeQuery()
+            n = 0
+            while rs2.next():
+                n += 1
+            assert n == 3  # every seeded name is longer than 2
+            ps3 = conn.prepareStatement(
+                'SELECT "name" FROM servers WHERE 0 < '
+                '(SELECT COUNT(*) FROM servers s2 '
+                'WHERE LENGTH(s2."ip") > LENGTH(s2."location") + ?)'
+            )
+            ps3.setInt(1, -2)
+            rs3 = ps3.executeQuery()
+            n = 0
+            while rs3.next():
+                n += 1
+            assert n == 3  # 8 > 9-2 witnesses exist -> all rows pass
         finally:
             conn.close()
 

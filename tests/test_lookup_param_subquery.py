@@ -292,14 +292,17 @@ class TestParamSubqueryRejections:
             _dims(spark),
         )
 
-    def test_or_around_param_rejected(self, spark):
-        with pytest.raises(ValidationError, match="OR"):
-            self._compile(
-                spark,
-                "SELECT plan FROM plans WHERE price >= "
-                "(SELECT avg(price) FROM plans "
-                "WHERE tool = :tool OR qty > 5)",
-            )
+    def test_or_around_param_accepted(self, spark):
+        # round-5 final: OR around a parameter predicate is ACCEPTED —
+        # the subquery takes the THETA path (probe-time distinct-tuple
+        # frame; goldens in test_lookup_theta_param.py). This pins
+        # that the old "pure AND conjunctions" rejection is gone.
+        self._compile(  # compiles without raising
+            spark,
+            "SELECT plan FROM plans WHERE price >= "
+            "(SELECT avg(price) FROM plans "
+            "WHERE tool = :tool OR qty > 5)",
+        )
 
     def test_having_param_subquery_accepted(self, spark):
         # round-5 latest: SCALAR param subqueries in HAVING are

@@ -162,14 +162,16 @@ class TestParseSubquery:
         assert t.value.param_corr and t.value.param_corr[0][0] == "tool"
         assert p.param_names == ["tool"]
 
-    def test_parameterized_subquery_non_equality_rejected(self):
-        # non-equality param predicates inside a subquery stay rejected
-        # (no per-event aggregate key can stage a range re-bind)
-        with pytest.raises(ValidationError, match="plain equalities"):
-            parse_lookup_query(
-                "SELECT tool FROM plans WHERE price >= "
-                "(SELECT avg(price) FROM plans WHERE price > :lim)"
-            )
+    def test_parameterized_subquery_non_equality_accepted(self):
+        # round-5 final: non-equality param predicates take the THETA
+        # path — the whole sub-WHERE rides into a probe-time
+        # distinct-tuple frame (goldens in test_lookup_theta_param.py)
+        q = parse_lookup_query(
+            "SELECT tool FROM plans WHERE price >= "
+            "(SELECT avg(price) FROM plans WHERE price > :lim)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.param_theta and not sq.param_corr and not sq.where
 
     def test_parameterized_plus_correlated_rejected(self):
         with pytest.raises(ValidationError, match="BOTH correlated"):
@@ -1308,12 +1310,15 @@ class TestParamExpressions:
         (preds,) = q.disjuncts
         assert [t.kind for p in preds for t in p.terms] == ["mixed_expr"]
 
-    def test_param_expr_inside_subquery_rejected(self):
-        with pytest.raises(ValidationError, match="parameter"):
-            parse_lookup_query(
-                "SELECT price FROM dim WHERE price > "
-                "(SELECT avg(price) FROM dim WHERE price > :k * 2)"
-            )
+    def test_param_expr_inside_subquery_accepted(self):
+        # round-5 final: a param EXPRESSION in a non-equality subquery
+        # predicate takes the THETA path
+        q = parse_lookup_query(
+            "SELECT price FROM dim WHERE price > "
+            "(SELECT avg(price) FROM dim WHERE price > :k * 2)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.param_theta
 
     def test_param_in_lhs_expression_rejected(self):
         with pytest.raises(ValidationError):
@@ -2489,13 +2494,16 @@ class TestMixedExpressions:
         assert kinds["tool"] == ["param"]
         assert kinds["price"] == ["mixed_expr"]
 
-    def test_mixed_rejected_in_subquery_where(self):
-        with pytest.raises(ValidationError, match="subquery WHERE"):
-            parse_lookup_query(
-                "SELECT name FROM dim WHERE price > "
-                "(SELECT max(p2.price) FROM dim p2 "
-                "WHERE p2.price = p2.base + :k)"
-            )
+    def test_mixed_accepted_in_subquery_where(self):
+        # round-5 final: a mixed sub-column+param expression takes the
+        # THETA path (evaluated per (tuple, sub row) pair)
+        q = parse_lookup_query(
+            "SELECT name FROM dim WHERE price > "
+            "(SELECT max(p2.price) FROM dim p2 "
+            "WHERE p2.price = p2.base + :k)"
+        )
+        sq = q.disjuncts[0][0].terms[0].value
+        assert sq.param_theta
 
     def test_mixed_rejected_in_having(self):
         with pytest.raises(ValidationError, match="HAVING"):
