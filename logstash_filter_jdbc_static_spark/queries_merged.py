@@ -306,6 +306,14 @@ _merge(
          [("n_mx", "mx_n"), ("mx_rows", "mx_rows"),
           ("n_ml", "ml_n"), ("ml_rows", "ml_rows"),
           ("n_mi", "mi_n"), ("mi_rows", "mi_rows")]),
+        # round-5 final widening: THETA-parameterized subqueries —
+        # non-equality/OR/mixed param predicates in the sub-WHERE,
+        # compiled as probe-time distinct-tuple aggregate frames
+        # (scalar avg with OR, NOT IN value sets, EXISTS witness)
+        ("lookup_theta_subquery",
+         [("n_th", "th_n"), ("th_rows", "th_rows"),
+          ("n_ts", "ts_n"), ("ts_rows", "ts_rows"),
+          ("n_tx", "tx_n"), ("tx_rows", "tx_rows")]),
     ],
 )
 

@@ -3640,3 +3640,178 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("ni").cast("long").alias("n_ni"),
         rows("ni").alias("ni_rows"),
     )
+
+
+@register(
+    "lookup_theta_subquery",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        pth AS (
+          SELECT t.conv_id, t.turn_idx, p.plan, p.price
+          FROM transcripts t JOIN tool_plans p ON p.tool = t.tool
+          WHERE p.price >= (SELECT avg(q.price) FROM tool_plans q
+                            WHERE q.qty > t.turn_idx
+                               OR q.price <= t.turn_idx)
+        )
+        """,
+        """
+        mth AS (
+          SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_th,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || CAST(price AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, price),
+                   ',') AS th_rows
+          FROM pth GROUP BY conv_id, turn_idx
+        )
+        """,
+        """
+        pts AS (
+          SELECT t.conv_id, t.turn_idx, p.plan
+          FROM transcripts t JOIN tool_plans p ON p.tool = t.tool
+          WHERE p.plan NOT IN (SELECT q.plan FROM tool_plans q
+                               WHERE q.price > t.turn_idx
+                                 AND q.plan IS NOT NULL)
+        )
+        """,
+        """
+        mts AS (
+          SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_ts,
+                 array_to_string(
+                   list(coalesce(plan, '~N')
+                        ORDER BY plan NULLS FIRST),
+                   ',') AS ts_rows
+          FROM pts GROUP BY conv_id, turn_idx
+        )
+        """,
+        """
+        ptx AS (
+          SELECT t.conv_id, t.turn_idx, p.plan, p.qty
+          FROM transcripts t JOIN tool_plans p ON p.tool = t.tool
+          WHERE EXISTS (SELECT 1 FROM tool_plans q
+                        WHERE q.price > q.qty + t.turn_idx)
+        )
+        """,
+        """
+        mtx AS (
+          SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_tx,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || CAST(qty AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, qty),
+                   ',') AS tx_rows
+          FROM ptx GROUP BY conv_id, turn_idx
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               coalesce(mth.n_th, 0) AS n_th,
+               coalesce(mth.th_rows, '') AS th_rows,
+               coalesce(mts.n_ts, 0) AS n_ts,
+               coalesce(mts.ts_rows, '') AS ts_rows,
+               coalesce(mtx.n_tx, 0) AS n_tx,
+               coalesce(mtx.tx_rows, '') AS tx_rows
+        FROM transcripts t
+        LEFT JOIN mth ON mth.conv_id = t.conv_id
+                     AND mth.turn_idx = t.turn_idx
+        LEFT JOIN mts ON mts.conv_id = t.conv_id
+                     AND mts.turn_idx = t.turn_idx
+        LEFT JOIN mtx ON mtx.conv_id = t.conv_id
+                     AND mtx.turn_idx = t.turn_idx
+        """,
+    ),
+)
+def lookup_theta_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 final widening: THETA-parameterized subqueries — the
+    sub-WHERE's param predicates are NOT plain equalities, closing the
+    last parameterized residue of the reference's execute-anything
+    contract (it re-binds and re-executes the prepared subquery per
+    event, lookup.rb:131-147). Spark-first compile
+    (operators/lookup.py::_ThetaParamFrame): the fact's DISTINCT bound
+    param tuples (slim select + distinct + localCheckpoint, the LIKE
+    map-probe design) theta-join the dim-sized sub frame on the full
+    DNF — params substitute to tuple columns — aggregate per tuple,
+    and broadcast-join back onto the fact; cost is |tuples| x |sub|,
+    constant in fact count, with a shuffle fallback past the broadcast
+    cap.
+
+    ``th``: scalar avg with an OR mixing a param inequality and a
+    param comparison (``qty > :ti OR price <= :ti``). ``ts``: NOT IN
+    over a per-event value set (``price > :ti``) — empty sets keep
+    every row, NULL plans go UNKNOWN against non-empty sets. ``tx``:
+    EXISTS whose witness mixes a sub column with the param
+    (``price > qty + :ti``), parse-rewritten to ``0 < count(*)`` on
+    the same frame. Goldens: tests/test_lookup_theta_param.py; Derby
+    e2e + prepared legality: test_jdbc_derby.py."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "th",
+                "query": (
+                    "SELECT plan AS plan, price AS price FROM tool_plans "
+                    "WHERE tool = :tool AND price >= "
+                    "(SELECT avg(price) FROM tool_plans "
+                    "WHERE qty > :ti OR price <= :ti)"
+                ),
+                "parameters": {"tool": "tool", "ti": "turn_idx"},
+            },
+            {
+                "id": "ts",
+                "query": (
+                    "SELECT plan AS plan FROM tool_plans "
+                    "WHERE tool = :tool AND plan NOT IN "
+                    "(SELECT plan FROM tool_plans p2 "
+                    "WHERE p2.price > :ti AND p2.plan IS NOT NULL)"
+                ),
+                "parameters": {"tool": "tool", "ti": "turn_idx"},
+            },
+            {
+                "id": "tx",
+                "query": (
+                    "SELECT plan AS plan, qty AS qty FROM tool_plans "
+                    "WHERE tool = :tool AND EXISTS "
+                    "(SELECT 1 FROM tool_plans p2 "
+                    "WHERE p2.price > p2.qty + :ti)"
+                ),
+                "parameters": {"tool": "tool", "ti": "turn_idx"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+
+    def rows2(col, vf):
+        return F.array_join(
+            F.transform(
+                F.col(col),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit(":"),
+                    r.getField(vf).cast("string"),
+                ),
+            ),
+            ",",
+        )
+
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        F.size("th").cast("long").alias("n_th"),
+        rows2("th", "price").alias("th_rows"),
+        F.size("ts").cast("long").alias("n_ts"),
+        F.array_join(
+            F.transform(
+                F.col("ts"),
+                lambda r: F.coalesce(r.getField("plan"), F.lit("~N")),
+            ),
+            ",",
+        ).alias("ts_rows"),
+        F.size("tx").cast("long").alias("n_tx"),
+        rows2("tx", "qty").alias("tx_rows"),
+    )
