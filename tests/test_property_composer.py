@@ -58,6 +58,14 @@ PREDICATES = [
     "(SELECT s3.ip FROM servers s3 WHERE s3.name = s2.name))",
     "ip >= (SELECT min(s2.ip) FROM servers s2 WHERE EXISTS "
     "(SELECT 1 FROM servers s3 WHERE s3.ip < s2.ip))",
+    # round-5 final: THETA-parameterized subqueries — non-equality /
+    # OR'd / mixed param predicates in the sub-WHERE, built as
+    # probe-time distinct-tuple frames
+    "name >= (SELECT max(name) FROM servers WHERE ip < :ip)",
+    "0 < (SELECT count(*) FROM servers WHERE ip > :ip OR name = 'v1')",
+    "name NOT IN (SELECT s2.name FROM servers s2 WHERE s2.ip >= :ip)",
+    "EXISTS (SELECT 1 FROM servers s2 WHERE s2.name > s2.ip || :ip)",
+    "name > ANY (SELECT s2.name FROM servers s2 WHERE s2.ip <> :ip)",
 ]
 
 JOINTS = [

@@ -824,6 +824,25 @@ FULLQ_TEMPLATES = [
      "HAVING count(*) >= "
      "(SELECT count(*) FROM servers s2 WHERE s2.ip = :ip)",
      {"name": "dflt", "n": -1}),
+    # round-5 final: THETA-parameterized subqueries — non-equality
+    # param predicates, OR around them, mixed sub-column+param
+    # expressions, set/EXISTS/quantified shapes; the frame builds at
+    # probe time from the fact's distinct bound tuples
+    ("SELECT name AS name FROM servers WHERE name >= "
+     "(SELECT max(name) FROM servers WHERE ip < :ip)",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE 0 < "
+     "(SELECT count(*) FROM servers WHERE ip > :ip OR name = 'v1')",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE name NOT IN "
+     "(SELECT name FROM servers s2 WHERE s2.ip >= :ip)",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE ip = :ip AND EXISTS "
+     "(SELECT 1 FROM servers s2 WHERE s2.name > s2.ip || :ip)",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE name > ANY "
+     "(SELECT name FROM servers s2 WHERE s2.ip <> :ip)",
+     {"name": "dflt"}),
 ]
 
 
