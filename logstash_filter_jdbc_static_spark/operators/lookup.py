@@ -1161,6 +1161,15 @@ class _ThetaParamFrame:
     names: tuple  # output value column name(s): (v,) | (set, null, cnt)
     sub_cols: tuple  # referenced sub columns (validated at resolution)
     table: str
+    # output value DataType per entry of ``names`` — derived at
+    # RESOLUTION from a schema-only aggregate over the sub frame (no
+    # job runs), so the HAVING/projection typed-NULL placeholders can
+    # be cast before the frame exists (having_param_carrier /
+    # psq_param registration read it in place of frame.schema)
+    dtypes: tuple = ()
+
+    def dtype_of(self, name: str):
+        return self.dtypes[self.names.index(name)]
 
     def _term_col(self, p: _Predicate, t: _Term, sub_col, tup) -> Column:
         if t.kind == "literal":
@@ -1301,6 +1310,26 @@ def _theta_frame_of(
              f"{missing} not in table"]
         )
     keys = tuple(f"{base}_k{i}" for i in range(len(pnames)))
+    if sq.func == "__values":
+        # (sorted value set, had-NULL, count) — the set's element type
+        # is the projected column's
+        dtypes = (
+            T.ArrayType(sub_df.schema[sq.col].dataType),
+            T.BooleanType(),
+            T.LongType(),
+        )
+    else:
+        # schema-only aggregate: Spark resolves the result type
+        # (sum widening, avg->double, count->long) without running a job
+        if sq.func == "count" and sq.col is None:
+            agg0 = F.count(F.lit(1))
+        elif sq.func == "count":
+            agg0 = F.count(F.col(sq.col))
+        elif sq.func == "count_distinct":
+            agg0 = F.count_distinct(F.col(sq.col))
+        else:
+            agg0 = getattr(F, sq.func)(F.col(sq.col))
+        dtypes = (sub_df.limit(0).agg(agg0).schema[0].dataType,)
     return _ThetaParamFrame(
         sub_df=sub_df,
         where=sq.param_theta,
@@ -1311,6 +1340,7 @@ def _theta_frame_of(
         names=names,
         sub_cols=tuple(sorted(refs)),
         table=sq.table,
+        dtypes=dtypes,
     )
 
 
@@ -1463,9 +1493,14 @@ def resolve_subqueries_with_dim(
             if p0 == pname:
                 return n0
         frame = next(e[3] for e in param_subs if pname in e[0])
+        dtype = (
+            frame.dtype_of(pname)
+            if isinstance(frame, _ThetaParamFrame)
+            else frame.schema[pname].dataType
+        )
         col = f"__sq_hp{len(having_psq)}"
         holder["dim"] = holder["dim"].withColumn(
-            col, F.lit(None).cast(frame.schema[pname].dataType)
+            col, F.lit(None).cast(dtype)
         )
         name = f"__hsq{len(hidden_aggs)}"
         hidden_aggs.append((col, "max", name))
@@ -1474,15 +1509,13 @@ def resolve_subqueries_with_dim(
 
     def having_value_term(sq: _Subquery) -> _Term:
         if sq.param_theta:
-            # the hidden-carrier overlay casts a typed NULL placeholder
-            # from the frame's schema — a probe-time theta frame has no
-            # snapshot schema to type it from
-            raise ValidationError(
-                [f"lookup HAVING subquery on {sq.table!r}: non-equality "
-                 f"parameter predicates are not supported in a HAVING "
-                 f"comparand subquery — use plain ``sub_col = :param`` "
-                 f"equalities or pre-shape via a loader query"]
-            )
+            # THETA shape (round-5 final): same hidden-carrier overlay
+            # as the plain-equality shapes — the placeholder's dtype
+            # comes from the builder's schema-only aggregate
+            # (_ThetaParamFrame.dtypes), since the frame itself builds
+            # at probe time
+            term = param_term_of(sq)
+            return _Term("column", having_param_carrier(term.value))
         if sq.param_corr:
             # PARAMETERIZED HAVING subquery (round-5 latest): the
             # HAVING filter reads aggregated PAYLOAD fields, so the
@@ -1935,13 +1968,15 @@ def resolve_subqueries_with_dim(
             return p
         if p.op in ("exists", "not exists"):
             sq0 = p.terms[0].value
-            if in_having and sq0.param_corr:
+            if in_having and (sq0.param_corr or sq0.param_theta):
                 # params-only EXISTS in HAVING (round-5 latest,
                 # Derby-prepared-legal): existence of the param-keyed
                 # group is exactly ``0 < count(*)`` — the per-event
                 # count rides the scalar hidden-carrier overlay
                 # (misses coalesce to 0) and the HAVING filter
-                # compares the payload field
+                # compares the payload field (theta shapes included,
+                # round-5 final: the count builds on the probe-time
+                # distinct-tuple frame)
                 count_sq = dataclasses.replace(
                     sq0, func="count", col=None
                 )
@@ -2142,17 +2177,7 @@ def resolve_subqueries_with_dim(
                  f"subqueries need the probed dimension in scope — "
                  f"use resolve_subqueries_with_dim"]
             )
-        if sq.param_theta:
-            # the typed NULL placeholder needs the frame's snapshot
-            # schema — a probe-time theta frame has none
-            raise ValidationError(
-                [f"lookup projection subquery on {sq.table!r}: "
-                 f"non-equality parameter predicates are not supported "
-                 f"in a projection subquery — use plain "
-                 f"``sub_col = :param`` equalities or pre-shape via a "
-                 f"loader query"]
-            )
-        if sq.param_corr:
+        if sq.param_corr or sq.param_theta:
             # PARAMETERIZED projection subquery (round-5 latest): the
             # per-event value rides the predicate machinery — the
             # snapshot-built per-param-group aggregate frame broadcast-
@@ -2165,8 +2190,13 @@ def resolve_subqueries_with_dim(
             frame = next(
                 e[3] for e in param_subs if e[0][0] == pname
             )
+            dtype = (
+                frame.dtype_of(pname)
+                if isinstance(frame, _ThetaParamFrame)
+                else frame.schema[pname].dataType
+            )
             holder["dim"] = holder["dim"].withColumn(
-                name, F.lit(None).cast(frame.schema[pname].dataType)
+                name, F.lit(None).cast(dtype)
             )
             psq_param[name] = pname
         elif sq.corr or sq.ineq:
@@ -3086,12 +3116,22 @@ class _WhereParser:
             table, sub_alias, computed, allow_ineq=True
         )
         if ptheta and self.in_having:
-            raise ValidationError(
-                [f"unsupported lookup EXISTS subquery on {table!r}: "
-                 f"non-equality parameter predicates in a HAVING "
-                 f"EXISTS are not supported — the hidden-carrier "
-                 f"overlay needs a snapshot-typed frame; use plain "
-                 f"``sub_col = :param`` equalities"]
+            # HAVING context (round-5 final): keep the generic EXISTS
+            # predicate — resolution rewrites it onto the per-event
+            # count through the hidden-carrier overlay (fix_pred),
+            # exactly like the plain-equality param shapes; the
+            # carrier's dtype comes from the theta builder's
+            # schema-only aggregate
+            return _Predicate(
+                "",
+                "exists",
+                [_Term(
+                    "subquery",
+                    _Subquery(
+                        "__exists", None, table, (), tuple(computed),
+                        param_theta=ptheta,
+                    ),
+                )],
             )
         if ptheta:
             # THETA-parameterized EXISTS (round-5 final): existence of
@@ -3225,17 +3265,6 @@ class _WhereParser:
                  f"parameters inside a NESTED subquery are not "
                  f"supported"]
             )
-        if (pcorr or ptheta) and self.in_having:
-            # the plain-equality shapes ride the hidden-carrier overlay
-            # (resolution handles them); theta shapes cannot — the
-            # typed placeholder needs a snapshot-typed frame
-            if ptheta:
-                raise ValidationError(
-                    [f"unsupported lookup IN-subquery on {table!r}: "
-                     f"non-equality parameter predicates in a HAVING "
-                     f"set subquery are not supported — use plain "
-                     f"``sub_col = :param`` equalities"]
-                )
         return _Term(
             "subquery",
             _Subquery("__values", col, table, where, tuple(computed), corr,

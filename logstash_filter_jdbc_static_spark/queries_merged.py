@@ -313,7 +313,9 @@ _merge(
         ("lookup_theta_subquery",
          [("n_th", "th_n"), ("th_rows", "th_rows"),
           ("n_ts", "ts_n"), ("ts_rows", "ts_rows"),
-          ("n_tx", "tx_n"), ("tx_rows", "tx_rows")]),
+          ("n_tx", "tx_n"), ("tx_rows", "tx_rows"),
+          ("n_tp", "tp_n"), ("tp_rows", "tp_rows"),
+          ("n_tg", "tg_n"), ("tg_rows", "tg_rows")]),
     ],
 )
 

@@ -3705,6 +3705,46 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ptx GROUP BY conv_id, turn_idx
         )
         """,
+        """
+        ptp AS (
+          SELECT t.conv_id, t.turn_idx, p.plan,
+                 (SELECT max(q.price) FROM tool_plans q
+                  WHERE q.price <= t.turn_idx) AS mx
+          FROM transcripts t JOIN tool_plans p ON p.tool = t.tool
+        )
+        """,
+        """
+        mtp AS (
+          SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_tp,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || coalesce(CAST(mx AS VARCHAR), '~')
+                        ORDER BY plan NULLS FIRST),
+                   ',') AS tp_rows
+          FROM ptp GROUP BY conv_id, turn_idx
+        )
+        """,
+        """
+        ptg AS (
+          SELECT t.conv_id, t.turn_idx, p.plan,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM transcripts t JOIN tool_plans p ON p.tool = t.tool
+          GROUP BY t.conv_id, t.turn_idx, p.plan
+          HAVING count(*) >= (SELECT count(*) FROM tool_plans q
+                              WHERE q.price > t.turn_idx)
+        )
+        """,
+        """
+        mtg AS (
+          SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_tg,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || CAST(n AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, n),
+                   ',') AS tg_rows
+          FROM ptg GROUP BY conv_id, turn_idx
+        )
+        """,
         body="""
         SELECT t.conv_id, t.turn_idx, t.tool,
                coalesce(mth.n_th, 0) AS n_th,
@@ -3712,7 +3752,11 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(mts.n_ts, 0) AS n_ts,
                coalesce(mts.ts_rows, '') AS ts_rows,
                coalesce(mtx.n_tx, 0) AS n_tx,
-               coalesce(mtx.tx_rows, '') AS tx_rows
+               coalesce(mtx.tx_rows, '') AS tx_rows,
+               coalesce(mtp.n_tp, 0) AS n_tp,
+               coalesce(mtp.tp_rows, '') AS tp_rows,
+               coalesce(mtg.n_tg, 0) AS n_tg,
+               coalesce(mtg.tg_rows, '') AS tg_rows
         FROM transcripts t
         LEFT JOIN mth ON mth.conv_id = t.conv_id
                      AND mth.turn_idx = t.turn_idx
@@ -3720,6 +3764,10 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND mts.turn_idx = t.turn_idx
         LEFT JOIN mtx ON mtx.conv_id = t.conv_id
                      AND mtx.turn_idx = t.turn_idx
+        LEFT JOIN mtp ON mtp.conv_id = t.conv_id
+                     AND mtp.turn_idx = t.turn_idx
+        LEFT JOIN mtg ON mtg.conv_id = t.conv_id
+                     AND mtg.turn_idx = t.turn_idx
         """,
     ),
 )
@@ -3778,6 +3826,30 @@ def lookup_theta_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 "parameters": {"tool": "tool", "ti": "turn_idx"},
             },
+            {
+                # round-5 final: THETA projection subquery — the
+                # per-event value overlays the typed NULL placeholder
+                # (dtype from the builder's schema-only aggregate)
+                "id": "tp",
+                "query": (
+                    "SELECT plan AS plan, (SELECT max(price) "
+                    "FROM tool_plans WHERE price <= :ti) AS mx "
+                    "FROM tool_plans WHERE tool = :tool"
+                ),
+                "parameters": {"tool": "tool", "ti": "turn_idx"},
+            },
+            {
+                # round-5 final: THETA scalar as a HAVING comparand —
+                # the hidden-carrier overlay post-aggregation
+                "id": "tg",
+                "query": (
+                    "SELECT plan AS plan, count(*) AS n FROM tool_plans "
+                    "WHERE tool = :tool GROUP BY plan HAVING n >= "
+                    "(SELECT count(*) FROM tool_plans "
+                    "WHERE price > :ti)"
+                ),
+                "parameters": {"tool": "tool", "ti": "turn_idx"},
+            },
         ]
     )
     enricher = LookupEnricher(
@@ -3814,4 +3886,20 @@ def lookup_theta_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ts_rows"),
         F.size("tx").cast("long").alias("n_tx"),
         rows2("tx", "qty").alias("tx_rows"),
+        F.size("tp").cast("long").alias("n_tp"),
+        F.array_join(
+            F.transform(
+                F.col("tp"),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit(":"),
+                    F.coalesce(
+                        r.getField("mx").cast("string"), F.lit("~")
+                    ),
+                ),
+            ),
+            ",",
+        ).alias("tp_rows"),
+        F.size("tg").cast("long").alias("n_tg"),
+        rows2("tg", "n").alias("tg_rows"),
     )

@@ -362,23 +362,6 @@ class TestThetaRejections:
                 "AND p2.qty < (SELECT max(qty) FROM plans))",
             )
 
-    def test_theta_in_having_comparand_rejected(self, spark):
-        with pytest.raises(ValidationError, match="non-equality"):
-            self._compile(
-                spark,
-                "SELECT tool AS tool, count(*) AS n FROM plans "
-                "GROUP BY tool HAVING n >= "
-                "(SELECT count(*) FROM plans WHERE price > :lim)",
-            )
-
-    def test_theta_in_projection_rejected(self, spark):
-        with pytest.raises(ValidationError, match="non-equality"):
-            self._compile(
-                spark,
-                "SELECT plan AS plan, (SELECT avg(price) FROM plans "
-                "WHERE price > :lim) AS ap FROM plans WHERE tool = :tool",
-            )
-
     def test_theta_inside_nested_subquery_rejected(self, spark):
         with pytest.raises(ValidationError, match="[Nn]ested|NESTED"):
             self._compile(
@@ -387,6 +370,101 @@ class TestThetaRejections:
                 "(SELECT avg(price) FROM plans p2 WHERE p2.qty < "
                 "(SELECT max(qty) FROM plans p3 WHERE p3.price > :lim))",
             )
+
+
+class TestThetaHaving:
+    """Round-5 final: theta shapes in HAVING comparands ride the same
+    hidden-carrier overlay as the plain-equality param shapes — the
+    typed NULL placeholder's dtype comes from the builder's
+    schema-only aggregate (_ThetaParamFrame.dtypes)."""
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_having_scalar_theta(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT tool AS tool, count(*) AS n FROM plans "
+            "GROUP BY tool HAVING n >= "
+            "(SELECT count(*) FROM plans WHERE price > :lim)",
+            kw,
+        )
+        # lim=8: count(price>8)=2 -> groups t1(3), t2(2) both >=2
+        assert got[("t1", 8)] == [("t1", 3), ("t2", 2)]
+        # lim=3: count=4 -> no group reaches 4
+        assert got[("t2", 3)] == []
+        # lim=1000: count 0 -> every group passes
+        assert got[("t1", 1000)] == [("t1", 3), ("t2", 2)]
+        assert got[("t1", None)] is None  # invalid binding -> failed
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_having_exists_theta(self, spark, kw):
+        # EXISTS whose witness mixes a sub column with the param
+        got = _run(
+            spark,
+            "SELECT tool AS tool, count(*) AS n FROM plans "
+            "GROUP BY tool HAVING EXISTS "
+            "(SELECT 1 FROM plans p2 WHERE p2.price > p2.qty + :lim)",
+            kw,
+        )
+        assert got[("t1", 8)] == [("t1", 3), ("t2", 2)]  # 99>5+8
+        assert got[("t9", 99)] == []  # no witness -> every group out
+        assert got[("t1", None)] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_having_not_in_theta(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, count(*) AS n FROM plans "
+            "GROUP BY plan HAVING plan NOT IN "
+            "(SELECT plan FROM plans p2 "
+            "WHERE p2.price > :lim AND p2.plan IS NOT NULL)",
+            kw,
+        )
+        # lim=8: set {basic, gold} -> pro stays; NULL group unknown
+        assert got[("t1", 8)] == [("pro", 1)]
+        # lim=1000: EMPTY set -> NOT IN () TRUE for every group,
+        # the NULL-plan group included
+        assert got[("t1", 1000)] == [
+            (None, 1), ("basic", 2), ("gold", 1), ("pro", 1)
+        ]
+        assert got[("t1", None)] is None
+
+
+class TestThetaProjection:
+    """Round-5 final: theta projection subqueries overlay the per-event
+    value into the typed NULL placeholder payload field, including the
+    GLOBAL-aggregate combination (the empty-set aggregate row carries
+    the event's value)."""
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_projection_theta(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan, (SELECT max(price) FROM plans "
+            "WHERE price < :lim) AS mx FROM plans WHERE tool = :tool",
+            kw,
+        )
+        # per-event max(price < lim) rides every payload row
+        assert got[("t1", 8)] == [(None, 7), ("basic", 7), ("pro", 7)]
+        assert got[("t2", 3)] == [("basic", 2), ("gold", 2)]
+        assert got[("t9", 99)] == []  # no t9 rows
+        assert got[("t1", 1000)] == [(None, 99), ("basic", 99), ("pro", 99)]
+        assert got[("t1", None)] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_projection_theta_global_agg(self, spark, kw):
+        # GLOBAL aggregate + theta projection subquery: the EMPTY-set
+        # aggregate row (t9) must still carry the per-event value
+        got = _run(
+            spark,
+            "SELECT count(*) AS n, (SELECT max(price) FROM plans "
+            "WHERE price < :lim) AS mx FROM plans WHERE tool = :tool",
+            kw,
+        )
+        assert got[("t1", 8)] == [(3, 7)]
+        assert got[("t2", 3)] == [(2, 2)]
+        assert got[("t9", 99)] == [(0, 10)]  # empty-set row, live value
+        assert got[("t1", 1000)] == [(3, 99)]
+        assert got[("t1", None)] is None
 
 
 class TestThetaPlan:

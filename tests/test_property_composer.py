@@ -180,6 +180,12 @@ HAVING_PREDICATES = [
     "EXISTS (SELECT 1 FROM servers s2 WHERE s2.ip = :ip)",
     "n * 2 >= length(nm) - 1",
     "length(nm) + n > 2",
+    # round-5 final: THETA-parameterized shapes in HAVING — the
+    # hidden-carrier overlay over probe-time distinct-tuple frames
+    "n >= (SELECT count(*) FROM servers s2 WHERE s2.ip > :ip)",
+    "nm NOT IN (SELECT s2.name FROM servers s2 WHERE s2.ip >= :ip)",
+    "EXISTS (SELECT 1 FROM servers s2 WHERE s2.ip > :ip "
+    "OR s2.name = 'v1')",
 ]
 
 

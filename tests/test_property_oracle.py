@@ -843,6 +843,20 @@ FULLQ_TEMPLATES = [
     ("SELECT name AS name FROM servers WHERE name > ANY "
      "(SELECT name FROM servers s2 WHERE s2.ip <> :ip)",
      {"name": "dflt"}),
+    # round-5 final: theta shapes in HAVING comparands and projection
+    # subqueries (hidden-carrier overlay; dtype from the builder's
+    # schema-only aggregate)
+    ("SELECT name, count(*) AS n FROM servers GROUP BY name "
+     "HAVING count(*) >= "
+     "(SELECT count(*) FROM servers s2 WHERE s2.ip > :ip)",
+     {"name": "dflt", "n": -1}),
+    ("SELECT name, (SELECT max(s2.name) FROM servers s2 "
+     "WHERE s2.ip <> :ip) AS mx FROM servers WHERE ip = :ip",
+     {"name": "dflt", "mx": "d2"}),
+    ("SELECT count(*) AS n, (SELECT min(s2.name) FROM servers s2 "
+     "WHERE s2.ip >= :ip OR s2.name = 'v1') AS mn "
+     "FROM servers WHERE ip = :ip",
+     {"n": -1, "mn": "dflt"}),
 ]
 
 
