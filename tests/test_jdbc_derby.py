@@ -2369,6 +2369,33 @@ class TestDerbyGrammarLegality:
             while rs3.next():
                 n += 1
             assert n == 3  # 8 > 9-2 witnesses exist -> all rows pass
+            # round-5 final: a non-equality param subquery as a HAVING
+            # comparand is a Derby prepared shape too
+            ps4 = conn.prepareStatement(
+                'SELECT "location", COUNT(*) FROM servers '
+                'GROUP BY "location" HAVING COUNT(*) >= '
+                '(SELECT COUNT(*) FROM servers WHERE "ip" > ?)'
+            )
+            ps4.setString(1, "10.9")
+            rs4 = ps4.executeQuery()
+            n = 0
+            while rs4.next():
+                n += 1
+            assert n == 3  # count(ip > '10.9') = 0 -> every group
+            # ...and in a non-aggregate projection (the aggregate
+            # combinations are Derby 42Y30/42Y35, pinned elsewhere —
+            # ours is a documented standard-SQL extension there)
+            ps5 = conn.prepareStatement(
+                'SELECT "name", (SELECT MAX("ip") FROM servers '
+                'WHERE "ip" < ?) FROM servers'
+            )
+            ps5.setString(1, "10.3")
+            rs5 = ps5.executeQuery()
+            n = 0
+            while rs5.next():
+                assert rs5.getString(2) == "10.2.1.1"
+                n += 1
+            assert n == 3
         finally:
             conn.close()
 
