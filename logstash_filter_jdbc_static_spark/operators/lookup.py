@@ -2938,23 +2938,16 @@ class _WhereParser:
             if cols:
                 # mixed dim+param expression (round-5 latest: ``a = b +
                 # :k``): legal in the MAIN WHERE, where the theta probe
-                # evaluates dim row and event tuple together, and —
-                # round-5 final — in a predicate-RHS subquery's WHERE,
-                # where the THETA-parameterized frame evaluates sub row
-                # and distinct param tuple together (_ThetaParamFrame;
-                # _sub_where classifies the shape). HAVING runs over
-                # payload aliases with no per-row scope, so it keeps
-                # the rejection.
-                if self.in_having:
-                    raise ValidationError(
-                        [f"unsupported lookup predicate rhs: expression "
-                         f"mixes column(s) {sorted(cols)} with "
-                         f"parameter(s) {pnames} in HAVING — params "
-                         f"evaluate fact-side and these columns have no "
-                         f"per-row scope here; move the mix to the "
-                         f"outer WHERE or pre-shape the dim with a "
-                         f"loader query"]
-                    )
+                # evaluates dim row and event tuple together; in a
+                # predicate-RHS subquery's WHERE (round-5 final), where
+                # the THETA-parameterized frame evaluates sub row and
+                # distinct param tuple together (_ThetaParamFrame); and
+                # in HAVING comparands (round-5 final) — the HAVING
+                # filter runs FACT-side over the aggregated payload
+                # rows with the bound params in scope, so payload
+                # aliases and params share a row
+                # (_having_element_condition; alias membership is
+                # validated with the other HAVING references).
                 return _Term("mixed_expr", ast)
             if isinstance(ast, sqlexpr.Param):
                 return _Term("param", ast.name)
@@ -5506,6 +5499,21 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                              f"not a selected column alias "
                              f"(available: {sorted(payload_names)})"]
                         )
+                    if t.kind == "mixed_expr":
+                        # round-5 final: a mixed alias+param comparand
+                        # (``n > cnt + :k``) — every column must be a
+                        # payload alias (params bind fact-side)
+                        bad = sorted(
+                            sqlexpr.columns(t.value)
+                            - payload_names
+                            - hx_names
+                        )
+                        if bad:
+                            raise ValidationError(
+                                [f"lookup HAVING: expression references "
+                                 f"{bad} — not selected column aliases "
+                                 f"(available: {sorted(payload_names)})"]
+                            )
     if aggregates and not group_by:
         if distinct:
             raise ValidationError(
@@ -6843,6 +6851,29 @@ class CompiledLookup:
                         else r.getField(t.value)
                     )
                     return _like_regex(c, p.like_escape) if p.op in _LIKE_OPS else c
+                if t.kind == "mixed_expr":
+                    # mixed alias+param comparand (round-5 final:
+                    # ``n > cnt + :k``): the filter's group row
+                    # supplies the aliases, the event binding the
+                    # params — both scopes live on this fact row
+                    def alias_col(n: str) -> Column:
+                        if n in hx:
+                            return sqlexpr.compile_expr(
+                                sqlexpr.subst_columns(
+                                    hx[n], lambda m: r.getField(m)
+                                )
+                            )
+                        return r.getField(n)
+
+                    c = sqlexpr.compile_expr(
+                        sqlexpr.subst_columns(
+                            sqlexpr.subst_params(
+                                t.value, lambda n: params[n].value
+                            ),
+                            alias_col,
+                        )
+                    )
+                    return _like_regex(c, p.like_escape) if p.op in _LIKE_OPS else c
                 return self._term_rhs(p, t, lambda n: params[n].value)
 
             return self._dnf_condition(
@@ -7305,6 +7336,13 @@ def _remap_having_aliases(having: tuple, ren: dict[str, str]) -> tuple:
             terms = [
                 dataclasses.replace(t, value=ren.get(t.value, t.value))
                 if t.kind == "column"
+                else dataclasses.replace(
+                    t,
+                    value=sqlexpr.map_columns(
+                        t.value, lambda n: ren.get(n, n)
+                    ),
+                )
+                if t.kind == "mixed_expr"
                 else t
                 for t in p.terms
             ]

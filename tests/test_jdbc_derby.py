@@ -2396,6 +2396,19 @@ class TestDerbyGrammarLegality:
                 assert rs5.getString(2) == "10.2.1.1"
                 n += 1
             assert n == 3
+            # round-5 final: a MIXED alias+param expression as a
+            # HAVING comparand is a Derby prepared shape too
+            ps6 = conn.prepareStatement(
+                'SELECT "location", COUNT(*) FROM servers '
+                'GROUP BY "location" '
+                'HAVING COUNT(*) >= LENGTH("location") - ?'
+            )
+            ps6.setInt(1, 8)
+            rs6 = ps6.executeQuery()
+            n = 0
+            while rs6.next():
+                n += 1
+            assert n == 3  # 1 >= 9-8 for every 1-row location group
         finally:
             conn.close()
 

@@ -2505,9 +2505,72 @@ class TestMixedExpressions:
         sq = q.disjuncts[0][0].terms[0].value
         assert sq.param_theta
 
-    def test_mixed_rejected_in_having(self):
-        with pytest.raises(ValidationError, match="HAVING"):
+    def test_mixed_accepted_in_having(self):
+        # round-5 final: a mixed alias+param HAVING comparand parses —
+        # the fact-side HAVING filter has both payload aliases and
+        # bound params in scope (goldens below)
+        q = parse_lookup_query(
+            "SELECT tool, sum(price) AS s, max(base) AS m FROM dim "
+            "GROUP BY tool HAVING s > m + :k"
+        )
+        (p0,) = q.having[0]
+        assert p0.terms[0].kind == "mixed_expr"
+
+    def test_mixed_having_unknown_alias_rejected(self):
+        with pytest.raises(ValidationError, match="not selected"):
             parse_lookup_query(
-                "SELECT tool, sum(price) AS s, max(base) AS m FROM dim "
-                "GROUP BY tool HAVING s > m + :k"
+                "SELECT tool, sum(price) AS s FROM dim "
+                "GROUP BY tool HAVING s > nosuch + :k"
             )
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_mixed_having_golden(self, spark, kw):
+        # HAVING s >= m * :k — evaluated per (group row, event): the
+        # group supplies the aliases, the event the param; row-oracle
+        # cross-checked for every event incl. the NULL-param failure
+        from logstash_filter_jdbc_static_spark import oracle as _oracle
+
+        lk = {
+            "id": "x",
+            "query": (
+                "SELECT tool AS tool, sum(price) AS s, max(base) AS m "
+                "FROM dim WHERE tool = :tool "
+                "GROUP BY tool HAVING s >= m * :k"
+            ),
+            "parameters": {"tool": "tool", "k": "k"},
+        }
+        out = LookupEnricher(
+            PipelineSpec(lookups=[dict(lk)]),
+            {"dim": spark.createDataFrame(self.MDIM_ROWS, self.MDIM)},
+            **kw,
+        ).apply(spark.createDataFrame(self.MFACTS, self.MFACT))
+        got = {
+            r["turn_idx"]: (
+                None
+                if r["x"] is None
+                else [tuple(d.asDict().values()) for d in r["x"]]
+            )
+            for r in out.collect()
+        }
+        tables = {
+            "dim": [
+                dict(zip(("tool", "price", "base", "pfx", "name"), row))
+                for row in self.MDIM_ROWS
+            ]
+        }
+        for ti, tool, k, _sfx in self.MFACTS:
+            ev = {"turn_idx": ti}
+            if tool is not None:
+                ev["tool"] = tool
+            if k is not None:
+                ev["k"] = k
+            _oracle.enhance(
+                ev, PipelineSpec(lookups=[dict(lk)]), tables
+            )
+            u = ev.get("x")
+            exp = None if u is None else [tuple(d.values()) for d in u]
+            assert got[ti] == exp, (ti, got[ti], exp)
+        # t1: s=14, m=3 -> k=7: 14 >= 21 F -> []; k=3: 14 >= 9 T
+        assert got[0] == []
+        assert got[2] == [("t1", 14, 3)]
+        assert got[3] is None  # NULL param -> invalid binding

@@ -183,6 +183,10 @@ HAVING_PREDICATES = [
     # round-5 final: THETA-parameterized shapes in HAVING — the
     # hidden-carrier overlay over probe-time distinct-tuple frames
     "n >= (SELECT count(*) FROM servers s2 WHERE s2.ip > :ip)",
+    # round-5 final: mixed alias+param comparand (group row supplies
+    # the alias, the event the param — both scopes on one fact row)
+    "nm > substr(nm, 1, 1) || :ip",
+    "n >= length(nm || :ip) - 3",
     "nm NOT IN (SELECT s2.name FROM servers s2 WHERE s2.ip >= :ip)",
     "EXISTS (SELECT 1 FROM servers s2 WHERE s2.ip > :ip "
     "OR s2.name = 'v1')",
