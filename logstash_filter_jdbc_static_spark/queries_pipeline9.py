@@ -3745,6 +3745,28 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ptg GROUP BY conv_id, turn_idx
         )
         """,
+        """
+        ptm AS (
+          SELECT t.conv_id, t.turn_idx, p.plan,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(p.price) AS BIGINT) AS s
+          FROM transcripts t JOIN tool_plans p ON p.tool = t.tool
+          GROUP BY t.conv_id, t.turn_idx, p.plan
+          HAVING sum(p.price) >= count(*) * t.turn_idx
+        )
+        """,
+        """
+        mtm AS (
+          SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_tm,
+                 array_to_string(
+                   list(coalesce(plan, '~N') || ':'
+                        || CAST(n AS VARCHAR) || ':'
+                        || CAST(s AS VARCHAR)
+                        ORDER BY plan NULLS FIRST, n, s),
+                   ',') AS tm_rows
+          FROM ptm GROUP BY conv_id, turn_idx
+        )
+        """,
         body="""
         SELECT t.conv_id, t.turn_idx, t.tool,
                coalesce(mth.n_th, 0) AS n_th,
@@ -3756,7 +3778,9 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(mtp.n_tp, 0) AS n_tp,
                coalesce(mtp.tp_rows, '') AS tp_rows,
                coalesce(mtg.n_tg, 0) AS n_tg,
-               coalesce(mtg.tg_rows, '') AS tg_rows
+               coalesce(mtg.tg_rows, '') AS tg_rows,
+               coalesce(mtm.n_tm, 0) AS n_tm,
+               coalesce(mtm.tm_rows, '') AS tm_rows
         FROM transcripts t
         LEFT JOIN mth ON mth.conv_id = t.conv_id
                      AND mth.turn_idx = t.turn_idx
@@ -3768,6 +3792,8 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND mtp.turn_idx = t.turn_idx
         LEFT JOIN mtg ON mtg.conv_id = t.conv_id
                      AND mtg.turn_idx = t.turn_idx
+        LEFT JOIN mtm ON mtm.conv_id = t.conv_id
+                     AND mtm.turn_idx = t.turn_idx
         """,
     ),
 )
@@ -3839,6 +3865,19 @@ def lookup_theta_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "parameters": {"tool": "tool", "ti": "turn_idx"},
             },
             {
+                # round-5 final: MIXED alias+param HAVING comparand —
+                # the group row supplies the aliases, the event the
+                # param, both scopes on one fact row
+                "id": "tm",
+                "query": (
+                    "SELECT plan AS plan, count(*) AS n, "
+                    "sum(price) AS s FROM tool_plans "
+                    "WHERE tool = :tool GROUP BY plan "
+                    "HAVING s >= n * :ti"
+                ),
+                "parameters": {"tool": "tool", "ti": "turn_idx"},
+            },
+            {
                 # round-5 final: THETA scalar as a HAVING comparand —
                 # the hidden-carrier overlay post-aggregation
                 "id": "tg",
@@ -3902,4 +3941,18 @@ def lookup_theta_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("tp_rows"),
         F.size("tg").cast("long").alias("n_tg"),
         rows2("tg", "n").alias("tg_rows"),
+        F.size("tm").cast("long").alias("n_tm"),
+        F.array_join(
+            F.transform(
+                F.col("tm"),
+                lambda r: F.concat(
+                    F.coalesce(r.getField("plan"), F.lit("~N")),
+                    F.lit(":"),
+                    r.getField("n").cast("string"),
+                    F.lit(":"),
+                    r.getField("s").cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("tm_rows"),
     )
