@@ -3510,9 +3510,18 @@ class _WhereParser:
         # The lhs is a scalar expression; a bare column and the legacy
         # func(col) wrap keep their dedicated representations (and the
         # is_pure_equi computed-key behavior pinned by tests) — any
-        # other shape is materialized as a synthetic dim column.
+        # other shape is materialized as a synthetic dim column. In
+        # HAVING (round-5 final) the LHS may carry :name params too
+        # (``HAVING n * :k > 10``): the HAVING filter runs fact-side
+        # with the bound params in scope, so the expression registers
+        # as a payload-level hx entry with Param leaves, substituted
+        # at filter time ('?' was rejected at HAVING tokenization).
+        def lhs_param(tkind: str, ttext: str) -> str:
+            return ttext[1:]
+
         ep = sqlexpr.ExprParser(
-            self.tokens, self.i, resolve_col=self._strip_qualifier
+            self.tokens, self.i, resolve_col=self._strip_qualifier,
+            resolve_param=lhs_param if self.in_having else None,
         )
         ast = ep.parse()
         self.i = ep.i
@@ -4563,6 +4572,16 @@ def materialize_derived(
                      f"table are not supported (they would re-bind per "
                      f"event) — bind parameters in the outer WHERE"]
                 )
+    for _hn, hast in parsed.having_exprs:
+        # round-5 final: HAVING LHS expressions may carry params in
+        # the OUTER query (fact-side filter); a derived table resolves
+        # per snapshot, so they stay rejected here
+        if sqlexpr.params_of(hast):
+            raise ValidationError(
+                [f"{label}: :param/? placeholders inside a derived "
+                 f"table are not supported (they would re-bind per "
+                 f"event) — bind parameters in the outer WHERE"]
+            )
     for _n, sq in parsed.proj_subqueries:
         if sq.param_corr or sq.param_theta:
             raise ValidationError(
@@ -6040,6 +6059,13 @@ class CompiledLookup:
             for n in p.param_names:
                 if n not in needed:
                     needed.append(n)
+        # HAVING LHS expressions may carry params too (round-5 final:
+        # ``HAVING n * :k > 10``) — they live in having_exprs, not in
+        # any predicate's terms
+        for _hn, hast in self.query.having_exprs:
+            for n in sqlexpr.params_of(hast):
+                if n not in needed:
+                    needed.append(n)
         # a PROJECTION-only parameterized subquery's event params reach
         # no predicate — collect them from the resolved frames' terms
         for _ns, _ks, terms, _fr, _fs in self.query.param_subs:
@@ -6825,15 +6851,24 @@ class CompiledLookup:
         hx = dict(self.query.having_exprs)
 
         def fn(r: Column) -> Column:
+            def hx_col(name: str) -> Column:
+                # a payload-level expression, compiled over the group
+                # row's fields — with any :params (round-5 final)
+                # substituted to the event's bound Columns first
+                return sqlexpr.compile_expr(
+                    sqlexpr.subst_columns(
+                        sqlexpr.subst_params(
+                            hx[name], lambda n: params[n].value
+                        ),
+                        lambda n: r.getField(n),
+                    )
+                )
+
             def lhs_one(p: _Predicate) -> Column:
                 if p.dim_column in hx:
                     # expression LHS (round-5 latest): evaluate over
                     # the group row's payload fields at filter time
-                    return sqlexpr.compile_expr(
-                        sqlexpr.subst_columns(
-                            hx[p.dim_column], lambda n: r.getField(n)
-                        )
-                    )
+                    return hx_col(p.dim_column)
                 return r.getField(p.dim_column)
 
             def rhs_one(p: _Predicate, t: _Term) -> Column:
@@ -6842,11 +6877,7 @@ class CompiledLookup:
                     # (``HAVING total > cnt``) — or a payload-level
                     # EXPRESSION (``> n + 12``, round-5 latest)
                     c = (
-                        sqlexpr.compile_expr(
-                            sqlexpr.subst_columns(
-                                hx[t.value], lambda n: r.getField(n)
-                            )
-                        )
+                        hx_col(t.value)
                         if t.value in hx
                         else r.getField(t.value)
                     )
@@ -6857,13 +6888,7 @@ class CompiledLookup:
                     # supplies the aliases, the event binding the
                     # params — both scopes live on this fact row
                     def alias_col(n: str) -> Column:
-                        if n in hx:
-                            return sqlexpr.compile_expr(
-                                sqlexpr.subst_columns(
-                                    hx[n], lambda m: r.getField(m)
-                                )
-                            )
-                        return r.getField(n)
+                        return hx_col(n) if n in hx else r.getField(n)
 
                     c = sqlexpr.compile_expr(
                         sqlexpr.subst_columns(

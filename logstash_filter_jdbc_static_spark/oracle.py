@@ -1230,9 +1230,12 @@ def _group_rows(q, matched: list[tuple[dict, dict]], params: dict) -> list[dict]
         d = {alias: rs[0].get(src) for src, alias in (q.projection or [])}
         d.update(_agg_over_rows(q.aggregates, rs))
         # expression LHS in HAVING (round-5 latest): evaluate each
-        # payload-level expression onto the group row for the filter
+        # payload-level expression onto the group row for the filter —
+        # :params (round-5 final) substitute the event's bound values
         for hx_name, hx_ast in q.having_exprs:
-            d[hx_name] = eval_expr(hx_ast, d)
+            d[hx_name] = eval_expr(
+                subst_params(hx_ast, lambda n: Lit(params[n])), d
+            )
         grows.append(d)
     if q.having:
         # HAVING predicates reference payload aliases, so the group

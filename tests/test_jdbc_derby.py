@@ -2409,6 +2409,20 @@ class TestDerbyGrammarLegality:
             while rs6.next():
                 n += 1
             assert n == 3  # 1 >= 9-8 for every 1-row location group
+            # round-5 final: a param INSIDE the HAVING LHS expression
+            # is a Derby prepared shape too (Derby wants the ? typed:
+            # CAST pins it, same quirk as || concat)
+            ps7 = conn.prepareStatement(
+                'SELECT "location", COUNT(*) FROM servers '
+                'GROUP BY "location" '
+                'HAVING COUNT(*) * CAST(? AS INT) >= 1'
+            )
+            ps7.setInt(1, 2)
+            rs7 = ps7.executeQuery()
+            n = 0
+            while rs7.next():
+                n += 1
+            assert n == 3
         finally:
             conn.close()
 

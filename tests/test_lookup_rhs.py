@@ -2574,3 +2574,77 @@ class TestMixedExpressions:
         assert got[0] == []
         assert got[2] == [("t1", 14, 3)]
         assert got[3] is None  # NULL param -> invalid binding
+
+    def test_param_in_having_lhs_parses(self):
+        # round-5 final: the HAVING LHS expression may carry :params
+        # too (``HAVING n * :k > 10``) — it registers as a payload-
+        # level hx entry with Param leaves, substituted at filter time
+        q = parse_lookup_query(
+            "SELECT tool, count(*) AS n FROM dim "
+            "GROUP BY tool HAVING n * :k > 10"
+        )
+        assert q.having_exprs  # the LHS registered as an expression
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_param_having_lhs_golden(self, spark, kw):
+        # HAVING s - :k >= 0 per (group row, event) — row-oracle
+        # cross-checked incl. the NULL-param failure
+        from logstash_filter_jdbc_static_spark import oracle as _oracle
+
+        lk = {
+            "id": "x",
+            "query": (
+                "SELECT tool AS tool, sum(price) AS s FROM dim "
+                "WHERE tool = :tool GROUP BY tool "
+                "HAVING s - :k >= 0"
+            ),
+            "parameters": {"tool": "tool", "k": "k"},
+        }
+        out = LookupEnricher(
+            PipelineSpec(lookups=[dict(lk)]),
+            {"dim": spark.createDataFrame(self.MDIM_ROWS, self.MDIM)},
+            **kw,
+        ).apply(spark.createDataFrame(self.MFACTS, self.MFACT))
+        got = {
+            r["turn_idx"]: (
+                None
+                if r["x"] is None
+                else [tuple(d.asDict().values()) for d in r["x"]]
+            )
+            for r in out.collect()
+        }
+        tables = {
+            "dim": [
+                dict(zip(("tool", "price", "base", "pfx", "name"), row))
+                for row in self.MDIM_ROWS
+            ]
+        }
+        for ti, tool, k, _sfx in self.MFACTS:
+            ev = {"turn_idx": ti}
+            if tool is not None:
+                ev["tool"] = tool
+            if k is not None:
+                ev["k"] = k
+            _oracle.enhance(
+                ev, PipelineSpec(lookups=[dict(lk)]), tables
+            )
+            u = ev.get("x")
+            exp = None if u is None else [tuple(d.values()) for d in u]
+            assert got[ti] == exp, (ti, got[ti], exp)
+        assert got[0] == [("t1", 14)]  # 14 - 7 >= 0
+        assert got[3] is None  # NULL param -> invalid binding
+
+    def test_param_having_lhs_in_derived_rejected(self, spark):
+        with pytest.raises(ValidationError, match="derived"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "x",
+                    "query": (
+                        "SELECT d.n AS n FROM (SELECT tool AS tool, "
+                        "count(*) AS n FROM dim GROUP BY tool "
+                        "HAVING n * :k > 1) d WHERE d.n = 2"
+                    ),
+                    "parameters": {"k": "k"},
+                }]),
+                {"dim": spark.createDataFrame(self.MDIM_ROWS, self.MDIM)},
+            )

@@ -187,6 +187,9 @@ HAVING_PREDICATES = [
     # the alias, the event the param — both scopes on one fact row)
     "nm > substr(nm, 1, 1) || :ip",
     "n >= length(nm || :ip) - 3",
+    # round-5 final: param-bearing HAVING LHS expressions
+    "n * length(:ip) >= n",
+    "nm || :ip <> 'v9k9'",
     "nm NOT IN (SELECT s2.name FROM servers s2 WHERE s2.ip >= :ip)",
     "EXISTS (SELECT 1 FROM servers s2 WHERE s2.ip > :ip "
     "OR s2.name = 'v1')",
