@@ -1167,6 +1167,14 @@ class _ThetaParamFrame:
     # be cast before the frame exists (having_param_carrier /
     # psq_param registration read it in place of frame.schema)
     dtypes: tuple = ()
+    # NESTED parameterized subqueries inside the theta WHERE (round-5
+    # final): each entry is (names, keys, terms, frame-or-builder,
+    # funcs) — the same shape as a param_subs entry — whose per-tuple
+    # value joins onto the DISTINCT-TUPLE frame before the theta
+    # condition evaluates (the rewritten predicate reads it as a
+    # ``__..._n{i}`` pseudo-param). A nested THETA builder recurses
+    # with the tuple frame as its fact.
+    nested: tuple = ()
 
     def dtype_of(self, name: str):
         return self.dtypes[self.names.index(name)]
@@ -1223,12 +1231,47 @@ class _ThetaParamFrame:
         broadcastable = (
             n_tuples <= CompiledLookup.AUTO_TUPLE_BROADCAST_LIMIT
         )
+        # NESTED parameterized subqueries (round-5 final): join each
+        # per-tuple value onto the distinct-tuple frame so the theta
+        # condition can read it as a pseudo-param column — a nested
+        # THETA builder recurses with THIS tuple frame as its fact
+        for names, keys, terms, frame, funcs in self.nested:
+            bcast = True
+            if isinstance(frame, _ThetaParamFrame):
+                inner_params = {
+                    n: BoundParam(n, F.col(key_of[n]), F.lit(True))
+                    for n in frame.pnames
+                }
+                frame, bcast = frame.build(tuples, inner_params)
+            cond = None
+            for k, t in zip(keys, terms):
+                if t.kind == "param":
+                    fexpr = F.col(key_of[t.value])
+                else:  # param_expr over params + literals only
+                    fexpr = sqlexpr.compile_expr(
+                        sqlexpr.subst_params(
+                            t.value, lambda n: F.col(key_of[n])
+                        )
+                    )
+                piece = frame[k] == fexpr
+                cond = piece if cond is None else cond & piece
+            tuples = tuples.join(
+                F.broadcast(frame) if bcast else frame, cond, "left"
+            ).drop(*keys)
+            for name, func in zip(names, funcs):
+                if func in ("count", "count_distinct"):
+                    # SQL: a count over an empty/missing group is 0
+                    tuples = tuples.withColumn(
+                        name, F.coalesce(F.col(name), F.lit(0))
+                    )
 
         def sub_col(name: str) -> Column:
             return F.col(f"__s_{name}")
 
         def tup(name: str) -> Column:
-            return F.col(key_of[name])
+            # nested pseudo-params (``..._n{i}``) live ON the tuple
+            # frame under their own names
+            return F.col(key_of.get(name, name))
 
         sub = self.sub_df.select(
             *[F.col(c).alias(f"__s_{c}") for c in self.sub_cols],
@@ -1280,12 +1323,21 @@ class _ThetaParamFrame:
 
 
 def _theta_frame_of(
-    sq: _Subquery, dims: dict[str, DataFrame], base: str, names: tuple
+    sq: _Subquery, dims: dict[str, DataFrame], base: str, names: tuple,
+    _depth: int = 0,
 ) -> _ThetaParamFrame:
     """Resolution-time constructor: validates the theta WHERE's column
     references against the sub frame (computed columns included) and
     fixes the param-tuple key order; the frame itself builds at probe
-    time, once per apply()."""
+    time, once per apply(). NESTED parameterized subqueries (round-5
+    final) become per-tuple pseudo-param columns: plain-equality inner
+    shapes register their snapshot groupBy frame, theta inner shapes a
+    recursive builder (fact = the tuple frame); param-free inner
+    subqueries fold to snapshot literals."""
+    if _depth > 8:
+        raise ValidationError(
+            ["lookup subquery: nesting deeper than 8 levels"]
+        )
     sub_df, _ = _sub_filtered_df(sq, dims)  # where=(): unfiltered frame
     avail = set(sub_df.columns)
     refs: set[str] = set()
@@ -1309,6 +1361,61 @@ def _theta_frame_of(
             [f"lookup subquery on {sq.table!r}: predicate column(s) "
              f"{missing} not in table"]
         )
+    # rewrite nested subquery terms (round-5 final): param-free fold
+    # to literals per snapshot; parameterized ones become pseudo-param
+    # reads of a per-tuple value column joined in build()
+    nested_entries: list[tuple] = []
+
+    def nested_value(inner: _Subquery) -> str:
+        for e in nested_entries:
+            if e[5] == inner:
+                return e[0][0]
+        nb = f"{base}_n{len(nested_entries)}"
+        if inner.param_theta:
+            fr = _theta_frame_of(inner, dims, nb, (nb,), _depth + 1)
+            entry = ((nb,), fr.keys,
+                     tuple(_Term("param", n) for n in fr.pnames),
+                     fr, (inner.func,), inner)
+        else:
+            in_df, in_agg = _sub_filtered_df(inner, dims)
+            keys2 = tuple(
+                f"{nb}_k{i}" for i in range(len(inner.param_corr))
+            )
+            fr = in_df.groupBy(
+                *[
+                    F.col(sc).alias(k)
+                    for (sc, _), k in zip(inner.param_corr, keys2)
+                ]
+            ).agg(in_agg.alias(nb))
+            entry = ((nb,), keys2,
+                     tuple(t for _, t in inner.param_corr),
+                     fr, (inner.func,), inner)
+        nested_entries.append(entry)
+        return nb
+
+    where_rw = []
+    for d in sq.param_theta:
+        nd = []
+        for p in d:
+            if any(t.kind == "subquery" for t in p.terms):
+                terms = []
+                for t in p.terms:
+                    if t.kind != "subquery":
+                        terms.append(t)
+                    elif t.value.param_corr or t.value.param_theta:
+                        terms.append(
+                            _Term("param", nested_value(t.value))
+                        )
+                    else:
+                        terms.append(
+                            _Term(
+                                "literal",
+                                _eval_subquery(t.value, dims),
+                            )
+                        )
+                p = dataclasses.replace(p, terms=terms)
+            nd.append(p)
+        where_rw.append(tuple(nd))
     keys = tuple(f"{base}_k{i}" for i in range(len(pnames)))
     if sq.func == "__values":
         # (sorted value set, had-NULL, count) — the set's element type
@@ -1332,7 +1439,7 @@ def _theta_frame_of(
         dtypes = (sub_df.limit(0).agg(agg0).schema[0].dataType,)
     return _ThetaParamFrame(
         sub_df=sub_df,
-        where=sq.param_theta,
+        where=tuple(where_rw),
         func=sq.func,
         col=sq.col,
         keys=keys,
@@ -1341,6 +1448,7 @@ def _theta_frame_of(
         sub_cols=tuple(sorted(refs)),
         table=sq.table,
         dtypes=dtypes,
+        nested=tuple(e[:5] for e in nested_entries),
     )
 
 
@@ -3033,12 +3141,12 @@ class _WhereParser:
         where, corr, ineq, oexprs, pcorr, ptheta = self._sub_where(
             table, sub_alias, computed, allow_ineq=True
         )
-        if (pcorr or ptheta) and self.in_subquery:
-            raise ValidationError(
-                [f"unsupported lookup subquery on {table!r}: parameters "
-                 f"inside a NESTED subquery are not supported — "
-                 f"parameterize the outer subquery instead"]
-            )
+        # NESTED parameterized scalar subqueries are legal since
+        # round-5 final: the ENCLOSING subquery classifies as THETA
+        # (its predicate's param_names include the nested params) and
+        # the nested per-tuple value joins onto the distinct-tuple
+        # frame (_theta_frame_of.nested_value); nested CORRELATED or
+        # IN/EXISTS param shapes reject in _check_theta_where.
         if pcorr and (corr or ineq):
             raise ValidationError(
                 [f"unsupported lookup subquery on {table!r}: a subquery "
@@ -3467,13 +3575,32 @@ class _WhereParser:
             )
         for d in where:
             for p in d:
-                if any(t.kind == "subquery" for t in p.terms):
-                    raise ValidationError(
-                        [f"unsupported lookup subquery on {table!r}: a "
-                         f"nested subquery combined with non-equality "
-                         f"parameter predicates — flatten the nesting "
-                         f"or use plain ``sub_col = :param`` equalities"]
-                    )
+                for t in p.terms:
+                    if t.kind != "subquery":
+                        continue
+                    inner = t.value
+                    # round-5 final: a nested subquery is legal inside
+                    # a theta WHERE when the probe frame can stage it —
+                    # UNCORRELATED (resolves to a snapshot literal) or
+                    # PARAMETERIZED (its per-tuple value joins onto the
+                    # distinct-tuple frame, recursively). Correlations
+                    # to the enclosing sub would need per-(tuple, row)
+                    # nested execution — still rejected.
+                    if inner.corr or inner.ineq or inner.outer_exprs:
+                        raise ValidationError(
+                            [f"unsupported lookup subquery on "
+                             f"{table!r}: a CORRELATED nested subquery "
+                             f"combined with non-equality parameter "
+                             f"predicates — flatten the nesting or use "
+                             f"plain ``sub_col = :param`` equalities"]
+                        )
+                    if inner.func in ("__values", "__exists"):
+                        raise ValidationError(
+                            [f"unsupported lookup subquery on "
+                             f"{table!r}: a nested IN/EXISTS subquery "
+                             f"combined with non-equality parameter "
+                             f"predicates is not supported"]
+                        )
 
     def _new_computed(self, ast) -> str:
         """Register a dim-side expression lhs, returning its synthetic

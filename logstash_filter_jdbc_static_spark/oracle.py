@@ -1006,13 +1006,46 @@ def _resolve_param_subqueries_rows(
         if sq.param_theta:
             # THETA shape (round-5 final): evaluate the full DNF per
             # (event params, sub row) pair — the row-at-a-time twin of
-            # the compiled probe-time distinct-tuple frame
+            # the compiled probe-time distinct-tuple frame. NESTED
+            # subquery terms resolve FIRST, once per event: param-free
+            # to snapshot literals, parameterized ones recursively
+            # through THIS event's bindings (the twin of the compiled
+            # per-tuple pseudo-param columns).
+            def fix_nested(p):
+                if not any(t.kind == "subquery" for t in p.terms):
+                    return p
+                terms = []
+                for t in p.terms:
+                    if t.kind != "subquery":
+                        terms.append(t)
+                    elif t.value.param_corr or t.value.param_theta:
+                        terms.append(
+                            _Term(
+                                "literal",
+                                _agg_rows(t.value, _grp(t.value)),
+                            )
+                        )
+                    else:
+                        terms.append(
+                            _Term(
+                                "literal",
+                                _eval_subquery_rows(t.value, tables),
+                            )
+                        )
+                return _Predicate(
+                    p.dim_column, p.op, terms,
+                    func=p.func, like_escape=p.like_escape,
+                )
+
+            dnf = [
+                [fix_nested(p) for p in dj] for dj in sq.param_theta
+            ]
             return [
                 s
                 for s in rows
                 if any(
                     all(_pred_match(p, s, params) for p in dj)
-                    for dj in sq.param_theta
+                    for dj in dnf
                 )
             ]
         return [
