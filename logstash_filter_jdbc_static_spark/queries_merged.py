@@ -316,7 +316,8 @@ _merge(
           ("n_tx", "tx_n"), ("tx_rows", "tx_rows"),
           ("n_tp", "tp_n"), ("tp_rows", "tp_rows"),
           ("n_tg", "tg_n"), ("tg_rows", "tg_rows"),
-          ("n_tm", "tm_n"), ("tm_rows", "tm_rows")]),
+          ("n_tm", "tm_n"), ("tm_rows", "tm_rows"),
+          ("n_tn", "tn_n"), ("tn_rows", "tn_rows")]),
     ],
 )
 

@@ -3746,6 +3746,26 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """,
         """
+        ptn AS (
+          SELECT t.conv_id, t.turn_idx, p.plan
+          FROM transcripts t JOIN tool_plans p ON p.tool = t.tool
+          WHERE p.price >= (SELECT avg(q.price) FROM tool_plans q
+                            WHERE q.qty > (SELECT min(q3.qty)
+                                           FROM tool_plans q3
+                                           WHERE q3.price < t.turn_idx))
+        )
+        """,
+        """
+        mtn AS (
+          SELECT conv_id, turn_idx, CAST(count(*) AS BIGINT) AS n_tn,
+                 array_to_string(
+                   list(coalesce(plan, '~N')
+                        ORDER BY plan NULLS FIRST),
+                   ',') AS tn_rows
+          FROM ptn GROUP BY conv_id, turn_idx
+        )
+        """,
+        """
         ptm AS (
           SELECT t.conv_id, t.turn_idx, p.plan,
                  CAST(count(*) AS BIGINT) AS n,
@@ -3780,7 +3800,9 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                coalesce(mtg.n_tg, 0) AS n_tg,
                coalesce(mtg.tg_rows, '') AS tg_rows,
                coalesce(mtm.n_tm, 0) AS n_tm,
-               coalesce(mtm.tm_rows, '') AS tm_rows
+               coalesce(mtm.tm_rows, '') AS tm_rows,
+               coalesce(mtn.n_tn, 0) AS n_tn,
+               coalesce(mtn.tn_rows, '') AS tn_rows
         FROM transcripts t
         LEFT JOIN mth ON mth.conv_id = t.conv_id
                      AND mth.turn_idx = t.turn_idx
@@ -3794,6 +3816,8 @@ def lookup_nested_set(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AND mtg.turn_idx = t.turn_idx
         LEFT JOIN mtm ON mtm.conv_id = t.conv_id
                      AND mtm.turn_idx = t.turn_idx
+        LEFT JOIN mtn ON mtn.conv_id = t.conv_id
+                     AND mtn.turn_idx = t.turn_idx
         """,
     ),
 )
@@ -3861,6 +3885,20 @@ def lookup_theta_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "SELECT plan AS plan, (SELECT max(price) "
                     "FROM tool_plans WHERE price <= :ti) AS mx "
                     "FROM tool_plans WHERE tool = :tool"
+                ),
+                "parameters": {"tool": "tool", "ti": "turn_idx"},
+            },
+            {
+                # round-5 final: NESTED theta-parameterized subquery —
+                # the inner per-tuple value joins onto the
+                # distinct-tuple frame recursively
+                "id": "tn",
+                "query": (
+                    "SELECT plan AS plan FROM tool_plans "
+                    "WHERE tool = :tool AND price >= "
+                    "(SELECT avg(price) FROM tool_plans p2 "
+                    "WHERE p2.qty > (SELECT min(qty) FROM tool_plans "
+                    "p3 WHERE p3.price < :ti))"
                 ),
                 "parameters": {"tool": "tool", "ti": "turn_idx"},
             },
@@ -3955,4 +3993,12 @@ def lookup_theta_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("tm_rows"),
+        F.size("tn").cast("long").alias("n_tn"),
+        F.array_join(
+            F.transform(
+                F.col("tn"),
+                lambda r: F.coalesce(r.getField("plan"), F.lit("~N")),
+            ),
+            ",",
+        ).alias("tn_rows"),
     )

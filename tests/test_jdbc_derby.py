@@ -2423,6 +2423,19 @@ class TestDerbyGrammarLegality:
             while rs7.next():
                 n += 1
             assert n == 3
+            # round-5 final: a param inside a NESTED subquery is a
+            # Derby prepared shape too
+            ps8 = conn.prepareStatement(
+                'SELECT "name" FROM servers WHERE "ip" >= '
+                '(SELECT MIN("ip") FROM servers WHERE LENGTH("ip") > '
+                '(SELECT COUNT(*) FROM servers WHERE "location" = ?))'
+            )
+            ps8.setString(1, "lga")
+            rs8 = ps8.executeQuery()
+            n = 0
+            while rs8.next():
+                n += 1
+            assert n == 3  # count=0 -> 8>0 -> min(ip) -> all ips >=
         finally:
             conn.close()
 

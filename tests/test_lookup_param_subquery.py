@@ -353,14 +353,19 @@ class TestParamSubqueryRejections:
         assert got["t9"] == [(1, None)]
         assert got[None] is None  # invalid binding
 
-    def test_nested_param_subquery_rejected(self, spark):
-        with pytest.raises(ValidationError, match="NESTED"):
-            self._compile(
-                spark,
-                "SELECT plan FROM plans WHERE price >= "
-                "(SELECT avg(price) FROM plans WHERE qty > "
-                "(SELECT min(qty) FROM plans WHERE tool = :tool))",
-            )
+    def test_nested_param_subquery_accepted(self, spark):
+        # round-5 final: a parameterized subquery may NEST inside
+        # another subquery's WHERE — the enclosing takes the THETA
+        # path and the nested per-tuple value joins onto the
+        # distinct-tuple frame (goldens in
+        # test_lookup_theta_param.py::TestThetaNested). This pins
+        # that the old NESTED rejection is gone.
+        self._compile(  # compiles without raising
+            spark,
+            "SELECT plan FROM plans WHERE price >= "
+            "(SELECT avg(price) FROM plans WHERE qty > "
+            "(SELECT min(qty) FROM plans WHERE tool = :tool))",
+        )
 
 
 class TestParamSetSubqueries:

@@ -353,22 +353,105 @@ class TestThetaRejections:
                 "WHERE p2.tool = t.tool AND p2.price > :lim)",
             )
 
-    def test_nested_subquery_plus_theta_rejected(self, spark):
-        with pytest.raises(ValidationError, match="nested subquery"):
-            self._compile(
-                spark,
-                "SELECT plan FROM plans WHERE price >= "
-                "(SELECT avg(price) FROM plans p2 WHERE p2.price > :lim "
-                "AND p2.qty < (SELECT max(qty) FROM plans))",
-            )
+    def test_nested_static_subquery_plus_theta_accepted(self, spark):
+        # round-5 final: a param-free nested subquery inside a theta
+        # WHERE folds to a snapshot literal (goldens in
+        # TestThetaNested; parameterized nesting joins per-tuple
+        # values onto the distinct-tuple frame)
+        self._compile(  # compiles without raising
+            spark,
+            "SELECT plan FROM plans WHERE price >= "
+            "(SELECT avg(price) FROM plans p2 WHERE p2.price > :lim "
+            "AND p2.qty < (SELECT max(qty) FROM plans))",
+        )
 
-    def test_theta_inside_nested_subquery_rejected(self, spark):
-        with pytest.raises(ValidationError, match="[Nn]ested|NESTED"):
-            self._compile(
-                spark,
-                "SELECT plan FROM plans WHERE price >= "
-                "(SELECT avg(price) FROM plans p2 WHERE p2.qty < "
-                "(SELECT max(qty) FROM plans p3 WHERE p3.price > :lim))",
+    def test_theta_inside_nested_subquery_accepted(self, spark):
+        # round-5 final: a theta-parameterized subquery may nest
+        # INSIDE another subquery's WHERE — the inner frame builds
+        # recursively over the distinct-tuple frame (goldens in
+        # TestThetaNested.test_nested_theta_param)
+        self._compile(  # compiles without raising
+            spark,
+            "SELECT plan FROM plans WHERE price >= "
+            "(SELECT avg(price) FROM plans p2 WHERE p2.qty < "
+            "(SELECT max(qty) FROM plans p3 WHERE p3.price > :lim))",
+        )
+
+
+class TestThetaNested:
+    """Round-5 final: PARAMETERIZED subqueries NESTED inside another
+    subquery's WHERE — the enclosing classifies as THETA and the
+    nested per-tuple value joins onto the distinct-tuple frame as a
+    pseudo-param column (plain-equality inner shapes via their
+    snapshot groupBy frame, theta inner shapes via a recursive build
+    over the tuple frame)."""
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_plain_param(self, spark, kw):
+        got = _run(
+            spark,
+            "SELECT plan AS plan FROM plans WHERE tool = :tool "
+            "AND price >= (SELECT avg(price) FROM plans p2 "
+            "WHERE p2.qty > (SELECT min(qty) FROM plans p3 "
+            "WHERE p3.tool = :tool))",
+            kw,
+        )
+        # t2/3: inner min(qty|t2)=1 -> qty>1 rows avg=30 -> gold only
+        assert got[("t2", 3)] == [("gold",)]
+        # t9: inner empty -> NULL -> unknown all the way up
+        assert got[("t9", 99)] == []
+        assert got[("t1", None)] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_nested_theta_param(self, spark, kw):
+        # the INNER subquery itself carries a non-equality param —
+        # its frame builds recursively over the tuple frame
+        got = _run(
+            spark,
+            "SELECT plan AS plan FROM plans WHERE tool = :tool "
+            "AND price >= (SELECT avg(price) FROM plans p2 "
+            "WHERE p2.qty > (SELECT min(qty) FROM plans p3 "
+            "WHERE p3.price < :lim))",
+            kw,
+        )
+        assert got[("t2", 3)] == [("gold",)]
+        assert got[("t1", 8)] == []
+        assert got[("t1", 1000)] == []
+        assert got[("t1", None)] is None
+
+    @pytest.mark.parametrize("kw", ENGINES)
+    def test_equality_enclosing_with_nested_param(self, spark, kw):
+        # the enclosing predicate is an EQUALITY — the nested params
+        # still force the theta path (no per-event aggregate key
+        # exists for a value that depends on the event)
+        got = _run(
+            spark,
+            "SELECT plan AS plan FROM plans WHERE tool = :tool "
+            "AND qty = (SELECT min(qty) FROM plans p2 "
+            "WHERE p2.price >= (SELECT avg(price) FROM plans p3 "
+            "WHERE p3.price < :lim))",
+            kw,
+        )
+        assert got[("t1", 8)] == [("pro",)]
+        assert got[("t2", 3)] == [("basic",)]
+        assert got[("t1", 1000)] == []
+        assert got[("t1", None)] is None
+
+    def test_correlated_nested_param_rejected(self, spark):
+        with pytest.raises(ValidationError, match="CORRELATED nested"):
+            LookupEnricher(
+                PipelineSpec(lookups=[{
+                    "id": "u",
+                    "query": (
+                        "SELECT plan FROM plans WHERE price >= "
+                        "(SELECT avg(price) FROM plans p2 "
+                        "WHERE p2.price > :lim AND p2.qty < "
+                        "(SELECT max(qty) FROM plans p3 "
+                        "WHERE p3.plan = p2.plan))"
+                    ),
+                    "parameters": {"lim": "lim"},
+                }]),
+                _dims(spark),
             )
 
 

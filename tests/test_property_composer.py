@@ -66,6 +66,12 @@ PREDICATES = [
     "name NOT IN (SELECT s2.name FROM servers s2 WHERE s2.ip >= :ip)",
     "EXISTS (SELECT 1 FROM servers s2 WHERE s2.name > s2.ip || :ip)",
     "name > ANY (SELECT s2.name FROM servers s2 WHERE s2.ip <> :ip)",
+    # round-5 final: parameterized subqueries NESTED inside another
+    # subquery's WHERE (plain inner key + theta inner)
+    "name >= (SELECT min(s2.name) FROM servers s2 WHERE s2.ip <= "
+    "(SELECT max(s3.ip) FROM servers s3 WHERE s3.ip = :ip))",
+    "length(ip) >= (SELECT count(*) FROM servers s2 WHERE s2.name > "
+    "(SELECT min(s3.name) FROM servers s3 WHERE s3.ip < :ip))",
 ]
 
 JOINTS = [

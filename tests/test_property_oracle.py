@@ -857,6 +857,17 @@ FULLQ_TEMPLATES = [
      "WHERE s2.ip >= :ip OR s2.name = 'v1') AS mn "
      "FROM servers WHERE ip = :ip",
      {"n": -1, "mn": "dflt"}),
+    # round-5 final: PARAMETERIZED subqueries NESTED inside another
+    # subquery's WHERE (plain-equality inner + theta inner) — the
+    # nested per-tuple value joins onto the distinct-tuple frame
+    ("SELECT name AS name FROM servers WHERE name >= "
+     "(SELECT min(s2.name) FROM servers s2 WHERE s2.ip <= "
+     "(SELECT max(s3.ip) FROM servers s3 WHERE s3.ip = :ip))",
+     {"name": "dflt"}),
+    ("SELECT name AS name FROM servers WHERE 0 < "
+     "(SELECT count(*) FROM servers s2 WHERE length(s2.name) >= "
+     "(SELECT count(*) FROM servers s3 WHERE s3.ip < :ip))",
+     {"name": "dflt"}),
 ]
 
 
