@@ -743,6 +743,25 @@ def _static_where_condition(disjuncts) -> Column | None:
     return out
 
 
+def _native_agg(func: str, col: Column, star: Column | None = None) -> Column:
+    """One aggregate func as a native Column (count(*) counts ``star``).
+    ``sum_distinct``/``avg_distinct`` (round-5 final — Derby accepts
+    DISTINCT under every set function): F.sum_distinct, and
+    avg(DISTINCT x) = sum(DISTINCT x) / count(DISTINCT x) (exact — the
+    distinct multiset's mean; long/long division is double in Spark,
+    matching avg's result type for integral inputs).
+    min/max(DISTINCT) parse to plain min/max (SQL: a no-op)."""
+    if func == "count":
+        return F.count(star if col is None else col)
+    if func == "count_distinct":
+        return F.count_distinct(col)
+    if func == "sum_distinct":
+        return F.sum_distinct(col)
+    if func == "avg_distinct":
+        return F.sum_distinct(col) / F.count_distinct(col)
+    return getattr(F, func)(col)
+
+
 def _sub_filtered_df(
     sq: _Subquery, dims: dict[str, DataFrame], _depth: int = 0
 ) -> tuple[DataFrame, Column]:
@@ -869,7 +888,7 @@ def _sub_filtered_df(
             elif inner.func == "count_distinct":
                 agg2 = F.count_distinct(F.col(f"__s_{inner.col}"))
             else:
-                agg2 = getattr(F, inner.func)(F.col(f"__s_{inner.col}"))
+                agg2 = _native_agg(inner.func, F.col(f"__s_{inner.col}"))
             agg_df = pairs.groupBy(rid).agg(agg2.alias(name))
             d2 = d2.join(F.broadcast(agg_df), rid, "left").drop(rid)
             if inner.func in ("count", "count_distinct"):
@@ -1089,9 +1108,7 @@ def _sub_filtered_df(
     elif sq.func == "count_distinct":
         agg = F.count_distinct(F.col(sq.col))
     else:
-        agg = getattr(F, {"avg": "avg", "sum": "sum", "min": "min", "max": "max"}[sq.func])(
-            F.col(sq.col)
-        )
+        agg = _native_agg(sq.func, F.col(sq.col))
     return df, agg
 
 
@@ -1318,7 +1335,7 @@ class _ThetaParamFrame:
         elif self.func == "count_distinct":
             agg = F.count_distinct(sub_col(self.col))
         else:
-            agg = getattr(F, self.func)(sub_col(self.col))
+            agg = _native_agg(self.func, sub_col(self.col))
         return g.agg(agg.alias(name)), broadcastable
 
 
@@ -1435,7 +1452,7 @@ def _theta_frame_of(
         elif sq.func == "count_distinct":
             agg0 = F.count_distinct(F.col(sq.col))
         else:
-            agg0 = getattr(F, sq.func)(F.col(sq.col))
+            agg0 = _native_agg(sq.func, F.col(sq.col))
         dtypes = (sub_df.limit(0).agg(agg0).schema[0].dataType,)
     return _ThetaParamFrame(
         sub_df=sub_df,
@@ -1744,7 +1761,7 @@ def resolve_subqueries_with_dim(
             elif sq.func == "count_distinct":
                 agg2 = F.count_distinct(F.col(f"__s_{sq.col}"))
             else:
-                agg2 = getattr(F, sq.func)(F.col(f"__s_{sq.col}"))
+                agg2 = _native_agg(sq.func, F.col(f"__s_{sq.col}"))
             cond = None
             for sc, oc in sq.corr:
                 piece = F.col(f"__s_{sc}") == F.col(oc)
@@ -3096,11 +3113,8 @@ class _WhereParser:
         if self._peek_word() == "distinct":
             self._next()
             distinct = True
-        if distinct and func != "count":
-            raise ValidationError(
-                [f"unsupported lookup subquery: {func}(DISTINCT ...) — "
-                 f"only count(DISTINCT col) is supported"]
-            )
+        # round-5 final: DISTINCT is legal under every set function
+        # (Derby accepts them all) — mapped after the arg parse
         # The aggregate argument may be an expression (max(length(c)));
         # slice its tokens to the matching ')' and parse once the FROM
         # table (needed for qualifier stripping) is known.
@@ -3156,7 +3170,12 @@ class _WhereParser:
                  f"a loader query"]
             )
         if distinct:
-            func = "count_distinct"
+            # round-5 final: DISTINCT under every set function (Derby
+            # accepts all of them); MIN/MAX(DISTINCT) is a SQL no-op
+            func = {
+                "count": "count_distinct", "sum": "sum_distinct",
+                "avg": "avg_distinct", "min": "min", "max": "max",
+            }[func]
         return _Term(
             "subquery",
             _Subquery(func, col, table, where, tuple(computed), corr, ineq,
@@ -4172,15 +4191,23 @@ def _rewrite_having_aggregates(
         if func == "count" and len(inner) == 1 and inner[0] == ("arith", "*"):
             key = ("count", None)
         elif (
-            func == "count"
-            and len(inner) == 2
+            len(inner) == 2
             and inner[0][0] == "word"
             and inner[0][1].lower() == "distinct"
             and inner[1][0] == "word"
         ):
-            key = ("count_distinct", _resolve_qualified(
-                inner[1][1], table, base_alias, quals, "HAVING"
-            ))
+            # DISTINCT under any set function (round-5 final) —
+            # min/max(DISTINCT) normalized to plain min/max at parse
+            key = (
+                {
+                    "count": "count_distinct",
+                    "sum": "sum_distinct",
+                    "avg": "avg_distinct",
+                }.get(func, func),
+                _resolve_qualified(
+                    inner[1][1], table, base_alias, quals, "HAVING"
+                ),
+            )
         elif len(inner) == 1 and inner[0][0] == "word":
             key = (func, _resolve_qualified(
                 inner[0][1], table, base_alias, quals, "HAVING"
@@ -4192,12 +4219,15 @@ def _rewrite_having_aggregates(
             arg_toks = inner
             kfunc = func
             if (
-                func == "count"
-                and arg_toks
+                arg_toks
                 and arg_toks[0][0] == "word"
                 and arg_toks[0][1].lower() == "distinct"
             ):
-                kfunc = "count_distinct"
+                kfunc = {
+                    "count": "count_distinct",
+                    "sum": "sum_distinct",
+                    "avg": "avg_distinct",
+                }.get(func, func)
                 arg_toks = arg_toks[1:]
             ast = None
             try:
@@ -4745,7 +4775,7 @@ def materialize_derived(
             elif func == "count_distinct":
                 aggs.append(F.count_distinct(F.col(col)).alias(alias))
             else:
-                aggs.append(getattr(F, func)(F.col(col)).alias(alias))
+                aggs.append(_native_agg(func, F.col(col)).alias(alias))
         if parsed.group_by:
             df = df.groupBy(*[F.col(k) for k in parsed.group_by]).agg(*aggs)
             df = df.select(
@@ -5110,12 +5140,18 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                          f"(only count(*))"]
                     )
                 if am.group("distinct"):
-                    if func != "count" or arg == "*":
+                    if arg == "*":
                         raise ValidationError(
-                            [f"lookup aggregate: DISTINCT is supported only "
-                             f"as count(DISTINCT col), got {src!r}"]
+                            [f"lookup aggregate: DISTINCT needs a column "
+                             f"argument, got {src!r}"]
                         )
-                    func = "count_distinct"
+                    # round-5 final: DISTINCT under every set function
+                    func = {
+                        "count": "count_distinct",
+                        "sum": "sum_distinct",
+                        "avg": "avg_distinct",
+                        "min": "min", "max": "max",
+                    }[func]
                 aggregates.append((func, None if arg == "*" else arg, alias))
             elif (aem := _AGG_EXPR_RE.match(src)) is not None:
                 # aggregate over a scalar EXPRESSION (sum(price*qty),
@@ -5129,12 +5165,13 @@ def parse_lookup_query(query: str) -> ParsedQuery:
                     )
                 func = aem.group("func").lower()
                 if aem.group("distinct"):
-                    if func != "count":
-                        raise ValidationError(
-                            [f"lookup aggregate: DISTINCT is supported only "
-                             f"under count(), got {src!r}"]
-                        )
-                    func = "count_distinct"
+                    # round-5 final: DISTINCT under every set function
+                    func = {
+                        "count": "count_distinct",
+                        "sum": "sum_distinct",
+                        "avg": "avg_distinct",
+                        "min": "min", "max": "max",
+                    }[func]
                 toks = _tokenize_where(aem.group("arg"))
                 ep = sqlexpr.ExprParser(
                     toks,
@@ -6251,9 +6288,9 @@ class CompiledLookup:
         dim_fields = {f.name: f.dataType for f in self.dim_df.schema.fields}
         if func in ("count", "count_distinct"):
             return T.LongType()
-        if func == "avg":
+        if func in ("avg", "avg_distinct"):
             return T.DoubleType()
-        if func == "sum":
+        if func in ("sum", "sum_distinct"):
             return (
                 T.DoubleType()
                 if isinstance(dim_fields[col], (T.FloatType, T.DoubleType))
@@ -6870,18 +6907,9 @@ class CompiledLookup:
         out: list[Column] = []
         for func, col, alias in self.query.aggregates:
             t = self._agg_result_type(func, col)
-            if func == "count":
-                c = F.count(star if col is None else field_of(col))
-            elif func == "count_distinct":
-                c = F.count_distinct(field_of(col))
-            elif func == "sum":
-                c = F.sum(field_of(col))
-            elif func == "avg":
-                c = F.avg(field_of(col))
-            elif func == "min":
-                c = F.min(field_of(col))
-            else:
-                c = F.max(field_of(col))
+            c = _native_agg(
+                func, None if col is None else field_of(col), star
+            )
             out.append(c.cast(t).alias(alias))
         return out
 
@@ -6916,6 +6944,10 @@ class CompiledLookup:
                     F.transform(matched, _getter(col)),
                     lambda x: x.isNotNull(),
                 )
+                if func in ("sum_distinct", "avg_distinct"):
+                    # round-5 final: fold over the DISTINCT multiset
+                    vals = F.array_distinct(vals)
+                    func = "sum" if func == "sum_distinct" else "avg"
                 if func == "count":
                     c = F.size(vals)
                 elif func == "count_distinct":

@@ -520,6 +520,11 @@ def _agg_rows(sq, rows: list[dict]):
         return sum(nonnull)
     if sq.func == "avg":
         return sum(nonnull) / len(nonnull)
+    if sq.func == "sum_distinct":
+        return sum(set(nonnull))
+    if sq.func == "avg_distinct":
+        d = set(nonnull)
+        return sum(d) / len(d)
     return min(nonnull) if sq.func == "min" else max(nonnull)
 
 
@@ -1239,6 +1244,11 @@ def _agg_over_rows(aggregates, rows_raw: list[dict], empty=()) -> dict:
             row_out[alias] = max(vals)
         elif func == "sum":
             row_out[alias] = sum(vals)
+        elif func == "sum_distinct":
+            row_out[alias] = sum(set(vals))
+        elif func == "avg_distinct":
+            d = set(vals)
+            row_out[alias] = sum(float(v) for v in d) / len(d)
         else:  # avg
             row_out[alias] = sum(float(v) for v in vals) / len(vals)
         if alias in overlay:

@@ -318,6 +318,12 @@ _merge(
           ("n_tg", "tg_n"), ("tg_rows", "tg_rows"),
           ("n_tm", "tm_n"), ("tm_rows", "tm_rows"),
           ("n_tn", "tn_n"), ("tn_rows", "tn_rows")]),
+        # round-5 final widening: DISTINCT under every set function
+        # (multiple per query — a documented superset of Derby's
+        # one-DISTINCT-aggregate limit)
+        ("lookup_distinct_aggs",
+         [("da_sd", "da_sd"), ("da_ad", "da_ad"),
+          ("da_cd", "da_cd")]),
     ],
 )
 

@@ -4002,3 +4002,67 @@ def lookup_theta_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("tn_rows"),
     )
+
+
+@register(
+    "lookup_distinct_aggs",
+    with_ctes(
+        _PLANS_CTE,
+        TRANSCRIPTS_CTE,
+        """
+        mda AS (
+          SELECT tool,
+                 CAST(sum(DISTINCT price) AS BIGINT) AS sd,
+                 avg(DISTINCT qty) AS ad,
+                 CAST(count(DISTINCT plan) AS BIGINT) AS cd
+          FROM tool_plans GROUP BY tool
+        )
+        """,
+        body="""
+        SELECT t.conv_id, t.turn_idx, t.tool,
+               mda.sd AS da_sd,
+               mda.ad AS da_ad,
+               coalesce(mda.cd, 0) AS da_cd
+        FROM transcripts t
+        LEFT JOIN mda ON mda.tool = t.tool
+        """,
+    ),
+)
+def lookup_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-5 final widening: DISTINCT under every set function —
+    ``sum(DISTINCT price)``, ``avg(DISTINCT qty)`` (= the distinct
+    multiset's mean, compiled as sum_distinct/count_distinct),
+    ``count(DISTINCT plan)`` — in ONE query, a documented SUPERSET of
+    Derby, which allows only one DISTINCT aggregate per SELECT
+    (pinned natively in test_jdbc_derby.py). The avg column is
+    emitted NUMERIC (never stringified — HALF_UP/HALF_EVEN float
+    formatting divergence, COVERAGE.md); sum/avg over int inputs are
+    exact IEEE ops on both engines."""
+    t = load_transcripts(spark, sf_dir)
+    spec = PipelineSpec(
+        lookups=[
+            {
+                "id": "da",
+                "query": (
+                    "SELECT sum(DISTINCT price) AS sd, "
+                    "avg(DISTINCT qty) AS ad, "
+                    "count(DISTINCT plan) AS cd "
+                    "FROM tool_plans WHERE tool = :tool"
+                ),
+                "parameters": {"tool": "tool"},
+            },
+        ]
+    )
+    enricher = LookupEnricher(
+        spec, {"tool_plans": spark.createDataFrame(PLAN_ROWS, PLAN_SCHEMA)}
+    )
+    out = enricher.apply(t)
+    row = F.get(F.col("da"), 0)
+    return out.select(
+        "conv_id",
+        "turn_idx",
+        "tool",
+        row.getField("sd").alias("da_sd"),
+        row.getField("ad").alias("da_ad"),
+        row.getField("cd").alias("da_cd"),
+    )

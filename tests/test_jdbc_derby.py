@@ -2436,6 +2436,28 @@ class TestDerbyGrammarLegality:
             while rs8.next():
                 n += 1
             assert n == 3  # count=0 -> 8>0 -> min(ip) -> all ips >=
+            # round-5 final: DISTINCT under every set function is
+            # Derby-legal (ref manual) — though Derby allows only ONE
+            # DISTINCT aggregate per SELECT ("Multiple DISTINCT
+            # aggregates are not supported at this time", pinned
+            # below); our engine is a documented superset there
+            st9 = conn.createStatement()
+            for q9, want in (
+                ('SELECT SUM(DISTINCT LENGTH("ip")) FROM servers', 8),
+                ('SELECT AVG(DISTINCT LENGTH("ip")) FROM servers', 8),
+                ('SELECT COUNT(DISTINCT "location") FROM servers', 3),
+            ):
+                rs9 = st9.executeQuery(q9)
+                assert rs9.next()
+                assert rs9.getInt(1) == want, q9
+            try:
+                st9.executeQuery(
+                    'SELECT SUM(DISTINCT LENGTH("ip")), '
+                    'AVG(DISTINCT LENGTH("ip")) FROM servers'
+                )
+                raise AssertionError("Derby multiple-DISTINCT accepted?")
+            except Exception as e9:
+                assert "DISTINCT aggregates" in str(e9)
         finally:
             conn.close()
 
