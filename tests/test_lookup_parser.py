@@ -1035,7 +1035,8 @@ class TestOffsetAndCountDistinct:
     @pytest.mark.parametrize(
         "bad",
         [
-            "SELECT max(DISTINCT ip) AS m FROM t",
+            # (max(DISTINCT ip) is accepted since the round-5-final
+            # DISTINCT-under-every-set-function widening)
             "SELECT count(DISTINCT *) AS n FROM t",
             # (aggregate + OFFSET is accepted since the grouped-tail
             # round-5 widening: it can empty the single-row result)

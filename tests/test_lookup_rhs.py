@@ -450,9 +450,12 @@ class TestAggregateExpressions:
                 "HAVING sum(price + qty) > 20"
             )
 
-    def test_distinct_under_non_count_rejected(self):
-        with pytest.raises(ValidationError, match="DISTINCT is supported"):
-            parse_lookup_query("SELECT avg(DISTINCT price*2) AS a FROM t")
+    def test_distinct_under_non_count_accepted(self):
+        # round-5 final: DISTINCT under every set function — over an
+        # expression too (goldens in test_distinct_aggregates.py)
+        q = parse_lookup_query("SELECT avg(DISTINCT price*2) AS a FROM t")
+        ((func, _col, alias),) = q.aggregates
+        assert (func, alias) == ("avg_distinct", "a")
 
     @pytest.mark.parametrize("kw", ENGINES)
     def test_sum_product_all_paths(self, spark, kw):
