@@ -1570,6 +1570,10 @@ class TestRound5ConfigEndToEnd:
         targets = (
             "server_derived", "not_a_location", "mixed_multiset",
             "tool_tier", "ip_rank", "at_least_mine",
+            # round-5 final: theta params, nested params, DISTINCT
+            # aggregates + mixed HAVING from plain JSON config
+            "cheaper_than_my_threshold", "nested_param_rank",
+            "distinct_rollup",
         )
 
         def norm(v):
